@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``user_behavior_spark_pipeline_spark.registry`` — the query
+catalog lives there; tests/test_oracle_parity.py replicates the driver's
+DuckDB compare locally at sf0.001.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from user_behavior_spark_pipeline_spark.registry import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's canonical pipeline condensed — raw JSON event
+    records → validate (native single-parse) → flatten → per-(type, direction)
+    counts (the README.md:657-668 group-by, SURVEY.md §2.4)."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.ingest import validate_events
+    from user_behavior_spark_pipeline_spark.sources.generator import load_kafka_records
+
+    raw = load_kafka_records(spark, "/root/testdata/sf0.001")
+    valid = validate_events(raw)
+    return (
+        valid.groupBy("event_type", "direction")
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .orderBy("event_type", "direction")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,59 @@
+"""Local replica of the driver's Spark-vs-DuckDB oracle compare.
+
+The driver sorts result columns by name, then value-hashes the row multiset.
+We replicate with a slightly friendlier diff: sort columns by name, sort rows,
+exact compare for non-floats, tight tolerance for floats (queries are designed
+so floats are either raw parquet values — bit-identical in both engines — or
+integerized aggregates, so exact equality is the expectation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from user_behavior_spark_pipeline_spark.sources.tables import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    # stable row order: stringify every cell, sort by the full tuple
+    key = df.astype(str).agg("\x1f".join, axis=1)
+    return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+        f"oracle={sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    s = _normalize(spark_pdf)
+    o = _normalize(oracle_pdf)
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
+                a_null = a is None or (isinstance(a, float) and math.isnan(a))
+                b_null = b is None or (isinstance(b, float) and math.isnan(b))
+                assert a_null == b_null, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                assert math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9), (
+                    f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                )
+            else:
+                assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

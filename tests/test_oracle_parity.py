@@ -1,0 +1,36 @@
+"""Driver-compare replica: every registered query with an oracle must match
+its DuckDB twin on row count, column names, and values (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.registry import ORACLES, QUERIES
+
+from .oracle_utils import assert_frames_match, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def test_every_oracle_has_a_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, oracle_con, name):
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = oracle_con.execute(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference (rpg_spark_stream.py:45-49) builds a bare
+``SparkSession.builder.appName(...).enableHiveSupport()`` and inherits every
+Spark 2.2 default (200 shuffle partitions — README.md:1015). We instead pin a
+configuration designed for both the local[32] test box and a 1000-executor /
+100 TB deployment:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic join
+  strategy switch) — at 100 TB static shuffle-partition counts are always
+  wrong; AQE re-plans from actual map-output sizes.
+- Arrow enabled for any pandas interchange (vectorized, not row-pickled).
+- UTC session timezone so parquet timestamps compare identically across
+  engines (the DuckDB oracle included).
+- Broadcast threshold raised to 64 MB: every dimension table of the star
+  schema (region/nation/customer/supplier/part at reasonable SF) broadcasts,
+  removing the shuffle on the fact-table side entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "user-behavior-spark-pipeline",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, else ``*``.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    parts = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- planner / runtime re-optimization ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        # --- joins ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- scan sizing: 128 MB splits, the parquet row-group sweet spot ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- python interchange is Arrow-batched, never row-pickled ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- storage ---
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.parquet uses TIMESTAMP(NANOS), which the Spark
+        # vectorized reader rejects; read as long and normalize in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- determinism for cross-engine comparison ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
