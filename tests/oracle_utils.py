@@ -28,6 +28,8 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    if df.empty:
+        return df.reset_index(drop=True)
     # stable row order: stringify every cell, sort by the full tuple
     key = df.astype(str).agg("\x1f".join, axis=1)
     return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)

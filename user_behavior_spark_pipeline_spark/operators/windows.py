@@ -1,0 +1,111 @@
+"""Window functions: analytic/ranking windows and event-time windows
+(OP-X-WINDOW / OP-X-EVENTWINDOW, SURVEY.md §2.5).
+
+The reference has none of these (processing-time only, no stateful ops —
+"stateOperators": [] in every progress log, README.md:479). These are the
+Spark-native forms:
+
+- ranking/running windows: ``Window.partitionBy().orderBy()`` — one shuffle
+  on the partition key; rows within a partition are sorted locally. Skewed
+  partition keys (a whale user) are the scale risk; top-k is bounded by
+  pushing a rank filter immediately after the window.
+- event-time windows: ``F.window`` / ``F.session_window`` — tumbling windows
+  are a pure group-by (map-side combinable); sliding windows replicate each
+  row window/slide times; session windows need a per-key sort.
+
+Running sums use exact per-row integer cents (see registry docstring) so the
+cumulative values are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer by price; deterministic tie-break on key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def running_spend_per_customer(orders: DataFrame) -> DataFrame:
+    """Cumulative spend per customer in order-date order (exact cents)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("run_spend_cents"),
+    )
+
+
+def days_since_prev_order(orders: DataFrame) -> DataFrame:
+    """lag() analytic: gap in days between consecutive orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+def events_per_day(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day event-time window: counts + distinct users.
+
+    Uses ``F.window`` (the Structured-Streaming-compatible form); the start
+    is emitted as a DATE so values compare across engines."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.countDistinct("user_id").alias("num_users"),
+        )
+        .select(
+            # ISO string: renders identically in every engine/pandas dtype
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "num_events",
+            "num_users",
+        )
+    )
+
+
+def events_sliding_2d_1d(events: DataFrame) -> DataFrame:
+    """Sliding window: 2-day length, 1-day slide — each event lands in two
+    windows (row replication factor = window/slide = 2)."""
+    return (
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_start"),
+            "num_events",
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based). Emits one row per session with
+    the event count and the session start as epoch seconds (exact across
+    engines; sub-second truncated)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "num_events",
+        )
+    )

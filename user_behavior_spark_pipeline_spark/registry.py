@@ -280,3 +280,196 @@ def ref_infer(spark, sf_dir):
     return inferred.groupBy("event_type", "event_detail").agg(
         F.count(F.lit(1)).alias("num_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: joins over the star schema (OP-X-JOIN)
+# ---------------------------------------------------------------------------
+
+REV_E4_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+@query(
+    "x_join_star_revenue",
+    oracle=(
+        "SELECT r_name AS region, n_name AS nation, "
+        f"SUM({REV_E4_SQL}) AS revenue_x10000, COUNT(*) AS num_items "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY 1, 2"
+    ),
+)
+def x_join_star_revenue(spark, sf_dir):
+    """4-way star join with broadcast dims — the README.md:819 wish."""
+    from .operators.joins import revenue_per_region_nation
+
+    return revenue_per_region_nation(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "x_join_broadcast_brand",
+    oracle=(
+        "SELECT p_brand AS brand, "
+        f"SUM({REV_E4_SQL}) AS revenue_x10000, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_x100 "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"
+    ),
+)
+def x_join_broadcast_brand(spark, sf_dir):
+    """Explicit broadcast-hash join of the part dimension."""
+    from .operators.joins import revenue_per_brand
+
+    return revenue_per_brand(
+        _table(spark, sf_dir, "lineitem"), _table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "x_join_semi",
+    oracle=(
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+)
+def x_join_semi(spark, sf_dir):
+    from .operators.joins import customers_with_orders
+
+    return customers_with_orders(
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "x_join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders "
+        "  WHERE o_custkey = c_custkey AND o_totalprice > 450000)"
+    ),
+)
+def x_join_anti(spark, sf_dir):
+    """Anti join (NOT EXISTS) against a filtered right side — customers with
+    no order above 450k (plain no-orders-at-all is empty in this dataset)."""
+    from .operators.joins import customers_without_big_orders
+
+    return customers_without_big_orders(
+        _table(spark, sf_dir, "customer"), _table(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: analytic + event-time windows (OP-X-WINDOW/EVENTWINDOW)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_window_topk",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, rn FROM ("
+        "  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+        "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+        "  ) AS rn FROM orders"
+        ") WHERE rn <= 3"
+    ),
+)
+def x_window_topk(spark, sf_dir):
+    from .operators.windows import top_orders_per_customer
+
+    return top_orders_per_customer(_table(spark, sf_dir, "orders"), k=3)
+
+
+@query(
+    "x_window_running",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        ") AS run_spend_cents FROM orders"
+    ),
+)
+def x_window_running(spark, sf_dir):
+    from .operators.windows import running_spend_per_customer
+
+    return running_spend_per_customer(_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "x_window_lag",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "DATE_DIFF('day', CAST(LAG(o_orderdate) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE), "
+        "CAST(o_orderdate AS DATE)) AS days_since_prev FROM orders"
+    ),
+)
+def x_window_lag(spark, sf_dir):
+    from .operators.windows import days_since_prev_order
+
+    return days_since_prev_order(_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "x_event_tumbling",
+    oracle=(
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "COUNT(*) AS num_events, COUNT(DISTINCT user_id) AS num_users "
+        "FROM events GROUP BY 1"
+    ),
+)
+def x_event_tumbling(spark, sf_dir):
+    """Tumbling 1-day event-time window (F.window) — streaming-compatible."""
+    from .operators.windows import events_per_day
+
+    return events_per_day(_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x_event_sliding",
+    oracle=(
+        "SELECT strftime(date_trunc('day', ts) - s * INTERVAL 1 DAY, '%Y-%m-%d') "
+        "AS window_start, COUNT(*) AS num_events "
+        "FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS s) "
+        "GROUP BY 1"
+    ),
+)
+def x_event_sliding(spark, sf_dir):
+    """Sliding 2-day/1-day event-time window; each event in 2 windows."""
+    from .operators.windows import events_sliding_2d_1d
+
+    return events_sliding_2d_1d(_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x_event_session",
+    oracle=(
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER ("
+        "    PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+        "  THEN 1 ELSE 0 END AS new_session FROM events"
+        "), numbered AS ("
+        "  SELECT user_id, ts, SUM(new_session) OVER ("
+        "    PARTITION BY user_id ORDER BY ts "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "  FROM flagged"
+        ") SELECT user_id, "
+        "CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s, "
+        "COUNT(*) AS num_events "
+        "FROM numbered GROUP BY user_id, session_id"
+    ),
+)
+def x_event_session(spark, sf_dir):
+    """Gap-based session windows (F.session_window); DuckDB oracle is the
+    classic gaps-and-islands formulation — same islands."""
+    from .operators.windows import user_sessions
+
+    return user_sessions(_table(spark, sf_dir, "events"), gap="30 minutes")
