@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the properties that matter at 100 TB
+(SURVEY.md §4). Correctness tests say WHAT came out; these pin HOW."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from user_behavior_spark_pipeline_spark.operators.ingest import validate_events
+from user_behavior_spark_pipeline_spark.operators.joins import (
+    revenue_per_brand,
+    revenue_per_region_nation,
+)
+from user_behavior_spark_pipeline_spark.plans import (
+    codegen_stage_count,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+from user_behavior_spark_pipeline_spark.sources.generator import load_kafka_records
+from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = revenue_per_region_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    assert has_broadcast_join(df)
+
+
+def test_brand_join_is_broadcast_only(spark, sf_dir):
+    df = revenue_per_brand(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter(F.col("event_type") == "purchase").select("event_id")
+    filters = " ".join(pushed_filters(q))
+    assert "event_type" in filters, f"no pushdown: {filters}"
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = " ".join(read_schemas(q))
+    assert "l_orderkey" in schemas and "l_quantity" in schemas
+    assert "l_comment" not in schemas and "l_extendedprice" not in schemas
+
+
+def test_native_validate_is_fully_codegen(spark, sf_dir):
+    """The single-parse native pipeline must contain no Python evaluation
+    (BatchEvalPython) — the reference's UDF barrier removed (SURVEY.md §4)."""
+    raw = load_kafka_records(spark, sf_dir)
+    valid = validate_events(raw)
+    plan = explain_str(valid)
+    assert "BatchEvalPython" not in plan
+    assert codegen_stage_count(valid) >= 1

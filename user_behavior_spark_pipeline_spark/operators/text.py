@@ -1,0 +1,123 @@
+"""Text analysis over the documents table (OP-X-TEXT + north-star text ops).
+
+Everything here is built from native string/array/lambda column functions
+(split/filter/transform/aggregate) — no Python UDFs, fully codegen-able, and
+linear in corpus size (one scan, one optional explode). Quality metrics and
+ratios are emitted as scaled integers (round once per row) so values compare
+exactly across engines.
+
+Language-ID is a marker-word heuristic (per-language stopword hit counts,
+deterministic argmax) — the classic cheap n-gram/stopword approach; on a real
+corpus you'd swap the marker lists, the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "\\s+"
+
+# marker words per language, checked in this order (deterministic tie-break)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "les", "et", "une"),
+    "zh": (),  # CJK detection is by script, not markers
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, TOKEN_SPLIT_RE)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counting: whitespace tokens + a BPE-ish estimate
+    (chars/4, the common rule-of-thumb) + stopword ratio ×1000."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("tokens_est"),
+        F.round(stop_hits * 1000 / n_tokens).cast("long").alias("stop_ratio_x1000"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword quality signals (scaled-integer outputs).
+
+    mean token length ×100, punctuation ratio ×1000, alpha ratio ×1000 —
+    the standard cheap quality filters for web-scale text curation."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", "[^\\w\\s]", ""))
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - n_tokens + 1) * 100 / n_tokens).cast("long").alias(
+            "mean_token_len_x100"
+        ),
+        F.round(punct * 1000 / n_chars).cast("long").alias("punct_ratio_x1000"),
+        F.round(alpha * 1000 / n_chars).cast("long").alias("alpha_ratio_x1000"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language ID with deterministic priority tie-break.
+
+    CJK is detected by script range first; otherwise the language with the
+    most marker-word hits wins (ties resolve in LANG_MARKERS order; zero hits
+    -> 'und')."""
+    toks = tokens_col()
+
+    def _hit_count(markers):
+        # single-arg lambda: a two-arg lambda would be read as (elem, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {
+        lang: _hit_count(markers)
+        for lang, markers in LANG_MARKERS.items()
+        if markers
+    }
+    has_cjk = F.col("text").rlike("[\\u4e00-\\u9fff]")
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    lang_pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when((en > 0) & (en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es > 0) & (es >= de) & (es >= fr), F.lit("es"))
+        .when((de > 0) & (de >= fr), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return documents.select("doc_id", "lang", lang_pred.alias("lang_pred"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the case/whitespace-normalized text —
+    the exact-dedup key that survives formatting noise."""
+    normalized = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    return documents.select(
+        "doc_id",
+        F.md5(normalized.cast("binary")).alias("fingerprint"),
+    )
+
+
+def token_frequencies(documents: DataFrame, min_count: int = 2) -> DataFrame:
+    """Corpus token histogram (explode + count). The explode multiplies rows
+    by tokens-per-doc; the count is map-side combinable so the shuffle only
+    carries (token, partial-count)."""
+    return (
+        documents.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") >= min_count)
+    )

@@ -473,3 +473,170 @@ def x_event_session(spark, sf_dir):
     from .operators.windows import user_sessions
 
     return user_sessions(_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: text analysis over documents (OP-X-TEXT)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "WITH t AS (SELECT doc_id, lang, text, "
+    "regexp_split_to_array(text, '\\s+') AS toks FROM documents)"
+)
+
+
+@query(
+    "x_text_tokens",
+    oracle=(
+        f"{_TOKS_CTE} SELECT doc_id, len(toks) AS n_tokens, "
+        "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS tokens_est, "
+        "CAST(ROUND(len(list_filter(toks, x -> x IN "
+        "('the','a','of','and','to','in'))) * 1000 / len(toks)) AS BIGINT) "
+        "AS stop_ratio_x1000 FROM t"
+    ),
+)
+def x_text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens, BPE-ish chars/4 estimate,
+    stopword ratio."""
+    from .operators.text import token_stats
+
+    return token_stats(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_text_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        "len(regexp_split_to_array(text, '\\s+')) AS n_tok, "
+        "length(text) AS n_chars FROM documents) "
+        "SELECT doc_id, n_chars, n_tok AS n_tokens, "
+        "CAST(ROUND((n_chars - n_tok + 1) * 100 / n_tok) AS BIGINT) "
+        "  AS mean_token_len_x100, "
+        "CAST(ROUND((n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+        "  * 1000 / n_chars) AS BIGINT) AS punct_ratio_x1000, "
+        "CAST(ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000 "
+        "  / n_chars) AS BIGINT) AS alpha_ratio_x1000 FROM t"
+    ),
+)
+def x_text_quality(spark, sf_dir):
+    """Quality scoring: length / punctuation / alpha ratios."""
+    from .operators.text import quality_scores
+
+    return quality_scores(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_text_lang",
+    oracle=(
+        f"{_TOKS_CTE}, h AS (SELECT doc_id, lang, "
+        "regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk, "
+        "len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS en, "
+        "len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS es, "
+        "len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS de, "
+        "len(list_filter(toks, x -> x IN ('le','les','et','une'))) AS fr FROM t) "
+        "SELECT doc_id, lang, CASE WHEN cjk THEN 'zh' "
+        "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' "
+        "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' "
+        "WHEN de > 0 AND de >= fr THEN 'de' "
+        "WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM h"
+    ),
+)
+def x_text_lang(spark, sf_dir):
+    """Marker-word language ID with deterministic priority cascade."""
+    from .operators.text import language_id
+
+    return language_id(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_text_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) "
+        "AS fingerprint FROM documents"
+    ),
+)
+def x_text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint (formatting-noise-proof dedup key)."""
+    from .operators.text import fingerprints
+
+    return fingerprints(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_text_tokenfreq",
+    oracle=(
+        "SELECT token, COUNT(*) AS occurrences FROM "
+        "(SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents) GROUP BY 1 HAVING COUNT(*) >= 2"
+    ),
+)
+def x_text_tokenfreq(spark, sf_dir):
+    """Corpus token histogram (explode + map-side-combinable count)."""
+    from .operators.text import token_frequencies
+
+    return token_frequencies(_table(spark, sf_dir, "documents"), min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: deduplication (OP-X-DEDUP)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_PAIRS_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+    "FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)), "
+    "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+    "pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) shared "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT d1 AS doc_id_1, d2 AS doc_id_2, "
+    "CAST(ROUND(shared * 1000000 / (s1.n + s2.n - shared)) AS BIGINT) "
+    "  AS jaccard_x1e6 "
+    "FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
+    "WHERE CAST(ROUND(shared * 1000000 / (s1.n + s2.n - shared)) AS BIGINT) "
+    "  >= 500000"
+)
+
+
+@query(
+    "x_dedup_exact",
+    oracle=(
+        "SELECT MIN(doc_id) AS min_doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on text, deterministic representative."""
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(_table(spark, sf_dir, "documents"))
+
+
+@query("x_dedup_ngram", oracle=_SHINGLE_PAIRS_SQL)
+def x_dedup_ngram(spark, sf_dir):
+    """Exact near-dup pairs: word-3-gram Jaccard >= 0.5 via shingle
+    self-join (only colliding pairs materialize, never n²)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@query("x_dedup_minhash", oracle=_SHINGLE_PAIRS_SQL)
+def x_dedup_minhash(spark, sf_dir):
+    """MinHash(64) + LSH(32 bands) candidates, verified with exact Jaccard —
+    same oracle as the exact path because recall at j>=0.5 is 1-1e-23
+    (see operators/dedup.py docstring)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@query("x_dedup_simhash")  # rows-only: signature bits depend on xxhash64
+def x_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 4, banded candidates). Rows-only
+    oracle; tests/test_dedup.py asserts precision/recall against exact
+    n-gram Jaccard (on this near-identical-bag-of-words corpus simhash
+    trades some of both — calibrated there)."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_table(spark, sf_dir, "documents"), max_hamming=4)
