@@ -1,0 +1,39 @@
+"""Approximate aggregates (OP-X-APPROX, SURVEY.md §2.5).
+
+Sketch-based aggregates are THE 100 TB tool: approx_count_distinct (HLL++)
+and percentile_approx (KLL-ish) shuffle constant-size sketches instead of
+value sets. Their outputs are engine-specific, so the oracle contract is a
+**tolerance flag**: the query emits the exact value (engine-independent)
+plus a boolean "the sketch landed within tolerance"; the oracle asserts the
+same exact value and a hardcoded TRUE. A sketch regression therefore still
+fails the hash compare — via the flag, not the raw estimate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_users_with_sketch(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Per-type exact distinct users + HLL estimate within-5% flag."""
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd)
+    return events.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= F.ceil(exact * F.lit(rsd))).alias("sketch_ok"),
+    )
+
+
+def value_percentiles_with_sketch(
+    events: DataFrame, tolerance: float = 0.05
+) -> DataFrame:
+    """Per-type exact continuous median (deterministic: interpolation of two
+    sorted doubles) + percentile_approx within-tolerance flag."""
+    exact_p50 = F.percentile("value", F.lit(0.5))
+    approx_p50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    return events.groupBy("event_type").agg(
+        F.round(exact_p50 * 100).cast("long").alias("p50_x100"),
+        (F.abs(approx_p50 - exact_p50) <= exact_p50 * F.lit(tolerance)).alias(
+            "sketch_ok"
+        ),
+    )

@@ -640,3 +640,79 @@ def x_dedup_simhash(spark, sf_dir):
     from .operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_table(spark, sf_dir, "documents"), max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: similarity search over embeddings (OP-X-SIM)
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    "WHERE vec_id < 10), "
+    "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) "
+    "AS c FROM q, embeddings e WHERE e.vec_id != query_id), "
+    "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM scored) "
+    "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+)
+
+
+@query("x_sim_bruteforce", oracle=_COSINE_TOPK_SQL)
+def x_sim_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors — broadcast queries, map-side
+    scoring, tiny final shuffle. Ranks only (floats never cross engines)."""
+    from .operators.similarity import brute_force_topk
+
+    return brute_force_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+@query("x_sim_pandas", oracle=_COSINE_TOPK_SQL)
+def x_sim_pandas(spark, sf_dir):
+    """Same top-k via Arrow-batched numpy pandas_udf (OP-X-UDF-SURFACE) —
+    must reproduce the JVM path's ranks exactly."""
+    from .operators.similarity import pandas_cosine_topk
+
+    return pandas_cosine_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+@query("x_sim_lsh")  # rows-only: approximate; recall measured in tests
+def x_sim_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (random hyperplanes, Hamming-probe)."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: approximate aggregates (OP-X-APPROX)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_approx_distinct",
+    oracle=(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "TRUE AS sketch_ok FROM events GROUP BY 1"
+    ),
+)
+def x_approx_distinct(spark, sf_dir):
+    """HLL distinct-count sketch, gated by a within-5%-of-exact flag."""
+    from .operators.approx import distinct_users_with_sketch
+
+    return distinct_users_with_sketch(_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x_approx_percentile",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(ROUND(quantile_cont(value, 0.5) * 100) AS BIGINT) AS p50_x100, "
+        "TRUE AS sketch_ok FROM events GROUP BY 1"
+    ),
+)
+def x_approx_percentile(spark, sf_dir):
+    """percentile_approx sketch vs exact continuous median + tolerance flag."""
+    from .operators.approx import value_percentiles_with_sketch
+
+    return value_percentiles_with_sketch(_table(spark, sf_dir, "events"))
