@@ -716,3 +716,96 @@ def x_approx_percentile(spark, sf_dir):
     from .operators.approx import value_percentiles_with_sketch
 
     return value_percentiles_with_sketch(_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming parity (SURVEY.md Phase 2): the stream runs to completion
+# (availableNow) inside the query callable, its sink is read back, and the
+# result hash-compares against the same batch oracle — streaming correctness
+# under the standard oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def _stage_stream_source(spark: SparkSession, sf_dir: str, duplicate: bool = False) -> str:
+    """Materialize the Kafka-double records as JSON files for a file-stream
+    source; returns the source directory."""
+    import tempfile
+
+    records = _raw(spark, sf_dir)
+    if duplicate:
+        records = records.union(records)
+    src = tempfile.mkdtemp(prefix="ubsp_stream_src_")
+    records.coalesce(4).write.mode("overwrite").json(src)
+    return src
+
+
+@query(
+    "x_stream_pipeline",
+    oracle=(
+        f"{MAPPED_CTE} SELECT event_type, direction, COUNT(*) AS num_events "
+        f"FROM mapped WHERE {VALID_FILTER} GROUP BY 1, 2"
+    ),
+)
+def x_stream_pipeline(spark, sf_dir):
+    """The canonical streaming ETL end-to-end (README.md:372-423): file-stream
+    Kafka double → validate/parse/flatten → checkpointed partitioned parquet
+    sink → read the sink back and aggregate. Exactly-once manifest commit."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import file_stream_source, write_validated_stream
+
+    src = _stage_stream_source(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ubsp_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_stream_ckpt_")
+    q = write_validated_stream(file_stream_source(spark, src), out, ckpt)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "direction")
+        .agg(F.count(F.lit(1)).alias("num_events"))
+    )
+
+
+@query(
+    "x_stream_windowed",
+    oracle=(
+        f"{MAPPED_CTE.replace('FROM events', 'FROM events')} "
+        ", valid AS (SELECT m.event_type, e.ts FROM mapped m JOIN events e USING (event_id) "
+        "WHERE m.event_type IN ('sword_event', 'guild_event')) "
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, "
+        "COUNT(*) AS num_events FROM valid GROUP BY 1, 2"
+    ),
+)
+def x_stream_windowed(spark, sf_dir):
+    """Watermarked tumbling event-time window aggregation over the stream
+    (OP-X-EVENTWINDOW streaming form) — complete mode to a memory sink."""
+    from .streaming.jobs import file_stream_source, windowed_counts_stream
+
+    src = _stage_stream_source(spark, sf_dir)
+    name = "ubsp_windowed_counts"
+    q = windowed_counts_stream(file_stream_source(spark, src), query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "x_stream_dedup",
+    oracle="SELECT COUNT(*) AS num_entries FROM events",
+)
+def x_stream_dedup(spark, sf_dir):
+    """Streaming dedup: every record delivered twice, exactly one survives
+    per offset (dropDuplicatesWithinWatermark — watermark-bounded state)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import dedup_stream, file_stream_source
+
+    src = _stage_stream_source(spark, sf_dir, duplicate=True)
+    out = tempfile.mkdtemp(prefix="ubsp_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_dedup_ckpt_")
+    q = dedup_stream(file_stream_source(spark, src), out, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("num_entries"))

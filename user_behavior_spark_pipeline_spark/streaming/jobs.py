@@ -1,0 +1,162 @@
+"""Structured Streaming jobs — the reference's streaming ETL re-expressed
+(SURVEY.md §2.3, §3.1) plus the stateful operators it lacked (§2.5).
+
+The canonical reference job (README.md:372-423): Kafka stream → UDF filter →
+parse/flatten → checkpointed parquet sink, 10 s processingTime trigger.
+Ours:
+
+- source: Kafka in production (sources.kafka) or a file-stream test double
+  with the identical record schema — the transformation code is shared and
+  source-agnostic (it takes a DataFrame, streaming or not);
+- the validate/parse/flatten is the SAME function as batch
+  (operators.ingest.validate_events) — batch/stream unification is the point
+  of Structured Streaming;
+- sink: ONE partitioned parquet sink (partitionBy event_type) replaces the
+  reference's three per-type sink queries (rpg_spark_stream.py:120-145) —
+  one checkpoint, one state store, three directories' worth of layout;
+- tests use trigger(availableNow=True), never wall-clock processingTime
+  (FIXTURES.md §3).
+
+At scale: the file sink's manifest commit gives exactly-once
+(README.md:1224-1226 observed the same protocol); watermarks bound state for
+windowed aggs and dedup; maxFilesPerTrigger/maxOffsetsPerTrigger bound
+per-batch work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ingest import validate_events
+from ..schemas import KAFKA_DOUBLE_SCHEMA
+
+
+def file_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka test double: a directory of JSON records with the Kafka-shaped
+    (value, timestamp, offset) schema (FIXTURES.md §1/§3)."""
+    reader = spark.readStream.schema(KAFKA_DOUBLE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(source_dir)
+
+
+def write_validated_stream(
+    raw_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: str | None = "event_type",
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """The canonical pipeline's sink (OP-SINK-PARQUET-STREAM): validated
+    events → checkpointed, partitioned parquet, exactly-once."""
+    valid = validate_events(raw_stream)
+    writer = (
+        valid.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def console_stream(raw_stream: DataFrame, available_now: bool = True):
+    """OP-SINK-CONSOLE (filter_swords_stream.py:62-65) — debug sink."""
+    writer = validate_events(raw_stream).writeStream.format("console")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts_stream(
+    raw_stream: DataFrame,
+    query_name: str,
+    watermark: str = "1 day",
+    window: str = "1 day",
+):
+    """Watermarked tumbling event-time counts to a memory sink (complete
+    mode, so every window is visible at end-of-stream — append mode would
+    hold back windows the watermark hasn't passed)."""
+    valid = validate_events(raw_stream)
+    counts = (
+        valid.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "num_events",
+        )
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_stream(
+    raw_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "365 days",
+):
+    """Streaming dedup (OP-X-DEDUP streaming form): one row per offset within
+    the watermark horizon — dropDuplicatesWithinWatermark bounds state by
+    event time, the 100 TB-safe variant of dropDuplicates."""
+    deduped = (
+        raw_stream.withWatermark("timestamp", watermark)
+        .dropDuplicatesWithinWatermark(["offset"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fanout_by_class_stream(
+    raw_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+):
+    """The reference's 3-sink fan-out (rpg_spark_stream.py:120-145) as ONE
+    foreachBatch query: each micro-batch is classified once and written to
+    three directories — one source scan, one checkpoint, not three."""
+    from ..operators.classify import split_by_class
+    from ..operators.ingest import parse_events
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_events(batch_df).persist()
+        try:
+            swords, guilds, other = split_by_class(parsed)
+            swords.write.mode("append").parquet(os.path.join(base_dir, "sword_events"))
+            guilds.write.mode("append").parquet(os.path.join(base_dir, "guild_events"))
+            other.write.mode("append").parquet(os.path.join(base_dir, "other_events"))
+        finally:
+            parsed.unpersist()
+
+    return (
+        raw_stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
