@@ -809,3 +809,111 @@ def x_stream_dedup(spark, sf_dir):
     q = dedup_stream(file_stream_source(spark, src), out, ckpt)
     q.awaitTermination()
     return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("num_entries"))
+
+
+# ---------------------------------------------------------------------------
+# Golden workload — the reference's published counts, reproduced exactly
+# (README.md:776-816; sources/golden.py). Oracles are VALUES literals of the
+# README's own tables.
+# ---------------------------------------------------------------------------
+
+
+def _golden_valid(spark):
+    from .operators.ingest import validate_events
+    from .sources.golden import golden_kafka_records
+
+    return validate_events(golden_kafka_records(spark))
+
+
+@query(
+    "ref_golden_host_type",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "('localhost:5000', 'sword_event', CAST(12 AS BIGINT)), "
+        "('Player 1', 'sword_event', 100), "
+        "('Player 2', 'sword_event', 200), "
+        "('Player 3', 'sword_event', 100), "
+        "('localhost:5000', 'guild_event', 4), "
+        "('Player 2', 'guild_event', 100), "
+        "('Player 3', 'guild_event', 100), "
+        "('Jordan Meyer', 'guild_event', 11111)"
+        ") AS t(host, event_type, num_events)"
+    ),
+)
+def ref_golden_host_type(spark, sf_dir):
+    """The README.md:776-791 host × event_type table, regenerated end-to-end
+    from the golden workload through the validated pipeline."""
+    from . import analytics
+
+    return analytics.events_by_host_and_type(_golden_valid(spark))
+
+
+@query(
+    "ref_golden_directions",
+    oracle=(
+        "SELECT * FROM (VALUES ('increase', CAST(11724 AS BIGINT)), "
+        "('reduce', 3)) AS t(direction, num_events)"
+    ),
+)
+def ref_golden_directions(spark, sf_dir):
+    """The README.md:657-663 direction split (11724 increase / 3 reduce)."""
+    from . import analytics
+
+    return analytics.events_by(_golden_valid(spark), "direction")
+
+
+@query(
+    "ref_golden_distinct",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "('localhost:5000', 'guild_event', 'starter guild'), "
+        "('Player 3', 'guild_event', 'W205-Test'), "
+        "('Jordan Meyer', 'guild_event', 'Ready_to_submit'), "
+        "('localhost:5000', 'guild_event', 'PVP-Friends'), "
+        "('Player 2', 'guild_event', 'Office-Hours'), "
+        "('localhost:5000', 'guild_event', 'Data-Engineers'), "
+        "('localhost:5000', 'sword_event', 'wood'), "
+        "('localhost:5000', 'sword_event', 'two-handed'), "
+        "('Player 3', 'sword_event', 'test_sword_3'), "
+        "('Player 2', 'sword_event', 'test_sword_2'), "
+        "('Player 1', 'sword_event', 'test_sword_1'), "
+        "('localhost:5000', 'sword_event', 'short'), "
+        "('localhost:5000', 'sword_event', 'long'), "
+        "('localhost:5000', 'sword_event', 'glass'), "
+        "('localhost:5000', 'sword_event', 'bronze')"
+        ") AS t(host, event_type, event_detail)"
+    ),
+)
+def ref_golden_distinct(spark, sf_dir):
+    """The README.md:793-816 15-row (host, type, detail) inventory."""
+    from . import analytics
+
+    return analytics.distinct_host_type_detail(_golden_valid(spark))
+
+
+# ---------------------------------------------------------------------------
+# Catalog / DDL surface (OP-DDL-HIVE): parquet-directory-as-table round trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ref_catalog_table",
+    oracle=(
+        f"{MAPPED_CTE} SELECT event_type, COUNT(*) AS num_events "
+        f"FROM mapped WHERE {VALID_FILTER} GROUP BY 1"
+    ),
+)
+def ref_catalog_table(spark, sf_dir):
+    """DDL round trip: validated events written as partitioned parquet, an
+    EXTERNAL table created over the directory (README.md:394-411 contract),
+    then queried back through spark.sql by table name."""
+    import tempfile
+
+    from .catalog import create_external_parquet_table
+
+    out = tempfile.mkdtemp(prefix="ubsp_catalog_")
+    _valid(spark, sf_dir).write.mode("overwrite").partitionBy("event_type").parquet(out)
+    create_external_parquet_table(spark, "valid_events_ext", out, repair=True)
+    return spark.sql(
+        "SELECT event_type, COUNT(*) AS num_events FROM valid_events_ext GROUP BY 1"
+    )
