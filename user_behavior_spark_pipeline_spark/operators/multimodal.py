@@ -1,0 +1,178 @@
+"""Multimodal columns (north-star): image/audio/video as opaque binary
+columns with typed metadata, processed with Arrow-batched Python.
+
+The engine-side design (all real and tested):
+
+- media rows are (media_id, kind, payload binary, meta struct) — payload is
+  NEVER interpreted by the JVM; metadata is columnar and prunable, so a
+  query touching only ``meta.width`` never decodes (or even reads) payload
+  bytes thanks to parquet column pruning;
+- decode / feature-extract runs in ``mapInPandas`` — Arrow moves the binary
+  batches zero-copy into Python where the real codec libraries live;
+- frame sampling / resize planning are pure column ops on metadata — no
+  payload bytes move at all.
+
+The DECODERS themselves are deterministic stubs: the container has no
+PIL/librosa/av, so ``decode_features`` computes a byte-histogram "embedding"
+(clearly fake, stable across runs) and ``decode_real`` raises
+NotImplementedError pointing at the seam where a real codec plugs in. The
+Spark plumbing — schemas, batch iteration, partitioning — is the real thing.
+
+Media fixtures are synthesized deterministically from the documents table
+(payload = UTF-8 bytes of the text), so every metadata value is also
+derivable in plain SQL for the oracle."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", LongType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feat", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media fixtures from documents: payload = UTF-8 text
+    bytes; metadata derived from doc_id/n_chars (SQL-reproducible)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, KINDS[0])
+        .when(F.col("doc_id") % 3 == 1, KINDS[1])
+        .otherwise(KINDS[2])
+    )
+    is_image = kind == "image"
+    is_audio = kind == "audio"
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(is_image, (F.col("n_chars") % 640 + 16).cast("int")).alias("width"),
+            F.when(is_image, (F.col("n_chars") % 480 + 16).cast("int")).alias("height"),
+            F.when(~is_image, F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+            F.when(is_audio, F.lit(16000)).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only projection: payload is pruned out of the scan entirely
+    (assert via plans.read_schemas)."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+def decode_real(payload: bytes, kind: str):
+    """The seam for real codecs (PIL / librosa / pyav). Not available in
+    this container — plug in and replace decode_features' inner call."""
+    raise NotImplementedError(
+        "real media decoding requires codec libraries (PIL/librosa/av) "
+        "not present in this environment; decode_features uses the "
+        "deterministic byte-histogram stub instead"
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic stand-in for a decoder+encoder: normalized byte
+    histogram folded into ``dim`` buckets."""
+    counts = [0] * dim
+    for b in payload:
+        counts[b % dim] += 1
+    total = float(len(payload)) or 1.0
+    return [c / total for c in counts]
+
+
+def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas decode/feature-extract: Arrow-batched binary in, fixed-dim
+    float vector out. Batch shape and schema are the production contract;
+    swap _fake_decode for decode_real when codecs exist."""
+    import pandas as pd
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feat": pdf["payload"].map(lambda p: _fake_decode(bytes(p), dim)),
+                }
+            )
+
+    return media.mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, interval_ms: int = 60000) -> DataFrame:
+    """Frame-sampling plan for video: one row per sampled frame offset —
+    pure metadata math, zero payload bytes touched."""
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.col("meta.duration_ms") - 1,
+                F.lit(interval_ms),
+            )
+        ).alias("frame_idx", "offset_ms"),
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize planning for images: target dims preserving aspect ratio,
+    integer math only (floor), metadata-only."""
+    img = media.filter(F.col("kind") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    longest = F.greatest(w, h)
+    return img.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.floor(w * max_side / longest).cast("int").alias("target_width"),
+        F.floor(h * max_side / longest).cast("int").alias("target_height"),
+    )

@@ -1,0 +1,71 @@
+"""The Python UDF surface (OP-X-UDF-SURFACE): every escape-hatch tier, each
+demonstrated on a real query and each checked against a native/SQL oracle.
+
+Tiers (fast to slow):
+1. native column expressions        — everything else in this package
+2. scalar pandas_udf (Arrow)        — similarity.pandas_cosine_topk
+3. mapInPandas (Arrow, batch iter)  — multimodal.decode_features
+4. applyInPandas (grouped)          — per_user_stats here
+5. row-at-a-time @udf               — ingest.is_valid_event_udf (parity only)
+
+applyInPandas shuffles the full group to one Python worker — at 100 TB use
+it only when per-group logic genuinely needs the whole group in memory
+(model fitting, sequence features); a whale group OOMs the worker, so
+pre-aggregate or salt first where possible.
+
+Determinism: per-group math is done on exact integer cents inside pandas,
+so results hash-match the SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+PER_USER_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_cents", LongType(), False),
+        StructField("avg_value_x100", LongType(), False),
+    ]
+)
+
+
+def per_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user aggregate computed with applyInPandas (grouped map): the
+    canonical 'custom per-group kernel' shape. The same numbers are
+    expressible natively — the point is the surface, and the oracle keeps
+    it honest."""
+    import pandas as pd
+
+    def _stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cents = (pdf["value"] * 100).round().astype("int64")
+        n = len(pdf)
+        total = int(cents.sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "total_cents": [total],
+                "avg_value_x100": [round(total / n)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(_stats, PER_USER_SCHEMA)
+
+
+def per_user_stats_native(events: DataFrame) -> DataFrame:
+    """The native twin of per_user_stats (what you'd actually deploy)."""
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("total_cents"),
+        F.round(F.sum(cents) / F.count(F.lit(1))).cast("long").alias("avg_value_x100"),
+    )

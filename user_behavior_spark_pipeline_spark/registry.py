@@ -917,3 +917,73 @@ def ref_catalog_table(spark, sf_dir):
     return spark.sql(
         "SELECT event_type, COUNT(*) AS num_events FROM valid_events_ext GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: multimodal binary columns + the Python UDF surface
+# ---------------------------------------------------------------------------
+
+_MEDIA_META_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "octet_length(encode(text)) AS n_bytes, "
+    "CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 640 + 16 AS INT) END AS width, "
+    "CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 480 + 16 AS INT) END AS height, "
+    "CASE WHEN doc_id % 3 != 0 THEN n_chars * 100 END AS duration_ms "
+    "FROM documents"
+)
+
+
+@query("x_multimodal_meta", oracle=_MEDIA_META_SQL)
+def x_multimodal_meta(spark, sf_dir):
+    """Typed metadata over opaque binary media columns; payload bytes are
+    pruned out of the scan (plans test asserts it)."""
+    from .operators.multimodal import media_metadata, synth_media
+
+    return media_metadata(synth_media(_table(spark, sf_dir, "documents")))
+
+
+@query(
+    "x_multimodal_frames",
+    oracle=(
+        "WITH v AS (SELECT doc_id AS media_id, n_chars * 100 AS duration_ms "
+        "FROM documents WHERE doc_id % 3 = 2) "
+        "SELECT media_id, CAST(s.i AS INT) AS frame_idx, "
+        "s.i * 60000 AS offset_ms FROM v, "
+        "(SELECT UNNEST(range(0, 100)) AS i) s "
+        "WHERE s.i * 60000 < duration_ms"
+    ),
+)
+def x_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled offset, pure metadata
+    math (no payload read)."""
+    from .operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(_table(spark, sf_dir, "documents")))
+
+
+@query("x_multimodal_decode")  # rows-only: stub decoder output shape
+def x_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode/feature-extract over Arrow batches (deterministic
+    byte-histogram stub in place of real codecs — see operators/multimodal)."""
+    from .operators.multimodal import decode_features, synth_media
+
+    return decode_features(synth_media(_table(spark, sf_dir, "documents")))
+
+
+@query(
+    "x_udf_apply_in_pandas",
+    oracle=(
+        "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
+        "FROM events) "
+        "SELECT user_id, COUNT(*) AS n_events, SUM(cents) AS total_cents, "
+        "CAST(ROUND(SUM(cents) / COUNT(*)) AS BIGINT) AS avg_value_x100 "
+        "FROM c GROUP BY 1"
+    ),
+)
+def x_udf_apply_in_pandas(spark, sf_dir):
+    """applyInPandas grouped kernel (exact integer math inside pandas)."""
+    from .operators.udf_surface import per_user_stats
+
+    return per_user_stats(_table(spark, sf_dir, "events"))

@@ -1,0 +1,49 @@
+"""Batch sinks and physical data layout (OP-SINK-PARQUET-BATCH + the 100 TB
+layout toolbox).
+
+The reference's only batch sink is ``.write.mode('overwrite').parquet(...)``
+(filtered_writes.py:46-49). At scale the sink IS the optimization surface:
+
+- **partitionBy** on low-cardinality query keys → partition pruning turns
+  full scans into directory lookups (the reference approximated this with
+  three per-type sink queries; one partitioned sink replaces them);
+- **bucketBy** on high-cardinality join/agg keys → co-located, shuffle-free
+  joins between tables bucketed the same way;
+- **maxRecordsPerFile** bounds file sizes so a skewed partition can't
+  produce a multi-GB file (small-file problem's evil twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+) -> None:
+    """Bucketed + sorted managed table: joins/aggs on bucket_col between
+    co-bucketed tables need no Exchange (asserted in tests/test_sinks.py)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(name)
+    )
