@@ -28,6 +28,11 @@ def main() -> None:
     spark = get_spark(app_name="ubsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM/codegen/file-index paths so the first timed query isn't
+    # charged for session bootstrap
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
     bench_names = sorted(QUERIES)
     timings: dict[str, float] = {}
     for name in bench_names:

@@ -79,3 +79,50 @@ def test_exact_dedup_counts_planted_duplicates(spark):
         r["min_doc_id"]: r["n_copies"] for r in exact_duplicates(df).collect()
     }
     assert out == {1: 3, 2: 1, 5: 1}
+
+
+def test_embedding_lsh_recall_on_perturbed_near_dups(spark, sf_dir):
+    """Plant NEAR (not exact) duplicates — each vector scaled per-element by
+    a deterministic factor that keeps cosine ~0.97 — and require high recall
+    from the LSH path against the exact path on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    n = emb.count()
+    # element i scaled by 1 + 0.1*sin(vec_id + i): deterministic, angle ~14°
+    perturbed = emb.select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (1.0 + 0.1 * F.sin(F.col("vec_id") + i)),
+        ).alias("embedding"),
+        "label",
+    )
+    planted = emb.unionByName(perturbed).cache()
+    exact = set(
+        map(
+            tuple,
+            embedding_near_dup_pairs(planted, threshold=0.9)
+            .select("vec_id_1", "vec_id_2")
+            .toPandas()
+            .values,
+        )
+    )
+    assert len(exact) >= n * 0.9, "perturbation should keep pairs above 0.9"
+    lsh = set(
+        map(
+            tuple,
+            embedding_near_dup_lsh(planted, threshold=0.9)
+            .select("vec_id_1", "vec_id_2")
+            .toPandas()
+            .values,
+        )
+    )
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"embedding-LSH recall {recall:.2f}"
+    assert lsh <= exact, "verify step must kill every false candidate"

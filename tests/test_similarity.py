@@ -50,3 +50,32 @@ def test_topk_is_k_per_query(emb):
     df = brute_force_topk(emb, num_queries=3, k=4).toPandas()
     assert len(df) == 12
     assert set(df.groupby("query_id")["rank"].max()) == {4}
+
+
+def test_ivf_recall(emb, exact_topk):
+    from user_behavior_spark_pipeline_spark.operators.similarity import ivf_topk
+
+    ivf = set(
+        map(
+            tuple,
+            ivf_topk(emb).select("query_id", "neighbor_id").toPandas().values,
+        )
+    )
+    recall = len(ivf & exact_topk) / len(exact_topk)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_probe_widening_recovers_exact(emb, exact_topk):
+    """nprobe == n_centroids degenerates to exhaustive search — recall 1."""
+    from user_behavior_spark_pipeline_spark.operators.similarity import ivf_topk
+
+    full = set(
+        map(
+            tuple,
+            ivf_topk(emb, n_centroids=8, nprobe=8)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+    assert full == exact_topk

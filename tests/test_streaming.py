@@ -115,3 +115,41 @@ def test_console_sink_runs(spark, records, tmp_path):
     q = console_stream(file_stream_source(spark, src))
     q.awaitTermination()
     assert q.lastProgress is not None
+
+
+def test_stateful_totals_across_many_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must accumulate across micro-batches: slice the
+    input into one-file triggers and require the end state to equal the batch
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        final_user_totals,
+        stateful_user_totals_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id", "value")
+    )
+    q = stateful_user_totals_stream(stream, query_name="stateful_multi_batch")
+    q.awaitTermination()
+    got = final_user_totals(spark, "stateful_multi_batch").toPandas()
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    assert got.equals(want)

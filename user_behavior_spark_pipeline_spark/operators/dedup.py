@@ -49,14 +49,22 @@ def dedup_keep_first(documents: DataFrame, key: str = "text") -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per document, as 64-bit hashes:
+    (doc_id, shingle long).
+
+    Hashing before the distinct/self-join shrinks shuffle payloads ~10×
+    versus shipping shingle strings and turns every downstream compare into
+    a long compare. A 64-bit collision inside one document pair's shingle
+    sets (P ≈ |S|²/2⁶⁵) is the standard MinHash trade and far below the
+    1e-6 Jaccard rounding grain."""
     toks = F.split(F.col("text"), "\\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
     return (
-        documents.select("doc_id", F.explode(grams).alias("shingle"))
+        documents.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("shingle"))
         .distinct()
     )
 
@@ -123,8 +131,18 @@ def minhash_lsh_pairs(
     candidates; candidates are scored exactly. Output == exact
     ngram_jaccard_pairs at any threshold with near-certain LSH recall
     (see module docstring)."""
+    from pyspark import StorageLevel
+
     rows_per_band = NUM_HASHES // NUM_BANDS
-    sig = minhash_signatures(documents, n)
+    # the shingle set feeds BOTH the signature pass and the exact-Jaccard
+    # verify pass — persist it so the explode+distinct shuffle runs once
+    # (MEMORY_AND_DISK: spills instead of OOMing at scale)
+    sh = shingles(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -149,9 +167,120 @@ def minhash_lsh_pairs(
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    sh = shingles(documents, n)
     return _pair_jaccard(sh, pairs_filter=candidates).filter(
         F.col("jaccard_x1e6") >= int(threshold * 1_000_000)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (vec_id_1, vec_id_2,
+    cosine_x1e6) for every pair with cosine >= threshold.
+
+    Block-broadcast design: the normalized corpus matrix (N × d doubles) is
+    collected once and captured in a ``mapInPandas`` closure — each Arrow
+    batch of rows scores against the whole matrix as ONE numpy matmul, so
+    the O(N²) work runs vectorized and map-side with no shuffle at all.
+    Viable while one side fits in executor memory (N·d·8 bytes — ~5 GB at
+    N=10M, d=64); past that, run :func:`embedding_near_dup_lsh` (same
+    verify, LSH candidate pruning) — the all-pairs form is the oracle
+    baseline."""
+    import numpy as np
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            xid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = x @ mat.T
+            # i < j ordering + threshold, half-up at the 1e-6 grain
+            mask = (sims >= threshold) & (xid[:, None] < ids[None, :])
+            i, j = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": xid[i],
+                    "vec_id_2": ids[j],
+                    "cosine_x1e6": np.floor(sims[i, j] * 1_000_000 + 0.5).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _score, "vec_id_1 long, vec_id_2 long, cosine_x1e6 long"
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits_per_table: int = 8,
+    num_tables: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-random-projection LSH.
+
+    ``num_tables`` independent ``bits_per_table``-bit signatures; a pair is a
+    candidate iff it collides on at least one whole table; candidates are
+    verified with the exact cosine. For genuine near-dups (cosine >= 0.9,
+    angle <= 0.45 rad) the per-bit collision probability is 1 - θ/π ≈ 0.857,
+    per-table 0.857^8 ≈ 0.29, miss across 6 tables ≈ 0.71^6 ≈ 13% — and
+    practically lower because near-dup angles cluster near 0. Recall is
+    measured in tests against planted duplicates; raise num_tables for more.
+
+    Unlike the exact form, cost is Σ_buckets |bucket|² per table — at 100 TB
+    the self-joins shuffle on (table, signature), never materializing N²."""
+    from .similarity import _dot, _hyperplanes, lsh_signature_col, normalized
+
+    # candidate generation carries ONLY (tbl, sig, vec_id) — the 64-double
+    # vectors never enter the self-join shuffle or the distinct
+    sigs = embeddings.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_signature_col(
+                            F.col("embedding"),
+                            _hyperplanes(bits_per_table, seed=1000 + t),
+                        ).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("vec_id", "ts.tbl", "ts.sig")
+    left = sigs.select(F.col("vec_id").alias("vec_id_1"), "tbl", "sig")
+    right = sigs.select(F.col("vec_id").alias("vec_id_2"), "tbl", "sig")
+    cand = (
+        left.join(right, ["tbl", "sig"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2")
+        .distinct()
+    )
+    normed = embeddings.select(
+        "vec_id", normalized(F.col("embedding")).alias("ne")
+    )
+    n1 = normed.select(F.col("vec_id").alias("vec_id_1"), F.col("ne").alias("e1"))
+    n2 = normed.select(F.col("vec_id").alias("vec_id_2"), F.col("ne").alias("e2"))
+    return (
+        cand.join(n1, "vec_id_1")
+        .join(n2, "vec_id_2")
+        .withColumn("cosine", _dot(F.col("e1"), F.col("e2")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "vec_id_1",
+            "vec_id_2",
+            F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+        )
     )
 
 

@@ -52,7 +52,9 @@ def per_user_stats(events: DataFrame) -> DataFrame:
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_events": [n],
                 "total_cents": [total],
-                "avg_value_x100": [round(total / n)],
+                # exact integer half-up (Python round() is banker's; DuckDB
+                # ROUND() is half-away — an avg landing on .5 diverges)
+                "avg_value_x100": [(2 * total + n) // (2 * n)],
             }
         )
 
@@ -64,8 +66,14 @@ def per_user_stats_native(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     cents = F.round(F.col("value") * 100).cast("long")
+    total, n = F.sum(cents), F.count(F.lit(1))
+    # integer half-up, matching the pandas kernel bit-for-bit (`div` is
+    # Spark's integer division — no float round-off at any magnitude)
     return events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(cents).alias("total_cents"),
-        F.round(F.sum(cents) / F.count(F.lit(1))).cast("long").alias("avg_value_x100"),
+        n.alias("n_events"),
+        total.alias("total_cents"),
+        F.expr(
+            "(2 * sum(cast(round(value * 100) as bigint)) + count(1)) div "
+            "(2 * count(1))"
+        ).alias("avg_value_x100"),
     )

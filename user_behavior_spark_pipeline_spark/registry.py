@@ -631,6 +631,56 @@ def x_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
+@query(
+    "x_dedup_embedding",
+    oracle=(
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, "
+        "CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 1000000) AS BIGINT) "
+        "AS cosine_x1e6 "
+        "FROM n a, n b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.emb, b.emb) >= 0.4"
+    ),
+)
+def x_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs form (the oracle
+    baseline; the LSH form below is the 100 TB path)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "x_dedup_embedding_lsh",
+    oracle=(
+        "WITH n AS (SELECT COUNT(*) AS c FROM embeddings) "
+        "SELECT vec_id AS vec_id_1, vec_id + (SELECT c FROM n) AS vec_id_2, "
+        "CAST(1000000 AS BIGINT) AS cosine_x1e6 FROM embeddings"
+    ),
+)
+def x_dedup_embedding_lsh(spark, sf_dir):
+    """LSH-pruned embedding near-dup on a corpus with planted duplicates
+    (every vector duplicated at vec_id + N): identical vectors collide on
+    every signature table, so recall on the planted pairs is exactly 1 and
+    the result is oracle-checkable; perturbed (near-, not exact-) duplicate
+    recall is measured separately in tests/test_dedup.py."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import embedding_near_dup_lsh
+
+    emb = _table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planted = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + n).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    return embedding_near_dup_lsh(planted, threshold=0.9)
+
+
 @query("x_dedup_simhash")  # rows-only: signature bits depend on xxhash64
 def x_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 4, banded candidates). Rows-only
@@ -682,6 +732,15 @@ def x_sim_lsh(spark, sf_dir):
     from .operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
+
+
+@query("x_sim_ivf")  # rows-only: approximate; recall measured in tests
+def x_sim_ivf(spark, sf_dir):
+    """IVF approximate top-k: k-means cells trained on a driver-side sample,
+    corpus assigned by broadcast join + max_by, queries probe nprobe cells."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
 # ---------------------------------------------------------------------------
@@ -809,6 +868,35 @@ def x_stream_dedup(spark, sf_dir):
     q = dedup_stream(file_stream_source(spark, src), out, ckpt)
     q.awaitTermination()
     return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("num_entries"))
+
+
+@query(
+    "x_stream_stateful",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "FROM events GROUP BY 1"
+    ),
+)
+def x_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals; end-of-stream state equals the batch GROUP BY — the
+    arbitrary-state capability the reference never exercises
+    ('stateOperators': [], README.md:479)."""
+    import tempfile
+
+    from .streaming.jobs import final_user_totals, stateful_user_totals_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ubsp_state_src_")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src).select("user_id", "value")
+    )
+    name = "ubsp_stateful_totals"
+    q = stateful_user_totals_stream(stream, query_name=name)
+    q.awaitTermination()
+    return final_user_totals(spark, name)
 
 
 # ---------------------------------------------------------------------------
@@ -978,7 +1066,8 @@ def x_multimodal_decode(spark, sf_dir):
         "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
         "FROM events) "
         "SELECT user_id, COUNT(*) AS n_events, SUM(cents) AS total_cents, "
-        "CAST(ROUND(SUM(cents) / COUNT(*)) AS BIGINT) AS avg_value_x100 "
+        "CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) "
+        "AS avg_value_x100 "
         "FROM c GROUP BY 1"
     ),
 )

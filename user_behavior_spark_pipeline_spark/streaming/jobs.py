@@ -133,6 +133,81 @@ def dedup_stream(
     )
 
 
+def stateful_user_totals_stream(
+    events_stream: DataFrame,
+    query_name: str,
+):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals over the raw events stream — the arbitrary-state API the
+    reference's processing-time-only pipeline never reaches
+    ("stateOperators": [] in every progress log, README.md:479).
+
+    State per user = (n_events, total_cents); each micro-batch folds its
+    Arrow batches into the state and emits the updated cumulative row
+    (update mode). Totals are exact integer cents, so end-of-stream state
+    hash-matches a batch GROUP BY. State lives in the state store — at
+    100 TB state is partitioned by the grouping key across executors and
+    each batch touches only keys present in that batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("total_cents", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType(), False),
+            StructField("total_cents", LongType(), False),
+        ]
+    )
+
+    def _fold(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    totals = events_stream.groupBy("user_id").applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def final_user_totals(spark: SparkSession, query_name: str) -> DataFrame:
+    """End-of-stream state from the update-mode sink: per user, the LAST
+    emitted cumulative row (n_events is strictly increasing, so max-struct
+    selects it deterministically regardless of micro-batch slicing)."""
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_cents")
+    )
+
+
 def fanout_by_class_stream(
     raw_stream: DataFrame,
     base_dir: str,
