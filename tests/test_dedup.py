@@ -126,3 +126,17 @@ def test_embedding_lsh_recall_on_perturbed_near_dups(spark, sf_dir):
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"embedding-LSH recall {recall:.2f}"
     assert lsh <= exact, "verify step must kill every false candidate"
+
+
+def test_dedup_components_transitive_merge(spark):
+    """A chain a-b, b-c plus a separate pair d-e must yield two components
+    {a,b,c}->a and {d,e}->d."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {
+        r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -64,3 +64,37 @@ def test_native_validate_is_fully_codegen(spark, sf_dir):
     plan = explain_str(valid)
     assert "BatchEvalPython" not in plan
     assert codegen_stage_count(valid) >= 1
+
+
+def test_q5_plan_shape(spark, sf_dir):
+    """Q5-style 6-relation join: every dimension broadcast (no SortMergeJoin)
+    and the o_orderdate range pushed into the orders parquet scan."""
+    from user_behavior_spark_pipeline_spark.operators.joins import (
+        local_supplier_revenue,
+    )
+
+    df = local_supplier_revenue(
+        *[load_table(spark, sf_dir, t)
+          for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")]
+    )
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters, f"date range not pushed: {filters}"
+
+
+def test_rollup_is_single_expand_pass(spark, sf_dir):
+    """ROLLUP must plan as one Expand + one aggregation, not k separate
+    scans unioned together."""
+    from user_behavior_spark_pipeline_spark.operators.rollup import orders_rollup
+
+    import re
+
+    df = orders_rollup(load_table(spark, sf_dir, "orders"))
+    plan = explain_str(df)
+    # formatted mode lists each node twice (tree + detail) — count details
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, (
+        "rollup should scan once"
+    )

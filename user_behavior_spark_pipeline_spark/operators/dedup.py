@@ -346,3 +346,57 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
     return cand.select(
         "doc_id_1", "doc_id_2", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component) where
+    component = min doc_id reachable through the pair graph — the step that
+    turns pairwise matches into duplicate CLUSTERS (keep one row per
+    component to materialize the deduplicated corpus).
+
+    Iterative min-label propagation, pure DataFrame ops: each round joins
+    every node's current label with its neighbors' and keeps the min;
+    converged when no label changes (count of improved labels == 0).
+    Rounds needed = graph diameter (near-dup clusters are tiny and dense,
+    so 2-4 rounds in practice). Each round is one shuffle on doc_id;
+    label state is checkpointed via localCheckpoint to keep lineage flat —
+    the standard large-graph pattern short of bringing in GraphFrames."""
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") < F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

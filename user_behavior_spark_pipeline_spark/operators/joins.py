@@ -84,3 +84,66 @@ def customers_without_big_orders(
     return customer.join(
         big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def local_supplier_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame, region: DataFrame,
+    region_name: str = "ASIA", date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from LOCAL suppliers (customer and
+    supplier in the same nation) within a region and order-date year.
+
+    The plan to want at 100 TB: the o_orderdate range predicate pushes into
+    the orders scan, region/nation/supplier/customer broadcast, lineitem is
+    the only shuffled relation (for the l_orderkey equi-join with the
+    filtered orders) and the c_nationkey = s_nationkey residual runs inside
+    the join — one fact shuffle, one group-by shuffle."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    r = region.filter(F.col("r_name") == region_name)
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_x10000"))
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-01-01") -> DataFrame:
+    """TPC-H Q1 shape: the pricing-summary report — per (returnflag,
+    linestatus): quantity/price/discounted/charged sums, integer-exact, plus
+    half-up integer averages. Single scan, map-side partial agg, one tiny
+    shuffle; the shipdate predicate pushes into the parquet scan."""
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    base = money_e4(F.col("l_extendedprice"))
+    disc = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    charge = money_e4(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty_x100"),
+            F.sum(base).alias("sum_base_x10000"),
+            F.sum(disc).alias("sum_disc_price_x10000"),
+            F.sum(charge).alias("sum_charge_x10000"),
+            F.expr(
+                "(2 * sum(cast(round(l_quantity * 100) as bigint)) + count(1)) "
+                "div (2 * count(1))"
+            ).alias("avg_qty_x100"),
+            n.alias("count_order"),
+        )
+    )

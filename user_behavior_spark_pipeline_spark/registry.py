@@ -372,6 +372,114 @@ def x_join_anti(spark, sf_dir):
 
 
 @query(
+    "x_join_tpch_q5",
+    oracle=(
+        "SELECT n_name AS nation, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS revenue_x10000 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY 1"
+    ),
+)
+def x_join_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue per nation — 6-relation join
+    with one fact shuffle (dims broadcast, date filter pushed to scan)."""
+    from .operators.joins import local_supplier_revenue
+
+    return local_supplier_revenue(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "x_agg_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_x100, "
+        "SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS sum_base_x10000, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS sum_disc_price_x10000, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) "
+        "AS BIGINT)) AS sum_charge_x10000, "
+        "CAST((2 * SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) + COUNT(1)) "
+        "// (2 * COUNT(1)) AS BIGINT) AS avg_qty_x100, "
+        "COUNT(1) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-01-01' "
+        "GROUP BY 1, 2"
+    ),
+)
+def x_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: pricing-summary report — one scan, map-side partial
+    agg, integer-exact money columns."""
+    from .operators.joins import pricing_summary
+
+    return pricing_summary(_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "x_rollup_orders",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders, "
+        "SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS total_x10000, "
+        "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) "
+        "AS gid "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+)
+def x_rollup_orders(spark, sf_dir):
+    """ROLLUP subtotals in one Expand pass (SURVEY.md §2.5 gap-map op)."""
+    from .operators.rollup import orders_rollup
+
+    return orders_rollup(_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "x_cube_lineitem",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, COUNT(1) AS n_items, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_x100, "
+        "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) "
+        "AS gid "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+)
+def x_cube_lineitem(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — all grouping sets, one pass."""
+    from .operators.rollup import lineitem_cube
+
+    return lineitem_cube(_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "x_grouping_sets_orders",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders, "
+        "SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS total_x10000, "
+        "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) "
+        "AS gid "
+        "FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    ),
+)
+def x_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL (the desugared general form)."""
+    from .operators.rollup import orders_grouping_sets
+
+    return orders_grouping_sets(spark, _table(spark, sf_dir, "orders"))
+
+
+@query(
     "x_window_topk",
     oracle=(
         "SELECT o_custkey, o_orderkey, rn FROM ("
@@ -681,6 +789,29 @@ def x_dedup_embedding_lsh(spark, sf_dir):
     return embedding_near_dup_lsh(planted, threshold=0.9)
 
 
+@query(
+    "x_dedup_components",
+    oracle=(
+        f"WITH RECURSIVE p AS ({_SHINGLE_PAIRS_SQL}), "
+        "e AS (SELECT doc_id_1 s, doc_id_2 d FROM p "
+        "UNION SELECT doc_id_2, doc_id_1 FROM p), "
+        "reach(n, m) AS (SELECT s, d FROM e "
+        "UNION SELECT r.n, e2.d FROM reach r JOIN e e2 ON r.m = e2.s) "
+        "SELECT n AS doc_id, LEAST(n, MIN(m)) AS component "
+        "FROM reach GROUP BY n"
+    ),
+)
+def x_dedup_components(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS: iterative min-label connected
+    components over the exact-Jaccard pair graph (the step that turns
+    pairwise matches into a deduplicated corpus — keep min doc_id per
+    component). Oracle: DuckDB recursive transitive closure."""
+    from .operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return dedup_components(pairs)
+
+
 @query("x_dedup_simhash")  # rows-only: signature bits depend on xxhash64
 def x_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 4, banded candidates). Rows-only
@@ -897,6 +1028,35 @@ def x_stream_stateful(spark, sf_dir):
     q = stateful_user_totals_stream(stream, query_name=name)
     q.awaitTermination()
     return final_user_totals(spark, name)
+
+
+@query(
+    "x_stream_static_join",
+    oracle=(
+        "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY 1"
+    ),
+)
+def x_stream_static_join(spark, sf_dir):
+    """Stream-static broadcast join (the README.md:819 'players × events'
+    wish, streaming form): event stream enriched against the customer
+    dimension, aggregated per market segment."""
+    import tempfile
+
+    from .streaming.jobs import stream_static_join_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ubsp_ssj_src_")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src).select("user_id", "value")
+    )
+    name = "ubsp_stream_static_join"
+    q = stream_static_join_stream(stream, _table(spark, sf_dir, "customer"), name)
+    q.awaitTermination()
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

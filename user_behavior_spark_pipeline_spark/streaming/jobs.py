@@ -208,6 +208,34 @@ def final_user_totals(spark: SparkSession, query_name: str) -> DataFrame:
     )
 
 
+def stream_static_join_stream(
+    events_stream: DataFrame,
+    customer_dim: DataFrame,
+    query_name: str,
+):
+    """Stream-static join: the unbounded event stream enriched against a
+    static dimension table (the README.md:819 "players × events" wish, in
+    streaming form). The static side is broadcast — each micro-batch joins
+    map-side with no stream-side shuffle before the aggregation; Spark
+    re-plans the static side per batch, so dimension updates are picked up
+    between batches."""
+    enriched = events_stream.join(
+        F.broadcast(customer_dim.select("c_custkey", "c_mktsegment")),
+        events_stream["user_id"] == F.col("c_custkey"),
+    )
+    per_segment = enriched.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    return (
+        per_segment.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def fanout_by_class_stream(
     raw_stream: DataFrame,
     base_dir: str,
