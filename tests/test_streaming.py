@@ -153,3 +153,40 @@ def test_stateful_totals_across_many_batches(spark, sf_dir, tmp_path):
     got = got.sort_values("user_id").reset_index(drop=True)
     want = want.sort_values("user_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(
+    spark, sf_dir, tmp_path
+):
+    """Both arbitrary-state APIs (applyInPandasWithState and the Spark 4
+    transformWithStateInPandas) must produce identical end states."""
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        final_user_totals,
+        has_transform_with_state_support,
+        stateful_user_totals_stream,
+        transform_with_state_totals_stream,
+    )
+
+    if not has_transform_with_state_support():
+        pytest.skip("google.protobuf unavailable — transformWithState needs it")
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+
+    def _stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .select("user_id", "value")
+        )
+
+    q1 = stateful_user_totals_stream(_stream(), query_name="apips_totals")
+    q1.awaitTermination()
+    q2 = transform_with_state_totals_stream(_stream(), query_name="tws_totals")
+    q2.awaitTermination()
+    a = final_user_totals(spark, "apips_totals").toPandas().sort_values("user_id")
+    b = final_user_totals(spark, "tws_totals").toPandas().sort_values("user_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

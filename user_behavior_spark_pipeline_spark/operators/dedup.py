@@ -237,27 +237,16 @@ def embedding_near_dup_lsh(
 
     Unlike the exact form, cost is Σ_buckets |bucket|² per table — at 100 TB
     the self-joins shuffle on (table, signature), never materializing N²."""
-    from .similarity import _dot, _hyperplanes, lsh_signature_col, normalized
+    from .similarity import _dot, multi_table_signature_udf, normalized
 
     # candidate generation carries ONLY (tbl, sig, vec_id) — the 64-double
-    # vectors never enter the self-join shuffle or the distinct
-    sigs = embeddings.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_signature_col(
-                            F.col("embedding"),
-                            _hyperplanes(bits_per_table, seed=1000 + t),
-                        ).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("ts"),
-    ).select("vec_id", "ts.tbl", "ts.sig")
+    # vectors never enter the self-join shuffle or the distinct; signatures
+    # for all tables come from one vectorized matmul per Arrow batch
+    sig_udf = multi_table_signature_udf(num_tables, bits_per_table)
+    sigs = (
+        embeddings.select("vec_id", sig_udf("embedding").alias("sig_arr"))
+        .select("vec_id", F.posexplode("sig_arr").alias("tbl", "sig"))
+    )
     left = sigs.select(F.col("vec_id").alias("vec_id_1"), "tbl", "sig")
     right = sigs.select(F.col("vec_id").alias("vec_id_2"), "tbl", "sig")
     cand = (
@@ -380,6 +369,8 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry the previous label through the checkpoint so convergence is
+        # a cheap filter on materialized data, not a second join+job
         updated = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .select(
@@ -387,16 +378,12 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component") < F.col("l.component"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("component") < F.col("prev")).count()
+        labels = updated.select("doc_id", "component")
         if changed == 0:
             break
     return labels

@@ -147,3 +147,47 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-01-01") -> Dat
             n.alias("count_order"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_salts: int = 8,
+    fact_id_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join by salting: the classic remedy when one join key
+    carries a disproportionate share of the fact rows and AQE's runtime
+    skew-split isn't available (e.g. the join feeds a co-partitioned
+    downstream op).
+
+    The fact side gets a deterministic salt in [0, num_salts); the dimension
+    side is replicated num_salts× with an exploded salt column; the join key
+    becomes (key, salt), so a hot key's rows spread over num_salts reducer
+    partitions instead of one. Cost: dim × num_salts (dims are small — and
+    if the dim broadcasts, you didn't need salting). Result set is exactly
+    the plain join's.
+
+    The salt MUST vary per fact row (``fact_id_col`` — a row id), never be a
+    function of the join key alone: hash(hot_key) puts every hot row in the
+    same salt bucket, which is exactly the skew being fixed. Without a row
+    id we fall back to monotonically_increasing_id() — the salt assignment
+    is then not run-stable, which is fine: the join's OUTPUT is identical
+    under any salt assignment, only the row→reducer placement moves."""
+    salt_src = (
+        F.xxhash64(F.col(fact_id_col))
+        if fact_id_col
+        else F.monotonically_increasing_id()
+    )
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(salt_src, F.lit(num_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+    ).drop("_salt")

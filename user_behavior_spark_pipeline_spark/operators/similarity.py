@@ -105,6 +105,44 @@ def lsh_signature_col(emb_col, planes: list[list[float]]):
     return sig
 
 
+def multi_table_signature_udf(
+    num_tables: int, bits_per_table: int, dim: int = EMBED_DIM, seed_base: int = 1000
+):
+    """pandas_udf: embedding -> array of ``num_tables`` independent
+    sign-random-projection signatures.
+
+    The JVM-expression form (``lsh_signature_col`` per bit) builds a
+    ``tables × bits`` tree of aggregate lambdas — fine for one 8-bit
+    signature, but at 6 tables × 8 bits the expression tree dominates
+    planning and evaluation. Here all ``tables·bits`` plane dots run as ONE
+    numpy matmul per Arrow batch and the bits are packed with one shift-or
+    pass. Same planes (same seeds) as the expression form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplanes(bits_per_table, dim=dim, seed=seed_base + t)
+            for t in range(num_tables)
+        ],
+        dtype=np.float64,
+    ).reshape(num_tables * bits_per_table, dim)
+
+    # NB: no type hints — `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inference rejects
+    @pandas_udf("array<long>")
+    def sigs(batch):
+        x = np.array(batch.tolist(), dtype=np.float64)
+        bits = (x @ planes.T > 0).astype(np.int64)  # (n, tables*bits)
+        bits = bits.reshape(len(x), num_tables, bits_per_table)
+        weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+        packed = (bits * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     num_queries: int = 10,

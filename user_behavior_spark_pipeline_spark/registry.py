@@ -403,6 +403,65 @@ def x_join_tpch_q5(spark, sf_dir):
 
 
 @query(
+    "x_join_salted",
+    oracle=(
+        "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1"
+    ),
+)
+def x_join_salted(spark, sf_dir):
+    """Skew-safe salted join (events × customer on a deliberately salted
+    key): output must equal the plain join — salting only moves rows across
+    reducers, never changes the result."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import salted_join
+
+    joined = salted_join(
+        _table(spark, sf_dir, "events"),
+        _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        fact_key="user_id",
+        dim_key="c_custkey",
+        fact_id_col="event_id",
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@query(
+    "x_set_intersect",
+    oracle=(
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'signup'"
+    ),
+)
+def x_set_intersect(spark, sf_dir):
+    """INTERSECT (users with both event types) — plans as left-semi join."""
+    from .operators.setops import users_intersect
+
+    return users_intersect(_table(spark, sf_dir, "events"), "purchase", "signup")
+
+
+@query(
+    "x_set_except",
+    oracle=(
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "EXCEPT "
+        "SELECT user_id FROM events WHERE event_type = 'error'"
+    ),
+)
+def x_set_except(spark, sf_dir):
+    """EXCEPT (purchasers who never errored) — plans as left-anti join."""
+    from .operators.setops import users_except
+
+    return users_except(_table(spark, sf_dir, "events"), "purchase", "error")
+
+
+@query(
     "x_agg_pricing_summary",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
@@ -557,23 +616,26 @@ def x_event_sliding(spark, sf_dir):
     return events_sliding_2d_1d(_table(spark, sf_dir, "events"))
 
 
+_SESSION_ISLANDS_SQL = (
+    "WITH flagged AS ("
+    "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER ("
+    "    PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+    "  THEN 1 ELSE 0 END AS new_session FROM events"
+    "), numbered AS ("
+    "  SELECT user_id, ts, SUM(new_session) OVER ("
+    "    PARTITION BY user_id ORDER BY ts "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+    "  FROM flagged"
+    ") SELECT user_id, "
+    "CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s, "
+    "COUNT(*) AS num_events "
+    "FROM numbered GROUP BY user_id, session_id"
+)
+
+
 @query(
     "x_event_session",
-    oracle=(
-        "WITH flagged AS ("
-        "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER ("
-        "    PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
-        "  THEN 1 ELSE 0 END AS new_session FROM events"
-        "), numbered AS ("
-        "  SELECT user_id, ts, SUM(new_session) OVER ("
-        "    PARTITION BY user_id ORDER BY ts "
-        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
-        "  FROM flagged"
-        ") SELECT user_id, "
-        "CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_s, "
-        "COUNT(*) AS num_events "
-        "FROM numbered GROUP BY user_id, session_id"
-    ),
+    oracle=_SESSION_ISLANDS_SQL,
 )
 def x_event_session(spark, sf_dir):
     """Gap-based session windows (F.session_window); DuckDB oracle is the
@@ -1028,6 +1090,30 @@ def x_stream_stateful(spark, sf_dir):
     q = stateful_user_totals_stream(stream, query_name=name)
     q.awaitTermination()
     return final_user_totals(spark, name)
+
+
+@query(
+    "x_stream_session",
+    oracle=_SESSION_ISLANDS_SQL,
+)
+def x_stream_session(spark, sf_dir):
+    """Streaming session windows (session_window + watermark, complete
+    mode): end-of-stream sessions equal the batch gaps-and-islands result —
+    the stateful event-time capability the reference lacks."""
+    import tempfile
+
+    from .streaming.jobs import session_counts_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ubsp_sess_src_")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src).select("user_id", "ts")
+    )
+    name = "ubsp_session_counts"
+    q = session_counts_stream(stream, query_name=name)
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @query(

@@ -196,6 +196,73 @@ def stateful_user_totals_stream(
     )
 
 
+def has_transform_with_state_support() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; without google.protobuf the driver worker crashes at
+    init, so gate call sites on this check."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state_totals_stream(
+    events_stream: DataFrame,
+    query_name: str,
+):
+    """The same per-user running totals on transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (typed value/list/map state handles, timers)
+    that supersedes applyInPandasWithState. Kept alongside the older API so
+    both state surfaces stay exercised; results must be identical.
+
+    Requires ``google.protobuf`` (the state-server wire protocol); call
+    :func:`has_transform_with_state_support` first — environments without
+    protobuf (like this test container) fall back to
+    :func:`stateful_user_totals_stream`."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, total_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    totals = events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TotalsProcessor(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def final_user_totals(spark: SparkSession, query_name: str) -> DataFrame:
     """End-of-stream state from the update-mode sink: per user, the LAST
     emitted cumulative row (n_events is strictly increasing, so max-struct
@@ -205,6 +272,36 @@ def final_user_totals(spark: SparkSession, query_name: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
         .select("user_id", "s.n_events", "s.total_cents")
+    )
+
+
+def session_counts_stream(
+    events_stream: DataFrame,
+    query_name: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+):
+    """Streaming gap-based session windows (session_window + watermark):
+    per-user sessions merge as events arrive — the canonical stateful
+    event-time operator the reference's processing-time pipeline lacks.
+    Complete mode so every session is visible at end-of-stream (append mode
+    would withhold sessions the watermark hasn't sealed)."""
+    sessions = (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("w.start")).alias("session_start_s"),
+            "num_events",
+        )
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
     )
 
 
