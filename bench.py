@@ -36,6 +36,9 @@ def main() -> None:
     bench_names = sorted(QUERIES)
     timings: dict[str, float] = {}
     for name in bench_names:
+        # isolate per-query cost: collect garbage left by the previous query
+        # (memory sinks, state stores) before starting the clock
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -350,6 +350,10 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     so 2-4 rounds in practice). Each round is one shuffle on doc_id;
     label state is checkpointed via localCheckpoint to keep lineage flat —
     the standard large-graph pattern short of bringing in GraphFrames."""
+    # materialize the (possibly expensive) pair pipeline ONCE — the union
+    # below references it twice, and its final stage would recompute per
+    # branch otherwise
+    pairs = pairs.select("doc_id_1", "doc_id_2").localCheckpoint()
     edges = (
         pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
         .union(

@@ -77,3 +77,30 @@ def per_user_stats_native(events: DataFrame) -> DataFrame:
             "(2 * count(1))"
         ).alias("avg_value_x100"),
     )
+
+
+def per_type_stats_grouped_agg(events: DataFrame) -> DataFrame:
+    """Grouped-aggregate pandas_udf (the UDAF tier): a whole group's column
+    arrives as one pandas Series, returns one scalar. Integer-exact math so
+    the result hash-matches SQL. Catalyst refuses to mix grouped-agg pandas
+    UDFs with JVM aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT),
+    so every aggregate here is pandas; prefer native aggs unless the kernel
+    needs the full series (e.g. robust statistics)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NB: no type hints on the inner fns (see similarity.pandas_cosine_topk);
+    # GROUPED_AGG must be explicit — the default SCALAR type would make
+    # Spark treat the call as a projection, not an aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def total_cents(v):
+        return int((v * 100).round().astype("int64").sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    return events.groupBy("event_type").agg(
+        total_cents("value").alias("total_cents"),
+        n_rows("value").alias("n_events"),
+    )

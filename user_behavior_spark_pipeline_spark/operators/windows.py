@@ -109,3 +109,18 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "num_events",
         )
     )
+
+
+def order_value_distribution(orders: DataFrame) -> DataFrame:
+    """Distribution analytics per order-status: ntile quartile, percent_rank
+    and cume_dist over totalprice (tie-broken by orderkey so every rank
+    function is deterministic), scaled to integers for exact cross-engine
+    comparison. One shuffle (the partitionBy), ranks computed in one sort."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w) * 1_000_000).cast("long").alias("pct_rank_x1e6"),
+        F.round(F.cume_dist().over(w) * 1_000_000).cast("long").alias("cume_dist_x1e6"),
+    )
