@@ -98,3 +98,43 @@ def test_rollup_is_single_expand_pass(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, (
         "rollup should scan once"
     )
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """A filter on the dim side of a join against a partitionBy'd fact table
+    must become a runtime PartitionFilter (dynamic partition pruning) — the
+    at-scale payoff of the partitioned sink layout."""
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("signup", "acq"), ("view", "eng"),
+         ("click", "eng"), ("error", "ops")],
+        "event_type string, label string",
+    )
+    j = (
+        fact.join(dim.filter(F.col("label") == "rev"), "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    plan = explain_str(j)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_stream_static_join_shape_broadcasts_dim(spark, sf_dir):
+    """The static dimension side of the stream-static join must broadcast —
+    no stream-side shuffle before the aggregation. Asserted on the batch
+    twin of the same join expression (micro-batch planning incrementalizes
+    the identical logical plan)."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = events.join(
+        F.broadcast(customer), events["user_id"] == F.col("c_custkey")
+    ).groupBy("c_mktsegment").count()
+    plan = explain_str(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1362,6 +1362,30 @@ def ref_catalog_table(spark, sf_dir):
     )
 
 
+@query("ref_catalog_show_tables")  # rows-only: catalog contents are session state
+def ref_catalog_show_tables(spark, sf_dir):
+    """OP-Q-SHOW-TABLES (README.md:588-592): the catalog listing after the
+    DDL round trip — registers a table over the events parquet then lists."""
+    from .catalog import create_external_parquet_table, show_tables
+
+    create_external_parquet_table(
+        spark, "events_ext_listing", f"{sf_dir}/events.parquet"
+    )
+    return show_tables(spark)
+
+
+@query("ref_catalog_describe")  # rows-only: schema text, engine-specific
+def ref_catalog_describe(spark, sf_dir):
+    """OP-Q-DESCRIBE (README.md:602-613): column name/type/comment rows for
+    a cataloged table."""
+    from .catalog import create_external_parquet_table, describe_table
+
+    create_external_parquet_table(
+        spark, "events_ext_desc", f"{sf_dir}/events.parquet"
+    )
+    return describe_table(spark, "events_ext_desc")
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: multimodal binary columns + the Python UDF surface
 # ---------------------------------------------------------------------------
