@@ -37,3 +37,28 @@ def value_percentiles_with_sketch(
             "sketch_ok"
         ),
     )
+
+
+def distinct_users_mergeable_sketch(events: DataFrame, tolerance: float = 0.05) -> DataFrame:
+    """MERGEABLE sketches (Datasketches HLL): per-day sketches built in one
+    pass, then hll_union_agg'd into the per-type total — the incremental
+    rollup pattern that makes 100 TB distinct-counting cheap (daily jobs
+    persist KB-sized sketch blobs; any date range is a union of blobs, no
+    re-scan). Same tolerance-flag oracle contract as the other sketches."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.ceil(F.col("exact_users") * F.lit(tolerance))
+        ).alias("sketch_ok"),
+    )

@@ -1,0 +1,65 @@
+"""End-to-end corpus curation: the pipeline a training-data engine exists
+for, composed entirely from this package's operators.
+
+    quality filter  ->  exact dedup (keep first)  ->  near-dup removal
+    (text.quality_scores)   (dedup.exact)             (dedup.ngram pairs)
+
+Near-dup policy: greedy keep-first — among surviving docs, any doc that is
+the HIGHER doc_id of a Jaccard>=threshold pair is dropped. Deterministic,
+order-free, and SQL-expressible (the oracle is the same three CTEs), unlike
+"keep one per component" which needs the iterative closure
+(dedup.dedup_components) — use that variant when cluster-accurate retention
+matters; greedy keep-first over-drops only when a kept doc bridges two
+otherwise-separate near-dup groups.
+
+At 100 TB each stage is one of the already-audited shapes (SCALE.md): a
+scan-side filter, a hash-agg, and the shingle self-join — the composition
+adds no new shuffle pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import ngram_jaccard_pairs
+from .text import quality_scores
+
+
+def curate_corpus(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    min_alpha_x1000: int = 800,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Returns the curated corpus as (doc_id, n_tokens), fully deterministic.
+
+    Stages:
+    1. quality: n_tokens >= min_tokens AND alpha ratio >= min_alpha_x1000;
+    2. exact dedup: keep the min doc_id per distinct text;
+    3. near-dup: drop the higher doc_id of every >=threshold pair among the
+       docs that survived 1-2 (pairs are computed AFTER the earlier stages —
+       a pair with an already-dropped doc must not kill its partner).
+    """
+    q = quality_scores(documents).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio_x1000") >= min_alpha_x1000)
+    )
+    quality_docs = documents.join(q.select("doc_id"), "doc_id", "left_semi")
+
+    exact_reps = quality_docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality_docs.join(
+        exact_reps.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    near_dup_losers = (
+        ngram_jaccard_pairs(survivors, n=3, threshold=near_dup_threshold)
+        .select(F.col("doc_id_2").alias("doc_id"))
+        .distinct()
+    )
+    curated = survivors.join(near_dup_losers, "doc_id", "left_anti")
+    return curated.select(
+        "doc_id", F.size(F.split(F.col("text"), "\\s+")).alias("n_tokens")
+    )

@@ -1,7 +1,8 @@
 """Deduplication operators over the documents table (north-star: the
 large-scale training-data curation suite).
 
-Four families, all pure DataFrame API:
+Families (text: exact / n-gram Jaccard / MinHash+LSH / SimHash; embedding:
+exact cosine / LSH-pruned; graph: connected components), all DataFrame API:
 
 - **exact**: hash-groupBy on the text (or its normalized fingerprint) — one
   shuffle carrying (key, min-id, count), nothing else.

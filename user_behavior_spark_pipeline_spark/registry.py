@@ -963,6 +963,39 @@ def x_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+_CURATE_SQL = (
+    "WITH q AS ("
+    "  SELECT doc_id, text FROM documents "
+    "  WHERE len(regexp_split_to_array(text, '\\s+')) >= 20 "
+    "    AND CAST(ROUND(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+    "        * 1000 / LENGTH(text)) AS BIGINT) >= 800"
+    "), reps AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text), "
+    "surv AS (SELECT * FROM q WHERE doc_id IN (SELECT doc_id FROM reps)), "
+    "toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM surv), "
+    "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)), "
+    "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+    "pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) shared "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs "
+    "JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id "
+    "WHERE CAST(ROUND(shared * 1000000 / (s1.n + s2.n - shared)) AS BIGINT) "
+    "  >= 500000) "
+    "SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens "
+    "FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM losers)"
+)
+
+
+@query("x_curate_corpus", oracle=_CURATE_SQL)
+def x_curate_corpus(spark, sf_dir):
+    """End-to-end curation pipeline: quality filter -> exact dedup ->
+    greedy near-dup removal, composed from the package's own operators —
+    the full training-data path as one oracle-checked query."""
+    from .operators.curate import curate_corpus
+
+    return curate_corpus(_table(spark, sf_dir, "documents"))
+
+
 @query("x_dedup_simhash")  # rows-only: signature bits depend on xxhash64
 def x_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 4, banded candidates). Rows-only
@@ -1057,6 +1090,22 @@ def x_approx_percentile(spark, sf_dir):
     from .operators.approx import value_percentiles_with_sketch
 
     return value_percentiles_with_sketch(_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x_approx_mergeable",
+    oracle=(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "TRUE AS sketch_ok FROM events GROUP BY 1"
+    ),
+)
+def x_approx_mergeable(spark, sf_dir):
+    """Mergeable Datasketches HLL: daily sketches unioned into per-type
+    totals (the incremental-rollup pattern) — estimate must land within 5%
+    of exact."""
+    from .operators.approx import distinct_users_mergeable_sketch
+
+    return distinct_users_mergeable_sketch(_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
