@@ -57,14 +57,31 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     versus shipping shingle strings and turns every downstream compare into
     a long compare. A 64-bit collision inside one document pair's shingle
     sets (P ≈ |S|²/2⁶⁵) is the standard MinHash trade and far below the
-    1e-6 Jaccard rounding grain."""
-    toks = F.split(F.col("text"), "\\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    1e-6 Jaccard rounding grain.
+
+    The token array is projected ONCE, then shingled with an index-aware
+    ``transform`` over that bound column. Building grams by indexing into
+    the raw ``split(...)`` expression instead re-evaluates the split per
+    ``element_at`` (n accesses × ~|tokens| grams → quadratic re-tokenize;
+    measured 12× slower at sf0.1)."""
+    tokenized = documents.select(
+        "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
+    )
+    t = F.col("_toks")
+    grams = F.filter(
+        F.transform(
+            t,
+            lambda x, i: F.when(
+                i <= F.size(t) - n,
+                F.concat_ws(
+                    " ", x, *[F.element_at(t, i + j + 1) for j in range(1, n)]
+                ),
+            ),
+        ),
+        lambda g: g.isNotNull(),
     )
     return (
-        documents.select("doc_id", F.explode(grams).alias("gram"))
+        tokenized.select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("shingle"))
         .distinct()
     )
@@ -107,7 +124,11 @@ def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard >= threshold."""
-    sh = shingles(documents, n)
+    from pyspark import StorageLevel
+
+    # the shingle set feeds three plan branches (sizes + both join sides);
+    # persist so the explode+distinct shuffle runs once
+    sh = shingles(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     return _pair_jaccard(sh).filter(
         F.col("jaccard_x1e6") >= int(threshold * 1_000_000)
     )
@@ -238,16 +259,40 @@ def embedding_near_dup_lsh(
 
     Unlike the exact form, cost is Σ_buckets |bucket|² per table — at 100 TB
     the self-joins shuffle on (table, signature), never materializing N²."""
-    from .similarity import _dot, multi_table_signature_udf, normalized
+    import numpy as np
+    from pyspark import StorageLevel
 
-    # candidate generation carries ONLY (tbl, sig, vec_id) — the 64-double
-    # vectors never enter the self-join shuffle or the distinct; signatures
-    # for all tables come from one vectorized matmul per Arrow batch
-    sig_udf = multi_table_signature_udf(num_tables, bits_per_table)
-    sigs = (
-        embeddings.select("vec_id", sig_udf("embedding").alias("sig_arr"))
-        .select("vec_id", F.posexplode("sig_arr").alias("tbl", "sig"))
+    from .similarity import multi_table_planes, pair_dot_udf
+
+    planes = multi_table_planes(num_tables, bits_per_table)
+    weights = 1 << np.arange(bits_per_table, dtype=np.int64)
+
+    # ONE Python pass prepares both the normalized vector and all table
+    # signatures per row (a single matmul per Arrow batch); persisted so
+    # the candidate join's two sides and the verify join all read the
+    # cached columnar result instead of re-crossing into Python
+    def _prep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            bits = (x @ planes.T > 0).astype(np.int64)
+            packed = (
+                bits.reshape(len(x), num_tables, bits_per_table) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "ne": list(x), "sig_arr": list(packed)}
+            )
+
+    prepped = (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(_prep, "vec_id long, ne array<double>, sig_arr array<long>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # candidate generation carries ONLY (tbl, sig, vec_id) — the 64-double
+    # vectors never enter the self-join shuffle or the distinct
+    sigs = prepped.select("vec_id", F.posexplode("sig_arr").alias("tbl", "sig"))
     left = sigs.select(F.col("vec_id").alias("vec_id_1"), "tbl", "sig")
     right = sigs.select(F.col("vec_id").alias("vec_id_2"), "tbl", "sig")
     cand = (
@@ -256,15 +301,13 @@ def embedding_near_dup_lsh(
         .select("vec_id_1", "vec_id_2")
         .distinct()
     )
-    normed = embeddings.select(
-        "vec_id", normalized(F.col("embedding")).alias("ne")
-    )
-    n1 = normed.select(F.col("vec_id").alias("vec_id_1"), F.col("ne").alias("e1"))
-    n2 = normed.select(F.col("vec_id").alias("vec_id_2"), F.col("ne").alias("e2"))
+    n1 = prepped.select(F.col("vec_id").alias("vec_id_1"), F.col("ne").alias("e1"))
+    n2 = prepped.select(F.col("vec_id").alias("vec_id_2"), F.col("ne").alias("e2"))
+    dots = pair_dot_udf()
     return (
         cand.join(n1, "vec_id_1")
         .join(n2, "vec_id_2")
-        .withColumn("cosine", _dot(F.col("e1"), F.col("e2")))
+        .withColumn("cosine", dots(F.col("e1"), F.col("e2")))
         .filter(F.col("cosine") >= threshold)
         .select(
             "vec_id_1",

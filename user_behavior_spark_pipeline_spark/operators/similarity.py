@@ -49,9 +49,34 @@ def _norm(a):
 
 def normalized(emb_col):
     """L2-normalized double array — pre-normalizing turns pairwise cosine
-    into a bare dot product (halves the per-pair flops in self-joins)."""
+    into a bare dot product (halves the per-pair flops in self-joins).
+
+    Column form: only safe where the input column is already a bound
+    attribute; prefer :func:`normalized_vectors`, which binds the norm once
+    per row — an inline ``transform(d, x -> x / norm(d))`` re-runs the norm
+    aggregate for EVERY element (O(d²) interpreted-lambda work per row)."""
     d = _as_double(emb_col)
     return F.transform(d, lambda x: x / _norm(d))
+
+
+def normalized_vectors(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out: str = "ne",
+) -> DataFrame:
+    """(id, L2-normalized embedding) with the norm computed ONCE per row:
+    the doubled array and its norm are materialized as plain columns first,
+    so the element-wise divide references a bound attribute instead of
+    re-evaluating the norm aggregate per element (measured ~d× faster)."""
+    return (
+        embeddings.select(id_col, _as_double(F.col(emb_col)).alias("_d"))
+        .withColumn("_nrm", _norm(F.col("_d")))
+        .select(
+            id_col,
+            F.transform(F.col("_d"), lambda x: x / F.col("_nrm")).alias(out),
+        )
+    )
 
 
 def with_cosine(scored: DataFrame, q_col: str = "qe", e_col: str = "e") -> DataFrame:
@@ -105,6 +130,43 @@ def lsh_signature_col(emb_col, planes: list[list[float]]):
     return sig
 
 
+def multi_table_planes(
+    num_tables: int, bits_per_table: int, dim: int = EMBED_DIM, seed_base: int = 1000
+):
+    """The (num_tables·bits_per_table, dim) hyperplane matrix shared by
+    every multi-table signature implementation (seeds fixed per table)."""
+    import numpy as np
+
+    return np.array(
+        [
+            _hyperplanes(bits_per_table, dim=dim, seed=seed_base + t)
+            for t in range(num_tables)
+        ],
+        dtype=np.float64,
+    ).reshape(num_tables * bits_per_table, dim)
+
+
+def pair_dot_udf():
+    """Vectorized pairwise dot product over two array columns (pandas_udf).
+
+    For verifying candidate pairs in bulk: the JVM ``aggregate``/``zip_with``
+    form runs ~2·d interpreted lambda steps per pair, which dominates once
+    candidates reach ~10⁵; one numpy einsum per Arrow batch doesn't."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no type hints — `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inference rejects
+    @pandas_udf("double")
+    def dots(e1, e2):
+        a = np.array(e1.tolist(), dtype=np.float64)
+        b = np.array(e2.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", a, b))
+
+    return dots
+
+
 def multi_table_signature_udf(
     num_tables: int, bits_per_table: int, dim: int = EMBED_DIM, seed_base: int = 1000
 ):
@@ -121,13 +183,7 @@ def multi_table_signature_udf(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(
-        [
-            _hyperplanes(bits_per_table, dim=dim, seed=seed_base + t)
-            for t in range(num_tables)
-        ],
-        dtype=np.float64,
-    ).reshape(num_tables * bits_per_table, dim)
+    planes = multi_table_planes(num_tables, bits_per_table, dim, seed_base)
 
     # NB: no type hints — `from __future__ import annotations` stringifies
     # them, which pandas_udf's signature inference rejects
@@ -236,9 +292,7 @@ def ivf_topk(
     cent = _train_centroids(embeddings, n_centroids)
     cdf = _centroids_df(spark, cent)
 
-    normed = embeddings.select(
-        "vec_id", normalized(F.col("embedding")).alias("ne")
-    )
+    normed = normalized_vectors(embeddings)
     assigned = (
         normed.crossJoin(F.broadcast(cdf))
         .withColumn("score", _dot(F.col("ne"), F.col("ce")))
