@@ -34,6 +34,21 @@ NUM_HASHES = 64
 NUM_BANDS = 32  # 2 rows per band
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the core count iff the input is under-partitioned.
+
+    A small parquet file scans as one partition (one row group is not
+    splittable), which serializes every CPU-heavy transform above it —
+    tokenize/shingle/explode run on 1 of N cores. The shuffle this adds
+    moves only the raw input rows (tiny next to the exploded intermediates)
+    and is skipped entirely when the scan is already parallel, i.e. at any
+    real data scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(documents: DataFrame, key: str = "text") -> DataFrame:
     """Exact dedup groups: representative (min doc_id) + cardinality per
     distinct text. The dedup'd corpus is the min_doc_id rows."""
@@ -64,7 +79,7 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     the raw ``split(...)`` expression instead re-evaluates the split per
     ``element_at`` (n accesses × ~|tokens| grams → quadratic re-tokenize;
     measured 12× slower at sf0.1)."""
-    tokenized = documents.select(
+    tokenized = _spread(documents).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
     )
     t = F.col("_toks")
@@ -91,18 +106,28 @@ def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataF
     """(doc_id, shingle) -> pair Jaccard via shingle self-join.
 
     If ``pairs_filter`` (doc_id_1, doc_id_2) is given, only those pairs are
-    scored (the LSH verify path)."""
+    scored (the LSH verify path): the candidates are joined against the two
+    shingle sets directly — |cand|·|shingles per doc| rows — instead of
+    materializing the full shingle self-join and semi-filtering it after,
+    which would make the verify pass as expensive as the exact algorithm
+    LSH exists to avoid."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     if pairs_filter is not None:
-        shared = shared.join(pairs_filter, ["doc_id_1", "doc_id_2"], "left_semi")
+        shared = (
+            pairs_filter.join(a, "doc_id_1")
+            .join(b, ["doc_id_2", "shingle"])
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
     return (
@@ -124,11 +149,11 @@ def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Exact near-duplicate pairs by word n-gram Jaccard >= threshold."""
-    from pyspark import StorageLevel
-
     # the shingle set feeds three plan branches (sizes + both join sides);
-    # persist so the explode+distinct shuffle runs once
-    sh = shingles(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # eager localCheckpoint materializes it ONCE — a lazy persist() doesn't
+    # help here because the branches' stages run concurrently and each
+    # computes the unpopulated cache from scratch
+    sh = shingles(documents, n).localCheckpoint()
     return _pair_jaccard(sh).filter(
         F.col("jaccard_x1e6") >= int(threshold * 1_000_000)
     )
@@ -153,34 +178,40 @@ def minhash_lsh_pairs(
     candidates; candidates are scored exactly. Output == exact
     ngram_jaccard_pairs at any threshold with near-certain LSH recall
     (see module docstring)."""
-    from pyspark import StorageLevel
-
     rows_per_band = NUM_HASHES // NUM_BANDS
     # the shingle set feeds BOTH the signature pass and the exact-Jaccard
-    # verify pass — persist it so the explode+distinct shuffle runs once
-    # (MEMORY_AND_DISK: spills instead of OOMing at scale)
-    sh = shingles(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # verify pass — eager localCheckpoint materializes it once (a lazy
+    # persist is computed N× by the N concurrent downstream stages)
+    sh = shingles(documents, n).localCheckpoint()
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # both sides of the bucket self-join read the band table; the differing
+    # doc_id_1/doc_id_2 projections sit below the exchange, so Spark can't
+    # reuse one shuffle for both — checkpoint the (tiny: docs × bands rows)
+    # band table instead of running the 64-agg signature pass twice
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(NUM_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+        .localCheckpoint()
+    )
     left = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "bucket")
     candidates = (
@@ -260,7 +291,6 @@ def embedding_near_dup_lsh(
     Unlike the exact form, cost is Σ_buckets |bucket|² per table — at 100 TB
     the self-joins shuffle on (table, signature), never materializing N²."""
     import numpy as np
-    from pyspark import StorageLevel
 
     from .similarity import multi_table_planes, pair_dot_udf
 
@@ -268,9 +298,9 @@ def embedding_near_dup_lsh(
     weights = 1 << np.arange(bits_per_table, dtype=np.int64)
 
     # ONE Python pass prepares both the normalized vector and all table
-    # signatures per row (a single matmul per Arrow batch); persisted so
-    # the candidate join's two sides and the verify join all read the
-    # cached columnar result instead of re-crossing into Python
+    # signatures per row (a single matmul per Arrow batch); eagerly
+    # checkpointed so the candidate join's two sides and the verify join
+    # all read the materialized result instead of re-crossing into Python
     def _prep(batches):
         import pandas as pd
 
@@ -288,7 +318,7 @@ def embedding_near_dup_lsh(
     prepped = (
         embeddings.select("vec_id", "embedding")
         .mapInPandas(_prep, "vec_id long, ne array<double>, sig_arr array<long>")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     # candidate generation carries ONLY (tbl, sig, vec_id) — the 64-double
     # vectors never enter the self-join shuffle or the distinct
@@ -319,7 +349,7 @@ def embedding_near_dup_lsh(
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes (sign-sum per bit)."""
-    tok = documents.select(
+    tok = _spread(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
     )
     h = F.xxhash64("token")

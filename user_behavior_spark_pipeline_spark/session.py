@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- scan sizing: 128 MB splits, the parquet row-group sweet spot ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # floor the split count at the core count: a small file otherwise
+        # scans as ONE partition and serializes every CPU-heavy transform
+        # above it (tokenize/shingle/UDF); at 100 TB inputs exceed the floor
+        # anyway, so this only affects the small-file edge
+        .config("spark.sql.files.minPartitionNum", str(parts))
         # --- python interchange is Arrow-batched, never row-pickled ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
