@@ -1,0 +1,66 @@
+"""Sampling/split invariants: the properties that make a split a CONTRACT
+(stability, key-addressing) rather than a one-off random draw."""
+
+from __future__ import annotations
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.sampling import (
+    stratified_systematic_sample,
+    train_test_split,
+)
+from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_split_is_stable_under_repartitioning(docs):
+    a = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_split_is_stable_under_corpus_growth(spark, docs):
+    """Adding rows must not flip existing rows' assignments."""
+    half = docs.filter("doc_id % 2 = 0")
+    full = {r["doc_id"]: r["split"] for r in train_test_split(docs).collect()}
+    part = {r["doc_id"]: r["split"] for r in train_test_split(half).collect()}
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_split_fraction_near_target(docs):
+    got = train_test_split(docs, test_pct=20)
+    n = got.count()
+    n_test = got.filter("split = 'test'").count()
+    assert 0.10 <= n_test / n <= 0.30  # md5 buckets ~uniform; wide tolerance
+
+
+def test_stratified_sample_covers_every_stratum(docs):
+    sample = stratified_systematic_sample(docs, "lang", "doc_id", every_k=10)
+    assert (
+        sample.select("lang").distinct().count()
+        == docs.select("lang").distinct().count()
+    )
+
+
+def test_stratified_sample_takes_first_of_each_stratum(docs):
+    import pyspark.sql.functions as F
+
+    firsts = docs.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+    sample = stratified_systematic_sample(docs, "lang", "doc_id", every_k=10)
+    missing = firsts.join(sample.select("lang", "doc_id"), ["lang", "doc_id"], "left_anti")
+    assert missing.count() == 0
+
+
+def test_sample_by_api_surface(docs):
+    """df.sampleBy (seeded, NOT reproducible across engines) — API parity
+    only: fractions are respected loosely and strata outside the dict drop."""
+    fracs = {"en": 0.5}
+    got = docs.sampleBy("lang", fractions=fracs, seed=7)
+    assert got.filter("lang <> 'en'").count() == 0

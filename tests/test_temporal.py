@@ -1,0 +1,107 @@
+"""As-of and range join semantics — constructed-row cases that pin the
+boundary rules the oracle parity test can't distinguish (ties, empty
+history, interval endpoints, overlaps)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_banded,
+)
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_result(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00:00")),  # before any right row
+            (2, 100, _ts("2024-01-01T12:00:00")),  # equal-ts tie with right
+            (3, 100, _ts("2024-01-01T13:00:00")),  # after two right rows
+            (4, 200, _ts("2024-01-01T12:00:00")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T11:00:00"), 10),
+            (100, _ts("2024-01-01T12:00:00"), 20),
+        ],
+        "user_id long, ts timestamp, v int",
+    )
+    rows = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", payload="v"
+    ).collect()
+    return {r["event_id"]: r["asof_v"] for r in rows}
+
+
+def test_asof_no_prior_row_is_null(asof_result):
+    assert asof_result[1] is None
+    assert asof_result[4] is None
+
+
+def test_asof_equal_ts_counts_as_at_or_before(asof_result):
+    assert asof_result[2] == 20
+
+
+def test_asof_takes_latest_not_first(asof_result):
+    assert asof_result[3] == 20
+
+
+@pytest.fixture(scope="module")
+def tiers(spark):
+    return spark.createDataFrame(
+        [("low", 0.0, 10.0), ("high", 10.0, 30.0), ("wide", 5.0, 25.0)],
+        "tier string, lo double, hi double",
+    )
+
+
+def test_range_join_endpoints(spark, tiers):
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 29.99), (5, 30.0)],
+        "id long, v double",
+    )
+    got = {
+        (r["id"], r["tier"])
+        for r in range_join_banded(facts, tiers, "v", "lo", "hi", 10.0).collect()
+    }
+    assert (1, "low") in got and (2, "low") in got
+    assert (3, "low") not in got and (3, "high") in got  # lo inclusive
+    assert (4, "high") in got
+    assert all(id_ != 5 for id_, _ in got)  # hi exclusive, even on boundary
+
+
+def test_range_join_overlapping_intervals_multi_match(spark, tiers):
+    facts = spark.createDataFrame([(1, 7.0)], "id long, v double")
+    got = {
+        r["tier"]
+        for r in range_join_banded(facts, tiers, "v", "lo", "hi", 10.0).collect()
+    }
+    assert got == {"low", "wide"}
+
+
+def test_range_join_matches_theta_join_on_fixture(spark, sf_dir, tiers):
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tiers3 = spark.createDataFrame(
+        [("bronze", 0.0, 50000.0), ("silver", 50000.0, 150000.0), ("gold", 150000.0, 600000.0)],
+        "tier string, lo double, hi double",
+    )
+    banded = range_join_banded(
+        orders, tiers3, "o_totalprice", "lo", "hi", 50000.0
+    ).select("o_orderkey", "tier")
+    theta = orders.join(
+        tiers3,
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    ).select("o_orderkey", "tier")
+    assert banded.exceptAll(theta).count() == 0
+    assert theta.exceptAll(banded).count() == 0

@@ -1,0 +1,63 @@
+"""Deterministic sampling and dataset-split operators — the reproducibility
+layer of a training-data pipeline (north-star suite; the reference has no
+sampling surface at all).
+
+Everything here is content/key-addressed, never RNG-addressed: the same row
+lands in the same split on any cluster, any partitioning, any engine — which
+is what makes train/test contamination auditable. (``df.sample``/``sampleBy``
+are seeded per-partition and reshuffle-sensitive, fine for sizing estimates,
+useless as a reproducible split contract; they're exercised in tests only.)
+
+At 100 TB each operator is a scan-side projection or one window per stratum —
+no extra shuffles beyond what the grouping itself requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, num_buckets: int = 100):
+    """Deterministic [0, num_buckets) bucket from md5 of the key's string
+    form — engine-portable (md5 is md5 everywhere; Spark's ``hash``/xxhash64
+    seeds are Spark-specific) and uniform regardless of key distribution."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % num_buckets
+    )
+
+
+def train_test_split(
+    df: DataFrame, id_col: str = "doc_id", test_pct: int = 20
+) -> DataFrame:
+    """Stable hash split: rows whose md5 bucket < ``test_pct`` are 'test'.
+
+    Key-addressed, so a document keeps its split assignment across runs,
+    re-partitions, and incremental corpus additions — new rows never flip
+    old rows' splits (the failure mode of fraction-based sampling)."""
+    bucket = hash_bucket(F.col(id_col))
+    return df.withColumn(
+        "split", F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_systematic_sample(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    every_k: int = 10,
+) -> DataFrame:
+    """Every k-th row per stratum, in ``order_col`` order — equal sampling
+    pressure on every stratum (a uniform sample starves small strata) with
+    deterministic, engine-reproducible membership.
+
+    One window shuffle on the stratum key; at scale prefer a coarse
+    ``order_col`` prefix filter first if strata are whale-sized."""
+    w = Window.partitionBy(stratum_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % every_k == 0)
+        .drop("_rn")
+    )

@@ -1,0 +1,112 @@
+"""Temporal join operators Spark has no primitive for: as-of (nearest prior
+observation) and interval/range joins — staples of event-stream analytics
+that the reference's single-table pipeline never reached (its README wishes
+for joins at README.md:819; SURVEY.md §2.5 OP-X-JOIN extensions).
+
+Both are built so the expensive path is an EQUI-join Catalyst can plan:
+
+- **as-of**: union the two sides and run ONE window pass per key — no join
+  at all. The right side's payload is carried forward with
+  ``last(..., ignorenulls=True)`` over an event-time-ordered window, so each
+  left row sees the most recent right row at-or-before its timestamp.
+  Cost: one shuffle on the key (the same minimum any per-key join pays);
+  state per task is a single carried value, never a buffered range. This is
+  the classic scalable formulation — a naive ``l.ts >= r.ts`` theta-join
+  explodes into a per-key cross product at 100 TB.
+- **range join**: the interval side is exploded into fixed-width bands and
+  the fact side joins on ``floor(value / width)`` — an equi-join (broadcast
+  when the interval table is small) plus a residual filter, instead of the
+  BroadcastNestedLoopJoin Spark would otherwise plan for a pure inequality
+  join. Band width trades explode factor against residual selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: str,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row annotated with ``payload`` from
+    the latest ``right`` row with the same ``key`` and ``right_ts <=
+    left_ts`` (ties at equal timestamps see the right row); null when no
+    prior right row exists.
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate it
+    otherwise, or which-row-wins is undefined. Null payloads on the right
+    are skipped by ``ignorenulls`` (read: "no observation"), so encode
+    observed-but-null explicitly if that distinction matters.
+
+    Returns all ``left`` columns plus ``asof_<payload>``."""
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            F.col(payload).alias("_payload"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows (_side=0) sort before left rows at equal _ts, so an equal
+    # timestamp counts as "at or before"
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn(
+            f"asof_{payload}", F.last("_payload", ignorenulls=True).over(w)
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_ts", "_payload")
+    )
+
+
+def range_join_banded(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+) -> DataFrame:
+    """Join each fact row to the interval rows with ``lo <= value < hi``,
+    as a banded equi-join.
+
+    ``intervals`` is exploded to one row per covered band of width
+    ``band_width`` (pick it near the typical interval length: explode
+    factor ≈ interval_len / width, residual false-positive rate ≈
+    width / interval_len). Intervals may overlap — a fact row then matches
+    each containing interval, exactly like the theta-join would."""
+    banded_facts = facts.withColumn(
+        "_band", F.floor(F.col(value_col) / band_width).cast("long")
+    )
+    lo_band = F.floor(F.col(lo_col) / band_width).cast("long")
+    # hi is exclusive: an interval ending exactly on a band boundary does
+    # not cover that band
+    hi_band = F.when(
+        F.col(hi_col) % band_width == 0,
+        (F.col(hi_col) / band_width).cast("long") - 1,
+    ).otherwise(F.floor(F.col(hi_col) / band_width).cast("long"))
+    banded_ivals = intervals.withColumn(
+        "_band", F.explode(F.sequence(lo_band, hi_band))
+    )
+    return (
+        banded_facts.join(F.broadcast(banded_ivals), "_band")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_band")
+    )

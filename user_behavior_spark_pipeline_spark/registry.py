@@ -1119,6 +1119,28 @@ def x_approx_mergeable(spark, sf_dir):
 _STAGED_SOURCES: dict[tuple, str] = {}
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Pin the state-store partition count for a streaming query.
+
+    Stateful operators materialize one state store (several, for a
+    stream-stream join) per shuffle partition per micro-batch — at bench
+    scale the fixed per-store commit cost dominates, so state partitions
+    are sized to the workload here exactly as they would be on a cluster
+    (where the same count is sized UP to executors × cores). The partition
+    count is frozen into the checkpoint at first batch; the session conf is
+    restored afterwards."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _stage_stream_source(spark: SparkSession, sf_dir: str, duplicate: bool = False) -> str:
     """Materialize the Kafka-double records as JSON files for a file-stream
     source; returns the source directory. Memoized per (sf_dir, duplicate):
@@ -1219,8 +1241,9 @@ def x_stream_dedup(spark, sf_dir):
     src = _stage_stream_source(spark, sf_dir, duplicate=True)
     out = tempfile.mkdtemp(prefix="ubsp_dedup_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_dedup_ckpt_")
-    q = dedup_stream(file_stream_source(spark, src), out, ckpt)
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = dedup_stream(file_stream_source(spark, src), out, ckpt)
+        q.awaitTermination()
     return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("num_entries"))
 
 
@@ -1404,7 +1427,12 @@ def ref_catalog_table(spark, sf_dir):
     from .catalog import create_external_parquet_table
 
     out = tempfile.mkdtemp(prefix="ubsp_catalog_")
-    _valid(spark, sf_dir).write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # repartition by the partition column first: one file per partition value
+    # instead of (tasks × values) small files — the standard partitioned-sink
+    # layout fix, and the file-listing cost dominates this query otherwise
+    _valid(spark, sf_dir).repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
     create_external_parquet_table(spark, "valid_events_ext", out, repair=True)
     return spark.sql(
         "SELECT event_type, COUNT(*) AS num_events FROM valid_events_ext GROUP BY 1"
@@ -1504,3 +1532,162 @@ def x_udf_apply_in_pandas(spark, sf_dir):
     from .operators.udf_surface import per_user_stats
 
     return per_user_stats(_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of and banded range join — the
+# join classes Spark has no primitive for (SURVEY.md §2.5 OP-X-JOIN
+# extensions beyond plain equi-joins).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_asof_join",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "           WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, "
+        "             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS purchase_cents "
+        "      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, "
+        "       r.purchase_cents AS asof_purchase_cents "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join: every click annotated with the same user's most recent
+    prior purchase (cents; null if none yet). Implemented as a union + one
+    window pass per key — no theta-join; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from .operators.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "purchase_cents"
+            )
+        )
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        payload="purchase_cents",
+    ).select("event_id", "user_id", "asof_purchase_cents")
+
+
+@query(
+    "x_range_join",
+    oracle=(
+        "WITH tiers(tier, lo, hi) AS (VALUES "
+        "  ('bronze', 0.0, 50000.0), "
+        "  ('silver', 50000.0, 150000.0), "
+        "  ('gold', 150000.0, 600000.0)) "
+        "SELECT o_orderkey, tier FROM orders JOIN tiers "
+        "ON o_totalprice >= lo AND o_totalprice < hi"
+    ),
+)
+def x_range_join(spark, sf_dir):
+    """Interval/range join (order price -> tier) as a banded equi-join +
+    residual filter, instead of the BroadcastNestedLoopJoin a raw
+    inequality join plans."""
+    from .operators.temporal import range_join_banded
+
+    tiers = spark.createDataFrame(
+        [
+            ("bronze", 0.0, 50000.0),
+            ("silver", 50000.0, 150000.0),
+            ("gold", 150000.0, 600000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return range_join_banded(
+        orders, tiers, "o_totalprice", "lo", "hi", band_width=50000.0
+    ).select("o_orderkey", "tier")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py) — reproducible
+# train/test membership, north-star training-data suite.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_split_hash",
+    oracle=(
+        "SELECT doc_id, CASE WHEN "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 100 < 20 THEN 'test' ELSE 'train' END AS split FROM documents"
+    ),
+)
+def x_split_hash(spark, sf_dir):
+    """Content-hash train/test split: md5-bucketed, engine-portable, stable
+    under repartitioning and corpus growth. Full per-document assignment is
+    oracle-compared (not just the counts)."""
+    from .operators.sampling import train_test_split
+
+    docs = _table(spark, sf_dir, "documents")
+    return train_test_split(docs, id_col="doc_id", test_pct=20).select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "x_sample_stratified",
+    oracle=(
+        "SELECT lang, doc_id FROM ("
+        "  SELECT lang, doc_id, "
+        "         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
+        "  FROM documents) WHERE (rn - 1) % 10 = 0"
+    ),
+)
+def x_sample_stratified(spark, sf_dir):
+    """Stratified systematic sample: every 10th document per language in
+    doc_id order — deterministic equal pressure on every stratum."""
+    from .operators.sampling import stratified_systematic_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return stratified_systematic_sample(
+        docs, stratum_col="lang", order_col="doc_id", every_k=10
+    ).select("lang", "doc_id")
+
+
+@query(
+    "x_stream_stream_join",
+    oracle=(
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents "
+        "FROM events c JOIN events p "
+        "ON c.user_id = p.user_id "
+        "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR "
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"
+    ),
+)
+def x_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (clicks x purchases within 1
+    hour, per user) — both sides unbounded, state bounded by the event-time
+    range condition. Batch-equivalent oracle: the same interval join in
+    DuckDB."""
+    from .streaming.jobs import stream_stream_join_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    def _stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    clicks = _stream().filter(F.col("event_type") == "click")
+    purchases = _stream().filter(F.col("event_type") == "purchase")
+    name = "ubsp_stream_stream_join"
+    with _state_partitions(spark, 8):
+        q = stream_stream_join_stream(clicks, purchases, name, horizon="1 hour")
+        q.awaitTermination()
+    return spark.table(name)

@@ -333,6 +333,53 @@ def stream_static_join_stream(
     )
 
 
+def stream_stream_join_stream(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    query_name: str,
+    horizon: str = "1 hour",
+    watermark: str = "1 second",
+):
+    """Watermarked stream-stream inner join — the fully-streaming operator
+    class the reference never reached (its logs show no state operators,
+    README.md:479): each click joins the same user's purchases within
+    [click.ts, click.ts + horizon).
+
+    Both sides are watermarked and the join carries an event-time range
+    condition, so Spark can BOUND the buffered state on both sides (an
+    unconstrained stream-stream join would buffer forever). Per micro-batch
+    the join is a symmetric hash join on user_id; state eviction follows the
+    watermark — at 100 TB the horizon, not the corpus, sizes the state
+    store."""
+    c = clicks_stream.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases_stream.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def fanout_by_class_stream(
     raw_stream: DataFrame,
     base_dir: str,
