@@ -138,3 +138,57 @@ def test_stream_static_join_shape_broadcasts_dim(spark, sf_dir):
     plan = explain_str(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_range_join_plans_broadcast_hash_not_nested_loop(spark, sf_dir):
+    """The banded formulation exists to turn an inequality join into an
+    equi-join: the plan must be a BroadcastHashJoin on the band, with NO
+    BroadcastNestedLoopJoin anywhere."""
+    from user_behavior_spark_pipeline_spark.operators.temporal import range_join_banded
+
+    tiers = spark.createDataFrame(
+        [("bronze", 0.0, 50000.0), ("silver", 50000.0, 150000.0)],
+        "tier string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    df = range_join_banded(orders, tiers, "o_totalprice", "lo", "hi", 50000.0)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    """The as-of union+window formulation must not plan any join operator —
+    one shuffle (the window's key partitioning), one window."""
+    import pyspark.sql.functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    df = asof_join(clicks, purchases, "user_id", "ts", "ts", "v")
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_q3_pushes_both_date_predicates_and_broadcasts_customer(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.operators.joins import shipping_priority
+
+    df = shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "o_orderdate" in filters
+    assert "c_mktsegment" in filters
+    # top-k must be a TakeOrdered over the aggregate, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan

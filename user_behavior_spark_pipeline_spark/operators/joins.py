@@ -120,6 +120,77 @@ def local_supplier_revenue(
     )
 
 
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+    segment — orders placed before the cutoff whose lineitems ship after it.
+
+    Plan: both date predicates push into their scans, customer (filtered to
+    one segment) broadcasts, lineitem shuffles once on l_orderkey; the
+    top-k is a TakeOrdered over the aggregated (small) result, never a full
+    sort of lineitem."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = lineitem.filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).alias("revenue_x10000"))
+        .orderBy(F.desc("revenue_x10000"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def returned_item_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns
+    (l_returnflag = 'R') in one quarter, with the customer's nation.
+
+    Plan: the quarter predicate pushes into the orders scan, the return
+    flag into lineitem's; customer and nation broadcast; one lineitem
+    shuffle on l_orderkey, one group-by shuffle on the customer key."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("revenue_x10000"))
+        .orderBy(F.desc("revenue_x10000"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-01-01") -> DataFrame:
     """TPC-H Q1 shape: the pricing-summary report — per (returnflag,
     linestatus): quantity/price/discounted/charged sums, integer-exact, plus

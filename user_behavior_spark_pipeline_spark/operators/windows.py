@@ -111,6 +111,29 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def rolling_weekly_spend(events: DataFrame) -> DataFrame:
+    """RANGE-frame analytic window: per user, each day's trailing-7-day
+    spend — a range frame over event-time seconds, so gaps in the day
+    sequence are handled by VALUE distance, not row offsets (a rowsBetween
+    frame would silently widen across missing days).
+
+    Two shuffles total: the daily pre-aggregation and the per-user window
+    sort — the window runs over the (small) daily table, never raw events."""
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("day_ts"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        F.sum("day_cents").over(w).alias("weekly_cents"),
+    )
+
+
 def order_value_distribution(orders: DataFrame) -> DataFrame:
     """Distribution analytics per order-status: ntile quartile, percent_rank
     and cume_dist over totalprice (tie-broken by orderkey so every rank

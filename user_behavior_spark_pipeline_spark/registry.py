@@ -1691,3 +1691,85 @@ def x_stream_stream_join(spark, sf_dir):
         q = stream_stream_join_stream(clicks, purchases, name, horizon="1 hour")
         q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-shape analytics, continued: Q3 / Q10 shapes and a RANGE-frame window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_join_tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+        "o_orderpriority, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS revenue_x10000 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY 1, 2, 3 ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10"
+    ),
+)
+def x_join_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): top unshipped orders by revenue
+    for one market segment — pushed date predicates, broadcast customer,
+    single lineitem shuffle, TakeOrdered top-k."""
+    from .operators.joins import shipping_priority
+
+    return shipping_priority(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+    )
+
+
+@query(
+    "x_join_tpch_q10",
+    oracle=(
+        "SELECT c_custkey, c_name, n_name AS nation, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "AS revenue_x10000 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY 1, 2, 3 ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20"
+    ),
+)
+def x_join_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue): top customers by revenue
+    lost to returns in a quarter, with nation enrichment."""
+    from .operators.joins import returned_item_revenue
+
+    return returned_item_revenue(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "x_window_rolling_range",
+    oracle=(
+        "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day_ts, "
+        "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents "
+        "  FROM events GROUP BY 1, 2) "
+        "SELECT user_id, strftime(day_ts, '%Y-%m-%d') AS day, "
+        "SUM(day_cents) OVER (PARTITION BY user_id ORDER BY day_ts "
+        "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) "
+        "AS weekly_cents FROM daily"
+    ),
+)
+def x_window_rolling_range(spark, sf_dir):
+    """RANGE-frame window: per-user trailing-7-day spend by VALUE distance
+    (immune to missing days, unlike a rows frame), computed over the daily
+    pre-aggregate."""
+    from .operators.windows import rolling_weekly_spend
+
+    return rolling_weekly_spend(_table(spark, sf_dir, "events"))
