@@ -1773,3 +1773,150 @@ def x_window_rolling_range(spark, sf_dir):
     from .operators.windows import rolling_weekly_spend
 
     return rolling_weekly_spend(_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Source-format breadth (OP-SRC gap-map: CSV / schema-inferred JSON doubles
+# of the same event table) and bucketed-layout joins.
+# ---------------------------------------------------------------------------
+
+
+def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """events staged once per (format, sf) as csv/json files; ts carried as
+    epoch millis (format-neutral, no tz/precision ambiguity)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    key = (fmt, sf_dir)
+    if key in _STAGED_SOURCES:
+        return _STAGED_SOURCES[key]
+    src = tempfile.mkdtemp(prefix=f"ubsp_{fmt}_src_")
+    flat = (
+        _table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+        )
+        .coalesce(4)
+    )
+    if fmt == "csv":
+        flat.write.mode("overwrite").option("header", "true").csv(src)
+    else:
+        flat.write.mode("overwrite").json(src)
+    _STAGED_SOURCES[key] = src
+    return src
+
+
+_FMT_ORACLE = (
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents, "
+    "COUNT(DISTINCT date_trunc('day', ts)) AS n_days "
+    "FROM events GROUP BY 1"
+)
+
+
+def _format_rollup(df):
+    from pyspark.sql import functions as F
+
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.countDistinct(
+            F.date_trunc("day", F.timestamp_millis(F.col("ts_ms")))
+        ).alias("n_days"),
+    )
+
+
+@query("ref_source_csv", oracle=_FMT_ORACLE)
+def ref_source_csv(spark, sf_dir):
+    """CSV source with an explicit schema (header validated against it):
+    same rollup as the parquet path — format round-trip parity."""
+    src = _stage_format(spark, sf_dir, "csv")
+    df = spark.read.option("header", "true").schema(
+        "event_id long, user_id long, event_type string, cents long, ts_ms long"
+    ).csv(src)
+    return _format_rollup(df)
+
+
+@query("ref_source_json", oracle=_FMT_ORACLE)
+def ref_source_json(spark, sf_dir):
+    """JSON-lines source with INFERRED schema (the OP-INFER escape hatch,
+    idiomatic form — spark.read.json, no RDD round-trip)."""
+    src = _stage_format(spark, sf_dir, "json")
+    return _format_rollup(spark.read.json(src))
+
+
+@query(
+    "x_join_bucketed",
+    oracle=(
+        "SELECT o_custkey, COUNT(*) AS n_orders, "
+        "MAX(c_mktsegment) AS mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+    ),
+)
+def x_join_bucketed(spark, sf_dir):
+    """Shuffle-free co-bucketed join: both sides pre-bucketed on the join
+    key (8 buckets, sorted) — the SortMergeJoin reads bucket-aligned files
+    with NO Exchange (pinned by tests/test_sinks.py). The 100 TB layout
+    pattern for repeated fact-fact joins on a stable key."""
+    from pyspark.sql import functions as F
+
+    from .sinks import write_bucketed_table
+
+    key = ("bucketed", sf_dir)
+    if key not in _STAGED_SOURCES:
+        write_bucketed_table(
+            spark, _table(spark, sf_dir, "orders"), "bq_orders", "o_custkey", 8
+        )
+        write_bucketed_table(
+            spark,
+            _table(spark, sf_dir, "customer").withColumnRenamed(
+                "c_custkey", "o_custkey"
+            ),
+            "bq_customer",
+            "o_custkey",
+            8,
+        )
+        _STAGED_SOURCES[key] = "done"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            spark.table("bq_orders")
+            .join(spark.table("bq_customer"), "o_custkey")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("c_mktsegment").alias("mktsegment"),
+            )
+        )
+        out.localCheckpoint()  # materialize under the SMJ-forcing conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return out
+
+
+@query(
+    "x_agg_mode",
+    oracle=(
+        "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+        "GROUP BY 1, 2), r AS (SELECT user_id, event_type, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c) "
+        "SELECT user_id, event_type AS mode_event FROM r WHERE rn = 1"
+    ),
+)
+def x_agg_mode(spark, sf_dir):
+    """Deterministic mode(): each user's most frequent event type, ties
+    broken to the smallest value (Spark mode(deterministic=True); oracle is
+    the explicit count + row_number formulation)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.mode("event_type", True).alias("mode_event"))
+    )

@@ -40,7 +40,17 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed + sorted managed table: joins/aggs on bucket_col between
     co-bucketed tables need no Exchange (asserted in tests/test_sinks.py)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # the in-memory catalog forgets tables between sessions but their
+    # managed locations survive on disk; a stale location fails saveAsTable
+    # with LOCATION_ALREADY_EXISTS, so clear it after the (no-op) drop
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
