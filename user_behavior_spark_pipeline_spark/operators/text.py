@@ -111,6 +111,51 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def distinctive_tokens(
+    documents: DataFrame, k: int = 3, min_count: int = 5
+) -> DataFrame:
+    """TF-IDF-style distinctive terms, exact-integer form: per language, the
+    top-k tokens by lift = P(token|lang) / P(token|corpus), computed as
+    ``tf_lang·corpus_total·10⁶ div (lang_total·tf_corpus)`` — all-integer,
+    so ranks compare exactly across engines (a float idf would be at the
+    mercy of ln() rounding at tie boundaries).
+
+    Shuffle profile: one explode + (lang, token) hash-agg; the corpus
+    totals are tiny aggregates broadcast back in. Overflow bound:
+    tf·total·10⁶ needs tf·total < 9·10¹² — fine to ~10⁹ corpus tokens; at
+    100 TB drop the 10⁶ scale to 10³ or pre-divide."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "lang", F.explode(tokens_col()).alias("token")
+    )
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf_lang"))
+    lang_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    corpus_tf = tf.groupBy("token").agg(F.sum("tf_lang").alias("tf_corpus"))
+    corpus_total = tok.agg(F.count(F.lit(1)).alias("corpus_total"))
+    scored = (
+        tf.join(F.broadcast(lang_tot), "lang")
+        .join(corpus_tf, "token")
+        .crossJoin(F.broadcast(corpus_total))
+        .filter(F.col("tf_lang") >= min_count)
+        .withColumn(
+            "lift_x1e6",
+            F.expr(
+                "(tf_lang * corpus_total * CAST(1000000 AS BIGINT)) "
+                "div (lang_total * tf_corpus)"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lift_x1e6"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "token", "lift_x1e6", "rank")
+    )
+
+
 def token_frequencies(documents: DataFrame, min_count: int = 2) -> DataFrame:
     """Corpus token histogram (explode + count). The explode multiplies rows
     by tokens-per-doc; the count is map-side combinable so the shuffle only

@@ -1920,3 +1920,85 @@ def x_agg_mode(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.mode("event_type", True).alias("mode_event"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed-snapshot maintenance (operators/upsert.py) and distinctive terms.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_ORACLE = (
+    "WITH ranked AS (SELECT user_id, event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) "
+    "AS rn FROM events) "
+    "SELECT user_id, event_type AS last_event_type, "
+    "CAST(ROUND(value * 100) AS BIGINT) AS last_cents FROM ranked WHERE rn = 1"
+)
+
+
+@query("x_latest_snapshot", oracle=_SNAPSHOT_ORACLE)
+def x_latest_snapshot(spark, sf_dir):
+    """SCD-1 batch form: current state per user via max_by over a total
+    (ts, event_id) order — one partial-aggregating shuffle, no window
+    sort."""
+    from .operators.upsert import latest_snapshot
+
+    return latest_snapshot(_table(spark, sf_dir, "events"))
+
+
+@query("x_stream_upsert", oracle=_SNAPSHOT_ORACLE)
+def x_stream_upsert(spark, sf_dir):
+    """Streaming CDC-style upsert: the event stream folds micro-batch by
+    micro-batch (maxFilesPerTrigger=1 forces several) into a one-row-per-key
+    parquet snapshot via foreachBatch; the final snapshot must equal the
+    batch latest-per-key — the batch-vs-stream equivalence the total
+    tie-break order guarantees."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.upsert import read_snapshot, upsert_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    snap = tempfile.mkdtemp(prefix="ubsp_upsert_snap_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_upsert_ckpt_")
+    with _state_partitions(spark, 8):
+        q = upsert_stream(stream, snap, ckpt)
+        q.awaitTermination()
+    return read_snapshot(spark, snap).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("last_cents"),
+    )
+
+
+@query(
+    "x_text_distinctive",
+    oracle=(
+        "WITH tok AS (SELECT lang, UNNEST(regexp_split_to_array(text, '\\s+')) "
+        "AS token FROM documents), "
+        "tf AS (SELECT lang, token, COUNT(*) AS tf_lang FROM tok GROUP BY 1, 2), "
+        "lt AS (SELECT lang, COUNT(*) AS lang_total FROM tok GROUP BY 1), "
+        "ct AS (SELECT token, SUM(tf_lang) AS tf_corpus FROM tf GROUP BY 1), "
+        "tot AS (SELECT COUNT(*) AS corpus_total FROM tok), "
+        "scored AS (SELECT tf.lang, tf.token, "
+        "  (tf_lang * corpus_total * CAST(1000000 AS BIGINT)) "
+        "  // (lang_total * tf_corpus) AS lift_x1e6 "
+        "  FROM tf JOIN lt USING (lang) JOIN ct USING (token), tot "
+        "  WHERE tf_lang >= 5), "
+        "r AS (SELECT lang, token, lift_x1e6, ROW_NUMBER() OVER ("
+        "PARTITION BY lang ORDER BY lift_x1e6 DESC, token) AS rank FROM scored) "
+        "SELECT lang, token, lift_x1e6, rank FROM r WHERE rank <= 3"
+    ),
+)
+def x_text_distinctive(spark, sf_dir):
+    """TF-IDF-style distinctive terms per language, exact-integer lift
+    ranking (float idf would tie-break on ln() rounding)."""
+    from .operators.text import distinctive_tokens
+
+    return distinctive_tokens(_table(spark, sf_dir, "documents"))
