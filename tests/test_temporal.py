@@ -105,3 +105,39 @@ def test_range_join_matches_theta_join_on_fixture(spark, sf_dir, tiers):
     ).select("o_orderkey", "tier")
     assert banded.exceptAll(theta).count() == 0
     assert theta.exceptAll(banded).count() == 0
+
+
+def test_asof_matches_theta_formulation_on_fixture(spark, sf_dir):
+    """The union+window as-of must equal the naive (unscalable) theta-join
+    + per-click max on the whole events fixture."""
+    import pyspark.sql.functions as F
+
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    got = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", "cents"
+    ).select("event_id", F.col("asof_cents").alias("cents"))
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), "cents"
+    )
+    expected = (
+        clicks.join(
+            p,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") <= F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.max(F.struct("p_ts", "cents")).alias("s"))
+        .select("event_id", F.col("s.cents").alias("cents"))
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

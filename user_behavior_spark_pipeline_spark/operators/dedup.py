@@ -375,6 +375,10 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
     bits — pairs within max_hamming<=? must collide on at least one band for
     distance < 16·... (pigeonhole: distance <= 3 bands' worth). Candidates
     from band collisions, verified by exact popcount."""
+    # the band table feeds both self-join sides — materialize it once
+    # (same rationale as minhash_lsh_pairs: the sides' stages run
+    # concurrently, so a lazy persist would compute the signature pass
+    # twice)
     sig = simhash_signatures(documents)
     bands = sig.select(
         "doc_id",
@@ -392,7 +396,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").localCheckpoint()
     left = bands.select(
         F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sig1"), "band", "bucket"
     )
