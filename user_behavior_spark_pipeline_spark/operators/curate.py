@@ -50,9 +50,12 @@ def curate_corpus(
     exact_reps = quality_docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id")
     )
+    # survivors feeds three downstream branches (the shingle pipeline, the
+    # pair-verify joins, and the final anti-join) — materialize the
+    # quality+exact-dedup prefix once instead of once per branch
     survivors = quality_docs.join(
         exact_reps.select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint()
 
     near_dup_losers = (
         ngram_jaccard_pairs(survivors, n=3, threshold=near_dup_threshold)
