@@ -1,0 +1,61 @@
+"""Statistical aggregates with exact-integer internals.
+
+Spark's native `corr`/`covar_samp` stream doubles through an online update —
+the result depends on partition merge order, so it can't be hash-compared
+across engines (or even across two runs with different partitioning). Here
+every SUM is over scaled integers (exact, associative, order-free); only the
+final closed-form division happens in floating point, on identical integer
+inputs in both engines — deterministic by construction. Same single-pass,
+map-side-combining shuffle profile as the native aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corr_quantity_price(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    from exact integer moment sums (qty ×100, price in cents ×100).
+
+    Overflow budget: per-row product ≤ 5·10³ · 10⁷ = 5·10¹⁰; 10⁸ rows of
+    those stay under int64. At larger scales pre-shift the fixed point."""
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price * price).alias("syy"),
+        F.sum(qty * price).alias("sxy"),
+    )
+    # identical expression shape to the oracle SQL: ints -> doubles once,
+    # then the closed form — both engines see the same IEEE inputs
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "/ SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "/ SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "* 1000000) AS BIGINT)"
+        ).alias("corr_x1e6"),
+    )
+
+
+def price_histogram(orders: DataFrame, bucket_width: float = 50000.0) -> DataFrame:
+    """Fixed-width histogram of order totals: one scan, one tiny hash-agg
+    on the bucket id — the shape that costs the same at any row count."""
+    bucket = F.floor(F.col("o_totalprice") / bucket_width).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn(
+            "bucket_lo", (F.col("bucket") * bucket_width).cast("long")
+        )
+    )

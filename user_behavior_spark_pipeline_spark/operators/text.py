@@ -156,6 +156,38 @@ def distinctive_tokens(
     )
 
 
+def oov_stats(documents: DataFrame, vocab_size: int = 500) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K vocab
+    (count desc, token asc tie-break) — the cheap LM-free proxy for
+    "is this document from the training distribution".
+
+    The vocab is a top-K aggregate (tiny) broadcast into the membership
+    join; per-doc stats are one explode + hash-agg. OOV emitted ×1000 as a
+    scaled integer."""
+    from pyspark.sql import Window
+
+    tok = documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= vocab_size)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left_outer")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            * 1000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("oov_x1000"),
+    )
+
+
 def token_frequencies(documents: DataFrame, min_count: int = 2) -> DataFrame:
     """Corpus token histogram (explode + count). The explode multiplies rows
     by tokens-per-doc; the count is map-side combinable so the shuffle only

@@ -2002,3 +2002,115 @@ def x_text_distinctive(spark, sf_dir):
     from .operators.text import distinctive_tokens
 
     return distinctive_tokens(_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (operators/stats.py): exact-integer moment sums.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_agg_corr",
+    oracle=(
+        "WITH s AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx, "
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) "
+        "  * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sxx, "
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS syy, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) "
+        "  * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT l_returnflag, n, "
+        "CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "/ SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "* 1000000) AS BIGINT) AS corr_x1e6 FROM s"
+    ),
+)
+def x_agg_corr(spark, sf_dir):
+    """Pearson correlation from exact integer moment sums — deterministic
+    under any partitioning, unlike the native streaming-double corr()."""
+    from .operators.stats import corr_quantity_price
+
+    return corr_quantity_price(_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "x_agg_histogram",
+    oracle=(
+        "SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, "
+        "COUNT(*) AS n_orders, "
+        "CAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000 AS BIGINT) "
+        "AS bucket_lo "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def x_agg_histogram(spark, sf_dir):
+    """Fixed-width value histogram: one scan + tiny bucket hash-agg."""
+    from .operators.stats import price_histogram
+
+    return price_histogram(_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "x_text_oov",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) "
+        "AS token FROM documents), "
+        "counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1), "
+        "vocab AS (SELECT token FROM (SELECT token, ROW_NUMBER() OVER ("
+        "ORDER BY cnt DESC, token) AS r FROM counts) WHERE r <= 500) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov, "
+        "CAST(ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) "
+        "* 1000.0 / COUNT(*)) AS BIGINT) AS oov_x1000 "
+        "FROM tok LEFT JOIN vocab v USING (token) GROUP BY 1"
+    ),
+)
+def x_text_oov(spark, sf_dir):
+    """Out-of-vocabulary rate vs the corpus top-500 vocab — the LM-free
+    distribution-shift signal for curation filtering."""
+    from .operators.text import oov_stats
+
+    return oov_stats(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_join_null_safe",
+    oracle=(
+        "WITH dim(et, category) AS (VALUES "
+        "(NULL, 'incident'), ('click', 'engagement'), ('view', 'engagement'), "
+        "('purchase', 'revenue'), ('signup', 'growth')) "
+        "SELECT category, COUNT(*) AS n_events FROM events JOIN dim "
+        "ON NULLIF(event_type, 'error') IS NOT DISTINCT FROM et GROUP BY 1"
+    ),
+)
+def x_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL dimension rows instead of vanishing — still plans as a hash
+    join (null-safe equality is an equi-key to Catalyst)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [
+            (None, "incident"),
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+        ],
+        "et string, category string",
+    )
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "_et", F.nullif(F.col("event_type"), F.lit("error"))
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["_et"].eqNullSafe(dim["et"]))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
