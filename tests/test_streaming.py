@@ -190,3 +190,67 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
     a = final_user_totals(spark, "apips_totals").toPandas().sort_values("user_id")
     b = final_user_totals(spark, "tws_totals").toPandas().sort_values("user_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_left_outer_stream_stream_join_emits_null_after_watermark(
+    spark, tmp_path
+):
+    """Outer emission semantics: a click with no purchase in its horizon
+    emits a null row only once the watermark proves the window closed —
+    driven here by a second run whose data advances event time far enough."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        stream_stream_left_join_stream,
+    )
+
+    def _ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    clicks_src = str(tmp_path / "clicks")
+    purch_src = str(tmp_path / "purch")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(click_rows, purchase_rows):
+        spark.createDataFrame(click_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(clicks_src)
+        spark.createDataFrame(purchase_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(purch_src)
+        q = stream_stream_left_join_stream(
+            spark.readStream.schema(schema).parquet(clicks_src),
+            spark.readStream.schema(schema).parquet(purch_src),
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    base = "2024-01-01T10:00:00"
+    # run 1: user 1 click+purchase (matches), user 2 click (no purchase)
+    _run(
+        [
+            (1, _ts(base), 1, "click", 0.0),
+            (2, _ts(base), 2, "click", 0.0),
+        ],
+        [(3, _ts("2024-01-01T10:30:00"), 1, "purchase", 5.0)],
+    )
+    first = spark.read.parquet(out)
+    assert first.filter("user_id = 1 AND purchase_cents = 500").count() == 1
+    assert first.filter("user_id = 2").count() == 0  # window not yet closed
+    # run 2: far-future traffic advances the watermark past user 2's horizon
+    _run(
+        [(4, _ts("2024-01-02T10:00:00"), 3, "click", 0.0)],
+        [(5, _ts("2024-01-02T10:00:01"), 3, "purchase", 7.0)],
+    )
+    second = spark.read.parquet(out)
+    null_rows = second.filter(
+        (F.col("user_id") == 2) & F.col("purchase_cents").isNull()
+    )
+    assert null_rows.count() == 1  # outer null emitted exactly once

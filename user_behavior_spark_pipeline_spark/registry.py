@@ -2114,3 +2114,89 @@ def x_join_null_safe(spark, sf_dir):
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_SHARED_DIALECT_SQL = (
+    "WITH spend AS ("
+    "  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
+    "         ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "         ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "  FROM orders) "
+    "SELECT c_mktsegment, COUNT(*) AS n_top_orders, SUM(cents) AS top_cents "
+    "FROM spend JOIN customer ON o_custkey = c_custkey "
+    "WHERE rn <= 3 GROUP BY c_mktsegment"
+)
+
+
+@query("x_sql_shared_dialect", oracle=_SHARED_DIALECT_SQL)
+def x_sql_shared_dialect(spark, sf_dir):
+    """The spark.sql front-end (SURVEY.md §3.3: one engine replaces the
+    Spark-writes/Presto-reads split): the LITERAL oracle string — CTE +
+    window + join + agg in the shared ANSI dialect — runs unmodified on
+    registered views. Parser-to-result parity, not just DataFrame parity."""
+    for t in ("orders", "customer"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_DIALECT_SQL)
+
+
+@query(
+    "x_unpivot_status",
+    oracle=(
+        "SELECT o_orderstatus, 'n_orders' AS metric, "
+        "CAST(COUNT(*) AS BIGINT) AS value FROM orders GROUP BY 1 "
+        "UNION ALL "
+        "SELECT o_orderstatus, 'total_cents' AS metric, "
+        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS value "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def x_unpivot_status(spark, sf_dir):
+    """Wide->long reshape (unpivot/melt, the inverse of PIVOT): per-status
+    metrics as (status, metric, value) rows via the native unpivot API."""
+    from pyspark.sql import functions as F
+
+    wide = (
+        _table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["n_orders", "total_cents"], "metric", "value"
+    )
+
+
+@query("x_stream_stream_left_join")  # rows-only: outer-null emission is
+# governed by internal watermark closure (boundary rows near end-of-stream
+# stay buffered); semantics pinned by
+# tests/test_streaming.py::test_left_outer_stream_stream_join_emits_null_after_watermark
+def x_stream_stream_left_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join: clicks with no purchase in the
+    horizon emit null rows once the watermark closes their window."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import stream_stream_left_join_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet(spark, sf_dir)
+
+    def _stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    out = tempfile.mkdtemp(prefix="ubsp_ssloj_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_ssloj_ckpt_")
+    with _state_partitions(spark, 8):
+        q = stream_stream_left_join_stream(
+            _stream().filter(F.col("event_type") == "click"),
+            _stream().filter(F.col("event_type") == "purchase"),
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)

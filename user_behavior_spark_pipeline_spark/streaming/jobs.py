@@ -380,6 +380,51 @@ def stream_stream_join_stream(
     )
 
 
+def stream_stream_left_join_stream(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "1 second",
+):
+    """LEFT OUTER stream-stream join: like the inner form, but a click with
+    no purchase inside its horizon still emits (null purchase) — once the
+    watermark proves its window can no longer fill. The null row's emission
+    time is therefore governed by watermark progress, not arrival: the
+    outer result is eventually-complete, which is why the sink is an
+    append-mode file sink (replayable) rather than a complete-mode table."""
+    c = clicks_stream.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases_stream.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def fanout_by_class_stream(
     raw_stream: DataFrame,
     base_dir: str,
