@@ -60,3 +60,39 @@ def test_max_records_per_file_bounds_files(spark, sf_dir, tmp_path):
     n_rows = ev.count()
     files = glob.glob(f"{out}/**/*.parquet", recursive=True)
     assert len(files) >= n_rows // 100
+
+
+def test_compaction_restores_file_count_and_data(spark, sf_dir, tmp_path):
+    from user_behavior_spark_pipeline_spark.sinks import compact_parquet_dir
+
+    events = load_table(spark, sf_dir, "events")
+    fragmented = str(tmp_path / "fragmented")
+    events.repartition(64).write.parquet(fragmented)  # simulate sink debris
+    import glob
+
+    assert len(glob.glob(fragmented + "/*.parquet")) == 64
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet_dir(spark, fragmented, compacted)
+    got_files = glob.glob(compacted + "/*.parquet")
+    assert len(got_files) == n < 64
+    a = spark.read.parquet(fragmented)
+    b = spark.read.parquet(compacted)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+
+def test_merge_schema_read_unifies_evolved_columns(spark, tmp_path):
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, old_col string").write.parquet(
+        out + "/batch1"
+    )
+    spark.createDataFrame([(2, 7.5)], "id long, new_col double").write.parquet(
+        out + "/batch2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/batch1", out + "/batch2"
+    )
+    assert sorted(merged.columns) == ["id", "new_col", "old_col"]
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["old_col"] == "a" and rows[1]["new_col"] is None
+    assert rows[2]["new_col"] == 7.5 and rows[2]["old_col"] is None

@@ -57,3 +57,34 @@ def write_bucketed_table(
         .sortBy(bucket_col)
         .saveAsTable(name)
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files of ~row-group size.
+
+    The operational companion to every streaming file sink — micro-batches
+    accumulate small files that degrade scan planning (one task per file)
+    and metadata listing; periodic compaction restores the 128 MB
+    row-group layout. Sizing reads the filesystem directly (swap in the
+    Hadoop FileSystem API off-local); the rewrite is one scan + one
+    round-robin repartition, no shuffle key needed. Returns the file count
+    written."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_dir).repartition(n).write.mode("overwrite").parquet(
+        out_dir
+    )
+    return n
