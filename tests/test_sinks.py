@@ -96,3 +96,18 @@ def test_merge_schema_read_unifies_evolved_columns(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["old_col"] == "a" and rows[1]["new_col"] is None
     assert rows[2]["new_col"] == 7.5 and rows[2]["old_col"] is None
+
+
+def test_custom_datasource_partitions_independently(spark):
+    """The Python DataSource must produce its rows across the declared
+    partitions with no duplicates or gaps (each partition is a pure
+    function of its id — executor-independent)."""
+    from user_behavior_spark_pipeline_spark.sources.eventgen import register
+
+    register(spark)
+    df = spark.read.format("eventgen").option("rows", "1000").option(
+        "partitions", "8"
+    ).load()
+    assert df.rdd.getNumPartitions() == 8
+    ids = [r["event_id"] for r in df.select("event_id").collect()]
+    assert sorted(ids) == list(range(1000))

@@ -2200,3 +2200,61 @@ def x_stream_stream_left_join(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark-4-native surfaces: VARIANT semi-structured type and the Python
+# DataSource API.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_json_variant",
+    oracle=(
+        "SELECT event_type, "
+        "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "COUNT(*) AS n_events FROM events GROUP BY 1"
+    ),
+)
+def x_json_variant(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured JSON: parse_json once into
+    a variant, extract typed fields with variant_get — the open-type
+    alternative to a declared from_json schema (x_json_props is the
+    declared-schema twin)."""
+    from pyspark.sql import functions as F
+
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_EVENTGEN_ORACLE = (
+    "SELECT event_type, COUNT(*) AS n_events, SUM(cents) AS total_cents "
+    "FROM (SELECT CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view' "
+    "WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase' ELSE 'error' END AS "
+    "event_type, (i * 37) % 10000 AS cents FROM range(0, 10000) t(i)) "
+    "GROUP BY 1"
+)
+
+
+@query("x_source_custom", oracle=_EVENTGEN_ORACLE)
+def x_source_custom(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 API): a partitioned deterministic
+    event generator read through spark.read.format('eventgen'); the oracle
+    reproduces the generation formula with a DuckDB range()."""
+    from pyspark.sql import functions as F
+
+    from .sources.eventgen import register
+
+    register(spark)
+    df = spark.read.format("eventgen").option("rows", "10000").load()
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -1,0 +1,62 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+partitioned event generator — the engine's source-connector extension point
+demonstrated end-to-end (the reference's only custom source is its Flask
+producer, game_api.py:7-34; this is the Spark-native equivalent seat).
+
+Rows are a pure function of event_id, so any slice of the source is
+reproducible on any executor — the property that makes a generator usable
+as a test oracle AND as a 100 TB load source (partitions stream
+independently, no coordination, no driver data)."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+DEFAULT_ROWS = 10_000
+DEFAULT_PARTITIONS = 8
+
+
+def gen_row(event_id: int) -> tuple[int, int, str, int]:
+    """The generation formula — shared with tests/oracles (keep in sync
+    with the SQL form in registry.py::_EVENTGEN_ORACLE)."""
+    return (
+        event_id,
+        event_id % 50,
+        EVENT_TYPES[event_id % 5],
+        (event_id * 37) % 10_000,
+    )
+
+
+class EventGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", DEFAULT_ROWS))
+        self.num_partitions = int(options.get("partitions", DEFAULT_PARTITIONS))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition):
+        per = -(-self.rows // self.num_partitions)  # ceil
+        lo = partition.value * per
+        hi = min(lo + per, self.rows)
+        for event_id in range(lo, hi):
+            yield gen_row(event_id)
+
+
+class EventGenDataSource(DataSource):
+    """spark.read.format("eventgen").option("rows", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventgen"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, cents bigint"
+
+    def reader(self, schema):
+        return EventGenReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(EventGenDataSource)
