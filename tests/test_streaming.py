@@ -254,3 +254,36 @@ def test_left_outer_stream_stream_join_emits_null_after_watermark(
         (F.col("user_id") == 2) & F.col("purchase_cents").isNull()
     )
     assert null_rows.count() == 1  # outer null emitted exactly once
+
+
+def test_custom_stream_source_resumes_from_checkpoint_offset(spark, tmp_path):
+    """The Python streaming source's offsets live in the checkpoint: a
+    second run with a larger row cap must process ONLY the delta."""
+    import pyspark.sql.functions as F
+
+    from user_behavior_spark_pipeline_spark.sources.eventgen import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def _run(rows):
+        stream = (
+            spark.readStream.format("eventgen").option("rows", str(rows)).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    assert _run(3000) == 3000
+    assert _run(5000) == 2000  # only the new offset range
+    ids = spark.read.parquet(out).select("event_id")
+    assert ids.count() == 5000
+    assert ids.distinct().count() == 5000  # no replay duplicates

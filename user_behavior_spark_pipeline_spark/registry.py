@@ -2258,3 +2258,49 @@ def x_source_custom(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+_EVENTGEN_STREAM_ORACLE = (
+    "SELECT event_type, COUNT(*) AS n_events, SUM(cents) AS total_cents "
+    "FROM (SELECT CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view' "
+    "WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase' ELSE 'error' END AS "
+    "event_type, (i * 37) % 10000 AS cents FROM range(0, 5000) t(i)) "
+    "GROUP BY 1"
+)
+
+
+@query("x_stream_source_custom", oracle=_EVENTGEN_STREAM_ORACLE)
+def x_stream_source_custom(spark, sf_dir):
+    """Custom Python STREAMING DataSource (Spark 4 SimpleDataSourceStream-
+    Reader): offsets are row positions, rows a pure function of the offset
+    range — the replayable-source contract exactly-once needs, demonstrated
+    with the engine's own generator."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources.eventgen import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rows", "5000")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents")
+    )
+    name = "ubsp_stream_source_custom"
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ubsp_sg_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

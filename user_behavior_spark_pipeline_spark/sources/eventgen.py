@@ -10,7 +10,12 @@ independently, no coordination, no driver data)."""
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
 DEFAULT_ROWS = 10_000
@@ -44,8 +49,39 @@ class EventGenReader(DataSourceReader):
             yield gen_row(event_id)
 
 
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: offsets are plain row counts; each micro-batch
+    advances by ``rows_per_batch`` until ``rows`` is exhausted. Offsets are
+    values, rows are a pure function of the offset range — replaying any
+    (start, end) slice after a checkpoint restart regenerates identical
+    rows, which is exactly the contract exactly-once needs from a source."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", DEFAULT_ROWS))
+        # 0 = drain everything remaining in one read() — availableNow
+        # triggers take exactly one read() from a simple reader, so a
+        # smaller fixed batch would stop the drain early
+        self.rows_per_batch = int(options.get("rowsPerBatch", 0))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        return {"pos": self.rows}
+
+    def read(self, start):
+        lo = start["pos"]
+        step = self.rows_per_batch or self.rows
+        hi = min(lo + step, self.rows)
+        return iter([gen_row(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([gen_row(i) for i in range(start["pos"], end["pos"])])
+
+
 class EventGenDataSource(DataSource):
-    """spark.read.format("eventgen").option("rows", N).load()"""
+    """spark.read.format("eventgen").option("rows", N).load() — batch —
+    and spark.readStream.format("eventgen") — micro-batch stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -56,6 +92,9 @@ class EventGenDataSource(DataSource):
 
     def reader(self, schema):
         return EventGenReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return EventGenStreamReader(self.options)
 
 
 def register(spark) -> None:
