@@ -111,3 +111,26 @@ def test_custom_datasource_partitions_independently(spark):
     assert df.rdd.getNumPartitions() == 8
     ids = [r["event_id"] for r in df.select("event_id").collect()]
     assert sorted(ids) == list(range(1000))
+
+
+def test_custom_writer_two_phase_commit_receipt(spark, tmp_path):
+    """DataSourceWriter contract: per-partition commit messages fold into
+    ONE driver-side atomic receipt whose totals match the input exactly."""
+    import json
+
+    from user_behavior_spark_pipeline_spark.sources.eventgen import register
+
+    register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("rows", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    out = str(tmp_path / "receipts")
+    df.write.format("receipt").option("path", out).mode("append").save()
+    receipt = json.load(open(out + "/receipt.json"))
+    assert receipt["rows"] == 1000
+    assert receipt["partitions"] == 4
+    expected_cents = sum((i * 37) % 10_000 for i in range(1000))
+    assert receipt["cents"] == expected_cents

@@ -10,11 +10,15 @@ independently, no coordination, no driver data)."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
@@ -97,5 +101,63 @@ class EventGenDataSource(DataSource):
         return EventGenStreamReader(self.options)
 
 
+@dataclass
+class ReceiptMessage(WriterCommitMessage):
+    rows: int = 0
+    cents: int = 0
+
+
+class ReceiptWriter(DataSourceWriter):
+    """Custom sink seat (DataSourceWriter): per-partition tasks stream rows
+    and emit a commit message; the DRIVER's commit() writes one atomic
+    receipt only if every task succeeded — the standard two-phase sink
+    contract (task output is provisional until the driver commit, exactly
+    the ManifestFileCommitProtocol shape the reference's file sink logs,
+    README.md:1224-1226)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("receipt writer requires a 'path' option")
+
+    def write(self, iterator):
+        rows = 0
+        cents = 0
+        for row in iterator:
+            rows += 1
+            cents += row["cents"]
+        return ReceiptMessage(rows=rows, cents=cents)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        receipt = {
+            "partitions": len(messages),
+            "rows": sum(m.rows for m in messages),
+            "cents": sum(m.cents for m in messages),
+        }
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "_receipt.tmp")
+        with open(tmp, "w") as f:
+            json.dump(receipt, f)
+        os.rename(tmp, os.path.join(self.path, "receipt.json"))
+
+    def abort(self, messages):
+        pass
+
+
+class ReceiptSinkDataSource(DataSource):
+    """df.write.format("receipt").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "receipt"
+
+    def writer(self, schema, overwrite):
+        return ReceiptWriter(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(EventGenDataSource)
+    spark.dataSource.register(ReceiptSinkDataSource)
