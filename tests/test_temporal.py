@@ -141,3 +141,26 @@ def test_asof_matches_theta_formulation_on_fixture(spark, sf_dir):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00:00")),  # next is 11:00
+            (2, 100, _ts("2024-01-01T12:00:00")),  # equal-ts tie
+            (3, 100, _ts("2024-01-01T13:00:00")),  # nothing after
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T11:00:00"), 10),
+            (100, _ts("2024-01-01T12:00:00"), 20),
+        ],
+        "user_id long, ts timestamp, v int",
+    )
+    rows = asof_join(
+        left, right, "user_id", "ts", "ts", "v", direction="forward"
+    ).collect()
+    got = {r["event_id"]: r["asof_v"] for r in rows}
+    assert got == {1: 10, 2: 20, 3: None}

@@ -33,11 +33,14 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row annotated with ``payload`` from
-    the latest ``right`` row with the same ``key`` and ``right_ts <=
-    left_ts`` (ties at equal timestamps see the right row); null when no
-    prior right row exists.
+    the nearest ``right`` row with the same ``key`` — the latest at-or-
+    before ``left_ts`` (``direction="backward"``, the default) or the
+    earliest at-or-after it (``"forward"``, e.g. next-touch attribution).
+    Ties at equal timestamps see the right row; null when no such right
+    row exists.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate it
     otherwise, or which-row-wins is undefined. Null payloads on the right
@@ -45,6 +48,8 @@ def asof_join(
     observed-but-null explicitly if that distinction matters.
 
     Returns all ``left`` columns plus ``asof_<payload>``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_ts", F.col(left_ts)
     )
@@ -58,10 +63,12 @@ def asof_join(
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows (_side=0) sort before left rows at equal _ts, so an equal
-    # timestamp counts as "at or before"
+    # timestamp counts as a match in either direction; forward is the same
+    # one-pass carry over the reversed timestamp order
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -156,6 +156,27 @@ def distinctive_tokens(
     )
 
 
+def hashing_tf(documents: DataFrame, num_buckets: int = 1024) -> DataFrame:
+    """Feature hashing (hashing-trick term frequencies) in long form:
+    (doc_id, bucket, tf) — the fixed-width featurization that needs no
+    vocabulary pass, so it's one explode + one hash-agg at any corpus size.
+
+    Bucket = md5-based (engine-portable, like sampling.hash_bucket) rather
+    than a Spark-seeded hash, so the features are reproducible outside
+    Spark — the property that matters when the training stack reading the
+    features isn't the engine that wrote them."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("long")
+        % num_buckets
+    )
+    return (
+        documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def oov_stats(documents: DataFrame, vocab_size: int = 500) -> DataFrame:
     """Out-of-vocabulary rate per document against the corpus top-K vocab
     (count desc, token asc tie-break) — the cheap LM-free proxy for

@@ -2304,3 +2304,61 @@ def x_stream_source_custom(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "x_asof_forward",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "           WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, "
+        "             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS purchase_cents "
+        "      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, "
+        "       r.purchase_cents AS asof_purchase_cents "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts"
+    ),
+)
+def x_asof_forward(spark, sf_dir):
+    """Forward as-of (next-touch attribution): every click annotated with
+    the same user's NEXT purchase at-or-after it — the reversed-order
+    one-pass carry, oracle'd by DuckDB ASOF with the inequality flipped."""
+    from pyspark.sql import functions as F
+
+    from .operators.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "purchase_cents"
+            )
+        )
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        payload="purchase_cents", direction="forward",
+    ).select("event_id", "user_id", "asof_purchase_cents")
+
+
+@query(
+    "x_text_hashing_tf",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024 AS bucket, "
+        "COUNT(*) AS tf FROM (SELECT doc_id, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token FROM documents) "
+        "GROUP BY 1, 2"
+    ),
+)
+def x_text_hashing_tf(spark, sf_dir):
+    """Feature hashing (hashing-trick TF, long form) with an
+    engine-portable md5 bucket — vocabulary-free featurization."""
+    from .operators.text import hashing_tf
+
+    return hashing_tf(_table(spark, sf_dir, "documents"))
