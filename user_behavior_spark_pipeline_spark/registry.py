@@ -2362,3 +2362,52 @@ def x_text_hashing_tf(spark, sf_dir):
     from .operators.text import hashing_tf
 
     return hashing_tf(_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface depth: recursive CTEs and LATERAL correlated subqueries run
+# through spark.sql (Spark 4 parser features), shared-dialect with DuckDB.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_CHAIN_SQL = (
+    "WITH RECURSIVE users AS (SELECT DISTINCT user_id FROM events), "
+    "tree AS (SELECT user_id AS emp, "
+    "CAST(FLOOR(user_id / 2) AS BIGINT) AS mgr FROM users), "
+    "chain(emp, anc) AS ("
+    "  SELECT emp, mgr FROM tree WHERE emp > 0 "
+    "  UNION ALL "
+    "  SELECT c.emp, t.mgr FROM chain c JOIN tree t ON c.anc = t.emp "
+    "  WHERE c.anc > 0) "
+    "SELECT emp, COUNT(*) AS depth FROM chain GROUP BY emp"
+)
+
+
+@query("x_sql_recursive", oracle=_RECURSIVE_CHAIN_SQL)
+def x_sql_recursive(spark, sf_dir):
+    """RECURSIVE CTE through spark.sql (Spark 4, UNION ALL form): ancestor-
+    chain depth over a management tree derived from the user ids — the
+    LITERAL oracle text runs on Spark's parser. (Cyclic closures still need
+    the iterative DataFrame loop, x_dedup_components: the recursive UNION
+    distinct isn't supported yet.)"""
+    _table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+_LATERAL_TOP_ORDER_SQL = (
+    "SELECT c_custkey, t.o_orderkey, t.cents FROM customer, "
+    "LATERAL (SELECT o_orderkey, "
+    "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders "
+    "WHERE o_custkey = c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t"
+)
+
+
+@query("x_sql_lateral", oracle=_LATERAL_TOP_ORDER_SQL)
+def x_sql_lateral(spark, sf_dir):
+    """LATERAL correlated subquery (top-1-per-key as the correlated LIMIT
+    form) — the LITERAL oracle text runs on Spark's parser; Catalyst
+    decorrelates it into a join + window rather than executing
+    per-customer subqueries."""
+    for t in ("orders", "customer"):
+        _table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOP_ORDER_SQL)
