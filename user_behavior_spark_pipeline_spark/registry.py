@@ -2411,3 +2411,36 @@ def x_sql_lateral(spark, sf_dir):
     for t in ("orders", "customer"):
         _table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOP_ORDER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order clustering keys (operators/layout.py).
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_key_sql
+
+    expr = zorder_key_sql("(o_custkey % 1024)", "(CAST(FLOOR(o_totalprice / 500) AS BIGINT) % 1024)")
+    return (
+        f"SELECT o_orderkey, CAST({expr} AS BIGINT) AS zvalue FROM orders"
+    )
+
+
+@query("x_layout_zorder", oracle=_zorder_oracle())
+def x_layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (custkey, price-bucket) — the
+    multi-dimensional sort key that makes parquet min/max stats prune files
+    for predicates on EITHER column; pure bit arithmetic, oracle = the
+    identical formula as SQL text. Locality payoff pinned in
+    tests/test_layout.py."""
+    from pyspark.sql import functions as F
+
+    from .operators.layout import zorder_key
+
+    orders = _table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 1024
+    b = F.floor(F.col("o_totalprice") / 500).cast("long") % 1024
+    return orders.select(
+        "o_orderkey", zorder_key(a, b).cast("long").alias("zvalue")
+    )
