@@ -40,3 +40,43 @@ def test_curated_has_no_near_dup_pairs(docs, curated):
 def test_curated_is_subset_of_input(docs, curated):
     orphans = curated.join(docs.select("doc_id"), "doc_id", "left_anti")
     assert orphans.count() == 0
+
+
+def test_jaccard_pair_properties_on_random_corpora(spark):
+    """Property check (Hypothesis-seeded corpora, batched into one Spark
+    pass per example set): for ANY small corpus, n-gram Jaccard pairs must
+    be (a) canonically ordered doc_id_1 < doc_id_2, (b) within [threshold,
+    1e6], and (c) EXACTLY 1e6 for identical texts with >= n tokens."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+    doc = st.lists(word, min_size=3, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def check(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        # plant one exact duplicate so property (c) always has a witness
+        rows.append((len(texts), texts[0]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        planted = (0, len(texts))
+        seen_planted = False
+        for r in pairs:
+            assert r["doc_id_1"] < r["doc_id_2"]
+            assert 500_000 <= r["jaccard_x1e6"] <= 1_000_000
+            if (r["doc_id_1"], r["doc_id_2"]) == planted:
+                seen_planted = True
+                assert r["jaccard_x1e6"] == 1_000_000
+        assert seen_planted
+
+    check()

@@ -287,3 +287,67 @@ def test_custom_stream_source_resumes_from_checkpoint_offset(spark, tmp_path):
     ids = spark.read.parquet(out).select("event_id")
     assert ids.count() == 5000
     assert ids.distinct().count() == 5000  # no replay duplicates
+
+
+def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
+    """Late-data contract: an event older than (max event time - watermark)
+    arriving in a LATER batch must not update its (already finalized)
+    window — the state bound that makes event-time aggs feasible at scale."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    def _ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("wstart"), "n"
+            )
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two events in the 10:00 window, then traffic far past it —
+    # the watermark passes 10:00-11:00, sealing it with n=2
+    _run(
+        [
+            (1, _ts("2024-01-01T10:05:00"), 1, "click", 0.0),
+            (2, _ts("2024-01-01T10:20:00"), 1, "click", 0.0),
+            (3, _ts("2024-01-01T15:00:00"), 1, "click", 0.0),
+        ]
+    )
+    sealed = {r["wstart"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert sealed.get("2024-01-01 10:00") == 2
+    # batch 2: a LATE event for the sealed window + a watermark-advancer
+    _run(
+        [
+            (4, _ts("2024-01-01T10:40:00"), 1, "click", 0.0),  # too late
+            (5, _ts("2024-01-01T20:00:00"), 1, "click", 0.0),
+        ]
+    )
+    final = [r for r in spark.read.parquet(out).collect() if r["wstart"] == "2024-01-01 10:00"]
+    # the sealed window was appended once with n=2 and never re-emitted
+    assert [r["n"] for r in final] == [2]
