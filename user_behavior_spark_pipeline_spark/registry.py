@@ -2444,3 +2444,69 @@ def x_layout_zorder(spark, sf_dir):
     return orders.select(
         "o_orderkey", zorder_key(a, b).cast("long").alias("zvalue")
     )
+
+
+@query(
+    "x_window_navigation",
+    oracle=(
+        "SELECT DISTINCT o_custkey, "
+        "FIRST_VALUE(o_orderkey) OVER w AS first_order, "
+        "LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderdate, o_orderkey "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "  AS last_order, "
+        "NTH_VALUE(o_orderkey, 2) OVER w AS second_order "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+)
+def x_window_navigation(spark, sf_dir):
+    """Navigation window functions (first/last/nth over the full frame):
+    each customer's first, latest, and second order in date order —
+    explicit unbounded frame (the default frame stops at CURRENT ROW,
+    which silently breaks last_value)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "x_agg_boolean",
+    oracle=(
+        "SELECT event_type, "
+        "COUNT(*) FILTER (WHERE value > 50) AS n_big, "
+        "BOOL_AND(value >= 0) AS all_nonneg, "
+        "BOOL_OR(value > 99) AS any_over_99 "
+        "FROM events GROUP BY 1"
+    ),
+)
+def x_agg_boolean(spark, sf_dir):
+    """Boolean/conditional aggregates: count_if + every/some (ANSI
+    BOOL_AND/BOOL_OR) per event type."""
+    from pyspark.sql import functions as F
+
+    return (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_big"),
+            F.every(F.col("value") >= 0).alias("all_nonneg"),
+            F.some(F.col("value") > 99).alias("any_over_99"),
+        )
+    )
