@@ -1,8 +1,12 @@
 """Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line LAST (the driver's tail capture is ~2 KB, so a
+100-entry per-query map inline would truncate mid-line — round-1 bench was
+unparseable for exactly that reason):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+where "queries" holds only the 10 slowest; the FULL per-query map is written
+to BENCH_DETAIL.json next to this script.
 
 Each query is fully materialized through the noop datasource (no driver-side
 collect bottleneck, no disk write) — i.e. we time scan + compute + shuffle,
@@ -45,14 +49,36 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -35,11 +35,61 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
 
 
+def _type_class(series: pd.Series) -> str:
+    """Coarse value-type class for driver-hash parity.
+
+    The driver hashes typed values, so DuckDB HUGEINT (SUM over BIGINT →
+    decimal128 → python Decimal) vs Spark int64 hash-differently even when
+    numerically equal — the round-1 failure class. Classify each column so
+    that mismatch fails loudly in local tests too.
+    """
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    non_null = series.dropna()
+    if non_null.empty:
+        return "empty"
+    import datetime
+    import decimal
+
+    v = non_null.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, datetime.datetime):
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    return type(v).__name__
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    for col in spark_pdf.columns:
+        sc, oc = _type_class(spark_pdf[col]), _type_class(oracle_pdf[col])
+        assert sc == oc or "empty" in (sc, oc), (
+            f"{name}.{col}: type-class mismatch spark={sc} oracle={oc} "
+            f"(spark dtype={spark_pdf[col].dtype}, oracle dtype="
+            f"{oracle_pdf[col].dtype}) — the driver's value hash will differ "
+            "even if values are equal; align the oracle SQL output type "
+            "(e.g. CAST(SUM(...) AS BIGINT))"
+        )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )

@@ -293,7 +293,7 @@ REV_E4_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
     "x_join_star_revenue",
     oracle=(
         "SELECT r_name AS region, n_name AS nation, "
-        f"SUM({REV_E4_SQL}) AS revenue_x10000, COUNT(*) AS num_items "
+        f"CAST(SUM({REV_E4_SQL}) AS BIGINT) AS revenue_x10000, COUNT(*) AS num_items "
         "FROM lineitem "
         "JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
@@ -319,8 +319,8 @@ def x_join_star_revenue(spark, sf_dir):
     "x_join_broadcast_brand",
     oracle=(
         "SELECT p_brand AS brand, "
-        f"SUM({REV_E4_SQL}) AS revenue_x10000, "
-        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_x100 "
+        f"CAST(SUM({REV_E4_SQL}) AS BIGINT) AS revenue_x10000, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_x100 "
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"
     ),
 )
@@ -375,7 +375,7 @@ def x_join_anti(spark, sf_dir):
     "x_join_tpch_q5",
     oracle=(
         "SELECT n_name AS nation, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
         "AS revenue_x10000 "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
@@ -406,7 +406,7 @@ def x_join_tpch_q5(spark, sf_dir):
     "x_join_salted",
     oracle=(
         "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1"
     ),
 )
@@ -465,13 +465,13 @@ def x_set_except(spark, sf_dir):
     "x_agg_pricing_summary",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_x100, "
-        "SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS sum_base_x10000, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_x10000, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
         "AS sum_disc_price_x10000, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) "
-        "AS BIGINT)) AS sum_charge_x10000, "
-        "CAST((2 * SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) + COUNT(1)) "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) "
+        "AS BIGINT)) AS BIGINT) AS sum_charge_x10000, "
+        "CAST((2 * CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) + COUNT(1)) "
         "// (2 * COUNT(1)) AS BIGINT) AS avg_qty_x100, "
         "COUNT(1) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-01-01' "
@@ -511,7 +511,7 @@ def x_pivot_cohort_type(spark, sf_dir):
     oracle=(
         "SELECT CAST(CAST(props->>'$.k' AS INTEGER) // 10 AS INTEGER) AS k_decile, "
         "COUNT(*) AS n_events, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM events GROUP BY 1"
     ),
 )
@@ -544,7 +544,7 @@ def x_udtf_tokenize(spark, sf_dir):
     "x_udf_grouped_agg",
     oracle=(
         "SELECT event_type, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents, "
         "COUNT(*) AS n_events FROM events GROUP BY 1"
     ),
 )
@@ -579,7 +579,7 @@ def x_window_distribution(spark, sf_dir):
     "x_rollup_orders",
     oracle=(
         "SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders, "
-        "SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS total_x10000, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS total_x10000, "
         "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) "
         "AS gid "
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
@@ -596,7 +596,7 @@ def x_rollup_orders(spark, sf_dir):
     "x_cube_lineitem",
     oracle=(
         "SELECT l_returnflag, l_linestatus, COUNT(1) AS n_items, "
-        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_x100, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_x100, "
         "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) "
         "AS gid "
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
@@ -613,7 +613,7 @@ def x_cube_lineitem(spark, sf_dir):
     "x_grouping_sets_orders",
     oracle=(
         "SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders, "
-        "SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS total_x10000, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS total_x10000, "
         "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) "
         "AS gid "
         "FROM orders "
@@ -647,10 +647,10 @@ def x_window_topk(spark, sf_dir):
     "x_window_running",
     oracle=(
         "SELECT o_custkey, o_orderkey, "
-        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ("
         "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        ") AS run_spend_cents FROM orders"
+        ") AS BIGINT) AS run_spend_cents FROM orders"
     ),
 )
 def x_window_running(spark, sf_dir):
@@ -1251,7 +1251,7 @@ def x_stream_dedup(spark, sf_dir):
     "x_stream_stateful",
     oracle=(
         "SELECT user_id, COUNT(*) AS n_events, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM events GROUP BY 1"
     ),
 )
@@ -1302,7 +1302,7 @@ def x_stream_session(spark, sf_dir):
     "x_stream_static_join",
     oracle=(
         "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
-        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM events JOIN customer ON user_id = c_custkey "
         "GROUP BY 1"
     ),
@@ -1521,7 +1521,8 @@ def x_multimodal_decode(spark, sf_dir):
     oracle=(
         "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
         "FROM events) "
-        "SELECT user_id, COUNT(*) AS n_events, SUM(cents) AS total_cents, "
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(cents) AS BIGINT) AS total_cents, "
         "CAST((2 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) "
         "AS avg_value_x100 "
         "FROM c GROUP BY 1"
@@ -1703,7 +1704,7 @@ def x_stream_stream_join(spark, sf_dir):
     oracle=(
         "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
         "o_orderpriority, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
         "AS revenue_x10000 "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
@@ -1730,7 +1731,7 @@ def x_join_tpch_q3(spark, sf_dir):
     "x_join_tpch_q10",
     oracle=(
         "SELECT c_custkey, c_name, n_name AS nation, "
-        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
         "AS revenue_x10000 "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
@@ -1758,12 +1759,12 @@ def x_join_tpch_q10(spark, sf_dir):
     "x_window_rolling_range",
     oracle=(
         "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day_ts, "
-        "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents "
+        "  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents "
         "  FROM events GROUP BY 1, 2) "
         "SELECT user_id, strftime(day_ts, '%Y-%m-%d') AS day, "
-        "SUM(day_cents) OVER (PARTITION BY user_id ORDER BY day_ts "
+        "CAST(SUM(day_cents) OVER (PARTITION BY user_id ORDER BY day_ts "
         "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) "
-        "AS weekly_cents FROM daily"
+        "AS BIGINT) AS weekly_cents FROM daily"
     ),
 )
 def x_window_rolling_range(spark, sf_dir):
@@ -1799,7 +1800,12 @@ def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             "user_id",
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
-            (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+            # timestampdiff, not unix_millis: ts is TIMESTAMP_NTZ (unix_millis
+            # rejects NTZ) and the diff is pure wall-clock arithmetic.
+            F.expr(
+                "timestampdiff(MILLISECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts_ms"),
         )
         .coalesce(4)
     )
@@ -1813,7 +1819,7 @@ def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
 
 _FMT_ORACLE = (
     "SELECT event_type, COUNT(*) AS n_events, "
-    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents, "
+    "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents, "
     "COUNT(DISTINCT date_trunc('day', ts)) AS n_days "
     "FROM events GROUP BY 1"
 )
@@ -1826,7 +1832,15 @@ def _format_rollup(df):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("total_cents"),
         F.countDistinct(
-            F.date_trunc("day", F.timestamp_millis(F.col("ts_ms")))
+            # timestampadd onto an NTZ epoch (timestamp_millis would yield
+            # LTZ and reintroduce session-tz dependence)
+            F.date_trunc(
+                "day",
+                F.expr(
+                    "timestampadd(MILLISECOND, ts_ms,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         ).alias("n_days"),
     )
 
@@ -1984,7 +1998,8 @@ def x_stream_upsert(spark, sf_dir):
         "AS token FROM documents), "
         "tf AS (SELECT lang, token, COUNT(*) AS tf_lang FROM tok GROUP BY 1, 2), "
         "lt AS (SELECT lang, COUNT(*) AS lang_total FROM tok GROUP BY 1), "
-        "ct AS (SELECT token, SUM(tf_lang) AS tf_corpus FROM tf GROUP BY 1), "
+        "ct AS (SELECT token, CAST(SUM(tf_lang) AS BIGINT) AS tf_corpus "
+        "FROM tf GROUP BY 1), "
         "tot AS (SELECT COUNT(*) AS corpus_total FROM tok), "
         "scored AS (SELECT tf.lang, tf.token, "
         "  (tf_lang * corpus_total * CAST(1000000 AS BIGINT)) "
@@ -2013,8 +2028,8 @@ def x_text_distinctive(spark, sf_dir):
     "x_agg_corr",
     oracle=(
         "WITH s AS (SELECT l_returnflag, COUNT(*) AS n, "
-        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx, "
-        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy, "
+        "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sx, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy, "
         "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) "
         "  * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sxx, "
         "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
@@ -2066,7 +2081,8 @@ def x_agg_histogram(spark, sf_dir):
         "vocab AS (SELECT token FROM (SELECT token, ROW_NUMBER() OVER ("
         "ORDER BY cnt DESC, token) AS r FROM counts) WHERE r <= 500) "
         "SELECT doc_id, COUNT(*) AS n_tokens, "
-        "SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov, "
+        "CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_oov, "
         "CAST(ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) "
         "* 1000.0 / COUNT(*)) AS BIGINT) AS oov_x1000 "
         "FROM tok LEFT JOIN vocab v USING (token) GROUP BY 1"
@@ -2122,7 +2138,8 @@ _SHARED_DIALECT_SQL = (
     "         ROW_NUMBER() OVER (PARTITION BY o_custkey "
     "         ORDER BY o_totalprice DESC, o_orderkey) AS rn "
     "  FROM orders) "
-    "SELECT c_mktsegment, COUNT(*) AS n_top_orders, SUM(cents) AS top_cents "
+    "SELECT c_mktsegment, COUNT(*) AS n_top_orders, "
+    "CAST(SUM(cents) AS BIGINT) AS top_cents "
     "FROM spend JOIN customer ON o_custkey = c_custkey "
     "WHERE rn <= 3 GROUP BY c_mktsegment"
 )
@@ -2146,7 +2163,7 @@ def x_sql_shared_dialect(spark, sf_dir):
         "CAST(COUNT(*) AS BIGINT) AS value FROM orders GROUP BY 1 "
         "UNION ALL "
         "SELECT o_orderstatus, 'total_cents' AS metric, "
-        "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS value "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value "
         "FROM orders GROUP BY 1"
     ),
 )
@@ -2212,7 +2229,8 @@ def x_stream_stream_left_join(spark, sf_dir):
     "x_json_variant",
     oracle=(
         "SELECT event_type, "
-        "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS sum_k, "
         "COUNT(*) AS n_events FROM events GROUP BY 1"
     ),
 )
@@ -2235,7 +2253,8 @@ def x_json_variant(spark, sf_dir):
 
 
 _EVENTGEN_ORACLE = (
-    "SELECT event_type, COUNT(*) AS n_events, SUM(cents) AS total_cents "
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "CAST(SUM(cents) AS BIGINT) AS total_cents "
     "FROM (SELECT CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view' "
     "WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase' ELSE 'error' END AS "
     "event_type, (i * 37) % 10000 AS cents FROM range(0, 10000) t(i)) "
@@ -2261,7 +2280,8 @@ def x_source_custom(spark, sf_dir):
 
 
 _EVENTGEN_STREAM_ORACLE = (
-    "SELECT event_type, COUNT(*) AS n_events, SUM(cents) AS total_cents "
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "CAST(SUM(cents) AS BIGINT) AS total_cents "
     "FROM (SELECT CASE i % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'view' "
     "WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase' ELSE 'error' END AS "
     "event_type, (i * 37) % 10000 AS cents FROM range(0, 5000) t(i)) "

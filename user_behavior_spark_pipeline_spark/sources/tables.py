@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TABLES = (
     "region",
@@ -29,14 +29,37 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # Older testdata stored ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is a runtime-
+        # settable session conf, so set it here defensively instead of only in
+        # session.get_spark — callers (e.g. an externally built SparkSession)
+        # must be able to read events without our builder.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as ns-since-epoch.
-        # Truncate to microseconds — identical to DuckDB's ns->us cast — so
-        # every derived value (date_trunc, windows) agrees across engines.
-        # integer division — doubles lose precision at ns-since-epoch scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Canonical ts type is TIMESTAMP_NTZ — the exact type DuckDB (and
+        # any naive-timestamp engine) sees for parquet
+        # TIMESTAMP(isAdjustedToUTC=false), so derived values compare
+        # bit-for-bit with the oracle and no session-timezone conversion can
+        # leak in. Normalize the two legacy physical encodings to it:
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) + nanosAsLong: ns-since-epoch. Truncate to µs
+            # with integer division (doubles lose precision at ns scale) and
+            # rebase onto an NTZ epoch — wall-clock, tz-independent.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(ts_type, TimestampType):
+            # isAdjustedToUTC=true data: session tz is pinned to UTC by
+            # get_spark; under any other tz this cast is wall-clock in that
+            # tz, which is what a naive engine reading the same file sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

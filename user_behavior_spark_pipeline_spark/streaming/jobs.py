@@ -286,6 +286,11 @@ def session_counts_stream(
     event-time operator the reference's processing-time pipeline lacks.
     Complete mode so every session is visible at end-of-stream (append mode
     would withhold sessions the watermark hasn't sealed)."""
+    # Watermarks require TIMESTAMP (LTZ) — Spark rejects TIMESTAMP_NTZ event
+    # time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The canonical events.ts is
+    # NTZ (sources/tables.py); session tz is pinned to UTC, so this cast is
+    # wall-clock-identity and session_start_s stays engine-portable.
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     sessions = (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
@@ -353,12 +358,14 @@ def stream_stream_join_stream(
     store."""
     c = clicks_stream.select(
         F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
+        # NTZ→LTZ: watermarks require TIMESTAMP; UTC session tz makes the
+        # cast wall-clock identity (see session_counts_stream).
+        F.col("ts").cast("timestamp").alias("click_ts"),
         F.col("event_id").alias("click_id"),
     ).withWatermark("click_ts", watermark)
     p = purchases_stream.select(
         F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     ).withWatermark("purchase_ts", watermark)
     joined = c.join(
@@ -396,12 +403,14 @@ def stream_stream_left_join_stream(
     append-mode file sink (replayable) rather than a complete-mode table."""
     c = clicks_stream.select(
         F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
+        # NTZ→LTZ: watermarks require TIMESTAMP; UTC session tz makes the
+        # cast wall-clock identity (see session_counts_stream).
+        F.col("ts").cast("timestamp").alias("click_ts"),
         F.col("event_id").alias("click_id"),
     ).withWatermark("click_ts", watermark)
     p = purchases_stream.select(
         F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     ).withWatermark("purchase_ts", watermark)
     joined = c.join(
