@@ -140,3 +140,34 @@ def test_dedup_components_transitive_merge(spark):
         r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_simhash_banding_has_exact_candidate_recall(docs):
+    """The banded candidate set must contain EVERY pair at Hamming <=
+    max_hamming (pigeonhole over max_hamming+1 bands) — verified against
+    an exhaustive all-pairs popcount on the collected signatures."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    max_h = 4
+    sigs = {
+        r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()
+    }
+    ids = sorted(sigs)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_h:
+                expect.add((a, b))
+    got = set(
+        map(
+            tuple,
+            simhash_near_pairs(docs, max_hamming=max_h)
+            .select("doc_id_1", "doc_id_2")
+            .toPandas()
+            .values,
+        )
+    )
+    assert expect <= got, f"missing pairs: {sorted(expect - got)[:5]}"
+    assert got == expect  # popcount verify also removes every false positive

@@ -102,3 +102,56 @@ def test_stream_snapshot_equals_batch_latest(spark, sf_dir, tmp_path):
     batch = latest_snapshot(events)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_crash_between_renames_recovers_from_swap(spark, tmp_path):
+    """A crash after `current -> swap` but before `staging -> current`
+    leaves only swap/; the next batch must restore it and fold on top."""
+    import os
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    _run_upsert(
+        spark,
+        [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0)],
+        snap,
+        str(tmp_path / "ckpt1"),
+    )
+    # simulate the torn state
+    os.rename(snap + "/current", snap + "/swap")
+    _run_upsert(
+        spark,
+        [(2, _ts("2024-01-02T00:00:00"), 2, "purchase", 9.0)],
+        snap,
+        str(tmp_path / "ckpt2"),
+    )
+    got = {r["user_id"]: r["event_id"] for r in read_snapshot(spark, snap).collect()}
+    assert got == {1: 1, 2: 2}  # user 1 survived the torn swap
+    assert not os.path.exists(snap + "/swap")
+
+
+def test_stale_swap_with_current_is_cleared(spark, tmp_path):
+    """A crash after promotion but before cleanup leaves current/ AND a
+    stale swap/; the next batch must clear swap and not wedge on rename."""
+    import os
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    _run_upsert(
+        spark,
+        [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0)],
+        snap,
+        str(tmp_path / "ckpt1"),
+    )
+    os.makedirs(snap + "/swap")  # stale non-empty leftover
+    with open(snap + "/swap/junk", "w") as f:
+        f.write("x")
+    _run_upsert(
+        spark,
+        [(2, _ts("2024-01-02T00:00:00"), 1, "purchase", 9.0)],
+        snap,
+        str(tmp_path / "ckpt2"),
+    )
+    got = read_snapshot(spark, snap).collect()
+    assert len(got) == 1 and got[0]["event_id"] == 2
+    assert not os.path.exists(snap + "/swap")

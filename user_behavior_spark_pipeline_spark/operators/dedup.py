@@ -42,9 +42,15 @@ def _spread(df: DataFrame) -> DataFrame:
     tokenize/shingle/explode run on 1 of N cores. The shuffle this adds
     moves only the raw input rows (tiny next to the exploded intermediates)
     and is skipped entirely when the scan is already parallel, i.e. at any
-    real data scale."""
+    real data scale.
+
+    Parallelism is probed via the file index (``inputFiles``), not
+    ``df.rdd.getNumPartitions()`` — the latter forces a Python-RDD
+    conversion plan per call. File count lower-bounds scan partitions
+    (large files split further), so the repartition is skipped whenever the
+    source is demonstrably already parallel."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if max(len(df.inputFiles()), 1) < target:
         return df.repartition(target)
     return df
 
@@ -371,10 +377,18 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded: 4 bands of 16
-    bits — pairs within max_hamming<=? must collide on at least one band for
-    distance < 16·... (pigeonhole: distance <= 3 bands' worth). Candidates
-    from band collisions, verified by exact popcount."""
+    """Near-dup pairs by SimHash Hamming distance, banded with GUARANTEED
+    candidate recall: the 64-bit signature is split into ``max_hamming + 1``
+    bands, so two signatures within ``max_hamming`` differing bits must
+    agree on at least one whole band (pigeonhole: max_hamming differences
+    cannot touch all max_hamming+1 bands). Candidates come from band-bucket
+    collisions — only colliding pairs materialize, never N² — and are then
+    verified by exact popcount, so the banding affects cost, not results."""
+    n_bands = max_hamming + 1
+    width, rem = divmod(64, n_bands)
+    # first `rem` bands are one bit wider; offsets partition bits [0, 64)
+    widths = [width + 1] * rem + [width] * (n_bands - rem)
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     # the band table feeds both self-join sides — materialize it once
     # (same rationale as minhash_lsh_pairs: the sides' stages run
     # concurrently, so a lazy persist would compute the signature pass
@@ -388,11 +402,13 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        # arithmetic shift sign-extends for the top band;
+                        # the width mask keeps exactly the band's bits
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -49,13 +49,30 @@ def upsert_stream(
 
     foreachBatch gets the batch as a plain DataFrame: reduce it to one row
     per key, union with the previous snapshot, keep the per-key max by the
-    total (ts, event_id) order, atomically swap directories. Exactly-once
-    for the FOLD comes from the checkpoint (a replayed batch re-folds to
-    the same snapshot — the merge is idempotent because the order is
-    total)."""
+    total (ts, event_id) order, swap directories. Exactly-once for the FOLD
+    comes from the checkpoint (a replayed batch re-folds to the same
+    snapshot — the merge is idempotent because the order is total).
+
+    The two-rename swap is crash-RECOVERABLE, not atomic: a crash between
+    the renames leaves current/ missing but swap/ holding the last complete
+    snapshot, which the next batch restores before merging (so no batch is
+    ever folded against a missing or partial snapshot). ``snapshot_dir``
+    must be a local (or POSIX-rename) filesystem — os.rename does not span
+    object stores; on S3/HDFS use a table format's MERGE instead (see
+    module docstring)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
+        current = snapshot_dir + "/current"
+        swap = snapshot_dir + "/swap"
+        if not os.path.exists(current) and os.path.exists(swap):
+            # crashed between the two renames: swap/ IS the last snapshot
+            os.rename(swap, current)
+        elif os.path.exists(swap):
+            # crashed after promoting staging but before cleanup
+            shutil.rmtree(swap, ignore_errors=True)
         batch_latest = (
             batch_df.select("user_id", "ts", "event_id", "event_type", "value")
             .groupBy("user_id")
@@ -64,7 +81,6 @@ def upsert_stream(
             )
             .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
         )
-        current = snapshot_dir + "/current"
         if os.path.exists(current):
             prev = spark.read.parquet(current)
             merged = (
@@ -81,14 +97,10 @@ def upsert_stream(
             merged = batch_latest
         staging = snapshot_dir + f"/staging_{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        swap = snapshot_dir + "/swap"
         if os.path.exists(current):
             os.rename(current, swap)
         os.rename(staging, current)
-        if os.path.exists(swap):
-            import shutil
-
-            shutil.rmtree(swap, ignore_errors=True)
+        shutil.rmtree(swap, ignore_errors=True)
 
     writer = events_stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

