@@ -38,23 +38,29 @@ def write_bucketed_table(
     bucket_col: str,
     num_buckets: int = 8,
 ) -> None:
-    """Bucketed + sorted managed table: joins/aggs on bucket_col between
-    co-bucketed tables need no Exchange (asserted in tests/test_sinks.py)."""
+    """Bucketed + sorted table: joins/aggs on bucket_col between
+    co-bucketed tables need no Exchange (asserted in tests/test_sinks.py).
+
+    The table location is pinned under /tmp explicitly rather than left to
+    ``spark.sql.warehouse.dir`` — an externally-built session (the
+    correctness driver's) defaults that conf to ./spark-warehouse in its
+    CWD, and the conf is static, so an explicit path is the only reliable
+    way to keep bucketed staging out of the working tree."""
     import os
     import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # the in-memory catalog forgets tables between sessions but their
-    # managed locations survive on disk; a stale location fails saveAsTable
-    # with LOCATION_ALREADY_EXISTS, so clear it after the (no-op) drop
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    if wh:
-        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+    # locations survive on disk; a stale location fails saveAsTable with
+    # LOCATION_ALREADY_EXISTS, so clear it after the (no-op) drop
+    loc = os.path.join(tempfile.gettempdir(), "ubsp-bucketed", name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
+        .option("path", loc)
         .saveAsTable(name)
     )
 
