@@ -1,0 +1,128 @@
+"""Corpus-preparation operators: contamination, chunking, packing.
+
+Oracle parity runs in test_oracle_parity; here the SEMANTIC invariants are
+pinned on constructed inputs where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    contamination_report,
+    pack_spans,
+)
+
+DOC_SCHEMA = "doc_id long, text string, source string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_contamination_exact_copy_scores_1000(spark):
+    leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten"
+    train = _docs(spark, [(1, leaked, "a"), (2, "x y z " * 20, "a")])
+    evals = _docs(spark, [(10, leaked, "e"), (11, clean, "e")])
+    got = {
+        r["eval_doc_id"]: r
+        for r in contamination_report(train, evals, n=8).collect()
+    }
+    assert got[10]["contamination_x1000"] == 1000
+    assert got[10]["top_match_doc"] == 1
+    assert got[11]["contamination_x1000"] == 0
+    assert got[11]["top_match_doc"] is None
+    assert got[11]["top_match_shared"] == 0
+
+
+def test_contamination_partial_overlap_is_fractional(spark):
+    # eval doc = 12 tokens -> 5 8-gram shingles; the first 8 tokens appear
+    # verbatim in train (1 shared shingle) -> 1/5 = 200 per mille
+    shared8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    train = _docs(spark, [(1, f"pre1 pre2 {shared8} post1 post2", "a")])
+    evals = _docs(spark, [(10, f"{shared8} e1 e2 e3 e4", "e")])
+    row = contamination_report(train, evals, n=8).collect()[0]
+    assert row["n_shingles"] == 5
+    assert row["n_overlap"] == 1
+    assert row["contamination_x1000"] == 200
+
+
+def test_chunks_cover_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = _docs(spark, [(1, text, "a")])
+    chunks = sorted(
+        chunk_documents(df, 64, 48).collect(), key=lambda r: r["chunk_index"]
+    )
+    # starts at 0, 48, 96 -> 3 chunks; last clipped to 4 tokens
+    assert [c["chunk_index"] for c in chunks] == [0, 1, 2]
+    assert [c["n_tokens"] for c in chunks] == [64, 52, 4]
+    # consecutive chunks overlap by chunk - stride = 16 tokens
+    c0, c1 = chunks[0]["chunk_text"].split(), chunks[1]["chunk_text"].split()
+    assert c0[48:] == c1[:16]
+    # stride-aligned reconstruction: first `stride` tokens of every chunk +
+    # the tail of the last = the original document
+    rebuilt = []
+    for c in chunks:
+        rebuilt.extend(c["chunk_text"].split()[:48])
+    rebuilt.extend(chunks[-1]["chunk_text"].split()[48:])
+    assert rebuilt == text.split()
+
+
+def test_chunks_short_doc_is_single_chunk(spark):
+    df = _docs(spark, [(1, "a b c", "s")])
+    chunks = chunk_documents(df, 64, 48).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "a b c"
+    assert chunks[0]["n_tokens"] == 3
+
+
+def test_pack_conservation_and_boundaries(spark):
+    # shard "a": docs of 100, 50, 30 tokens -> stream of 180 over W=128:
+    #   doc 1 [0,100)   -> pack 0, whole
+    #   doc 2 [100,150) -> packs 0 (28 tok) + 1 (22 tok), split
+    #   doc 3 [150,180) -> pack 1, whole
+    rows = [
+        (1, " ".join(["x"] * 100), "a"),
+        (2, " ".join(["y"] * 50), "a"),
+        (3, " ".join(["z"] * 30), "a"),
+    ]
+    got = pack_spans(_docs(spark, rows), 128, "source").collect()
+    by = {(r["doc_id"], r["pack_id"]): r for r in got}
+    assert by[(1, 0)]["n_tok"] == 100 and not by[(1, 0)]["is_split"]
+    assert by[(2, 0)]["n_tok"] == 28 and by[(2, 0)]["is_split"]
+    assert by[(2, 1)]["n_tok"] == 22 and by[(2, 1)]["is_split"]
+    assert by[(3, 1)]["n_tok"] == 30 and not by[(3, 1)]["is_split"]
+    # conservation: per-doc spans sum to the doc's token count
+    import collections
+
+    per_doc = collections.Counter()
+    for r in got:
+        per_doc[r["doc_id"]] += r["n_tok"]
+    assert per_doc == {1: 100, 2: 50, 3: 30}
+    # every non-final pack is exactly full
+    per_pack = collections.Counter()
+    for r in got:
+        per_pack[r["pack_id"]] += r["n_tok"]
+    assert per_pack[0] == 128 and per_pack[1] == 52
+
+
+def test_pack_shards_are_independent(spark):
+    rows = [
+        (1, " ".join(["x"] * 100), "a"),
+        (2, " ".join(["y"] * 100), "b"),
+    ]
+    got = pack_spans(_docs(spark, rows), 128, "source").collect()
+    # each shard starts its own pack 0 — no cross-shard stream
+    assert {(r["shard"], r["pack_id"]) for r in got} == {("a", 0), ("b", 0)}
+
+
+def test_chunking_plan_has_no_shuffle(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = chunk_documents(
+        load_table(spark, sf_dir, "documents"), 64, 48
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -1,0 +1,204 @@
+"""Corpus-preparation operators a training-data pipeline needs between
+curation and the trainer: benchmark-contamination detection, document
+chunking, and GPT-style sequence packing.
+
+These extend the reference's query surface (it stops at event analytics —
+README.md:588-817) with the ops that turn a deduplicated corpus into model
+inputs. All three are pure DataFrame compositions — no Python in the hot
+path — and their shuffle profiles are documented per function for the
+100 TB deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _gram_col(toks, n: int):
+    """Word n-gram strings from a bound token-array column (index-aware
+    transform — same single-projection shape as dedup.shingles, which is
+    12× faster than re-splitting per element access)."""
+    return F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                # one gram per start while start <= len-n; short docs (< n
+                # tokens) contribute their whole text as the single gram —
+                # mirrors the oracle's clipped list slice
+                (i == 0) | (i <= F.size(toks) - n),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+
+
+def contamination_report(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark-contamination check: for every eval document, the fraction
+    of its word n-gram shingles that appear anywhere in the training corpus,
+    plus the single worst-overlapping train document.
+
+    The canonical pre-training hygiene step (n-gram overlap against eval
+    sets, as popularized by the GPT-2/GPT-3 dataset reports): an eval doc
+    with high overlap was leaked into training data and inflates benchmark
+    scores.
+
+    Scale shape: eval sets are small (thousands of docs) while train is the
+    100 TB side — so the EVAL shingle set broadcasts and the train side is
+    scanned once, map-side joined, never shuffled by more than the matched
+    (shingle, eval_doc) pairs. Shingles are joined as xxhash64 values
+    (8-byte shuffle keys instead of ~50-byte strings; collision probability
+    |shingles|²/2⁶⁴ is below any reported rate's grain).
+
+    Columns: eval_doc_id, n_shingles, n_overlap, contamination_x1000,
+    top_match_doc (train doc sharing the most shingles, min-id tie-break;
+    NULL when clean), top_match_shared.
+    """
+    def _shingled(docs, id_alias):
+        # bind the token array to a projected column FIRST — slicing the raw
+        # split(...) expression inside the transform would re-tokenize per
+        # gram (the quadratic pitfall documented at dedup.shingles)
+        tokenized = docs.select(
+            F.col("doc_id").alias(id_alias),
+            F.split(F.col("text"), "\\s+").alias("_toks"),
+        )
+        return (
+            tokenized.select(
+                id_alias,
+                F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
+            )
+            .select(id_alias, F.xxhash64("gram").alias("shingle"))
+            .distinct()
+        )
+
+    ev = _shingled(eval_docs, "eval_doc_id")
+    tr = _shingled(train, "train_doc_id")
+    sizes = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = tr.join(F.broadcast(ev), "shingle")
+    per_pair = hits.groupBy("eval_doc_id", "train_doc_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    per_eval = hits.groupBy("eval_doc_id").agg(
+        F.countDistinct("shingle").alias("n_overlap")
+    )
+    top = per_pair.groupBy("eval_doc_id").agg(
+        F.max_by(
+            "train_doc_id",
+            F.struct(F.col("shared"), -F.col("train_doc_id")),
+        ).alias("top_match_doc"),
+        F.max("shared").alias("top_match_shared"),
+    )
+    return (
+        sizes.join(per_eval, "eval_doc_id", "left")
+        .join(top, "eval_doc_id", "left")
+        .select(
+            "eval_doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0))
+                * F.lit(1000)
+                / F.col("n_shingles")
+            )
+            .cast("long")
+            .alias("contamination_x1000"),
+            "top_match_doc",
+            F.coalesce("top_match_shared", F.lit(0)).alias("top_match_shared"),
+        )
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the retrieval/
+    embedding preprocessing step): chunk k covers tokens
+    [k·stride, k·stride + chunk_tokens), last chunk clipped.
+
+    One narrow projection + explode — no shuffle at all; chunking is
+    embarrassingly parallel and stays inside whole-stage codegen. Row
+    growth ≈ chunk/stride ×, which is the operator's contract, not a
+    planning accident.
+    """
+    toks = F.split(F.col("text"), "\\s+")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    return (
+        documents.select(
+            "doc_id",
+            toks.alias("_t"),
+            F.explode(starts).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("_i") - 1) / stride).cast("long").alias("chunk_index"),
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.size("_t") - F.col("_i") + 1
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_spans(
+    documents: DataFrame, window_tokens: int = 128, shard_col: str = "source"
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's documents in
+    doc_id order and split the token stream into fixed ``window_tokens``
+    packs; emit every (document, pack) span so the trainer knows exactly
+    which tokens of which doc fill which pack (docs crossing a boundary
+    appear in both packs with ``is_split`` true).
+
+    Scale shape: the running token offset is a per-shard window cumsum —
+    ONE shuffle on the shard key, then pure map-side arithmetic + explode.
+    Pack ids are shard-local; a deployment shards by file/source bucket so
+    every shard packs independently in parallel (a single global ordering
+    would serialize on one partition — deliberately not offered).
+
+    Columns: shard, doc_id, pack_id, n_tok (tokens of this doc in this
+    pack), is_split.
+    """
+    n_tok = F.size(F.split(F.col("text"), "\\s+")).cast("long")
+    spans = documents.select(
+        F.col(shard_col).alias("shard"),
+        "doc_id",
+        n_tok.alias("n"),
+    ).select(
+        "shard",
+        "doc_id",
+        "n",
+        (F.sum("n").over(
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.col("n")).alias("s"),
+    )
+    e = F.col("s") + F.col("n")
+    W = F.lit(window_tokens)
+    packs = F.sequence(
+        (F.col("s") / W).cast("long"), ((e - 1) / W).cast("long")
+    )
+    return spans.select(
+        "shard",
+        "doc_id",
+        F.explode(packs).alias("pack_id"),
+        "s",
+        "n",
+    ).select(
+        "shard",
+        "doc_id",
+        "pack_id",
+        (
+            F.least(F.col("s") + F.col("n"), (F.col("pack_id") + 1) * W)
+            - F.greatest(F.col("s"), F.col("pack_id") * W)
+        ).cast("long").alias("n_tok"),
+        (
+            (F.col("s") < F.col("pack_id") * W)
+            | (F.col("s") + F.col("n") > (F.col("pack_id") + 1) * W)
+        ).alias("is_split"),
+    )

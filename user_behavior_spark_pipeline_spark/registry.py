@@ -2570,6 +2570,113 @@ def x_agg_boolean(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpus.py): contamination check,
+# chunking, sequence packing — the curation-to-trainer gap.
+# ---------------------------------------------------------------------------
+
+_GRAMS_CTE = (
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+    "FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i : i+7], ' ') AS gram "
+    "FROM toks, UNNEST(generate_series(1, greatest(len(t)-7, 1))) AS u(i)) "
+)
+
+
+@query(
+    "x_corpus_contamination",
+    oracle=(
+        f"{_GRAMS_CTE}, "
+        "ev AS (SELECT DISTINCT doc_id AS eval_doc_id, gram FROM grams "
+        "WHERE doc_id % 20 = 0), "
+        "tr AS (SELECT DISTINCT doc_id AS train_doc_id, gram FROM grams "
+        "WHERE doc_id % 20 != 0), "
+        "sizes AS (SELECT eval_doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1), "
+        "hits AS (SELECT ev.eval_doc_id, tr.train_doc_id, ev.gram "
+        "FROM tr JOIN ev USING (gram)), "
+        "per_eval AS (SELECT eval_doc_id, COUNT(DISTINCT gram) AS n_overlap "
+        "FROM hits GROUP BY 1), "
+        "per_pair AS (SELECT eval_doc_id, train_doc_id, COUNT(*) AS shared "
+        "FROM hits GROUP BY 1, 2), "
+        "top AS (SELECT eval_doc_id, "
+        "CAST(MAX(shared) AS BIGINT) AS top_match_shared, "
+        "(SELECT MIN(p2.train_doc_id) FROM per_pair p2 "
+        " WHERE p2.eval_doc_id = per_pair.eval_doc_id "
+        " AND p2.shared = MAX(per_pair.shared)) AS top_match_doc "
+        "FROM per_pair GROUP BY eval_doc_id) "
+        "SELECT s.eval_doc_id, s.n_shingles, "
+        "CAST(COALESCE(p.n_overlap, 0) AS BIGINT) AS n_overlap, "
+        "CAST(COALESCE(p.n_overlap, 0) * 1000 // s.n_shingles AS BIGINT) "
+        "AS contamination_x1000, "
+        "t.top_match_doc, "
+        "CAST(COALESCE(t.top_match_shared, 0) AS BIGINT) AS top_match_shared "
+        "FROM sizes s LEFT JOIN per_eval p USING (eval_doc_id) "
+        "LEFT JOIN top t USING (eval_doc_id)"
+    ),
+)
+def x_corpus_contamination(spark, sf_dir):
+    """Benchmark-contamination report: every 20th document plays the eval
+    set, the rest the training corpus — 8-gram shingle overlap per eval doc
+    plus the worst-matching train doc. Eval shingles broadcast; the train
+    side never shuffles more than its matched shingles."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import contamination_report
+
+    docs = _table(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+    )
+
+
+@query(
+    "x_corpus_chunks",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "chunks AS (SELECT doc_id, CAST((i-1) // 48 AS BIGINT) AS chunk_index, "
+        "array_to_string(t[i : i+63], ' ') AS chunk_text, "
+        "CAST(least(64, len(t) - i + 1) AS BIGINT) AS n_tokens "
+        "FROM toks, UNNEST(generate_series(1, len(t), 48)) AS u(i)) "
+        "SELECT * FROM chunks"
+    ),
+)
+def x_corpus_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, stride 48): the
+    retrieval/embedding preprocessing reshape — explode only, no shuffle."""
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(_table(spark, sf_dir, "documents"), 64, 48)
+
+
+@query(
+    "x_corpus_pack",
+    oracle=(
+        "WITH t AS (SELECT source, doc_id, "
+        "CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, n, "
+        "CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS s "
+        "FROM t) "
+        "SELECT source AS shard, doc_id, CAST(p AS BIGINT) AS pack_id, "
+        "CAST(least(s + n, (p+1)*128) - greatest(s, p*128) AS BIGINT) AS n_tok, "
+        "(s < p*128 OR s + n > (p+1)*128) AS is_split "
+        "FROM c, UNNEST(generate_series(CAST(s // 128 AS BIGINT), "
+        "CAST((s + n - 1) // 128 AS BIGINT))) AS u(p)"
+    ),
+)
+def x_corpus_pack(spark, sf_dir):
+    """GPT-style sequence packing per source shard (128-token windows):
+    per-shard cumsum + explode — one shuffle on the shard key, every shard
+    packs independently (the parallel form of concat-and-split)."""
+    from .operators.corpus import pack_spans
+
+    return pack_spans(_table(spark, sf_dir, "documents"), 128, "source")
+
+
+# ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
 # The correctness driver checks the FIRST 50 registered queries only; round 1
