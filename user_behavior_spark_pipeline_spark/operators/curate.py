@@ -14,7 +14,11 @@ otherwise-separate near-dup groups.
 
 At 100 TB each stage is one of the already-audited shapes (SCALE.md): a
 scan-side filter, a hash-agg, and the shingle self-join — the composition
-adds no new shuffle pattern.
+adds no new shuffle pattern. If the near-dup stage is swapped for
+embedding-based matching, compose with dedup.embedding_near_dup_lsh (the
+sign-random-projection path) — NEVER dedup.embedding_near_dup_pairs, whose
+driver-side corpus collect is the documented exact-oracle baseline and
+stops scaling around ~10M×64d.
 """
 
 from __future__ import annotations
