@@ -126,3 +126,65 @@ def test_chunking_plan_has_no_shuffle(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), 64, 48
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_repetition_counts_duplicate_grams(spark):
+    # "a b a b a b" -> 3-grams: "a b a", "b a b", "a b a", "b a b" (4 total,
+    # 2 distinct) -> repetition 500
+    df = _docs(spark, [(1, "a b a b a b", "s"), (2, "p q r s t", "s")])
+    got = {r["doc_id"]: r for r in
+           __import__("user_behavior_spark_pipeline_spark.operators.corpus",
+                      fromlist=["repetition_stats"]).repetition_stats(df, 3).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["repetition_x1000"] == 500
+    assert got[2]["repetition_x1000"] == 0
+
+
+def test_repetition_plan_has_no_shuffle(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        repetition_stats,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = repetition_stats(
+        load_table(spark, sf_dir, "documents"), 3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_boilerplate_flags_cross_doc_grams_within_source(spark):
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        boilerplate_ngram_stats,
+    )
+
+    shared = "c1 c2 c3 c4 c5"
+    rows = [
+        (1, f"{shared} u1 u2 u3 u4", "a"),   # shares the 5-gram with doc 2
+        (2, f"v1 v2 v3 v4 {shared}", "a"),
+        (3, f"{shared} w1 w2 w3 w4", "b"),   # same gram, DIFFERENT source
+    ]
+    got = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(_docs(spark, rows), n=5, min_docs=2).collect()}
+    assert got[1]["n_boiler"] == 1 and got[2]["n_boiler"] == 1
+    # source-scoped: doc 3's copy is unique within source b
+    assert got[3]["n_boiler"] == 0
+
+
+def test_cap_per_source_keeps_longest_deterministically(spark):
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        cap_per_source,
+    )
+
+    rows = [(i, "w " * (10 + i), f"s{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(
+        [(d, t, s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    got = cap_per_source(df, cap=2).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # longest docs are the highest ids in each parity class
+    assert sorted(by_src["s0"]) == [6, 8]
+    assert sorted(by_src["s1"]) == [7, 9]
+    assert all(r["source_rank"] <= 2 for r in got)

@@ -202,3 +202,109 @@ def pack_spans(
             | (F.col("s") + F.col("n") > (F.col("pack_id") + 1) * W)
         ).alias("is_split"),
     )
+
+
+def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition ratio (the C4/Gopher-style quality
+    signal: heavily self-repeating docs are boilerplate or spam): fraction
+    of the doc's word n-grams that are duplicates of an earlier n-gram in
+    the SAME doc, as an exact integer per-mille.
+
+    Entirely array-side — size(grams) vs size(array_distinct(grams)) inside
+    one projection: ZERO shuffles, stays in whole-stage codegen, trivially
+    scan-parallel at any corpus size.
+
+    Columns: doc_id, n_grams, n_distinct, repetition_x1000.
+    """
+    tokenized = documents.select(
+        "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
+    )
+    grams = _gram_col(F.col("_toks"), n)
+    return tokenized.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        (
+            (F.col("n_grams") - F.col("n_distinct")) * 1000 / F.col("n_grams")
+        )
+        .cast("long")
+        .alias("repetition_x1000"),
+    )
+
+
+def boilerplate_ngram_stats(
+    documents: DataFrame, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document boilerplate signal per doc: the fraction of its
+    distinct word n-grams that recur in >= ``min_docs`` documents of the
+    SAME source (the n-gram generalization of C4's repeated-line removal —
+    headers, templates and near-dup fragments all surface here).
+
+    Shuffle profile: two hash-aggs on 8-byte keys — (source, gram-hash)
+    doc-frequency, then the per-doc rollup; the gram doc-frequency table is
+    the only intermediate and carries one row per distinct (source, gram).
+
+    Columns: doc_id, n_grams, n_boiler, boilerplate_x1000.
+    """
+    tokenized = documents.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), "\\s+").alias("_toks"),
+    )
+    grams = (
+        tokenized.select(
+            "doc_id",
+            "source",
+            F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
+        )
+        .select("doc_id", "source", F.xxhash64("gram").alias("g"))
+        .distinct()
+    )
+    freq = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    flagged = grams.join(freq, ["source", "g"]).select(
+        "doc_id",
+        "g",
+        (F.col("doc_freq") >= min_docs).cast("int").alias("is_boiler"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_boiler").alias("n_boiler"),
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        (F.col("n_boiler") * 1000 / F.col("n_grams"))
+        .cast("long")
+        .alias("boilerplate_x1000"),
+    )
+
+
+def cap_per_source(documents: DataFrame, cap: int = 10) -> DataFrame:
+    """Per-source document cap (the anti-domination step of web-corpus
+    mixing: no source may contribute more than ``cap`` docs): keep the
+    ``cap`` longest docs per source, ties broken by doc_id — fully
+    deterministic under any partitioning.
+
+    One shuffle (the per-source window); at 100 TB the rank runs per
+    source-partition in parallel and the filter drops rows before any
+    further stage sees them. For mixture WEIGHTS (proportional sampling
+    rather than hard caps) see sampling.stratified_sample.
+
+    Columns: doc_id, source, n_chars, source_rank.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        documents.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        .withColumn("source_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("source_rank") <= cap)
+    )
