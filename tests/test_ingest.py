@@ -104,3 +104,47 @@ def test_split_by_class_partitions_rows(raw):
     assert guilds.count() == 2  # new + old guild
     assert classify_event_type_col is not None
     assert (SWORD, GUILD, OTHER) == (1, 2, 3)
+
+
+def test_quarantine_routes_instead_of_dropping(spark):
+    """Malformed, wrong-shape, and null payloads all survive with the right
+    parse_status; well-formed payloads parse normally."""
+    from user_behavior_spark_pipeline_spark.operators.ingest import (
+        parse_with_quarantine,
+    )
+
+    rows = [
+        ('{"event_type": "sword_event", "direction": "increase"}',),
+        ("{truncated-garbage",),
+        ("[1, 2, 3]",),  # valid JSON, wrong shape -> corrupt
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    got = parse_with_quarantine(df).collect()
+    assert len(got) == len(rows)  # nothing dropped
+    by_status = {}
+    for r in got:
+        by_status.setdefault(r["parse_status"], []).append(r)
+    assert len(by_status["ok"]) == 1
+    assert by_status["ok"][0]["event_type"] == "sword_event"
+    assert len(by_status["corrupt"]) == 2
+    assert all(r["event_type"] is None for r in by_status["corrupt"])
+    # the quarantined raw payload is preserved verbatim for replay
+    assert {r["raw_event"] for r in by_status["corrupt"]} == {
+        "{truncated-garbage",
+        "[1, 2, 3]",
+    }
+    assert len(by_status["null"]) == 1
+
+
+def test_quarantine_all_null_object_is_ok_not_corrupt(spark):
+    """'{}' parses to all-null fields — must be 'ok' (the corrupt column,
+    not field nullness, is the discriminator)."""
+    from user_behavior_spark_pipeline_spark.operators.ingest import (
+        parse_with_quarantine,
+    )
+
+    df = spark.createDataFrame([("{}",)], "value string")
+    row = parse_with_quarantine(df).collect()[0]
+    assert row["parse_status"] == "ok"
+    assert row["event_type"] is None

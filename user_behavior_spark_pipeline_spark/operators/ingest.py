@@ -157,3 +157,52 @@ def infer_parse_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
         F.from_json(value_str, inferred_schema).alias("json"),
     )
     return parsed.select(*[c for c in parsed.columns if c != "json"], "json.*")
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record quarantine — the PERMISSIVE-parse routing a production
+# ingest needs (the reference's parse crashes on nothing because its
+# producer is well-formed by construction; real Kafka topics are not).
+# ---------------------------------------------------------------------------
+
+
+def parse_with_quarantine(
+    raw: DataFrame,
+    schema: StructType = EVENT_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """Parse JSON payloads, ROUTING instead of dropping failures: every
+    input row survives with ``parse_status`` ∈ {'ok', 'corrupt', 'null'}
+    (malformed JSON / null payload), so the bad-records stream can be
+    quarantined to its own sink and replayed after a producer fix — the
+    dead-letter pattern, expressed as one PERMISSIVE from_json projection
+    (scan-side, zero shuffle, no Python).
+
+    Detection uses PERMISSIVE mode's ``columnNameOfCorruptRecord``: a
+    malformed payload — OR one that is valid JSON of the wrong shape
+    (array/scalar where an object is required) — lands verbatim in the
+    corrupt column while the data fields come back null. ``from_json``
+    does NOT return a null struct for malformed input (it returns all-null
+    fields), so the corrupt column is the only native discriminator
+    between "failed to parse" and "legitimately all-null object"."""
+    from pyspark.sql.types import StringType
+
+    value_str = cast_to_string(value_col)
+    corrupt_col = "_corrupt_record"
+    extended = StructType(
+        [f for f in schema.fields if f.name != corrupt_col]
+    ).add(corrupt_col, StringType())
+    parsed = F.from_json(
+        value_str, extended, {"columnNameOfCorruptRecord": corrupt_col}
+    ).alias("json")
+    out = raw.select(value_str.alias("raw_event"), parsed)
+    status = (
+        F.when(F.col("raw_event").isNull(), F.lit("null"))
+        .when(F.col(f"json.{corrupt_col}").isNotNull(), F.lit("corrupt"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.select(
+        "raw_event",
+        status.alias("parse_status"),
+        *[f"json.{f.name}" for f in schema.fields if f.name != corrupt_col],
+    )

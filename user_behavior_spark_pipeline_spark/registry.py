@@ -2745,6 +2745,55 @@ def x_corpus_cap_source(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dead-letter ingest: corrupt-record quarantine (operators/ingest.py
+# parse_with_quarantine) — every payload routed, none dropped or crashed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_ingest_quarantine",
+    oracle=(
+        f"WITH m AS (SELECT event_id, {REF_TYPE_SQL} AS et, "
+        "CASE WHEN event_id % 101 = 0 THEN 'null' "
+        "WHEN event_id % 37 = 0 THEN 'corrupt' ELSE 'ok' END AS parse_status "
+        "FROM events) "
+        "SELECT parse_status, COUNT(*) AS n_records, "
+        "CAST(COUNT(DISTINCT CASE WHEN parse_status = 'ok' THEN et END) "
+        "AS BIGINT) AS n_event_types "
+        "FROM m GROUP BY 1"
+    ),
+)
+def x_ingest_quarantine(spark, sf_dir):
+    """Dead-letter routing under injected corruption: every 101st payload
+    nulled, every 37th made malformed JSON — parse_with_quarantine must
+    classify all three ways with zero dropped rows (the oracle reproduces
+    the classification from the injection rule alone, so any row the parser
+    crashes on or misroutes breaks the count)."""
+    from pyspark.sql import functions as F
+
+    from .operators.ingest import parse_with_quarantine
+
+    records = _raw(spark, sf_dir)
+    tainted = records.withColumn(
+        "value",
+        F.when(F.col("offset") % 101 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("offset") % 37 == 0,
+            F.concat(F.lit("{corrupt"), F.col("value")),
+        )
+        .otherwise(F.col("value")),
+    )
+    return (
+        parse_with_quarantine(tainted)
+        .groupBy("parse_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
 # The correctness driver checks the FIRST 50 registered queries only; round 1
