@@ -7,8 +7,10 @@ tests/test_oracle_parity.py replicates the driver's compare locally.
 Determinism rules (every query here obeys them — the driver hash-compares
 exact values, column-name keyed):
 
-- never emit the raw ``events.ts`` (parquet TIMESTAMP(NANOS): Spark truncates
-  to µs, DuckDB keeps ns) — only derived values (date_trunc, epoch buckets);
+- ``events.ts`` is canonicalized to TIMESTAMP_NTZ by ``load_table`` (the
+  round-2 testdata is TIMESTAMP(MICROS, notUTC); round-1 NANOS data would be
+  truncated to µs) — emit only derived values (date_trunc, epoch buckets)
+  so a future precision regeneration can't skew raw-value hashes;
 - aggregates over doubles are computed as exact integer sums of per-row
   scaled-and-rounded values (IEEE double arithmetic per row is deterministic
   across engines; summation ORDER of raw doubles is not);
@@ -2793,6 +2795,47 @@ def x_ingest_quarantine(spark, sf_dir):
     )
 
 
+@query(
+    "x_layout_compaction",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM events GROUP BY 1"
+    ),
+)
+def x_layout_compaction(spark, sf_dir):
+    """Small-file compaction round trip: events deliberately fragmented
+    into 64 tiny files (the streaming-sink pathology), compacted back to
+    ~128 MB-target layout, then aggregated FROM THE COMPACTED DIRECTORY —
+    the oracle over the original table proves the rewrite is lossless.
+    tests/test_sinks.py separately pins the file-count reduction."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sinks import compact_parquet_dir
+
+    key = ("compacted", sf_dir)
+    if key not in _STAGED_SOURCES:
+        frag = tempfile.mkdtemp(prefix="ubsp_frag_")
+        out = tempfile.mkdtemp(prefix="ubsp_compacted_")
+        _table(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_parquet_dir(spark, frag, out)
+        _STAGED_SOURCES[key] = out
+    return (
+        spark.read.parquet(_STAGED_SOURCES[key])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
@@ -2829,6 +2872,10 @@ _R1_CHECKED_NOT_GREEN = (
 def _rotated(keys):
     r1_checked = set(_R1_GREEN) | set(_R1_CHECKED_NOT_GREEN)
     never_checked = [k for k in keys if k not in r1_checked]
+    # within the never-checked block, oracle-backed queries take the
+    # hash-verified slots first; rows-only entries (whose driver check is
+    # weaker anyway) go behind them
+    never_checked.sort(key=lambda k: k not in ORACLES)
     not_green = [k for k in keys if k in set(_R1_CHECKED_NOT_GREEN)]
     green = [k for k in keys if k in set(_R1_GREEN)]
     return never_checked + not_green + green
