@@ -188,3 +188,70 @@ def test_cap_per_source_keeps_longest_deterministically(spark):
     assert sorted(by_src["s0"]) == [6, 8]
     assert sorted(by_src["s1"]) == [7, 9]
     assert all(r["source_rank"] <= 2 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis): chunking and packing must conserve
+# tokens for ANY document shape, not just the hand-built cases above.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc_lengths = st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lengths=_doc_lengths, chunk=st.integers(16, 64), stride=st.integers(8, 64))
+def test_chunk_token_conservation_property(spark, lengths, chunk, stride):
+    stride = min(stride, chunk)  # stride > chunk would skip tokens by design
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)), "s")
+        for i, n in enumerate(lengths)
+    ]
+    got = chunk_documents(_docs(spark, rows), chunk, stride).collect()
+    # stride-aligned reconstruction per doc == original token stream
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lengths):
+        cs = sorted(by_doc[i], key=lambda r: r["chunk_index"])
+        rebuilt = []
+        for c in cs:
+            rebuilt.extend(c["chunk_text"].split()[:stride])
+        rebuilt.extend(cs[-1]["chunk_text"].split()[stride:])
+        assert rebuilt == [f"d{i}w{j}" for j in range(n)], (chunk, stride, i)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lengths=_doc_lengths, window=st.integers(16, 256))
+def test_pack_conservation_property(spark, lengths, window):
+    import collections
+
+    rows = [
+        (i, " ".join(["w"] * n), f"s{i % 2}") for i, n in enumerate(lengths)
+    ]
+    got = pack_spans(_docs(spark, rows), window, "source").collect()
+    per_doc = collections.Counter()
+    per_pack = collections.Counter()
+    for r in got:
+        assert r["n_tok"] >= 1
+        per_doc[r["doc_id"]] += r["n_tok"]
+        per_pack[(r["shard"], r["pack_id"])] += r["n_tok"]
+    # every token lands in exactly one pack span
+    assert per_doc == {i: n for i, n in enumerate(lengths)}
+    # every pack except each shard's last is exactly full
+    for shard in {s for s, _ in per_pack}:
+        packs = sorted(p for s, p in per_pack if s == shard)
+        assert packs == list(range(len(packs)))  # contiguous ids from 0
+        for p in packs[:-1]:
+            assert per_pack[(shard, p)] == window, (shard, p)
+        assert per_pack[(shard, packs[-1])] <= window

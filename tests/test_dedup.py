@@ -171,3 +171,36 @@ def test_simhash_banding_has_exact_candidate_recall(docs):
     )
     assert expect <= got, f"missing pairs: {sorted(expect - got)[:5]}"
     assert got == expect  # popcount verify also removes every false positive
+
+
+def test_blocked_exact_equals_collected_exact(spark, sf_dir):
+    """The distributed block-join exact form must reproduce the numpy
+    collect-based exact form bit-for-bit (same rounding grain)."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        embedding_near_dup_blocked,
+        embedding_near_dup_pairs,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = lambda r: (r["vec_id_1"], r["vec_id_2"], r["cosine_x1e6"])
+    blocked = sorted(map(key, embedding_near_dup_blocked(emb, 0.4).collect()))
+    exact = sorted(map(key, embedding_near_dup_pairs(emb, 0.4).collect()))
+    assert blocked == exact and len(blocked) > 0
+
+
+def test_blocked_exact_plan_is_cogrouped_not_cartesian(spark, sf_dir):
+    """All-pairs must run as the block-pair cogroup (one Arrow matmul per
+    group) — never a CartesianProduct/BNLJ materializing two rows per
+    pair."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        embedding_near_dup_blocked,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = embedding_near_dup_blocked(
+        load_table(spark, sf_dir, "embeddings"), 0.4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan

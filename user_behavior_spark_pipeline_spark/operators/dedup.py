@@ -485,3 +485,92 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def embedding_near_dup_blocked(
+    embeddings: DataFrame, threshold: float = 0.4, n_blocks: int = 8
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs with NO driver-side collect:
+    block-replicated all-pairs, one numpy matmul per block-pair group.
+
+    Each vector hashes to one of ``n_blocks`` blocks; side A replicates to
+    every block pair (b, j>=b), side B to (i<=b, b), so every unordered
+    vector pair meets in EXACTLY one (i, j) cogroup. Scoring runs as
+    ``cogroup().applyInPandas``: each group is two Arrow batches turned
+    into ONE (N/B × N/B) matrix product — the same vectorized kernel as
+    the collect-based baseline, but per group and distributed. (A pure-JVM
+    pair join was measured 10-40× slower here: per-pair dot products run
+    as interpreted higher-order functions, and unrolling them blows out
+    codegen — bulk matmul is precisely the Pandas-UDF sweet spot.)
+
+    Cost model at 100 TB: Arrow-shuffles N·(n_blocks+1) vectors (NOT two
+    per pair); per-task memory is two N/B-vector blocks; compute is the
+    inherent N²/2 of EXACT all-pairs, spread over B(B+1)/2 groups — tune
+    ``n_blocks`` so a block pair fits executor memory. This is the rung
+    between :func:`embedding_near_dup_pairs` (driver-collected matrix,
+    caps at one machine) and :func:`embedding_near_dup_lsh` (avoids N²
+    by candidate pruning). Same output contract as both: (vec_id_1,
+    vec_id_2, cosine_x1e6), i<j, cosine >= threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks))
+    base = embeddings.select("vec_id", "embedding", blk.alias("blk"))
+    # side A covers block pairs (blk, j >= blk); side B covers (i <= blk, blk)
+    a = base.select(
+        "vec_id",
+        "embedding",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    b = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+
+    def _score(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame(
+                {"vec_id_1": [], "vec_id_2": [], "cosine_x1e6": []}
+            ).astype({"vec_id_1": "int64", "vec_id_2": "int64", "cosine_x1e6": "int64"})
+        x = np.array(a_pdf["embedding"].tolist(), dtype=np.float64)
+        y = np.array(b_pdf["embedding"].tolist(), dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        y /= np.linalg.norm(y, axis=1, keepdims=True)
+        xid = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        yid = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = x @ y.T
+        if bi == bj:
+            # same-block group holds the full block on both sides: keep the
+            # strict upper triangle by id
+            mask = (sims >= threshold) & (xid[:, None] < yid[None, :])
+        else:
+            # cross-block group holds each unordered pair once, arbitrary
+            # id order
+            mask = sims >= threshold
+        i, j = np.nonzero(mask)
+        lo = np.minimum(xid[i], yid[j])
+        hi = np.maximum(xid[i], yid[j])
+        return pd.DataFrame(
+            {
+                "vec_id_1": lo,
+                "vec_id_2": hi,
+                # half-up at the 1e-6 grain — same rounding as the numpy
+                # baseline and the DuckDB oracle
+                "cosine_x1e6": np.floor(sims[i, j] * 1_000_000 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return (
+        a.groupBy("bi", "bj")
+        .cogroup(b.groupBy("bi", "bj"))
+        .applyInPandas(
+            _score, "vec_id_1 long, vec_id_2 long, cosine_x1e6 long"
+        )
+    )

@@ -913,6 +913,32 @@ def x_dedup_embedding(spark, sf_dir):
 
 
 @query(
+    "x_dedup_embedding_blocked",
+    oracle=(
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, "
+        "CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 1000000) AS BIGINT) "
+        "AS cosine_x1e6 "
+        "FROM n a, n b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.emb, b.emb) >= 0.4"
+    ),
+)
+def x_dedup_embedding_blocked(spark, sf_dir):
+    """Exact embedding near-dup WITHOUT the driver-side matrix collect:
+    block-replicated theta join — every unordered pair meets in exactly one
+    block-pair join group, per-task memory bounded by N/n_blocks vectors.
+    Same oracle as x_dedup_embedding: the two exact forms must agree
+    bit-for-bit; this one is the distributed-exact rung between the numpy
+    baseline and the LSH scale path."""
+    from .operators.dedup import embedding_near_dup_blocked
+
+    return embedding_near_dup_blocked(
+        _table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query(
     "x_dedup_embedding_lsh",
     oracle=(
         "WITH n AS (SELECT COUNT(*) AS c FROM embeddings) "
