@@ -64,3 +64,45 @@ def test_sample_by_api_surface(docs):
     fracs = {"en": 0.5}
     got = docs.sampleBy("lang", fractions=fracs, seed=7)
     assert got.filter("lang <> 'en'").count() == 0
+
+
+def test_mixture_sample_rates_and_stability(spark, sf_dir):
+    """Rates land near targets; membership is key-addressed — refreshing a
+    source (dropping its rows) never changes which OTHER rows survive."""
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1000, "src1": 500}
+    kept = mixture_sample(docs, rates, default_rate=0).select("doc_id", "source")
+    got = {r["doc_id"] for r in kept.collect()}
+    n0 = docs.filter(F.col("source") == "src0").count()
+    k0 = kept.filter(F.col("source") == "src0").count()
+    k1 = kept.filter(F.col("source") == "src1").count()
+    n1 = docs.filter(F.col("source") == "src1").count()
+    assert k0 == n0  # 1000 per mille keeps everything
+    assert abs(k1 / n1 - 0.5) < 0.25  # small-n tolerance
+    assert kept.filter(~F.col("source").isin("src0", "src1")).count() == 0
+    # stability: removing src0 entirely leaves src1's membership unchanged
+    kept2 = mixture_sample(
+        docs.filter(F.col("source") != "src0"), rates, default_rate=0
+    )
+    got2 = {r["doc_id"] for r in kept2.collect()}
+    assert got2 == {d for d in got} - {
+        r["doc_id"] for r in docs.filter(F.col("source") == "src0").collect()
+    }
+
+
+def test_mixture_sample_plan_is_scan_side(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = mixture_sample(
+        load_table(spark, sf_dir, "documents"), {"src0": 500}, default_rate=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

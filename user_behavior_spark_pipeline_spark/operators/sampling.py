@@ -61,3 +61,33 @@ def stratified_systematic_sample(
         .filter((F.col("_rn") - 1) % every_k == 0)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_per_mille: dict[str, int],
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep each stratum at its own rate
+    (per-mille), key-addressed — the "dataset mixing weights" step of
+    pre-training data assembly (e.g. upsample wiki, downsample crawl).
+
+    A row survives iff md5_bucket(id, 1000) < rate(stratum). Because
+    membership is keyed on the row id, refreshing one source or growing
+    the corpus NEVER flips other rows in or out of the mixture (the
+    reproducibility contract of this module); rates are exact in
+    expectation and ±O(√n) per stratum in realization.
+
+    Scan-side projection + filter — zero shuffles; the rate table enters
+    the plan as a literal CASE, so predicate pushdown still applies to
+    any stratum whose rate is 0 (the CASE folds to a filterable FALSE
+    only per-row — drop those strata with a pushed-down filter first when
+    a source is fully excluded at 100 TB).
+    """
+    bucket = hash_bucket(F.col(id_col), 1000)
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates_per_mille.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter(bucket < rate)

@@ -2862,6 +2862,31 @@ def x_layout_compaction(spark, sf_dir):
     )
 
 
+@query(
+    "x_sample_mixture",
+    oracle=(
+        "WITH b AS (SELECT doc_id, source, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 1000 AS bkt FROM documents) "
+        "SELECT doc_id, source FROM b WHERE bkt < "
+        "(CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500 "
+        "WHEN 'src2' THEN 250 ELSE 100 END)"
+    ),
+)
+def x_sample_mixture(spark, sf_dir):
+    """Mixture-weight sampling: per-source keep rates (src0 1000‰, src1
+    500‰, src2 250‰, rest 100‰), key-addressed so refreshing one source
+    never flips another's rows — full membership oracle-compared, zero
+    shuffles."""
+    from .operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _table(spark, sf_dir, "documents"),
+        {"src0": 1000, "src1": 500, "src2": 250},
+        default_rate=100,
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
