@@ -1275,8 +1275,9 @@ def x_stream_windowed(spark, sf_dir):
 
     src = _stage_stream_source(spark, sf_dir)
     name = "ubsp_windowed_counts"
-    q = windowed_counts_stream(file_stream_source(spark, src), query_name=name)
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = windowed_counts_stream(file_stream_source(spark, src), query_name=name)
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1325,8 +1326,9 @@ def x_stream_stateful(spark, sf_dir):
         spark.readStream.schema(events.schema).parquet(src).select("user_id", "value")
     )
     name = "ubsp_stateful_totals"
-    q = stateful_user_totals_stream(stream, query_name=name)
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = stateful_user_totals_stream(stream, query_name=name)
+        q.awaitTermination()
     return final_user_totals(spark, name)
 
 
@@ -1348,8 +1350,9 @@ def x_stream_session(spark, sf_dir):
         spark.readStream.schema(events.schema).parquet(src).select("user_id", "ts")
     )
     name = "ubsp_session_counts"
-    q = session_counts_stream(stream, query_name=name)
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = session_counts_stream(stream, query_name=name)
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -1376,8 +1379,9 @@ def x_stream_static_join(spark, sf_dir):
         spark.readStream.schema(events.schema).parquet(src).select("user_id", "value")
     )
     name = "ubsp_stream_static_join"
-    q = stream_static_join_stream(stream, _table(spark, sf_dir, "customer"), name)
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = stream_static_join_stream(stream, _table(spark, sf_dir, "customer"), name)
+        q.awaitTermination()
     return spark.table(name)
 
 
