@@ -147,6 +147,46 @@ def decode_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(_decode, FEATURE_SCHEMA)
 
 
+def decode_features_quantized(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Engine-portable twin of :func:`decode_features`: the histogram is
+    emitted as exact integers (count·10⁶ // n_bytes per bucket) computed
+    with pure integer arithmetic — no float division, so a SQL oracle can
+    reproduce every element bit-for-bit. Same mapInPandas/Arrow batch shape
+    as the float path; use the float path in production, this one wherever
+    cross-engine verification matters."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("feat_x1e6", ArrayType(LongType()), False),
+        ]
+    )
+
+    def _q(payload: bytes) -> list[int]:
+        counts = [0] * dim
+        for b in payload:
+            counts[b % dim] += 1
+        total = len(payload) or 1
+        return [c * 1_000_000 // total for c in counts]
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feat_x1e6": pdf["payload"].map(lambda p: _q(bytes(p))),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema)
+
+
 def sample_frames(media: DataFrame, interval_ms: int = 60000) -> DataFrame:
     """Frame-sampling plan for video: one row per sampled frame offset —
     pure metadata math, zero payload bytes touched."""

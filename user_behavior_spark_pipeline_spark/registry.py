@@ -1576,6 +1576,39 @@ def x_multimodal_decode(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_decode_q",
+    oracle=(
+        # the stub decoder is a byte histogram over the UTF-8 payload (the
+        # document text, ASCII in these fixtures) — reproducible in SQL
+        # with exact integer arithmetic
+        "WITH ch AS (SELECT doc_id, unicode(u.c) % 16 AS bkt "
+        "FROM documents, UNNEST(regexp_split_to_array(text, '')) AS u(c)), "
+        "hist AS (SELECT doc_id, bkt, COUNT(*) AS c FROM ch GROUP BY 1, 2), "
+        "dense AS (SELECT d.doc_id, g.bkt, COALESCE(h.c, 0) AS c, "
+        "LENGTH(d.text) AS total FROM documents d "
+        "CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS bkt) g "
+        "LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bkt = g.bkt) "
+        "SELECT doc_id AS media_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 "
+        "THEN 'audio' ELSE 'video' END AS kind, "
+        "CAST(MAX(total) AS BIGINT) AS n_bytes, "
+        "list(CAST(c * 1000000 // total AS BIGINT) ORDER BY bkt) AS feat_x1e6 "
+        "FROM dense GROUP BY doc_id"
+    ),
+)
+def x_multimodal_decode_q(spark, sf_dir):
+    """Quantized decode twin: same mapInPandas/Arrow plumbing as
+    x_multimodal_decode, but the histogram is exact integers so the DuckDB
+    oracle verifies EVERY feature element — the decode path's only fully
+    hash-checked form (the float path stays rows-only)."""
+    from .operators.multimodal import decode_features_quantized, synth_media
+
+    return decode_features_quantized(
+        synth_media(_table(spark, sf_dir, "documents"))
+    )
+
+
+@query(
     "x_udf_apply_in_pandas",
     oracle=(
         "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
