@@ -2927,46 +2927,54 @@ def x_sample_mixture(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
-# The correctness driver checks the FIRST 50 registered queries only; round 1
-# spent those slots on queries that are now locally pinned. Re-key the
-# registries so queries with no CORRECTNESS row yet come first, round-1
-# non-green (errored / hash-failed / rows-only) rows next for re-verification,
-# and round-1 verified-green entries last. Definition order above is
-# unchanged — only dict insertion order (what queries() iterates) rotates.
+# The correctness driver checks the FIRST 50 registered queries only, in
+# dict insertion order. Re-key the registries so queries with no
+# CORRECTNESS row yet come first, previously-checked-but-not-green entries
+# next (for re-verification after fixes), and verified-green entries last.
+# The status history is read from every CORRECTNESS_r*.json the driver has
+# dropped in the repo root, so this stays correct each round with no
+# manual list maintenance. Definition order above is unchanged — only dict
+# insertion order (what queries() iterates) rotates.
 # ---------------------------------------------------------------------------
 
-_R1_GREEN = (
-    "x_join_semi", "x_join_anti", "x_udtf_tokenize", "x_window_distribution",
-    "x_window_topk", "x_window_lag", "x_text_tokens", "x_text_quality",
-    "x_text_lang", "x_text_fingerprint", "x_text_tokenfreq", "x_dedup_exact",
-    "x_dedup_ngram", "x_dedup_minhash", "x_dedup_embedding",
-    "x_dedup_embedding_lsh", "x_dedup_components", "x_curate_corpus",
-    "x_sim_bruteforce", "x_sim_pandas",
-)
-_R1_CHECKED_NOT_GREEN = (
-    "ref_count", "ref_valid_count", "ref_groupby_direction",
-    "ref_groupby_host_type", "ref_distinct_host_type_detail", "ref_limit10",
-    "ref_flatten", "ref_filter_udf_parity", "ref_classify", "ref_infer",
-    "x_join_star_revenue", "x_join_broadcast_brand", "x_join_tpch_q5",
-    "x_join_salted", "x_set_intersect", "x_set_except",
-    "x_agg_pricing_summary", "x_pivot_cohort_type", "x_json_props",
-    "x_udf_grouped_agg", "x_rollup_orders", "x_cube_lineitem",
-    "x_grouping_sets_orders", "x_window_running", "x_event_tumbling",
-    "x_event_sliding", "x_event_session", "x_dedup_simhash", "x_sim_lsh",
-    "x_sim_ivf",
-)
+
+def _correctness_history() -> dict[str, str]:
+    """name -> 'green' (hash-verified in some round) | 'checked' (has a
+    CORRECTNESS row but never hash-green: errored / hash-fail / rows-only)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                status[name] = "green"
+            else:
+                status.setdefault(name, "checked")
+    return status
 
 
 def _rotated(keys):
-    r1_checked = set(_R1_GREEN) | set(_R1_CHECKED_NOT_GREEN)
-    never_checked = [k for k in keys if k not in r1_checked]
+    status = _correctness_history()
+    never_checked = [k for k in keys if k not in status]
     # within the never-checked block, oracle-backed queries take the
     # hash-verified slots first; rows-only entries (whose driver check is
     # weaker anyway) go behind them
     never_checked.sort(key=lambda k: k not in ORACLES)
-    not_green = [k for k in keys if k in set(_R1_CHECKED_NOT_GREEN)]
-    green = [k for k in keys if k in set(_R1_GREEN)]
-    return never_checked + not_green + green
+    checked = [k for k in keys if status.get(k) == "checked"]
+    green = [k for k in keys if status.get(k) == "green"]
+    return never_checked + checked + green
 
 
 QUERIES = {k: QUERIES[k] for k in _rotated(QUERIES)}
