@@ -204,3 +204,52 @@ def test_blocked_exact_plan_is_cogrouped_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_incremental_matches_full_pair_semantics(spark):
+    """A new doc near-dup of a corpus doc is flagged with the right best
+    match; a clean new doc passes; corpus-internal dups don't leak in."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    corpus = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, base, "s"),            # corpus-internal dup — must not matter
+            (3, "z1 z2 z3 z4 z5", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base + " w11", "s"),  # near-dup of docs 1 and 2
+            (11, "q1 q2 q3 q4 q5 q6", "s"),  # clean
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r for r in
+           incremental_near_dup(new, corpus, n=3, threshold=0.5).collect()}
+    assert got[10]["is_dup"] and got[10]["best_match_doc"] == 1  # min-id tie-break
+    assert got[10]["best_jaccard_x1e6"] >= 500000
+    assert not got[11]["is_dup"] and got[11]["best_match_doc"] is None
+    assert got[11]["best_jaccard_x1e6"] == 0
+
+
+def test_incremental_is_idempotent_decision(spark):
+    """Replaying the same delta batch yields byte-identical decisions (the
+    idempotent-ingest contract)."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h", "s")], "doc_id long, text string, source string"
+    )
+    new = spark.createDataFrame(
+        [(10, "a b c d e f g x", "s")], "doc_id long, text string, source string"
+    )
+    r1 = sorted(map(tuple, incremental_near_dup(new, corpus).collect()))
+    r2 = sorted(map(tuple, incremental_near_dup(new, corpus).collect()))
+    assert r1 == r2

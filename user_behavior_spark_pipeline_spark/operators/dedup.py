@@ -574,3 +574,80 @@ def embedding_near_dup_blocked(
             _score, "vec_id_1 long, vec_id_2 long, cosine_x1e6 long"
         )
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup screening: for each NEW document, is it a
+    near-duplicate (n-gram Jaccard >= threshold) of anything already in the
+    corpus — without re-deduplicating the corpus.
+
+    The operational form at 100 TB: a daily crawl delta is a fraction of the
+    corpus, so the shingle join is delta-shingles × matching corpus-shingles
+    only (shuffle keyed on the 8-byte shingle hash, exactly like
+    ngram_jaccard_pairs) — cost scales with the DELTA and its collision
+    fan-out, never with corpus². In production the corpus side is the
+    standing (doc_id, shingle) table maintained as new batches are admitted;
+    here it's derived on the fly from the corpus frame.
+
+    Returns one row per new doc: (doc_id, is_dup, best_match_doc,
+    best_jaccard_x1e6) — is_dup false gives (NULL, 0). Admission = filter
+    ``~is_dup`` and append; the decision is deterministic, so replaying a
+    delta batch admits the same rows (idempotent ingest).
+    """
+    new_sh = shingles(new_docs, n).localCheckpoint()
+    corpus_sh = shingles(corpus_docs, n).localCheckpoint()
+    new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    corpus_sizes = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_corp")
+    )
+    shared = (
+        new_sh.withColumnRenamed("doc_id", "new_id")
+        .join(corpus_sh.withColumnRenamed("doc_id", "corp_id"), "shingle")
+        .groupBy("new_id", "corp_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        shared.join(
+            F.broadcast(new_sizes.withColumnRenamed("doc_id", "new_id")),
+            "new_id",
+        )
+        .join(
+            F.broadcast(corpus_sizes.withColumnRenamed("doc_id", "corp_id")),
+            "corp_id",
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            F.round(
+                F.col("shared")
+                * 1_000_000
+                / (F.col("n_new") + F.col("n_corp") - F.col("shared"))
+            )
+            .cast("long")
+            .alias("jaccard_x1e6"),
+        )
+        .filter(F.col("jaccard_x1e6") >= int(threshold * 1_000_000))
+    )
+    best = scored.groupBy("new_id").agg(
+        F.max_by("corp_id", F.struct(F.col("jaccard_x1e6"), -F.col("corp_id"))).alias(
+            "best_match_doc"
+        ),
+        F.max("jaccard_x1e6").alias("best_jaccard_x1e6"),
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("best_match_doc").isNotNull().alias("is_dup"),
+            "best_match_doc",
+            F.coalesce("best_jaccard_x1e6", F.lit(0)).alias(
+                "best_jaccard_x1e6"
+            ),
+        )
+    )

@@ -2924,6 +2924,52 @@ def x_sample_mixture(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@query(
+    "x_dedup_incremental",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+        "FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)), "
+        "new_sh AS (SELECT * FROM sh WHERE doc_id % 10 = 0), "
+        "corp_sh AS (SELECT * FROM sh WHERE doc_id % 10 != 0), "
+        "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+        "pairs AS (SELECT a.doc_id AS new_id, b.doc_id AS corp_id, "
+        "COUNT(*) AS shared FROM new_sh a JOIN corp_sh b ON a.s = b.s "
+        "GROUP BY 1, 2), "
+        "scored AS (SELECT new_id, corp_id, "
+        "CAST(ROUND(shared * 1000000 / (s1.n + s2.n - shared)) AS BIGINT) AS j "
+        "FROM pairs JOIN sizes s1 ON new_id = s1.doc_id "
+        "JOIN sizes s2 ON corp_id = s2.doc_id), "
+        "best AS (SELECT new_id, CAST(MAX(j) AS BIGINT) AS best_jaccard_x1e6, "
+        "(SELECT MIN(s2.corp_id) FROM scored s2 WHERE s2.new_id = scored.new_id "
+        " AND s2.j = MAX(scored.j)) AS best_match_doc "
+        "FROM scored WHERE j >= 500000 GROUP BY new_id) "
+        "SELECT d.doc_id, b.best_match_doc IS NOT NULL AS is_dup, "
+        "b.best_match_doc, "
+        "CAST(COALESCE(b.best_jaccard_x1e6, 0) AS BIGINT) AS best_jaccard_x1e6 "
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d "
+        "LEFT JOIN best b ON d.doc_id = b.new_id"
+    ),
+)
+def x_dedup_incremental(spark, sf_dir):
+    """Delta-vs-corpus near-dup admission (every 10th doc plays the new
+    batch): per new doc, is it a near-dup of the standing corpus and of
+    what — the operational dedup shape at 100 TB (cost scales with the
+    delta, never corpus²)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import incremental_near_dup
+
+    docs = _table(spark, sf_dir, "documents")
+    return incremental_near_dup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        n=3,
+        threshold=0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
