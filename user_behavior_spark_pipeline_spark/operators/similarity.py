@@ -372,3 +372,130 @@ def pandas_cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _rank_topk(scored, k)
+
+
+def _train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 16,
+    k: int = 64,
+    sample_cap: int = 2048,
+    iters: int = 5,
+    seed: int = 7,
+):
+    """FAISS-style PQ training: per-subspace k-means on a bounded
+    driver-side sample (same constant-cost rationale as _train_centroids).
+    Returns an (m, k, d/m) ndarray of sub-codebooks over L2-normalized
+    vectors."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        for _ in range(iters):
+            # squared-L2 assignment per subspace (standard PQ objective)
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, : len(cent)] = cent
+        if len(cent) < k:
+            books[j, len(cent):] = cent[-1]
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (ADC): the corpus is stored as m uint8
+    codes per vector (d·8 bytes → m bytes, 64× compression at d=64/m=8);
+    each query scores the WHOLE corpus from an (m × n_codes) lookup table
+    of partial dot products — the memory-bound rung of the ANN ladder
+    (brute = exact, LSH/IVF = prune candidates, PQ = compress the corpus
+    so exhaustive scan fits in RAM at 100× the vectors).
+
+    Distributed shape: codebooks are tiny and broadcast inside two
+    mapInPandas closures — ENCODE (one corpus scan, numpy argmin per
+    subspace) and SCORE (corpus-code scan × per-query table lookups);
+    queries are a small driver-side list exactly like brute_force_topk's
+    broadcast side. No shuffle except the final top-k window on the scored
+    (query, neighbor) rows. Approximate: recall floor pinned in tests;
+    exact re-ranking of the PQ top-R with true vectors is the standard
+    production refinement (compose with brute_force_topk over the
+    shortlist)."""
+    import numpy as np
+    import pandas as pd
+
+    books = _train_pq_codebooks(embeddings, m=m, k=n_codes)
+    sub = books.shape[2]
+
+    def _encode(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    encoded = embeddings.select("vec_id", "embedding").mapInPandas(
+        _encode, "neighbor_id long, codes array<long>"
+    )
+
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < num_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    # ADC tables: tables[qi, j, c] = <q_sub, codeword> -> approx cosine is
+    # the sum over subspaces of table lookups
+    tables = np.einsum("qjs,jcs->qjc", q.reshape(len(q), m, sub), books)
+
+    def _score(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                sims = tables[qi, np.arange(m)[None, :], codes].sum(axis=1)
+                mask = nid != qids[qi]
+                out_q.append(np.full(mask.sum(), qids[qi]))
+                out_n.append(nid[mask])
+                out_c.append(sims[mask])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    scored = encoded.mapInPandas(
+        _score, "query_id long, neighbor_id long, cosine double"
+    )
+    return _rank_topk(scored, k)

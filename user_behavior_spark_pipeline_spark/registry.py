@@ -1086,6 +1086,16 @@ def x_sim_ivf(spark, sf_dir):
     return ivf_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
+@query("x_sim_pq")  # rows-only: approximate; recall measured in tests
+def x_sim_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC): corpus compressed to m uint8 codes,
+    queries score via per-subspace lookup tables — the memory-bound rung
+    of the ANN ladder (64× corpus compression at d=64/m=8)."""
+    from .operators.similarity import pq_topk
+
+    return pq_topk(_table(spark, sf_dir, "embeddings"), 10, 5, m=16, n_codes=64)
+
+
 @query("x_sim_lsh_exhaustive", oracle=_COSINE_TOPK_SQL)
 def x_sim_lsh_exhaustive(spark, sf_dir):
     """LSH probe machinery driven to exhaustion (probe_radius == bits, so
