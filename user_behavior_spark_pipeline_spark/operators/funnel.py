@@ -1,0 +1,138 @@
+"""Funnel analysis — ordered event-sequence conversion, the canonical
+user-behavior query the reference's domain (game events) implies but its
+engine could never express (no joins, no windows — README.md:819).
+
+Design: ONE shuffle. Events are pre-filtered to the funnel's step types
+(scan-side — at 100 TB this is the pushed-down predicate that makes the
+whole thing cheap), then aggregated once per user: step 1 needs only its
+min timestamp; each later step keeps the user's timestamps OF THAT STEP
+TYPE as an array (bounded by the user's own step-event count, never the
+raw event stream), and the ordered-chain constraints are row-local array
+expressions. A whale user with millions of NON-step events costs
+nothing; one with millions of step-k events should be capped upstream
+(e.g. dedupe to per-(user, step, minute) firsts — same funnel answer for
+any horizon coarser than the bucket).
+
+Semantics (strict-order funnel, industry default): a user reaches step k
+iff there exist events e1 < e2 < ... < ek of the right types with
+e_k.ts - e_1.ts <= horizon. With min-timestamps this is computed
+greedily: t1 = min ts of step1; t_k = min ts of step_k strictly after
+t_{k-1}. Greedy-earliest is optimal for "reached within horizon from
+first entry": taking the earliest valid predecessor never hurts later
+steps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_reach(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon_seconds: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel depth: (user_id, steps_reached, t_first, t_last).
+
+    ``steps_reached`` = how many ordered steps the user completed
+    (1..len(steps); users with no step-1 event don't appear).
+    ``horizon_seconds`` bounds t_last - t_first when given.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("step"),
+        F.col(ts_col).alias("ts"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("step") == steps[0], F.col("ts"))).alias("t1"),
+        *[
+            F.collect_list(
+                F.when(F.col("step") == s, F.struct("ts"))
+            ).alias(f"_e{i}")
+            for i, s in enumerate(steps[1:], start=2)
+        ],
+    )
+    # row-local: t_k = min ts in _ek strictly after t_{k-1}
+    out = agg.filter(F.col("t1").isNotNull())
+    prev = "t1"
+    for i in range(2, len(steps) + 1):
+        arr = F.col(f"_e{i}")
+        after = F.filter(arr, lambda e: e["ts"] > F.col(prev))
+        t_i = F.array_min(F.transform(after, lambda e: e["ts"]))
+        out = out.withColumn(f"t{i}", t_i)
+        prev = f"t{i}"
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = reached + F.col(f"t{i}").isNotNull().cast("int")
+    # depth is prefix-monotone: t_k is only valid if every earlier step
+    # resolved; F.filter over null prev yields null -> nulls propagate, so
+    # the sum counts the prefix exactly.
+    out = out.withColumn("steps_reached", reached.cast("long"))
+    if horizon_seconds is not None:
+        # a completion outside the horizon counts only the steps inside it
+        within = [F.lit(1).cast("long")]
+        for i in range(2, len(steps) + 1):
+            # timestampdiff: wall-clock seconds, NTZ-safe (a long cast of
+            # TIMESTAMP_NTZ is not portable)
+            within.append(
+                (
+                    F.col(f"t{i}").isNotNull()
+                    & (
+                        F.expr(f"timestampdiff(SECOND, t1, t{i})")
+                        <= horizon_seconds
+                    )
+                ).cast("long")
+            )
+        # steps inside horizon are also prefix-monotone (t_i increases)
+        total = within[0]
+        for w in within[1:]:
+            total = total + w
+        out = out.withColumn("steps_reached", total)
+    last_ts = F.col("t1")
+    for i in range(2, len(steps) + 1):
+        last_ts = F.when(
+            F.col("steps_reached") >= i, F.col(f"t{i}")
+        ).otherwise(last_ts)
+    return out.select(
+        "user_id",
+        "steps_reached",
+        F.col("t1").alias("t_first"),
+        last_ts.alias("t_last"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon_seconds: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Classic funnel report: one row per step with the number of users
+    whose ordered journey reached at least that step — monotonically
+    non-increasing by construction."""
+    reach = funnel_reach(events, steps, horizon_seconds, **kwargs)
+    per_depth = reach.groupBy("steps_reached").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # users at depth >= k: reverse cumulative sum over at most len(steps)
+    # rows — a broadcastable table regardless of corpus size
+    steps_df = reach.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_index long, step string"
+    )
+    return (
+        steps_df.join(
+            per_depth,
+            per_depth["steps_reached"] >= steps_df["step_index"],
+            "left",
+        )
+        .groupBy("step_index", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
+    )

@@ -2980,6 +2980,44 @@ def x_dedup_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "x_funnel_counts",
+    oracle=(
+        "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        "JOIN t1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > t1.t1 "
+        "GROUP BY 1), "
+        "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        "JOIN t2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > t2.t2 "
+        "GROUP BY 1), "
+        "depth AS (SELECT t1.user_id, 1 "
+        "+ CASE WHEN t2.t2 IS NOT NULL AND date_diff('second', t1.t1, t2.t2) "
+        "  <= 604800 THEN 1 ELSE 0 END "
+        "+ CASE WHEN t3.t3 IS NOT NULL AND date_diff('second', t1.t1, t3.t3) "
+        "  <= 604800 THEN 1 ELSE 0 END AS d "
+        "FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) "
+        "SELECT s.step_index, s.step, "
+        "CAST(COALESCE((SELECT COUNT(*) FROM depth WHERE d >= s.step_index), 0) "
+        "AS BIGINT) AS n_users "
+        "FROM (VALUES (CAST(1 AS BIGINT), 'view'), (CAST(2 AS BIGINT), 'click'), "
+        "(CAST(3 AS BIGINT), 'purchase')) AS s(step_index, step)"
+    ),
+)
+def x_funnel_counts(spark, sf_dir):
+    """Ordered-funnel conversion report (view -> click -> purchase within 7
+    days): the canonical user-behavior query the reference's engine could
+    never express (no joins/windows). One shuffle on user_id; the chain
+    constraints are row-local array expressions (operators/funnel.py)."""
+    from .operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _table(spark, sf_dir, "events"),
+        ("view", "click", "purchase"),
+        horizon_seconds=7 * 86400,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
