@@ -83,3 +83,34 @@ def test_funnel_counts_monotone(spark, sf_dir):
     assert set(out) == {1, 2, 3}
     assert out[1] >= out[2] >= out[3] >= 0
     assert out[1] > 0
+
+
+def test_retention_semantics_on_constructed_cohorts(spark):
+    from user_behavior_spark_pipeline_spark.operators.funnel import (
+        retention_matrix,
+    )
+
+    rows = [
+        # user 1: first event Thu 1970-01-01 (epoch day 0 -> cohort start
+        # 1970-01-01), active again 8 days later (period 1)
+        (1, "click", "1970-01-01T10:00:00"),
+        (1, "view", "1970-01-09T10:00:00"),
+        # user 2: same cohort bucket (Jan 3 is epoch day 2, same 7-day
+        # bucket), never returns
+        (2, "click", "1970-01-03T00:00:00"),
+        # user 3: next bucket
+        (3, "view", "1970-01-08T00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, __import__("datetime").datetime.fromisoformat(ts)) for u, t, ts in rows],
+        "user_id long, event_type string, ts timestamp_ntz",
+    )
+    got = {
+        (r["cohort_day"], r["periods_later"]): r["n_active"]
+        for r in retention_matrix(ev, bucket_days=7).collect()
+    }
+    assert got == {
+        ("1970-01-01", 0): 2,  # users 1 and 2 active in their cohort week
+        ("1970-01-01", 1): 1,  # user 1 retained into week 1
+        ("1970-01-08", 0): 1,  # user 3's own cohort
+    }

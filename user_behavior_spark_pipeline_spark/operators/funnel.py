@@ -136,3 +136,58 @@ def funnel_counts(
         .groupBy("step_index", "step")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
     )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users bucketed by their FIRST event's period
+    (weekly by default), counted as retained in each later period they
+    were active — the classic retention triangle, the funnel's companion
+    user-behavior report.
+
+    Two shuffles: the per-user first-event aggregation, then the
+    (cohort, offset) distinct-count; the cohort join is on user_id, which
+    AQE skew-splits if one cohort dominates. Offsets are wall-clock day
+    arithmetic (NTZ-safe date_trunc + datediff), so results are identical
+    in any session timezone.
+
+    Columns: cohort_day (first period start, yyyy-MM-dd), periods_later
+    (0 = the cohort period itself), n_active.
+    """
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    # snap the cohort to its epoch-aligned bucket start so every member of
+    # a calendar bucket shares one cohort label
+    cohort_start = F.date_sub(
+        F.col("first_day").cast("date"),
+        F.datediff(
+            F.col("first_day").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        % bucket_days,
+    )
+    cohorted = ev.join(first, "user_id").withColumn(
+        "cohort_start", cohort_start
+    ).select(
+        "user_id",
+        "cohort_start",
+        (
+            F.datediff(F.col("day").cast("date"), F.col("cohort_start"))
+            / bucket_days
+        )
+        .cast("long")
+        .alias("periods_later"),
+    )
+    return cohorted.groupBy("cohort_start", "periods_later").agg(
+        F.countDistinct("user_id").alias("n_active")
+    ).select(
+        F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort_day"),
+        "periods_later",
+        "n_active",
+    )

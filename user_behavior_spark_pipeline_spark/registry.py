@@ -3018,6 +3018,31 @@ def x_funnel_counts(spark, sf_dir):
     )
 
 
+@query(
+    "x_retention_cohorts",
+    oracle=(
+        "WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events), "
+        "first AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1), "
+        "c AS (SELECT ev.user_id, ev.day, "
+        "first_day - CAST(date_diff('day', DATE '1970-01-01', "
+        "CAST(first_day AS DATE)) % 7 AS INTEGER) AS cohort_start "
+        "FROM ev JOIN first USING (user_id)) "
+        "SELECT strftime(cohort_start, '%Y-%m-%d') AS cohort_day, "
+        "CAST(date_diff('day', CAST(cohort_start AS DATE), CAST(day AS DATE)) "
+        "// 7 AS BIGINT) AS periods_later, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active "
+        "FROM c GROUP BY 1, 2"
+    ),
+)
+def x_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle (first-event cohort × weeks-later
+    activity) — the funnel's companion user-behavior report; two shuffles
+    (per-user first event, then the cohort-cell distinct count)."""
+    from .operators.funnel import retention_matrix
+
+    return retention_matrix(_table(spark, sf_dir, "events"), bucket_days=7)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
