@@ -114,3 +114,17 @@ def test_retention_semantics_on_constructed_cohorts(spark):
         ("1970-01-01", 1): 1,  # user 1 retained into week 1
         ("1970-01-08", 0): 1,  # user 3's own cohort
     }
+
+
+def test_funnel_reach_plan_has_single_exchange(spark, sf_dir):
+    """The module docstring claims ONE shuffle for funnel_reach — pin it
+    (the user_id aggregation's Exchange; everything after is row-local)."""
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = funnel_reach(
+        load_table(spark, sf_dir, "events"), ("view", "click", "purchase")
+    )._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+    # and the step filter reaches the scan
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200], plan
