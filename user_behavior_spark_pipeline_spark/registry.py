@@ -3043,6 +3043,70 @@ def x_retention_cohorts(spark, sf_dir):
     return retention_matrix(_table(spark, sf_dir, "events"), bucket_days=7)
 
 
+@query(
+    "x_anomaly_spikes",
+    oracle=(
+        "WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        "w AS (SELECT event_type, day, n, "
+        "CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY day "
+        "RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND INTERVAL 1 DAY PRECEDING)"
+        ", 0) AS BIGINT) AS trail_sum, "
+        "CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day "
+        "RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND INTERVAL 1 DAY PRECEDING) "
+        "AS BIGINT) AS trail_days FROM daily) "
+        "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, "
+        "CAST(n AS BIGINT) AS n_events, trail_sum, trail_days, "
+        "(trail_days >= 3 AND n * trail_days * 2 > trail_sum * 3) AS is_spike "
+        "FROM w"
+    ),
+)
+def x_anomaly_spikes(spark, sf_dir):
+    """Volume-spike monitor: per event type, a day is a spike when its
+    count exceeds 1.5× the trailing 7-day average (integer-exact
+    cross-multiplication — no float division in the flag; needs >= 3
+    trailing days). RANGE frame by day distance, so calendar gaps don't
+    silently widen the window. Two shuffles: the daily pre-aggregate and
+    the per-type window sort — the window runs over the (tiny) daily
+    table, never raw events."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    day_num = F.datediff(
+        F.col("day_ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_num)
+        .rangeBetween(-7, -1)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long")
+        .alias("trail_sum"),
+        F.coalesce(F.count("n_events").over(w), F.lit(0))
+        .cast("long")
+        .alias("trail_days"),
+    ).withColumn(
+        "is_spike",
+        (F.col("trail_days") >= 3)
+        & (
+            F.col("n_events") * F.col("trail_days") * 2
+            > F.col("trail_sum") * 3
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
