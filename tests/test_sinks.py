@@ -134,3 +134,16 @@ def test_custom_writer_two_phase_commit_receipt(spark, tmp_path):
     assert receipt["partitions"] == 4
     expected_cents = sum((i * 37) % 10_000 for i in range(1000))
     assert receipt["cents"] == expected_cents
+
+
+def test_bucketed_staging_survives_catalog_loss(spark, sf_dir):
+    """The staging memo is process-global but the tables are session
+    state: after the catalog loses them (fresh session, DROP, session
+    restart) the query must re-stage instead of failing on a missing
+    table."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    assert QUERIES["x_join_bucketed"](spark, sf_dir).count() > 0
+    spark.sql("DROP TABLE IF EXISTS bq_orders")
+    spark.sql("DROP TABLE IF EXISTS bq_customer")
+    assert QUERIES["x_join_bucketed"](spark, sf_dir).count() > 0

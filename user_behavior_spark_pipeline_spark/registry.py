@@ -1969,11 +1969,22 @@ def ref_source_json(spark, sf_dir):
 def _stage_bucketed(spark, sf_dir):
     """Bucketed CTAS for both join sides — fixture setup (the layout a 100 TB
     deployment maintains continuously), memoized per sf_dir and pre-warmed by
-    bench.py's prepare pass so the timed query is the join, not the CTAS."""
+    bench.py's prepare pass so the timed query is the join, not the CTAS.
+
+    The memo alone is not sufficient: it is process-global while the
+    tables are SESSION state (a later session in the same process would
+    see 'done' with an empty catalog), and the table NAMES are global
+    while the memo key is per-sf_dir (alternating sf_dirs would serve
+    stale data) — so the memo records which sf_dir is currently staged
+    and the catalog is probed too."""
     from .sinks import write_bucketed_table
 
-    key = ("bucketed", sf_dir)
-    if key in _STAGED_SOURCES:
+    key = "bucketed_current_sf"
+    if (
+        _STAGED_SOURCES.get(key) == sf_dir
+        and spark.catalog.tableExists("bq_orders")
+        and spark.catalog.tableExists("bq_customer")
+    ):
         return
     write_bucketed_table(
         spark, _table(spark, sf_dir, "orders"), "bq_orders", "o_custkey", 8
@@ -1987,7 +1998,7 @@ def _stage_bucketed(spark, sf_dir):
         "o_custkey",
         8,
     )
-    _STAGED_SOURCES[key] = "done"
+    _STAGED_SOURCES[key] = sf_dir
 
 
 @query(
