@@ -262,3 +262,84 @@ def salted_join(
         (salted_fact[fact_key] == salted_dim[dim_key])
         & (salted_fact["_salt"] == salted_dim["_salt"]),
     ).drop("_salt")
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    bits_per_key: int = 10,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Semi join with a Bloom pre-filter: fact rows are screened against a
+    compact bit array of the key set BEFORE any join, then exactly
+    verified with a broadcast semi join over the (tiny) survivor set.
+
+    The extreme-scale shape SCALE.md's join audit calls for: when the key
+    set is too large to broadcast raw but its Bloom bits are not
+    (``bits_per_key``·|keys| bits ≈ 1.25 bytes/key at 10 bits — a 1B-key
+    set is ~1.2 GB raw ids but ~150 MB of bits), the fact scan drops
+    non-matching rows map-side and only candidates reach the join. With
+    10 bits/key and 5 hashes the false-positive rate is ~1%, so the
+    verify join sees ~1.01× the true matches — never the full fact table.
+
+    Build: one aggregation of the key set into a dense long[] (bit_or per
+    64-bit word, dense via a words×1 frame join — the array is collected
+    once driver-side exactly like a sketch, m/64 longs). Probe: pure JVM
+    expressions (xxhash64 with per-hash seeds, element_at + bitwiseAND),
+    no Python, no shuffle of the fact side until after the filter.
+
+    Exactness: the Bloom filter admits false positives only, and the
+    verify join removes them — the result EQUALS the plain semi join
+    (pinned in tests and by the oracle of the registry query).
+    """
+    n_keys = keys.select(keys_key).distinct().count()
+    m_bits = max(64, n_keys * bits_per_key)
+    m_words = (m_bits + 63) // 64
+    kd = keys.select(F.col(keys_key).alias("_k")).distinct()
+    positions = kd.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("_k"), F.lit(i)), F.lit(m_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("bit")
+    )
+    words = (
+        positions.select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            # F.shiftleft only takes a literal count — expr form for a
+            # column-valued shift
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    dense = [0] * m_words
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    spark = fact.sparkSession
+    bloom = spark.createDataFrame([(dense,)], "bloom array<long>")
+
+    member = None
+    for i in range(num_hashes):
+        h = F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(m_bits))
+        word = F.element_at(F.col("bloom"), (h / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({fact_key}, {i}),"
+            f" {m_bits}) % 64 AS INT))"
+        )
+        hit = word.bitwiseAND(mask) != 0
+        member = hit if member is None else (member & hit)
+    candidates = (
+        fact.crossJoin(F.broadcast(bloom)).filter(member).drop("bloom")
+    )
+    return candidates.join(
+        F.broadcast(kd.withColumnRenamed("_k", fact_key)), fact_key, "left_semi"
+    )

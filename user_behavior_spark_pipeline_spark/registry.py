@@ -3118,6 +3118,38 @@ def x_anomaly_spikes(spark, sf_dir):
     )
 
 
+@query(
+    "x_join_bloom_semi",
+    oracle=(
+        "SELECT l_orderkey, l_partkey, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')"
+    ),
+)
+def x_join_bloom_semi(spark, sf_dir):
+    """Bloom-prefiltered semi join: lineitems of in-progress orders. The
+    fact scan drops non-candidates against a broadcast bit array BEFORE
+    any join; the exact verify sees ~1.01× the true matches. Output equals
+    the plain semi join (the bloom admits false positives only), which is
+    exactly what the oracle checks."""
+    from pyspark.sql import functions as F
+
+    from .operators.joins import bloom_semi_join
+
+    lineitem = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    open_orders = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey")
+    )
+    return bloom_semi_join(lineitem, open_orders, "l_orderkey", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation for driver coverage (VERDICT r1 #3).
 #
