@@ -76,11 +76,29 @@ def _type_class(series: pd.Series) -> str:
     return type(v).__name__
 
 
+# Value-type classes the driver's pandas canonicalizer can sort and hash.
+# Anything else (list/ndarray/dict from array- or struct-typed columns) makes
+# the DRIVER raise "unhashable type" before comparing — r02's only failure
+# (x_multimodal_decode_q). Enforced here so local tests catch it first.
+_DRIVER_HASHABLE = {
+    "int", "float", "bool", "str", "datetime", "date", "decimal", "empty",
+    "bytes",
+}
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    for side, pdf in (("spark", spark_pdf), ("oracle", oracle_pdf)):
+        for col in pdf.columns:
+            tc = _type_class(pdf[col])
+            assert tc in _DRIVER_HASHABLE, (
+                f"{name}.{col} ({side}): cell type {tc!r} is not "
+                "driver-hashable — the driver's canonicalizer fails on "
+                "non-scalar cells; explode or stringify the column"
+            )
     for col in spark_pdf.columns:
         sc, oc = _type_class(spark_pdf[col]), _type_class(oracle_pdf[col])
         assert sc == oc or "empty" in (sc, oc), (

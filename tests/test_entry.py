@@ -31,8 +31,11 @@ def test_contract_shapes():
 
 def test_rotation_spends_check_slots_on_unverified_queries():
     """The driver hash-checks only the first 50 queries() entries: the
-    rotation must order never-checked (oracle-backed first) -> checked-not-
-    green -> green, derived from the CORRECTNESS_r*.json history files."""
+    rotation must order oracle-backed never-checked -> checked-not-green ->
+    rows-only never-checked -> green, derived from the CORRECTNESS_r*.json
+    history files. Rows-only entries can never turn hash-green, so their
+    first (weak) look must not displace a fixable hash-pending query from
+    the 50-slot window."""
     import glob
     import json
     import os
@@ -49,10 +52,21 @@ def test_rotation_spends_check_slots_on_unverified_queries():
                 else:
                     status.setdefault(name, "checked")
     keys = list(QUERIES)
-    rank = {"never": 0, "checked": 1, "green": 2}
-    classes = [rank[status.get(k, "never")] for k in keys]
-    assert classes == sorted(classes), "history classes out of order"
-    # oracle-backed never-checked precede rows-only never-checked
-    never = [k for k in keys if k not in status]
-    oracle_flags = [k not in ORACLES for k in never]
-    assert oracle_flags == sorted(oracle_flags), "rows-only before oracle-backed"
+
+    def rank(k):
+        s = status.get(k, "never")
+        if s == "never":
+            return 0 if k in ORACLES else 2
+        return 1 if s == "checked" else 3
+
+    ranks = [rank(k) for k in keys]
+    assert ranks == sorted(ranks), "rotation classes out of order"
+    # every oracle-backed non-green query fits in the driver's 50-slot
+    # check window (rows-only entries may overflow — their check is weak
+    # anyway and they queue for the next round)
+    hash_pending_outside = [
+        k for k in keys[50:] if status.get(k) != "green" and k in ORACLES
+    ]
+    assert not hash_pending_outside, (
+        f"hash-pending queries outside the check window: {hash_pending_outside}"
+    )

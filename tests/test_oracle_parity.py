@@ -29,6 +29,26 @@ def test_oracle_parity(spark, sf_dir, oracle_con, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_query_schema_is_driver_hashable(spark, sf_dir, name):
+    """No array/map/struct columns in any driver-checked output: the
+    driver's pandas canonicalizer sorts raw cell values and raises
+    'unhashable type' on non-scalars (r02's x_multimodal_decode_q
+    failure). Schema-level pin — analysis only, no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: driver-checked output has non-scalar columns {bad}; "
+        "explode or stringify them (and mirror in the oracle SQL)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
