@@ -353,12 +353,24 @@ def embedding_near_dup_lsh(
     )
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token hashes (sign-sum per bit)."""
+def _portable_token_hash(col):
+    """60-bit engine-portable token hash: the first 15 hex chars of md5,
+    parsed base-16. Spark: conv(substr(md5 …)); DuckDB: ('0x' || substr(
+    md5 …))::BIGINT — verified identical, so an oracle can recompute every
+    SimHash signature bit (xxhash64 has no cross-engine twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(documents: DataFrame, portable: bool = False) -> DataFrame:
+    """64-bit SimHash per document from token hashes (sign-sum per bit).
+
+    ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash (bits
+    60-63 then always vote -1 → zero in the signature — harmless, both
+    engines agree) so the signature is reproducible outside Spark."""
     tok = _spread(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
     )
-    h = F.xxhash64("token")
+    h = _portable_token_hash(F.col("token")) if portable else F.xxhash64("token")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -376,7 +388,9 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     return per_bit.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 4, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded with GUARANTEED
     candidate recall: the 64-bit signature is split into ``max_hamming + 1``
     bands, so two signatures within ``max_hamming`` differing bits must
@@ -393,7 +407,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 4) -> DataFrame:
     # (same rationale as minhash_lsh_pairs: the sides' stages run
     # concurrently, so a lazy persist would compute the signature pass
     # twice)
-    sig = simhash_signatures(documents)
+    sig = simhash_signatures(documents, portable=portable)
     bands = sig.select(
         "doc_id",
         "simhash",

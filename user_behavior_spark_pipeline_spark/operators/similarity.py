@@ -499,3 +499,39 @@ def pq_topk(
         _score, "query_id long, neighbor_id long, cosine double"
     )
     return _rank_topk(scored, k)
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 256,
+    m: int = 16,
+    n_codes: int = 64,
+) -> DataFrame:
+    """Two-stage PQ retrieval — the standard production refinement: PQ/ADC
+    scores the compressed corpus and keeps a top-``shortlist`` per query,
+    then ONLY those rows are re-scored with true vectors and re-ranked to
+    top-k. Exact-vector work is O(num_queries · shortlist), independent of
+    corpus size; the corpus-wide pass stays on the m-byte codes.
+
+    With ``shortlist`` wide relative to k (256 ≫ 5; worst observed true-
+    neighbor ADC rank is 77 at the largest test scale), the reranked
+    result equals exact brute-force top-k — pinned deterministically by
+    the seeded codebooks, so the DuckDB exact-cosine oracle hash-verifies
+    the whole PQ encode→ADC-score→shortlist→rerank pipeline (the same
+    driver-checkable-identity trick as LSH probe-to-exhaustion and IVF
+    nprobe=all)."""
+    short = pq_topk(
+        embeddings, num_queries=num_queries, k=shortlist, m=m, n_codes=n_codes
+    ).select("query_id", "neighbor_id")
+    qs = embeddings.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
+    )
+    rescored = with_cosine(
+        short.join(F.broadcast(qs), "query_id").join(truth, "neighbor_id")
+    )
+    return _rank_topk(rescored, k)

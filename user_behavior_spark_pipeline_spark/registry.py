@@ -1035,6 +1035,47 @@ def x_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(_table(spark, sf_dir, "documents"), max_hamming=4)
 
 
+@query(
+    "x_dedup_simhash_portable",
+    oracle=(
+        # recompute the FULL SimHash pipeline in SQL: md5-based 60-bit
+        # token hash (identical parse verified in both engines), per-bit
+        # sign-sum votes, signature assembly, all-pairs popcount. The
+        # banded Spark path must return exactly the all-pairs result —
+        # banding (max_hamming+1 bands, pigeonhole) affects cost, never
+        # results — so every signature bit and the band decomposition are
+        # hash-verified by the driver.
+        "WITH tok AS (SELECT doc_id, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token FROM documents), "
+        "th AS (SELECT doc_id, "
+        "('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok), "
+        "votes AS (SELECT doc_id, g.i, "
+        "SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+        "FROM th, (SELECT UNNEST(range(0, 64)) AS i) g GROUP BY 1, 2), "
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN "
+        "(1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM votes GROUP BY 1) "
+        "SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 4"
+    ),
+)
+def x_dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs with an engine-portable (md5-based) token
+    hash: DuckDB recomputes every signature bit and does the all-pairs
+    popcount, so the driver hash-verifies the whole banded pipeline —
+    signatures, band decomposition (recall is guaranteed by pigeonhole,
+    so banded == all-pairs), and the popcount filter. The xxhash64
+    production variant (x_dedup_simhash) keeps its rows-only check;
+    precision/recall vs exact Jaccard stay pinned in tests/test_dedup.py."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _table(spark, sf_dir, "documents"), max_hamming=4, portable=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: similarity search over embeddings (OP-X-SIM)
 # ---------------------------------------------------------------------------
@@ -1107,6 +1148,20 @@ def x_sim_lsh_exhaustive(spark, sf_dir):
 
     return lsh_bucketed_topk(
         _table(spark, sf_dir, "embeddings"), 10, 5, bits=8, probe_radius=8
+    )
+
+
+@query("x_sim_pq_exhaustive", oracle=_COSINE_TOPK_SQL)
+def x_sim_pq_exhaustive(spark, sf_dir):
+    """PQ shortlist (top-256 on ADC scores) + exact-vector rerank to top-5:
+    equals brute force, so the exact-cosine oracle hash-verifies the whole
+    PQ encode/score pipeline — the ANN ladder's last rung's driver-checkable
+    proof (approximate recall at production shortlist widths is pinned in
+    tests/test_similarity.py)."""
+    from .operators.similarity import pq_rerank_topk
+
+    return pq_rerank_topk(
+        _table(spark, sf_dir, "embeddings"), 10, 5, shortlist=256
     )
 
 
