@@ -235,3 +235,22 @@ def test_bloom_semi_join_equals_plain_semi_and_prefilters(spark, sf_dir):
     # (bloom_semi_join's internals: reuse via a huge-bits variant where
     # the verify is the identity is overkill — bound instead)
     assert n_true < n_fact * 0.5, "fixture should make the filter selective"
+
+
+def test_bloom_semi_join_mixed_key_widths(spark):
+    """xxhash64 is type-sensitive: int 5 and bigint 5 hash differently, so
+    without the common-type cast a mixed-width key pair would miss EVERY
+    probe (silent false negatives). Pin the cast with an int-keyed fact
+    against a bigint-keyed key set."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 1000).select(
+        F.col("id").cast("int").alias("k"), F.col("id").alias("payload")
+    )
+    keys = spark.range(0, 1000, 7).select(F.col("id").alias("kk"))  # bigint
+    got = sorted(r["k"] for r in bloom_semi_join(fact, keys, "k", "kk").collect())
+    assert got == list(range(0, 1000, 7))

@@ -34,6 +34,52 @@ NUM_HASHES = 64
 NUM_BANDS = 32  # 2 rows per band
 
 
+def _parse_byte_conf(value: str) -> int:
+    """Parse a Spark size conf ('128MB', '4m', '134217728b', '1048576')."""
+    v = value.strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if v.endswith(suffix):
+            v, mult = v[: -len(suffix)], m
+            break
+    return int(v) * mult
+
+
+def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
+    """Replicate Spark's FilePartition packing estimate: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalPaddedBytes/cores)),
+    partitions ≈ ceil(totalPaddedBytes / maxSplitBytes). Needs file sizes,
+    so only local file: URIs qualify — returns None otherwise."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    sizes = []
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(unquote(parsed.path)))
+        except OSError:
+            return None
+    if not sizes:
+        return 1
+    max_part = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    cores = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(cores, 1)))
+    return max(1, -(-total // max(max_split, 1)))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the core count iff the input is under-partitioned.
 
@@ -44,13 +90,23 @@ def _spread(df: DataFrame) -> DataFrame:
     and is skipped entirely when the scan is already parallel, i.e. at any
     real data scale.
 
-    Parallelism is probed via the file index (``inputFiles``), not
-    ``df.rdd.getNumPartitions()`` — the latter forces a Python-RDD
-    conversion plan per call. File count lower-bounds scan partitions
-    (large files split further), so the repartition is skipped whenever the
-    source is demonstrably already parallel."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if max(len(df.inputFiles()), 1) < target:
+    Parallelism is estimated by replicating the scan planner's file-packing
+    arithmetic over the file index (``inputFiles`` + sizes) — raw file
+    count is NOT a parallelism proxy in either direction (Spark packs many
+    small files into few partitions via maxPartitionBytes/openCostInBytes,
+    and splits large files into many). ``df.rdd.getNumPartitions()`` would
+    answer exactly but forces a Python-RDD conversion plan per call. When
+    sizes are unavailable (remote filesystems), the repartition is skipped
+    only when the file count comfortably exceeds the core count AND real
+    datasets there have non-trivial files — at actual scale the estimate
+    path is moot anyway."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    est = _estimated_scan_partitions(spark, files)
+    if est is None:
+        est = len(files) if len(files) >= 4 * target else 1
+    if est < target:
         return df.repartition(target)
     return df
 
@@ -625,13 +681,18 @@ def incremental_near_dup(
         .groupBy("new_id", "corp_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # new_sizes is delta-bounded — safe to broadcast at any corpus size.
+    # corpus_sizes is NOT (one row per corpus doc): join it plainly AFTER
+    # `shared`, so only the corp_ids that survived the shingle collision
+    # join shuffle — cost stays proportional to the delta's fan-out, never
+    # the standing corpus (AQE still broadcasts it in small-corpus runs).
     scored = (
         shared.join(
             F.broadcast(new_sizes.withColumnRenamed("doc_id", "new_id")),
             "new_id",
         )
         .join(
-            F.broadcast(corpus_sizes.withColumnRenamed("doc_id", "corp_id")),
+            corpus_sizes.withColumnRenamed("doc_id", "corp_id"),
             "corp_id",
         )
         .select(

@@ -13,13 +13,17 @@ nothing; one with millions of step-k events should be capped upstream
 (e.g. dedupe to per-(user, step, minute) firsts — same funnel answer for
 any horizon coarser than the bucket).
 
-Semantics (strict-order funnel, industry default): a user reaches step k
-iff there exist events e1 < e2 < ... < ek of the right types with
-e_k.ts - e_1.ts <= horizon. With min-timestamps this is computed
-greedily: t1 = min ts of step1; t_k = min ts of step_k strictly after
-t_{k-1}. Greedy-earliest is optimal for "reached within horizon from
-first entry": taking the earliest valid predecessor never hurts later
-steps.
+Semantics (strict-order funnel, FIRST-ENTRY anchored): the horizon is
+measured from the user's FIRST step-1 event — t1 = global min ts of
+step1, t_k = min ts of step_k strictly after t_{k-1} — and
+greedy-earliest is optimal for that anchor (taking the earliest valid
+predecessor never hurts later steps). This deliberately does NOT
+re-anchor: a user whose only within-horizon chain starts at a LATER
+step-1 event counts as not-converted, which is the common product
+analytics convention ("convert within H of first entering the funnel")
+and what the oracle mirrors. Existential semantics ("any chain anywhere
+within some horizon window") would require per-candidate-anchor
+re-evaluation — a different, strictly more expensive operator.
 """
 
 from __future__ import annotations

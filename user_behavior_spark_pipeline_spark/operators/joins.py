@@ -271,33 +271,65 @@ def bloom_semi_join(
     keys_key: str,
     bits_per_key: int = 10,
     num_hashes: int = 5,
+    max_bits: int = 1 << 26,
 ) -> DataFrame:
     """Semi join with a Bloom pre-filter: fact rows are screened against a
     compact bit array of the key set BEFORE any join, then exactly
-    verified with a broadcast semi join over the (tiny) survivor set.
+    verified with a semi join over the (much smaller) survivor set.
 
     The extreme-scale shape SCALE.md's join audit calls for: when the key
     set is too large to broadcast raw but its Bloom bits are not
     (``bits_per_key``·|keys| bits ≈ 1.25 bytes/key at 10 bits — a 1B-key
-    set is ~1.2 GB raw ids but ~150 MB of bits), the fact scan drops
+    set is ~8 GB raw ids but ~1.2 GB of bits), the fact scan drops
     non-matching rows map-side and only candidates reach the join. With
     10 bits/key and 5 hashes the false-positive rate is ~1%, so the
     verify join sees ~1.01× the true matches — never the full fact table.
 
-    Build: one aggregation of the key set into a dense long[] (bit_or per
-    64-bit word, dense via a words×1 frame join — the array is collected
-    once driver-side exactly like a sketch, m/64 longs). Probe: pure JVM
-    expressions (xxhash64 with per-hash seeds, element_at + bitwiseAND),
-    no Python, no shuffle of the fact side until after the filter.
+    Build: the bit positions are computed and OR-combined into 64-bit
+    words DISTRIBUTED (explode + one hash aggregation over the key set);
+    only the finished word array — capped at ``max_bits`` (default 2^26
+    bits = 8 MB, the same ceiling Spark's own InjectRuntimeFilter defaults
+    to) — lands on the driver, which is exactly how Spark's native runtime
+    bloom filter delivers its sketch (a scalar subquery's result is
+    collected to the driver before being inlined). If the key set
+    outgrows the cap the false-positive rate degrades gracefully and the
+    verify join still guarantees exactness. The dense array reaches the
+    probe as a one-row local relation through a SCALAR SUBQUERY
+    (``df.scalar()``): evaluated once, shared by every action over the
+    result — a cross join would instead memcpy the whole bit array onto
+    every fact row. Probe: pure JVM expressions (xxhash64 with per-hash
+    seeds, element_at + bitwiseAND), no Python, no shuffle of the fact
+    side until after the filter.
+
+    Both key columns are cast to a common type before hashing: xxhash64 is
+    type-sensitive (int 5 and bigint 5 hash differently), so mixed-width
+    keys would otherwise miss every probe — a silent false-NEGATIVE,
+    violating the false-positives-only contract. Integral pairs unify to
+    bigint; anything else unifies through string.
+
+    The verify step is a plain left-semi join with no broadcast hint: AQE
+    broadcasts it when the key set is small and shuffles otherwise — the
+    bloom stage's job is shrinking the fact side ~100× before that
+    shuffle, not avoiding it.
 
     Exactness: the Bloom filter admits false positives only, and the
     verify join removes them — the result EQUALS the plain semi join
     (pinned in tests and by the oracle of the registry query).
     """
-    n_keys = keys.select(keys_key).distinct().count()
-    m_bits = max(64, n_keys * bits_per_key)
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    common = (
+        "bigint"
+        if dict(fact.dtypes)[fact_key] in integral
+        and dict(keys.dtypes)[keys_key] in integral
+        else "string"
+    )
+    # kd feeds three plans (sizing count, bloom build, verify join); the
+    # distinct recomputes per plan — callers at scale keep the key set as
+    # a standing table (persist/bucketed), which this accepts unchanged
+    kd = keys.select(F.col(keys_key).cast(common).alias("_k")).distinct()
+    n_keys = kd.count()
+    m_bits = min(max(64, n_keys * bits_per_key), max_bits)
     m_words = (m_bits + 63) // 64
-    kd = keys.select(F.col(keys_key).alias("_k")).distinct()
     positions = kd.select(
         F.explode(
             F.array(
@@ -308,38 +340,36 @@ def bloom_semi_join(
             )
         ).alias("bit")
     )
-    words = (
-        positions.select(
-            (F.col("bit") / 64).cast("int").alias("w"),
-            # F.shiftleft only takes a literal count — expr form for a
-            # column-valued shift
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
-            ).alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("m").alias("bits"))
-        .collect()
-    )
+    words = positions.select(
+        (F.col("bit") / 64).cast("int").alias("w"),
+        # F.shiftleft only takes a literal count — call_function passes a
+        # column-valued shift
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.pmod(F.col("bit"), F.lit(64)).cast("int"),
+        ).alias("m"),
+    ).groupBy("w").agg(F.bit_or("m").alias("bits"))
     dense = [0] * m_words
-    for r in words:
+    for r in words.collect():  # <= m_bits/8 bytes = 8 MB at the cap
         dense[r["w"]] = r["bits"]
     spark = fact.sparkSession
     bloom = spark.createDataFrame([(dense,)], "bloom array<long>")
 
+    bloom_arr = bloom.scalar()
+    fk = F.col(fact_key).cast(common)
     member = None
     for i in range(num_hashes):
-        h = F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(m_bits))
-        word = F.element_at(F.col("bloom"), (h / 64).cast("int") + 1)
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64({fact_key}, {i}),"
-            f" {m_bits}) % 64 AS INT))"
+        h = F.pmod(F.xxhash64(fk, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bloom_arr, (h / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.pmod(h, F.lit(64)).cast("int"),
         )
         hit = word.bitwiseAND(mask) != 0
         member = hit if member is None else (member & hit)
-    candidates = (
-        fact.crossJoin(F.broadcast(bloom)).filter(member).drop("bloom")
-    )
+    candidates = fact.filter(member)
     return candidates.join(
-        F.broadcast(kd.withColumnRenamed("_k", fact_key)), fact_key, "left_semi"
+        kd, candidates[fact_key].cast(common) == kd["_k"], "left_semi"
     )
