@@ -3298,3 +3298,35 @@ def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
     _stage_format(spark, sf_dir, "json")
     _stage_bucketed(spark, sf_dir)
     _stage_catalog_table(spark, sf_dir)
+    _warm_streaming(spark, sf_dir)
+
+
+def _warm_streaming(spark: SparkSession, sf_dir: str) -> None:
+    """One-time streaming-machinery warm-up: the FIRST streaming query in a
+    session pays ~5-6 s of state-store provider init + stateful-aggregation
+    codegen that every later stream query reuses (measured: the first
+    x_stream_* run 7.5 s, the second 1.5 s on an idle box). Run a minimal
+    availableNow stateful stream over one staged file so that session-wide
+    cost lands in fixture prep, not on whichever alphabetically-first
+    streaming query the timed loop hits."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import file_stream_source
+
+    src = _stage_stream_source(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ubsp_warm_ckpt_")
+    stream = file_stream_source(spark, src)
+    (
+        stream.withColumn("ts_ltz", F.col("timestamp").cast("timestamp"))
+        .withWatermark("ts_ltz", "1 day")
+        .groupBy(F.window("ts_ltz", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
