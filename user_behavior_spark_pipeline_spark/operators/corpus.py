@@ -78,7 +78,10 @@ def contamination_report(
     ev = _shingled(eval_docs, "eval_doc_id")
     tr = _shingled(train, "train_doc_id")
     sizes = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = tr.join(F.broadcast(ev), "shingle")
+    # hits feeds BOTH rollups below; pin it so the train-side shingle
+    # pipeline + membership join run once (hits is small by construction:
+    # only train shingles colliding with the eval set survive)
+    hits = tr.join(F.broadcast(ev), "shingle").localCheckpoint()
     per_pair = hits.groupBy("eval_doc_id", "train_doc_id").agg(
         F.count(F.lit(1)).alias("shared")
     )
@@ -255,6 +258,10 @@ def boilerplate_ngram_stats(
         "source",
         F.split(F.col("text"), "\\s+").alias("_toks"),
     )
+    # grams feeds BOTH the doc-frequency agg and the per-doc join — pin it
+    # so the tokenize/explode/distinct pass runs once (same rationale as
+    # the minhash/simhash band tables; without it both join sides recompute
+    # the whole exploded-shingle shuffle)
     grams = (
         tokenized.select(
             "doc_id",
@@ -263,6 +270,7 @@ def boilerplate_ngram_stats(
         )
         .select("doc_id", "source", F.xxhash64("gram").alias("g"))
         .distinct()
+        .localCheckpoint()
     )
     freq = grams.groupBy("source", "g").agg(
         F.count(F.lit(1)).alias("doc_freq")

@@ -23,7 +23,7 @@ stops scaling around ~10M×64d.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import ngram_jaccard_pairs
@@ -51,15 +51,20 @@ def curate_corpus(
     )
     quality_docs = documents.join(q.select("doc_id"), "doc_id", "left_semi")
 
-    exact_reps = quality_docs.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # exact dedup as ONE window pass (keep min doc_id per distinct text)
+    # instead of groupBy-min + semi-join back — the join form computed the
+    # quality-filtered corpus twice (once per join side); the window
+    # shuffles it once on text and filters in place
+    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
     # survivors feeds three downstream branches (the shingle pipeline, the
     # pair-verify joins, and the final anti-join) — materialize the
     # quality+exact-dedup prefix once instead of once per branch
-    survivors = quality_docs.join(
-        exact_reps.select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint()
+    survivors = (
+        quality_docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
 
     near_dup_losers = (
         ngram_jaccard_pairs(survivors, n=3, threshold=near_dup_threshold)

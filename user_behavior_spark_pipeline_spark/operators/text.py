@@ -129,10 +129,18 @@ def distinctive_tokens(
     tok = documents.select(
         "lang", F.explode(tokens_col()).alias("token")
     )
-    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf_lang"))
-    lang_tot = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    # ONE tokenization pass: every other statistic folds from the
+    # vocabulary-sized tf table (pinned so the explode isn't recomputed
+    # per consumer — before this, lang totals and the corpus total each
+    # re-exploded the whole corpus: 3 tokenization passes instead of 1)
+    tf = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf_lang"))
+        .localCheckpoint()
+    )
+    lang_tot = tf.groupBy("lang").agg(F.sum("tf_lang").alias("lang_total"))
     corpus_tf = tf.groupBy("token").agg(F.sum("tf_lang").alias("tf_corpus"))
-    corpus_total = tok.agg(F.count(F.lit(1)).alias("corpus_total"))
+    corpus_total = tf.agg(F.sum("tf_lang").alias("corpus_total"))
     scored = (
         tf.join(F.broadcast(lang_tot), "lang")
         .join(corpus_tf, "token")
@@ -183,16 +191,18 @@ def oov_stats(documents: DataFrame, vocab_size: int = 500) -> DataFrame:
     "is this document from the training distribution".
 
     The vocab is a top-K aggregate (tiny) broadcast into the membership
-    join; per-doc stats are one explode + hash-agg. OOV emitted ×1000 as a
-    scaled integer."""
-    from pyspark.sql import Window
-
+    join; per-doc stats are one explode + hash-agg. Two corpus passes by
+    design (vocab, then tag) — the TF-IDF shape; materializing the exploded
+    token stream to skip the second pass would cost more than re-exploding.
+    OOV emitted ×1000 as a scaled integer."""
     tok = documents.select("doc_id", F.explode(tokens_col()).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    # orderBy+limit compiles to TakeOrderedAndProject (map-side partial
+    # top-K) — a global row_number window here would sort the whole
+    # vocabulary in ONE task
     vocab = (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= vocab_size)
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
         .select("token", F.lit(1).alias("_in_vocab"))
     )
     flagged = tok.join(F.broadcast(vocab), "token", "left_outer")
