@@ -253,3 +253,69 @@ def test_incremental_is_idempotent_decision(spark):
     r1 = sorted(map(tuple, incremental_near_dup(new, corpus).collect()))
     r2 = sorted(map(tuple, incremental_near_dup(new, corpus).collect()))
     assert r1 == r2
+
+
+def test_parse_byte_conf_units():
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        _parse_byte_conf,
+    )
+
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("4m") == 4 << 20
+    assert _parse_byte_conf("1048576") == 1 << 20
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("134217728b") == 128 << 20
+    assert _parse_byte_conf(" 64KB ") == 64 << 10
+
+
+def test_estimated_scan_partitions_tracks_planner(spark, tmp_path):
+    """The estimate must track Spark's ACTUAL scan-partition count (it
+    replicates the planner's file-packing arithmetic) — raw file count is
+    a misjudgment in both directions (packing merges tiny files, splitting
+    divides big ones). Checked on a many-tiny-files layout, the case the
+    old file-count heuristic got wrong."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        _estimated_scan_partitions,
+    )
+
+    out = str(tmp_path / "tiny")
+    spark.range(0, 640).repartition(64).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out)
+    files = df.inputFiles()
+    assert len(files) >= 32
+    est = _estimated_scan_partitions(spark, files)
+    actual = df.rdd.getNumPartitions()
+    assert est is not None
+    # within 2x of the planner in either direction — close enough for the
+    # repartition-or-not decision, impossible for a raw file count to hit
+    # on both this layout and a few-big-files layout
+    assert actual / 2 <= est <= max(2 * actual, actual + 2), (est, actual)
+
+
+def test_portable_token_hash_matches_duckdb(spark):
+    """The md5-based portable hash must parse identically in Spark (conv)
+    and DuckDB ('0x'||…::BIGINT) — the cross-engine contract behind
+    x_dedup_simhash_portable. Property-checked over awkward strings."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        _portable_token_hash,
+    )
+
+    tokens = [
+        "", "a", "hello", "ZZZ", "0", "sword_event", "naïve", "日本語",
+        "with space", "tab\tchar", "ünïcödé", "x" * 500, "'quote'", '"dq"',
+    ]
+    df = spark.createDataFrame([(t,) for t in tokens], "t string")
+    got = {
+        r["t"]: r["h"]
+        for r in df.select("t", _portable_token_hash(F.col("t")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for t in tokens:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()
+        assert got[t] == want, f"hash divergence for {t!r}"

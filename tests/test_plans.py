@@ -254,3 +254,22 @@ def test_bloom_semi_join_mixed_key_widths(spark):
     keys = spark.range(0, 1000, 7).select(F.col("id").alias("kk"))  # bigint
     got = sorted(r["k"] for r in bloom_semi_join(fact, keys, "k", "kk").collect())
     assert got == list(range(0, 1000, 7))
+
+
+def test_bloom_semi_join_exact_under_saturated_filter(spark):
+    """Force the bit array to saturate (max_bits=64 for 500 keys → FP rate
+    near 1): the verify join must still restore the exact semi-join result —
+    the graceful-degradation contract of the size cap."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 3000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 3000, 6).select(F.col("id").alias("kk"))
+    got = sorted(
+        r["k"]
+        for r in bloom_semi_join(fact, keys, "k", "kk", max_bits=64).collect()
+    )
+    assert got == list(range(0, 3000, 6))

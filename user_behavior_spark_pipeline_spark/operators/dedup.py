@@ -74,9 +74,19 @@ def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
     open_cost = _parse_byte_conf(
         spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
     )
-    cores = spark.sparkContext.defaultParallelism
+    # the planner's bytesPerCore denominator: files.minPartitionNum if set,
+    # else leafNodeDefaultParallelism, else defaultParallelism
+    min_parts = int(
+        spark.conf.get(
+            "spark.sql.files.minPartitionNum",
+            spark.conf.get(
+                "spark.sql.leafNodeDefaultParallelism",
+                str(spark.sparkContext.defaultParallelism),
+            ),
+        )
+    )
     total = sum(s + open_cost for s in sizes)
-    max_split = min(max_part, max(open_cost, total // max(cores, 1)))
+    max_split = min(max_part, max(open_cost, total // max(min_parts, 1)))
     return max(1, -(-total // max(max_split, 1)))
 
 
