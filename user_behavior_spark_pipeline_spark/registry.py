@@ -3348,6 +3348,18 @@ def _warm_codegen(spark: SparkSession, sf_dir: str) -> None:
             # warm-up is best-effort; the real run simply pays its own
             # compile if a plan could not be warmed
             pass
+    try:
+        # Python DataSource machinery (registration + per-partition Python
+        # workers) — a 100-row read warms the workers; the timed queries
+        # still generate their full row counts themselves
+        from .sources.eventgen import register
+
+        register(spark)
+        spark.read.format("eventgen").option("rows", "100").load().write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
 
 
 def _warm_streaming(spark: SparkSession, sf_dir: str) -> None:
