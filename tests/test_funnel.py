@@ -128,3 +128,23 @@ def test_funnel_reach_plan_has_single_exchange(spark, sf_dir):
     assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
     # and the step filter reaches the scan
     assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_retention_plan_exchange_budget(spark, sf_dir):
+    """Pin retention_matrix's physical shuffle budget: the per-user first
+    aggregation + the distinct-count's partial/final pair = 3 hash
+    exchanges, no more (a regression to a per-row or re-shuffled shape
+    shows up here first)."""
+    from user_behavior_spark_pipeline_spark.operators.funnel import (
+        retention_matrix,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = (
+        retention_matrix(load_table(spark, sf_dir, "events"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} hash exchanges:\n{plan[:2000]}"

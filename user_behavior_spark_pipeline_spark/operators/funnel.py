@@ -153,11 +153,14 @@ def retention_matrix(
     were active — the classic retention triangle, the funnel's companion
     user-behavior report.
 
-    Two shuffles: the per-user first-event aggregation, then the
-    (cohort, offset) distinct-count; the cohort join is on user_id, which
-    AQE skew-splits if one cohort dominates. Offsets are wall-clock day
-    arithmetic (NTZ-safe date_trunc + datediff), so results are identical
-    in any session timezone.
+    Shuffle profile (plan-pinned in tests): the per-user first-event
+    aggregation, then the (cohort, offset) distinct-count — whose
+    partial/final split is a second physical exchange — for three hash
+    exchanges total; the cohort join is on user_id (broadcast while the
+    per-user firsts are small, shuffle at scale, AQE skew-split if one
+    cohort dominates). Offsets are wall-clock day arithmetic (NTZ-safe
+    date_trunc + datediff), so results are identical in any session
+    timezone.
 
     Columns: cohort_day (first period start, yyyy-MM-dd), periods_later
     (0 = the cohort period itself), n_active.
