@@ -273,3 +273,24 @@ def test_bloom_semi_join_exact_under_saturated_filter(spark):
         for r in bloom_semi_join(fact, keys, "k", "kk", max_bits=64).collect()
     )
     assert got == list(range(0, 3000, 6))
+
+
+def test_bloom_semi_join_string_keys(spark):
+    """Non-integral keys unify through string before hashing — pin the
+    string path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    keys = spark.range(0, 500, 5).select(
+        F.concat(F.lit("u"), F.col("id")).alias("kk")
+    )
+    got = sorted(
+        r["k"] for r in bloom_semi_join(fact, keys, "k", "kk").collect()
+    )
+    assert got == sorted(f"u{i}" for i in range(0, 500, 5))
