@@ -24,29 +24,27 @@ def test_every_oracle_has_a_query():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, oracle_con, name):
-    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
-    oracle_pdf = oracle_con.execute(ORACLES[name]).df()
-    assert_frames_match(spark_pdf, oracle_pdf, name)
-
-
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_query_schema_is_driver_hashable(spark, sf_dir, name):
-    """No array/map/struct columns in any driver-checked output: the
-    driver's pandas canonicalizer sorts raw cell values and raises
-    'unhashable type' on non-scalars (r02's x_multimodal_decode_q
-    failure). Schema-level pin — analysis only, no execution."""
+    df = QUERIES[name](spark, sf_dir)
+    # schema-level driver-hashability pin, checked on the SAME DataFrame
+    # the parity compare uses (building a query can be expensive —
+    # streaming runs, staged fixtures — so don't construct it twice): no
+    # array/map/struct columns in any driver-checked output; the driver's
+    # pandas canonicalizer raises 'unhashable type' on non-scalar cells
+    # (r02's x_multimodal_decode_q failure).
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    schema = QUERIES[name](spark, sf_dir).schema
     bad = [
         f.name
-        for f in schema.fields
+        for f in df.schema.fields
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert not bad, (
         f"{name}: driver-checked output has non-scalar columns {bad}; "
         "explode or stringify them (and mirror in the oracle SQL)"
     )
+    spark_pdf = df.toPandas()
+    oracle_pdf = oracle_con.execute(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

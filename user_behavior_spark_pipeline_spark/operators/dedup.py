@@ -40,7 +40,9 @@ def _parse_byte_conf(value: str) -> int:
     mult = 1
     for suffix, m in (
         ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("pb", 1 << 50),
         ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("p", 1 << 50),
         ("b", 1),
     ):
         if v.endswith(suffix):
@@ -106,16 +108,21 @@ def _spread(df: DataFrame) -> DataFrame:
     small files into few partitions via maxPartitionBytes/openCostInBytes,
     and splits large files into many). ``df.rdd.getNumPartitions()`` would
     answer exactly but forces a Python-RDD conversion plan per call. When
-    sizes are unavailable (remote filesystems), the repartition is skipped
-    only when the file count comfortably exceeds the core count AND real
-    datasets there have non-trivial files — at actual scale the estimate
-    path is moot anyway."""
+    sizes are unavailable (remote filesystems) the file count falls back
+    as a coarse proxy, erring toward NOT repartitioning — a wrong forced
+    shuffle of a large remote dataset costs far more than a missed
+    repartition of a small one."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    est = _estimated_scan_partitions(spark, files)
+    try:
+        est = _estimated_scan_partitions(spark, files)
+    except Exception:
+        # unparseable conf value etc. — never fail the query over a
+        # parallelism heuristic
+        est = None
     if est is None:
-        est = len(files) if len(files) >= 4 * target else 1
+        est = len(files)
     if est < target:
         return df.repartition(target)
     return df

@@ -279,11 +279,16 @@ def bloom_semi_join(
 
     The extreme-scale shape SCALE.md's join audit calls for: when the key
     set is too large to broadcast raw but its Bloom bits are not
-    (``bits_per_key``·|keys| bits ≈ 1.25 bytes/key at 10 bits — a 1B-key
-    set is ~8 GB raw ids but ~1.2 GB of bits), the fact scan drops
-    non-matching rows map-side and only candidates reach the join. With
-    10 bits/key and 5 hashes the false-positive rate is ~1%, so the
-    verify join sees ~1.01× the true matches — never the full fact table.
+    (``bits_per_key``·|keys| bits ≈ 1.25 bytes/key at 10 bits), the fact
+    scan drops non-matching rows map-side and only candidates reach the
+    join. With 10 bits/key and 5 hashes the false-positive rate is ~1%,
+    so the verify join sees ~1.01× the true matches — never the full fact
+    table. The DEFAULT ``max_bits`` (2^26 = 8 MB) keeps that promise up
+    to ~6.7M keys — the envelope Spark's own runtime filter targets;
+    beyond it the FP rate rises toward 1 and the operator degrades to a
+    plain semi join plus probe overhead, so callers with larger key sets
+    must raise ``max_bits`` (a 1B-key set needs ~1.2 GB of bits — still
+    8× smaller than the raw ids, but sized deliberately, not silently).
 
     Build: the bit positions are computed and OR-combined into 64-bit
     words DISTRIBUTED (explode + one hash aggregation over the key set);

@@ -3298,7 +3298,12 @@ def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
     _stage_format(spark, sf_dir, "json")
     _stage_bucketed(spark, sf_dir)
     _stage_catalog_table(spark, sf_dir)
-    _warm_streaming(spark, sf_dir)
+    # warm-ups are optimizations, never prerequisites: a failure must not
+    # abort the prepare pass (the real queries just pay their own first-hit)
+    try:
+        _warm_streaming(spark, sf_dir)
+    except Exception:
+        pass
     _warm_codegen(spark, sf_dir)
 
 
