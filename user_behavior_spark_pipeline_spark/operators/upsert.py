@@ -82,6 +82,10 @@ def upsert_stream(
             .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
         )
         if os.path.exists(current):
+            # current/ is a REUSED path whose contents change every batch
+            # via the rename swap; drop any session-cached file listing for
+            # it so the read can't see a retired snapshot's part files
+            spark.catalog.refreshByPath(current)
             prev = spark.read.parquet(current)
             merged = (
                 prev.unionByName(batch_latest)

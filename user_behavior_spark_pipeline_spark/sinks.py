@@ -17,6 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# name -> last staged location, so re-staging can retire the previous
+# directory after its replacement is live (see write_bucketed_table)
+_BUCKETED_LOCATIONS: dict[str, str] = {}
+
 
 def write_partitioned(
     df: DataFrame,
@@ -45,17 +49,25 @@ def write_bucketed_table(
     ``spark.sql.warehouse.dir`` — an externally-built session (the
     correctness driver's) defaults that conf to ./spark-warehouse in its
     CWD, and the conf is static, so an explicit path is the only reliable
-    way to keep bucketed staging out of the working tree."""
+    way to keep bucketed staging out of the working tree.
+
+    Each staging writes to a FRESH unique directory (immutable-layout
+    pattern) instead of rewriting a fixed path: Spark's session-shared
+    file-status cache is keyed by path, so delete-then-rewrite at the same
+    location can serve a stale part-file listing to the next scan
+    (observed as FileNotFoundException on a deleted part file when a
+    query re-stages after a catalog drop). The previous location is
+    removed only AFTER the replacement table exists."""
     import os
     import shutil
     import tempfile
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # the in-memory catalog forgets tables between sessions but their
-    # locations survive on disk; a stale location fails saveAsTable with
-    # LOCATION_ALREADY_EXISTS, so clear it after the (no-op) drop
-    loc = os.path.join(tempfile.gettempdir(), "ubsp-bucketed", name.lower())
-    shutil.rmtree(loc, ignore_errors=True)
+    base = os.path.join(tempfile.gettempdir(), "ubsp-bucketed")
+    os.makedirs(base, exist_ok=True)
+    # mkdtemp yields an empty dir, which saveAsTable accepts (only a
+    # non-empty stale location fails with LOCATION_ALREADY_EXISTS)
+    loc = tempfile.mkdtemp(prefix=f"{name.lower()}-", dir=base)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
@@ -63,6 +75,10 @@ def write_bucketed_table(
         .option("path", loc)
         .saveAsTable(name)
     )
+    old = _BUCKETED_LOCATIONS.get(name)
+    if old and old != loc:
+        shutil.rmtree(old, ignore_errors=True)
+    _BUCKETED_LOCATIONS[name] = loc
 
 
 def compact_parquet_dir(
