@@ -190,6 +190,23 @@ def test_cap_per_source_keeps_longest_deterministically(spark):
     assert all(r["source_rank"] <= 2 for r in got)
 
 
+def test_cap_per_source_salted_pre_rank_identical(spark, sf_dir):
+    """The skew path (per-(source, salt) top-cap before the global per-
+    source window) must return exactly the single-window result — the
+    pre-rank only drops rows that provably cannot rank <= cap globally."""
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        cap_per_source,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = sorted(map(tuple, cap_per_source(docs, cap=3).collect()))
+    salted = sorted(
+        map(tuple, cap_per_source(docs, cap=3, pre_rank_salts=4).collect())
+    )
+    assert plain == salted and len(plain) > 0
+
+
 # ---------------------------------------------------------------------------
 # Property-based invariants (hypothesis): chunking and packing must conserve
 # tokens for ANY document shape, not just the hand-built cases above.

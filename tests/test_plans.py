@@ -294,3 +294,58 @@ def test_bloom_semi_join_string_keys(spark):
         r["k"] for r in bloom_semi_join(fact, keys, "k", "kk").collect()
     )
     assert got == sorted(f"u{i}" for i in range(0, 500, 5))
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan lint: no accidental cross products, nested-loop joins,
+# or row-at-a-time Python in ANY registered query's physical plan. Every
+# exception is whitelisted with its reason — adding a query that trips a
+# marker means either fixing the plan or consciously extending the table.
+# ---------------------------------------------------------------------------
+
+# query -> {marker: reason}; only the listed markers are tolerated there
+PLAN_LINT_WHITELIST = {
+    # non-equi join of the per-depth counts against the step table — both
+    # sides are <= len(steps) rows by construction (funnel.py docstring)
+    "x_funnel_counts": {"BroadcastNestedLoopJoin"},
+    # broadcast crossJoin of a bounded query/centroid set (num_queries /
+    # n_centroids rows) against the corpus — the documented map-side
+    # scoring shape of the ANN ladder (similarity.py module docstring)
+    "x_sim_bruteforce": {"BroadcastNestedLoopJoin"},
+    "x_sim_lsh": {"BroadcastNestedLoopJoin"},
+    "x_sim_lsh_exhaustive": {"BroadcastNestedLoopJoin"},
+    "x_sim_ivf": {"BroadcastNestedLoopJoin"},
+    "x_sim_ivf_exhaustive": {"BroadcastNestedLoopJoin"},
+    # broadcast crossJoin of the ONE-row corpus-total aggregate
+    "x_text_distinctive": {"BroadcastNestedLoopJoin"},
+    # the documented reference-parity Python UDF variant (ingest.py:97)
+    "ref_filter_udf_parity": {"BatchEvalPython"},
+    # UDTFs execute in Python by definition — the API-surface demo
+    "x_udtf_tokenize": {"BatchEvalPython"},
+}
+
+PLAN_LINT_MARKERS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+)
+
+
+def test_registry_plans_free_of_scale_antipatterns(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.registry import (
+        QUERIES,
+        prepare_staged,
+    )
+
+    prepare_staged(spark, sf_dir)
+    violations = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        hits = {
+            m
+            for m in PLAN_LINT_MARKERS
+            if m in plan and m not in PLAN_LINT_WHITELIST.get(name, set())
+        }
+        if hits:
+            violations[name] = sorted(hits)
+    assert not violations, f"plan anti-patterns: {violations}"

@@ -293,26 +293,47 @@ def boilerplate_ngram_stats(
     )
 
 
-def cap_per_source(documents: DataFrame, cap: int = 10) -> DataFrame:
+def cap_per_source(
+    documents: DataFrame, cap: int = 10, pre_rank_salts: int | None = None
+) -> DataFrame:
     """Per-source document cap (the anti-domination step of web-corpus
     mixing: no source may contribute more than ``cap`` docs): keep the
     ``cap`` longest docs per source, ties broken by doc_id — fully
     deterministic under any partitioning.
 
-    One shuffle (the per-source window); at 100 TB the rank runs per
-    source-partition in parallel and the filter drops rows before any
-    further stage sees them. For mixture WEIGHTS (proportional sampling
-    rather than hard caps) see sampling.stratified_sample.
+    One shuffle (the per-source window); the rank runs per source-partition
+    in parallel and the filter drops rows before any further stage sees
+    them. A WHALE source serializes its whole row set onto one task,
+    though — for 100 TB skew pass ``pre_rank_salts`` (e.g. 32): a first
+    window over (source, salt(doc_id)) keeps only each salt's top ``cap``
+    — a provable superset of the global top ``cap``, since dropping a row
+    ranked > cap within its own salt cannot promote it globally — so the
+    final per-source window sees at most cap·salts rows per source
+    instead of the source's full row count. Same output, bounded task
+    input. For mixture WEIGHTS (proportional sampling rather than hard
+    caps) see sampling.stratified_sample.
 
     Columns: doc_id, source, n_chars, source_rank.
     """
+    narrowed = documents.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    if pre_rank_salts and pre_rank_salts > 1:
+        pre_w = Window.partitionBy("source", "_salt").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        narrowed = (
+            narrowed.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(pre_rank_salts))
+            )
+            .withColumn("_pre", F.row_number().over(pre_w))
+            .filter(F.col("_pre") <= cap)
+            .drop("_salt", "_pre")
+        )
     w = Window.partitionBy("source").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
     return (
-        documents.select(
-            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
-        )
-        .withColumn("source_rank", F.row_number().over(w).cast("long"))
+        narrowed.withColumn("source_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("source_rank") <= cap)
     )

@@ -328,10 +328,15 @@ def bloom_semi_join(
         and dict(keys.dtypes)[keys_key] in integral
         else "string"
     )
-    # kd feeds three plans (sizing count, bloom build, verify join); the
-    # distinct recomputes per plan — callers at scale keep the key set as
-    # a standing table (persist/bucketed), which this accepts unchanged
-    kd = keys.select(F.col(keys_key).cast(common).alias("_k")).distinct()
+    # kd feeds three plans (sizing count, bloom build, verify join) —
+    # materialize the distinct ONCE instead of recomputing the key-set
+    # scan + distinct shuffle per plan; callers at scale with a standing
+    # key table (persist/bucketed) pay only the no-op checkpoint
+    kd = (
+        keys.select(F.col(keys_key).cast(common).alias("_k"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_keys = kd.count()
     m_bits = min(max(64, n_keys * bits_per_key), max_bits)
     m_words = (m_bits + 63) // 64

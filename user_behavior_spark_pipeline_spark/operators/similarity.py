@@ -531,7 +531,10 @@ def pq_rerank_topk(
     truth = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
     )
+    # broadcast the (num_queries · shortlist)-row side so the true-vector
+    # pass is a map-side hash join over one corpus scan — the corpus never
+    # shuffles, keeping the "independent of corpus size" claim physical
     rescored = with_cosine(
-        short.join(F.broadcast(qs), "query_id").join(truth, "neighbor_id")
+        truth.join(F.broadcast(short.join(F.broadcast(qs), "query_id")), "neighbor_id")
     )
     return _rank_topk(rescored, k)

@@ -87,6 +87,7 @@ def range_join_banded(
     lo_col: str,
     hi_col: str,
     band_width: float,
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join each fact row to the interval rows with ``lo <= value < hi``,
     as a banded equi-join.
@@ -95,7 +96,12 @@ def range_join_banded(
     ``band_width`` (pick it near the typical interval length: explode
     factor ≈ interval_len / width, residual false-positive rate ≈
     width / interval_len). Intervals may overlap — a fact row then matches
-    each containing interval, exactly like the theta-join would."""
+    each containing interval, exactly like the theta-join would.
+
+    ``broadcast_intervals=True`` (default) is right while the EXPLODED
+    interval table fits the broadcast budget; pass False for a large
+    interval side and the same banded equi-join shuffles both sides on
+    the band key instead — still an equi-join, never a nested loop."""
     banded_facts = facts.withColumn(
         "_band", F.floor(F.col(value_col) / band_width).cast("long")
     )
@@ -109,8 +115,10 @@ def range_join_banded(
     banded_ivals = intervals.withColumn(
         "_band", F.explode(F.sequence(lo_band, hi_band))
     )
+    if broadcast_intervals:
+        banded_ivals = F.broadcast(banded_ivals)
     return (
-        banded_facts.join(F.broadcast(banded_ivals), "_band")
+        banded_facts.join(banded_ivals, "_band")
         .filter(
             (F.col(value_col) >= F.col(lo_col))
             & (F.col(value_col) < F.col(hi_col))
