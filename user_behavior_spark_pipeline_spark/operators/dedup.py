@@ -209,9 +209,13 @@ def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataF
         )
     s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
+    # no broadcast hint on the size tables: they carry one row per CORPUS
+    # document, so a forced broadcast is unbounded at scale (the same
+    # shape fixed in incremental_near_dup) — AQE broadcasts them while
+    # they fit and shuffle-joins on doc_id when they don't
     return (
-        shared.join(F.broadcast(s1), "doc_id_1")
-        .join(F.broadcast(s2), "doc_id_2")
+        shared.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
         .select(
             "doc_id_1",
             "doc_id_2",
@@ -443,14 +447,26 @@ def simhash_signatures(documents: DataFrame, portable: bool = False) -> DataFram
     tok = _spread(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
     )
-    h = _portable_token_hash(F.col("token")) if portable else F.xxhash64("token")
+    # bind the token hash to a projected column BEFORE the 64 per-bit vote
+    # aggregates: each vote references the hash, and subexpression
+    # elimination does not reach into aggregate inputs — inlined, the (md5
+    # for the portable variant) hash would be recomputed per bit
+    hashed = tok.select(
+        "doc_id",
+        (
+            _portable_token_hash(F.col("token"))
+            if portable
+            else F.xxhash64("token")
+        ).alias("_h"),
+    )
+    h = F.col("_h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(64)
     ]
-    per_bit = tok.groupBy("doc_id").agg(*votes)
+    per_bit = hashed.groupBy("doc_id").agg(*votes)
     sig = None
     for i in range(64):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
