@@ -148,3 +148,85 @@ def test_retention_plan_exchange_budget(spark, sf_dir):
     )
     n = plan.count("Exchange hashpartitioning")
     assert n <= 3, f"{n} hash exchanges:\n{plan[:2000]}"
+
+
+# ---------------------------------------------------------------------------
+# Property-based: funnel_reach must equal a naive first-entry-anchored chain
+# walk for ANY event configuration — random users, step orders, duplicate
+# timestamps, users missing step 1.
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_STEPS = ["s1", "s2", "s3"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.sampled_from(_STEPS + ["noise"]),
+            st.integers(0, 30),  # hour offset
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    horizon_h=st.one_of(st.none(), st.integers(1, 20)),
+)
+def test_funnel_reach_matches_naive_reference_property(
+    spark, events, horizon_h
+):
+    from user_behavior_spark_pipeline_spark.operators.funnel import (
+        funnel_reach,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, et, base + datetime.timedelta(hours=h), i)
+            for i, (u, et, h) in enumerate(events)
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    got = {
+        r["user_id"]: r["steps_reached"]
+        for r in funnel_reach(
+            df,
+            _STEPS,
+            horizon_seconds=horizon_h * 3600 if horizon_h else None,
+        ).collect()
+    }
+
+    def naive(user):
+        per_step = {
+            s: sorted(h for (u, et, h) in events if u == user and et == s)
+            for s in _STEPS
+        }
+        if not per_step["s1"]:
+            return None  # user absent from the result
+        t_prev = per_step["s1"][0]  # FIRST-ENTRY anchor
+        t1 = t_prev
+        times = [t1]
+        for s in _STEPS[1:]:
+            nxt = [h for h in per_step[s] if h > t_prev]
+            if not nxt:
+                break
+            t_prev = nxt[0]
+            times.append(t_prev)
+        depth = len(times)
+        if horizon_h is not None:
+            depth = sum(1 for t in times if t - t1 <= horizon_h)
+        return depth
+
+    want = {
+        u: naive(u) for u in {u for (u, _, _) in events} if naive(u) is not None
+    }
+    assert got == want, (events, horizon_h)

@@ -164,3 +164,72 @@ def test_asof_forward_direction(spark):
     ).collect()
     got = {r["event_id"]: r["asof_v"] for r in rows}
     assert got == {1: 10, 2: 20, 3: None}
+
+
+# ---------------------------------------------------------------------------
+# Property-based: asof_join must equal a naive per-row reference
+# implementation for ANY (key, ts) configuration — random keys, duplicate
+# left timestamps, keys with no right rows, both directions.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_small_ts = st.integers(min_value=0, max_value=20)
+_small_key = st.integers(min_value=0, max_value=3)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_rows=st.lists(
+        st.tuples(_small_key, _small_ts), min_size=1, max_size=12
+    ),
+    right_rows=st.lists(
+        st.tuples(_small_key, _small_ts), min_size=0, max_size=12, unique=True
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_matches_naive_reference_property(
+    spark, left_rows, right_rows, direction
+):
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (i, k, base + datetime.timedelta(hours=t))
+            for i, (k, t) in enumerate(left_rows)
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    # payload = t*10 + k keeps (key, right_ts) unique -> which-row-wins
+    # is well-defined, per the documented uniqueness precondition
+    right = spark.createDataFrame(
+        [
+            (k, base + datetime.timedelta(hours=t), t * 10 + k)
+            for (k, t) in right_rows
+        ],
+        "k long, rts timestamp, v long",
+    )
+    got = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, "k", "ts", "rts", "v", direction=direction
+        ).collect()
+    }
+
+    def naive(k, t):
+        cands = [
+            (rt, rt * 10 + rk)
+            for (rk, rt) in right_rows
+            if rk == k and (rt <= t if direction == "backward" else rt >= t)
+        ]
+        if not cands:
+            return None
+        pick = max(cands) if direction == "backward" else min(cands)
+        return pick[1]
+
+    want = {i: naive(k, t) for i, (k, t) in enumerate(left_rows)}
+    assert got == want, (direction, left_rows, right_rows)
