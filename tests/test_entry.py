@@ -31,11 +31,12 @@ def test_contract_shapes():
 
 def test_rotation_spends_check_slots_on_unverified_queries():
     """The driver hash-checks only the first 50 queries() entries: the
-    rotation must order oracle-backed never-checked -> checked-not-green ->
-    rows-only never-checked -> green, derived from the CORRECTNESS_r*.json
-    history files. Rows-only entries can never turn hash-green, so their
-    first (weak) look must not displace a fixable hash-pending query from
-    the 50-slot window."""
+    rotation must order oracle-backed never-checked -> oracle-backed
+    checked-not-green -> rows-only never-checked -> rows-only re-checks ->
+    green, derived from the CORRECTNESS_r*.json history files. Rows-only
+    entries can never turn hash-green, so every hash-capable query
+    outranks them; a rows-only FIRST look still beats a rows-only
+    re-check (the latter's row already exists)."""
     import glob
     import json
     import os
@@ -57,7 +58,9 @@ def test_rotation_spends_check_slots_on_unverified_queries():
         s = status.get(k, "never")
         if s == "never":
             return 0 if k in ORACLES else 2
-        return 1 if s == "checked" else 3
+        if s == "checked":
+            return 1 if k in ORACLES else 3
+        return 4
 
     ranks = [rank(k) for k in keys]
     assert ranks == sorted(ranks), "rotation classes out of order"

@@ -3270,16 +3270,28 @@ def _correctness_history() -> dict[str, str]:
 def _rotated(keys):
     status = _correctness_history()
     never_checked = [k for k in keys if k not in status]
-    # oracle-backed entries can turn hash-green; rows-only entries only ever
-    # get the weaker rows-only row, so they queue BEHIND oracle-backed
-    # re-checks — otherwise a rows-only first-look would push a fixable
-    # hash-pending query (r02: x_multimodal_decode_q at slot 51) out of the
-    # driver's 50-slot window
+    # Priority = what a check slot can still LEARN: (1) oracle-backed
+    # never-checked (can turn hash-green, no row yet), (2) oracle-backed
+    # re-checks (can turn hash-green), (3) rows-only first-looks (gain
+    # their only possible row), (4) rows-only re-checks (row already
+    # exists, nothing new), (5) green. Rows-only entries queue behind
+    # every hash-capable one — r02: a rows-only first-look pushed the
+    # fixable x_multimodal_decode_q to slot 51; r03 audit: three
+    # rows-only RE-checks were holding slots while two rows-only
+    # first-looks sat outside the window.
     never_oracle = [k for k in never_checked if k in ORACLES]
     never_rows_only = [k for k in never_checked if k not in ORACLES]
     checked = [k for k in keys if status.get(k) == "checked"]
+    checked_oracle = [k for k in checked if k in ORACLES]
+    checked_rows_only = [k for k in checked if k not in ORACLES]
     green = [k for k in keys if status.get(k) == "green"]
-    return never_oracle + checked + never_rows_only + green
+    return (
+        never_oracle
+        + checked_oracle
+        + never_rows_only
+        + checked_rows_only
+        + green
+    )
 
 
 QUERIES = {k: QUERIES[k] for k in _rotated(QUERIES)}
