@@ -319,3 +319,58 @@ def test_portable_token_hash_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
         ).fetchone()
         assert got[t] == want, f"hash divergence for {t!r}"
+
+
+# ---------------------------------------------------------------------------
+# Property-based: dedup_components must equal union-find on ANY random edge
+# set — including long chains (diameter > a few hops) and rings, the shapes
+# that stress iterative label propagation's convergence loop.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+def test_components_match_union_find_property(spark, edges):
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    want = {n: min(ms) for r, ms in members.items() for n in ms}
+    assert got == want, edges
