@@ -247,9 +247,10 @@ def boilerplate_ngram_stats(
     SAME source (the n-gram generalization of C4's repeated-line removal —
     headers, templates and near-dup fragments all surface here).
 
-    Shuffle profile: two hash-aggs on 8-byte keys — (source, gram-hash)
-    doc-frequency, then the per-doc rollup; the gram doc-frequency table is
-    the only intermediate and carries one row per distinct (source, gram).
+    Shuffle profile: ONE shuffle on (source, gram-hash) — doc-frequency is
+    a count over an unordered window partition, annotating each gram row
+    in place (a groupBy + join back would shuffle the gram table twice for
+    the same answer) — then the per-doc rollup hash-agg.
 
     Columns: doc_id, n_grams, n_boiler, boilerplate_x1000.
     """
@@ -258,27 +259,16 @@ def boilerplate_ngram_stats(
         "source",
         F.split(F.col("text"), "\\s+").alias("_toks"),
     )
-    # grams feeds BOTH the doc-frequency agg and the per-doc join — pin it
-    # so the tokenize/explode/distinct pass runs once (same rationale as
-    # the minhash/simhash band tables; without it both join sides recompute
-    # the whole exploded-shingle shuffle)
-    grams = (
-        tokenized.select(
-            "doc_id",
-            "source",
-            F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
-        )
-        .select("doc_id", "source", F.xxhash64("gram").alias("g"))
-        .distinct()
-        .localCheckpoint()
-    )
-    freq = grams.groupBy("source", "g").agg(
-        F.count(F.lit(1)).alias("doc_freq")
-    )
-    flagged = grams.join(freq, ["source", "g"]).select(
+    grams = tokenized.select(
+        "doc_id",
+        "source",
+        F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
+    ).select("doc_id", "source", F.xxhash64("gram").alias("g")).distinct()
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("source", "g"))
+    flagged = grams.select(
         "doc_id",
         "g",
-        (F.col("doc_freq") >= min_docs).cast("int").alias("is_boiler"),
+        (doc_freq >= min_docs).cast("int").alias("is_boiler"),
     )
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
