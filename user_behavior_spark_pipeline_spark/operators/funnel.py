@@ -5,13 +5,17 @@ engine could never express (no joins, no windows — README.md:819).
 Design: ONE shuffle. Events are pre-filtered to the funnel's step types
 (scan-side — at 100 TB this is the pushed-down predicate that makes the
 whole thing cheap), then aggregated once per user: step 1 needs only its
-min timestamp; each later step keeps the user's timestamps OF THAT STEP
-TYPE as an array (bounded by the user's own step-event count, never the
-raw event stream), and the ordered-chain constraints are row-local array
-expressions. A whale user with millions of NON-step events costs
-nothing; one with millions of step-k events should be capped upstream
-(e.g. dedupe to per-(user, step, minute) firsts — same funnel answer for
-any horizon coarser than the bucket).
+min timestamp; the later steps' events are kept as ONE (ts, step) array
+per user (bounded by the user's own step-event count, never the raw
+event stream), and the ordered chain is a single sorted fold over that
+array — O(n log n) row-local, so a whale user with n step events costs
+one sort, not n passes (the replication probe measured 320k-step-event
+whales at seconds; the earlier per-step-column formulation was
+quadratic under projection collapse — see funnel_reach). A whale user
+with millions of NON-step events costs nothing; step-event whales can
+additionally be capped upstream (e.g. dedupe to per-(user, step,
+minute) firsts — same funnel answer for any horizon coarser than the
+bucket).
 
 Semantics (strict-order funnel, FIRST-ENTRY anchored): the horizon is
 measured from the user's FIRST step-1 event — t1 = global min ts of
@@ -50,66 +54,70 @@ def funnel_reach(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    step_idx = F.when(F.col(type_col) == steps[0], F.lit(1))
+    for i, s in enumerate(steps[1:], start=2):
+        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
     ev = events.filter(F.col(type_col).isin(*steps)).select(
         F.col(user_col).alias("user_id"),
-        F.col(type_col).alias("step"),
+        step_idx.cast("int").alias("idx"),
         F.col(ts_col).alias("ts"),
     )
+    # ONE array of (ts, idx) per user. The chain is then a single sorted
+    # fold per row — t_k = earliest step-k event strictly after t_{k-1} is
+    # exactly what a time-ordered greedy scan computes. The previous form
+    # (per-step filter+array_min columns, each lambda comparing against
+    # the PREVIOUS step's t column) was O(n^k) for whale users: projection
+    # collapse inlines t_{k-1}'s whole array expression into t_k's
+    # per-element lambda (the HOF-inlining pitfall documented at
+    # dedup.shingles), re-evaluating it once per element. Measured: 10
+    # users x 320k events took 943 s; the sorted fold takes seconds.
     agg = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("step") == steps[0], F.col("ts"))).alias("t1"),
-        *[
-            F.collect_list(
-                F.when(F.col("step") == s, F.struct("ts"))
-            ).alias(f"_e{i}")
-            for i, s in enumerate(steps[1:], start=2)
-        ],
+        F.min(F.when(F.col("idx") == 1, F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("idx") >= 2, F.struct("ts", "idx"))
+        ).alias("_evts"),
     )
-    # row-local: t_k = min ts in _ek strictly after t_{k-1}
     out = agg.filter(F.col("t1").isNotNull())
-    prev = "t1"
-    for i in range(2, len(steps) + 1):
-        arr = F.col(f"_e{i}")
-        after = F.filter(arr, lambda e: e["ts"] > F.col(prev))
-        t_i = F.array_min(F.transform(after, lambda e: e["ts"]))
-        out = out.withColumn(f"t{i}", t_i)
-        prev = f"t{i}"
-    reached = F.lit(1)
-    for i in range(2, len(steps) + 1):
-        reached = reached + F.col(f"t{i}").isNotNull().cast("int")
-    # depth is prefix-monotone: t_k is only valid if every earlier step
-    # resolved; F.filter over null prev yields null -> nulls propagate, so
-    # the sum counts the prefix exactly.
-    out = out.withColumn("steps_reached", reached.cast("long"))
-    if horizon_seconds is not None:
-        # a completion outside the horizon counts only the steps inside it
-        within = [F.lit(1).cast("long")]
-        for i in range(2, len(steps) + 1):
-            # timestampdiff: wall-clock seconds, NTZ-safe (a long cast of
-            # TIMESTAMP_NTZ is not portable)
-            within.append(
-                (
-                    F.col(f"t{i}").isNotNull()
-                    & (
-                        F.expr(f"timestampdiff(SECOND, t1, t{i})")
-                        <= horizon_seconds
-                    )
-                ).cast("long")
-            )
-        # steps inside horizon are also prefix-monotone (t_i increases)
-        total = within[0]
-        for w in within[1:]:
-            total = total + w
-        out = out.withColumn("steps_reached", total)
-    last_ts = F.col("t1")
-    for i in range(2, len(steps) + 1):
-        last_ts = F.when(
-            F.col("steps_reached") >= i, F.col(f"t{i}")
-        ).otherwise(last_ts)
+    # array_sort on struct(ts, idx): time order, idx as tie-break — ties
+    # in ts cannot advance the chain either way (strict > below), so the
+    # tie-break never changes the result, it only makes the scan stable
+    init = F.struct(
+        F.lit(1).cast("int").alias("depth"),
+        F.array(F.col("t1")).alias("times"),
+    )
+
+    def _advance(acc, e):
+        ok = (e["idx"] == acc["depth"] + 1) & (
+            e["ts"] > F.element_at(acc["times"], -1)
+        )
+        return F.when(
+            ok,
+            F.struct(
+                (acc["depth"] + F.lit(1).cast("int")).alias("depth"),
+                F.concat(acc["times"], F.array(e["ts"])).alias("times"),
+            ),
+        ).otherwise(acc)
+
+    # times = [t1, t2, ... t_depth]: the greedy chain's timestamps
+    times = F.aggregate(F.array_sort(F.col("_evts")), init, _advance)["times"]
+    out = out.select("user_id", "t1", times.alias("_times"))
+    if horizon_seconds is None:
+        reached = F.size("_times")
+    else:
+        # steps inside the horizon are prefix-monotone (times ascend);
+        # NTZ-safe seconds: NTZ - NTZ is a day-time interval, compared
+        # against a literal interval — no session-timezone dependence
+        bound = F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), F.lit(horizon_seconds)
+        )
+        reached = F.size(
+            F.filter(F.col("_times"), lambda t: (t - F.col("t1")) <= bound)
+        )
     return out.select(
         "user_id",
-        "steps_reached",
+        reached.cast("long").alias("steps_reached"),
         F.col("t1").alias("t_first"),
-        last_ts.alias("t_last"),
+        F.element_at(F.col("_times"), reached.cast("int")).alias("t_last"),
     )
 
 
