@@ -126,25 +126,32 @@ def chunk_documents(
     embarrassingly parallel and stays inside whole-stage codegen. Row
     growth ≈ chunk/stride ×, which is the operator's contract, not a
     planning accident.
-    """
-    toks = F.split(F.col("text"), "\\s+")
-    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
-    return (
-        documents.select(
-            "doc_id",
-            toks.alias("_t"),
-            F.explode(starts).alias("_i"),
-        )
-        .select(
-            "doc_id",
-            ((F.col("_i") - 1) / stride).cast("long").alias("chunk_index"),
-            F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), chunk_tokens)).alias(
-                "chunk_text"
-            ),
-            F.least(
-                F.lit(chunk_tokens), F.size("_t") - F.col("_i") + 1
-            ).cast("long").alias("n_tokens"),
-        )
+
+    The chunk structs are built INSIDE one transform over the bound token
+    array and only the finished chunks are exploded. Exploding the start
+    offsets first (the obvious formulation) carries the FULL token array
+    into every generated row — each output row physically copies it, so a
+    1M-token whale document materializes n_chunks × n_tokens cells
+    (~170 GB at stride 48) before the slice ever runs; the giant-doc
+    probe hung there. Binding the array before slicing also keeps the
+    per-chunk slice O(chunk), not O(n) re-tokenization (the
+    dedup.shingles pitfall)."""
+    tokenized = documents.select(
+        "doc_id", F.split(F.col("text"), "\\s+").alias("_t")
+    )
+    t = F.col("_t")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+        lambda i: F.struct(
+            ((i - 1) / stride).cast("long").alias("chunk_index"),
+            F.concat_ws(" ", F.slice(t, i, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size(t) - i + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return tokenized.select("doc_id", F.explode(chunks).alias("_c")).select(
+        "doc_id", "_c.chunk_index", "_c.chunk_text", "_c.n_tokens"
     )
 
 
