@@ -272,3 +272,26 @@ def test_pack_conservation_property(spark, lengths, window):
         for p in packs[:-1]:
             assert per_pack[(shard, p)] == window, (shard, p)
         assert per_pack[(shard, packs[-1])] <= window
+
+
+def test_chunk_generate_carries_no_token_array(spark):
+    """The explode's carried columns (Generate's requiredChildOutput) must
+    not include the token array: carrying it copies the whole array into
+    every generated chunk row — O(n_chunks · n_tokens) cells, which hung a
+    1M-token whale document before the bound-transform rewrite."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    gen_lines = [l for l in plan.splitlines() if "Generate" in l]
+    assert gen_lines, plan
+    for line in gen_lines:
+        # line shape: "Generate explode(...), [carried...], false, [out...]"
+        # — the carried (requiredChildOutput) list is the last bracket
+        # before the outer flag; the generator expr may reference _t (it
+        # IS the input), the carried list must not
+        carried = line.rsplit(", false, [", 1)[0].rsplit(", [", 1)[-1]
+        assert "_t#" not in carried, line
