@@ -374,3 +374,39 @@ def test_components_match_union_find_property(spark, edges):
         members.setdefault(find(n), []).append(n)
     want = {n: min(ms) for r, ms in members.items() for n in ms}
     assert got == want, edges
+
+
+def test_shingle_df_cap_kills_boilerplate_pairs_keeps_real_ones(spark):
+    """Hot-shingle guard: a header shared by every doc must stop
+    generating candidate pairs once capped, while a genuinely near-dup
+    pair (distinctive bodies) survives with the same Jaccard in BOTH the
+    exact and the LSH path."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    header = "h1 h2 h3 h4 h5 h6"
+    rows = [
+        (i, f"{header} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f", "s")
+        for i in range(40)
+    ]
+    body = " ".join(f"d{j}" for j in range(30))
+    rows += [(100, f"{header} {body}", "s"), (101, f"{header} {body} xtra", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    exact = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, 3, 0.5, max_shingle_df=5).collect())
+    )
+    lsh = sorted(
+        map(tuple, minhash_lsh_pairs(docs, 3, 0.5, max_shingle_df=5).collect())
+    )
+    assert exact == lsh
+    assert [(a, b) for (a, b, _) in exact] == [(100, 101)]
+    # the capped Jaccard is over distinctive shingles only — the header's
+    # shingles are out of both numerator and denominator
+    uncapped = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()
+    }
+    assert (100, 101) in uncapped
