@@ -410,3 +410,34 @@ def test_shingle_df_cap_kills_boilerplate_pairs_keeps_real_ones(spark):
         for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()
     }
     assert (100, 101) in uncapped
+
+
+def test_incremental_near_dup_df_cap_consistent(spark):
+    """The corpus-df hot-shingle guard must drop boilerplate-only matches
+    while keeping real ones, and every new doc still gets a verdict row."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    header = "h1 h2 h3 h4 h5 h6"
+    corpus = spark.createDataFrame(
+        [(i, f"{header} c{i}a c{i}b c{i}c c{i}d c{i}e", "s") for i in range(30)]
+        + [(900, f"{header} b1 b2 b3 b4 b5 b6 b7 b8", "s")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1000, f"{header} n1 n2 n3 n4 n5", "s"),  # header-only overlap
+            (1001, f"{header} b1 b2 b3 b4 b5 b6 b7 b8 b9", "s"),  # real dup of 900
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_near_dup(
+            new, corpus, n=3, threshold=0.5, max_shingle_df=5
+        ).collect()
+    }
+    assert set(got) == {1000, 1001}
+    assert not got[1000]["is_dup"]
+    assert got[1001]["is_dup"] and got[1001]["best_match_doc"] == 900

@@ -728,6 +728,7 @@ def incremental_near_dup(
     corpus_docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus near-dup screening: for each NEW document, is it a
     near-duplicate (n-gram Jaccard >= threshold) of anything already in the
@@ -746,8 +747,26 @@ def incremental_near_dup(
     ``~is_dup`` and append; the decision is deterministic, so replaying a
     delta batch admits the same rows (idempotent ingest).
     """
-    new_sh = shingles(new_docs, n).localCheckpoint()
-    corpus_sh = shingles(corpus_docs, n).localCheckpoint()
+    new_sh = shingles(new_docs, n)
+    corpus_sh = shingles(corpus_docs, n)
+    if max_shingle_df is not None:
+        # hot-shingle guard, CORPUS-df based: a boilerplate shingle in the
+        # standing corpus collides with every delta doc (delta × corpus_df
+        # pairs). The drop list is defined by the corpus side and applied
+        # to BOTH sides so the Jaccard space stays consistent; the list
+        # itself is tiny (only shingles in > max_df docs) → broadcast
+        # anti-join on the delta side.
+        corpus_sh = corpus_sh.localCheckpoint()
+        hot = (
+            corpus_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        corpus_sh = corpus_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        new_sh = new_sh.join(F.broadcast(hot), "shingle", "left_anti")
+    new_sh = new_sh.localCheckpoint()
+    corpus_sh = corpus_sh.localCheckpoint()
     new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
     corpus_sizes = corpus_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_corp")
