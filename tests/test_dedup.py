@@ -441,3 +441,34 @@ def test_incremental_near_dup_df_cap_consistent(spark):
     assert set(got) == {1000, 1001}
     assert not got[1000]["is_dup"]
     assert got[1001]["is_dup"] and got[1001]["best_match_doc"] == 900
+
+
+def test_simhash_token_df_cap_separates_boilerplate_docs(spark):
+    """With a dominant shared header, uncapped simhash signatures cluster
+    (many spurious near-Hamming pairs); capping the token df restores
+    separation for distinct bodies while true near-dups stay paired."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    header = " ".join(f"h{i}" for i in range(40))
+    rows = [
+        (i, f"{header} u{i}a u{i}b u{i}c u{i}d u{i}e", "s") for i in range(30)
+    ]
+    body = " ".join(f"d{j}" for j in range(40))
+    rows += [(100, f"{header} {body}", "s"), (101, f"{header} {body}", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uncapped = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in simhash_near_pairs(docs, max_hamming=4).collect()
+    }
+    capped = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in simhash_near_pairs(
+            docs, max_hamming=4, max_token_df=10
+        ).collect()
+    }
+    # header-dominated signatures pair unrelated docs; the cap cuts them
+    assert len(capped) < len(uncapped)
+    assert (100, 101) in capped

@@ -482,15 +482,38 @@ def _portable_token_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def simhash_signatures(documents: DataFrame, portable: bool = False) -> DataFrame:
+def simhash_signatures(
+    documents: DataFrame,
+    portable: bool = False,
+    max_token_df: int | None = None,
+) -> DataFrame:
     """64-bit SimHash per document from token hashes (sign-sum per bit).
 
     ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash (bits
     60-63 then always vote -1 → zero in the signature — harmless, both
-    engines agree) so the signature is reproducible outside Spark."""
+    engines agree) so the signature is reproducible outside Spark.
+
+    ``max_token_df`` is SimHash's flavor of the hot-shingle guard
+    (cap_shingle_df): tokens present in more than that many documents are
+    dropped BEFORE the sign-sum, so boilerplate (headers, templates)
+    stops dominating signatures — without it, a corpus sharing most of
+    its tokens collapses into a few band buckets and the candidate join
+    (plus the output itself, by simhash's own definition) goes quadratic.
+    Signatures are then over distinctive tokens; uncapped by default."""
     tok = _spread(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
     )
+    if max_token_df is not None:
+        doc_freq = F.count(F.lit(1)).over(
+            Window.partitionBy("token")
+        )
+        # distinct per (doc, token) first would change the sign-sum
+        # weights; df here counts OCCURRENCES, the cheap upper bound — a
+        # token can only exceed it by appearing in at least that many
+        # rows, which is the boilerplate shape being cut either way
+        tok = tok.withColumn("_df", doc_freq).filter(
+            F.col("_df") <= max_token_df
+        ).drop("_df")
     # bind the token hash to a projected column BEFORE the 64 per-bit vote
     # aggregates: each vote references the hash, and subexpression
     # elimination does not reach into aggregate inputs — inlined, the (md5
@@ -522,7 +545,10 @@ def simhash_signatures(documents: DataFrame, portable: bool = False) -> DataFram
 
 
 def simhash_near_pairs(
-    documents: DataFrame, max_hamming: int = 4, portable: bool = False
+    documents: DataFrame,
+    max_hamming: int = 4,
+    portable: bool = False,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded with GUARANTEED
     candidate recall: the 64-bit signature is split into ``max_hamming + 1``
@@ -540,7 +566,9 @@ def simhash_near_pairs(
     # (same rationale as minhash_lsh_pairs: the sides' stages run
     # concurrently, so a lazy persist would compute the signature pass
     # twice)
-    sig = simhash_signatures(documents, portable=portable)
+    sig = simhash_signatures(
+        documents, portable=portable, max_token_df=max_token_df
+    )
     bands = sig.select(
         "doc_id",
         "simhash",
