@@ -35,6 +35,7 @@ def curate_corpus(
     min_tokens: int = 20,
     min_alpha_x1000: int = 800,
     near_dup_threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus as (doc_id, n_tokens), fully deterministic.
 
@@ -66,8 +67,16 @@ def curate_corpus(
         .localCheckpoint()
     )
 
+    # max_shingle_df (recommended at corpus scale) is the hot-shingle
+    # guard — see dedup.cap_shingle_df; default None keeps the exact
+    # uncapped Jaccard this operator's oracle pins
     near_dup_losers = (
-        ngram_jaccard_pairs(survivors, n=3, threshold=near_dup_threshold)
+        ngram_jaccard_pairs(
+            survivors,
+            n=3,
+            threshold=near_dup_threshold,
+            max_shingle_df=max_shingle_df,
+        )
         .select(F.col("doc_id_2").alias("doc_id"))
         .distinct()
     )
