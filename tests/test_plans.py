@@ -349,3 +349,41 @@ def test_registry_plans_free_of_scale_antipatterns(spark, sf_dir):
         if hits:
             violations[name] = sorted(hits)
     assert not violations, f"plan anti-patterns: {violations}"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALE.md's skew story leans on AQE's runtime skew-join split —
+    pin that the session config actually produces one. Thresholds are
+    lowered so test-sized data crosses them; a 250:1 hot key must show
+    skew=true in the finalized adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 500_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(1, 2000).select(
+                F.col("id").alias("k"), F.col("id").alias("v")
+            )
+        )
+        dim = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 501_999
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
