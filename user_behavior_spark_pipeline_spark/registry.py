@@ -1294,6 +1294,39 @@ def _stage_events_parquet(spark: SparkSession, sf_dir: str) -> str:
     return src
 
 
+def _stage_events_parquet_sealed(spark: SparkSession, sf_dir: str) -> str:
+    """Events staged for OUTER stream-stream joins: the real events plus one
+    far-future sentinel (click, purchase) pair under user_id = -1, written as
+    a separate trailing file. The sentinel advances BOTH sides' watermarks
+    past every real click's horizon, so `availableNow`'s trailing no-data
+    batch provably seals every window and flushes every outer-null row —
+    the null-padded output becomes deterministic (= a batch LEFT JOIN) and
+    therefore oracle-able. Queries drop the sentinel with user_id >= 0."""
+    import datetime
+    import tempfile
+
+    key = ("parquet_sealed", sf_dir)
+    if key in _STAGED_SOURCES:
+        return _STAGED_SOURCES[key]
+    from pyspark.sql import functions as F
+
+    events = _table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ubsp_events_sealed_")
+    events.coalesce(4).write.mode("overwrite").parquet(src)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    seal_ts = max_ts + datetime.timedelta(hours=3)  # > horizon (1h) + delay
+    sentinel = spark.createDataFrame(
+        [
+            (-(10**9), seal_ts, -1, "click", 0.0, "{}"),
+            (-(10**9) + 1, seal_ts, -1, "purchase", 0.0, "{}"),
+        ],
+        schema=events.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    _STAGED_SOURCES[key] = src
+    return src
+
+
 @query(
     "x_stream_pipeline",
     oracle=(
@@ -1579,28 +1612,83 @@ def ref_catalog_table(spark, sf_dir):
     )
 
 
-@query("ref_catalog_show_tables")  # rows-only: catalog contents are session state
+@query(
+    "ref_catalog_show_tables",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "('events_ext_listing', FALSE), ('events_listing_tmpv', TRUE)"
+        ") AS t(table_name, is_temporary)"
+    ),
+)
 def ref_catalog_show_tables(spark, sf_dir):
     """OP-Q-SHOW-TABLES (README.md:588-592): the catalog listing after the
-    DDL round trip — registers a table over the events parquet then lists."""
+    DDL round trip — registers an external table AND a temp view over the
+    events parquet, then lists. The full SHOW TABLES output is session
+    state (other queries' fixtures come and go), so the listing is
+    projected to the two names THIS query registered — which is exactly
+    the round-trip under test — and compared to a literal-VALUES oracle
+    covering both the permanent and temporary catalog entries."""
+    from pyspark.sql import functions as F
+
     from .catalog import create_external_parquet_table, show_tables
 
     create_external_parquet_table(
         spark, "events_ext_listing", f"{sf_dir}/events.parquet"
     )
-    return show_tables(spark)
+    _table(spark, sf_dir, "events").createOrReplaceTempView("events_listing_tmpv")
+    return (
+        show_tables(spark)
+        .filter(
+            F.col("tableName").isin("events_ext_listing", "events_listing_tmpv")
+        )
+        .select(
+            F.col("tableName").alias("table_name"),
+            F.col("isTemporary").alias("is_temporary"),
+        )
+    )
 
 
-@query("ref_catalog_describe")  # rows-only: schema text, engine-specific
+@query(
+    "ref_catalog_describe",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(0, 'event_id', 'bigint'), (1, 'ts', 'timestamp_ntz'), "
+        "(2, 'user_id', 'bigint'), (3, 'event_type', 'string'), "
+        "(4, 'value', 'double'), (5, 'props', 'string')"
+        ") AS t(ordinal, col_name, data_type)"
+    ),
+)
 def ref_catalog_describe(spark, sf_dir):
-    """OP-Q-DESCRIBE (README.md:602-613): column name/type/comment rows for
-    a cataloged table."""
+    """OP-Q-DESCRIBE (README.md:602-613): column name/type rows for a
+    cataloged table. DuckDB can't see the Spark catalog, so the oracle is
+    the literal expected schema — DESCRIBE output normalized to
+    (ordinal, col_name, data_type) with the section-header/comment rows
+    dropped. Doubles as a schema canary: a testdata regeneration that
+    changes the events schema turns this row red before anything subtler
+    breaks. (`ts` is timestamp_ntz by the load_table canonicalization —
+    see the module docstring's determinism rules.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from .catalog import create_external_parquet_table, describe_table
 
     create_external_parquet_table(
         spark, "events_ext_desc", f"{sf_dir}/events.parquet"
     )
-    return describe_table(spark, "events_ext_desc")
+    d = describe_table(spark, "events_ext_desc").filter(
+        (F.col("col_name") != "")
+        & ~F.col("col_name").startswith("#")
+        & (F.col("data_type") != "")
+    )
+    # DESCRIBE emits rows in schema order but carries no ordinal column;
+    # re-derive it from a monotonic id over the (tiny, single-partition)
+    # result so the oracle can pin the column ORDER, not just the set.
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return d.select(
+        (F.row_number().over(w) - 1).cast("int").alias("ordinal"),
+        "col_name",
+        "data_type",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2386,13 +2474,28 @@ def x_unpivot_status(spark, sf_dir):
     )
 
 
-@query("x_stream_stream_left_join")  # rows-only: outer-null emission is
-# governed by internal watermark closure (boundary rows near end-of-stream
-# stay buffered); semantics pinned by
-# tests/test_streaming.py::test_left_outer_stream_stream_join_emits_null_after_watermark
+@query(
+    "x_stream_stream_left_join",
+    oracle=(
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents "
+        "FROM events c LEFT JOIN events p "
+        "ON c.user_id = p.user_id AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR "
+        "WHERE c.event_type = 'click'"
+    ),
+)
 def x_stream_stream_left_join(spark, sf_dir):
     """LEFT OUTER stream-stream join: clicks with no purchase in the
-    horizon emit null rows once the watermark closes their window."""
+    horizon emit null rows once the watermark closes their window.
+
+    Hash-green against a batch LEFT JOIN oracle because the source is
+    sentinel-sealed (see _stage_events_parquet_sealed): a far-future
+    sentinel pair advances both watermarks past every real window, so the
+    availableNow run deterministically flushes every outer-null row.
+    Incremental emission semantics (nulls only AFTER watermark closure)
+    remain pinned by
+    tests/test_streaming.py::test_left_outer_stream_stream_join_emits_null_after_watermark."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -2400,7 +2503,7 @@ def x_stream_stream_left_join(spark, sf_dir):
     from .streaming.jobs import stream_stream_left_join_stream
 
     events = _table(spark, sf_dir, "events")
-    src = _stage_events_parquet(spark, sf_dir)
+    src = _stage_events_parquet_sealed(spark, sf_dir)
 
     def _stream():
         return spark.readStream.schema(events.schema).parquet(src)
@@ -2415,7 +2518,7 @@ def x_stream_stream_left_join(spark, sf_dir):
             ckpt,
         )
         q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
 # ---------------------------------------------------------------------------
