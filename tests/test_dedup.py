@@ -472,3 +472,39 @@ def test_simhash_token_df_cap_separates_boilerplate_docs(spark):
     # header-dominated signatures pair unrelated docs; the cap cuts them
     assert len(capped) < len(uncapped)
     assert (100, 101) in capped
+
+
+def test_simhash_token_df_is_document_frequency_not_occurrences(spark):
+    """max_token_df counts DISTINCT documents, so a whale document
+    repeating a distinctive token thousands of times must not evict that
+    token from every other document's signature corpus-wide — other
+    docs' signatures are bit-identical with and without the whale."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    base = [
+        (i, f"alpha bravo doc{i}x doc{i}y doc{i}z", "s") for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        base, "doc_id long, text string, source string"
+    )
+    whale_text = " ".join(["alpha"] * 500 + ["whaleonly"])
+    with_whale = spark.createDataFrame(
+        base + [(999, whale_text, "s")],
+        "doc_id long, text string, source string",
+    )
+    cap = 10  # 'alpha' df: 7 docs <= 10, but 506 occurrences > 10
+    sig_without = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, max_token_df=cap).collect()
+    }
+    sig_with = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(with_whale, max_token_df=cap).collect()
+    }
+    for doc_id, sig in sig_without.items():
+        assert sig_with[doc_id] == sig, (
+            f"doc {doc_id}: whale repetition perturbed an unrelated "
+            "signature — df must be per-document, not occurrence count"
+        )

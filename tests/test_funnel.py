@@ -58,6 +58,41 @@ def test_funnel_horizon_cuts_late_completions(spark):
     assert reach["steps_reached"] == 2
 
 
+def test_funnel_rejects_repeated_step_types(spark):
+    """The chain matcher maps event types to step indices, so a repeated
+    step type can never advance past the repeat — rejected loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_reach(
+            _ev(spark, [(1, "view", "2024-01-01T00:00:00")]),
+            ("view", "click", "view"),
+        )
+
+
+def test_funnel_horizon_exact_on_fractional_seconds(spark):
+    """Horizon is an exact interval bound (docstring contract): a step at
+    exactly t1 + horizon counts, one a fraction of a second past it does
+    not — matching the registry oracle's `t - t1 <= INTERVAL n SECONDS`
+    (DuckDB interval comparison is exact too; truncating date_diff would
+    silently admit horizon + 0.9 s)."""
+    rows = [
+        # user 1: click at exactly t1 + horizon — counts
+        (1, "view", "2024-01-01T00:00:00.500"),
+        (1, "click", "2024-01-01T00:01:00.500"),
+        # user 2: click at t1 + horizon + 0.25 s — out
+        (2, "view", "2024-01-01T00:00:00.250"),
+        (2, "click", "2024-01-01T00:01:00.500"),
+    ]
+    got = {
+        r["user_id"]: r["steps_reached"]
+        for r in funnel_reach(
+            _ev(spark, rows), ("view", "click"), horizon_seconds=60
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
 def test_funnel_same_timestamp_is_not_ordered(spark):
     """Strict order: a click at exactly the view's timestamp doesn't count
     (ties are not a progression)."""

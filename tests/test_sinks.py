@@ -147,3 +147,42 @@ def test_bucketed_staging_survives_catalog_loss(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS bq_orders")
     spark.sql("DROP TABLE IF EXISTS bq_customer")
     assert QUERIES["x_join_bucketed"](spark, sf_dir).count() > 0
+
+
+def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
+    """The staging memo is process-local, so a crashed (or merely prior)
+    process's staging directory would otherwise never be retired. Staging
+    must sweep same-name-prefixed siblings it didn't create, and leave
+    exactly one live directory per table name."""
+    import os
+    import tempfile
+
+    from user_behavior_spark_pipeline_spark.sinks import write_bucketed_table
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    base = os.path.join(tempfile.gettempdir(), "ubsp-bucketed")
+    os.makedirs(base, exist_ok=True)
+    # simulate an orphan left by a dead process (non-empty, like real
+    # staging debris) plus an unrelated table's directory that must survive
+    orphan = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("debris")
+    other = tempfile.mkdtemp(prefix="swp_other_table-", dir=base)
+
+    orders = load_table(spark, sf_dir, "orders").limit(10)
+    write_bucketed_table(spark, orders, "swp_orders", "o_custkey", 2)
+    try:
+        mine = [d for d in os.listdir(base) if d.startswith("swp_orders-")]
+        assert len(mine) == 1, f"expected one live dir, got {mine}"
+        assert not os.path.exists(orphan), "dead process's orphan not swept"
+        assert os.path.exists(other), "unrelated table's staging was swept"
+        # the live table still reads after the sweep
+        assert spark.table("swp_orders").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS swp_orders")
+        import shutil
+
+        shutil.rmtree(other, ignore_errors=True)
+        for d in os.listdir(base):
+            if d.startswith("swp_orders-"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)

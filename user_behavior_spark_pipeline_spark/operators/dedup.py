@@ -239,14 +239,24 @@ def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
     ubiquitous shingle also carries no duplication signal — similarity
     that rests only on boilerplate is exactly what near-dup detection
     should ignore — so downstream Jaccard is computed over the
-    DISTINCTIVE-shingle space (the standard web-dedup practice). One
-    window count over the shingle partition, no extra join."""
-    df_count = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    return (
-        sh.withColumn("_df", df_count)
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
+    DISTINCTIVE-shingle space (the standard web-dedup practice).
+
+    Implementation is aggregate + broadcast anti-join, NOT a window over
+    ``partitionBy('shingle')``: a window lands every row of the hottest
+    shingle (df up to the whole corpus) on ONE task, so at scale the
+    guard would itself become the skew hotspot it exists to remove. The
+    groupBy count partial-aggregates map-side (each task contributes one
+    row per local shingle), and the hot list — only shingles in > max_df
+    docs, tiny by construction — broadcasts. Same shape as
+    incremental_near_dup's corpus-df guard. ``shingles()`` emits distinct
+    (doc_id, shingle) rows, so the count IS document frequency."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
     )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -494,26 +504,32 @@ def simhash_signatures(
     engines agree) so the signature is reproducible outside Spark.
 
     ``max_token_df`` is SimHash's flavor of the hot-shingle guard
-    (cap_shingle_df): tokens present in more than that many documents are
+    (cap_shingle_df): tokens present in more than that many DOCUMENTS are
     dropped BEFORE the sign-sum, so boilerplate (headers, templates)
     stops dominating signatures — without it, a corpus sharing most of
     its tokens collapses into a few band buckets and the candidate join
     (plus the output itself, by simhash's own definition) goes quadratic.
-    Signatures are then over distinctive tokens; uncapped by default."""
+    Signatures are then over distinctive tokens; uncapped by default.
+
+    df is true document frequency — counted over distinct (doc_id,
+    token) — so one whale document repeating a distinctive token cannot
+    evict that token from every OTHER document's signature corpus-wide.
+    Occurrence rows of surviving tokens are kept untouched: per-document
+    vote weights are unchanged. The hot list (> max_df docs) is tiny and
+    broadcasts; no window skew on the hottest token."""
     tok = _spread(documents).select(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
     )
     if max_token_df is not None:
-        doc_freq = F.count(F.lit(1)).over(
-            Window.partitionBy("token")
+        hot = (
+            tok.select("doc_id", "token")
+            .distinct()
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_token_df)
+            .select("token")
         )
-        # distinct per (doc, token) first would change the sign-sum
-        # weights; df here counts OCCURRENCES, the cheap upper bound — a
-        # token can only exceed it by appearing in at least that many
-        # rows, which is the boilerplate shape being cut either way
-        tok = tok.withColumn("_df", doc_freq).filter(
-            F.col("_df") <= max_token_df
-        ).drop("_df")
+        tok = tok.join(F.broadcast(hot), "token", "left_anti")
     # bind the token hash to a projected column BEFORE the 64 per-bit vote
     # aggregates: each vote references the hash, and subexpression
     # elimination does not reach into aggregate inputs — inlined, the (md5

@@ -50,10 +50,22 @@ def funnel_reach(
 
     ``steps_reached`` = how many ordered steps the user completed
     (1..len(steps); users with no step-1 event don't appear).
-    ``horizon_seconds`` bounds t_last - t_first when given.
+    ``horizon_seconds`` bounds t_last - t_first when given. The horizon
+    is an EXACT interval comparison including fractional seconds: a step
+    at precisely t1 + horizon counts, one at t1 + horizon + 1 ms does
+    not (the registry oracle compares ``t - t1 <= INTERVAL n SECONDS``
+    on the DuckDB side with the same exactness; pinned by
+    tests/test_funnel.py::test_funnel_horizon_exact_on_fractional_seconds).
+
+    Steps must be distinct event types: the chain advance matches events
+    to step indices by type, so a repeated type (('view','click','view'))
+    could never advance past the repeat — rejected loudly instead of
+    silently stalling.
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
     step_idx = F.when(F.col(type_col) == steps[0], F.lit(1))
     for i, s in enumerate(steps[1:], start=2):
         step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))

@@ -3182,10 +3182,10 @@ def x_dedup_incremental(spark, sf_dir):
         "JOIN t2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > t2.t2 "
         "GROUP BY 1), "
         "depth AS (SELECT t1.user_id, 1 "
-        "+ CASE WHEN t2.t2 IS NOT NULL AND date_diff('second', t1.t1, t2.t2) "
-        "  <= 604800 THEN 1 ELSE 0 END "
-        "+ CASE WHEN t3.t3 IS NOT NULL AND date_diff('second', t1.t1, t3.t3) "
-        "  <= 604800 THEN 1 ELSE 0 END AS d "
+        "+ CASE WHEN t2.t2 IS NOT NULL AND t2.t2 - t1.t1 "
+        "  <= INTERVAL 604800 SECONDS THEN 1 ELSE 0 END "
+        "+ CASE WHEN t3.t3 IS NOT NULL AND t3.t3 - t1.t1 "
+        "  <= INTERVAL 604800 SECONDS THEN 1 ELSE 0 END AS d "
         "FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) "
         "SELECT s.step_index, s.step, "
         "CAST(COALESCE((SELECT COUNT(*) FROM depth WHERE d >= s.step_index), 0) "

@@ -57,7 +57,16 @@ def write_bucketed_table(
     location can serve a stale part-file listing to the next scan
     (observed as FileNotFoundException on a deleted part file when a
     query re-stages after a catalog drop). The previous location is
-    removed only AFTER the replacement table exists."""
+    removed only AFTER the replacement table exists — and so is every
+    OTHER sibling directory staged for this table name by earlier
+    (possibly crashed) processes: ``_BUCKETED_LOCATIONS`` is
+    process-local, so without the sweep each new process would stage to
+    a fresh dir and only ever retire its own, accumulating orphans under
+    $TMPDIR/ubsp-bucketed/ unboundedly. A prior process's directory can
+    no longer be referenced by any live catalog entry of this design
+    (the DROP above severed this session's reference; other sessions'
+    in-memory catalogs died with their processes), so the sweep is
+    safe."""
     import os
     import shutil
     import tempfile
@@ -75,10 +84,12 @@ def write_bucketed_table(
         .option("path", loc)
         .saveAsTable(name)
     )
-    old = _BUCKETED_LOCATIONS.get(name)
-    if old and old != loc:
-        shutil.rmtree(old, ignore_errors=True)
     _BUCKETED_LOCATIONS[name] = loc
+    prefix = f"{name.lower()}-"
+    for entry in os.listdir(base):
+        sib = os.path.join(base, entry)
+        if entry.startswith(prefix) and sib != loc:
+            shutil.rmtree(sib, ignore_errors=True)
 
 
 def compact_parquet_dir(
