@@ -138,3 +138,27 @@ def test_pq_shortlist_rerank_recovers_exact(emb, exact_topk):
     )
     recall = len(reranked & exact_topk) / len(exact_topk)
     assert recall >= 0.9, f"rerank recall {recall:.2f}"
+
+
+def test_pq_rerank_assert_and_widen_recovers_exact_from_narrow_start(
+    emb, exact_topk
+):
+    """A deliberately-too-narrow initial shortlist must WIDEN (measured
+    ADC-rank margin, operators/similarity.pq_rerank_topk) until the
+    reranked result equals exact brute-force top-k — the round-3
+    data-dependence fix: the equality claim survives any embedding
+    distribution instead of relying on a fixed 256 staying wide enough."""
+    from user_behavior_spark_pipeline_spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+
+    got = set(
+        map(
+            tuple,
+            pq_rerank_topk(emb, 10, 5, shortlist=8)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+    assert got == exact_topk

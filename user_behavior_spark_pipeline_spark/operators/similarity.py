@@ -508,6 +508,8 @@ def pq_rerank_topk(
     shortlist: int = 256,
     m: int = 16,
     n_codes: int = 64,
+    margin_factor: int = 3,
+    max_shortlist: int = 1 << 16,
 ) -> DataFrame:
     """Two-stage PQ retrieval — the standard production refinement: PQ/ADC
     scores the compressed corpus and keeps a top-``shortlist`` per query,
@@ -515,26 +517,56 @@ def pq_rerank_topk(
     top-k. Exact-vector work is O(num_queries · shortlist), independent of
     corpus size; the corpus-wide pass stays on the m-byte codes.
 
-    With ``shortlist`` wide relative to k (256 ≫ 5; worst observed true-
-    neighbor ADC rank is 77 at the largest test scale), the reranked
-    result equals exact brute-force top-k — pinned deterministically by
-    the seeded codebooks, so the DuckDB exact-cosine oracle hash-verifies
-    the whole PQ encode→ADC-score→shortlist→rerank pipeline (the same
+    The shortlist is ASSERT-AND-WIDEN, not a fixed knob (round-3 verdict:
+    a fixed 256 was a silent data-dependence — a regenerated embedding
+    distribution could push a true neighbor's ADC rank past it and the
+    equality-to-brute-force claim would hash-fail with no warning).
+    After reranking, the worst ADC rank among the exact top-k found
+    (``r_max``, measured per run from the shortlist's own ranks — a
+    bounded num_queries·k driver collect) must satisfy
+    ``shortlist >= margin_factor · r_max``; otherwise the shortlist
+    doubles and the ADC pass reruns. On round-3 data r_max = 77, so the
+    initial 256 ≥ 3·77 usually converges in one pass; a distribution
+    shift degrades to one extra corpus-code scan instead of a wrong
+    answer. ``max_shortlist`` bounds the loop (then the margin is
+    best-effort and the result is still the widest-shortlist rerank).
+
+    With the margin held, the reranked result equals exact brute-force
+    top-k — pinned deterministically by the seeded codebooks, so the
+    DuckDB exact-cosine oracle hash-verifies the whole PQ
+    encode→ADC-score→shortlist→rerank pipeline (the same
     driver-checkable-identity trick as LSH probe-to-exhaustion and IVF
     nprobe=all)."""
-    short = pq_topk(
-        embeddings, num_queries=num_queries, k=shortlist, m=m, n_codes=n_codes
-    ).select("query_id", "neighbor_id")
+    n_corpus = embeddings.count()
     qs = embeddings.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     truth = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
     )
-    # broadcast the (num_queries · shortlist)-row side so the true-vector
-    # pass is a map-side hash join over one corpus scan — the corpus never
-    # shuffles, keeping the "independent of corpus size" claim physical
-    rescored = with_cosine(
-        truth.join(F.broadcast(short.join(F.broadcast(qs), "query_id")), "neighbor_id")
-    )
-    return _rank_topk(rescored, k)
+    r = shortlist
+    while True:
+        covers_corpus = r >= n_corpus - 1
+        short = pq_topk(
+            embeddings, num_queries=num_queries, k=r, m=m, n_codes=n_codes
+        ).withColumnRenamed("rank", "adc_rank")
+        # broadcast the (num_queries · shortlist)-row side so the
+        # true-vector pass is a map-side hash join over one corpus scan —
+        # the corpus never shuffles, keeping the "independent of corpus
+        # size" claim physical
+        rescored = with_cosine(
+            truth.join(
+                F.broadcast(short.join(F.broadcast(qs), "query_id")),
+                "neighbor_id",
+            )
+        )
+        topk = _rank_topk(rescored.select(
+            "query_id", "neighbor_id", "cosine", "adc_rank"
+        ), k)
+        if covers_corpus or r >= max_shortlist:
+            return topk  # shortlist IS the corpus (exact) or capped
+        ranked = rescored.join(topk, ["query_id", "neighbor_id"])
+        r_max = ranked.agg(F.max("adc_rank")).collect()[0][0] or 1
+        if r >= margin_factor * r_max:
+            return topk
+        r = min(max(r * 2, margin_factor * r_max), max_shortlist)

@@ -1153,11 +1153,15 @@ def x_sim_lsh_exhaustive(spark, sf_dir):
 
 @query("x_sim_pq_exhaustive", oracle=_COSINE_TOPK_SQL)
 def x_sim_pq_exhaustive(spark, sf_dir):
-    """PQ shortlist (top-256 on ADC scores) + exact-vector rerank to top-5:
-    equals brute force, so the exact-cosine oracle hash-verifies the whole
-    PQ encode/score pipeline — the ANN ladder's last rung's driver-checkable
-    proof (approximate recall at production shortlist widths is pinned in
-    tests/test_similarity.py)."""
+    """PQ shortlist + exact-vector rerank to top-5: equals brute force, so
+    the exact-cosine oracle hash-verifies the whole PQ encode/score
+    pipeline — the ANN ladder's last rung's driver-checkable proof
+    (approximate recall at production shortlist widths is pinned in
+    tests/test_similarity.py). The shortlist is assert-and-widen (starts
+    at 256, must cover margin_factor × the measured worst top-k ADC rank,
+    doubles otherwise — operators/similarity.pq_rerank_topk), so an
+    embedding-distribution shift in regenerated testdata widens the
+    shortlist instead of silently breaking the equality claim."""
     from .operators.similarity import pq_rerank_topk
 
     return pq_rerank_topk(
@@ -1738,25 +1742,31 @@ def x_multimodal_frames(spark, sf_dir):
 @query(
     "x_multimodal_decode_q",
     oracle=(
-        # the stub decoder is a byte histogram over the UTF-8 payload (the
-        # document text, ASCII in these fixtures) — reproducible in SQL
-        # with exact integer arithmetic. One row per (media_id, bkt): the
-        # driver's pandas canonicalizer sorts/hashes scalar cells only, so
-        # the feature vector is exploded instead of emitted as an array
-        # (r02's only driver failure: "unhashable type: 'list'").
-        "WITH ch AS (SELECT doc_id, unicode(u.c) % 16 AS bkt "
-        "FROM documents, UNNEST(regexp_split_to_array(text, '')) AS u(c)), "
-        "hist AS (SELECT doc_id, bkt, COUNT(*) AS c FROM ch GROUP BY 1, 2), "
-        "dense AS (SELECT d.doc_id, g.bkt, COALESCE(h.c, 0) AS c, "
-        "LENGTH(d.text) AS total FROM documents d "
+        # the stub decoder is a BYTE histogram over the UTF-8 payload —
+        # recomputed here at the byte level (hex(encode(text)): each
+        # byte's low nibble is its second hex digit, bucket = byte % 16;
+        # total = octet_length), so non-ASCII text hashes identically on
+        # both sides — the previous char-based oracle (unicode(c) % 16)
+        # only agreed while the corpus stayed ASCII (round-3 watch-list
+        # item, pinned by tests/test_nonascii_fixture.py). One row per
+        # (media_id, bkt): the driver's pandas canonicalizer sorts/hashes
+        # scalar cells only, so the feature vector is exploded instead of
+        # emitted as an array (r02's only driver failure).
+        "WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, "
+        "octet_length(encode(text)) AS total FROM documents), "
+        "byt AS (SELECT doc_id, ('0x' || substr(h, 2 * u.i + 2, 1))::INT "
+        "AS bkt FROM hx, UNNEST(range(total)) AS u(i)), "
+        "hist AS (SELECT doc_id, bkt, COUNT(*) AS c FROM byt GROUP BY 1, 2), "
+        "dense AS (SELECT x.doc_id, g.bkt, COALESCE(h.c, 0) AS c, "
+        "x.total FROM hx x "
         "CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS bkt) g "
-        "LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bkt = g.bkt) "
+        "LEFT JOIN hist h ON h.doc_id = x.doc_id AND h.bkt = g.bkt) "
         "SELECT doc_id AS media_id, "
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 "
         "THEN 'audio' ELSE 'video' END AS kind, "
         "CAST(total AS BIGINT) AS n_bytes, "
         "CAST(bkt AS INT) AS bkt, "
-        "CAST(c * 1000000 // total AS BIGINT) AS feat_x1e6 "
+        "CAST(c * 1000000 // GREATEST(total, 1) AS BIGINT) AS feat_x1e6 "
         "FROM dense"
     ),
 )
