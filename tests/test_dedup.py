@@ -128,6 +128,43 @@ def test_embedding_lsh_recall_on_perturbed_near_dups(spark, sf_dir):
     assert lsh <= exact, "verify step must kill every false candidate"
 
 
+def test_lsh_auto_knobs_scale_with_corpus():
+    """The SCALE.md operating rule as code: bits grow by log2 of corpus
+    growth (constant per-bucket density → near-linear candidates), tables
+    grow ~1.17x per added bit (recall compensation); small corpora keep
+    the hand-tuned floors exactly."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        lsh_auto_knobs,
+    )
+
+    assert lsh_auto_knobs(100) == (8, 6)
+    assert lsh_auto_knobs(8192) == (8, 6)
+    bits32, tables32 = lsh_auto_knobs(8192 * 32)
+    assert bits32 == 8 + 5
+    assert tables32 > 6  # recall compensation kicked in
+    # candidate-density invariant: N / 2^bits stays <= the floor density
+    for n in (8192, 8192 * 8, 8192 * 32, 8192 * 1024):
+        bits, _ = lsh_auto_knobs(n)
+        assert n / (1 << bits) <= 8192 / (1 << 8) + 1e-9
+
+
+def test_embedding_near_dup_exact_baseline_refuses_unbounded_collect(
+    spark, sf_dir
+):
+    """The all-pairs oracle baseline collects the corpus matrix to the
+    driver — past max_collect_rows it must refuse with a pointer to the
+    scale paths instead of attempting the collect."""
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="embedding_near_dup_blocked"):
+        embedding_near_dup_pairs(emb, threshold=0.4, max_collect_rows=10)
+
+
 def test_dedup_components_transitive_merge(spark):
     """A chain a-b, b-c plus a separate pair d-e must yield two components
     {a,b,c}->a and {d,e}->d."""
