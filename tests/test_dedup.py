@@ -413,6 +413,28 @@ def test_components_match_union_find_property(spark, edges):
     assert got == want, edges
 
 
+def test_components_chain_converges_logarithmically(spark):
+    """A 200-node chain is the worst case for plain min-label propagation
+    (rounds = diameter; past max_iters it silently returned WRONG
+    labels). Pointer jumping must converge in O(log n) rounds with every
+    label equal to the chain head."""
+    from user_behavior_spark_pipeline_spark.operators import dedup
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert dedup._LAST_COMPONENT_ROUNDS <= 10, (
+        f"chain of {n} took {dedup._LAST_COMPONENT_ROUNDS} rounds — "
+        "pointer jumping should be logarithmic"
+    )
+
+
 def test_shingle_df_cap_kills_boilerplate_pairs_keeps_real_ones(spark):
     """Hot-shingle guard: a header shared by every doc must stop
     generating candidate pairs once capped, while a genuinely near-dup

@@ -672,19 +672,38 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+# rounds the last dedup_components call used — read by convergence tests
+# (a return-value change would break every caller for a diagnostic)
+_LAST_COMPONENT_ROUNDS: int = 0
+
+
+def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, component) where
     component = min doc_id reachable through the pair graph — the step that
     turns pairwise matches into duplicate CLUSTERS (keep one row per
     component to materialize the deduplicated corpus).
 
-    Iterative min-label propagation, pure DataFrame ops: each round joins
-    every node's current label with its neighbors' and keeps the min;
-    converged when no label changes (count of improved labels == 0).
-    Rounds needed = graph diameter (near-dup clusters are tiny and dense,
-    so 2-4 rounds in practice). Each round is one shuffle on doc_id;
-    label state is checkpointed via localCheckpoint to keep lineage flat —
-    the standard large-graph pattern short of bringing in GraphFrames."""
+    Min-label propagation WITH POINTER JUMPING, pure DataFrame ops. Each
+    round does two steps:
+
+    1. neighbor-min: every node takes the min of its own and its
+       neighbors' labels (join + hash-agg, one shuffle) — the classic
+       propagation step, O(diameter) rounds alone;
+    2. pointer jump: every node then replaces its label with ITS LABEL'S
+       label (labels self-join) — path-halving, the two-phase
+       acceleration the round-3 verdict asked for: label chains collapse
+       geometrically, so convergence needs O(log diameter) rounds total
+       (a 200-chain converges in 6 rounds where plain propagation needs
+       ~200 — and silently returned WRONG labels past max_iters; pinned
+       by tests/test_dedup.py::test_components_chain_converges_logarithmically).
+
+    Correctness invariant: a label is always the id of a node in the same
+    component, and both steps are monotone non-increasing, so the fixpoint
+    is the component min — the union-find property test stays the oracle.
+    Converged when no label changes. Label state is checkpointed via
+    localCheckpoint each round to keep lineage flat — the standard
+    large-graph pattern short of bringing in GraphFrames."""
+    global _LAST_COMPONENT_ROUNDS
     # materialize the (possibly expensive) pair pipeline ONCE — the union
     # below references it twice, and its final stage would recompute per
     # branch otherwise
@@ -702,25 +721,42 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    _LAST_COMPONENT_ROUNDS = 0
     for _ in range(max_iters):
+        _LAST_COMPONENT_ROUNDS += 1
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # carry the previous label through the checkpoint so convergence is
-        # a cheap filter on materialized data, not a second join+job
+        stepped = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+            F.col("component").alias("prev"),
+        )
+        # pointer jump: component <- label(component). The label column
+        # always holds a node id (both steps only ever assign node ids),
+        # so the self-join resolves every pointer; left+coalesce guards
+        # the no-op case without a row-count change.
+        ptr = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            stepped.join(ptr, stepped["component"] == ptr["p_id"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("prev"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+                "prev",
             )
             .localCheckpoint()
         )
+        # prev carried through the checkpoint so convergence is a cheap
+        # filter on materialized data, not a second join+job
         changed = updated.filter(F.col("component") < F.col("prev")).count()
         labels = updated.select("doc_id", "component")
         if changed == 0:
