@@ -3380,6 +3380,30 @@ def _correctness_history() -> dict[str, str]:
     return status
 
 
+# Queries whose implementation or oracle changed in the CURRENT round:
+# the rotation promotes these to the front of the green tail so the
+# driver's 50-slot window re-earns their green on the new code. Round 4:
+# funnel horizon boundary + distinct-steps guard, byte-level multimodal
+# oracle, PQ assert-and-widen shortlist, LSH auto-knobs, exact-baseline
+# collect guard, pointer-jump components, df-cap reimplementations
+# (threaded through curate), bucketed-staging sweep.
+_TOUCHED_THIS_ROUND = frozenset(
+    {
+        "x_funnel_counts",
+        "x_multimodal_decode_q",
+        "x_sim_pq_exhaustive",
+        "x_dedup_embedding_lsh",
+        "x_dedup_embedding",
+        "x_dedup_components",
+        "x_curate_corpus",
+        "x_dedup_ngram",
+        "x_dedup_minhash",
+        "x_dedup_incremental",
+        "x_join_bucketed",
+    }
+)
+
+
 def _rotated(keys):
     status = _correctness_history()
     never_checked = [k for k in keys if k not in status]
@@ -3398,12 +3422,19 @@ def _rotated(keys):
     checked_oracle = [k for k in checked if k in ORACLES]
     checked_rows_only = [k for k in checked if k not in ORACLES]
     green = [k for k in keys if status.get(k) == "green"]
+    # Within the green tail, lead with queries whose IMPLEMENTATION or
+    # ORACLE changed this round — their historical green predates the
+    # change, so a re-check slot re-earns it; untouched greens queue
+    # behind (their status can't move). Update per round.
+    touched = [k for k in green if k in _TOUCHED_THIS_ROUND]
+    untouched = [k for k in green if k not in _TOUCHED_THIS_ROUND]
     return (
         never_oracle
         + checked_oracle
         + never_rows_only
         + checked_rows_only
-        + green
+        + touched
+        + untouched
     )
 
 
