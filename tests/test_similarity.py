@@ -152,6 +152,8 @@ def test_pq_rerank_assert_and_widen_recovers_exact_from_narrow_start(
         pq_rerank_topk,
     )
 
+    from user_behavior_spark_pipeline_spark.operators import similarity
+
     got = set(
         map(
             tuple,
@@ -162,3 +164,7 @@ def test_pq_rerank_assert_and_widen_recovers_exact_from_narrow_start(
         )
     )
     assert got == exact_topk
+    # the accepted result must carry the certificate (widened past the
+    # deliberately-narrow 8), not merely agree by luck
+    assert similarity._LAST_PQ_CERTIFIED
+    assert similarity._LAST_PQ_SHORTLIST > 8

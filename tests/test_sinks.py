@@ -150,10 +150,11 @@ def test_bucketed_staging_survives_catalog_loss(spark, sf_dir):
 
 
 def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
-    """The staging memo is process-local, so a crashed (or merely prior)
-    process's staging directory would otherwise never be retired. Staging
-    must sweep same-name-prefixed siblings it didn't create, and leave
-    exactly one live directory per table name."""
+    """The staging memo is process-local, so a crashed process's staging
+    directory would otherwise never be retired. Staging must sweep
+    same-table siblings owned by DEAD pids (and this process's own
+    replaced dirs), while leaving a live concurrent process's staging and
+    unrelated tables' directories untouched."""
     import os
     import tempfile
 
@@ -162,27 +163,47 @@ def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
 
     base = os.path.join(tempfile.gettempdir(), "ubsp-bucketed")
     os.makedirs(base, exist_ok=True)
-    # simulate an orphan left by a dead process (non-empty, like real
-    # staging debris) plus an unrelated table's directory that must survive
-    orphan = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
+    # dead owner: pid far beyond pid_max cannot be alive (non-empty, like
+    # real staging debris); legacy no-pid dirs count as dead too
+    orphan = tempfile.mkdtemp(prefix="swp_orders-99999999-", dir=base)
     with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
         f.write("debris")
+    legacy = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
+    # live owner: pid 1 always exists — a concurrent session's staging
+    # must NOT be deleted out from under its catalog
+    live = tempfile.mkdtemp(prefix="swp_orders-1-", dir=base)
     other = tempfile.mkdtemp(prefix="swp_other_table-", dir=base)
 
     orders = load_table(spark, sf_dir, "orders").limit(10)
     write_bucketed_table(spark, orders, "swp_orders", "o_custkey", 2)
     try:
-        mine = [d for d in os.listdir(base) if d.startswith("swp_orders-")]
-        assert len(mine) == 1, f"expected one live dir, got {mine}"
         assert not os.path.exists(orphan), "dead process's orphan not swept"
+        assert not os.path.exists(legacy), "legacy no-pid dir not swept"
+        assert os.path.exists(live), "live concurrent session's dir swept!"
         assert os.path.exists(other), "unrelated table's staging was swept"
         # the live table still reads after the sweep
         assert spark.table("swp_orders").count() == 10
+        # re-staging in the SAME process retires our own previous dir
+        first = [
+            d
+            for d in os.listdir(base)
+            if d.startswith(f"swp_orders-{os.getpid()}-")
+        ]
+        write_bucketed_table(spark, orders, "swp_orders", "o_custkey", 2)
+        mine = [
+            d
+            for d in os.listdir(base)
+            if d.startswith(f"swp_orders-{os.getpid()}-")
+        ]
+        assert len(mine) == 1 and mine != first, (
+            f"own previous staging not retired: {first} -> {mine}"
+        )
     finally:
         spark.sql("DROP TABLE IF EXISTS swp_orders")
         import shutil
 
-        shutil.rmtree(other, ignore_errors=True)
+        for d in (live, other):
+            shutil.rmtree(d, ignore_errors=True)
         for d in os.listdir(base):
             if d.startswith("swp_orders-"):
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)

@@ -27,11 +27,52 @@ they carry no near-dup signal and quadratically inflate the self-join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NUM_HASHES = 64
 NUM_BANDS = 32  # 2 rows per band
+
+
+def _drop_hot_values(
+    df: DataFrame,
+    col: str,
+    max_df: int,
+    count_distinct_by: str | None = None,
+) -> DataFrame:
+    """Shared hot-value guard: drop every row whose ``col`` value occurs in
+    more than ``max_df`` rows (or, with ``count_distinct_by``, in more than
+    ``max_df`` distinct (count_distinct_by, col) pairs — true document
+    frequency even when values repeat within a group).
+
+    Aggregate + broadcast anti-join, NOT a window over partitionBy(col):
+    a window lands every row of the hottest value on ONE task, so at
+    scale the guard would itself become the skew hotspot it exists to
+    remove. The groupBy count partial-aggregates map-side and the hot
+    list — only values in > max_df rows/groups, tiny by construction —
+    broadcasts. Single definition shared by the shingle, token, and
+    corpus-shingle guards so the boundary (> max_df) and the join shape
+    stay consistent."""
+    counted = (
+        df.select(count_distinct_by, col).distinct()
+        if count_distinct_by is not None
+        else df
+    )
+    return df.join(
+        F.broadcast(_hot_values(counted, col, max_df)), col, "left_anti"
+    )
+
+
+def _hot_values(df: DataFrame, col: str, max_df: int) -> DataFrame:
+    """The hot list itself (values in > max_df rows of ``df``) — split out
+    so incremental_near_dup can define the list on the CORPUS side and
+    anti-join it away from both sides."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(col)
+    )
 
 
 def _parse_byte_conf(value: str) -> int:
@@ -248,15 +289,10 @@ def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
     groupBy count partial-aggregates map-side (each task contributes one
     row per local shingle), and the hot list — only shingles in > max_df
     docs, tiny by construction — broadcasts. Same shape as
-    incremental_near_dup's corpus-df guard. ``shingles()`` emits distinct
-    (doc_id, shingle) rows, so the count IS document frequency."""
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("shingle")
-    )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    incremental_near_dup's corpus-df guard (shared: _drop_hot_values).
+    ``shingles()`` emits distinct (doc_id, shingle) rows, so the plain
+    row count IS document frequency."""
+    return _drop_hot_values(sh, "shingle", max_df)
 
 
 def ngram_jaccard_pairs(
@@ -383,16 +419,18 @@ def embedding_near_dup_pairs(
     scale-killer: this function can no longer run unbounded."""
     import numpy as np
 
-    n = embeddings.count()
-    if n > max_collect_rows:
+    # take(cap+1) IS the guarded collect in one pass: under the cap it
+    # returns every row; one row over proves the violation without a
+    # separate count() job re-executing the upstream pipeline
+    rows = embeddings.select("vec_id", "embedding").take(max_collect_rows + 1)
+    if len(rows) > max_collect_rows:
         raise ValueError(
             f"embedding_near_dup_pairs collects the corpus matrix to the "
-            f"driver and got {n} rows (max_collect_rows={max_collect_rows})."
+            f"driver and got > {max_collect_rows} rows (max_collect_rows)."
             " This form is the test-scale oracle baseline; for large "
             "corpora use embedding_near_dup_blocked (distributed-exact, "
             "identical output) or embedding_near_dup_lsh (LSH-pruned)."
         )
-    rows = embeddings.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -442,8 +480,23 @@ def lsh_auto_knobs(
 
     extra = max(0, math.ceil(math.log2(max(n_rows, 1) / n_ref)))
     bits = bits_floor + extra
-    tables = math.ceil(tables_floor * (1 / 0.857) ** extra)
-    return bits, tables
+    return bits, _tables_for_bits(bits, bits_floor, tables_floor)
+
+
+def _tables_for_bits(
+    bits: int, bits_floor: int = 8, tables_floor: int = 6
+) -> int:
+    """Recall-compensating table count for an EFFECTIVE bit width: each
+    bit past the floor multiplies per-table collision probability for
+    true near-dups by ~0.857 (cosine 0.9), so tables scale by its
+    inverse. Split out so a caller pinning bits_per_table explicitly
+    still gets tables matched to THOSE bits — deriving tables from the
+    auto bits while using different explicit bits would silently
+    collapse recall (e.g. 16 explicit bits with the 8-bit floor's 6
+    tables ⇒ ~59% miss)."""
+    import math
+
+    return math.ceil(tables_floor * (1 / 0.857) ** max(0, bits - bits_floor))
 
 
 def embedding_near_dup_lsh(
@@ -477,10 +530,16 @@ def embedding_near_dup_lsh(
 
     from .similarity import multi_table_planes, pair_dot_udf
 
-    if bits_per_table is None or num_tables is None:
-        auto_bits, auto_tables = lsh_auto_knobs(embeddings.count())
-        bits_per_table = bits_per_table or auto_bits
-        num_tables = num_tables or auto_tables
+    if bits_per_table is None:
+        # materialize the (possibly derived) embeddings ONCE: the count
+        # here and the _prep pass below would otherwise each execute the
+        # full upstream pipeline
+        embeddings = embeddings.select("vec_id", "embedding").localCheckpoint()
+        bits_per_table, auto_tables = lsh_auto_knobs(embeddings.count())
+    else:
+        # tables must compensate the EFFECTIVE bits, not the auto ones
+        auto_tables = _tables_for_bits(bits_per_table)
+    num_tables = num_tables or auto_tables
     planes = multi_table_planes(num_tables, bits_per_table)
     weights = 1 << np.arange(bits_per_table, dtype=np.int64)
 
@@ -571,15 +630,9 @@ def simhash_signatures(
         "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("token")
     )
     if max_token_df is not None:
-        hot = (
-            tok.select("doc_id", "token")
-            .distinct()
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_token_df)
-            .select("token")
+        tok = _drop_hot_values(
+            tok, "token", max_token_df, count_distinct_by="doc_id"
         )
-        tok = tok.join(F.broadcast(hot), "token", "left_anti")
     # bind the token hash to a projected column BEFORE the 64 per-bit vote
     # aggregates: each vote references the hash, and subexpression
     # elimination does not reach into aggregate inputs — inlined, the (md5
@@ -887,12 +940,7 @@ def incremental_near_dup(
         # itself is tiny (only shingles in > max_df docs) → broadcast
         # anti-join on the delta side.
         corpus_sh = corpus_sh.localCheckpoint()
-        hot = (
-            corpus_sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("shingle")
-        )
+        hot = _hot_values(corpus_sh, "shingle", max_shingle_df)
         corpus_sh = corpus_sh.join(F.broadcast(hot), "shingle", "left_anti")
         new_sh = new_sh.join(F.broadcast(hot), "shingle", "left_anti")
     new_sh = new_sh.localCheckpoint()

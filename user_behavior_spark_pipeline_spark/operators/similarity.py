@@ -441,6 +441,29 @@ def pq_topk(
     exact re-ranking of the PQ top-R with true vectors is the standard
     production refinement (compose with brute_force_topk over the
     shortlist)."""
+    scored, _encoded, _qids, _q_sub_norms = _pq_scored(
+        embeddings, num_queries=num_queries, m=m, n_codes=n_codes
+    )
+    return _rank_topk(scored, k)
+
+
+def _pq_scored(
+    embeddings: DataFrame, num_queries: int, m: int, n_codes: int
+):
+    """Shared PQ pipeline: encode the corpus to m-byte codes and ADC-score
+    it against the first ``num_queries`` vectors. Returns (scored,
+    encoded, qids, q_sub_norms):
+
+    - scored: (query_id, neighbor_id, cosine) — ADC-approximate cosines,
+      self excluded;
+    - encoded: (neighbor_id, codes, res) with ``res`` = per-subspace L2
+      residual norms ‖x_j − c_{codes_j}‖ — the raw material for the
+      rerank's SOUND shortlist criterion (Cauchy-Schwarz:
+      |true − adc| = |Σ_j ⟨q_j, x_j − c_j⟩| ≤ Σ_j ‖q_j‖·res_j), eagerly
+      checkpointed so scoring and any residual aggregate share one
+      encode pass;
+    - qids / q_sub_norms: query ids and their per-subspace norms ‖q_j‖.
+    """
     import numpy as np
     import pandas as pd
 
@@ -452,16 +475,26 @@ def pq_topk(
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             codes = np.empty((len(x), m), dtype=np.int64)
+            res = np.empty((len(x), m), dtype=np.float64)
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]
                 d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1)
+                res[:, j] = np.sqrt(d2[np.arange(len(x)), codes[:, j]])
             yield pd.DataFrame(
-                {"neighbor_id": pdf["vec_id"], "codes": list(codes)}
+                {
+                    "neighbor_id": pdf["vec_id"],
+                    "codes": list(codes),
+                    "res": list(res),
+                }
             )
 
-    encoded = embeddings.select("vec_id", "embedding").mapInPandas(
-        _encode, "neighbor_id long, codes array<long>"
+    encoded = (
+        embeddings.select("vec_id", "embedding")
+        .mapInPandas(
+            _encode, "neighbor_id long, codes array<long>, res array<double>"
+        )
+        .localCheckpoint()
     )
 
     q_rows = (
@@ -472,6 +505,7 @@ def pq_topk(
     q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_sub_norms = np.linalg.norm(q.reshape(len(q), m, sub), axis=2)
     # ADC tables: tables[qi, j, c] = <q_sub, codeword> -> approx cosine is
     # the sum over subspaces of table lookups
     tables = np.einsum("qjs,jcs->qjc", q.reshape(len(q), m, sub), books)
@@ -495,10 +529,16 @@ def pq_topk(
                 }
             )
 
-    scored = encoded.mapInPandas(
+    scored = encoded.select("neighbor_id", "codes").mapInPandas(
         _score, "query_id long, neighbor_id long, cosine double"
     )
-    return _rank_topk(scored, k)
+    return scored, encoded, qids, q_sub_norms
+
+
+# last accepted shortlist width / certificate outcome — diagnostics for
+# convergence tests (same pattern as dedup._LAST_COMPONENT_ROUNDS)
+_LAST_PQ_SHORTLIST: int = 0
+_LAST_PQ_CERTIFIED: bool = False
 
 
 def pq_rerank_topk(
@@ -508,7 +548,7 @@ def pq_rerank_topk(
     shortlist: int = 256,
     m: int = 16,
     n_codes: int = 64,
-    margin_factor: int = 3,
+    margin_factor: float = 1.0,
     max_shortlist: int = 1 << 16,
 ) -> DataFrame:
     """Two-stage PQ retrieval — the standard production refinement: PQ/ADC
@@ -517,56 +557,151 @@ def pq_rerank_topk(
     top-k. Exact-vector work is O(num_queries · shortlist), independent of
     corpus size; the corpus-wide pass stays on the m-byte codes.
 
-    The shortlist is ASSERT-AND-WIDEN, not a fixed knob (round-3 verdict:
-    a fixed 256 was a silent data-dependence — a regenerated embedding
-    distribution could push a true neighbor's ADC rank past it and the
-    equality-to-brute-force claim would hash-fail with no warning).
-    After reranking, the worst ADC rank among the exact top-k found
-    (``r_max``, measured per run from the shortlist's own ranks — a
-    bounded num_queries·k driver collect) must satisfy
-    ``shortlist >= margin_factor · r_max``; otherwise the shortlist
-    doubles and the ADC pass reruns. On round-3 data r_max = 77, so the
-    initial 256 ≥ 3·77 usually converges in one pass; a distribution
-    shift degrades to one extra corpus-code scan instead of a wrong
-    answer. ``max_shortlist`` bounds the loop (then the margin is
-    best-effort and the result is still the widest-shortlist rerank).
+    The shortlist is ASSERT-AND-WIDEN against a SOUND error bound, not a
+    fixed knob (round-3 verdict: a fixed 256 was a silent
+    data-dependence) and not a found-rank heuristic (a true neighbor
+    missing from the shortlist entirely would be invisible to the ranks
+    of the neighbors that WERE found). The acceptance criterion is the
+    quantization-error certificate: for every vector y,
+    |true(q,y) − adc(q,y)| = |Σ_j ⟨q_j, y_j − c_j⟩| ≤ Σ_j ‖q_j‖·E_j
+    (Cauchy-Schwarz), with E_j = max over the CORPUS of the per-subspace
+    residual ‖y_j − c_j‖ (one aggregate over the encoded codes). Any y
+    outside the ADC top-R has adc(y) ≤ t_R (the R-th ADC score), hence
+    true(y) ≤ t_R + bound_q; if the k-th best TRUE score inside the
+    shortlist satisfies s_k > t_R + bound_q for every query, no outside
+    vector can displace the top-k — the reranked result PROVABLY equals
+    exact brute-force top-k. Otherwise the shortlist doubles (the ADC
+    scores are computed once and re-filtered, so widening costs no new
+    corpus pass). Reaching the corpus size makes the result exact by
+    construction; ``max_shortlist`` caps the certificate chase (then the
+    result is the widest-shortlist rerank, best-effort).
 
-    With the margin held, the reranked result equals exact brute-force
-    top-k — pinned deterministically by the seeded codebooks, so the
-    DuckDB exact-cosine oracle hash-verifies the whole PQ
-    encode→ADC-score→shortlist→rerank pipeline (the same
-    driver-checkable-identity trick as LSH probe-to-exhaustion and IVF
-    nprobe=all)."""
-    n_corpus = embeddings.count()
+    ``margin_factor`` multiplies the error bound for extra safety margin
+    (1 = the raw certificate). The DuckDB exact-cosine oracle
+    hash-verifies the whole PQ encode→ADC-score→shortlist→rerank
+    pipeline as x_sim_pq_exhaustive (the same driver-checkable-identity
+    trick as LSH probe-to-exhaustion and IVF nprobe=all)."""
+    import numpy as np
+
+    scored, encoded, qids, q_sub_norms = _pq_scored(
+        embeddings, num_queries=num_queries, m=m, n_codes=n_codes
+    )
+    m_eff = q_sub_norms.shape[1]
+    # E_j: corpus-wide max per-subspace residual — one aggregate over the
+    # (already-checkpointed) encoded codes
+    res_row = encoded.agg(
+        *[
+            F.max(F.element_at("res", j + 1)).alias(f"e{j}")
+            for j in range(m_eff)
+        ]
+    ).collect()[0]
+    res_max = np.array([res_row[f"e{j}"] for j in range(m_eff)])
+    bound = {
+        int(qids[qi]): margin_factor * float(q_sub_norms[qi] @ res_max)
+        for qi in range(len(qids))
+    }
+
+    n_corpus = encoded.count()
+    r_cap = min(max_shortlist, max(n_corpus - 1, 1))
+    # rank ALL ADC scores once and keep the top-r_cap per query
+    # materialized: every widening is then a FILTER over this, not a new
+    # encode/score pass (one window, cosine kept alongside the rank)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= r_cap)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("adc"),
+            "adc_rank",
+        )
+        .localCheckpoint()
+    )
     qs = embeddings.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     truth = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
     )
-    r = shortlist
+    global _LAST_PQ_SHORTLIST, _LAST_PQ_CERTIFIED
+    r = min(shortlist, r_cap)
     while True:
-        covers_corpus = r >= n_corpus - 1
-        short = pq_topk(
-            embeddings, num_queries=num_queries, k=r, m=m, n_codes=n_codes
-        ).withColumnRenamed("rank", "adc_rank")
+        short = ranked.filter(F.col("adc_rank") <= r)
         # broadcast the (num_queries · shortlist)-row side so the
         # true-vector pass is a map-side hash join over one corpus scan —
         # the corpus never shuffles, keeping the "independent of corpus
-        # size" claim physical
-        rescored = with_cosine(
-            truth.join(
-                F.broadcast(short.join(F.broadcast(qs), "query_id")),
-                "neighbor_id",
+        # size" claim physical; rescored (num_queries · r rows, tiny) is
+        # materialized so the top-k window, the certificate collects, and
+        # the caller's consumption all read it without re-scanning
+        rescored = (
+            with_cosine(
+                truth.join(
+                    F.broadcast(
+                        short.select("query_id", "neighbor_id").join(
+                            F.broadcast(qs), "query_id"
+                        )
+                    ),
+                    "neighbor_id",
+                )
             )
+            .select("query_id", "neighbor_id", "cosine")
+            .localCheckpoint()
         )
-        topk = _rank_topk(rescored.select(
-            "query_id", "neighbor_id", "cosine", "adc_rank"
-        ), k)
-        if covers_corpus or r >= max_shortlist:
+        topk = _rank_topk(rescored, k)
+        if r >= r_cap:
+            # covering the corpus is exact by construction; stopping at
+            # max_shortlist below corpus size is the best-effort case
+            _LAST_PQ_SHORTLIST = r
+            _LAST_PQ_CERTIFIED = r >= n_corpus - 1
             return topk  # shortlist IS the corpus (exact) or capped
-        ranked = rescored.join(topk, ["query_id", "neighbor_id"])
-        r_max = ranked.agg(F.max("adc_rank")).collect()[0][0] or 1
-        if r >= margin_factor * r_max:
+        # certificate check, driver-side over tiny collects: s_k = k-th
+        # best TRUE score inside the shortlist, t_r = R-th (worst kept)
+        # ADC score — accept only if no outside vector can reach s_k
+        s_k = {
+            row["query_id"]: row["s_k"]
+            for row in topk.join(rescored, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.min("cosine").alias("s_k"))
+            .collect()
+        }
+        t_r = {
+            row["query_id"]: row["t_r"]
+            for row in short.groupBy("query_id")
+            .agg(F.min("adc").alias("t_r"))
+            .collect()
+        }
+        certified = all(
+            s_k.get(q, float("-inf"))
+            > t_r.get(q, float("inf")) + bound[q] + 1e-9
+            for q in bound
+        )
+        _LAST_PQ_SHORTLIST, _LAST_PQ_CERTIFIED = r, certified
+        if certified:
             return topk
-        r = min(max(r * 2, margin_factor * r_max), max_shortlist)
+        # Jump STRAIGHT to the certified width instead of blind doubling:
+        # the certificate needs t_R < s_k − bound, and the ADC scores are
+        # already ranked and materialized, so the required R per query is
+        # just a count of rows at-or-above that threshold. s_k can only
+        # rise with a wider shortlist, so one jump suffices (≤ 2 rescore
+        # rounds total); queries with no s_k yet force the corpus cap.
+        if any(q not in s_k for q in bound):
+            r_needed = r_cap
+        else:
+            thr = F.create_map(
+                *[
+                    F.lit(v)
+                    for q in bound
+                    for v in (q, s_k[q] - bound[q] - 1e-9)
+                ]
+            )[F.col("query_id")]
+            counts = (
+                ranked.filter(F.col("adc") >= thr)
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            r_needed = max((row["n"] + 1 for row in counts), default=r_cap)
+        r = min(max(r * 2, r_needed), r_cap)

@@ -1157,9 +1157,11 @@ def x_sim_pq_exhaustive(spark, sf_dir):
     the exact-cosine oracle hash-verifies the whole PQ encode/score
     pipeline — the ANN ladder's last rung's driver-checkable proof
     (approximate recall at production shortlist widths is pinned in
-    tests/test_similarity.py). The shortlist is assert-and-widen (starts
-    at 256, must cover margin_factor × the measured worst top-k ADC rank,
-    doubles otherwise — operators/similarity.pq_rerank_topk), so an
+    tests/test_similarity.py). The shortlist is assert-and-widen against
+    a SOUND quantization-error certificate (Cauchy-Schwarz residual
+    bound: no vector outside the ADC top-R can displace the reranked
+    top-k — operators/similarity.pq_rerank_topk), widening straight to
+    the certified width when the check fails, so an
     embedding-distribution shift in regenerated testdata widens the
     shortlist instead of silently breaking the equality claim."""
     from .operators.similarity import pq_rerank_topk
@@ -1329,6 +1331,12 @@ def _stage_events_parquet_sealed(spark: SparkSession, sf_dir: str) -> str:
     parts = sorted(glob.glob(os.path.join(plain, "*.parquet")))
     max_ts = None
     schema = None
+    # EVERY row group must carry ts stats for the stats-derived max to be
+    # trusted: one stats-less group (legal for any parquet writer) makes
+    # it a lower bound only — the true max could hide there, the sentinel
+    # would trail it, and real windows would stay unsealed. Partial
+    # stats ⇒ scan the ts column instead (driver-side, still cheap).
+    stats_complete = True
     for i, p in enumerate(parts):
         dst = os.path.join(src, f"part-{i:05d}.parquet")
         try:
@@ -1338,11 +1346,22 @@ def _stage_events_parquet_sealed(spark: SparkSession, sf_dir: str) -> str:
         f = pq.ParquetFile(p)
         if schema is None:
             schema = f.schema_arrow
+        if not stats_complete:
+            continue
         ts_idx = f.schema_arrow.get_field_index("ts")
         for rg in range(f.metadata.num_row_groups):
             stats = f.metadata.row_group(rg).column(ts_idx).statistics
-            if stats is not None and stats.max is not None:
-                max_ts = stats.max if max_ts is None else max(max_ts, stats.max)
+            if stats is None or stats.max is None:
+                stats_complete = False
+                break
+            max_ts = stats.max if max_ts is None else max(max_ts, stats.max)
+    if not stats_complete or max_ts is None:
+        import pyarrow.dataset as ds
+
+        max_ts = (
+            ds.dataset(parts).to_table(columns=["ts"]).column("ts")
+            .to_pandas().max().to_pydatetime()
+        )
     seal_ts = max_ts + datetime.timedelta(hours=3)  # > horizon (1h) + delay
     sentinel_cols = {
         "event_id": [-(10**9), -(10**9) + 1],

@@ -58,15 +58,18 @@ def write_bucketed_table(
     (observed as FileNotFoundException on a deleted part file when a
     query re-stages after a catalog drop). The previous location is
     removed only AFTER the replacement table exists — and so is every
-    OTHER sibling directory staged for this table name by earlier
-    (possibly crashed) processes: ``_BUCKETED_LOCATIONS`` is
-    process-local, so without the sweep each new process would stage to
-    a fresh dir and only ever retire its own, accumulating orphans under
-    $TMPDIR/ubsp-bucketed/ unboundedly. A prior process's directory can
-    no longer be referenced by any live catalog entry of this design
-    (the DROP above severed this session's reference; other sessions'
-    in-memory catalogs died with their processes), so the sweep is
-    safe."""
+    OTHER sibling directory staged for this table name whose OWNER
+    PROCESS IS GONE: ``_BUCKETED_LOCATIONS`` is process-local, so
+    without the sweep each new process would stage to a fresh dir and
+    only ever retire its own, accumulating crashed runs' orphans under
+    $TMPDIR/ubsp-bucketed/ unboundedly. The owning pid is encoded in
+    the directory name and liveness-checked, because a blanket
+    same-name sweep would delete the LIVE staging of a concurrent
+    session (parallel pytest workers, a bench beside a test run) whose
+    in-memory catalog still references it — only dirs from this process
+    (our catalog entry was just replaced) or from dead pids (their
+    catalogs died with them) can be unreferenced, and only those are
+    removed."""
     import os
     import shutil
     import tempfile
@@ -76,7 +79,8 @@ def write_bucketed_table(
     os.makedirs(base, exist_ok=True)
     # mkdtemp yields an empty dir, which saveAsTable accepts (only a
     # non-empty stale location fails with LOCATION_ALREADY_EXISTS)
-    loc = tempfile.mkdtemp(prefix=f"{name.lower()}-", dir=base)
+    prefix = f"{name.lower()}-"
+    loc = tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}-", dir=base)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
@@ -85,11 +89,20 @@ def write_bucketed_table(
         .saveAsTable(name)
     )
     _BUCKETED_LOCATIONS[name] = loc
-    prefix = f"{name.lower()}-"
     for entry in os.listdir(base):
         sib = os.path.join(base, entry)
-        if entry.startswith(prefix) and sib != loc:
-            shutil.rmtree(sib, ignore_errors=True)
+        if not entry.startswith(prefix) or sib == loc:
+            continue
+        owner = entry[len(prefix):].split("-", 1)[0]
+        if owner.isdigit() and int(owner) != os.getpid():
+            try:
+                os.kill(int(owner), 0)
+                continue  # owner alive — its catalog may reference this dir
+            except ProcessLookupError:
+                pass  # owner dead — unreferenced by construction
+            except PermissionError:
+                continue  # alive under another uid — leave it
+        shutil.rmtree(sib, ignore_errors=True)
 
 
 def compact_parquet_dir(
