@@ -168,3 +168,55 @@ def test_pq_rerank_assert_and_widen_recovers_exact_from_narrow_start(
     # deliberately-narrow 8), not merely agree by luck
     assert similarity._LAST_PQ_CERTIFIED
     assert similarity._LAST_PQ_SHORTLIST > 8
+
+
+def test_pq_rerank_equals_brute_force_on_shifted_distribution(spark):
+    """The embedding-shift scenario the round-3 watch list feared: a
+    clustered corpus (tight clusters around a few centers — nothing like
+    the training sample's spread) must STILL produce reranked top-k ==
+    exact brute force, because the certificate widens the shortlist to
+    whatever this distribution needs. This is the PQ analogue of the
+    non-ASCII text fixture."""
+    import math
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+    )
+
+    rng = random.Random(99)
+    dim, n_clusters, per_cluster = 64, 8, 50
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        nrm = math.sqrt(sum(x * x for x in c))
+        for _ in range(per_cluster):
+            v = [x / nrm + rng.gauss(0, 0.02) for x in c]
+            rows.append((vid, v, "s"))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = set(
+        map(
+            tuple,
+            pq_rerank_topk(emb, 10, 5)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+    want = set(
+        map(
+            tuple,
+            brute_force_topk(emb, 10, 5)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+    assert got == want
