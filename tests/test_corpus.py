@@ -295,3 +295,30 @@ def test_chunk_generate_carries_no_token_array(spark):
         # IS the input), the carried list must not
         carried = line.rsplit(", false, [", 1)[0].rsplit(", [", 1)[-1]
         assert "_t#" not in carried, line
+
+
+def test_corpus_ops_define_null_text_behavior(spark):
+    """NULL text must be EXCLUDED — explicitly, not as a side effect of
+    config-dependent null-size semantics (legacy sizeOfNull=-1 would make
+    chunk_documents' sequence(1,-1,stride) throw; ANSI silently drops).
+    One null row must never kill a corpus-scale job."""
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        chunk_documents,
+        pack_spans,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "s1"),
+            (2, None, "s1"),  # the poison row
+            (3, "x y z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=4, stride=4).collect()
+    assert {r["doc_id"] for r in chunks} == {1, 3}
+    packs = pack_spans(docs, window_tokens=8).collect()
+    assert {r["doc_id"] for r in packs} == {1, 3}
+    reps = repetition_stats(docs).collect()
+    assert {r["doc_id"] for r in reps} == {1, 3}

@@ -78,6 +78,30 @@ def test_range_join_endpoints(spark, tiers):
     assert all(id_ != 5 for id_, _ in got)  # hi exclusive, even on boundary
 
 
+def test_range_join_tolerates_inverted_and_empty_intervals(spark):
+    """A dirty interval row with swapped bounds must match nothing and —
+    critically — must NOT reach F.sequence with hi_band < lo_band, where
+    Spark builds a DESCENDING band array (a 1e9-wide inverted interval
+    would materialize a 1e9-element array per row before any filter)."""
+    dirty = spark.createDataFrame(
+        [
+            ("ok", 0.0, 10.0),
+            ("inverted", 1e9, 0.0),  # would be a ~1e8-element sequence
+            ("empty", 5.0, 5.0),
+            ("empty_on_boundary", 10.0, 10.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0)], "id long, v double"
+    )
+    got = {
+        (r["id"], r["tier"])
+        for r in range_join_banded(facts, dirty, "v", "lo", "hi", 10.0).collect()
+    }
+    assert got == {(1, "ok")}
+
+
 def test_range_join_overlapping_intervals_multi_match(spark, tiers):
     facts = spark.createDataFrame([(1, 7.0)], "id long, v double")
     got = {

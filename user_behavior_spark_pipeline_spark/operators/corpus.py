@@ -58,7 +58,7 @@ def contamination_report(
     top_match_doc (train doc sharing the most shingles, min-id tie-break;
     NULL when clean), top_match_shared.
     """
-    def _shingled(docs, id_alias):
+    def _shingled(docs, id_alias, dedupe=True):
         # bind the token array to a projected column FIRST — slicing the raw
         # split(...) expression inside the transform would re-tokenize per
         # gram (the quadratic pitfall documented at dedup.shingles)
@@ -66,22 +66,28 @@ def contamination_report(
             F.col("doc_id").alias(id_alias),
             F.split(F.col("text"), "\\s+").alias("_toks"),
         )
-        return (
-            tokenized.select(
-                id_alias,
-                F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
-            )
-            .select(id_alias, F.xxhash64("gram").alias("shingle"))
-            .distinct()
-        )
+        out = tokenized.select(
+            id_alias,
+            F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
+        ).select(id_alias, F.xxhash64("gram").alias("shingle"))
+        return out.distinct() if dedupe else out
 
     ev = _shingled(eval_docs, "eval_doc_id")
-    tr = _shingled(train, "train_doc_id")
+    # The TRAIN side is deliberately NOT deduplicated before the join: a
+    # distinct here plans as a full Exchange of the corpus-scale
+    # (train_doc_id, shingle) table (Catalyst can't push a join below an
+    # Aggregate), which would shuffle the 100 TB side — the exact thing
+    # this operator's shape exists to avoid. Instead the raw grams join
+    # map-side against the broadcast eval set FIRST, and the distinct
+    # runs on the surviving hits (bounded by |eval shingles| × matching
+    # train docs), where it also dedupes repeated grams within a train
+    # doc so per_pair's `shared` counts distinct shingles.
+    tr = _shingled(train, "train_doc_id", dedupe=False)
     sizes = ev.groupBy("eval_doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # hits feeds BOTH rollups below; pin it so the train-side shingle
     # pipeline + membership join run once (hits is small by construction:
     # only train shingles colliding with the eval set survive)
-    hits = tr.join(F.broadcast(ev), "shingle").localCheckpoint()
+    hits = tr.join(F.broadcast(ev), "shingle").distinct().localCheckpoint()
     per_pair = hits.groupBy("eval_doc_id", "train_doc_id").agg(
         F.count(F.lit(1)).alias("shared")
     )
@@ -136,7 +142,11 @@ def chunk_documents(
     probe hung there. Binding the array before slicing also keeps the
     per-chunk slice O(chunk), not O(n) re-tokenization (the
     dedup.shingles pitfall)."""
-    tokenized = documents.select(
+    # NULL text is explicitly excluded (not a chunkable document): the
+    # behavior of size/sequence over a null token array is config- and
+    # engine-dependent (legacy sizeOfNull=-1 makes sequence(1,-1,stride)
+    # THROW; ANSI silently drops) — the filter makes it defined.
+    tokenized = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_t")
     )
     t = F.col("_t")
@@ -174,6 +184,9 @@ def pack_spans(
     pack), is_split.
     """
     n_tok = F.size(F.split(F.col("text"), "\\s+")).cast("long")
+    # NULL text contributes no tokens to any pack — excluded explicitly
+    # (null-size semantics are config-dependent; see chunk_documents)
+    documents = documents.filter(F.col("text").isNotNull())
     spans = documents.select(
         F.col(shard_col).alias("shard"),
         "doc_id",
@@ -226,7 +239,9 @@ def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
 
     Columns: doc_id, n_grams, n_distinct, repetition_x1000.
     """
-    tokenized = documents.select(
+    # NULL text: no grams, no row — excluded explicitly (null-size
+    # semantics are config-dependent; see chunk_documents)
+    tokenized = documents.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
     )
     grams = _gram_col(F.col("_toks"), n)
@@ -254,10 +269,17 @@ def boilerplate_ngram_stats(
     SAME source (the n-gram generalization of C4's repeated-line removal —
     headers, templates and near-dup fragments all surface here).
 
-    Shuffle profile: ONE shuffle on (source, gram-hash) — doc-frequency is
-    a count over an unordered window partition, annotating each gram row
-    in place (a groupBy + join back would shuffle the gram table twice for
-    the same answer) — then the per-doc rollup hash-agg.
+    Shuffle profile: the distinct shuffles on (doc_id, source, gram-hash)
+    — well-spread, doc_id in the key — then doc-frequency is a groupBy
+    count (map-side partial aggregation: a gram in a billion docs
+    contributes one partial per task to the shuffle, never a billion
+    rows to one reducer) joined back on (source, g). The join's build
+    side is the per-gram count table and the probe shuffle on (source,
+    g) IS skewed on ubiquitous grams — but joins are AQE-skew-splittable
+    while window partitions are NOT: the previous window-over-(source,
+    g) formulation landed every row of the hottest gram on ONE window
+    task with no runtime remedy, the exact ubiquitous-token hotspot the
+    dedup caps exist to avoid. Then the per-doc rollup hash-agg.
 
     Columns: doc_id, n_grams, n_boiler, boilerplate_x1000.
     """
@@ -271,11 +293,13 @@ def boilerplate_ngram_stats(
         "source",
         F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
     ).select("doc_id", "source", F.xxhash64("gram").alias("g")).distinct()
-    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("source", "g"))
-    flagged = grams.select(
+    counts = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    flagged = grams.join(counts, ["source", "g"]).select(
         "doc_id",
         "g",
-        (doc_freq >= min_docs).cast("int").alias("is_boiler"),
+        (F.col("_df") >= min_docs).cast("int").alias("is_boiler"),
     )
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),

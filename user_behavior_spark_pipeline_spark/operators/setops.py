@@ -25,10 +25,13 @@ def users_intersect(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
 
 
 def users_except(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
-    """Users who performed type_a but never type_b (EXCEPT -> left-anti)."""
-    return _users_of(events, type_a).exceptAll(
-        _users_of(events, type_b)
-    )
+    """Users who performed type_a but never type_b (EXCEPT -> left-anti).
+
+    ``subtract`` (EXCEPT DISTINCT), not ``exceptAll``: the inputs are
+    pre-distinct so results agree, but exceptAll PLANS as the multiset
+    algorithm (±1 count columns, aggregate, generate) while subtract is
+    the left-anti hash join this module documents."""
+    return _users_of(events, type_a).subtract(_users_of(events, type_b))
 
 
 def users_union(events: DataFrame, type_a: str, type_b: str) -> DataFrame:

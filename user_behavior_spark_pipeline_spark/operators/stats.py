@@ -19,17 +19,28 @@ def corr_quantity_price(lineitem: DataFrame) -> DataFrame:
     """Pearson correlation of quantity vs extended price per return flag,
     from exact integer moment sums (qty ×100, price in cents ×100).
 
-    Overflow budget: per-row product ≤ 5·10³ · 10⁷ = 5·10¹⁰; 10⁸ rows of
-    those stay under int64. At larger scales pre-shift the fixed point."""
+    The second-moment sums run in DECIMAL(38,0): the per-row price² term
+    alone reaches ~1.1·10¹⁴ (l_extendedprice ~10⁵ → 10⁷ cents·100), so an
+    int64 sum overflows around 10⁵ rows per group — at TPC-H SF1 the
+    aggregate would throw under ANSI mode (Spark 4 default) or silently
+    wrap without it. Decimal sums stay exact to 10³⁸ (≈10²⁴ rows of
+    price², i.e. any conceivable scale), partial sums remain associative
+    and map-side combinable, and the final CAST(... AS DOUBLE) sees the
+    same IEEE value the oracle's HUGEINT sums produce (DuckDB promotes
+    BIGINT sums to 128-bit on its own — Spark needs the decimal to
+    match)."""
     qty = F.round(F.col("l_quantity") * 100).cast("long")
     price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
     sums = lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(qty).alias("sx"),
         F.sum(price).alias("sy"),
-        F.sum(qty * qty).alias("sxx"),
-        F.sum(price * price).alias("syy"),
-        F.sum(qty * price).alias("sxy"),
+        # per-row products fit int64 comfortably (max ~1.1e14); only the
+        # SUM needs the decimal widening
+        F.sum((qty * qty).cast(dec)).alias("sxx"),
+        F.sum((price * price).cast(dec)).alias("syy"),
+        F.sum((qty * price).cast(dec)).alias("sxy"),
     )
     # identical expression shape to the oracle SQL: ints -> doubles once,
     # then the closed form — both engines see the same IEEE inputs

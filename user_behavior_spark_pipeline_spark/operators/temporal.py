@@ -112,7 +112,15 @@ def range_join_banded(
         F.col(hi_col) % band_width == 0,
         (F.col(hi_col) / band_width).cast("long") - 1,
     ).otherwise(F.floor(F.col(hi_col) / band_width).cast("long"))
-    banded_ivals = intervals.withColumn(
+    # Empty/inverted intervals (hi <= lo) match nothing under the
+    # residual predicate — but WITHOUT this filter they reach
+    # F.sequence(lo_band, hi_band) with hi_band < lo_band, which Spark
+    # interprets as a DESCENDING sequence: one dirty row with swapped
+    # bounds materializes a (lo_band − hi_band + 1)-element band array —
+    # up to executor-OOM / 'too long sequence' scale — before the filter
+    # can reject its matches. Dropping them first makes the sequence
+    # provably ascending (hi > lo ⇒ ceil(hi/w) − 1 ≥ floor(lo/w)).
+    banded_ivals = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_band", F.explode(F.sequence(lo_band, hi_band))
     )
     if broadcast_intervals:

@@ -42,10 +42,13 @@ def upsert_stream(
     events_stream: DataFrame,
     snapshot_dir: str,
     checkpoint_dir: str,
-    max_files_per_trigger: int | None = None,
 ):
     """Streaming keyed upsert: each micro-batch folds into a parquet
     snapshot holding exactly one row per user_id (latest wins).
+
+    Batch sizing (e.g. maxFilesPerTrigger) belongs on the SOURCE reader
+    that built ``events_stream`` — this function takes the stream as
+    given and deliberately exposes no batching knob it could not honor.
 
     foreachBatch gets the batch as a plain DataFrame: reduce it to one row
     per key, union with the previous snapshot, keep the per-key max by the

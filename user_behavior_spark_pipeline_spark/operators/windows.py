@@ -118,14 +118,21 @@ def rolling_weekly_spend(events: DataFrame) -> DataFrame:
     frame would silently widen across missing days).
 
     Two shuffles total: the daily pre-aggregation and the per-user window
-    sort — the window runs over the (small) daily table, never raw events."""
+    sort — the window runs over the (small) daily table, never raw events.
+
+    The range key is a DAY NUMBER (datediff from epoch), not
+    unix_timestamp: unix_timestamp interprets the NTZ day in the session
+    timezone, so in a DST zone the 7th-prior day sits 522000 s (fall) or
+    514800 s (spring) away and a fixed −6·86400 bound silently covers 6
+    or 8 days. Day-number distance is timezone-independent wall-clock
+    arithmetic — the repo-wide NTZ convention (see funnel horizon)."""
     daily = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("day_ts"))
-        .rangeBetween(-6 * 86400, 0)
+        .orderBy(F.datediff(F.col("day_ts"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
     )
     return daily.select(
         "user_id",
