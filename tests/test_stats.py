@@ -33,3 +33,25 @@ def test_corr_moment_sums_survive_int64_overflow_scale(spark):
     assert r["n"] == n
     # perfectly linear relationship -> corr_x1e6 == 1_000_000 exactly
     assert r["corr_x1e6"] == 1_000_000, r
+
+
+def test_hll_gate_holds_at_realistic_cardinality(spark):
+    """The sketch_ok gate must use the 5% tolerance, not the sketch's own
+    rsd: gating an HLL at its own 1 sd flips false ~32% of the time per
+    group (reproduced at 40k distinct users/group), and the driver oracle
+    hardcodes TRUE. Five 40k-cardinality groups must all pass."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.approx import (
+        distinct_users_with_sketch,
+    )
+
+    events = spark.range(200_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        F.col("id").alias("user_id"),
+    )
+    rows = distinct_users_with_sketch(events).collect()
+    assert len(rows) == 5
+    assert all(r["sketch_ok"] for r in rows), rows

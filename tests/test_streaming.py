@@ -104,7 +104,9 @@ def test_streaming_dedup_drops_redelivery(spark, records, tmp_path):
     src = str(tmp_path / "src")
     records.union(records).coalesce(4).write.mode("overwrite").json(src)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    q = dedup_stream(file_stream_source(spark, src), out, ckpt)
+    q = dedup_stream(
+        file_stream_source(spark, src), out, ckpt, watermark="365 days"
+    )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == records.count()
 

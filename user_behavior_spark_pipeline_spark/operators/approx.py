@@ -14,19 +14,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def distinct_users_with_sketch(events: DataFrame, rsd: float = 0.01) -> DataFrame:
-    """Per-type exact distinct users + HLL estimate within-5% flag.
+def distinct_users_with_sketch(
+    events: DataFrame, rsd: float = 0.01, tolerance: float = 0.05
+) -> DataFrame:
+    """Per-type exact distinct users + HLL estimate within-``tolerance``.
 
     The sketch precision (rsd = one relative standard deviation) is set
-    5× tighter than the advertised 5% gate: gating at 1 sd fails ~32% of
-    the time per group BY DESIGN of HLL (observed at sf0.1 — a 6.7% miss
-    with rsd=0.05), while 5 sd of margin makes the flag robust at any
-    scale. Cost is 2^16 registers per group — KBs."""
+    5× tighter than the 5% gate: gating a sketch at its own 1 sd fails
+    ~32% of the time per group BY DESIGN of HLL, while 5 sd of margin
+    makes the flag robust at any scale. The gate therefore uses the
+    SEPARATE ``tolerance`` — an earlier version reused ``rsd`` for both,
+    which kept the flag at 1 sd and made it flip false nondeterministically
+    at realistic cardinalities (the driver oracle hardcodes TRUE). Cost is
+    2^16 registers per group — KBs."""
     exact = F.countDistinct("user_id")
     approx = F.approx_count_distinct("user_id", rsd)
     return events.groupBy("event_type").agg(
         exact.alias("exact_users"),
-        (F.abs(approx - exact) <= F.ceil(exact * F.lit(rsd))).alias("sketch_ok"),
+        (F.abs(approx - exact) <= F.ceil(exact * F.lit(tolerance))).alias(
+            "sketch_ok"
+        ),
     )
 
 

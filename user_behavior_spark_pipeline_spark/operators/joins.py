@@ -5,8 +5,12 @@ had other tables available we could also do joins ... shops, players and
 events" — README.md:819). These operators provide that surface over the
 TPC-H-ish star schema, designed for 100 TB:
 
-- dimension tables (region/nation/customer/part/supplier) are BROADCAST —
-  the fact table (lineitem/orders) never shuffles for the join;
+- FIXED-size dimensions (region: 5 rows, nation: 25 rows at any SF) carry
+  explicit broadcast hints — always correct; SCALE-GROWING dimensions
+  (customer/part/supplier) are left unhinted so static stats / AQE
+  broadcast them while they fit and fall back to a shuffle join when they
+  don't (a forced hint bypasses autoBroadcastJoinThreshold and fails
+  outright at 100 TB);
 - aggregation happens on the join output with map-side partial aggregation,
   so the only shuffle carries (group-key, partial-sum) pairs;
 - money aggregates are exact integer sums of per-row scaled-and-rounded
@@ -35,7 +39,11 @@ def revenue_per_region_nation(
     rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer grows with scale factor — no forced broadcast (a hint
+        # bypasses autoBroadcastJoinThreshold and would OOM at 100 TB);
+        # AQE/static stats still broadcast it while it fits. nation and
+        # region are FIXED-size (25/5 rows at any SF): hint is always right.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -47,7 +55,12 @@ def revenue_per_region_nation(
 
 
 def revenue_per_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
-    """Explicit broadcast dimension join (OP-X-JOIN broadcast variant)."""
+    """Explicit broadcast dimension join (OP-X-JOIN broadcast variant).
+
+    This query IS the forced-hint demonstration; note the hint bypasses
+    autoBroadcastJoinThreshold, so at a scale where part no longer fits
+    the broadcast budget, drop it and let AQE pick (the pattern the other
+    star joins follow for their scale-growing dims)."""
     rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -107,9 +120,11 @@ def local_supplier_revenue(
     r = region.filter(F.col("r_name") == region_name)
     return (
         lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier grow with SF — unhinted (see
+        # revenue_per_region_nation); fixed-size nation/region keep hints
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -145,7 +160,8 @@ def shipping_priority(
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # one-segment customer is ~SF/5 — still scale-growing, unhinted
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -182,7 +198,7 @@ def returned_item_revenue(
     )
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(rev).alias("revenue_x10000"))
@@ -243,13 +259,18 @@ def salted_join(
     The salt MUST vary per fact row (``fact_id_col`` — a row id), never be a
     function of the join key alone: hash(hot_key) puts every hot row in the
     same salt bucket, which is exactly the skew being fixed. Without a row
-    id we fall back to monotonically_increasing_id() — the salt assignment
-    is then not run-stable, which is fine: the join's OUTPUT is identical
-    under any salt assignment, only the row→reducer placement moves."""
+    id the fallback hashes the WHOLE row — still deterministic per row
+    CONTENT, which matters for fault tolerance: a salt from
+    monotonically_increasing_id() changes across task re-execution, so a
+    partial stage retry (shuffle-fetch failure) could re-salt recomputed
+    rows into different buckets than the copies already fetched — rows
+    joining twice or never (the SPARK-23207 failure class). The only cost
+    of the content hash: byte-identical duplicate rows of a hot key share
+    a bucket; pass ``fact_id_col`` where exact duplicates are common."""
     salt_src = (
         F.xxhash64(F.col(fact_id_col))
         if fact_id_col
-        else F.monotonically_increasing_id()
+        else F.xxhash64(*[F.col(c) for c in fact.columns])
     )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(salt_src, F.lit(num_salts)).cast("int")
@@ -330,12 +351,18 @@ def bloom_semi_join(
     )
     # kd feeds three plans (sizing count, bloom build, verify join) —
     # materialize the distinct ONCE instead of recomputing the key-set
-    # scan + distinct shuffle per plan; callers at scale with a standing
-    # key table (persist/bucketed) pay only the no-op checkpoint
+    # scan + distinct shuffle per plan. persist WITH lineage (not
+    # localCheckpoint): the key set can reach ~1e9 rows and the fact
+    # probe runs long — an executor lost mid-probe recomputes a persisted
+    # partition from lineage, where a localCheckpoint block is simply
+    # gone and fails the job (SCALE.md, durability caveat). The count()
+    # below doubles as the eager materialization.
+    from pyspark import StorageLevel
+
     kd = (
         keys.select(F.col(keys_key).cast(common).alias("_k"))
         .distinct()
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_keys = kd.count()
     m_bits = min(max(64, n_keys * bits_per_key), max_bits)

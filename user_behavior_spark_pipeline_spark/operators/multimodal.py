@@ -187,18 +187,31 @@ def decode_features_quantized(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(_decode, schema)
 
 
-def sample_frames(media: DataFrame, interval_ms: int = 60000) -> DataFrame:
+def sample_frames(
+    media: DataFrame, interval_ms: int = 60000, max_frames: int = 100_000
+) -> DataFrame:
     """Frame-sampling plan for video: one row per sampled frame offset —
-    pure metadata math, zero payload bytes touched."""
-    video = media.filter(F.col("kind") == "video")
+    pure metadata math, zero payload bytes touched.
+
+    Guards, both required by dirty metadata: duration_ms <= 0 yields NO
+    frames (unguarded, sequence(0, -1) THROWS 'Illegal sequence
+    boundaries' and one zero-length video kills the job — Spark 4,
+    reproduced); and the offset array is capped at ``max_frames`` per
+    video (a corrupt duration of 10^11 ms would otherwise materialize a
+    multi-million-element array in one row — the giant-doc blowup shape
+    fixed in corpus.chunk_documents). 100k frames at 60 s spacing covers
+    a 69-day recording; raise it deliberately if that's ever real."""
+    video = media.filter(
+        (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
+    )
+    last_offset = F.least(
+        F.col("meta.duration_ms") - 1,
+        F.lit(interval_ms).cast("long") * (max_frames - 1),
+    )
     return video.select(
         "media_id",
         F.posexplode(
-            F.sequence(
-                F.lit(0),
-                F.col("meta.duration_ms") - 1,
-                F.lit(interval_ms),
-            )
+            F.sequence(F.lit(0).cast("long"), last_offset, F.lit(interval_ms))
         ).alias("frame_idx", "offset_ms"),
     )
 

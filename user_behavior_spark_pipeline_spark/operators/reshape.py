@@ -64,6 +64,8 @@ def udtf_tokenize(spark: SparkSession, documents: DataFrame, max_doc_id: int = 2
     @udtf(returnType="token_idx int, token string")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:
+                return  # null text -> no tokens (re.split(None) raises)
             for i, tok in enumerate(re.split(r"\s+", text)):
                 yield i, tok
 

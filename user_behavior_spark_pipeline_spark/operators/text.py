@@ -40,7 +40,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
     (chars/4, the common rule-of-thumb) + stopword ratio ×1000."""
     toks = tokens_col()
     n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    # match stopwords case-insensitively: sentence-initial "The" is the
+    # same stopword as "the" (the marker lists are lowercase)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
     return documents.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -59,6 +61,12 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace("text", "[^\\w\\s]", ""))
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    # empty/null text has no quality score — and the ratio divisions by
+    # n_chars would throw under ANSI mode (Spark 4 default) on a single
+    # empty document; the oracle SQL carries the same WHERE
+    documents = documents.filter(
+        F.col("text").isNotNull() & (n_chars > 0)
+    )
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -80,8 +88,10 @@ def language_id(documents: DataFrame) -> DataFrame:
     toks = tokens_col()
 
     def _hit_count(markers):
-        # single-arg lambda: a two-arg lambda would be read as (elem, index)
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        # single-arg lambda: a two-arg lambda would be read as (elem, index);
+        # lowercase the token so sentence-initial markers ("Le", "Der")
+        # count — the marker lists are lowercase
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
 
     hits = {
         lang: _hit_count(markers)
@@ -132,12 +142,18 @@ def distinctive_tokens(
     # ONE tokenization pass: every other statistic folds from the
     # vocabulary-sized tf table (pinned so the explode isn't recomputed
     # per consumer — before this, lang totals and the corpus total each
-    # re-exploded the whole corpus: 3 tokenization passes instead of 1)
+    # re-exploded the whole corpus: 3 tokenization passes instead of 1).
+    # persist-with-lineage + eager count, not localCheckpoint: the tf
+    # table is vocabulary-sized but derived from a full corpus scan — a
+    # lost executor should recompute, not kill the job (SCALE.md).
+    from pyspark import StorageLevel
+
     tf = (
         tok.groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("tf_lang"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tf.count()
     lang_tot = tf.groupBy("lang").agg(F.sum("tf_lang").alias("lang_total"))
     corpus_tf = tf.groupBy("token").agg(F.sum("tf_lang").alias("tf_corpus"))
     corpus_total = tf.agg(F.sum("tf_lang").alias("corpus_total"))

@@ -751,7 +751,7 @@ _TOKS_CTE = (
     oracle=(
         f"{_TOKS_CTE} SELECT doc_id, len(toks) AS n_tokens, "
         "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS tokens_est, "
-        "CAST(ROUND(len(list_filter(toks, x -> x IN "
+        "CAST(ROUND(len(list_filter(toks, x -> lower(x) IN "
         "('the','a','of','and','to','in'))) * 1000 / len(toks)) AS BIGINT) "
         "AS stop_ratio_x1000 FROM t"
     ),
@@ -769,7 +769,8 @@ def x_text_tokens(spark, sf_dir):
     oracle=(
         "WITH t AS (SELECT doc_id, text, "
         "len(regexp_split_to_array(text, '\\s+')) AS n_tok, "
-        "length(text) AS n_chars FROM documents) "
+        "length(text) AS n_chars FROM documents "
+        "WHERE text IS NOT NULL AND length(text) > 0) "
         "SELECT doc_id, n_chars, n_tok AS n_tokens, "
         "CAST(ROUND((n_chars - n_tok + 1) * 100 / n_tok) AS BIGINT) "
         "  AS mean_token_len_x100, "
@@ -791,10 +792,10 @@ def x_text_quality(spark, sf_dir):
     oracle=(
         f"{_TOKS_CTE}, h AS (SELECT doc_id, lang, "
         "regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk, "
-        "len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS en, "
-        "len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS es, "
-        "len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS de, "
-        "len(list_filter(toks, x -> x IN ('le','les','et','une'))) AS fr FROM t) "
+        "len(list_filter(toks, x -> lower(x) IN ('the','a','of','and'))) AS en, "
+        "len(list_filter(toks, x -> lower(x) IN ('el','la','de','que'))) AS es, "
+        "len(list_filter(toks, x -> lower(x) IN ('der','die','und','das'))) AS de, "
+        "len(list_filter(toks, x -> lower(x) IN ('le','les','et','une'))) AS fr FROM t) "
         "SELECT doc_id, lang, CASE WHEN cjk THEN 'zh' "
         "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' "
         "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' "
@@ -1449,7 +1450,11 @@ def x_stream_dedup(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="ubsp_dedup_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_dedup_ckpt_")
     with _state_partitions(spark, 8):
-        q = dedup_stream(file_stream_source(spark, src), out, ckpt)
+        # 365d horizon: the fixture's event times span weeks and the
+        # availableNow replay must dedupe across the whole span
+        q = dedup_stream(
+            file_stream_source(spark, src), out, ckpt, watermark="365 days"
+        )
         q.awaitTermination()
     return spark.read.parquet(out).agg(F.count(F.lit(1)).alias("num_entries"))
 

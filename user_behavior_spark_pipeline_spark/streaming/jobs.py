@@ -21,6 +21,21 @@ At scale: the file sink's manifest commit gives exactly-once
 (README.md:1224-1226 observed the same protocol); watermarks bound state for
 windowed aggs and dedup; maxFilesPerTrigger/maxOffsetsPerTrigger bound
 per-batch work.
+
+**Verification shapes vs production shapes.** Functions writing to a
+MEMORY sink in COMPLETE/UPDATE mode (windowed_counts_stream,
+session_counts_stream, the stateful-totals pair) are the bounded-fixture
+VERIFICATION form: with availableNow over a finite input, complete mode
+is what makes every window/group visible for the deterministic end-state
+check, and the memory sink is driver-resident by definition. They are
+not the unbounded-deployment form — in complete mode Spark never uses
+the watermark to evict aggregation state, and a memory sink grows with
+the result set. For a continuous deployment: append/update mode to a
+FILE sink (watermark eviction then applies — see write_validated_stream
+and dedup_stream for the production-shaped examples in this module), and
+give per-key state a TTL (applyInPandasWithState timeoutConf, or
+transformWithState TTL) sized to the key churn, as the stateful
+functions' docstrings detail.
 """
 
 from __future__ import annotations
@@ -114,11 +129,20 @@ def dedup_stream(
     raw_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
-    watermark: str = "365 days",
+    watermark: str = "48 hours",
 ):
     """Streaming dedup (OP-X-DEDUP streaming form): one row per offset within
     the watermark horizon — dropDuplicatesWithinWatermark bounds state by
-    event time, the 100 TB-safe variant of dropDuplicates."""
+    event time, the 100 TB-safe variant of dropDuplicates.
+
+    "Safe" is only as true as the horizon: state holds every distinct key
+    seen WITHIN the watermark, so a year-long horizon at corpus-scale
+    throughput is the whole keyset — the unbounded behavior this function
+    exists to avoid. The default is a realistic redelivery window (most
+    at-least-once sources replay within minutes-to-hours); widen it
+    deliberately, sized as keys/hour × horizon × state-row bytes, when
+    the source can genuinely redeliver older data (the bounded-fixture
+    tests pass 365 days explicitly for whole-span replay determinism)."""
     deduped = (
         raw_stream.withWatermark("timestamp", watermark)
         .dropDuplicatesWithinWatermark(["offset"])
@@ -147,7 +171,17 @@ def stateful_user_totals_stream(
     (update mode). Totals are exact integer cents, so end-of-stream state
     hash-matches a batch GROUP BY. State lives in the state store — at
     100 TB state is partitioned by the grouping key across executors and
-    each batch touches only keys present in that batch."""
+    each batch touches only keys present in that batch.
+
+    This is the bounded-fixture verification form (module docstring):
+    NoTimeout + memory sink are what make the finite-input end state
+    deterministic and checkable. Lifetime running totals over an
+    UNBOUNDED key space inherently hold one state row per key ever seen —
+    a continuous deployment must either accept that (keys are bounded:
+    registered users) or expire idle keys with
+    GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration
+    in the fold (keys are unbounded: sessions, request ids), and write
+    update mode to a real sink."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -441,7 +475,17 @@ def fanout_by_class_stream(
 ):
     """The reference's 3-sink fan-out (rpg_spark_stream.py:120-145) as ONE
     foreachBatch query: each micro-batch is classified once and written to
-    three directories — one source scan, one checkpoint, not three."""
+    three directories — one source scan, one checkpoint, not three.
+
+    Each class writes into a `_batch=<id>` PARTITION with dynamic
+    overwrite: foreachBatch is at-least-once, so a crash between the
+    three writes replays the whole batch on restart — blind
+    mode='append' would then duplicate the classes that had already
+    committed, permanently inflating downstream counts. Dynamic
+    partition overwrite replaces exactly the replayed batch's own
+    partition, making retries idempotent, and `spark.read.parquet(dir)`
+    keeps working via partition discovery (readers see one extra
+    `_batch` int column — batch lineage, often useful anyway)."""
     from ..operators.classify import split_by_class
     from ..operators.ingest import parse_events
 
@@ -449,9 +493,18 @@ def fanout_by_class_stream(
         parsed = parse_events(batch_df).persist()
         try:
             swords, guilds, other = split_by_class(parsed)
-            swords.write.mode("append").parquet(os.path.join(base_dir, "sword_events"))
-            guilds.write.mode("append").parquet(os.path.join(base_dir, "guild_events"))
-            other.write.mode("append").parquet(os.path.join(base_dir, "other_events"))
+            for name, part in (
+                ("sword_events", swords),
+                ("guild_events", guilds),
+                ("other_events", other),
+            ):
+                (
+                    part.withColumn("_batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch")
+                    .parquet(os.path.join(base_dir, name))
+                )
         finally:
             parsed.unpersist()
 
