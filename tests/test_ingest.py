@@ -117,7 +117,9 @@ def test_quarantine_routes_instead_of_dropping(spark):
         ('{"event_type": "sword_event", "direction": "increase"}',),
         ("{truncated-garbage",),
         ("[1, 2, 3]",),  # valid JSON, wrong shape -> corrupt
-        (None,),
+        ("",),  # empty payload: from_json gives a NULL struct with no
+        ("  ",),  # corrupt-record capture — must still route to corrupt,
+        (None,),  # not fall through to 'ok' with all-null fields
     ]
     df = spark.createDataFrame(rows, "value string")
     got = parse_with_quarantine(df).collect()
@@ -127,12 +129,14 @@ def test_quarantine_routes_instead_of_dropping(spark):
         by_status.setdefault(r["parse_status"], []).append(r)
     assert len(by_status["ok"]) == 1
     assert by_status["ok"][0]["event_type"] == "sword_event"
-    assert len(by_status["corrupt"]) == 2
+    assert len(by_status["corrupt"]) == 4
     assert all(r["event_type"] is None for r in by_status["corrupt"])
     # the quarantined raw payload is preserved verbatim for replay
     assert {r["raw_event"] for r in by_status["corrupt"]} == {
         "{truncated-garbage",
         "[1, 2, 3]",
+        "",
+        "  ",
     }
     assert len(by_status["null"]) == 1
 

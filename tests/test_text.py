@@ -60,3 +60,18 @@ def test_fingerprint_ignores_case_and_punct(spark):
     fps = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_quality_scores_survive_multi_megabyte_document(spark):
+    """length() is int32; the x1000 ratio math must widen to long first —
+    a 3M-char document overflowed alpha*1000 (ANSI throw / silent wrap)."""
+    from user_behavior_spark_pipeline_spark.operators.text import (
+        quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab " * 1_000_000, "s")], "doc_id long, text string, source string"
+    )
+    r = quality_scores(docs).collect()[0]
+    assert r["n_chars"] == 3_000_000
+    assert 0 <= r["alpha_ratio_x1000"] <= 1000

@@ -28,7 +28,13 @@ def count_events(df: DataFrame) -> DataFrame:
 
 
 def first_events(df: DataFrame, order_col: str, n: int = 10) -> DataFrame:
-    # TakeOrderedAndProject: per-partition top-n then merge — no global sort.
+    """Deterministic LIMIT: requires ``order_col`` to be UNIQUE (the
+    registry passes event_id). With ties, the selected row SET under
+    LIMIT is partition- and engine-dependent — an oracle hash trap; add a
+    unique tiebreak column before reaching for this helper.
+
+    Plans as TakeOrderedAndProject: per-partition top-n then merge — no
+    global sort."""
     return df.orderBy(order_col).limit(n)
 
 
@@ -73,11 +79,6 @@ def distinct_host_type_detail(
 
 
 # --- OP-Q-SHOW-TABLES / OP-Q-DESCRIBE (README.md:588-613) ---
-
-
-def show_tables(spark) -> DataFrame:
-    return spark.sql("SHOW TABLES")
-
-
-def describe_table(spark, name: str) -> DataFrame:
-    return spark.sql(f"DESCRIBE TABLE {name}")
+# canonical implementations live in catalog.py (single owner); re-exported
+# here because the reference groups them with its query surface
+from .catalog import describe_table, show_tables  # noqa: E402,F401

@@ -23,7 +23,7 @@ stops scaling around ~10M×64d.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import ngram_jaccard_pairs
@@ -52,20 +52,27 @@ def curate_corpus(
     )
     quality_docs = documents.join(q.select("doc_id"), "doc_id", "left_semi")
 
-    # exact dedup as ONE window pass (keep min doc_id per distinct text)
-    # instead of groupBy-min + semi-join back — the join form computed the
-    # quality-filtered corpus twice (once per join side); the window
-    # shuffles it once on text and filters in place
-    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
-    # survivors feeds three downstream branches (the shingle pipeline, the
-    # pair-verify joins, and the final anti-join) — materialize the
-    # quality+exact-dedup prefix once instead of once per branch
+    # exact dedup as ONE groupBy pass: min doc_id per distinct text, with
+    # text as the group key, so the output IS (doc_id, text) — no
+    # join-back (the old join form computed the quality-filtered corpus
+    # twice) and no window (a window over partitionBy(text) lands every
+    # copy of the hottest duplicated text — a viral page duplicated 1e7
+    # times — on ONE task; groupBy partial-aggregates map-side, so the
+    # hot text's copies collapse to one row per task before the shuffle).
+    # survivors feeds three downstream branches (the shingle pipeline,
+    # the pair-verify joins, and the final anti-join) — persisted WITH
+    # lineage + eager count (not localCheckpoint: corpus-sized
+    # intermediate; a lost executor should recompute, not kill the job —
+    # SCALE.md durability caveat).
+    from pyspark import StorageLevel
+
     survivors = (
-        quality_docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .localCheckpoint()
+        quality_docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    survivors.count()
 
     # max_shingle_df (recommended at corpus scale) is the hot-shingle
     # guard — see dedup.cap_shingle_df; default None keeps the exact

@@ -199,6 +199,12 @@ def parse_with_quarantine(
     status = (
         F.when(F.col("raw_event").isNull(), F.lit("null"))
         .when(F.col(f"json.{corrupt_col}").isNotNull(), F.lit("corrupt"))
+        # empty / whitespace-only payloads: from_json returns a NULL
+        # struct (no corrupt-record capture), so without this branch they
+        # fell through to 'ok' with every data field null — silently
+        # entering the clean stream instead of the dead-letter sink.
+        # Kafka topics routinely carry empty-string messages.
+        .when(F.col("json").isNull(), F.lit("corrupt"))
         .otherwise(F.lit("ok"))
     )
     return out.select(

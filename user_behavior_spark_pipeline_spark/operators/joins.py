@@ -29,6 +29,25 @@ def money_e4(expr: Column) -> Column:
     return F.round(expr * F.lit(10000)).cast("long")
 
 
+def sum_money(expr: Column) -> Column:
+    """SUM of a money_e4-scaled column: decimal(38,0) ACCUMULATION, bigint
+    output.
+
+    Per-row money_e4 values are ~1e9, so an int64 accumulator overflows
+    around 1e10 rows per group — inside the 100 TB design point (TPC-H
+    SF100k lineitem is ~6e11 rows; ANSI mode throws, non-ANSI silently
+    wraps while the DuckDB twin's HUGEINT sum stays exact). The decimal
+    sum is exact to 1e38 and stays associative/map-side-combinable; the
+    final bigint cast only narrows the RESULT, which the x10000 output
+    contract requires to fit int64 anyway (totals past ~9·10¹⁴ currency
+    units mean the fixed-point scale, not the accumulator, must change).
+    Output type stays bigint because the DuckDB oracle's pandas bridge
+    coerces DECIMAL(38,0) to float64 — a decimal OUTPUT would hash-differ
+    even when values are equal. Same convention as
+    stats.corr_quantity_price (decimal moments, double closed-form)."""
+    return F.sum(expr.cast("decimal(38,0)")).cast("long")
+
+
 def revenue_per_region_nation(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
     nation: DataFrame, region: DataFrame,
@@ -48,7 +67,7 @@ def revenue_per_region_nation(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(rev).alias("revenue_x10000"),
+            sum_money(rev).alias("revenue_x10000"),
             F.count(F.lit(1)).alias("num_items"),
         )
     )
@@ -66,7 +85,7 @@ def revenue_per_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.sum(rev).alias("revenue_x10000"),
+            sum_money(rev).alias("revenue_x10000"),
             F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_x100"),
         )
     )
@@ -131,7 +150,7 @@ def local_supplier_revenue(
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).alias("revenue_x10000"))
+        .agg(sum_money(rev).alias("revenue_x10000"))
     )
 
 
@@ -167,7 +186,7 @@ def shipping_priority(
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(rev).alias("revenue_x10000"))
+        .agg(sum_money(rev).alias("revenue_x10000"))
         .orderBy(F.desc("revenue_x10000"), F.asc("l_orderkey"))
         .limit(k)
     )
@@ -201,7 +220,7 @@ def returned_item_revenue(
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).alias("revenue_x10000"))
+        .agg(sum_money(rev).alias("revenue_x10000"))
         .orderBy(F.desc("revenue_x10000"), F.asc("c_custkey"))
         .limit(k)
     )
@@ -224,9 +243,9 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-01-01") -> Dat
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("sum_qty_x100"),
-            F.sum(base).alias("sum_base_x10000"),
-            F.sum(disc).alias("sum_disc_price_x10000"),
-            F.sum(charge).alias("sum_charge_x10000"),
+            sum_money(base).alias("sum_base_x10000"),
+            sum_money(disc).alias("sum_disc_price_x10000"),
+            sum_money(charge).alias("sum_charge_x10000"),
             F.expr(
                 "(2 * sum(cast(round(l_quantity * 100) as bigint)) + count(1)) "
                 "div (2 * count(1))"

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .joins import money_e4
+from .joins import money_e4, sum_money
 
 
 def orders_rollup(orders: DataFrame) -> DataFrame:
@@ -28,7 +28,9 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(money_e4(F.col("o_totalprice"))).alias("total_x10000"),
+            # grand-total cell sums the whole table — decimal widening
+            # (see joins.sum_money) or it overflows int64 at ~SF4000
+            sum_money(money_e4(F.col("o_totalprice"))).alias("total_x10000"),
             (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
             .cast("long")
             .alias("gid"),
@@ -58,7 +60,8 @@ def orders_grouping_sets(spark, orders: DataFrame) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(1) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS total_x10000,
+               CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS DECIMAL(38,0)))
+                    AS BIGINT) AS total_x10000,
                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
                     AS BIGINT) AS gid
         FROM orders_gs

@@ -57,10 +57,17 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     mean token length ×100, punctuation ratio ×1000, alpha ratio ×1000 —
     the standard cheap quality filters for web-scale text curation."""
     toks = tokens_col()
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    punct = n_chars - F.length(F.regexp_replace("text", "[^\\w\\s]", ""))
-    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    # widen to long BEFORE the x1000/x100 ratio math: length() is int32,
+    # so alpha*1000 overflows at ~2.1M chars — one giant document then
+    # throws under ANSI (Spark 4 default) or silently wraps negative and
+    # gets mis-filtered (DuckDB's LENGTH is BIGINT, so the oracle would
+    # quietly diverge instead of failing loudly)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    punct = n_chars - F.length(F.regexp_replace("text", "[^\\w\\s]", "")).cast(
+        "long"
+    )
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long")
     # empty/null text has no quality score — and the ratio divisions by
     # n_chars would throw under ANSI mode (Spark 4 default) on a single
     # empty document; the oracle SQL carries the same WHERE
