@@ -3443,6 +3443,7 @@ def _correctness_history() -> dict[str, str]:
 # (threaded through curate), bucketed-staging sweep.
 _TOUCHED_THIS_ROUND = frozenset(
     {
+        # verdict/advice batch
         "x_funnel_counts",
         "x_multimodal_decode_q",
         "x_sim_pq_exhaustive",
@@ -3454,6 +3455,34 @@ _TOUCHED_THIS_ROUND = frozenset(
         "x_dedup_minhash",
         "x_dedup_incremental",
         "x_join_bucketed",
+        # review-sweep batch (operators or oracles changed)
+        "x_agg_corr",
+        "x_corpus_contamination",
+        "x_corpus_boilerplate",
+        "x_corpus_chunks",
+        "x_corpus_pack",
+        "x_corpus_repetition",
+        "x_text_tokens",
+        "x_text_quality",
+        "x_text_lang",
+        "x_text_distinctive",
+        "x_approx_distinct",
+        "x_rollup_orders",
+        "x_grouping_sets_orders",
+        "x_agg_pricing_summary",
+        "x_join_star_revenue",
+        "x_join_broadcast_brand",
+        "x_join_tpch_q3",
+        "x_join_tpch_q5",
+        "x_join_tpch_q10",
+        "x_join_salted",
+        "x_join_bloom_semi",
+        "x_window_rolling_range",
+        "x_set_except",
+        "x_range_join",
+        "x_ingest_quarantine",
+        "x_multimodal_frames",
+        "x_udtf_tokenize",
     }
 )
 
