@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = 0.0  # non-sf<N> directory name: still bench, report sf=0
 
     from user_behavior_spark_pipeline_spark.registry import QUERIES, prepare_staged
     from user_behavior_spark_pipeline_spark.session import get_spark

@@ -587,19 +587,26 @@ def pq_rerank_topk(
         embeddings, num_queries=num_queries, m=m, n_codes=n_codes
     )
     m_eff = q_sub_norms.shape[1]
-    # E_j: corpus-wide max per-subspace residual — one aggregate over the
-    # (already-checkpointed) encoded codes
-    res_row = encoded.agg(
-        *[
-            F.max(F.element_at("res", j + 1)).alias(f"e{j}")
-            for j in range(m_eff)
-        ]
-    ).collect()[0]
-    res_max = np.array([res_row[f"e{j}"] for j in range(m_eff)])
-    bound = {
-        int(qids[qi]): margin_factor * float(q_sub_norms[qi] @ res_max)
-        for qi in range(len(qids))
-    }
+    bound: dict[int, float] = {}
+
+    def _bounds() -> dict[int, float]:
+        # E_j: corpus-wide max per-subspace residual — one aggregate over
+        # the (already-checkpointed) encoded codes. Computed LAZILY: a
+        # run that starts (or ends) at corpus coverage never consults the
+        # certificate, and this aggregate is a whole Spark job.
+        if not bound:
+            res_row = encoded.agg(
+                *[
+                    F.max(F.element_at("res", j + 1)).alias(f"e{j}")
+                    for j in range(m_eff)
+                ]
+            ).collect()[0]
+            res_max = np.array([res_row[f"e{j}"] for j in range(m_eff)])
+            for qi in range(len(qids)):
+                bound[int(qids[qi])] = margin_factor * float(
+                    q_sub_norms[qi] @ res_max
+                )
+        return bound
 
     n_corpus = encoded.count()
     r_cap = min(max_shortlist, max(n_corpus - 1, 1))
@@ -628,6 +635,18 @@ def pq_rerank_topk(
     )
     global _LAST_PQ_SHORTLIST, _LAST_PQ_CERTIFIED
     r = min(shortlist, r_cap)
+    # small-corpus shortcut: when the whole corpus is within a few
+    # doublings of the initial shortlist, the narrow first pass is almost
+    # certainly a wasted rescore round (tight top-k score gaps vs the
+    # residual bound make the certificate chase coverage anyway, and a
+    # corpus-covering rerank of Q·r_cap rows is trivial at this size) —
+    # start exact. ONLY when r_cap truly covers the corpus: a
+    # max_shortlist-capped r_cap is not exact, and jumping to it would
+    # skip the certificate the ladder might have earned at a narrower
+    # width (and misreport _LAST_PQ_CERTIFIED on a provable result).
+    # Large corpora keep the certificate ladder.
+    if r_cap >= n_corpus - 1 and r_cap <= 8 * r:
+        r = r_cap
     while True:
         short = ranked.filter(F.col("adc_rank") <= r)
         # broadcast the (num_queries · shortlist)-row side so the
@@ -673,10 +692,11 @@ def pq_rerank_topk(
             .agg(F.min("adc").alias("t_r"))
             .collect()
         }
+        b = _bounds()
         certified = all(
             s_k.get(q, float("-inf"))
-            > t_r.get(q, float("inf")) + bound[q] + 1e-9
-            for q in bound
+            > t_r.get(q, float("inf")) + b[q] + 1e-9
+            for q in b
         )
         _LAST_PQ_SHORTLIST, _LAST_PQ_CERTIFIED = r, certified
         if certified:
@@ -687,14 +707,14 @@ def pq_rerank_topk(
         # just a count of rows at-or-above that threshold. s_k can only
         # rise with a wider shortlist, so one jump suffices (≤ 2 rescore
         # rounds total); queries with no s_k yet force the corpus cap.
-        if any(q not in s_k for q in bound):
+        if any(q not in s_k for q in b):
             r_needed = r_cap
         else:
             thr = F.create_map(
                 *[
                     F.lit(v)
-                    for q in bound
-                    for v in (q, s_k[q] - bound[q] - 1e-9)
+                    for q in b
+                    for v in (q, s_k[q] - b[q] - 1e-9)
                 ]
             )[F.col("query_id")]
             counts = (

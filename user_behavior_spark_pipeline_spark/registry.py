@@ -1413,7 +1413,7 @@ def x_stream_pipeline(spark, sf_dir):
 @query(
     "x_stream_windowed",
     oracle=(
-        f"{MAPPED_CTE.replace('FROM events', 'FROM events')} "
+        f"{MAPPED_CTE} "
         ", valid AS (SELECT m.event_type, e.ts FROM mapped m JOIN events e USING (event_id) "
         "WHERE m.event_type IN ('sword_event', 'guild_event')) "
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, "
@@ -1472,8 +1472,6 @@ def x_stream_stateful(spark, sf_dir):
     running totals; end-of-stream state equals the batch GROUP BY — the
     arbitrary-state capability the reference never exercises
     ('stateOperators': [], README.md:479)."""
-    import tempfile
-
     from .streaming.jobs import final_user_totals, stateful_user_totals_stream
 
     events = _table(spark, sf_dir, "events")
@@ -1496,8 +1494,6 @@ def x_stream_session(spark, sf_dir):
     """Streaming session windows (session_window + watermark, complete
     mode): end-of-stream sessions equal the batch gaps-and-islands result —
     the stateful event-time capability the reference lacks."""
-    import tempfile
-
     from .streaming.jobs import session_counts_stream
 
     events = _table(spark, sf_dir, "events")
@@ -3407,9 +3403,26 @@ def x_join_bloom_semi(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_HISTORY_CACHE: dict[str, str] | None = None
+
+
 def _correctness_history() -> dict[str, str]:
-    """name -> 'green' (hash-verified in some round) | 'checked' (has a
-    CORRECTNESS row but never hash-green: errored / hash-fail / rows-only)."""
+    """name -> 'green' (hash-verified in its LATEST check) | 'checked'
+    (has a CORRECTNESS row whose latest check was not hash-green:
+    errored / hash-fail / rows-only).
+
+    The LATEST round's verdict wins: an early version of this map was
+    once-green-always-green, which parked a query that regressed in a
+    later round (hash_match=false after an earlier true) in the green
+    tail — outside the driver's 50-slot window — instead of the
+    re-verification slots. Rounds are iterated in filename order and
+    each row OVERWRITES, so the newest recorded status is the one that
+    rotates. Cached per process: both _rotated calls (QUERIES and
+    ORACLES) must see the same ordering, and the glob+parse is
+    import-time I/O."""
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is not None:
+        return _HISTORY_CACHE
     import glob
     import json
     import os
@@ -3427,10 +3440,10 @@ def _correctness_history() -> dict[str, str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                status[name] = "green"
-            else:
-                status.setdefault(name, "checked")
+            status[name] = (
+                "green" if row.get("hash_match") is True else "checked"
+            )
+    _HISTORY_CACHE = status
     return status
 
 

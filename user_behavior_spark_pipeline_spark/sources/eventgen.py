@@ -67,11 +67,12 @@ class EventGenStreamReader(SimpleDataSourceStreamReader):
         # smaller fixed batch would stop the drain early
         self.rows_per_batch = int(options.get("rowsPerBatch", 0))
 
+    # NB: no latestOffset — SimpleDataSourceStreamReader's contract is
+    # initialOffset/read/readBetweenOffsets; progress comes from read()'s
+    # returned end offset (latestOffset belongs to the full
+    # DataSourceStreamReader API and would never be invoked here)
     def initialOffset(self):
         return {"pos": 0}
-
-    def latestOffset(self):
-        return {"pos": self.rows}
 
     def read(self, start):
         lo = start["pos"]
