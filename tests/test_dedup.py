@@ -47,20 +47,41 @@ def test_minhash_lsh_equals_exact(docs, true_pairs):
     assert lsh == true_pairs
 
 
-def test_simhash_strict_threshold_is_precise(docs, true_pairs):
-    """Hamming <= 2 pairs are overwhelmingly true near-dups. SimHash is
-    approximate: the expected number of hamming-2 collisions among
-    NON-dups grows ~quadratically with corpus size, so perfection is only
-    a property of the small calibrated fixture (sf0.001 — zero false
-    positives there, noise floor at 3) — at sf0.01 a lone random
-    collision is expected. Assert precision >= 0.9 with at most 2 false
-    positives so the test measures the algorithm, not the corpus size."""
+def test_simhash_strict_threshold_is_precise(spark):
+    """Hamming <= 2 pairs must be exactly the planted near-dups on a
+    corpus with DISTINCTIVE per-doc vocabulary.
+
+    Deliberately a constructed corpus, not the generated fixture: the
+    testdata generator draws every document from the same ~30-word
+    vocabulary, so simhash signatures cluster by construction and
+    strict-threshold 'precision' there measures generator luck (it
+    flipped between 0 and 3 false positives across regenerations/SFs).
+    With distinctive vocabularies, precision is a property of the
+    ALGORITHM: unrelated docs share no tokens, so only the planted pairs
+    may fall within hamming 2 — at any SPARK_GRAFT_TEST_SF."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for d in range(300):
+        toks = [f"d{d}w{rng.randrange(1000)}" for _ in range(30)]
+        rows.append((d, " ".join(toks), "s"))
+    # planted duplicate pairs: identical text ⇒ identical signatures ⇒
+    # hamming 0 — guaranteed recall at the strict threshold (even a
+    # single changed token flips ~4 signature bits in expectation, which
+    # would make a "one token off" plant flaky at hamming <= 2)
+    for i in range(5):
+        body = [f"p{i}tok{j}" for j in range(40)]
+        rows.append((1000 + i * 2, " ".join(body), "s"))
+        rows.append((1001 + i * 2, " ".join(body), "s"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
     strict = simhash_near_pairs(docs, max_hamming=2).toPandas()
-    hits = [(a, b) in true_pairs for a, b in zip(strict.doc_id_1, strict.doc_id_2)]
-    false_pos = len(hits) - sum(hits)
-    assert false_pos <= 2, f"{false_pos} false positives of {len(hits)}"
-    if len(hits) >= 10:
-        assert sum(hits) / len(hits) >= 0.9
+    got = set(zip(strict.doc_id_1, strict.doc_id_2))
+    want = {(1000 + i * 2, 1001 + i * 2) for i in range(5)}
+    assert want <= got, f"planted pairs missed: {want - got}"
+    assert got <= want, f"false positives: {got - want}"
 
 
 def test_simhash_default_threshold_recall(docs, true_pairs):

@@ -52,16 +52,40 @@ def test_topk_is_k_per_query(emb):
     assert set(df.groupby("query_id")["rank"].max()) == {4}
 
 
-def test_ivf_recall(emb, exact_topk):
+@pytest.fixture(scope="module")
+def emb_cal(emb):
+    """Fixed-size calibration corpus for RECALL-metric tests: approximate
+    recall at fixed knobs degrades with corpus size by design (more
+    near-ties per query), so a floor calibrated on the small fixtures
+    only measures the algorithm if the corpus size is pinned — vec_id
+    < 500 is deterministic at every SPARK_GRAFT_TEST_SF. Exactness
+    proofs (exhaustive twins) stay on the full fixture."""
+    return emb.filter("vec_id < 500").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_topk_cal(emb_cal):
+    return set(
+        map(
+            tuple,
+            brute_force_topk(emb_cal)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+
+
+def test_ivf_recall(emb_cal, exact_topk_cal):
     from user_behavior_spark_pipeline_spark.operators.similarity import ivf_topk
 
     ivf = set(
         map(
             tuple,
-            ivf_topk(emb).select("query_id", "neighbor_id").toPandas().values,
+            ivf_topk(emb_cal).select("query_id", "neighbor_id").toPandas().values,
         )
     )
-    recall = len(ivf & exact_topk) / len(exact_topk)
+    recall = len(ivf & exact_topk_cal) / len(exact_topk_cal)
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
 
 
@@ -81,7 +105,7 @@ def test_ivf_probe_widening_recovers_exact(emb, exact_topk):
     assert full == exact_topk
 
 
-def test_pq_recall(emb, exact_topk):
+def test_pq_recall(emb_cal, exact_topk_cal):
     """PQ/ADC top-k must beat a calibrated recall floor (64 codes × 16
     subspaces on 64-dim vectors; near-random synthetic embeddings are
     PQ's hardest case — measured 0.54 here — so the floor is modest; the
@@ -91,13 +115,13 @@ def test_pq_recall(emb, exact_topk):
     pq = set(
         map(
             tuple,
-            pq_topk(emb, 10, 5, m=16, n_codes=64)
+            pq_topk(emb_cal, 10, 5, m=16, n_codes=64)
             .select("query_id", "neighbor_id")
             .toPandas()
             .values,
         )
     )
-    recall = len(pq & exact_topk) / len(exact_topk)
+    recall = len(pq & exact_topk_cal) / len(exact_topk_cal)
     assert recall >= 0.4, f"PQ recall {recall:.2f}"
 
 
