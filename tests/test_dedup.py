@@ -596,3 +596,22 @@ def test_simhash_token_df_is_document_frequency_not_occurrences(spark):
             f"doc {doc_id}: whale repetition perturbed an unrelated "
             "signature — df must be per-document, not occurrence count"
         )
+
+
+def test_simhash_planted_cert_flags_are_falsifiable(spark, sf_dir):
+    """found_ok is TRUE for every planted copy on the real corpus; an
+    impossible pair-count bound flips pairs_bounded_ok — both flags carry
+    real signal, not tautology."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        simhash_planted_cert,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = simhash_planted_cert(docs).collect()
+    assert len(ok) == 50
+    assert all(r["found_ok"] and r["pairs_bounded_ok"] for r in ok)
+
+    strict = simhash_planted_cert(docs, max_pairs_per_doc=0).collect()
+    assert all(r["found_ok"] for r in strict)
+    assert not any(r["pairs_bounded_ok"] for r in strict)

@@ -316,6 +316,12 @@ PLAN_LINT_WHITELIST = {
     "x_sim_lsh_exhaustive": {"BroadcastNestedLoopJoin"},
     "x_sim_ivf": {"BroadcastNestedLoopJoin"},
     "x_sim_ivf_exhaustive": {"BroadcastNestedLoopJoin"},
+    # the certified PQ query carries an in-plan brute-force recall baseline
+    # (same broadcast query-set crossJoin shape as x_sim_bruteforce); the
+    # one-row pair-count bound in the simhash certificate cross-joins two
+    # single-row aggregates
+    "x_sim_pq": {"BroadcastNestedLoopJoin"},
+    "x_dedup_simhash": {"BroadcastNestedLoopJoin"},
     # broadcast crossJoin of the ONE-row corpus-total aggregate
     "x_text_distinctive": {"BroadcastNestedLoopJoin"},
     # the documented reference-parity Python UDF variant (ingest.py:97)

@@ -244,3 +244,21 @@ def test_pq_rerank_equals_brute_force_on_shifted_distribution(spark):
         )
     )
     assert got == want
+
+
+def test_certified_ann_flags_are_falsifiable(emb):
+    """The certificate booleans must be able to FAIL — an impossible
+    recall floor flips recall_ok to False while the planted-copy flag
+    (deterministic for LSH) stays True. Guards against the certificate
+    degenerating into a tautology the driver would rubber-stamp."""
+    from user_behavior_spark_pipeline_spark.operators.similarity import (
+        certified_ann_topk,
+    )
+
+    ok = certified_ann_topk(emb, "lsh", 10, 5).collect()
+    assert len(ok) == 10
+    assert all(r["planted_ok"] and r["recall_ok"] and r["n_results"] == 5 for r in ok)
+
+    strict = certified_ann_topk(emb, "lsh", 10, 5, recall_floor=1.01).collect()
+    assert all(r["planted_ok"] for r in strict)
+    assert not any(r["recall_ok"] for r in strict)

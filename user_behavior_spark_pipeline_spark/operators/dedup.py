@@ -1000,3 +1000,66 @@ def incremental_near_dup(
             ),
         )
     )
+
+
+def simhash_planted_cert(
+    documents: DataFrame,
+    n_planted: int = 50,
+    max_hamming: int = 4,
+    planted_offset: int = 10_000_000,
+    max_pairs_per_doc: int = 50,
+) -> DataFrame:
+    """Self-certifying run of the PRODUCTION (xxhash64) SimHash pipeline.
+
+    The xxhash signature bits are engine-specific, so the pair list itself
+    cannot be oracle-checked (the md5 ``portable`` twin covers that); and a
+    cross-hash recall floor is NOT a usable certificate — two independent
+    hash families agree only on the non-marginal pairs (measured: 13%
+    pair-set overlap on the sf0.1 corpus, where most pairs sit right at the
+    Hamming threshold). What IS deterministic under ANY hash: an exact copy
+    of a document has an identical token multiset, hence an identical
+    signature, hence Hamming 0 — and the banding's pigeonhole guarantee
+    means a Hamming-0 pair can never be lost. So:
+
+    - plant a copy (doc_id + planted_offset) of every non-NULL-text doc
+      with doc_id < n_planted, run ``simhash_near_pairs`` (xxhash) over
+      the augmented corpus, and emit ``found_ok`` per planted doc — TRUE
+      iff the (d, d+offset) pair came back. Certifies tokenization, the
+      xxhash sign-sum signature, band decomposition, the candidate join
+      and the popcount filter end to end, independent of corpus content;
+    - ``pairs_bounded_ok``: total emitted pairs <= max_pairs_per_doc x
+      n_docs — catches the degenerate-signature failure mode (constant
+      signatures -> all-pairs output) that the planted flag alone would
+      miss (a degenerate run still finds its planted pairs).
+
+    DuckDB oracle: ``SELECT doc_id, TRUE, TRUE FROM documents WHERE
+    doc_id < n AND text IS NOT NULL`` — the formerly rows-only production
+    query becomes hash-green with flags that can actually fail."""
+    base = documents.filter(
+        (F.col("doc_id") < n_planted) & F.col("text").isNotNull()
+    )
+    planted = base.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(planted_offset)
+    )
+    aug = documents.unionByName(planted)
+    pairs = simhash_near_pairs(aug, max_hamming=max_hamming)
+    found = pairs.filter(
+        (F.col("doc_id_1") < n_planted)
+        & (F.col("doc_id_2") == F.col("doc_id_1") + F.lit(planted_offset))
+    ).select(F.col("doc_id_1").alias("doc_id"), F.lit(True).alias("f"))
+    bound_ok = pairs.select(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        documents.select(F.count(F.lit(1)).alias("n_docs"))
+    ).select(
+        (
+            F.col("n_pairs") <= F.lit(max_pairs_per_doc) * F.col("n_docs")
+        ).alias("pairs_bounded_ok")
+    )
+    return (
+        base.select("doc_id")
+        .join(found, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("f", F.lit(False)).alias("found_ok")
+        )
+        .crossJoin(F.broadcast(bound_ok))
+        .orderBy("doc_id")
+    )

