@@ -157,6 +157,7 @@ def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
     unrelated tables' directories untouched."""
     import os
     import tempfile
+    import time
 
     from user_behavior_spark_pipeline_spark.sinks import write_bucketed_table
     from user_behavior_spark_pipeline_spark.sources.tables import load_table
@@ -164,11 +165,21 @@ def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
     base = os.path.join(tempfile.gettempdir(), "ubsp-bucketed")
     os.makedirs(base, exist_ok=True)
     # dead owner: pid far beyond pid_max cannot be alive (non-empty, like
-    # real staging debris); legacy no-pid dirs count as dead too
+    # real staging debris)
     orphan = tempfile.mkdtemp(prefix="swp_orders-99999999-", dir=base)
     with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
         f.write("debris")
-    legacy = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
+    # legacy no-pid dirs have unknowable liveness: a FRESH one may belong
+    # to a live pre-pid-naming session mid-rollout and must survive; an
+    # AGED one (idle > _LEGACY_STAGING_MAX_AGE_SEC) is orphaned debris
+    from user_behavior_spark_pipeline_spark.sinks import (
+        _LEGACY_STAGING_MAX_AGE_SEC,
+    )
+
+    legacy_fresh = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
+    legacy_aged = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
+    stale = time.time() - _LEGACY_STAGING_MAX_AGE_SEC - 60
+    os.utime(legacy_aged, (stale, stale))
     # live owner: pid 1 always exists — a concurrent session's staging
     # must NOT be deleted out from under its catalog
     live = tempfile.mkdtemp(prefix="swp_orders-1-", dir=base)
@@ -178,7 +189,11 @@ def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
     write_bucketed_table(spark, orders, "swp_orders", "o_custkey", 2)
     try:
         assert not os.path.exists(orphan), "dead process's orphan not swept"
-        assert not os.path.exists(legacy), "legacy no-pid dir not swept"
+        assert not os.path.exists(legacy_aged), "aged legacy dir not swept"
+        assert os.path.exists(legacy_fresh), (
+            "fresh legacy dir swept — may be a live pre-pid session's "
+            "staging mid-rollout"
+        )
         assert os.path.exists(live), "live concurrent session's dir swept!"
         assert os.path.exists(other), "unrelated table's staging was swept"
         # the live table still reads after the sweep

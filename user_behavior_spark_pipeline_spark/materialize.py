@@ -1,0 +1,112 @@
+"""Share-once materialization seam (SCALE.md "Durability caveat").
+
+Dedup/similarity pipelines materialize shared intermediates (shingle
+tables, signatures, PQ codes, per-round component labels) exactly once so
+fan-out consumers and iterative loops don't recompute them. HOW to
+materialize is a deployment decision, not an algorithm decision:
+
+- ``local_checkpoint`` (default): eager, truncates lineage, blocks live
+  unreplicated on executors. Right for single-JVM local mode and
+  minutes-long jobs; an executor loss on a real cluster kills the job.
+- ``reliable_checkpoint``: eager, writes to the Spark checkpoint
+  directory (set ``spark.sparkContext.setCheckpointDir`` to durable
+  storage on a cluster; a temp dir is auto-provisioned otherwise so the
+  mode is testable out of the box). Survives executor loss; costs a
+  write per materialization.
+- ``persist``: MEMORY_AND_DISK + eager count. Keeps LINEAGE — a lost
+  executor recomputes instead of failing — and evicts under memory
+  pressure. The cache lives until released; pair with
+  :func:`release_shared` in long-lived sessions.
+
+Round-4 reviews picked per-site defaults by hand (corpus-sized frames →
+persist-with-lineage, small derived tables → localCheckpoint); this seam
+makes the remaining localCheckpoint sites a config switch
+(``set_materialize_mode`` or env ``UBSP_MATERIALIZE``) instead of a code
+edit, per the round-4 verdict.
+
+Separately, :func:`cache_shared` is the corpus-sized-intermediate path
+(ALWAYS persist-with-lineage — mode-independent, the durability rule) and
+registers its frame so sessions running many queries can reclaim executor
+storage with :func:`release_shared` between queries instead of leaking
+cached blocks for the session's lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+MODES = ("local_checkpoint", "reliable_checkpoint", "persist")
+
+_mode: str = os.environ.get("UBSP_MATERIALIZE", "local_checkpoint")
+
+# frames cached by cache_shared (and materialize(mode=persist)) that are
+# still holding executor storage; release_shared drains it
+_SHARED_CACHES: list[DataFrame] = []
+
+
+def set_materialize_mode(mode: str) -> None:
+    if mode not in MODES:
+        raise ValueError(f"materialize mode {mode!r} not in {MODES}")
+    global _mode
+    _mode = mode
+
+
+def get_materialize_mode() -> str:
+    return _mode
+
+
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        # auto-provision so the mode works out of the box; production
+        # clusters should point this at durable (replicated) storage
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ubsp-ckpt-"))
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a shared/iterative intermediate once, per the
+    session's materialization mode. Eagerness is part of the contract: a
+    LAZY persist under a fan-out plan is populated concurrently by its
+    consumers, each computing the full lineage (SCALE.md)."""
+    if _mode == "local_checkpoint":
+        return df.localCheckpoint()
+    if _mode == "reliable_checkpoint":
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint()
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    _SHARED_CACHES.append(cached)
+    return cached
+
+
+def cache_shared(df: DataFrame) -> DataFrame:
+    """Corpus-sized shared intermediate: persist WITH lineage + eager
+    count, regardless of mode — a lost executor must recompute, never
+    fail the job, and checkpointing a corpus-sized frame would double its
+    storage (the durability rule the round-4 reviews applied per-site).
+    Registered for :func:`release_shared`."""
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    _SHARED_CACHES.append(cached)
+    return cached
+
+
+def release_shared() -> int:
+    """Unpersist every frame registered by cache_shared/materialize since
+    the last release. Callers that hold a RETURNED plan referencing a
+    shared cache (e.g. bloom_semi_join's key set) should execute the plan
+    before releasing — after release the plan still computes correctly,
+    it just recomputes the intermediate from lineage. Returns the number
+    of frames released."""
+    n = 0
+    while _SHARED_CACHES:
+        try:
+            _SHARED_CACHES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to reclaim
+    return n

@@ -64,15 +64,13 @@ def curate_corpus(
     # lineage + eager count (not localCheckpoint: corpus-sized
     # intermediate; a lost executor should recompute, not kill the job —
     # SCALE.md durability caveat).
-    from pyspark import StorageLevel
+    from ..materialize import cache_shared
 
-    survivors = (
+    survivors = cache_shared(
         quality_docs.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    survivors.count()
 
     # max_shingle_df (recommended at corpus scale) is the hot-shingle
     # guard — see dedup.cap_shingle_df; default None keeps the exact

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import cache_shared, materialize
+
 NUM_HASHES = 64
 NUM_BANDS = 32  # 2 rows per band
 
@@ -309,13 +311,13 @@ def ngram_jaccard_pairs(
     capped shingle is involved, and the boilerplate-only pair explosion
     is gone."""
     # the shingle set feeds three plan branches (sizes + both join sides);
-    # eager localCheckpoint materializes it ONCE — a lazy persist() doesn't
+    # eager materialize (materialize.py seam) builds it ONCE — a lazy persist doesn't
     # help here because the branches' stages run concurrently and each
     # computes the unpopulated cache from scratch
     sh = shingles(documents, n)
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
-    sh = sh.localCheckpoint()
+    sh = materialize(sh)
     return _pair_jaccard(sh).filter(
         F.col("jaccard_x1e6") >= int(threshold * 1_000_000)
     )
@@ -350,12 +352,12 @@ def minhash_lsh_pairs(
     balloons candidates."""
     rows_per_band = NUM_HASHES // NUM_BANDS
     # the shingle set feeds BOTH the signature pass and the exact-Jaccard
-    # verify pass — eager localCheckpoint materializes it once (a lazy
+    # verify pass — eager materialize (seam) builds it once (a lazy
     # persist is computed N× by the N concurrent downstream stages)
     sh = shingles(documents, n)
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
-    sh = sh.localCheckpoint()
+    sh = materialize(sh)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(NUM_HASHES)
@@ -383,7 +385,7 @@ def minhash_lsh_pairs(
             ).alias("bb"),
         )
         .select("doc_id", "bb.band", "bb.bucket")
-        .localCheckpoint()
+        .transform(materialize)
     )
     left = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "bucket")
@@ -534,7 +536,7 @@ def embedding_near_dup_lsh(
         # materialize the (possibly derived) embeddings ONCE: the count
         # here and the _prep pass below would otherwise each execute the
         # full upstream pipeline
-        embeddings = embeddings.select("vec_id", "embedding").localCheckpoint()
+        embeddings = cache_shared(embeddings.select("vec_id", "embedding"))
         bits_per_table, auto_tables = lsh_auto_knobs(embeddings.count())
     else:
         # tables must compensate the EFFECTIVE bits, not the auto ones
@@ -561,10 +563,9 @@ def embedding_near_dup_lsh(
                 {"vec_id": pdf["vec_id"], "ne": list(x), "sig_arr": list(packed)}
             )
 
-    prepped = (
+    prepped = cache_shared(
         embeddings.select("vec_id", "embedding")
         .mapInPandas(_prep, "vec_id long, ne array<double>, sig_arr array<long>")
-        .localCheckpoint()
     )
     # candidate generation carries ONLY (tbl, sig, vec_id) — the 64-double
     # vectors never enter the self-join shuffle or the distinct
@@ -706,7 +707,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket").localCheckpoint()
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").transform(materialize)
     left = bands.select(
         F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sig1"), "band", "bucket"
     )
@@ -754,20 +755,20 @@ def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     component, and both steps are monotone non-increasing, so the fixpoint
     is the component min — the union-find property test stays the oracle.
     Converged when no label changes. Label state is checkpointed via
-    localCheckpoint each round to keep lineage flat — the standard
+    materialize (seam) each round to keep lineage flat — the standard
     large-graph pattern short of bringing in GraphFrames."""
     global _LAST_COMPONENT_ROUNDS
     # materialize the (possibly expensive) pair pipeline ONCE — the union
     # below references it twice, and its final stage would recompute per
     # branch otherwise
-    pairs = pairs.select("doc_id_1", "doc_id_2").localCheckpoint()
+    pairs = pairs.select("doc_id_1", "doc_id_2").transform(materialize)
     edges = (
         pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
         .union(
             pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -806,7 +807,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
                 F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
                 "prev",
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         # prev carried through the checkpoint so convergence is a cheap
         # filter on materialized data, not a second join+job
@@ -939,12 +940,12 @@ def incremental_near_dup(
         # to BOTH sides so the Jaccard space stays consistent; the list
         # itself is tiny (only shingles in > max_df docs) → broadcast
         # anti-join on the delta side.
-        corpus_sh = corpus_sh.localCheckpoint()
+        corpus_sh = materialize(corpus_sh)
         hot = _hot_values(corpus_sh, "shingle", max_shingle_df)
         corpus_sh = corpus_sh.join(F.broadcast(hot), "shingle", "left_anti")
         new_sh = new_sh.join(F.broadcast(hot), "shingle", "left_anti")
-    new_sh = new_sh.localCheckpoint()
-    corpus_sh = corpus_sh.localCheckpoint()
+    new_sh = materialize(new_sh)
+    corpus_sh = materialize(corpus_sh)
     new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
     corpus_sizes = corpus_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_corp")

@@ -285,12 +285,35 @@ def salted_join(
     rows into different buckets than the copies already fetched — rows
     joining twice or never (the SPARK-23207 failure class). The only cost
     of the content hash: byte-identical duplicate rows of a hot key share
-    a bucket; pass ``fact_id_col`` where exact duplicates are common."""
-    salt_src = (
-        F.xxhash64(F.col(fact_id_col))
-        if fact_id_col
-        else F.xxhash64(*[F.col(c) for c in fact.columns])
-    )
+    a bucket; pass ``fact_id_col`` where exact duplicates are common.
+
+    The content hash skips columns xxhash64 cannot digest (MapType and
+    VariantType, at any nesting depth) — a fact carrying a map column
+    would otherwise fail the whole join at analysis time. A schema with
+    NO hashable column (all-map facts) must pass ``fact_id_col``."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, MapType) or type(dt).__name__ == "VariantType":
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    if fact_id_col:
+        salt_src = F.xxhash64(F.col(fact_id_col))
+    else:
+        hashable = [
+            f.name for f in fact.schema.fields if _hashable(f.dataType)
+        ]
+        if not hashable:
+            raise ValueError(
+                "salted_join: no xxhash64-hashable fact columns (map/"
+                "variant only) — pass fact_id_col to derive the salt"
+            )
+        salt_src = F.xxhash64(*[F.col(c) for c in hashable])
     salted_fact = fact.withColumn(
         "_salt", F.pmod(salt_src, F.lit(num_salts)).cast("int")
     )
@@ -376,12 +399,10 @@ def bloom_semi_join(
     # partition from lineage, where a localCheckpoint block is simply
     # gone and fails the job (SCALE.md, durability caveat). The count()
     # below doubles as the eager materialization.
-    from pyspark import StorageLevel
+    from ..materialize import cache_shared
 
-    kd = (
-        keys.select(F.col(keys_key).cast(common).alias("_k"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    kd = cache_shared(
+        keys.select(F.col(keys_key).cast(common).alias("_k")).distinct()
     )
     n_keys = kd.count()
     m_bits = min(max(64, n_keys * bits_per_key), max_bits)

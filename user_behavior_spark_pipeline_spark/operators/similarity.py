@@ -28,6 +28,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import cache_shared, materialize
+
 EMBED_DIM = 64
 
 
@@ -489,12 +491,11 @@ def _pq_scored(
                 }
             )
 
-    encoded = (
+    encoded = cache_shared(
         embeddings.select("vec_id", "embedding")
         .mapInPandas(
             _encode, "neighbor_id long, codes array<long>, res array<double>"
         )
-        .localCheckpoint()
     )
 
     q_rows = (
@@ -625,7 +626,7 @@ def pq_rerank_topk(
             F.col("cosine").alias("adc"),
             "adc_rank",
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     qs = embeddings.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -667,7 +668,7 @@ def pq_rerank_topk(
                 )
             )
             .select("query_id", "neighbor_id", "cosine")
-            .localCheckpoint()
+            .transform(materialize)
         )
         topk = _rank_topk(rescored, k)
         if r >= r_cap:

@@ -153,14 +153,12 @@ def distinctive_tokens(
     # persist-with-lineage + eager count, not localCheckpoint: the tf
     # table is vocabulary-sized but derived from a full corpus scan — a
     # lost executor should recompute, not kill the job (SCALE.md).
-    from pyspark import StorageLevel
+    from ..materialize import cache_shared
 
-    tf = (
+    tf = cache_shared(
         tok.groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("tf_lang"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tf.count()
     lang_tot = tf.groupBy("lang").agg(F.sum("tf_lang").alias("lang_total"))
     corpus_tf = tf.groupBy("token").agg(F.sum("tf_lang").alias("tf_corpus"))
     corpus_total = tf.agg(F.sum("tf_lang").alias("corpus_total"))

@@ -1776,10 +1776,12 @@ def ref_catalog_describe(spark, sf_dir):
         & (F.col("data_type") != "")
     )
     # DESCRIBE emits rows in schema order but carries no ordinal column;
-    # re-derive it from a monotonic id over the (tiny, single-partition)
-    # result so the oracle can pin the column ORDER, not just the set.
+    # re-derive it from a monotonic id. monotonic ids only follow row
+    # order within ONE partition, so coalesce(1) first — it makes the
+    # single-ordered-partition assumption explicit instead of relying on
+    # DESCRIBE's current 6-row local-relation physical shape.
     w = Window.orderBy(F.monotonically_increasing_id())
-    return d.select(
+    return d.coalesce(1).select(
         (F.row_number().over(w) - 1).cast("int").alias("ordinal"),
         "col_name",
         "data_type",

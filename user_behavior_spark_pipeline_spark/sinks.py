@@ -35,6 +35,12 @@ def write_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+# staging dirs with no owner pid in their name (pre-pid layout) are only
+# swept once idle this long — liveness is unknowable for them, and a
+# staging dir is written exactly once, so hours of idleness means orphaned
+_LEGACY_STAGING_MAX_AGE_SEC = 6 * 3600
+
+
 def write_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
@@ -73,6 +79,7 @@ def write_bucketed_table(
     import os
     import shutil
     import tempfile
+    import time
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     base = os.path.join(tempfile.gettempdir(), "ubsp-bucketed")
@@ -102,6 +109,18 @@ def write_bucketed_table(
                 pass  # owner dead — unreferenced by construction
             except PermissionError:
                 continue  # alive under another uid — leave it
+        elif not owner.isdigit():
+            # no owner pid encoded (pre-pid naming, e.g. a mixed-version
+            # rollout): liveness is unknowable, so age-gate instead of
+            # deleting a possibly-live session's staging mid-query — only
+            # sweep dirs idle for hours (a staging dir is written once at
+            # registration; a generous threshold still reclaims leaks)
+            try:
+                age = time.time() - os.path.getmtime(sib)
+            except OSError:
+                continue  # raced with its owner's own cleanup
+            if age < _LEGACY_STAGING_MAX_AGE_SEC:
+                continue
         shutil.rmtree(sib, ignore_errors=True)
 
 
