@@ -58,16 +58,62 @@ def test_funnel_horizon_cuts_late_completions(spark):
     assert reach["steps_reached"] == 2
 
 
-def test_funnel_rejects_repeated_step_types(spark):
-    """The chain matcher maps event types to step indices, so a repeated
-    step type can never advance past the repeat — rejected loudly."""
-    import pytest
+def test_funnel_repeated_step_types_advance_on_position(spark):
+    """('view','click','view'): the fold advances on POSITION, so a later
+    'view' event serves step 3 (round-4 rejected this; round 5 supports
+    it). Verified against a chained min-after DuckDB oracle computing
+    t1 = min(view), t2 = min(click > t1), t3 = min(view > t2) per user."""
+    import duckdb
 
-    with pytest.raises(ValueError, match="distinct"):
-        funnel_reach(
-            _ev(spark, [(1, "view", "2024-01-01T00:00:00")]),
-            ("view", "click", "view"),
-        )
+    rows = [
+        # u1 completes: view @0, click @1, view @2
+        (1, "view", "2024-01-01T00:00:00"),
+        (1, "click", "2024-01-01T00:01:00"),
+        (1, "view", "2024-01-01T00:02:00"),
+        # u2 stalls at 2 (no second view after the click)
+        (2, "view", "2024-01-01T00:00:00"),
+        (2, "click", "2024-01-01T00:05:00"),
+        # u3: second view BEFORE the click — cannot serve step 3
+        (3, "view", "2024-01-01T00:00:00"),
+        (3, "view", "2024-01-01T00:00:30"),
+        (3, "click", "2024-01-01T00:01:00"),
+        # u4: the step-1 view also precedes everything; a same-timestamp
+        # view cannot serve step 3 (strict order)
+        (4, "view", "2024-01-01T00:00:00"),
+        (4, "click", "2024-01-01T00:01:00"),
+        (4, "view", "2024-01-01T00:01:00"),
+    ]
+    got = {
+        r["user_id"]: r["steps_reached"]
+        for r in funnel_reach(
+            _ev(spark, rows), ("view", "click", "view")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (user_id BIGINT, event_type VARCHAR, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    want = {
+        u: d
+        for u, d in con.execute(
+            """
+            WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+                        WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+                   JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+            t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e
+                   JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > t2.t2 GROUP BY 1)
+            SELECT t1.user_id,
+                   1 + (t2.user_id IS NOT NULL)::INT
+                     + (t3.user_id IS NOT NULL)::INT AS depth
+            FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+            """
+        ).fetchall()
+    }
+    assert got == want == {1: 3, 2: 2, 3: 2, 4: 2}
 
 
 def test_funnel_horizon_exact_on_fractional_seconds(spark):
@@ -263,5 +309,73 @@ def test_funnel_reach_matches_naive_reference_property(
 
     want = {
         u: naive(u) for u in {u for (u, _, _) in events} if naive(u) is not None
+    }
+    assert got == want, (events, horizon_h)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["s1", "s2", "noise"]),
+            st.integers(0, 30),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    horizon_h=st.one_of(st.none(), st.integers(1, 20)),
+)
+def test_funnel_reach_repeated_steps_property(spark, events, horizon_h):
+    """Property twin of the naive-reference test for a REPEATED-type
+    funnel (s1, s2, s1): greedy chained-min-after per position."""
+    from user_behavior_spark_pipeline_spark.operators.funnel import (
+        funnel_reach,
+    )
+
+    steps = ["s1", "s2", "s1"]
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, et, base + datetime.timedelta(hours=h), i)
+            for i, (u, et, h) in enumerate(events)
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    got = {
+        r["user_id"]: r["steps_reached"]
+        for r in funnel_reach(
+            df, steps, horizon_seconds=horizon_h * 3600 if horizon_h else None
+        ).collect()
+    }
+
+    def naive(user):
+        per_type = {
+            s: sorted(h for (u, et, h) in events if u == user and et == s)
+            for s in set(steps)
+        }
+        if not per_type[steps[0]]:
+            return None
+        t1 = per_type[steps[0]][0]
+        t_prev, times = t1, [t1]
+        for s in steps[1:]:
+            nxt = [h for h in per_type[s] if h > t_prev]
+            if not nxt:
+                break
+            t_prev = nxt[0]
+            times.append(t_prev)
+        depth = len(times)
+        if horizon_h is not None:
+            depth = sum(1 for t in times if t - t1 <= horizon_h)
+        return depth
+
+    want = {
+        u: naive(u)
+        for u in {u for (u, _, _) in events}
+        if naive(u) is not None
     }
     assert got == want, (events, horizon_h)

@@ -262,3 +262,58 @@ def test_certified_ann_flags_are_falsifiable(emb):
     strict = certified_ann_topk(emb, "lsh", 10, 5, recall_floor=1.01).collect()
     assert all(r["planted_ok"] for r in strict)
     assert not any(r["recall_ok"] for r in strict)
+
+
+def test_pq_certificate_below_corpus_on_clustered_data(spark):
+    """On clustered embeddings (the realistic case — random gaussian is
+    PQ's worst), the per-vector certificate must accept a shortlist WELL
+    below corpus coverage: other-cluster vectors have adc + ‖y−ŷ‖ far
+    under s_k, so the required width is ~the query's own cluster, not
+    the corpus. Start narrow (32 < cluster size 50) to force at least
+    one widening round and dodge the small-corpus exact shortcut."""
+    import math
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators import similarity
+    from user_behavior_spark_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+    )
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 64, 8, 50
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        c = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in c))
+        for _ in range(per_cluster):
+            rows.append((vid, [x / nrm + rng.gauss(0, 0.02) for x in c], "s"))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = set(
+        map(
+            tuple,
+            pq_rerank_topk(emb, 10, 5, shortlist=32)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+    want = set(
+        map(
+            tuple,
+            brute_force_topk(emb, 10, 5)
+            .select("query_id", "neighbor_id")
+            .toPandas()
+            .values,
+        )
+    )
+    assert got == want
+    assert similarity._LAST_PQ_CERTIFIED
+    n_corpus = len(rows)
+    assert similarity._LAST_PQ_SHORTLIST < (n_corpus - 1) // 2, (
+        f"certificate only accepted at {similarity._LAST_PQ_SHORTLIST} "
+        f"of {n_corpus} — not 'well below corpus'"
+    )

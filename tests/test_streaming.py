@@ -353,3 +353,66 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     final = [r for r in spark.read.parquet(out).collect() if r["wstart"] == "2024-01-01 10:00"]
     # the sealed window was appended once with n=2 and never re-emitted
     assert [r["n"] for r in final] == [2]
+
+
+def test_transform_with_state_fold_semantics_without_protobuf(spark, sf_dir):
+    """The transformWithStateInPandas operator's FOLD logic, verified
+    protobuf-free: drive TotalsProcessor directly with a fake ValueState
+    and per-user Arrow batches, and require its end state to equal the
+    batch GROUP BY — the same oracle the wire-level equivalence test
+    (skipped where protobuf is absent) asserts against
+    applyInPandasWithState. Only the state-server WIRE hop remains
+    environment-gated; the operator's semantics are not."""
+    import pandas as pd
+
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        _totals_processor_class,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+    )
+    TotalsProcessor = _totals_processor_class()
+    results = {}
+    for uid, grp in events.groupby("user_id"):
+        proc = TotalsProcessor()
+        proc.init(FakeHandle())
+        # split into multiple batches to exercise state carry-over
+        batches = [grp.iloc[: len(grp) // 2], grp.iloc[len(grp) // 2 :]]
+        out = None
+        for b in [b for b in batches if len(b)]:
+            out = pd.concat(list(proc.handleInputRows((uid,), [b], None)))
+        proc.close()
+        results[uid] = (
+            int(out["n_events"].iloc[-1]),
+            int(out["total_cents"].iloc[-1]),
+        )
+
+    expected = {
+        uid: (len(grp), int((grp["value"] * 100).round().astype("int64").sum()))
+        for uid, grp in events.groupby("user_id")
+    }
+    assert results == expected

@@ -57,21 +57,34 @@ def funnel_reach(
     on the DuckDB side with the same exactness; pinned by
     tests/test_funnel.py::test_funnel_horizon_exact_on_fractional_seconds).
 
-    Steps must be distinct event types: the chain advance matches events
-    to step indices by type, so a repeated type (('view','click','view'))
-    could never advance past the repeat — rejected loudly instead of
-    silently stalling.
+    Repeated step types (('view','click','view')) are supported: the
+    fold advances on POSITION — each event carries its type id and the
+    automaton compares it against the type required at depth+1, so one
+    'view' event can serve step 1 and a later one step 3 (the pre-r04
+    type-to-first-index mapping stalled at the repeat; r04 rejected
+    loudly; this generalizes). Greedy-earliest stays optimal with
+    repeats: taking the earliest valid event of the required type
+    minimizes t_k, which can only widen step k+1's choices (the same
+    exchange argument as the distinct case — later steps only need
+    events strictly AFTER t_k, never the one consumed).
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct event types")
-    step_idx = F.when(F.col(type_col) == steps[0], F.lit(1))
-    for i, s in enumerate(steps[1:], start=2):
-        step_idx = step_idx.when(F.col(type_col) == s, F.lit(i))
+    # map event types to dense ids; each STEP POSITION then references a
+    # type id — the step list itself travels as a literal array the fold
+    # indexes by depth (supports repeated types at different positions)
+    uniq = list(dict.fromkeys(steps))
+    tid_of = {t: i for i, t in enumerate(uniq)}
+    tid_col = F.when(F.col(type_col) == uniq[0], F.lit(0))
+    for t in uniq[1:]:
+        tid_col = tid_col.when(F.col(type_col) == t, F.lit(tid_of[t]))
+    step_tids = F.array(*[F.lit(tid_of[s]).cast("int") for s in steps])
+    # types appearing at positions >= 2 can advance the chain; an event
+    # type appearing ONLY as step 1 never needs collecting
+    later_types = set(steps[1:])
     ev = events.filter(F.col(type_col).isin(*steps)).select(
         F.col(user_col).alias("user_id"),
-        step_idx.cast("int").alias("idx"),
+        tid_col.cast("int").alias("tid"),
         F.col(ts_col).alias("ts"),
     )
     # ONE array of (ts, idx) per user. The chain is then a single sorted
@@ -83,14 +96,19 @@ def funnel_reach(
     # per-element lambda (the HOF-inlining pitfall documented at
     # dedup.shingles), re-evaluating it once per element. Measured: 10
     # users x 320k events took 943 s; the sorted fold takes seconds.
+    later_tids = sorted(tid_of[t] for t in later_types)
     agg = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("idx") == 1, F.col("ts"))).alias("t1"),
+        F.min(
+            F.when(F.col("tid") == tid_of[steps[0]], F.col("ts"))
+        ).alias("t1"),
         F.collect_list(
-            F.when(F.col("idx") >= 2, F.struct("ts", "idx"))
+            F.when(
+                F.col("tid").isin(later_tids), F.struct("ts", "tid")
+            )
         ).alias("_evts"),
     )
     out = agg.filter(F.col("t1").isNotNull())
-    # array_sort on struct(ts, idx): time order, idx as tie-break — ties
+    # array_sort on struct(ts, tid): time order, tid as tie-break — ties
     # in ts cannot advance the chain either way (strict > below), so the
     # tie-break never changes the result, it only makes the scan stable
     init = F.struct(
@@ -99,9 +117,12 @@ def funnel_reach(
     )
 
     def _advance(acc, e):
-        ok = (e["idx"] == acc["depth"] + 1) & (
-            e["ts"] > F.element_at(acc["times"], -1)
-        )
+        # F.get is 0-based and NULL-safe past the end: at full depth the
+        # required-type lookup is NULL, ok is NULL, and the fold keeps acc
+        # (element_at would raise under ANSI when depth == len(steps))
+        ok = (
+            e["tid"] == F.get(step_tids, acc["depth"].cast("int"))
+        ) & (e["ts"] > F.element_at(acc["times"], -1))
         return F.when(
             ok,
             F.struct(

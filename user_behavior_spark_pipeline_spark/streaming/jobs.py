@@ -242,19 +242,14 @@ def has_transform_with_state_support() -> bool:
         return False
 
 
-def transform_with_state_totals_stream(
-    events_stream: DataFrame,
-    query_name: str,
-):
-    """The same per-user running totals on transformWithStateInPandas — the
-    Spark 4 arbitrary-state API (typed value/list/map state handles, timers)
-    that supersedes applyInPandasWithState. Kept alongside the older API so
-    both state surfaces stay exercised; results must be identical.
-
-    Requires ``google.protobuf`` (the state-server wire protocol); call
-    :func:`has_transform_with_state_support` first — environments without
-    protobuf (like this test container) fall back to
-    :func:`stateful_user_totals_stream`."""
+def _totals_processor_class():
+    """The TotalsProcessor class, importable WITHOUT google.protobuf: the
+    StatefulProcessor ABC and the fold logic are plain Python — only the
+    state-server WIRE (inside a running transformWithStateInPandas query)
+    needs protobuf. Module-level so the fold semantics are unit-testable
+    against a fake ValueState in any environment
+    (tests/test_streaming.py::test_transform_with_state_fold_semantics);
+    the sandbox then gates only the wire hop, not the operator's logic."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -281,6 +276,28 @@ def transform_with_state_totals_stream(
 
         def close(self) -> None:
             pass
+
+    return TotalsProcessor
+
+
+def transform_with_state_totals_stream(
+    events_stream: DataFrame,
+    query_name: str,
+):
+    """The same per-user running totals on transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (typed value/list/map state handles, timers)
+    that supersedes applyInPandasWithState. Kept alongside the older API so
+    both state surfaces stay exercised; results must be identical.
+
+    The RUNNING query needs ``google.protobuf`` (the Python worker talks
+    to the JVM state server over a protobuf protocol); call
+    :func:`has_transform_with_state_support` first — environments without
+    protobuf fall back to :func:`stateful_user_totals_stream`, and the
+    fold semantics themselves stay pytest-verified protobuf-free via
+    :func:`_totals_processor_class` (vendoring protobuf is impossible in
+    the sandbox: no network, no wheel on disk — documented in
+    COVERAGE.md)."""
+    TotalsProcessor = _totals_processor_class()
 
     totals = events_stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TotalsProcessor(),
