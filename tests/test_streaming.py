@@ -416,3 +416,60 @@ def test_transform_with_state_fold_semantics_without_protobuf(spark, sf_dir):
         for uid, grp in events.groupby("user_id")
     }
     assert results == expected
+
+
+def test_bucketed_stream_stream_join_equals_plain(spark, tmp_path):
+    """The skew-immune (user, time_bucket) join must return EXACTLY the
+    plain interval join's rows — including pairs that straddle a bucket
+    boundary (the purchase's second exploded copy) and a hot key (80% of
+    rows on one user, the round-5 probe shape in miniature)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        stream_stream_join_bucketed_stream,
+        stream_stream_join_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        uid = 0 if i % 10 < 8 else 100 + (i % 7)
+        # 0.8 s spacing -> pairs regularly straddle the 10 s buckets
+        rows.append((i, uid, base + datetime.timedelta(seconds=0.8 * i), 1.5 * i))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    src = str(tmp_path / "ss_eq")
+    ev.coalesce(2).write.parquet(src + "/clicks")
+    ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+        "value",
+    ).coalesce(2).write.parquet(src + "/purchases")
+    sch = spark.read.parquet(src + "/clicks").schema
+
+    def _streams():
+        return (
+            spark.readStream.schema(sch).parquet(src + "/clicks"),
+            spark.readStream.schema(sch).parquet(src + "/purchases"),
+        )
+
+    c, p = _streams()
+    stream_stream_join_stream(
+        c, p, query_name="ss_eq_plain", horizon="10 seconds"
+    ).awaitTermination()
+    c, p = _streams()
+    stream_stream_join_bucketed_stream(
+        c, p, query_name="ss_eq_bucketed", horizon_seconds=10
+    ).awaitTermination()
+    plain = sorted(
+        map(tuple, spark.table("ss_eq_plain").collect())
+    )
+    bucketed = sorted(
+        map(tuple, spark.table("ss_eq_bucketed").collect())
+    )
+    assert len(plain) > 400  # hot key produces multi-purchase matches
+    assert bucketed == plain

@@ -2063,6 +2063,46 @@ def x_stream_stream_join(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "x_stream_stream_join_bucketed",
+    oracle=(
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents "
+        "FROM events c JOIN events p "
+        "ON c.user_id = p.user_id "
+        "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR "
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"
+    ),
+)
+def x_stream_stream_join_bucketed(spark, sf_dir):
+    """The SKEW-IMMUNE stream-stream interval join (join key widened to
+    (user_id, time_bucket), purchase side exploded to 2 buckets — see
+    streaming/jobs.stream_stream_join_bucketed_stream): identical result
+    set to x_stream_stream_join by construction, verified against the
+    same batch interval-join oracle. This is the variant to deploy when
+    one user carries a disproportionate share of the stream (round-5
+    probe: the plain join is O(hot_rows²) per hot key AND single-task;
+    bucketed stays linear — numbers in SCALE.md)."""
+    from .streaming.jobs import stream_stream_join_bucketed_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    def _stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    clicks = _stream().filter(F.col("event_type") == "click")
+    purchases = _stream().filter(F.col("event_type") == "purchase")
+    name = "ubsp_stream_stream_join_bucketed"
+    with _state_partitions(spark, 8):
+        q = stream_stream_join_bucketed_stream(
+            clicks, purchases, name, horizon_seconds=3600
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # TPC-shape analytics, continued: Q3 / Q10 shapes and a RANGE-frame window.
 # ---------------------------------------------------------------------------
@@ -3504,6 +3544,7 @@ _TOUCHED_THIS_ROUND = frozenset(
         "x_sim_ivf",
         "x_sim_pq",
         "x_dedup_simhash",
+        "x_stream_stream_join_bucketed",
         "x_sim_pq_exhaustive",
         "x_funnel_counts",
         "x_dedup_components",

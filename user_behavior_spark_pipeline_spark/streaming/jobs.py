@@ -438,6 +438,93 @@ def stream_stream_join_stream(
     )
 
 
+def stream_stream_join_bucketed_stream(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    query_name: str,
+    horizon_seconds: int = 3600,
+    watermark: str = "1 second",
+):
+    """Skew-immune stream-stream interval join: same semantics as
+    :func:`stream_stream_join_stream`, with the join key widened from
+    ``user_id`` to ``(user_id, time_bucket)``.
+
+    Why: the plain join shuffles BOTH sides and the state store by
+    ``user_id``, so a hot key concentrates on one partition — and worse,
+    the symmetric hash join matches each arriving row against EVERY
+    buffered row of its key before the range filter, so a key holding H
+    rows costs O(H²) comparisons (round-5 probe: 160k hot rows of a
+    200k-row stream did not finish in 20 minutes where the uniform-key
+    run took seconds — see SCALE.md).
+
+    Fix: bucket event time at the horizon width B. A click joins only
+    purchases in [ts, ts + h), h <= B, so with the click keeping bucket
+    floor(ts/B) and each purchase exploded to buckets {floor(ts/B),
+    floor(ts/B) - 1}, every qualifying pair meets in EXACTLY one bucket
+    (the purchase's two copies live in distinct buckets, and for
+    u(c) <= u(p) <= u(c) + B the purchase bucket is the click's or the
+    next — the click's bucket is always among the two copies and only
+    one copy carries it). A hot user's state fans out across its time
+    buckets — per-key state is bounded by the key's rate x horizon, not
+    its lifetime volume, making per-arrival matching O(rows in one
+    horizon) and spreading partitions. Cost: the purchase side doubles —
+    the standard price of interval-bucketed joins (the batch range-join
+    bucketing in operators/temporal.py makes the same trade).
+
+    Watermark/state-eviction semantics are unchanged: the bucket is a
+    derived column; eviction still follows the event-time columns."""
+    b = int(horizon_seconds)
+    c = (
+        clicks_stream.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+        .withColumn(
+            "c_bucket", F.floor(F.unix_timestamp("click_ts") / F.lit(b))
+        )
+    )
+    p = (
+        purchases_stream.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)),
+                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)) - 1,
+                )
+            ),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {b} SECONDS")
+        ),
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_left_join_stream(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,
