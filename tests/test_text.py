@@ -75,3 +75,40 @@ def test_quality_scores_survive_multi_megabyte_document(spark):
     r = quality_scores(docs).collect()[0]
     assert r["n_chars"] == 3_000_000
     assert 0 <= r["alpha_ratio_x1000"] <= 1000
+
+
+def test_redact_pii_on_constructed_dirty_strings(spark):
+    """Known-answer PII fixtures: each class detected and replaced, the
+    SSN-before-phone order respected, emails with IP-like domains split
+    correctly, non-ASCII text byte-hashed identically, NULL text stays
+    NULL."""
+    import hashlib
+
+    from user_behavior_spark_pipeline_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "reach me at jo.do+spam@mail.example.org or 192.168.0.1 ok"),
+        (2, "ssn 123-45-6789 then phone 555-867-5309 done"),
+        (3, "user@10.0.0.1 is not an email but holds an ip"),
+        (4, "日本語テキスト contact 太郎: taro@example.jp 以上"),
+        (5, None),
+        (6, "clean text with numbers 12345 and 1.2 nothing to redact"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    assert (got[1]["n_email"], got[1]["n_ipv4"]) == (1, 1)
+    assert got[1]["redacted_md5"] == h("reach me at [EMAIL] or [IP] ok")
+    assert (got[2]["n_ssn"], got[2]["n_phone"]) == (1, 1)
+    assert got[2]["redacted_md5"] == h("ssn [SSN] then phone [PHONE] done")
+    # '@10.0.0.1' has no alphabetic TLD -> not an email; the IP still is
+    assert (got[3]["n_email"], got[3]["n_ipv4"]) == (0, 1)
+    assert got[3]["redacted_md5"] == h("user@[IP] is not an email but holds an ip")
+    assert got[4]["n_email"] == 1
+    assert got[4]["redacted_md5"] == h("日本語テキスト contact 太郎: [EMAIL] 以上")
+    assert got[5]["redacted_md5"] is None
+    assert all(got[6][f"n_{c}"] == 0 for c in ("email", "ipv4", "ssn", "phone"))
+    assert got[6]["redacted_md5"] == h(rows[5][1])

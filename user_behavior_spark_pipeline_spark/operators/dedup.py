@@ -1007,7 +1007,7 @@ def simhash_planted_cert(
     documents: DataFrame,
     n_planted: int = 50,
     max_hamming: int = 4,
-    planted_offset: int = 10_000_000,
+    planted_offset: int = 1 << 40,
     max_pairs_per_doc: int = 50,
 ) -> DataFrame:
     """Self-certifying run of the PRODUCTION (xxhash64) SimHash pipeline.
@@ -1035,7 +1035,11 @@ def simhash_planted_cert(
 
     DuckDB oracle: ``SELECT doc_id, TRUE, TRUE FROM documents WHERE
     doc_id < n AND text IS NOT NULL`` — the formerly rows-only production
-    query becomes hash-green with flags that can actually fail."""
+    query becomes hash-green with flags that can actually fail.
+
+    ``planted_offset`` must exceed every real doc_id (the found filter
+    keys on doc_id_2 == doc_id_1 + offset); the 2^40 default clears any
+    realistic corpus id space."""
     base = documents.filter(
         (F.col("doc_id") < n_planted) & F.col("text").isNotNull()
     )

@@ -791,7 +791,7 @@ def certified_ann_topk(
     num_queries: int = 10,
     k: int = 5,
     recall_floor: float = 0.2,
-    planted_offset: int = 10_000_000,
+    planted_offset: int = 1 << 40,
     **kwargs,
 ) -> DataFrame:
     """Self-certifying wrapper for the approximate top-k paths (LSH / IVF /
@@ -819,7 +819,13 @@ def certified_ann_topk(
     The DuckDB oracle for a certified query is a literal: every flag TRUE
     and ``n_results = k`` for each ``vec_id < num_queries`` — making the
     formerly rows-only approximate paths hash-green without pretending
-    their neighbor lists are engine-portable."""
+    their neighbor lists are engine-portable.
+
+    ``planted_offset`` must exceed every real vec_id (a collision would
+    let a real vector impersonate a planted copy); ids must stay
+    non-negative because the ANN operators select queries as
+    ``vec_id < num_queries``. The 2^40 default clears any realistic
+    corpus (10^12 ids) while leaving 2^22 headroom to long overflow."""
     methods = {"lsh": lsh_bucketed_topk, "ivf": ivf_topk, "pq": pq_topk}
     fn = methods[method]
     planted = embeddings.filter(F.col("vec_id") < num_queries).withColumn(

@@ -250,3 +250,45 @@ def token_frequencies(documents: DataFrame, min_count: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .filter(F.col("occurrences") >= min_count)
     )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backrefs, no lookaround) so the DuckDB oracle runs the LITERAL same
+# patterns: character classes, bounded repetition, and \b only. Order
+# matters (applied sequentially): SSN before phone so ###-##-#### is
+# consumed as SSN, never partially as a phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction — the scrub every training-data pipeline
+    runs before anything else sees the text. Scan-side only: per document
+    one pass of regexp counts + sequential regexp_replace, no shuffle at
+    all (the 100 TB shape: embarrassingly parallel over row groups).
+
+    Returns (doc_id, n_email, n_ipv4, n_ssn, n_phone, redacted_md5):
+    counts BEFORE redaction per class, and the md5 of the UTF-8 bytes of
+    the fully-redacted text — byte-level, so the DuckDB oracle verifies
+    the exact redacted output (non-ASCII safe, same contract as the
+    multimodal decode oracle) without shipping full texts through the
+    hash compare. Counts count non-overlapping leftmost matches, which
+    Java regex and RE2 agree on for these lookaround-free patterns."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col("text")
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return documents.select(
+        "doc_id",
+        *counts,
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
+    )

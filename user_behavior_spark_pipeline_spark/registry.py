@@ -787,6 +787,76 @@ def x_text_quality(spark, sf_dir):
     return quality_scores(_table(spark, sf_dir, "documents"))
 
 
+# deterministic PII suffix planted on doc_id < 20 IN BOTH ENGINES (the
+# generated corpus has no PII, which would verify only the no-op path):
+# one email (doc_id-dependent local part), one IPv4 (doc_id-dependent
+# octet), one SSN, one dash-format phone
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 "
+    "ssn 123-45-6789 call 555-867-5309'"
+)
+
+
+@query(
+    "x_text_pii_redact",
+    oracle=(
+        # the LITERAL same patterns (Java-regex ∩ RE2 subset; text.py
+        # PII_PATTERNS), same sequential replace order, byte-level md5
+        "WITH aug AS (SELECT doc_id, CASE WHEN doc_id < 20 THEN text || "
+        f"{_PII_SUFFIX_SQL} ELSE text END AS text FROM documents) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+        "AS n_email, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) "
+        "AS n_ipv4, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone, "
+        "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, "
+        "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'), "
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
+        "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS redacted_md5 "
+        "FROM aug ORDER BY doc_id"
+    ),
+)
+def x_text_pii_redact(spark, sf_dir):
+    """PII detection + redaction (operators/text.redact_pii): per-class
+    counts + byte-level md5 of the redacted text, verified against DuckDB
+    running the literal same patterns. The corpus is augmented in-plan
+    with a deterministic PII suffix on the first 20 docs (both engines
+    build the identical augmented text), so the redaction path is
+    exercised on real matches, not just the no-op case. Scan-side only —
+    no shuffle (the final ORDER BY exists for the driver compare)."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import redact_pii
+
+    docs = _table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 20,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ssn 123-45-6789 call 555-867-5309"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(aug).orderBy("doc_id")
+
+
 @query(
     "x_text_lang",
     oracle=(
@@ -3352,6 +3422,44 @@ def x_funnel_counts(spark, sf_dir):
 
 
 @query(
+    "x_funnel_repeated_steps",
+    oracle=(
+        # chained min-after with a REPEATED step type: view -> click ->
+        # view, greedy per position (the round-5 funnel generalization)
+        "WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        "JOIN t1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > t1.t1 "
+        "GROUP BY 1), "
+        "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        "JOIN t2 USING (user_id) WHERE e.event_type = 'view' AND e.ts > t2.t2 "
+        "GROUP BY 1) "
+        "SELECT t1.user_id, CAST(1 "
+        "+ CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END "
+        "+ CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+        "AS steps_reached "
+        "FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id) "
+        "ORDER BY user_id"
+    ),
+)
+def x_funnel_repeated_steps(spark, sf_dir):
+    """REPEATED-step-type funnel (view -> click -> view): the position-
+    indexed automaton added in round 5 — one 'view' event anchors the
+    funnel, a LATER 'view' (strictly after the click) completes it. Same
+    one-shuffle plan as the distinct-step funnel; the oracle is the
+    chained min-after formulation per position."""
+    from .operators.funnel import funnel_reach
+
+    return (
+        funnel_reach(
+            _table(spark, sf_dir, "events"), ("view", "click", "view")
+        )
+        .select("user_id", "steps_reached")
+        .orderBy("user_id")
+    )
+
+
+@query(
     "x_retention_cohorts",
     oracle=(
         "WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events), "
@@ -3545,6 +3653,8 @@ _TOUCHED_THIS_ROUND = frozenset(
         "x_sim_pq",
         "x_dedup_simhash",
         "x_stream_stream_join_bucketed",
+        "x_funnel_repeated_steps",
+        "x_text_pii_redact",
         "x_sim_pq_exhaustive",
         "x_funnel_counts",
         "x_dedup_components",
