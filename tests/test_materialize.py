@@ -68,3 +68,18 @@ def test_release_shared_drains_cache_registry(spark, sf_dir):
 def test_invalid_mode_rejected():
     with pytest.raises(ValueError):
         M.set_materialize_mode("banana")
+
+
+def test_typoed_env_mode_fails_loudly_at_use(spark):
+    """The env path (UBSP_MATERIALIZE) bypasses set_materialize_mode's
+    validation; a typo'd mode must raise at first materialize(), never
+    silently fall through to some other branch (the review finding:
+    the durability switch silently defeated)."""
+    df = spark.range(3).toDF("x")
+    original = M._mode
+    try:
+        M._mode = "local-checkpoint"  # dash typo
+        with pytest.raises(ValueError, match="UBSP_MATERIALIZE"):
+            M.materialize(df)
+    finally:
+        M._mode = original

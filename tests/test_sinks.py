@@ -169,16 +169,12 @@ def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
     orphan = tempfile.mkdtemp(prefix="swp_orders-99999999-", dir=base)
     with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
         f.write("debris")
-    # legacy no-pid dirs have unknowable liveness: a FRESH one may belong
-    # to a live pre-pid-naming session mid-rollout and must survive; an
-    # AGED one (idle > _LEGACY_STAGING_MAX_AGE_SEC) is orphaned debris
-    from user_behavior_spark_pipeline_spark.sinks import (
-        _LEGACY_STAGING_MAX_AGE_SEC,
-    )
-
+    # legacy no-pid dirs have unknowable liveness (mtime only records the
+    # one-time write, not reads): even an old one may be a live pre-pid
+    # session's staging — never swept, regardless of age
     legacy_fresh = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
     legacy_aged = tempfile.mkdtemp(prefix="swp_orders-", dir=base)
-    stale = time.time() - _LEGACY_STAGING_MAX_AGE_SEC - 60
+    stale = time.time() - 30 * 86400
     os.utime(legacy_aged, (stale, stale))
     # live owner: pid 1 always exists — a concurrent session's staging
     # must NOT be deleted out from under its catalog
@@ -189,7 +185,10 @@ def test_bucketed_staging_sweeps_orphans_from_dead_processes(spark, sf_dir):
     write_bucketed_table(spark, orders, "swp_orders", "o_custkey", 2)
     try:
         assert not os.path.exists(orphan), "dead process's orphan not swept"
-        assert not os.path.exists(legacy_aged), "aged legacy dir not swept"
+        assert os.path.exists(legacy_aged), (
+            "aged legacy dir swept — age does not prove orphanhood "
+            "(reads never touch mtime)"
+        )
         assert os.path.exists(legacy_fresh), (
             "fresh legacy dir swept — may be a live pre-pid session's "
             "staging mid-rollout"

@@ -93,6 +93,10 @@ def test_redact_pii_on_constructed_dirty_strings(spark):
         (4, "日本語テキスト contact 太郎: taro@example.jp 以上"),
         (5, None),
         (6, "clean text with numbers 12345 and 1.2 nothing to redact"),
+        # digits abutting non-ASCII letters: Java \b and RE2 \b DISAGREE
+        # here (Spark misses, DuckDB hits), which is why PII_PATTERNS are
+        # boundary-free — this row pins that the SSN is caught
+        (7, "語123-45-6789語"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
@@ -112,3 +116,5 @@ def test_redact_pii_on_constructed_dirty_strings(spark):
     assert got[5]["redacted_md5"] is None
     assert all(got[6][f"n_{c}"] == 0 for c in ("email", "ipv4", "ssn", "phone"))
     assert got[6]["redacted_md5"] == h(rows[5][1])
+    assert got[7]["n_ssn"] == 1
+    assert got[7]["redacted_md5"] == h("語[SSN]語")

@@ -44,8 +44,13 @@ MODES = ("local_checkpoint", "reliable_checkpoint", "persist")
 _mode: str = os.environ.get("UBSP_MATERIALIZE", "local_checkpoint")
 
 # frames cached by cache_shared (and materialize(mode=persist)) that are
-# still holding executor storage; release_shared drains it
+# still holding executor storage; release_shared drains it. Bounded:
+# sessions that never call release_shared (pytest, the correctness
+# driver, interactive use) must not accumulate pinned CacheManager
+# entries forever — past the cap the OLDEST frame is unpersisted (its
+# lineage recomputes if some plan still needs it: slower, never wrong).
 _SHARED_CACHES: list[DataFrame] = []
+_MAX_SHARED_CACHES = 16
 
 
 def set_materialize_mode(mode: str) -> None:
@@ -59,6 +64,27 @@ def get_materialize_mode() -> str:
     return _mode
 
 
+def _checked_mode() -> str:
+    # the env path skips set_materialize_mode's validation — a typo'd
+    # UBSP_MATERIALIZE must fail loudly at first use, not silently fall
+    # through to some other branch (the durability switch exists exactly
+    # for deployments where the wrong mode loses jobs)
+    if _mode not in MODES:
+        raise ValueError(
+            f"UBSP_MATERIALIZE={_mode!r} is not one of {MODES}"
+        )
+    return _mode
+
+
+def _register_cache(cached: DataFrame) -> None:
+    _SHARED_CACHES.append(cached)
+    while len(_SHARED_CACHES) > _MAX_SHARED_CACHES:
+        try:
+            _SHARED_CACHES.pop(0).unpersist()
+        except Exception:
+            pass
+
+
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
@@ -67,19 +93,28 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="ubsp-ckpt-"))
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, iterative: bool = False) -> DataFrame:
     """Eagerly materialize a shared/iterative intermediate once, per the
     session's materialization mode. Eagerness is part of the contract: a
     LAZY persist under a fan-out plan is populated concurrently by its
-    consumers, each computing the full lineage (SCALE.md)."""
-    if _mode == "local_checkpoint":
+    consumers, each computing the full lineage (SCALE.md).
+
+    ``iterative=True`` marks call sites inside loops whose round N plan
+    references round N-1's (components, incremental dedup): those need
+    LINEAGE TRUNCATION, not just caching — under plain persist the
+    logical plan nests a copy of every prior round and analysis cost
+    grows exponentially with round count. persist mode therefore
+    escalates iterative sites to reliable checkpoint (still durable,
+    and truncating); the other two modes truncate already."""
+    mode = _checked_mode()
+    if mode == "local_checkpoint":
         return df.localCheckpoint()
-    if _mode == "reliable_checkpoint":
+    if mode == "reliable_checkpoint" or iterative:
         _ensure_checkpoint_dir(df)
         return df.checkpoint()
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    _SHARED_CACHES.append(cached)
+    _register_cache(cached)
     return cached
 
 
@@ -88,11 +123,21 @@ def cache_shared(df: DataFrame) -> DataFrame:
     count, regardless of mode — a lost executor must recompute, never
     fail the job, and checkpointing a corpus-sized frame would double its
     storage (the durability rule the round-4 reviews applied per-site).
-    Registered for :func:`release_shared`."""
+    Registered for :func:`release_shared` and bounded by the cache cap."""
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    _SHARED_CACHES.append(cached)
+    _register_cache(cached)
     return cached
+
+
+def cache_shared_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """cache_shared, returning the eager count too — call sites that
+    need the row count (bloom sizing, LSH auto-knobs) would otherwise
+    run a second count job over the cache."""
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = cached.count()
+    _register_cache(cached)
+    return cached, n
 
 
 def release_shared() -> int:

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..materialize import cache_shared, materialize
+from ..materialize import cache_shared, cache_shared_counted, materialize
 
 NUM_HASHES = 64
 NUM_BANDS = 32  # 2 rows per band
@@ -536,8 +536,10 @@ def embedding_near_dup_lsh(
         # materialize the (possibly derived) embeddings ONCE: the count
         # here and the _prep pass below would otherwise each execute the
         # full upstream pipeline
-        embeddings = cache_shared(embeddings.select("vec_id", "embedding"))
-        bits_per_table, auto_tables = lsh_auto_knobs(embeddings.count())
+        embeddings, n_emb = cache_shared_counted(
+            embeddings.select("vec_id", "embedding")
+        )
+        bits_per_table, auto_tables = lsh_auto_knobs(n_emb)
     else:
         # tables must compensate the EFFECTIVE bits, not the auto ones
         auto_tables = _tables_for_bits(bits_per_table)
@@ -807,7 +809,10 @@ def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
                 F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
                 "prev",
             )
-            .transform(materialize)
+            # iterative=True: round N's plan references round N-1's —
+            # persist mode must truncate lineage here or analysis cost
+            # grows exponentially with rounds (materialize.py docstring)
+            .transform(lambda d: materialize(d, iterative=True))
         )
         # prev carried through the checkpoint so convergence is a cheap
         # filter on materialized data, not a second join+job

@@ -399,12 +399,11 @@ def bloom_semi_join(
     # partition from lineage, where a localCheckpoint block is simply
     # gone and fails the job (SCALE.md, durability caveat). The count()
     # below doubles as the eager materialization.
-    from ..materialize import cache_shared
+    from ..materialize import cache_shared_counted
 
-    kd = cache_shared(
+    kd, n_keys = cache_shared_counted(
         keys.select(F.col(keys_key).cast(common).alias("_k")).distinct()
     )
-    n_keys = kd.count()
     m_bits = min(max(64, n_keys * bits_per_key), max_bits)
     m_words = (m_bits + 63) // 64
     positions = kd.select(

@@ -443,7 +443,7 @@ def pq_topk(
     exact re-ranking of the PQ top-R with true vectors is the standard
     production refinement (compose with brute_force_topk over the
     shortlist)."""
-    scored, _encoded, _qids, _q_sub_norms = _pq_scored(
+    scored, _encoded, _qids = _pq_scored(
         embeddings, num_queries=num_queries, m=m, n_codes=n_codes
     )
     return _rank_topk(scored, k)
@@ -454,7 +454,7 @@ def _pq_scored(
 ):
     """Shared PQ pipeline: encode the corpus to m-byte codes and ADC-score
     it against the first ``num_queries`` vectors. Returns (scored,
-    encoded, qids, q_sub_norms):
+    encoded, qids):
 
     - scored: (query_id, neighbor_id, cosine) — ADC-approximate cosines,
       self excluded;
@@ -464,7 +464,7 @@ def _pq_scored(
       |true − adc| = |Σ_j ⟨q_j, x_j − c_j⟩| ≤ Σ_j ‖q_j‖·res_j), eagerly
       checkpointed so scoring and any residual aggregate share one
       encode pass;
-    - qids / q_sub_norms: query ids and their per-subspace norms ‖q_j‖.
+    - qids: the query ids (driver-side ndarray).
     """
     import numpy as np
     import pandas as pd
@@ -506,7 +506,6 @@ def _pq_scored(
     q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_sub_norms = np.linalg.norm(q.reshape(len(q), m, sub), axis=2)
     # ADC tables: tables[qi, j, c] = <q_sub, codeword> -> approx cosine is
     # the sum over subspaces of table lookups
     tables = np.einsum("qjs,jcs->qjc", q.reshape(len(q), m, sub), books)
@@ -533,7 +532,7 @@ def _pq_scored(
     scored = encoded.select("neighbor_id", "codes").mapInPandas(
         _score, "query_id long, neighbor_id long, cosine double"
     )
-    return scored, encoded, qids, q_sub_norms
+    return scored, encoded, qids
 
 
 # last accepted shortlist width / certificate outcome — diagnostics for
@@ -594,13 +593,9 @@ def pq_rerank_topk(
     hash-verifies the whole PQ encode→ADC-score→shortlist→rerank
     pipeline as x_sim_pq_exhaustive (the same driver-checkable-identity
     trick as LSH probe-to-exhaustion and IVF nprobe=all)."""
-    import numpy as np
-
-    scored, encoded, qids, q_sub_norms = _pq_scored(
+    scored, encoded, qids = _pq_scored(
         embeddings, num_queries=num_queries, m=m, n_codes=n_codes
     )
-    m_eff = q_sub_norms.shape[1]
-    del m_eff, q_sub_norms  # per-subspace bound superseded (see below)
     tail_r: dict[str, float] = {}
 
     def _tail_bound() -> float:

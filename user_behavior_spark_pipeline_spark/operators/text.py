@@ -254,14 +254,19 @@ def token_frequencies(documents: DataFrame, min_count: int = 2) -> DataFrame:
 
 # PII patterns restricted to the Java-regex ∩ RE2 common subset (no
 # backrefs, no lookaround) so the DuckDB oracle runs the LITERAL same
-# patterns: character classes, bounded repetition, and \b only. Order
-# matters (applied sequentially): SSN before phone so ###-##-#### is
-# consumed as SSN, never partially as a phone.
+# patterns: character classes and bounded repetition ONLY. Deliberately
+# NO \b word boundaries: Java's \b and RE2's \b disagree whenever a
+# digit run abuts a non-ASCII letter (verified live: Spark finds 0 SSNs
+# in '語123-45-6789語' where DuckDB finds 1) — and for a redaction
+# scrub, boundary-free over-matching inside longer digit runs is the
+# SAFE direction (redact too much, never leak). Order matters (applied
+# sequentially): IP before SSN/phone so dotted runs go first; SSN before
+# phone so ###-##-#### is consumed as SSN, never partially as a phone.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
 )
 
 
@@ -277,7 +282,8 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     the exact redacted output (non-ASCII safe, same contract as the
     multimodal decode oracle) without shipping full texts through the
     hash compare. Counts count non-overlapping leftmost matches, which
-    Java regex and RE2 agree on for these lookaround-free patterns."""
+    Java regex and RE2 agree on for these boundary-free, lookaround-free
+    patterns (see PII_PATTERNS on why \b is banned here)."""
     counts = [
         F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
         .cast("long")

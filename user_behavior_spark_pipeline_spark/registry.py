@@ -810,18 +810,18 @@ _PII_SUFFIX_SQL = (
         "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
         "AS n_email, "
         "CAST(len(regexp_extract_all(text, "
-        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) "
+        "'\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) "
         "AS n_ipv4, "
         "CAST(len(regexp_extract_all(text, "
-        "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, "
+        "'\\d{3}-\\d{2}-\\d{4}')) AS BIGINT) AS n_ssn, "
         "CAST(len(regexp_extract_all(text, "
-        "'\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone, "
+        "'\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phone, "
         "md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         "text, "
         "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
-        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'), "
-        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'), "
-        "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS redacted_md5 "
+        "'\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g'), "
+        "'\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g'), "
+        "'\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS redacted_md5 "
         "FROM aug ORDER BY doc_id"
     ),
 )

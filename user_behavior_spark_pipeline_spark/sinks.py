@@ -35,12 +35,6 @@ def write_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
-# staging dirs with no owner pid in their name (pre-pid layout) are only
-# swept once idle this long — liveness is unknowable for them, and a
-# staging dir is written exactly once, so hours of idleness means orphaned
-_LEGACY_STAGING_MAX_AGE_SEC = 6 * 3600
-
-
 def write_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
@@ -79,7 +73,6 @@ def write_bucketed_table(
     import os
     import shutil
     import tempfile
-    import time
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     base = os.path.join(tempfile.gettempdir(), "ubsp-bucketed")
@@ -110,17 +103,14 @@ def write_bucketed_table(
             except PermissionError:
                 continue  # alive under another uid — leave it
         elif not owner.isdigit():
-            # no owner pid encoded (pre-pid naming, e.g. a mixed-version
-            # rollout): liveness is unknowable, so age-gate instead of
-            # deleting a possibly-live session's staging mid-query — only
-            # sweep dirs idle for hours (a staging dir is written once at
-            # registration; a generous threshold still reclaims leaks)
-            try:
-                age = time.time() - os.path.getmtime(sib)
-            except OSError:
-                continue  # raced with its owner's own cleanup
-            if age < _LEGACY_STAGING_MAX_AGE_SEC:
-                continue
+            # no owner pid encoded (pre-pid naming during a mixed-version
+            # rollout): liveness is UNKNOWABLE — mtime is set once at the
+            # write, so even a generous age gate would delete the staging
+            # of a live old-version session that has been reading it all
+            # day. Never delete what might be referenced; pre-pid orphans
+            # stop accumulating once every session uses pid naming, and
+            # the bounded leftover is an operator `rm` away.
+            continue
         shutil.rmtree(sib, ignore_errors=True)
 
 
