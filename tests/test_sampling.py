@@ -106,3 +106,47 @@ def test_mixture_sample_plan_is_scan_side(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), {"src0": 500}, default_rate=10
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Planted near-dup families must land whole in ONE split (the
+    contamination guard), singletons must match the plain per-id hash
+    split, and both split values must actually occur."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        leakage_safe_split,
+    )
+
+    # 40 singleton docs + 10 near-dup families of 3 (ids 1000+3f..)
+    docs = [(i,) for i in range(40)]
+    pairs = []
+    for f in range(10):
+        a, b, c = 1000 + 3 * f, 1001 + 3 * f, 1002 + 3 * f
+        docs += [(a,), (b,), (c,)]
+        pairs += [(a, b), (b, c)]  # chain — transitivity must hold
+    ddf = spark.createDataFrame(docs, "doc_id long")
+    pdf = spark.createDataFrame(pairs, "doc_id_1 long, doc_id_2 long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(ddf, pdf, test_pct=30).collect()
+    }
+    assert len(got) == 70
+    for f in range(10):
+        a, b, c = 1000 + 3 * f, 1001 + 3 * f, 1002 + 3 * f
+        assert got[a] == got[b] == got[c], f"family {f} straddles splits"
+    # singletons: identical to the plain id-hash assignment
+    plain = {
+        r["doc_id"]: r["s"]
+        for r in spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        .select(
+            "doc_id",
+            F.when(hash_bucket(F.col("doc_id")) < 30, "test")
+            .otherwise("train")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert all(got[i] == plain[i] for i in range(40))
+    assert {"train", "test"} == set(got.values())

@@ -91,3 +91,37 @@ def mixture_sample(
     for stratum, r in sorted(rates_per_mille.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    test_pct: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-AWARE train/test split: the split is keyed on the
+    document's connected COMPONENT in the near-dup pair graph, so two
+    near-identical documents can never straddle train/test — the
+    evaluation-contamination leak a plain per-id hash split cannot
+    prevent (id hashes are independent; a paraphrased copy of a test
+    document lands in train with probability 1 - test_pct).
+
+    ``pairs`` is any (doc_id_1, doc_id_2) near-dup pair frame (n-gram
+    Jaccard, MinHash, SimHash, embedding — caller's choice of detector);
+    documents without a near-dup keep their own id as component, making
+    the assignment identical to :func:`train_test_split` on the
+    duplicate-free majority. Same md5 key-addressing, so assignments are
+    engine-portable and stable under corpus growth — new duplicates of
+    an EXISTING component inherit its split instead of re-rolling it."""
+    from .dedup import dedup_components
+
+    comp = dedup_components(pairs)
+    labeled = documents.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    bucket = hash_bucket(F.col("component"))
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")),
+    )

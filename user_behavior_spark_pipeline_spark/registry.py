@@ -1062,6 +1062,43 @@ def x_dedup_components(spark, sf_dir):
     return dedup_components(pairs)
 
 
+@query(
+    "x_split_leakage_safe",
+    oracle=(
+        f"WITH RECURSIVE p AS ({_SHINGLE_PAIRS_SQL}), "
+        "e AS (SELECT doc_id_1 s, doc_id_2 d FROM p "
+        "UNION SELECT doc_id_2, doc_id_1 FROM p), "
+        "reach(n, m) AS (SELECT s, d FROM e "
+        "UNION SELECT r.n, e2.d FROM reach r JOIN e e2 ON r.m = e2.s), "
+        "comp AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS component "
+        "FROM reach GROUP BY n), "
+        "allc AS (SELECT d.doc_id, "
+        "COALESCE(c.component, d.doc_id) AS component "
+        "FROM documents d LEFT JOIN comp c USING (doc_id)) "
+        "SELECT doc_id, CASE WHEN "
+        "CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100 < 20 THEN 'test' ELSE 'train' END AS split "
+        "FROM allc ORDER BY doc_id"
+    ),
+)
+def x_split_leakage_safe(spark, sf_dir):
+    """Near-dup-AWARE train/test split: split keyed on the near-dup
+    COMPONENT (exact-Jaccard pairs -> connected components -> md5 of the
+    component id), so near-identical documents never straddle train and
+    test — the eval-contamination guard a per-id hash split cannot give.
+    Oracle recomputes shingle pairs, the recursive transitive closure,
+    and the md5 assignment; the full per-document assignment is
+    hash-compared."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.sampling import leakage_safe_split
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return leakage_safe_split(docs, pairs, test_pct=20).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
 _CURATE_SQL = (
     "WITH q AS ("
     "  SELECT doc_id, text FROM documents "
@@ -3655,6 +3692,7 @@ _TOUCHED_THIS_ROUND = frozenset(
         "x_stream_stream_join_bucketed",
         "x_funnel_repeated_steps",
         "x_text_pii_redact",
+        "x_split_leakage_safe",
         "x_sim_pq_exhaustive",
         "x_funnel_counts",
         "x_dedup_components",
