@@ -118,3 +118,14 @@ def test_redact_pii_on_constructed_dirty_strings(spark):
     assert got[6]["redacted_md5"] == h(rows[5][1])
     assert got[7]["n_ssn"] == 1
     assert got[7]["redacted_md5"] == h("語[SSN]語")
+
+
+def test_redact_pii_plan_is_scan_side_only(spark, sf_dir):
+    """redact_pii claims 'no shuffle at all' — pin it: the physical plan
+    must contain no Exchange (pure per-row projection over the scan)."""
+    from user_behavior_spark_pipeline_spark.operators.text import redact_pii
+    from user_behavior_spark_pipeline_spark.plans import explain_str
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    plan = explain_str(redact_pii(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan, plan[:1500]

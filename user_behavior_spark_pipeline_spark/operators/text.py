@@ -284,8 +284,12 @@ def redact_pii(documents: DataFrame) -> DataFrame:
     hash compare. Counts count non-overlapping leftmost matches, which
     Java regex and RE2 agree on for these boundary-free, lookaround-free
     patterns (see PII_PATTERNS on why \b is banned here)."""
+    # regexp_count, not size(regexp_extract_all): counting must not
+    # materialize the match array — a degenerate giant doc (millions of
+    # PII hits in one row) would otherwise build a million-element array
+    # per pattern inside the row before taking its size
     counts = [
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+        F.regexp_count(F.col("text"), F.lit(pat))
         .cast("long")
         .alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
