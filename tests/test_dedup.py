@@ -615,3 +615,49 @@ def test_simhash_planted_cert_flags_are_falsifiable(spark, sf_dir):
     strict = simhash_planted_cert(docs, max_pairs_per_doc=0).collect()
     assert all(r["found_ok"] for r in strict)
     assert not any(r["pairs_bounded_ok"] for r in strict)
+
+
+def test_duplicated_spans_exact_counts_and_edges(spark):
+    """Span in 3 docs counted once per doc (within-doc repeats collapse);
+    docs shorter than n yield nothing; sub-threshold spans absent."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"{shared} tail a"),
+        (2, f"head {shared}"),
+        # within-doc repetition of the shared span: still ONE doc
+        (3, f"{shared} x {shared}"),
+        (4, "totally different words here now"),
+        (5, "short doc"),  # < n tokens -> no spans at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["span"]: (r["n_docs"], r["min_doc_id"])
+        for r in duplicated_spans(docs, n=5, min_docs=2).collect()
+    }
+    assert out[shared] == (3, 1)
+    # doc 4's spans are unique -> never emitted
+    assert not any("totally" in s for s in out)
+    # every emitted span really is in >= 2 docs
+    assert all(n >= 2 for n, _ in out.values())
+
+
+def test_duplicated_spans_giant_doc_and_shared_tail(spark):
+    """A 200k-token document transits the span explode; its planted overlap
+    with a small doc is still found (whale + needle in one fixture)."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    needle = "alpha bravo charlie delta echo"
+    giant = " ".join(f"t{i % 9973}x{i}" for i in range(200_000)) + " " + needle
+    docs = spark.createDataFrame(
+        [(1, giant), (2, f"prefix {needle} suffix")],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, n=5, min_docs=2).collect()
+    assert [r["span"] for r in out] == [needle]
+    assert out[0]["n_docs"] == 2 and out[0]["min_doc_id"] == 1

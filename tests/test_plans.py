@@ -324,6 +324,10 @@ PLAN_LINT_WHITELIST = {
     "x_dedup_simhash": {"BroadcastNestedLoopJoin"},
     # broadcast crossJoin of the ONE-row corpus-total aggregate
     "x_text_distinctive": {"BroadcastNestedLoopJoin"},
+    # ONE-row broadcasts: (N,V) totals into the vocab, (min,max)/(na,nb)
+    # aggregates into the scan / per-type table (stats.py, text.py)
+    "x_text_perplexity": {"BroadcastNestedLoopJoin"},
+    "x_stats_drift": {"BroadcastNestedLoopJoin"},
     # the documented reference-parity Python UDF variant (ingest.py:97)
     "ref_filter_udf_parity": {"BatchEvalPython"},
     # UDTFs execute in Python by definition — the API-surface demo

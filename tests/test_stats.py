@@ -55,3 +55,45 @@ def test_hll_gate_holds_at_realistic_cardinality(spark):
     rows = distinct_users_with_sketch(events).collect()
     assert len(rows) == 5
     assert all(r["sketch_ok"] for r in rows), rows
+
+
+def test_distribution_drift_hand_computed(spark):
+    """4 events, two types, split at the midpoint: type a is 2/2 in half A
+    vs 0/2 in half B -> |1 - 0| = 1e9; type b symmetric."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 01:00:00"),
+        ("b", "2024-01-02 00:00:00"),
+        ("b", "2024-01-02 01:00:00"),
+    ]
+    events = spark.createDataFrame(rows, "event_type string, ts string").select(
+        "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    out = {r["event_type"]: r for r in distribution_drift(events).collect()}
+    assert out["a"]["ca"] == 2 and out["a"]["cb"] == 0
+    assert out["b"]["ca"] == 0 and out["b"]["cb"] == 2
+    assert out["a"]["tvd_x1e9"] == 1_000_000_000
+    assert out["b"]["tvd_x1e9"] == 1_000_000_000
+
+
+def test_distribution_drift_degenerate_single_instant(spark):
+    """All rows at one timestamp: half A is empty (micros < mid is false
+    when mid == mn) -> tvd is NULL, not a division error."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    events = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")] * 3, "event_type string, ts string"
+    ).select("event_type", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    row = distribution_drift(events).collect()[0]
+    assert row["ca"] == 0 and row["cb"] == 3
+    assert row["tvd_x1e9"] is None

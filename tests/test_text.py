@@ -129,3 +129,25 @@ def test_redact_pii_plan_is_scan_side_only(spark, sf_dir):
 
     plan = explain_str(redact_pii(load_table(spark, sf_dir, "documents")))
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_unigram_nll_hand_computed(spark):
+    """3-token corpus 'x x y': N=3, V=2, p-denominator 5. Doc NLL must be
+    the exact sum of per-token micro-nat quanta (round once per distinct
+    count, THEN sum) — not a float mean."""
+    import math
+
+    from user_behavior_spark_pipeline_spark.operators.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "x x"), (2, "y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    nll_x = round((math.log(5) - math.log(3)) * 1e6)  # c(x)=2 -> ln(5/3)
+    nll_y = round((math.log(5) - math.log(2)) * 1e6)  # c(y)=1 -> ln(5/2)
+    assert out[1]["n_tokens"] == 2
+    assert out[1]["nll_micro_sum"] == 2 * nll_x
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["nll_micro_sum"] == nll_y
+    # rarer token => higher NLL (the quality-filter signal direction)
+    assert out[2]["nll_micro_sum"] > nll_x

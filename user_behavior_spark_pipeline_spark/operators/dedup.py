@@ -323,6 +323,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_spans(
+    documents: DataFrame, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicated token spans — the exact-substring dedup
+    signal (the span analogue of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better": a long token span appearing verbatim in
+    ≥2 documents marks copied/boilerplate text that per-document near-dup
+    scoring can miss when the containing documents are otherwise distinct).
+
+    Output: (span string, n_docs = distinct documents containing it,
+    min_doc_id = deterministic representative), only spans in >= min_docs
+    documents.
+
+    Two-stage, hash-first shape for scale: candidate generation groups
+    64-bit ``xxhash64(span)`` values — after map-side combine the count
+    shuffle carries ~8 bytes per distinct span instead of the n-token span
+    string (~5 words each), which at corpus scale is the difference between
+    shuffling longs and shuffling the tokenized corpus n times over. Only
+    the surviving candidates (cross-doc duplicated spans — rare by
+    construction) are re-derived WITH their strings and exactly re-grouped,
+    so a 64-bit collision can only add a candidate to the confirm stage,
+    never a wrong output row (the exact string groupBy recomputes both the
+    doc count and the representative). Candidate-vs-confirm costs one extra
+    tokenize pass; CPU re-scan beats string-shuffle IO at any real scale.
+
+    Spans are built by an index-aware ``transform`` over a once-projected
+    token array (the ``shingles()`` pattern — indexing the raw ``split``
+    expression would re-tokenize per element access), and ``array_distinct``
+    dedups within-document BEFORE the explode, so the per-span row count is
+    document frequency with no global distinct shuffle."""
+    tokenized = _spread(documents).select(
+        "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
+    )
+    t = F.col("_toks")
+    grams = F.filter(
+        F.transform(
+            t,
+            lambda x, i: F.when(
+                i <= F.size(t) - n,
+                F.concat_ws(
+                    " ", x, *[F.element_at(t, i + j + 1) for j in range(1, n)]
+                ),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    spans = tokenized.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("span")
+    )
+    hashed = spans.select("doc_id", "span", F.xxhash64("span").alias("_h"))
+    # column pruning drops `span` from this branch — the count shuffle
+    # moves only (_h, partial count) pairs
+    hot = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_h")
+    )
+    return (
+        hashed.join(hot, "_h")
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """64 minhashes per doc in one aggregation pass: min(xxhash64(i ++ s))."""
     sh = shingles(documents, n)

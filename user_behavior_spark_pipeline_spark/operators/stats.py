@@ -59,6 +59,63 @@ def corr_quantity_price(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def distribution_drift(events: DataFrame) -> DataFrame:
+    """Categorical-distribution drift between the first and second halves of
+    the event-time range — the data-quality check a continuously-fed
+    pipeline runs before a snapshot is promoted (did the event-type mix
+    shift between yesterday's data and today's?).
+
+    Split point = (min+max)/2 of epoch-microseconds, in INTEGER arithmetic
+    (`div 2`) so both engines pick the identical boundary. Per event type:
+    counts in each half (ca, cb) and the total-variation contribution
+    |ca/na − cb/nb| × 10⁹ as a scaled long. TVD(A,B) = Σ contrib / 2e9.
+    Determinism: counts are exact longs; long→double casts are exact below
+    2⁵³; IEEE divide/subtract/multiply are correctly rounded, so both
+    engines compute bit-identical doubles before the single final round —
+    no ln()/accumulation-order exposure anywhere (contrast stats.py header).
+
+    Shuffle profile: a 1-row min/max aggregate broadcast back, then ONE
+    map-side-combinable hash-agg on event_type — the shape that costs the
+    same per row at any scale. Degenerate range (all rows one timestamp →
+    one side empty) yields NULL tvd rather than a division error, mirrored
+    in the oracle's CASE."""
+    # timestampdiff from an NTZ epoch, not unix_micros: ts is TIMESTAMP_NTZ
+    # (unix_micros rejects NTZ) and wall-clock arithmetic is tz-independent,
+    # matching the oracle's epoch_us on the naive parquet timestamp
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    bounds = events.agg(F.min(micros).alias("mn"), F.max(micros).alias("mx"))
+    in_a = F.when(micros < F.expr("(mn + mx) div 2"), 1).otherwise(0)
+    from ..materialize import cache_shared
+
+    # per_type feeds two branches (grand totals + the final projection);
+    # pin it (it's #event-types rows, derived from the full scan) so the
+    # events table is scanned twice total (bounds + per_type), not thrice
+    per_type = cache_shared(
+        events.crossJoin(F.broadcast(bounds))
+        .select("event_type", in_a.alias("in_a"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(1 - F.col("in_a")).alias("cb"),
+        )
+    )
+    totals = per_type.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    contrib = F.abs(
+        F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+    )
+    return per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "ca",
+        "cb",
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round(contrib * 1_000_000_000).cast("long"),
+        ).alias("tvd_x1e9"),
+    )
+
+
 def price_histogram(orders: DataFrame, bucket_width: float = 50000.0) -> DataFrame:
     """Fixed-width histogram of order totals: one scan, one tiny hash-agg
     on the bucket id — the shape that costs the same at any row count."""

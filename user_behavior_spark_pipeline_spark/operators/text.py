@@ -240,6 +240,60 @@ def oov_stats(documents: DataFrame, vocab_size: int = 500) -> DataFrame:
     )
 
 
+def unigram_nll(documents: DataFrame) -> DataFrame:
+    """Unigram-LM negative log-likelihood per document — the CCNet-style
+    perplexity quality filter (docs whose tokens are improbable under the
+    corpus unigram distribution are the junk a perplexity gate removes).
+    Laplace-smoothed: p(tok) = (c+1)/(N+V) over corpus token counts.
+
+    Output (doc_id, n_tokens, nll_micro_sum): per-token NLL is quantized to
+    integer micro-nats ONCE PER DISTINCT COUNT VALUE — round((ln(N+V) −
+    ln(c+1))·10⁶) — and the per-document total is a SUM OF LONGS. Summing
+    quantized integers is exact and order-free, so the result hash-compares
+    across engines; summing raw doubles would depend on partition merge
+    order (the same rule as stats.py's exact-integer moments). The only
+    cross-engine float exposure is ln() on identical integer inputs, rounded
+    at 10⁻⁶ — a divergence needs two libms to disagree within ~10⁻⁹ of a
+    rounding boundary. Mean NLL / perplexity derive exactly from the two
+    output columns (ppl = exp(nll_micro_sum / n_tokens / 1e6)).
+
+    Shuffle profile: one explode + token hash-agg for the vocabulary, a
+    1-row totals broadcast, then a token-keyed join back to the token
+    stream + doc hash-agg. Hot tokens ("the") skew the join's left side;
+    the right side is one row per token, so AQE's skew-join split handles
+    it (both sides' hot partitions are splittable — no salting needed).
+    Per-doc sums fit int64 to ~10¹¹ tokens/doc (NLL ≤ ~50·10⁶ micro-nats)."""
+    from ..materialize import cache_shared
+
+    tok = documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+    # the vocabulary feeds two branches (totals + per-token NLL); pin it
+    # (persist-with-lineage, vocabulary-sized) so the corpus explode isn't
+    # recomputed per branch — same rationale as distinctive_tokens
+    counts = cache_shared(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    nll = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            (F.log(F.col("n_total") + F.col("v")) - F.log(F.col("c") + 1))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        tok.join(nll, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").alias("nll_micro_sum"),
+        )
+    )
+
+
 def token_frequencies(documents: DataFrame, min_count: int = 2) -> DataFrame:
     """Corpus token histogram (explode + count). The explode multiplies rows
     by tokens-per-doc; the count is map-side combinable so the shuffle only

@@ -909,6 +909,29 @@ def x_text_tokenfreq(spark, sf_dir):
     return token_frequencies(_table(spark, sf_dir, "documents"), min_count=2)
 
 
+@query(
+    "x_text_perplexity",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token FROM documents), "
+        "cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1), "
+        "tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM cnt), "
+        "nll AS (SELECT token, CAST(ROUND((ln(CAST(n_total + v AS DOUBLE)) "
+        "- ln(CAST(c + 1 AS DOUBLE))) * 1000000) AS BIGINT) AS nll_micro "
+        "FROM cnt, tot) "
+        "SELECT doc_id, COUNT(*) AS n_tokens, "
+        "CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum "
+        "FROM tok JOIN nll USING (token) GROUP BY 1"
+    ),
+)
+def x_text_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity quality filter: per-doc NLL as an exact sum of
+    micro-nat-quantized longs (order-free, cross-engine)."""
+    from .operators.text import unigram_nll
+
+    return unigram_nll(_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: deduplication (OP-X-DEDUP)
 # ---------------------------------------------------------------------------
@@ -942,6 +965,25 @@ def x_dedup_exact(spark, sf_dir):
     from .operators.dedup import exact_duplicates
 
     return exact_duplicates(_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_dedup_span",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "sp AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS span "
+        "FROM toks, UNNEST(range(1, len(t)-3)) AS u(i)) "
+        "SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id "
+        "FROM sp GROUP BY 1 HAVING COUNT(*) >= 2"
+    ),
+)
+def x_dedup_span(spark, sf_dir):
+    """Exact-substring dedup signal: verbatim 5-token spans appearing in
+    >= 2 documents (hash-first candidates, exact string confirm)."""
+    from .operators.dedup import duplicated_spans
+
+    return duplicated_spans(_table(spark, sf_dir, "documents"), n=5, min_docs=2)
 
 
 @query("x_dedup_ngram", oracle=_SHINGLE_PAIRS_SQL)
@@ -2593,6 +2635,31 @@ def x_agg_corr(spark, sf_dir):
 
 
 @query(
+    "x_stats_drift",
+    oracle=(
+        "WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx "
+        "FROM events), "
+        "s AS (SELECT event_type, CASE WHEN epoch_us(ts) < (mn + mx) // 2 "
+        "THEN 1 ELSE 0 END AS in_a FROM events, b), "
+        "p AS (SELECT event_type, SUM(in_a) AS ca, SUM(1 - in_a) AS cb "
+        "FROM s GROUP BY 1), "
+        "t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM p) "
+        "SELECT event_type, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb, "
+        "CASE WHEN na > 0 AND nb > 0 THEN CAST(ROUND(ABS("
+        "CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) "
+        "- CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000000000) AS BIGINT) "
+        "END AS tvd_x1e9 FROM p, t"
+    ),
+)
+def x_stats_drift(spark, sf_dir):
+    """Event-type distribution drift between time halves: exact counts +
+    total-variation contribution ×1e9 (IEEE-deterministic double ops only)."""
+    from .operators.stats import distribution_drift
+
+    return distribution_drift(_table(spark, sf_dir, "events"))
+
+
+@query(
     "x_agg_histogram",
     oracle=(
         "SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, "
@@ -3685,6 +3752,9 @@ def _correctness_history() -> dict[str, str]:
 # hashable-column fallback, DESCRIBE ordinal coalesce.
 _TOUCHED_THIS_ROUND = frozenset(
     {
+        "x_dedup_span",
+        "x_text_perplexity",
+        "x_stats_drift",
         "x_sim_lsh",
         "x_sim_ivf",
         "x_sim_pq",
