@@ -83,3 +83,20 @@ def test_typoed_env_mode_fails_loudly_at_use(spark):
             M.materialize(df)
     finally:
         M._mode = original
+
+
+def test_cache_cap_eviction_warns(spark):
+    """Evicting past the shared-cache cap must be LOUD (ADVICE r05): a
+    silent unpersist re-creates the recompute-fan-out pathology the seam
+    exists to prevent."""
+    M.release_shared()
+    original = M._MAX_SHARED_CACHES
+    try:
+        M._MAX_SHARED_CACHES = 2
+        M.cache_shared(spark.range(1).toDF("a"))
+        M.cache_shared(spark.range(2).toDF("b"))
+        with pytest.warns(UserWarning, match="shared-cache cap"):
+            M.cache_shared(spark.range(3).toDF("c"))
+    finally:
+        M._MAX_SHARED_CACHES = original
+        M.release_shared()

@@ -150,3 +150,23 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     }
     assert all(got[i] == plain[i] for i in range(40))
     assert {"train", "test"} == set(got.values())
+
+
+def test_leakage_safe_split_non_default_id_col(spark):
+    """id_col other than 'doc_id' must work: dedup_components returns a
+    hard-coded doc_id column which leakage_safe_split renames to the
+    caller's id_col before joining (ADVICE r05 — previously raised
+    AnalysisException)."""
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    ddf = spark.createDataFrame([(i,) for i in range(20)], "item_id long")
+    pdf = spark.createDataFrame([(3, 7), (7, 11)], "doc_id_1 long, doc_id_2 long")
+    got = {
+        r["item_id"]: r["split"]
+        for r in leakage_safe_split(ddf, pdf, test_pct=30, id_col="item_id")
+        .collect()
+    }
+    assert len(got) == 20
+    assert got[3] == got[7] == got[11]

@@ -458,12 +458,18 @@ def test_bucketed_stream_stream_join_equals_plain(spark, tmp_path):
         )
 
     c, p = _streams()
-    stream_stream_join_stream(
-        c, p, query_name="ss_eq_plain", horizon="10 seconds"
-    ).awaitTermination()
+    with pytest.warns(UserWarning, match="skew_safe=False"):
+        stream_stream_join_stream(
+            c, p, query_name="ss_eq_plain", horizon="10 seconds", skew_safe=False
+        ).awaitTermination()
     c, p = _streams()
     stream_stream_join_bucketed_stream(
         c, p, query_name="ss_eq_bucketed", horizon_seconds=10
+    ).awaitTermination()
+    # round 6: the default entry point is the skew-safe path — same rows.
+    c, p = _streams()
+    stream_stream_join_stream(
+        c, p, query_name="ss_eq_default", horizon="10 seconds"
     ).awaitTermination()
     plain = sorted(
         map(tuple, spark.table("ss_eq_plain").collect())
@@ -471,5 +477,90 @@ def test_bucketed_stream_stream_join_equals_plain(spark, tmp_path):
     bucketed = sorted(
         map(tuple, spark.table("ss_eq_bucketed").collect())
     )
+    default = sorted(
+        map(tuple, spark.table("ss_eq_default").collect())
+    )
     assert len(plain) > 400  # hot key produces multi-purchase matches
     assert bucketed == plain
+    assert default == plain
+
+
+def test_left_outer_bucketed_hot_key_nulls_exactly_once(spark, tmp_path):
+    """LEFT OUTER under bucketing, on the hot-key fixture: every unmatched
+    click — including the hot user's — emits exactly ONE null row, and the
+    matched multiset equals the plain LEFT join's (the explode only
+    duplicates the PURCHASE side, never the outer click side)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        stream_stream_left_join_bucketed_stream,
+        stream_stream_left_join_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    clicks, purchases = [], []
+    for i in range(300):
+        uid = 0 if i % 10 < 8 else 100 + (i % 7)
+        ts = base + datetime.timedelta(seconds=0.8 * i)
+        clicks.append((i, uid, ts, 0.0))
+        if i % 2 == 0:
+            purchases.append(
+                (1000 + i, uid, ts + datetime.timedelta(seconds=1), 1.5 * i)
+            )
+    # lonely users: one click each, NO purchases ever — these are the rows
+    # whose outer null must appear exactly once (hot-user clicks without
+    # their "own" purchase still match neighbors inside the horizon, so
+    # they can't serve as the null fixture)
+    lonely = list(range(300, 350))
+    for i in lonely:
+        clicks.append(
+            (i, 500 + i, base + datetime.timedelta(seconds=0.8 * i), 0.0)
+        )
+    # sentinel pair far in the future seals both watermarks so every
+    # outer-null row flushes under availableNow (same trick as
+    # registry._stage_events_parquet_sealed)
+    seal = base + datetime.timedelta(days=30)
+    clicks.append((-1, -1, seal, 0.0))
+    purchases.append((-2, -1, seal, 0.0))
+    sch = "event_id long, user_id long, ts timestamp_ntz, value double"
+    src = str(tmp_path / "lojb")
+    spark.createDataFrame(clicks, sch).coalesce(2).write.parquet(src + "/c")
+    spark.createDataFrame(purchases, sch).coalesce(2).write.parquet(src + "/p")
+    rsch = spark.read.parquet(src + "/c").schema
+
+    def _run(fn, out_name, **kw):
+        q = fn(
+            spark.readStream.schema(rsch).parquet(src + "/c"),
+            spark.readStream.schema(rsch).parquet(src + "/p"),
+            str(tmp_path / out_name / "out"),
+            str(tmp_path / out_name / "ckpt"),
+            **kw,
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(str(tmp_path / out_name / "out"))
+            .filter(F.col("user_id") >= 0)
+        )
+
+    bucketed = _run(
+        stream_stream_left_join_bucketed_stream, "bucketed", horizon_seconds=10
+    )
+    with pytest.warns(UserWarning, match="skew_safe=False"):
+        plain = _run(
+            stream_stream_left_join_stream,
+            "plain",
+            horizon="10 seconds",
+            skew_safe=False,
+        )
+    b = sorted(map(tuple, bucketed.collect()))
+    p = sorted(map(tuple, plain.collect()))
+    assert b == p
+    # every lonely click appears exactly once, with a null purchase
+    nulls = bucketed.filter(
+        F.col("purchase_cents").isNull() & (F.col("user_id") >= 500)
+    )
+    assert sorted(r.click_id for r in nulls.select("click_id").collect()) == lonely
+    # and the hot key actually produced multi-purchase matches (skew shape)
+    assert bucketed.filter("user_id = 0").count() > 500

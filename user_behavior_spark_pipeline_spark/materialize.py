@@ -79,6 +79,22 @@ def _checked_mode() -> str:
 def _register_cache(cached: DataFrame) -> None:
     _SHARED_CACHES.append(cached)
     while len(_SHARED_CACHES) > _MAX_SHARED_CACHES:
+        # a query using >16 shared frames would silently lose the
+        # share-once guarantee mid-plan (fan-out consumers recompute the
+        # evicted lineage concurrently — the exact pathology this seam
+        # prevents), so the eviction must be LOUD (ADVICE r05). Callers
+        # running many queries should release_shared between queries —
+        # bench.py does — keeping any single query far under the cap.
+        import warnings
+
+        warnings.warn(
+            f"materialize: shared-cache cap ({_MAX_SHARED_CACHES}) hit — "
+            "unpersisting the oldest shared frame; if one query registered "
+            "all of these, its fan-out consumers will recompute lineage "
+            "(correct but O(branches) slower). Call release_shared() "
+            "between queries or raise _MAX_SHARED_CACHES.",
+            stacklevel=3,
+        )
         try:
             _SHARED_CACHES.pop(0).unpersist()
         except Exception:
@@ -89,8 +105,19 @@ def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         # auto-provision so the mode works out of the box; production
-        # clusters should point this at durable (replicated) storage
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ubsp-ckpt-"))
+        # clusters should point this at durable (replicated) storage.
+        # Spark never deletes reliable-checkpoint files itself unless
+        # spark.cleaner.referenceTracking.cleanCheckpoints was set before
+        # the context started (it usually wasn't), so register the temp
+        # dir for removal at interpreter exit — iterative loops can write
+        # dozens of per-round checkpoints per query and a long-lived
+        # session would otherwise grow /tmp without bound (ADVICE r05).
+        path = tempfile.mkdtemp(prefix="ubsp-ckpt-")
+        sc.setCheckpointDir(path)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 def materialize(df: DataFrame, iterative: bool = False) -> DataFrame:

@@ -1103,7 +1103,9 @@ def simhash_planted_cert(
       xxhash sign-sum signature, band decomposition, the candidate join
       and the popcount filter end to end, independent of corpus content;
     - ``pairs_bounded_ok``: total emitted pairs <= max_pairs_per_doc x
-      n_docs — catches the degenerate-signature failure mode (constant
+      n_docs of the AUGMENTED corpus (originals + planted copies — the
+      corpus the pairs are drawn from) — catches the degenerate-signature
+      failure mode (constant
       signatures -> all-pairs output) that the planted flag alone would
       miss (a degenerate run still finds its planted pairs).
 
@@ -1126,8 +1128,13 @@ def simhash_planted_cert(
         (F.col("doc_id_1") < n_planted)
         & (F.col("doc_id_2") == F.col("doc_id_1") + F.lit(planted_offset))
     ).select(F.col("doc_id_1").alias("doc_id"), F.lit(True).alias("f"))
+    # bound vs the AUGMENTED corpus (originals + planted copies): the
+    # pairs being counted come from `aug`, and the planted copies add
+    # their own near-dup cross pairs — bounding against documents.count()
+    # alone was slightly miscalibrated vs the docstring contract
+    # (ADVICE r05)
     bound_ok = pairs.select(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
-        documents.select(F.count(F.lit(1)).alias("n_docs"))
+        aug.select(F.count(F.lit(1)).alias("n_docs"))
     ).select(
         (
             F.col("n_pairs") <= F.lit(max_pairs_per_doc) * F.col("n_docs")

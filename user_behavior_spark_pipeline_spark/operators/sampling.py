@@ -115,7 +115,10 @@ def leakage_safe_split(
     an EXISTING component inherit its split instead of re-rolling it."""
     from .dedup import dedup_components
 
-    comp = dedup_components(pairs)
+    # dedup_components returns hard-coded (doc_id, component) columns;
+    # rename its key so a non-default id_col joins instead of raising
+    # AnalysisException (ADVICE r05)
+    comp = dedup_components(pairs).withColumnRenamed("doc_id", id_col)
     labeled = documents.select(id_col).join(comp, id_col, "left").select(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),

@@ -1320,7 +1320,17 @@ def x_sim_pq(spark, sf_dir):
     is its own quantization — top-ranked whenever corpus cosine spread
     exceeds quantization noise (holds by orders of magnitude on any
     non-degenerate embedding corpus); recall floor as in LSH. Exactness of
-    the encode/score pipeline is hash-proved by x_sim_pq_exhaustive."""
+    the encode/score pipeline is hash-proved by x_sim_pq_exhaustive.
+
+    TRIAGE NOTE (ADVICE r05): unlike LSH/IVF — where planted retrieval is
+    DETERMINISTIC (identical signature / identical nearest centroid) —
+    PQ's planted_ok is a corpus-statistics assertion: a tighter-clustered
+    or near-duplicate-query corpus could rank a quantization-noise
+    neighbor above the planted copy with NO code bug. If this query ever
+    turns red on planted_ok alone (n_results/recall_ok still green and
+    x_sim_pq_exhaustive still hash-green), triage as certificate
+    calibration, not regression — the fix is widening k or re-deriving
+    the spread assumption, not reverting the operator."""
     from .operators.similarity import certified_ann_topk
 
     return certified_ann_topk(
@@ -2193,7 +2203,14 @@ def x_stream_stream_join(spark, sf_dir):
     """Watermarked stream-stream inner join (clicks x purchases within 1
     hour, per user) — both sides unbounded, state bounded by the event-time
     range condition. Batch-equivalent oracle: the same interval join in
-    DuckDB."""
+    DuckDB.
+
+    Round 6: the default entry point is now SKEW-SAFE — it delegates to
+    the bucketed join (x_stream_stream_join_bucketed documents the
+    mechanics), so the O(hot_rows²) plain form no longer ships on any
+    registered path. The plain join stays reachable via skew_safe=False
+    (warned) and is pinned output-identical by
+    tests/test_streaming.py::test_bucketed_stream_stream_join_equals_plain."""
     from .streaming.jobs import stream_stream_join_stream
 
     events = _table(spark, sf_dir, "events")
@@ -2812,7 +2829,11 @@ def x_stream_stream_left_join(spark, sf_dir):
     availableNow run deterministically flushes every outer-null row.
     Incremental emission semantics (nulls only AFTER watermark closure)
     remain pinned by
-    tests/test_streaming.py::test_left_outer_stream_stream_join_emits_null_after_watermark."""
+    tests/test_streaming.py::test_left_outer_stream_stream_join_emits_null_after_watermark.
+
+    Round 6: the default entry point is now SKEW-SAFE (delegates to the
+    bucketed LEFT join — see x_stream_stream_left_join_bucketed); the
+    plain form stays reachable via skew_safe=False (warned)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -2833,6 +2854,55 @@ def x_stream_stream_left_join(spark, sf_dir):
             _stream().filter(F.col("event_type") == "purchase"),
             out,
             ckpt,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "x_stream_stream_left_join_bucketed",
+    oracle=(
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents "
+        "FROM events c LEFT JOIN events p "
+        "ON c.user_id = p.user_id AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR "
+        "WHERE c.event_type = 'click'"
+    ),
+)
+def x_stream_stream_left_join_bucketed(spark, sf_dir):
+    """The SKEW-IMMUNE LEFT OUTER stream-stream interval join, called
+    explicitly (streaming/jobs.stream_stream_left_join_bucketed_stream):
+    join key widened to (user_id, time_bucket), purchase side exploded to
+    2 adjacent buckets. Outer-null exactly-once holds because the CLICK
+    side is never duplicated — an unmatched click has one state row, so
+    the watermark closure emits one null row; matched pairs meet in
+    exactly one bucket (pigeonhole proof in jobs._interval_join_bucketed).
+    Hash-green against the same batch LEFT-join oracle as
+    x_stream_stream_left_join via the sentinel-sealed source; the hot-key
+    outer fixture is pinned by
+    tests/test_streaming.py::test_left_outer_bucketed_hot_key_nulls_exactly_once."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import stream_stream_left_join_bucketed_stream
+
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet_sealed(spark, sf_dir)
+
+    def _stream():
+        return spark.readStream.schema(events.schema).parquet(src)
+
+    out = tempfile.mkdtemp(prefix="ubsp_sslojb_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_sslojb_ckpt_")
+    with _state_partitions(spark, 8):
+        q = stream_stream_left_join_bucketed_stream(
+            _stream().filter(F.col("event_type") == "click"),
+            _stream().filter(F.col("event_type") == "purchase"),
+            out,
+            ckpt,
+            horizon_seconds=3600,
         )
         q.awaitTermination()
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
@@ -3698,13 +3768,16 @@ def x_join_bloom_semi(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-_HISTORY_CACHE: dict[str, str] | None = None
+_HISTORY_CACHE: dict[str, tuple[str, int]] | None = None
 
 
-def _correctness_history() -> dict[str, str]:
-    """name -> 'green' (hash-verified in its LATEST check) | 'checked'
-    (has a CORRECTNESS row whose latest check was not hash-green:
-    errored / hash-fail / rows-only).
+def _correctness_history() -> dict[str, tuple[str, int]]:
+    """name -> ('green' | 'checked', round_index) where 'green' means
+    hash-verified in its LATEST check and 'checked' means the latest
+    recorded check was not hash-green (errored / hash-fail / rows-only).
+    round_index is the ordinal of the round file that produced the latest
+    status — the rotation uses it to send STALE greens (oldest re-verify
+    vintage) to the front of the green tail.
 
     The LATEST round's verdict wins: an early version of this map was
     once-green-always-green, which parked a query that regressed in a
@@ -3723,8 +3796,10 @@ def _correctness_history() -> dict[str, str]:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    status: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    status: dict[str, tuple[str, int]] = {}
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -3736,7 +3811,8 @@ def _correctness_history() -> dict[str, str]:
             if not isinstance(row, dict):
                 continue
             status[name] = (
-                "green" if row.get("hash_match") is True else "checked"
+                "green" if row.get("hash_match") is True else "checked",
+                rnd,
             )
     _HISTORY_CACHE = status
     return status
@@ -3744,34 +3820,15 @@ def _correctness_history() -> dict[str, str]:
 
 # Queries whose implementation or oracle changed in the CURRENT round:
 # the rotation promotes these to the front of the green tail so the
-# driver's 50-slot window re-earns their green on the new code. Round 5:
-# the four formerly rows-only queries rebuilt as self-certifying
-# (planted-probe certificates + literal oracles), PQ per-vector
-# certificate, funnel repeated-step generalization, components
-# star-alternation, materialization-seam parameterization, salted-join
-# hashable-column fallback, DESCRIBE ordinal coalesce.
+# driver's 50-slot window re-earns their green on the new code. Round 6:
+# interval joins flipped to skew-safe-by-default (both stream-stream
+# entry points now run the bucketed join). Everything else in the window
+# comes from the stalest-vintage-first green ordering (see _rotated).
 _TOUCHED_THIS_ROUND = frozenset(
     {
-        "x_dedup_span",
-        "x_text_perplexity",
-        "x_stats_drift",
-        "x_sim_lsh",
-        "x_sim_ivf",
-        "x_sim_pq",
-        "x_dedup_simhash",
+        "x_stream_stream_join",
+        "x_stream_stream_left_join",
         "x_stream_stream_join_bucketed",
-        "x_funnel_repeated_steps",
-        "x_text_pii_redact",
-        "x_split_leakage_safe",
-        "x_sim_pq_exhaustive",
-        "x_funnel_counts",
-        "x_dedup_components",
-        "x_join_salted",
-        "ref_catalog_describe",
-        "x_dedup_embedding_lsh",
-        "x_curate_corpus",
-        "x_text_distinctive",
-        "x_join_bloom_semi",
     }
 )
 
@@ -3790,16 +3847,24 @@ def _rotated(keys):
     # first-looks sat outside the window.
     never_oracle = [k for k in never_checked if k in ORACLES]
     never_rows_only = [k for k in never_checked if k not in ORACLES]
-    checked = [k for k in keys if status.get(k) == "checked"]
+    checked = [k for k in keys if status.get(k, (None, 0))[0] == "checked"]
     checked_oracle = [k for k in checked if k in ORACLES]
     checked_rows_only = [k for k in checked if k not in ORACLES]
-    green = [k for k in keys if status.get(k) == "green"]
+    green = [k for k in keys if status.get(k, (None, 0))[0] == "green"]
     # Within the green tail, lead with queries whose IMPLEMENTATION or
     # ORACLE changed this round — their historical green predates the
     # change, so a re-check slot re-earns it; untouched greens queue
     # behind (their status can't move). Update per round.
     touched = [k for k in green if k in _TOUCHED_THIS_ROUND]
-    untouched = [k for k in green if k not in _TOUCHED_THIS_ROUND]
+    # Untouched greens: STALEST vintage first (VERDICT r05 #5) — a green
+    # earned in r02 predates the materialization seam, shared caches and
+    # every later refactor, so its driver re-confirmation is worth more
+    # than re-checking last round's; stable on registration order within
+    # a vintage.
+    untouched = sorted(
+        (k for k in green if k not in _TOUCHED_THIS_ROUND),
+        key=lambda k: status[k][1],
+    )
     return (
         never_oracle
         + checked_oracle

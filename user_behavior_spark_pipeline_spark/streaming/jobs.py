@@ -389,24 +389,43 @@ def stream_static_join_stream(
     )
 
 
-def stream_stream_join_stream(
+def _horizon_to_seconds(horizon: str) -> int:
+    """Parse an 'N unit' interval string ('1 hour', '30 minutes', '2 days')
+    to seconds, for delegating string-horizon call sites to the
+    seconds-keyed bucketed joins."""
+    parts = horizon.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"horizon must be 'N unit', got {horizon!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s")
+    scale = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit not in scale:
+        raise ValueError(f"unsupported horizon unit {parts[1]!r} in {horizon!r}")
+    return n * scale[unit]
+
+
+def _warn_skew_unsafe(fn_name: str, bucketed_name: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"{fn_name}(skew_safe=False) uses the PLAIN watermarked interval "
+        f"join: a hot key holding H buffered rows costs O(H^2) comparisons "
+        f"on a single task (round-5 probe: 160k hot rows never finished — "
+        f"SCALE.md). Prefer the default skew_safe=True / {bucketed_name}.",
+        stacklevel=3,
+    )
+
+
+def _interval_join_plain(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,
-    query_name: str,
-    horizon: str = "1 hour",
-    watermark: str = "1 second",
-):
-    """Watermarked stream-stream inner join — the fully-streaming operator
-    class the reference never reached (its logs show no state operators,
-    README.md:479): each click joins the same user's purchases within
-    [click.ts, click.ts + horizon).
-
-    Both sides are watermarked and the join carries an event-time range
-    condition, so Spark can BOUND the buffered state on both sides (an
-    unconstrained stream-stream join would buffer forever). Per micro-batch
-    the join is a symmetric hash join on user_id; state eviction follows the
-    watermark — at 100 TB the horizon, not the corpus, sizes the state
-    store."""
+    horizon: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Plain (un-bucketed) watermarked interval join — shared by the two
+    skew_safe=False escape hatches. O(H^2) per hot key; see
+    _interval_join_bucketed for the skew-immune form."""
     c = clicks_stream.select(
         F.col("user_id").alias("c_user"),
         # NTZ→LTZ: watermarks require TIMESTAMP; UTC session tz makes the
@@ -419,16 +438,144 @@ def stream_stream_join_stream(
         F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     ).withWatermark("purchase_ts", watermark)
-    joined = c.join(
+    return c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         "click_id",
         F.col("c_user").alias("user_id"),
         F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
     )
+
+
+def _interval_join_bucketed(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    horizon_seconds: int,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Skew-immune watermarked interval join, shared by the inner and LEFT
+    OUTER entry points: join key widened from ``user_id`` to
+    ``(user_id, time_bucket)``.
+
+    Why: the plain join shuffles BOTH sides and the state store by
+    ``user_id``, so a hot key concentrates on one partition — and worse,
+    the symmetric hash join matches each arriving row against EVERY
+    buffered row of its key before the range filter, so a key holding H
+    rows costs O(H²) comparisons (round-5 probe: 160k hot rows of a
+    200k-row stream did not finish in 20 minutes where the uniform-key
+    run took seconds — see SCALE.md).
+
+    Fix: bucket event time at the horizon width B. A click joins only
+    purchases in [ts, ts + h), h <= B, so with the click keeping bucket
+    floor(ts/B) and each purchase exploded to buckets {floor(ts/B),
+    floor(ts/B) - 1}, every qualifying pair meets in EXACTLY one bucket
+    (the purchase's two copies live in distinct buckets, and for
+    u(c) <= u(p) <= u(c) + B the purchase bucket is the click's or the
+    next — the click's bucket is always among the two copies and only
+    one copy carries it). A hot user's state fans out across its time
+    buckets — per-key state is bounded by the key's rate x horizon, not
+    its lifetime volume, making per-arrival matching O(rows in one
+    horizon) and spreading partitions. Cost: the purchase side doubles —
+    the standard price of interval-bucketed joins (the batch range-join
+    bucketing in operators/temporal.py makes the same trade).
+
+    LEFT OUTER correctness under the explode: the CLICK side is never
+    duplicated (it keeps its single bucket), so an unmatched click emits
+    its null row exactly once, and a matched click meets each qualifying
+    purchase exactly once (pigeonhole above) — same output multiset as
+    the plain LEFT join.
+
+    Watermark/state-eviction semantics are unchanged: the bucket is a
+    derived column; eviction still follows the event-time columns."""
+    b = int(horizon_seconds)
+    c = (
+        clicks_stream.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+        .withColumn("c_bucket", F.floor(F.unix_timestamp("click_ts") / F.lit(b)))
+    )
+    p = (
+        purchases_stream.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+        .withColumn(
+            "p_bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)),
+                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)) - 1,
+                )
+            ),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {b} SECONDS")
+        ),
+        how,
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )
+
+
+def stream_stream_join_stream(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    query_name: str,
+    horizon: str = "1 hour",
+    watermark: str = "1 second",
+    skew_safe: bool = True,
+):
+    """Watermarked stream-stream inner join — the fully-streaming operator
+    class the reference never reached (its logs show no state operators,
+    README.md:479): each click joins the same user's purchases within
+    [click.ts, click.ts + horizon).
+
+    Both sides are watermarked and the join carries an event-time range
+    condition, so Spark can BOUND the buffered state on both sides (an
+    unconstrained stream-stream join would buffer forever). State eviction
+    follows the watermark — at 100 TB the horizon, not the corpus, sizes
+    the state store.
+
+    SKEW-SAFE BY DEFAULT (round 6): the shipped path is the bucketed join
+    (see _interval_join_bucketed / stream_stream_join_bucketed_stream) —
+    the round-5 probe proved the plain symmetric hash join is O(H²) per
+    hot key and single-task (SCALE.md). ``skew_safe=False`` restores the
+    plain join (one fewer explode; only safe when key skew is provably
+    bounded) and emits a loud warning."""
+    if skew_safe:
+        joined = _interval_join_bucketed(
+            clicks_stream,
+            purchases_stream,
+            _horizon_to_seconds(horizon),
+            watermark,
+            "inner",
+        )
+    else:
+        _warn_skew_unsafe(
+            "stream_stream_join_stream", "stream_stream_join_bucketed_stream"
+        )
+        joined = _interval_join_plain(
+            clicks_stream, purchases_stream, horizon, watermark, "inner"
+        )
     return (
         joined.writeStream.format("memory")
         .queryName(query_name)
@@ -473,48 +620,8 @@ def stream_stream_join_bucketed_stream(
 
     Watermark/state-eviction semantics are unchanged: the bucket is a
     derived column; eviction still follows the event-time columns."""
-    b = int(horizon_seconds)
-    c = (
-        clicks_stream.select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").cast("timestamp").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", watermark)
-        .withColumn(
-            "c_bucket", F.floor(F.unix_timestamp("click_ts") / F.lit(b))
-        )
-    )
-    p = (
-        purchases_stream.select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").cast("timestamp").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
-        .withColumn(
-            "p_bucket",
-            F.explode(
-                F.array(
-                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)),
-                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)) - 1,
-                )
-            ),
-        )
-    )
-    joined = c.join(
-        p,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("c_bucket") == F.col("p_bucket"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            < F.col("click_ts") + F.expr(f"INTERVAL {b} SECONDS")
-        ),
-    ).select(
-        "click_id",
-        F.col("c_user").alias("user_id"),
-        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    joined = _interval_join_bucketed(
+        clicks_stream, purchases_stream, horizon_seconds, watermark, "inner"
     )
     return (
         joined.writeStream.format("memory")
@@ -532,35 +639,62 @@ def stream_stream_left_join_stream(
     checkpoint_dir: str,
     horizon: str = "1 hour",
     watermark: str = "1 second",
+    skew_safe: bool = True,
 ):
     """LEFT OUTER stream-stream join: like the inner form, but a click with
     no purchase inside its horizon still emits (null purchase) — once the
     watermark proves its window can no longer fill. The null row's emission
     time is therefore governed by watermark progress, not arrival: the
     outer result is eventually-complete, which is why the sink is an
-    append-mode file sink (replayable) rather than a complete-mode table."""
-    c = clicks_stream.select(
-        F.col("user_id").alias("c_user"),
-        # NTZ→LTZ: watermarks require TIMESTAMP; UTC session tz makes the
-        # cast wall-clock identity (see session_counts_stream).
-        F.col("ts").cast("timestamp").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    ).withWatermark("click_ts", watermark)
-    p = purchases_stream.select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").cast("timestamp").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
-    joined = c.join(
-        p,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "left_outer",
-    ).select(
-        "click_id",
-        F.col("c_user").alias("user_id"),
-        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    append-mode file sink (replayable) rather than a complete-mode table.
+
+    SKEW-SAFE BY DEFAULT (round 6): ships the bucketed join (see
+    stream_stream_left_join_bucketed_stream; outer-null exactly-once holds
+    because the click side is never duplicated — proof in
+    _interval_join_bucketed). ``skew_safe=False`` restores the plain
+    O(H²)-per-hot-key join with a loud warning."""
+    if skew_safe:
+        joined = _interval_join_bucketed(
+            clicks_stream,
+            purchases_stream,
+            _horizon_to_seconds(horizon),
+            watermark,
+            "left_outer",
+        )
+    else:
+        _warn_skew_unsafe(
+            "stream_stream_left_join_stream",
+            "stream_stream_left_join_bucketed_stream",
+        )
+        joined = _interval_join_plain(
+            clicks_stream, purchases_stream, horizon, watermark, "left_outer"
+        )
+    return (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_stream_left_join_bucketed_stream(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    horizon_seconds: int = 3600,
+    watermark: str = "1 second",
+):
+    """Skew-immune LEFT OUTER stream-stream interval join: same output
+    multiset as :func:`stream_stream_left_join_stream` (which now delegates
+    here by default), with the join key widened to ``(user_id,
+    time_bucket)`` — see :func:`_interval_join_bucketed` for the
+    exactly-once pigeonhole argument and the outer-null proof (the click
+    side keeps a single bucket, so unmatched clicks emit one null row)."""
+    joined = _interval_join_bucketed(
+        clicks_stream, purchases_stream, horizon_seconds, watermark, "left_outer"
     )
     return (
         joined.writeStream.format("parquet")
