@@ -661,3 +661,113 @@ def test_duplicated_spans_giant_doc_and_shared_tail(spark):
     out = duplicated_spans(docs, n=5, min_docs=2).collect()
     assert [r["span"] for r in out] == [needle]
     assert out[0]["n_docs"] == 2 and out[0]["min_doc_id"] == 1
+
+
+def _bruteforce_mems(t1, t2, minlen):
+    """Per-diagonal scan: maximal runs of position-wise equal tokens."""
+    out = []
+    for d in range(-len(t1), len(t2) + 1):
+        run = 0
+        for p1 in range(1, len(t1) + 2):
+            p2 = p1 + d
+            match = (
+                p1 <= len(t1)
+                and 1 <= p2 <= len(t2)
+                and t1[p1 - 1] == t2[p2 - 1]
+            )
+            if match:
+                run += 1
+            else:
+                if run >= minlen:
+                    out.append((p1 - run, p1 - run + d, run))
+                run = 0
+    return out
+
+
+def test_maximal_substrings_equal_bruteforce_mems(spark):
+    """maximal_duplicated_substrings == per-diagonal brute force on a
+    fixture with straddling runs, an exact copy, periodic text (multiple
+    diagonals), and within-doc repeats."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        maximal_duplicated_substrings,
+    )
+
+    docs = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "x x a b c d e f g y y z"),
+        (3, "q q q c d e f g h i j w"),
+        (4, "p p p p p"),
+        (5, "a b c d e f g h i j k l"),  # exact copy of 1
+        (6, "m m m m m m m m"),          # periodic vs 4? no — vs itself only
+        (7, "p p p p p p p"),            # periodic overlap with 4: many diagonals
+        (8, "a b c d e f a b c d e f"),  # within-doc repeat vs 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, maximal_duplicated_substrings(df, n=5).collect())
+    )
+    toks = {i: t.split() for i, t in docs}
+    exp = sorted(
+        (i, j, s1, s2, L)
+        for i in toks
+        for j in toks
+        if i < j
+        for s1, s2, L in _bruteforce_mems(toks[i], toks[j], 5)
+    )
+    assert got == exp
+    # the exact-copy pair must surface as one full-length run
+    assert (1, 5, 1, 1, 12) in got
+    # periodic pair (4, 7): one run per overlapping diagonal
+    assert sum(1 for r in got if r[:2] == (4, 7)) == 3
+
+
+def test_maximal_substrings_min_tokens_and_anchor_cap(spark):
+    """min_tokens drops short runs; max_anchor_df drops boilerplate-seeded
+    runs (anchor in > cap docs) while keeping distinctive ones."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        maximal_duplicated_substrings,
+    )
+
+    boiler = "this page is copyright two thousand"
+    docs = [(i, f"{boiler} unique{i} tail{i}") for i in range(10)]
+    docs += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = maximal_duplicated_substrings(df, n=5).collect()
+    assert sum(1 for r in uncapped if r["doc_id_1"] < 100) == 45  # 10c2 boiler pairs
+    capped = sorted(
+        map(tuple, maximal_duplicated_substrings(df, n=5, max_anchor_df=5).collect())
+    )
+    assert capped == [(100, 101, 1, 1, 7)]  # boilerplate gone, real run kept
+    long_only = maximal_duplicated_substrings(df, n=5, min_tokens=8).collect()
+    assert [tuple(r) for r in long_only if r["doc_id_1"] >= 100] == []
+    assert all(r["n_tokens"] >= 8 for r in long_only)
+
+
+def test_maximal_substrings_anchor_tf_cap_tames_periodic_text(spark):
+    """max_anchor_tf drops pathologically self-repeating anchors (the
+    O(L²) seed-match blowup on periodic text) while leaving runs in
+    normal text untouched."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        maximal_duplicated_substrings,
+    )
+
+    docs = [
+        (1, " ".join(["x"] * 200)),
+        (2, " ".join(["x"] * 200)),
+        (3, "alpha beta gamma delta epsilon zeta eta"),
+        (4, "alpha beta gamma delta epsilon zeta iota"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = sorted(
+        map(
+            tuple,
+            maximal_duplicated_substrings(df, n=5, max_anchor_tf=50).collect(),
+        )
+    )
+    assert capped == [(3, 4, 1, 1, 6)]  # periodic pair gone, real run kept
+    # uncapped: the periodic pair alone yields one run per diagonal
+    uncapped = maximal_duplicated_substrings(df, n=5).collect()
+    assert sum(1 for r in uncapped if r["doc_id_1"] == 1) > 300
