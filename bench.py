@@ -8,6 +8,15 @@ unparseable for exactly that reason):
 where "queries" holds only the 10 slowest; the FULL per-query map is written
 to BENCH_DETAIL.json next to this script.
 
+``--runs N`` (or env SPARK_GRAFT_RUNS) repeats the whole suite N times in
+one session and reports the per-query MEDIAN, with min/max spread per query
+in BENCH_DETAIL.json — single-shot numbers on a shared box swing ±10-20%
+(round-6 observation: three same-code runs totalled 136.5/147.0/165.8 s),
+which previously needed hand-run idle triplicates and prose adjudication
+(BENCH_NOTES); medians make round-over-round deltas self-describing
+(VERDICT r05 #8). Default stays 1 run so the driver's wall-clock budget is
+unchanged.
+
 Each query is fully materialized through the noop datasource (no driver-side
 collect bottleneck, no disk write) — i.e. we time scan + compute + shuffle,
 which is what scales."""
@@ -16,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    runs = max(1, runs)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     except ValueError:
@@ -52,22 +66,32 @@ def main() -> None:
     # timed set covers the real embedding-dedup paths (_blocked, _lsh).
     SKIP_TIMING = {"x_dedup_embedding"}
     bench_names = sorted(QUERIES)
-    timings: dict[str, float] = {}
-    for name in bench_names:
-        if name in SKIP_TIMING:
-            continue
-        # isolate per-query cost: collect garbage left by the previous query
-        # (memory sinks, state stores) before starting the clock
-        spark._jvm.System.gc()
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        # reclaim executor storage held by shared-intermediate caches
-        # (cache_shared registry) — inside the timed window: releasing a
-        # query's caches is part of that query's cost, not its successor's
-        release_shared()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {n: [] for n in bench_names}
+    for _run in range(runs):
+        for name in bench_names:
+            if name in SKIP_TIMING:
+                continue
+            # isolate per-query cost: collect garbage left by the previous
+            # query (memory sinks, state stores) before starting the clock
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            # reclaim executor storage held by shared-intermediate caches
+            # (cache_shared registry) — inside the timed window: releasing a
+            # query's caches is part of that query's cost, not its
+            # successor's
+            release_shared()
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {
+        n: round(statistics.median(t), 3) for n, t in samples.items() if t
+    }
+    spread = {
+        n: {"median": timings[n], "min": min(t), "max": max(t), "all": t}
+        for n, t in samples.items()
+        if t
+    }
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -79,6 +103,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": sf,
                 "n_queries": len(timings),
                 "skipped_oracle_only_paths": sorted(SKIP_TIMING),
@@ -97,6 +123,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
+                "runs": runs,
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",

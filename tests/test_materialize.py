@@ -100,3 +100,39 @@ def test_cache_cap_eviction_warns(spark):
     finally:
         M._MAX_SHARED_CACHES = original
         M.release_shared()
+
+
+def test_cache_shared_by_key_shares_and_releases(spark):
+    """Keyed share: same key -> the SAME cached frame (no recompute),
+    different key -> distinct; release_keyed drains; release_shared must
+    NOT touch keyed entries (cross-query reuse is the point)."""
+    calls = []
+
+    def build(tag):
+        def _b():
+            calls.append(tag)
+            return spark.range(3).toDF("x")
+        return _b
+
+    M.release_keyed()
+    a1 = M.cache_shared_by_key(("t", 1), build("a"))
+    a2 = M.cache_shared_by_key(("t", 1), build("a"))
+    b1 = M.cache_shared_by_key(("t", 2), build("b"))
+    assert a1 is a2 and a1 is not b1
+    assert a1.storageLevel.useMemory
+    M.release_shared()  # per-query reclaim must not evict keyed entries
+    assert a1.storageLevel.useMemory
+    assert M.release_keyed() == 2
+    assert not a1.storageLevel.useMemory
+
+
+def test_ann_trio_shares_one_baseline(spark, sf_dir):
+    """x_sim_lsh / x_sim_ivf / x_sim_pq pin exactly ONE shared exact
+    baseline per corpus (VERDICT r05 #4)."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    M.release_keyed()
+    for q in ("x_sim_lsh", "x_sim_ivf", "x_sim_pq"):
+        QUERIES[q](spark, sf_dir).count()
+    assert len(M._KEYED_SHARED) == 1
+    M.release_keyed()

@@ -167,6 +167,47 @@ def cache_shared_counted(df: DataFrame) -> tuple[DataFrame, int]:
     return cached, n
 
 
+_KEYED_SHARED: dict[tuple, DataFrame] = {}
+
+
+def cache_shared_by_key(key, builder) -> DataFrame:
+    """SESSION-LIFETIME keyed share for small derived frames that several
+    REGISTERED QUERIES recompute identically (VERDICT r05 #4: the three
+    certified ANN queries each rebuilt the same exact-top-k baseline over
+    the same planted corpus, ~+1 s each at sf0.1).
+
+    Unlike :func:`cache_shared` (corpus-sized, drained per-query by
+    :func:`release_shared`), entries here survive release_shared — the
+    whole point is reuse across queries — so this is ONLY for frames that
+    are small enough to pin for the session (the ANN baseline is
+    num_queries x k rows). The key is namespaced by the builder frame's
+    Spark application id, so a cached frame from a stopped session can
+    never be served to a new one; :func:`release_keyed` clears
+    explicitly."""
+    df = builder()
+    full_key = (df.sparkSession.sparkContext.applicationId, key)
+    hit = _KEYED_SHARED.get(full_key)
+    if hit is not None:
+        return hit
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    _KEYED_SHARED[full_key] = cached
+    return cached
+
+
+def release_keyed() -> int:
+    """Unpersist and forget every keyed shared frame. Returns the count."""
+    n = 0
+    while _KEYED_SHARED:
+        _, df = _KEYED_SHARED.popitem()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def release_shared() -> int:
     """Unpersist every frame registered by cache_shared/materialize since
     the last release. Callers that hold a RETURNED plan referencing a

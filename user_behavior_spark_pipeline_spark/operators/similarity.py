@@ -787,6 +787,7 @@ def certified_ann_topk(
     k: int = 5,
     recall_floor: float = 0.2,
     planted_offset: int = 1 << 40,
+    baseline_key: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Self-certifying wrapper for the approximate top-k paths (LSH / IVF /
@@ -820,7 +821,16 @@ def certified_ann_topk(
     let a real vector impersonate a planted copy); ids must stay
     non-negative because the ANN operators select queries as
     ``vec_id < num_queries``. The 2^40 default clears any realistic
-    corpus (10^12 ids) while leaving 2^22 headroom to long overflow."""
+    corpus (10^12 ids) while leaving 2^22 headroom to long overflow.
+
+    ``baseline_key``: the exact brute-force baseline depends only on the
+    corpus and (num_queries, k, planted_offset) — NOT on the method — so
+    callers certifying several methods over the same corpus (the
+    x_sim_lsh/ivf/pq trio) pass a corpus identity string and the baseline
+    is computed once per session and shared via
+    materialize.cache_shared_by_key (num_queries x k rows pinned;
+    VERDICT r05 #4). None (default) recomputes per call — correctness
+    never depends on the share."""
     methods = {"lsh": lsh_bucketed_topk, "ivf": ivf_topk, "pq": pq_topk}
     fn = methods[method]
     planted = embeddings.filter(F.col("vec_id") < num_queries).withColumn(
@@ -828,9 +838,21 @@ def certified_ann_topk(
     )
     corpus = embeddings.unionByName(planted)
     approx = fn(corpus, num_queries, k, **kwargs)
-    exact = brute_force_topk(corpus, num_queries, k).select(
-        "query_id", "neighbor_id", F.lit(True).alias("in_exact")
-    )
+
+    def _baseline() -> DataFrame:
+        return brute_force_topk(corpus, num_queries, k).select(
+            "query_id", "neighbor_id", F.lit(True).alias("in_exact")
+        )
+
+    if baseline_key is not None:
+        from ..materialize import cache_shared_by_key
+
+        exact = cache_shared_by_key(
+            ("ann_exact_baseline", baseline_key, num_queries, k, planted_offset),
+            _baseline,
+        )
+    else:
+        exact = _baseline()
     floor_x100 = int(round(recall_floor * 100))
     return (
         approx.join(exact, ["query_id", "neighbor_id"], "left")

@@ -1336,7 +1336,10 @@ def x_sim_lsh(spark, sf_dir):
     full-rank parity in x_sim_lsh_exhaustive."""
     from .operators.similarity import certified_ann_topk
 
-    return certified_ann_topk(_table(spark, sf_dir, "embeddings"), "lsh", 10, 5)
+    return certified_ann_topk(
+        _table(spark, sf_dir, "embeddings"), "lsh", 10, 5,
+        baseline_key=f"{sf_dir}:embeddings",
+    )
 
 
 @query("x_sim_ivf", oracle=_ANN_CERT_SQL)
@@ -1349,7 +1352,10 @@ def x_sim_ivf(spark, sf_dir):
     Full-rank parity in x_sim_ivf_exhaustive (nprobe == n_centroids)."""
     from .operators.similarity import certified_ann_topk
 
-    return certified_ann_topk(_table(spark, sf_dir, "embeddings"), "ivf", 10, 5)
+    return certified_ann_topk(
+        _table(spark, sf_dir, "embeddings"), "ivf", 10, 5,
+        baseline_key=f"{sf_dir}:embeddings",
+    )
 
 
 @query("x_sim_pq", oracle=_ANN_CERT_SQL)
@@ -1373,7 +1379,8 @@ def x_sim_pq(spark, sf_dir):
     from .operators.similarity import certified_ann_topk
 
     return certified_ann_topk(
-        _table(spark, sf_dir, "embeddings"), "pq", 10, 5, m=16, n_codes=64
+        _table(spark, sf_dir, "embeddings"), "pq", 10, 5, m=16, n_codes=64,
+        baseline_key=f"{sf_dir}:embeddings",
     )
 
 
