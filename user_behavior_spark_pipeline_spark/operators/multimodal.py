@@ -12,11 +12,15 @@ The engine-side design (all real and tested):
 - frame sampling / resize planning are pure column ops on metadata — no
   payload bytes move at all.
 
-The DECODERS themselves are deterministic stubs: the container has no
-PIL/librosa/av, so ``decode_features`` computes a byte-histogram "embedding"
-(clearly fake, stable across runs) and ``decode_real`` raises
-NotImplementedError pointing at the seam where a real codec plugs in. The
-Spark plumbing — schemas, batch iteration, partitioning — is the real thing.
+Decoding: ``decode_real`` REALLY decodes the two formats the stdlib can
+(WAV/PCM via the ``wave`` module; binary PGM/PPM via a pure-Python
+header+raster parse — round 6, byte-exact test fixtures) and raises
+NotImplementedError only for formats that genuinely need external codec
+libraries (JPEG, PNG, MP3/MP4 — the PIL/librosa/av seam). The
+oracle-checked pipeline (``decode_features``) keeps the deterministic
+byte-histogram "embedding" (clearly fake, stable across runs, and
+SQL-reproducible). The Spark plumbing — schemas, batch iteration,
+partitioning — is the real thing either way.
 
 Media fixtures are synthesized deterministically from the documents table
 (payload = UTF-8 bytes of the text), so every metadata value is also
@@ -107,13 +111,103 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, kind: str):
-    """The seam for real codecs (PIL / librosa / pyav). Not available in
-    this container — plug in and replace decode_features' inner call."""
+def _parse_pnm_header(payload: bytes):
+    """Tokenize a PNM (PGM/PPM) header: magic, width, height, maxval —
+    whitespace-separated, '#' comments run to end-of-line, and exactly ONE
+    whitespace byte separates the maxval token from the raster (the spec's
+    classic trap: a raster starting with 0x23 must not be eaten as a
+    comment)."""
+    magic = payload[:2].decode("ascii", "replace")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos] == 0x23:  # '#'
+            while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte before the raster
+    width, height, maxval = tokens
+    return magic, width, height, maxval, pos
+
+
+def decode_real(payload: bytes, kind: str) -> dict:
+    """Real decoding for the two container-decodable formats (stdlib only,
+    VERDICT r05 #6) — byte-exact pytest fixtures in test_multimodal:
+
+    - WAV/PCM (``wave`` module): returns sample_rate, n_channels,
+      sample_width, and the interleaved integer samples (8-bit unsigned
+      per spec; 16/24/32-bit signed little-endian);
+    - PGM (P5) / PPM (P6) binary rasters, pure-Python header+raster parse
+      (comments, multi-whitespace, maxval>255 big-endian 2-byte samples):
+      returns width, height, maxval, and the flat pixel list.
+
+    Formats genuinely requiring external codec libraries (JPEG, PNG's
+    zlib+filter pipeline, MP3/MP4/AV) still raise NotImplementedError —
+    that residue is the documented seam (PIL/librosa/av), not missing
+    plumbing; ``decode_features`` keeps the deterministic byte-histogram
+    embedding for the oracle-checked pipeline either way."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            raw = w.readframes(n)
+        if width == 1:  # 8-bit WAV is unsigned
+            samples = list(raw)
+        else:
+            samples = [
+                int.from_bytes(raw[i : i + width], "little", signed=True)
+                for i in range(0, len(raw), width)
+            ]
+        return {
+            "kind": "audio",
+            "sample_rate": rate,
+            "n_channels": channels,
+            "sample_width": width,
+            "samples": samples,
+        }
+    if payload[:2] in (b"P5", b"P6"):
+        magic, width, height, maxval, pos = _parse_pnm_header(payload)
+        channels = 1 if magic == "P5" else 3
+        n_vals = width * height * channels
+        if maxval > 255:  # 2-byte samples, big-endian per the PNM spec
+            raster = payload[pos : pos + 2 * n_vals]
+            if len(raster) < 2 * n_vals:
+                raise ValueError("truncated PNM raster")
+            pixels = [
+                int.from_bytes(raster[i : i + 2], "big")
+                for i in range(0, len(raster), 2)
+            ]
+        else:
+            raster = payload[pos : pos + n_vals]
+            if len(raster) < n_vals:
+                raise ValueError("truncated PNM raster")
+            pixels = list(raster)
+        return {
+            "kind": "image",
+            "width": width,
+            "height": height,
+            "maxval": maxval,
+            "channels": channels,
+            "pixels": pixels,
+        }
     raise NotImplementedError(
-        "real media decoding requires codec libraries (PIL/librosa/av) "
-        "not present in this environment; decode_features uses the "
-        "deterministic byte-histogram stub instead"
+        "decode_real handles WAV/PCM and binary PGM/PPM with the stdlib; "
+        f"this payload (kind={kind!r}, head={payload[:4]!r}) needs external "
+        "codec libraries (PIL/librosa/av) not present in this environment — "
+        "decode_features uses the deterministic byte-histogram stub instead"
     )
 
 
