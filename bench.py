@@ -14,8 +14,11 @@ in BENCH_DETAIL.json — single-shot numbers on a shared box swing ±10-20%
 (round-6 observation: three same-code runs totalled 136.5/147.0/165.8 s),
 which previously needed hand-run idle triplicates and prose adjudication
 (BENCH_NOTES); medians make round-over-round deltas self-describing
-(VERDICT r05 #8). Default stays 1 run so the driver's wall-clock budget is
-unchanged.
+(VERDICT r05 #8). Default is 3 runs, bounded by $SPARK_GRAFT_BENCH_BUDGET
+(360 s): a pass that has started always completes, but no new pass starts
+past the budget — so a slow box degrades to fewer samples instead of
+blowing a caller's subprocess timeout. "runs" in the output reports the
+passes actually taken.
 
 Each query is fully materialized through the noop datasource (no driver-side
 collect bottleneck, no disk write) — i.e. we time scan + compute + shuffle,
@@ -34,10 +37,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
     runs = max(1, runs)
+    # extra passes stop once this much wall-clock has elapsed (a pass that
+    # has STARTED always completes): medians by default without risking a
+    # caller's subprocess timeout if the box is slow that day
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "360"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     except ValueError:
@@ -67,7 +74,12 @@ def main() -> None:
     SKIP_TIMING = {"x_dedup_embedding"}
     bench_names = sorted(QUERIES)
     samples: dict[str, list[float]] = {n: [] for n in bench_names}
-    for _run in range(runs):
+    bench_start = time.perf_counter()
+    passes = 0
+    while passes < runs and (
+        passes == 0 or time.perf_counter() - bench_start < budget_s
+    ):
+        passes += 1
         for name in bench_names:
             if name in SKIP_TIMING:
                 continue
@@ -104,7 +116,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
-                "runs": runs,
+                "runs": passes,
+                "runs_requested": runs,
                 "sf": sf,
                 "n_queries": len(timings),
                 "skipped_oracle_only_paths": sorted(SKIP_TIMING),
@@ -123,7 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
-                "runs": runs,
+                "runs": passes,
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",

@@ -471,6 +471,12 @@ def test_bucketed_stream_stream_join_equals_plain(spark, tmp_path):
     stream_stream_join_stream(
         c, p, query_name="ss_eq_default", horizon="10 seconds"
     ).awaitTermination()
+    # subdivided buckets (burst defense, S=4: width ceil(10/4)=3 s, 5-way
+    # explode) must ALSO return exactly the plain join's rows
+    c, p = _streams()
+    stream_stream_join_bucketed_stream(
+        c, p, query_name="ss_eq_sub4", horizon_seconds=10, subdivisions=4
+    ).awaitTermination()
     plain = sorted(
         map(tuple, spark.table("ss_eq_plain").collect())
     )
@@ -480,9 +486,13 @@ def test_bucketed_stream_stream_join_equals_plain(spark, tmp_path):
     default = sorted(
         map(tuple, spark.table("ss_eq_default").collect())
     )
+    sub4 = sorted(
+        map(tuple, spark.table("ss_eq_sub4").collect())
+    )
     assert len(plain) > 400  # hot key produces multi-purchase matches
     assert bucketed == plain
     assert default == plain
+    assert sub4 == plain
 
 
 def test_left_outer_bucketed_hot_key_nulls_exactly_once(spark, tmp_path):

@@ -457,6 +457,7 @@ def _interval_join_bucketed(
     horizon_seconds: int,
     watermark: str,
     how: str,
+    subdivisions: int = 1,
 ) -> DataFrame:
     """Skew-immune watermarked interval join, shared by the inner and LEFT
     OUTER entry points: join key widened from ``user_id`` to
@@ -490,9 +491,28 @@ def _interval_join_bucketed(
     purchase exactly once (pigeonhole above) — same output multiset as
     the plain LEFT join.
 
+    ``subdivisions`` = S generalizes the bucket width to ceil(B/S) with
+    the purchase side exploded to S+1 adjacent buckets (the S=1 default
+    is exactly the two-bucket form above; exactly-once pigeonhole holds
+    for any S: a qualifying pair has bucket difference in [0, S] and the
+    purchase's S+1 copies land in S+1 DISTINCT keys, exactly one of
+    which is the click's). S>1 is the WITHIN-BUCKET BURST defense
+    (SCALE.md round-6 probe): a hot key whose traffic concentrates
+    inside one horizon window still costs O(rows-in-bucket) per arrival
+    at S=1 even when the range filter matches nothing (e.g. purchases
+    early in the hour, clicks late — zero output, quadratic compares);
+    with S subdivisions each arrival scans only the ~B/S slop beyond
+    its true horizon reach, at the price of (S+1)/2 x the purchase-side
+    state/shuffle of S=1. Deploy S=4..8 on burst-prone keys; keep S=1
+    when traffic within a key is horizon-uniform.
+
     Watermark/state-eviction semantics are unchanged: the bucket is a
     derived column; eviction still follows the event-time columns."""
     b = int(horizon_seconds)
+    s = int(subdivisions)
+    if s < 1:
+        raise ValueError(f"subdivisions must be >= 1, got {subdivisions}")
+    width = -(-b // s)  # ceil(B/S): S * width >= B keeps the pigeonhole
     c = (
         clicks_stream.select(
             F.col("user_id").alias("c_user"),
@@ -500,7 +520,9 @@ def _interval_join_bucketed(
             F.col("event_id").alias("click_id"),
         )
         .withWatermark("click_ts", watermark)
-        .withColumn("c_bucket", F.floor(F.unix_timestamp("click_ts") / F.lit(b)))
+        .withColumn(
+            "c_bucket", F.floor(F.unix_timestamp("click_ts") / F.lit(width))
+        )
     )
     p = (
         purchases_stream.select(
@@ -513,8 +535,11 @@ def _interval_join_bucketed(
             "p_bucket",
             F.explode(
                 F.array(
-                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)),
-                    F.floor(F.unix_timestamp("purchase_ts") / F.lit(b)) - 1,
+                    *[
+                        F.floor(F.unix_timestamp("purchase_ts") / F.lit(width))
+                        - j
+                        for j in range(s + 1)
+                    ]
                 )
             ),
         )
@@ -543,6 +568,7 @@ def stream_stream_join_stream(
     horizon: str = "1 hour",
     watermark: str = "1 second",
     skew_safe: bool = True,
+    subdivisions: int = 1,
 ):
     """Watermarked stream-stream inner join — the fully-streaming operator
     class the reference never reached (its logs show no state operators,
@@ -568,6 +594,7 @@ def stream_stream_join_stream(
             _horizon_to_seconds(horizon),
             watermark,
             "inner",
+            subdivisions=subdivisions,
         )
     else:
         _warn_skew_unsafe(
@@ -591,6 +618,7 @@ def stream_stream_join_bucketed_stream(
     query_name: str,
     horizon_seconds: int = 3600,
     watermark: str = "1 second",
+    subdivisions: int = 1,
 ):
     """Skew-immune stream-stream interval join: same semantics as
     :func:`stream_stream_join_stream`, with the join key widened from
@@ -621,7 +649,12 @@ def stream_stream_join_bucketed_stream(
     Watermark/state-eviction semantics are unchanged: the bucket is a
     derived column; eviction still follows the event-time columns."""
     joined = _interval_join_bucketed(
-        clicks_stream, purchases_stream, horizon_seconds, watermark, "inner"
+        clicks_stream,
+        purchases_stream,
+        horizon_seconds,
+        watermark,
+        "inner",
+        subdivisions=subdivisions,
     )
     return (
         joined.writeStream.format("memory")
@@ -640,6 +673,7 @@ def stream_stream_left_join_stream(
     horizon: str = "1 hour",
     watermark: str = "1 second",
     skew_safe: bool = True,
+    subdivisions: int = 1,
 ):
     """LEFT OUTER stream-stream join: like the inner form, but a click with
     no purchase inside its horizon still emits (null purchase) — once the
@@ -660,6 +694,7 @@ def stream_stream_left_join_stream(
             _horizon_to_seconds(horizon),
             watermark,
             "left_outer",
+            subdivisions=subdivisions,
         )
     else:
         _warn_skew_unsafe(
@@ -686,6 +721,7 @@ def stream_stream_left_join_bucketed_stream(
     checkpoint_dir: str,
     horizon_seconds: int = 3600,
     watermark: str = "1 second",
+    subdivisions: int = 1,
 ):
     """Skew-immune LEFT OUTER stream-stream interval join: same output
     multiset as :func:`stream_stream_left_join_stream` (which now delegates
@@ -694,7 +730,12 @@ def stream_stream_left_join_bucketed_stream(
     exactly-once pigeonhole argument and the outer-null proof (the click
     side keeps a single bucket, so unmatched clicks emit one null row)."""
     joined = _interval_join_bucketed(
-        clicks_stream, purchases_stream, horizon_seconds, watermark, "left_outer"
+        clicks_stream,
+        purchases_stream,
+        horizon_seconds,
+        watermark,
+        "left_outer",
+        subdivisions=subdivisions,
     )
     return (
         joined.writeStream.format("parquet")
