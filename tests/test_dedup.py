@@ -771,3 +771,56 @@ def test_maximal_substrings_anchor_tf_cap_tames_periodic_text(spark):
     # uncapped: the periodic pair alone yields one run per diagonal
     uncapped = maximal_duplicated_substrings(df, n=5).collect()
     assert sum(1 for r in uncapped if r["doc_id_1"] == 1) > 300
+
+
+def test_strip_duplicated_substrings_semantics(spark):
+    """Strip action: lowest-doc occurrence keeps the run, higher docs lose
+    it; untouched docs pass through; an exact copy strips to empty."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        strip_duplicated_substrings,
+    )
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x1 x2 a b c d e f g y1 y2"),   # shares a..g (7) with 1
+        (3, "a b c d e f g h i j"),          # exact copy of 1
+        (4, "solo tokens only here now"),    # untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_duplicated_substrings(df, n=5).collect()}
+    assert len(got) == 4
+    # doc 1 is the lowest occurrence everywhere: untouched
+    assert got[1]["text_stripped"] == "a b c d e f g h i j"
+    assert got[1]["n_tokens_removed"] == 0
+    # doc 2 loses the 7-token run, keeps its flanks
+    assert got[2]["text_stripped"] == "x1 x2 y1 y2"
+    assert got[2]["n_tokens_removed"] == 7
+    # doc 3 is an exact copy of a lower doc: strips to empty
+    assert got[3]["text_stripped"] == ""
+    assert got[3]["n_tokens_removed"] == 10 and got[3]["n_tokens_before"] == 10
+    # doc 4 untouched
+    assert got[4]["text_stripped"] == "solo tokens only here now"
+    assert got[4]["n_tokens_removed"] == 0
+
+
+def test_strip_overlapping_runs_union_positions(spark):
+    """Two runs overlapping in the same higher doc strip the UNION of
+    their positions (no double-count, no gap)."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        strip_duplicated_substrings,
+    )
+
+    # doc 3 shares "a b c d e f" with doc 1 and "d e f g h i" with doc 2;
+    # in doc 3 they overlap on d e f -> union strip = a..i (9 tokens)
+    docs = [
+        (1, "a b c d e f q1 q2 q3 q4"),
+        (2, "d e f g h i w1 w2 w3 w4"),
+        (3, "z1 a b c d e f g h i z2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_duplicated_substrings(df, n=5).collect()}
+    assert got[3]["text_stripped"] == "z1 z2"
+    assert got[3]["n_tokens_removed"] == 9
+    assert got[1]["n_tokens_removed"] == 0
+    # doc 2 shares "d e f" with doc 1 — but that's only 3 tokens (< n): kept
+    assert got[2]["n_tokens_removed"] == 0

@@ -524,6 +524,89 @@ def maximal_duplicated_substrings(
     )
 
 
+def strip_duplicated_substrings(
+    documents: DataFrame,
+    n: int = 5,
+    min_tokens: int | None = None,
+    max_anchor_df: int | None = None,
+    max_anchor_tf: int | None = None,
+) -> DataFrame:
+    """The dedup ACTION for verbatim repeats (Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" removal step): every
+    maximal cross-document token run found by
+    :func:`maximal_duplicated_substrings` is KEPT in its lowest-doc_id
+    occurrence and STRIPPED from every higher doc's occurrence, so the
+    corpus retains exactly one copy of each long verbatim repeat.
+
+    Shape: runs → per-(higher-doc) strip positions (explode of the run's
+    position range — linear in the stripped token volume, which is
+    bounded by the corpus) → left-anti join against the corpus's
+    (doc_id, pos, token) explosion → per-doc ordered reassembly. Every
+    stage is one shuffle on doc_id or (doc_id, pos); nothing is
+    quadratic beyond the run discovery itself (see
+    maximal_duplicated_substrings for its caps).
+
+    Output: (doc_id, n_tokens_before, n_tokens_removed, text_stripped)
+    for every non-NULL-text document — docs with nothing stripped pass
+    through with n_tokens_removed = 0; a doc that is one big repeat of a
+    lower doc strips to the empty string (count columns make that
+    auditable). Reassembly joins tokens with a single space, so
+    documents round-trip byte-exact iff their original whitespace was
+    single spaces (token-level identity always holds — the guarantee
+    that matters for training-data dedup)."""
+    runs = maximal_duplicated_substrings(
+        documents,
+        n=n,
+        min_tokens=min_tokens,
+        max_anchor_df=max_anchor_df,
+        max_anchor_tf=max_anchor_tf,
+    )
+    strip_pos = (
+        runs.select(
+            F.col("doc_id_2").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_2"),
+                    F.col("start_2") + F.col("n_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_strip", F.lit(True))
+    )
+    positions = (
+        _spread(documents)
+        .select("doc_id", F.split(F.col("text"), "\\s+").alias("_toks"))
+        .select("doc_id", F.posexplode("_toks").alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+    )
+    marked = positions.join(strip_pos, ["doc_id", "pos"], "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_before"),
+            F.count("_strip").alias("n_tokens_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_strip").isNull(),
+                                F.struct(F.col("pos"), F.col("token")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("token"),
+                ),
+            ).alias("text_stripped"),
+        )
+        .select(
+            "doc_id", "n_tokens_before", "n_tokens_removed", "text_stripped"
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """64 minhashes per doc in one aggregation pass: min(xxhash64(i ++ s))."""
     sh = shingles(documents, n)

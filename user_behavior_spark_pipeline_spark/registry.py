@@ -1025,6 +1025,48 @@ def x_dedup_substring(spark, sf_dir):
     )
 
 
+@query(
+    "x_dedup_strip",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "an AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS a "
+        "FROM toks, UNNEST(range(1, len(t)-3)) AS u(i)), "
+        "m AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.pos AS p1, y.pos AS p2, "
+        "y.pos - x.pos AS diag "
+        "FROM an x JOIN an y ON x.a = y.a AND x.doc_id < y.doc_id), "
+        "r AS (SELECT d1, d2, diag, p1, p2, "
+        "p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp "
+        "FROM m), "
+        "runs AS (SELECT d2, MIN(p2) AS s2, COUNT(*) + 4 AS L "
+        "FROM r GROUP BY d1, d2, diag, grp), "
+        "strip AS (SELECT DISTINCT d2 AS doc_id, s2 + u.i AS pos "
+        "FROM runs, UNNEST(range(0, L)) AS u(i)), "
+        "pos AS (SELECT doc_id, i AS pos, t[i] AS token "
+        "FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)) "
+        "SELECT p.doc_id, COUNT(*) AS n_tokens_before, "
+        "COUNT(s.pos) AS n_tokens_removed, "
+        "COALESCE(string_agg(CASE WHEN s.pos IS NULL THEN p.token END, ' ' "
+        "ORDER BY p.pos), '') AS text_stripped "
+        "FROM pos p LEFT JOIN strip s "
+        "ON p.doc_id = s.doc_id AND p.pos = s.pos "
+        "GROUP BY 1"
+    ),
+)
+def x_dedup_strip(spark, sf_dir):
+    """Verbatim-repeat REMOVAL (the Lee-et-al dedup action): every maximal
+    cross-document token run (x_dedup_substring's output) is kept in its
+    lowest-doc_id occurrence and stripped from every higher doc — output
+    is the rebuilt corpus with before/removed token counts, hash-compared
+    against a DuckDB twin that recomputes the runs, the strip set, and
+    the per-position reassembly (string_agg ORDER BY pos) from scratch.
+    Linear beyond run discovery: strip positions explode only the
+    stripped volume; reassembly is one groupBy(doc_id)."""
+    from .operators.dedup import strip_duplicated_substrings
+
+    return strip_duplicated_substrings(_table(spark, sf_dir, "documents"), n=5)
+
+
 @query("x_dedup_ngram", oracle=_SHINGLE_PAIRS_SQL)
 def x_dedup_ngram(spark, sf_dir):
     """Exact near-dup pairs: word-3-gram Jaccard >= 0.5 via shingle
