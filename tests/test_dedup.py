@@ -824,3 +824,30 @@ def test_strip_overlapping_runs_union_positions(spark):
     assert got[1]["n_tokens_removed"] == 0
     # doc 2 shares "d e f" with doc 1 — but that's only 3 tokens (< n): kept
     assert got[2]["n_tokens_removed"] == 0
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment ~1.0,
+    Jaccard far below threshold — the asymmetric detector's reason to
+    exist. Both directions reported; disjoint docs absent."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = " ".join(f"w{i}" for i in range(200)) + " " + quote
+    docs = [
+        (1, quote),
+        (2, long_doc),
+        (3, " ".join(f"z{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = shingle_containment_pairs(df, n=3, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_id_1"], r["doc_id_2"]) == (1, 2)
+    assert r["containment_1_in_2_x1e6"] == 1_000_000  # fully contained
+    assert r["containment_2_in_1_x1e6"] < 100_000
+    # Jaccard at 0.5 misses this pair entirely
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0

@@ -392,6 +392,69 @@ def duplicated_spans(
     )
 
 
+def shingle_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the quote/subset
+    detector Jaccard structurally misses. A 50-shingle document embedded
+    verbatim in a 5000-shingle one has containment 1.0 but Jaccard
+    ~0.01: symmetric dedup keeps both, yet for training data the small
+    doc is pure duplication (Lee et al.'s suffix dedup catches the span;
+    this catches it at document granularity with one shingle join).
+
+    Emits one row per unordered pair where EITHER direction reaches the
+    threshold, with both directions' containment (x1e6 integers, exact
+    cross-engine arithmetic): downstream keeps the container and drops
+    the contained side when its containment is high.
+
+    Same plan shape as ngram_jaccard_pairs (hashed-shingle self-join —
+    only colliding pairs materialize; ``max_shingle_df`` for
+    boilerplate): one extra size join, zero extra shuffles."""
+    sh = shingles(documents, n)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sh = materialize(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
+    thr = int(threshold * 1_000_000)
+    # size tables: one row per corpus doc — no broadcast hint, AQE decides
+    # (the incremental_near_dup lesson)
+    return (
+        shared.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(F.col("shared") * 1_000_000 / F.col("n1"))
+            .cast("long")
+            .alias("containment_1_in_2_x1e6"),
+            F.round(F.col("shared") * 1_000_000 / F.col("n2"))
+            .cast("long")
+            .alias("containment_2_in_1_x1e6"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_1_in_2_x1e6"),
+                F.col("containment_2_in_1_x1e6"),
+            )
+            >= thr
+        )
+    )
+
+
 def maximal_duplicated_substrings(
     documents: DataFrame,
     n: int = 5,

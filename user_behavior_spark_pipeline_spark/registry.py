@@ -1076,6 +1076,40 @@ def x_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
+@query(
+    "x_dedup_containment",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+        "FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)), "
+        "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+        "pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) shared "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT d1 AS doc_id_1, d2 AS doc_id_2, "
+        "CAST(ROUND(shared * 1000000 / s1.n) AS BIGINT) "
+        "  AS containment_1_in_2_x1e6, "
+        "CAST(ROUND(shared * 1000000 / s2.n) AS BIGINT) "
+        "  AS containment_2_in_1_x1e6 "
+        "FROM pairs JOIN sizes s1 ON d1 = s1.doc_id "
+        "JOIN sizes s2 ON d2 = s2.doc_id "
+        "WHERE GREATEST(CAST(ROUND(shared * 1000000 / s1.n) AS BIGINT), "
+        "CAST(ROUND(shared * 1000000 / s2.n) AS BIGINT)) >= 600000"
+    ),
+)
+def x_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: shingle containment — the quote/subset
+    detector (a short doc embedded in a long one has containment ~1.0
+    but Jaccard ~|A|/|B|, invisible to symmetric dedup). One row per
+    pair where either direction >= 0.6, both directions reported as
+    exact x1e6 integers."""
+    from .operators.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(
+        _table(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )
+
+
 @query("x_dedup_minhash", oracle=_SHINGLE_PAIRS_SQL)
 def x_dedup_minhash(spark, sf_dir):
     """MinHash(64) + LSH(32 bands) candidates, verified with exact Jaccard —
