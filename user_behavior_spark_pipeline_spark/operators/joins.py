@@ -154,6 +154,102 @@ def local_supplier_revenue(
     )
 
 
+def nation_pair_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per direction
+    and ship-year — the DISJUNCTIVE join-predicate case ((A,B) or (B,A))
+    the other TPC shapes don't exercise.
+
+    Plan: the nation dimension is pre-filtered to the two names and
+    broadcast TWICE (supplier side, customer side) — the OR condition
+    lives in a post-join filter over two tiny dim columns, NOT in the
+    join condition, so both dim joins stay broadcast-hash (an OR'd join
+    key would force a nested-loop). Ship-date range pushes into the
+    lineitem scan; lineitem shuffles once on l_orderkey."""
+    pair = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp_n = F.broadcast(
+        pair.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cust_n = F.broadcast(
+        pair.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    vol = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust_n, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(sum_money(vol).alias("volume_x10000"))
+    )
+
+
+def large_quantity_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_total_qty: int = 250,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a total
+    lineitem quantity — the HAVING-subquery-as-semi-join case.
+
+    Plan: the qualifying-order set is ONE aggregation over lineitem
+    (map-side combinable long sum), then a semi-join back; the detail
+    re-aggregation only touches qualifying orders' lineitems. Top-k is
+    TakeOrdered over the (small) qualified aggregate, never a global
+    sort."""
+    qty = F.col("l_quantity").cast("long")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .filter(F.col("_q") > min_total_qty)
+        .select("l_orderkey")
+    )
+    li = lineitem.join(big, "l_orderkey", "left_semi")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            money_e4(F.col("o_totalprice")).alias("totalprice_x10000"),
+        )
+        .agg(F.sum(qty).alias("sum_qty"))
+        .orderBy(
+            F.col("totalprice_x10000").desc(), F.col("orderkey").asc()
+        )
+        .limit(k)
+    )
+
+
 def shipping_priority(
     lineitem: DataFrame,
     orders: DataFrame,

@@ -405,6 +405,70 @@ def x_join_tpch_q5(spark, sf_dir):
 
 
 @query(
+    "x_join_tpch_q7",
+    oracle=(
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) "
+        "AS BIGINT)) AS BIGINT) AS volume_x10000 "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY 1, 2, 3"
+    ),
+)
+def x_join_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: nation-pair shipping volume per direction and
+    ship-year — the disjunctive join predicate ((A,B) OR (B,A)) expressed
+    as two broadcast dim joins + a post-join inequality, keeping both
+    joins hash-strategy (an OR'd join key would force nested-loop)."""
+    from .operators.joins import nation_pair_volume
+
+    return nation_pair_volume(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "x_join_tpch_q18",
+    oracle=(
+        "SELECT c_name AS cust_name, c_custkey AS custkey, "
+        "o_orderkey AS orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+        "CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS totalprice_x10000, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) "
+        "GROUP BY 1, 2, 3, 4, 5 "
+        "ORDER BY totalprice_x10000 DESC, orderkey LIMIT 20"
+    ),
+)
+def x_join_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-quantity orders — the HAVING-sum subquery
+    as ONE lineitem aggregation + semi-join back (no correlated
+    re-scan); top-k is TakeOrdered over the qualified aggregate."""
+    from .operators.joins import large_quantity_orders
+
+    return large_quantity_orders(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+    )
+
+
+@query(
     "x_join_salted",
     oracle=(
         "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
