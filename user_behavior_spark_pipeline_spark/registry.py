@@ -4008,13 +4008,22 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # the rotation promotes these to the front of the green tail so the
 # driver's 50-slot window re-earns their green on the new code. Round 6:
 # interval joins flipped to skew-safe-by-default (both stream-stream
-# entry points now run the bucketed join). Everything else in the window
-# comes from the stalest-vintage-first green ordering (see _rotated).
+# entry points now run the bucketed join, which itself gained the
+# subdivisions generalization); the certified ANN trio now shares its
+# exact baseline via cache_shared_by_key; simhash cert bound switched to
+# the augmented corpus; leakage split gained the id_col rename.
+# Everything else in the window comes from the stalest-vintage-first
+# green ordering (see _rotated).
 _TOUCHED_THIS_ROUND = frozenset(
     {
         "x_stream_stream_join",
         "x_stream_stream_left_join",
         "x_stream_stream_join_bucketed",
+        "x_sim_lsh",
+        "x_sim_ivf",
+        "x_sim_pq",
+        "x_dedup_simhash",
+        "x_split_leakage_safe",
     }
 )
 
