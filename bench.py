@@ -15,7 +15,7 @@ in BENCH_DETAIL.json — single-shot numbers on a shared box swing ±10-20%
 which previously needed hand-run idle triplicates and prose adjudication
 (BENCH_NOTES); medians make round-over-round deltas self-describing
 (VERDICT r05 #8). Default is 3 runs, bounded by $SPARK_GRAFT_BENCH_BUDGET
-(360 s): a pass that has started always completes, but no new pass starts
+(300 s): a pass that has started always completes, but no new pass starts
 past the budget — so a slow box degrades to fewer samples instead of
 blowing a caller's subprocess timeout. "runs" in the output reports the
 passes actually taken.
@@ -44,7 +44,7 @@ def main() -> None:
     # extra passes stop once this much wall-clock has elapsed (a pass that
     # has STARTED always completes): medians by default without risking a
     # caller's subprocess timeout if the box is slow that day
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "360"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     except ValueError:
