@@ -2572,6 +2572,8 @@ def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     )
     if fmt == "csv":
         flat.write.mode("overwrite").option("header", "true").csv(src)
+    elif fmt == "orc":
+        flat.write.mode("overwrite").orc(src)
     else:
         flat.write.mode("overwrite").json(src)
     _STAGED_SOURCES[key] = src
@@ -2615,6 +2617,16 @@ def ref_source_csv(spark, sf_dir):
         "event_id long, user_id long, event_type string, cents long, ts_ms long"
     ).csv(src)
     return _format_rollup(df)
+
+
+@query("ref_source_orc", oracle=_FMT_ORACLE)
+def ref_source_orc(spark, sf_dir):
+    """ORC source (Spark-native columnar alternative to parquet; schema
+    carried in the file footer — no declaration, no inference pass):
+    same staged events, same rollup, same DuckDB-over-parquet oracle as
+    the csv/json doubles, so the format layer is the only variable."""
+    src = _stage_format(spark, sf_dir, "orc")
+    return _format_rollup(spark.read.orc(src))
 
 
 @query("ref_source_json", oracle=_FMT_ORACLE)
@@ -4084,6 +4096,7 @@ def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
     _stage_events_parquet(spark, sf_dir)
     _stage_format(spark, sf_dir, "csv")
     _stage_format(spark, sf_dir, "json")
+    _stage_format(spark, sf_dir, "orc")
     _stage_bucketed(spark, sf_dir)
     _stage_catalog_table(spark, sf_dir)
     # warm-ups are optimizations, never prerequisites: a failure must not
