@@ -170,3 +170,42 @@ def test_leakage_safe_split_non_default_id_col(spark):
     }
     assert len(got) == 20
     assert got[3] == got[7] == got[11]
+
+
+def test_kfold_split_stable_and_balanced(spark):
+    """Every id gets a fold in [0, k); assignment is a pure function of
+    the id (stable under repartition); folds are roughly balanced."""
+    from user_behavior_spark_pipeline_spark.operators.sampling import kfold_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r["doc_id"]: r["fold"] for r in kfold_split(df, k=5).collect()}
+    b = {
+        r["doc_id"]: r["fold"]
+        for r in kfold_split(df.repartition(13), k=5).collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(5))
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert min(counts.values()) > 120  # ~200 expected per fold
+
+
+def test_kfold_leakage_safe_keeps_families_together(spark):
+    """With a near-dup pair frame, every family shares ONE fold."""
+    from user_behavior_spark_pipeline_spark.operators.sampling import kfold_split
+
+    docs = [(i,) for i in range(40)]
+    pairs = []
+    for f in range(10):
+        a, b, c = 1000 + 3 * f, 1001 + 3 * f, 1002 + 3 * f
+        docs += [(a,), (b,), (c,)]
+        pairs += [(a, b), (b, c)]
+    ddf = spark.createDataFrame(docs, "doc_id long")
+    pdf = spark.createDataFrame(pairs, "doc_id_1 long, doc_id_2 long")
+    got = {r["doc_id"]: r["fold"] for r in kfold_split(ddf, k=4, pairs=pdf).collect()}
+    assert len(got) == 70
+    for f in range(10):
+        a, b, c = 1000 + 3 * f, 1001 + 3 * f, 1002 + 3 * f
+        assert got[a] == got[b] == got[c]
+    assert all(0 <= v < 4 for v in got.values())

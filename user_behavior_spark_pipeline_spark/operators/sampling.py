@@ -43,6 +43,37 @@ def train_test_split(
     )
 
 
+def kfold_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """K-fold assignment for cross-validation: fold = md5 bucket mod k —
+    key-addressed like :func:`train_test_split` (stable under
+    repartitioning and corpus growth; every id's fold is a pure function
+    of the id), scan-side, zero shuffle.
+
+    With ``pairs`` (a near-dup pair frame), folds are keyed on the
+    near-dup COMPONENT instead of the raw id — the k-fold generalization
+    of :func:`leakage_safe_split`: near-identical documents always share
+    a fold, so no fold's held-out set is contaminated by another fold's
+    training copies."""
+    if pairs is not None:
+        from .dedup import dedup_components
+
+        comp = dedup_components(pairs).withColumnRenamed("doc_id", id_col)
+        keyed = df.join(comp, id_col, "left").withColumn(
+            "_fold_key", F.coalesce(F.col("component"), F.col(id_col))
+        )
+    else:
+        keyed = df.withColumn("_fold_key", F.col(id_col))
+    out = keyed.withColumn(
+        "fold", hash_bucket(F.col("_fold_key"), num_buckets=10_000) % k
+    ).drop("_fold_key")
+    return out.drop("component") if pairs is not None else out
+
+
 def stratified_systematic_sample(
     df: DataFrame,
     stratum_col: str,

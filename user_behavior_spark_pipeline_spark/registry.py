@@ -2355,6 +2355,26 @@ def x_split_hash(spark, sf_dir):
 
 
 @query(
+    "x_split_kfold",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 10000 % 5 AS fold FROM documents"
+    ),
+)
+def x_split_kfold(spark, sf_dir):
+    """K-fold cross-validation assignment (k=5): fold = md5 bucket mod k,
+    key-addressed and scan-side like x_split_hash — stable under
+    repartitioning and corpus growth. Full per-document assignment
+    oracle-compared. The leakage-safe (component-keyed) variant is
+    test-pinned in test_sampling."""
+    from .operators.sampling import kfold_split
+
+    docs = _table(spark, sf_dir, "documents")
+    return kfold_split(docs, id_col="doc_id", k=5).select("doc_id", "fold")
+
+
+@query(
     "x_sample_stratified",
     oracle=(
         "SELECT lang, doc_id FROM ("
