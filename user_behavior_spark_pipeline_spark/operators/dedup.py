@@ -392,6 +392,136 @@ def duplicated_spans(
     )
 
 
+def dedup_report(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    substr_n: int = 5,
+) -> DataFrame:
+    """Per-document DEDUP REPORT — every duplication signal this module
+    computes, joined into one row per document (the triage table a
+    curation pipeline filters on):
+
+    - ``n_exact_copies`` / ``exact_rep``: identical-text group size and
+      its min-doc_id representative (1 / own id when unique);
+    - ``near_component``: connected component in the n-gram-Jaccard
+      near-dup graph at ``jaccard_threshold`` (own id when isolated);
+    - ``max_contained_x1e6``: the largest fraction of THIS doc's
+      shingles appearing in any single other doc (the quote/subset
+      signal; 0 when it shares no shingle with anything);
+    - ``n_tokens`` / ``n_verbatim_shared_tokens``: token count and how
+      many of its token positions lie inside a cross-document maximal
+      verbatim run (>= substr_n tokens, either side of the pair).
+
+    One shingle table feeds BOTH the Jaccard and containment signals
+    (materialized once via the seam); the exact group is one
+    text-groupBy; coverage explodes only run intervals. Every signal is
+    the same computation its standalone operator runs — this is a join,
+    not a re-derivation, so the standalone oracles transfer."""
+    exact = (
+        documents.filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_copies"),
+            F.min("doc_id").alias("exact_rep"),
+        )
+    )
+    ex = documents.join(exact, "text", "left").select(
+        "doc_id",
+        F.coalesce("n_exact_copies", F.lit(1)).alias("n_exact_copies"),
+        F.coalesce("exact_rep", F.col("doc_id")).alias("exact_rep"),
+    )
+    sh = materialize(shingles(documents, n))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
+    overlap = materialize(shared.join(s1, "doc_id_1").join(s2, "doc_id_2"))
+    jpairs = overlap.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.round(
+            F.col("shared") * 1_000_000 / (F.col("n1") + F.col("n2") - F.col("shared"))
+        )
+        .cast("long")
+        .alias("jaccard_x1e6"),
+    ).filter(F.col("jaccard_x1e6") >= int(jaccard_threshold * 1_000_000))
+    comp = dedup_components(jpairs)
+    # per-doc max containment: this doc as side 1 (÷ n1) and as side 2 (÷ n2)
+    contained = (
+        overlap.select(
+            F.col("doc_id_1").alias("doc_id"),
+            F.round(F.col("shared") * 1_000_000 / F.col("n1"))
+            .cast("long")
+            .alias("c"),
+        )
+        .unionByName(
+            overlap.select(
+                F.col("doc_id_2").alias("doc_id"),
+                F.round(F.col("shared") * 1_000_000 / F.col("n2"))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_contained_x1e6"))
+    )
+    runs = maximal_duplicated_substrings(documents, n=substr_n)
+    covered = (
+        runs.select(
+            F.col("doc_id_1").alias("doc_id"),
+            F.explode(
+                F.sequence(F.col("start_1"), F.col("start_1") + F.col("n_tokens") - 1)
+            ).alias("pos"),
+        )
+        .unionByName(
+            runs.select(
+                F.col("doc_id_2").alias("doc_id"),
+                F.explode(
+                    F.sequence(
+                        F.col("start_2"), F.col("start_2") + F.col("n_tokens") - 1
+                    )
+                ).alias("pos"),
+            )
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_verbatim_shared_tokens"))
+    )
+    ntok = documents.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col("text"), "\\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    comp_keyed = comp.withColumnRenamed("component", "near_component")
+    return (
+        ex.join(comp_keyed, "doc_id", "left")
+        .join(contained, "doc_id", "left")
+        .join(ntok, "doc_id")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_exact_copies",
+            "exact_rep",
+            F.coalesce("near_component", F.col("doc_id")).alias("near_component"),
+            F.coalesce("max_contained_x1e6", F.lit(0)).alias("max_contained_x1e6"),
+            "n_tokens",
+            F.coalesce("n_verbatim_shared_tokens", F.lit(0)).alias(
+                "n_verbatim_shared_tokens"
+            ),
+        )
+    )
+
+
 def shingle_containment_pairs(
     documents: DataFrame,
     n: int = 3,

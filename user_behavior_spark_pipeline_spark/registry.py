@@ -1141,6 +1141,82 @@ def x_dedup_ngram(spark, sf_dir):
 
 
 @query(
+    "x_dedup_report",
+    oracle=(
+        "WITH RECURSIVE "
+        "toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+        "FROM toks, UNNEST(range(1, len(t)-1)) AS u(i)), "
+        "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+        "ov AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) shared "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "ovs AS (SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2 "
+        "FROM ov JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id), "
+        "jp AS (SELECT d1 AS doc_id_1, d2 AS doc_id_2 FROM ovs "
+        "WHERE CAST(ROUND(shared * 1000000 / (n1 + n2 - shared)) AS BIGINT) "
+        ">= 500000), "
+        "e AS (SELECT doc_id_1 s, doc_id_2 d FROM jp "
+        "UNION SELECT doc_id_2, doc_id_1 FROM jp), "
+        "reach(x, y) AS (SELECT s, d FROM e "
+        "UNION SELECT r.x, e2.d FROM reach r JOIN e e2 ON r.y = e2.s), "
+        "comp AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS component "
+        "FROM reach GROUP BY x), "
+        "cont AS (SELECT doc_id, MAX(c) AS mx FROM ("
+        "SELECT d1 AS doc_id, CAST(ROUND(shared * 1000000 / n1) AS BIGINT) AS c "
+        "FROM ovs UNION ALL "
+        "SELECT d2, CAST(ROUND(shared * 1000000 / n2) AS BIGINT) FROM ovs) "
+        "GROUP BY 1), "
+        "ex AS (SELECT text, COUNT(*) nc, MIN(doc_id) rep FROM documents "
+        "WHERE text IS NOT NULL GROUP BY 1), "
+        "an AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS a "
+        "FROM toks, UNNEST(range(1, len(t)-3)) AS u(i)), "
+        "m AS (SELECT x.doc_id d1, y.doc_id d2, x.pos p1, y.pos p2, "
+        "y.pos - x.pos AS diag "
+        "FROM an x JOIN an y ON x.a = y.a AND x.doc_id < y.doc_id), "
+        "r2 AS (SELECT d1, d2, diag, p1, p2, "
+        "p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp "
+        "FROM m), "
+        "runs AS (SELECT d1, d2, MIN(p1) s1, MIN(p2) s2, COUNT(*) + 4 AS L "
+        "FROM r2 GROUP BY d1, d2, diag, grp), "
+        "cov AS (SELECT doc_id, COUNT(*) AS nv FROM ("
+        "SELECT DISTINCT doc_id, pos FROM ("
+        "SELECT d1 AS doc_id, s1 + u.i AS pos "
+        "FROM runs, UNNEST(range(0, L)) AS u(i) "
+        "UNION ALL SELECT d2, s2 + u.i "
+        "FROM runs, UNNEST(range(0, L)) AS u(i))) GROUP BY 1), "
+        "nt AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 "
+        "ELSE len(regexp_split_to_array(text, '\\s+')) END AS n_tokens "
+        "FROM documents) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(ex.nc, 1) AS BIGINT) AS n_exact_copies, "
+        "CAST(COALESCE(ex.rep, d.doc_id) AS BIGINT) AS exact_rep, "
+        "CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS near_component, "
+        "CAST(COALESCE(cont.mx, 0) AS BIGINT) AS max_contained_x1e6, "
+        "CAST(nt.n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(cov.nv, 0) AS BIGINT) AS n_verbatim_shared_tokens "
+        "FROM documents d "
+        "LEFT JOIN ex ON d.text = ex.text "
+        "LEFT JOIN comp ON d.doc_id = comp.doc_id "
+        "LEFT JOIN cont ON d.doc_id = cont.doc_id "
+        "JOIN nt ON d.doc_id = nt.doc_id "
+        "LEFT JOIN cov ON d.doc_id = cov.doc_id"
+    ),
+)
+def x_dedup_report(spark, sf_dir):
+    """Per-document DEDUP REPORT — exact-copy group, near-dup component
+    (Jaccard >= 0.5), max containment in any other doc, and verbatim-run
+    token coverage, one row per document (operators/dedup.dedup_report).
+    Each signal is the same computation its standalone query runs; the
+    oracle recomputes all four pipelines (incl. the recursive-CTE
+    closure) and joins them identically. One shared shingle
+    materialization feeds both pair signals."""
+    from .operators.dedup import dedup_report
+
+    return dedup_report(_table(spark, sf_dir, "documents"))
+
+
+@query(
     "x_dedup_containment",
     oracle=(
         "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
