@@ -397,3 +397,21 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q7_disjunctive_pair_stays_hash_joinable(spark, sf_dir):
+    """TPC-H Q7's ((A,B) OR (B,A)) predicate is kept OUT of the join keys
+    (two broadcast dim joins + post-join inequality) — an OR'd join key
+    would plan a nested-loop. Pin: no nested-loop/cartesian operator and
+    the two nation dims join as broadcast-hash."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q7"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
