@@ -851,3 +851,36 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert r["containment_2_in_1_x1e6"] < 100_000
     # Jaccard at 0.5 misses this pair entirely
     assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
+
+
+def test_incremental_substring_verdict_semantics(spark):
+    """Delta screening: planted overlap found with correct length, best
+    match ties break to min corpus id, clean docs report zeros, and
+    corpus-internal duplication is ignored."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        incremental_substring_verdict,
+    )
+
+    run = " ".join(f"r{i}" for i in range(8))
+    corpus = [
+        (1, f"alpha beta {run} gamma delta"),
+        (2, f"x1 x2 {run} x3 x4"),        # same run — tie on length -> min id 1
+        (3, "c c c c c c"),                # corpus-internal junk, no effect
+    ]
+    new = [
+        (100, f"n1 n2 n3 {run} n4"),       # overlaps both corpus docs
+        (101, "clean tokens nothing shared here at all"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in incremental_substring_verdict(cdf, ndf, n=5).collect()
+    }
+    assert len(got) == 2
+    assert got[100]["max_run_tokens"] == 8
+    assert got[100]["n_covered_tokens"] == 8
+    assert got[100]["best_match_doc"] == 1  # tie -> min corpus id
+    assert got[101]["max_run_tokens"] == 0
+    assert got[101]["n_covered_tokens"] == 0
+    assert got[101]["best_match_doc"] is None

@@ -717,6 +717,110 @@ def maximal_duplicated_substrings(
     )
 
 
+def incremental_substring_verdict(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Delta-vs-corpus verbatim-overlap screening (the crawl-ingestion
+    shape, substring analogue of :func:`incremental_near_dup`): for each
+    NEW document, how much of it appears verbatim in the existing
+    corpus — without touching corpus-internal pairs.
+
+    Per new doc: ``max_run_tokens`` (longest verbatim run shared with
+    any one corpus doc), ``n_covered_tokens`` (distinct new-doc token
+    positions inside any cross run — the strip volume admission would
+    pay), ``best_match_doc`` (corpus doc holding the longest run;
+    min-id tie-break; NULL when nothing shared).
+
+    Cost scales with the DELTA: corpus anchors are semi-joined against
+    the new side's anchor-hash set first, so the corpus-side explode is
+    pruned to anchors the delta actually mentions; the diagonal-island
+    window then runs only over (new, corpus) matches. Doc-id spaces
+    must be disjoint (caller's contract, as in incremental_near_dup)."""
+    def _anchors(docs, id_alias, pos_alias):
+        tokenized = _spread(docs).select(
+            "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
+        )
+        t = F.col("_toks")
+        grams = F.transform(
+            t,
+            lambda x, i: F.when(
+                i <= F.size(t) - n,
+                F.concat_ws(
+                    " ", x, *[F.element_at(t, i + j + 1) for j in range(1, n)]
+                ),
+            ),
+        )
+        return (
+            tokenized.select(
+                "doc_id", F.posexplode(grams).alias("pos0", "anchor")
+            )
+            .filter(F.col("anchor").isNotNull())
+            .select(
+                F.col("doc_id").alias(id_alias),
+                (F.col("pos0") + 1).cast("long").alias(pos_alias),
+                "anchor",
+            )
+        )
+
+    new_a = materialize(_anchors(new_docs, "n_id", "n_pos"))
+    new_hashes = new_a.select(F.xxhash64("anchor").alias("_h")).distinct()
+    # no broadcast hint: the hash set is DELTA-cardinality (usually tiny,
+    # but data-dependent) — AQE broadcasts it while it fits and falls back
+    # to a shuffled semi join when it doesn't (the r04 unbounded-hint rule)
+    corp_a = _anchors(corpus, "c_id", "c_pos").join(
+        new_hashes,
+        F.xxhash64("anchor") == F.col("_h"),
+        "left_semi",
+    )
+    matches = new_a.join(corp_a, "anchor").select(
+        "n_id",
+        "c_id",
+        "n_pos",
+        (F.col("c_pos") - F.col("n_pos")).alias("_diag"),
+    )
+    w = Window.partitionBy("n_id", "c_id", "_diag").orderBy("n_pos")
+    runs = (
+        matches.withColumn("_grp", F.col("n_pos") - F.row_number().over(w))
+        .groupBy("n_id", "c_id", "_diag", "_grp")
+        .agg(
+            F.min("n_pos").alias("start_n"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("run_len"),
+        )
+    )
+    best = runs.groupBy("n_id").agg(
+        F.max("run_len").alias("max_run_tokens"),
+        F.max_by(
+            "c_id", F.struct(F.col("run_len"), -F.col("c_id"))
+        ).alias("best_match_doc"),
+    )
+    covered = (
+        runs.select(
+            "n_id",
+            F.explode(
+                F.sequence(
+                    F.col("start_n"), F.col("start_n") + F.col("run_len") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("n_id")
+        .agg(F.count(F.lit(1)).alias("n_covered_tokens"))
+    )
+    return (
+        new_docs.select(F.col("doc_id"))
+        .join(best.withColumnRenamed("n_id", "doc_id"), "doc_id", "left")
+        .join(covered.withColumnRenamed("n_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_run_tokens", F.lit(0)).alias("max_run_tokens"),
+            F.coalesce("n_covered_tokens", F.lit(0)).alias("n_covered_tokens"),
+            "best_match_doc",
+        )
+    )
+
+
 def strip_duplicated_substrings(
     documents: DataFrame,
     n: int = 5,

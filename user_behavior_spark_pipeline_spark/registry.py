@@ -1217,6 +1217,58 @@ def x_dedup_report(spark, sf_dir):
 
 
 @query(
+    "x_dedup_substring_incremental",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+        "FROM documents), "
+        "an AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS a "
+        "FROM toks, UNNEST(range(1, len(t)-3)) AS u(i)), "
+        "m AS (SELECT x.doc_id AS n_id, y.doc_id AS c_id, x.pos AS np, "
+        "y.pos - x.pos AS diag "
+        "FROM an x JOIN an y ON x.a = y.a "
+        "WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4), "
+        "r AS (SELECT n_id, c_id, diag, np, "
+        "np - ROW_NUMBER() OVER (PARTITION BY n_id, c_id, diag ORDER BY np) "
+        "AS grp FROM m), "
+        "runs AS (SELECT n_id, c_id, MIN(np) AS sn, COUNT(*) + 4 AS L "
+        "FROM r GROUP BY n_id, c_id, diag, grp), "
+        "best AS (SELECT n_id, mx, bm FROM ("
+        "SELECT n_id, L AS mx, c_id AS bm, "
+        "ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY L DESC, c_id ASC) AS rn "
+        "FROM runs) WHERE rn = 1), "
+        "cov AS (SELECT n_id, COUNT(*) AS nc FROM ("
+        "SELECT DISTINCT n_id, sn + u.i AS pos "
+        "FROM runs, UNNEST(range(0, L)) AS u(i)) GROUP BY 1) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(b.mx, 0) AS BIGINT) AS max_run_tokens, "
+        "CAST(COALESCE(cov.nc, 0) AS BIGINT) AS n_covered_tokens, "
+        "b.bm AS best_match_doc "
+        "FROM documents d "
+        "LEFT JOIN best b ON d.doc_id = b.n_id "
+        "LEFT JOIN cov ON d.doc_id = cov.n_id "
+        "WHERE d.doc_id % 5 = 4"
+    ),
+)
+def x_dedup_substring_incremental(spark, sf_dir):
+    """Delta-vs-corpus verbatim screening: documents with doc_id % 5 = 4
+    play the incoming delta, the rest the corpus. Per new doc: longest
+    verbatim run shared with any corpus doc, covered-token count, and
+    the best-match corpus doc (min-id tie-break). Cost scales with the
+    delta (corpus anchors semi-joined against the delta's anchor-hash
+    set before any pairing)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import incremental_substring_verdict
+
+    docs = _table(spark, sf_dir, "documents")
+    return incremental_substring_verdict(
+        docs.filter(F.col("doc_id") % 5 != 4),
+        docs.filter(F.col("doc_id") % 5 == 4),
+        n=5,
+    )
+
+
+@query(
     "x_dedup_containment",
     oracle=(
         "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
