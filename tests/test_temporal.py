@@ -257,3 +257,40 @@ def test_asof_matches_naive_reference_property(
 
     want = {i: naive(k, t) for i, (k, t) in enumerate(left_rows)}
     assert got == want, (direction, left_rows, right_rows)
+
+
+def test_resample_dense_zero_fills_gaps(spark):
+    """Every (key, bucket) on the global grid appears exactly once; empty
+    buckets carry 0; totals are conserved."""
+    import datetime
+
+    from user_behavior_spark_pipeline_spark.operators.temporal import (
+        resample_dense,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def _ts(h):
+        return base + datetime.timedelta(hours=h)
+
+    rows = [
+        (1, _ts(0), 7, "click", 0.0),
+        (2, _ts(0), 8, "click", 0.0),
+        (3, _ts(5), 9, "click", 0.0),   # 4-hour gap for click
+        (4, _ts(2), 7, "view", 0.0),    # view exists only at hour 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    got = {
+        (r["key"], r["bucket_s"]): r["n_events"]
+        for r in resample_dense(df).collect()
+    }
+    lo = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # grid: 2 keys x 6 hourly buckets (hours 0..5)
+    assert len(got) == 12
+    assert got[("click", lo)] == 2
+    assert got[("click", lo + 5 * 3600)] == 1
+    assert all(got[("click", lo + h * 3600)] == 0 for h in (1, 2, 3, 4))
+    assert got[("view", lo + 2 * 3600)] == 1
+    assert sum(got.values()) == 4

@@ -133,3 +133,52 @@ def range_join_banded(
         )
         .drop("_band")
     )
+
+
+def resample_dense(
+    events: DataFrame,
+    key_col: str = "event_type",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense time-series resampling: per-key counts on a FIXED bucket grid
+    with every gap zero-filled — what downstream rolling windows, spike
+    baselines, and chart layers assume, and what a plain groupBy cannot
+    produce (it emits only buckets that have data).
+
+    Shape: one groupBy((key, bucket)) for the sparse counts, then the
+    dense (key x bucket-grid) frame LEFT-joins them. The grid is built
+    from the GLOBAL min/max bucket (a 2-value aggregate, broadcast as a
+    scalar-subquery cross join — one row, not corpus-sized) exploded per
+    key; grid size = keys x span/width, independent of event count, and
+    the explode carries only (key, two longs). At 100 TB the sparse agg
+    is the only event-sized stage and it is map-side combinable.
+
+    Bucket = floor(epoch/width)*width, emitted as epoch seconds (an
+    exact integer — the engine-portable form; callers cast to timestamp
+    for display)."""
+    bucket = (
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / bucket_seconds
+        ).cast("long")
+        * bucket_seconds
+    )
+    sparse = (
+        events.select(F.col(key_col).alias("key"), bucket.alias("bucket_s"))
+        .groupBy("key", "bucket_s")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = events.select(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    grid = keys.crossJoin(F.broadcast(span)).select(
+        "key",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds))
+        ).alias("bucket_s"),
+    )
+    return grid.join(sparse, ["key", "bucket_s"], "left").select(
+        "key",
+        "bucket_s",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -2385,6 +2385,35 @@ def x_udf_apply_in_pandas(spark, sf_dir):
 
 
 @query(
+    "x_resample_dense",
+    oracle=(
+        "WITH b AS (SELECT event_type AS key, "
+        "CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s "
+        "FROM events), "
+        "sparse AS (SELECT key, bucket_s, COUNT(*) AS n FROM b GROUP BY 1, 2), "
+        "span AS (SELECT MIN(bucket_s) lo, MAX(bucket_s) hi FROM b), "
+        "grid AS (SELECT k.key, u.g AS bucket_s "
+        "FROM (SELECT DISTINCT key FROM b) k, span, "
+        "UNNEST(range(span.lo, span.hi + 3600, 3600)) AS u(g)) "
+        "SELECT g.key, g.bucket_s, "
+        "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_events "
+        "FROM grid g LEFT JOIN sparse s "
+        "ON g.key = s.key AND g.bucket_s = s.bucket_s"
+    ),
+)
+def x_resample_dense(spark, sf_dir):
+    """Dense hourly resampling: per-event-type counts on a fixed bucket
+    grid with gaps ZERO-FILLED (what rolling baselines assume; a plain
+    groupBy emits only non-empty buckets). Grid = global min/max bucket
+    (2-value broadcast aggregate) exploded per key — grid size is
+    keys x span, independent of event count; the sparse agg is the only
+    event-sized stage."""
+    from .operators.temporal import resample_dense
+
+    return resample_dense(_table(spark, sf_dir, "events"))
+
+
+@query(
     "x_asof_join",
     oracle=(
         "WITH l AS (SELECT event_id, user_id, ts FROM events "
