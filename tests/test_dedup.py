@@ -884,3 +884,34 @@ def test_incremental_substring_verdict_semantics(spark):
     assert got[101]["max_run_tokens"] == 0
     assert got[101]["n_covered_tokens"] == 0
     assert got[101]["best_match_doc"] is None
+
+
+def test_incremental_substring_anchor_cap_tames_boilerplate(spark):
+    """A header shared by every corpus doc AND the delta seeds
+    |delta| x |corpus| matches; the corpus-df cap suppresses it while a
+    distinctive planted run still reports."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        incremental_substring_verdict,
+    )
+
+    boiler = "this site is generated by engine nine"
+    run = " ".join(f"r{i}" for i in range(8))
+    corpus = [(i, f"{boiler} body{i} tail{i}") for i in range(20)]
+    corpus.append((50, f"x1 {run} x2"))
+    new = [(100, f"{boiler} fresh tokens"), (101, f"n1 {run} n2")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    ndf = spark.createDataFrame(new, "doc_id long, text string")
+    capped = {
+        r["doc_id"]: r
+        for r in incremental_substring_verdict(
+            cdf, ndf, n=5, max_anchor_df=5
+        ).collect()
+    }
+    assert capped[100]["max_run_tokens"] == 0  # boilerplate suppressed
+    assert capped[101]["max_run_tokens"] == 8  # distinctive run kept
+    assert capped[101]["best_match_doc"] == 50
+    uncapped = {
+        r["doc_id"]: r
+        for r in incremental_substring_verdict(cdf, ndf, n=5).collect()
+    }
+    assert uncapped[100]["max_run_tokens"] == 7  # the boiler run itself

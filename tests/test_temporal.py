@@ -294,3 +294,32 @@ def test_resample_dense_zero_fills_gaps(spark):
     assert all(got[("click", lo + h * 3600)] == 0 for h in (1, 2, 3, 4))
     assert got[("view", lo + 2 * 3600)] == 1
     assert sum(got.values()) == 4
+
+
+def test_resample_dense_clamps_corrupt_timestamp_grid(spark):
+    """One corrupt far-future event must NOT inflate the grid (the
+    dirty-metadata blowup); its real count still appears (full-outer),
+    only the fabricated zero-fill is bounded."""
+    import datetime
+
+    from user_behavior_spark_pipeline_spark.operators.temporal import (
+        resample_dense,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "click", 0.0),
+        (2, base + datetime.timedelta(hours=3), 7, "click", 0.0),
+        (3, datetime.datetime(2100, 1, 1), 7, "click", 0.0),  # corrupt
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = resample_dense(df, max_buckets=10).collect()
+    assert len(out) == 12  # 11 clamped grid buckets + the far-future row
+    by_bucket = {r["bucket_s"]: r["n_events"] for r in out}
+    far = int(
+        datetime.datetime(2100, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    assert by_bucket[far] == 1  # real data survives the clamp
+    assert sum(by_bucket.values()) == 3

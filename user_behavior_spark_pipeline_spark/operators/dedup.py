@@ -397,6 +397,9 @@ def dedup_report(
     jaccard_threshold: float = 0.5,
     n: int = 3,
     substr_n: int = 5,
+    max_shingle_df: int | None = None,
+    max_anchor_df: int | None = None,
+    max_anchor_tf: int | None = None,
 ) -> DataFrame:
     """Per-document DEDUP REPORT — every duplication signal this module
     computes, joined into one row per document (the triage table a
@@ -417,7 +420,13 @@ def dedup_report(
     (materialized once via the seam); the exact group is one
     text-groupBy; coverage explodes only run intervals. Every signal is
     the same computation its standalone operator runs — this is a join,
-    not a re-derivation, so the standalone oracles transfer."""
+    not a re-derivation, so the standalone oracles transfer.
+
+    At corpus scale pass the same caps the standalone operators take:
+    ``max_shingle_df`` (boilerplate shingles — O(k²) pair guard for BOTH
+    pair signals), ``max_anchor_df``/``max_anchor_tf`` (the substring
+    stage's boilerplate/periodic guards). Uncapped, the composite
+    inherits every standalone hot-value wall at once."""
     exact = (
         documents.filter(F.col("text").isNotNull())
         .groupBy("text")
@@ -431,7 +440,10 @@ def dedup_report(
         F.coalesce("n_exact_copies", F.lit(1)).alias("n_exact_copies"),
         F.coalesce("exact_rep", F.col("doc_id")).alias("exact_rep"),
     )
-    sh = materialize(shingles(documents, n))
+    sh = shingles(documents, n)
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sh = materialize(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
@@ -473,7 +485,12 @@ def dedup_report(
         .groupBy("doc_id")
         .agg(F.max("c").alias("max_contained_x1e6"))
     )
-    runs = maximal_duplicated_substrings(documents, n=substr_n)
+    runs = maximal_duplicated_substrings(
+        documents,
+        n=substr_n,
+        max_anchor_df=max_anchor_df,
+        max_anchor_tf=max_anchor_tf,
+    )
     covered = (
         runs.select(
             F.col("doc_id_1").alias("doc_id"),
@@ -721,6 +738,7 @@ def incremental_substring_verdict(
     corpus: DataFrame,
     new_docs: DataFrame,
     n: int = 5,
+    max_anchor_df: int | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus verbatim-overlap screening (the crawl-ingestion
     shape, substring analogue of :func:`incremental_near_dup`): for each
@@ -737,7 +755,14 @@ def incremental_substring_verdict(
     the new side's anchor-hash set first, so the corpus-side explode is
     pruned to anchors the delta actually mentions; the diagonal-island
     window then runs only over (new, corpus) matches. Doc-id spaces
-    must be disjoint (caller's contract, as in incremental_near_dup)."""
+    must be disjoint (caller's contract, as in incremental_near_dup).
+
+    ``max_anchor_df``: a boilerplate anchor present in k corpus docs AND
+    mentioned by the delta seeds |delta mentions| x k match rows — the
+    hot-value wall every pair stage in this module caps. Drops anchors
+    whose CORPUS document frequency exceeds the cap (string-exact, over
+    the already-semi-joined corpus side, so the df job is delta-pruned
+    too); runs through dropped anchors split, the standard trade."""
     def _anchors(docs, id_alias, pos_alias):
         tokenized = _spread(docs).select(
             "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
@@ -774,6 +799,16 @@ def incremental_substring_verdict(
         F.xxhash64("anchor") == F.col("_h"),
         "left_semi",
     )
+    if max_anchor_df is not None:
+        over_cap = (
+            corp_a.select("anchor", "c_id")
+            .distinct()
+            .groupBy("anchor")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_anchor_df)
+            .select("anchor")
+        )
+        corp_a = corp_a.join(F.broadcast(over_cap), "anchor", "left_anti")
     matches = new_a.join(corp_a, "anchor").select(
         "n_id",
         "c_id",

@@ -139,6 +139,7 @@ def resample_dense(
     events: DataFrame,
     key_col: str = "event_type",
     bucket_seconds: int = 3600,
+    max_buckets: int = 200_000,
 ) -> DataFrame:
     """Dense time-series resampling: per-key counts on a FIXED bucket grid
     with every gap zero-filled — what downstream rolling windows, spike
@@ -155,7 +156,17 @@ def resample_dense(
 
     Bucket = floor(epoch/width)*width, emitted as epoch seconds (an
     exact integer — the engine-portable form; callers cast to timestamp
-    for display)."""
+    for display).
+
+    ``max_buckets`` clamps the grid END to lo + max_buckets·width: ONE
+    corrupt far-future timestamp (year-2100 in a 2024 corpus) would
+    otherwise inflate the grid to keys × millions of buckets — the same
+    dirty-metadata blowup sample_frames guards against (its max_frames
+    cap). Sparse counts beyond the clamped grid still appear (the LEFT
+    join keeps the grid side only — clamp changes zero-fill reach, never
+    drops real data... it bounds the fabricated rows, not the observed
+    ones). The default (200k ≈ 22 years hourly) never binds on sane
+    data; raise it deliberately when the span is real."""
     bucket = (
         F.floor(
             F.unix_timestamp(F.col("ts").cast("timestamp")) / bucket_seconds
@@ -168,7 +179,11 @@ def resample_dense(
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     span = events.select(
-        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+        F.min(bucket).alias("_lo"),
+        F.least(
+            F.max(bucket),
+            F.min(bucket) + F.lit(int(max_buckets) * bucket_seconds),
+        ).alias("_hi"),
     )
     keys = events.select(F.col(key_col).alias("key")).distinct()
     grid = keys.crossJoin(F.broadcast(span)).select(
@@ -177,7 +192,10 @@ def resample_dense(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds))
         ).alias("bucket_s"),
     )
-    return grid.join(sparse, ["key", "bucket_s"], "left").select(
+    # FULL outer, not left: when the clamp binds, real counts beyond the
+    # grid end must still appear (the clamp bounds the fabricated zero
+    # rows, never the observed data)
+    return grid.join(sparse, ["key", "bucket_s"], "full_outer").select(
         "key",
         "bucket_s",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
