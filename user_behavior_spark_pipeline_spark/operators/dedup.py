@@ -485,11 +485,16 @@ def dedup_report(
         .groupBy("doc_id")
         .agg(F.max("c").alias("max_contained_x1e6"))
     )
-    runs = maximal_duplicated_substrings(
-        documents,
-        n=substr_n,
-        max_anchor_df=max_anchor_df,
-        max_anchor_tf=max_anchor_tf,
+    # runs feeds BOTH branches of the coverage union below — materialize
+    # once or the full anchor-join + window pipeline computes twice (the
+    # fan-out-recompute pathology, SCALE.md)
+    runs = materialize(
+        maximal_duplicated_substrings(
+            documents,
+            n=substr_n,
+            max_anchor_df=max_anchor_df,
+            max_anchor_tf=max_anchor_tf,
+        )
     )
     covered = (
         runs.select(
@@ -800,6 +805,9 @@ def incremental_substring_verdict(
         "left_semi",
     )
     if max_anchor_df is not None:
+        # two consumers (df job + anti join) — materialize the delta-pruned
+        # corpus anchors once instead of re-running the semi join per branch
+        corp_a = materialize(corp_a)
         over_cap = (
             corp_a.select("anchor", "c_id")
             .distinct()
@@ -816,7 +824,8 @@ def incremental_substring_verdict(
         (F.col("c_pos") - F.col("n_pos")).alias("_diag"),
     )
     w = Window.partitionBy("n_id", "c_id", "_diag").orderBy("n_pos")
-    runs = (
+    # runs feeds best AND covered — materialize once (fan-out rule)
+    runs = materialize(
         matches.withColumn("_grp", F.col("n_pos") - F.row_number().over(w))
         .groupBy("n_id", "c_id", "_diag", "_grp")
         .agg(
