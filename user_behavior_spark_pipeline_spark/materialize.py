@@ -189,6 +189,13 @@ def cache_shared_by_key(key, builder) -> DataFrame:
     hit = _KEYED_SHARED.get(full_key)
     if hit is not None:
         return hit
+    # prune entries from OTHER application ids: they belong to stopped
+    # sessions (a process restarting Spark repeatedly must not accumulate
+    # dead DataFrame references). A process running two LIVE sessions
+    # would thrash this prune — don't share the seam across concurrent
+    # sessions (nothing in this repo does).
+    for stale in [k for k in _KEYED_SHARED if k[0] != full_key[0]]:
+        _KEYED_SHARED.pop(stale, None)
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
     _KEYED_SHARED[full_key] = cached
