@@ -564,9 +564,17 @@ def test_left_outer_bucketed_hot_key_nulls_exactly_once(spark, tmp_path):
             horizon="10 seconds",
             skew_safe=False,
         )
+    sub4 = _run(
+        stream_stream_left_join_bucketed_stream,
+        "sub4",
+        horizon_seconds=10,
+        subdivisions=4,
+    )
     b = sorted(map(tuple, bucketed.collect()))
     p = sorted(map(tuple, plain.collect()))
     assert b == p
+    # subdivided LEFT join (burst defense): same rows, nulls exactly once
+    assert sorted(map(tuple, sub4.collect())) == p
     # every lonely click appears exactly once, with a null purchase
     nulls = bucketed.filter(
         F.col("purchase_cents").isNull() & (F.col("user_id") >= 500)
