@@ -328,6 +328,10 @@ PLAN_LINT_WHITELIST = {
     # aggregates into the scan / per-type table (stats.py, text.py)
     "x_text_perplexity": {"BroadcastNestedLoopJoin"},
     "x_stats_drift": {"BroadcastNestedLoopJoin"},
+    # ONE-row broadcast: the global (lo, hi) span aggregate cross-joined
+    # into the (distinct keys) table to build the dense bucket grid
+    # (temporal.resample_dense — grid size = keys x span, never events)
+    "x_resample_dense": {"BroadcastNestedLoopJoin"},
     # the documented reference-parity Python UDF variant (ingest.py:97)
     "ref_filter_udf_parity": {"BatchEvalPython"},
     # UDTFs execute in Python by definition — the API-surface demo
