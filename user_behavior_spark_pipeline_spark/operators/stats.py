@@ -127,3 +127,43 @@ def price_histogram(orders: DataFrame, bucket_width: float = 50000.0) -> DataFra
             "bucket_lo", (F.col("bucket") * bucket_width).cast("long")
         )
     )
+
+
+def value_skewness(events: DataFrame) -> DataFrame:
+    """Per-type skewness from exact integer moment sums over cents —
+    deterministic under any partitioning (the native ``skewness()`` is a
+    streaming-double fold whose result depends on merge order).
+
+    First/second/third power sums run in DECIMAL(38,0) — the per-row
+    cents³ term reaches ~10¹² at cents ~10⁴, so an int64 sum of cubes
+    wraps around 10⁶ rows per group (see corr_quantity_price's overflow
+    note; same rule, one power higher). The closed form
+    g1 = √n · M3 / M2^1.5 (M2, M3 central sums) is evaluated in ONE
+    expression with the identical op sequence as the DuckDB oracle, so
+    both engines see the same IEEE doubles."""
+    c = F.round(F.col("value") * 100).cast("long")
+    dec = "decimal(38,0)"
+    sums = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c.cast(dec)).alias("s1"),
+        F.sum((c * c).cast(dec)).alias("s2"),
+        F.sum((c * c * c).cast(dec)).alias("s3"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.col("s1").cast("long").alias("sum_cents"),
+        F.expr(
+            "CAST(ROUND(SQRT(CAST(n AS DOUBLE)) "
+            "* (CAST(s3 AS DOUBLE) "
+            "   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) "
+            "     / CAST(n AS DOUBLE) "
+            "   + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) "
+            "     * CAST(s1 AS DOUBLE) "
+            "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) "
+            "/ POWER(CAST(s2 AS DOUBLE) "
+            "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) "
+            "    / CAST(n AS DOUBLE), 1.5) "
+            "* 1000000) AS BIGINT)"
+        ).alias("skewness_x1e6"),
+    )

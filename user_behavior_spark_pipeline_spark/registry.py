@@ -3027,6 +3027,41 @@ def x_agg_corr(spark, sf_dir):
 
 
 @query(
+    "x_agg_skewness",
+    oracle=(
+        "WITH s AS (SELECT event_type, COUNT(*) AS n, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT) "
+        "  * CAST(ROUND(value * 100) AS BIGINT)) AS s2, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT) "
+        "  * CAST(ROUND(value * 100) AS BIGINT) "
+        "  * CAST(ROUND(value * 100) AS BIGINT)) AS s3 "
+        "FROM events GROUP BY 1) "
+        "SELECT event_type, n, CAST(s1 AS BIGINT) AS sum_cents, "
+        "CAST(ROUND(SQRT(CAST(n AS DOUBLE)) "
+        "* (CAST(s3 AS DOUBLE) "
+        "   - 3.0 * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) "
+        "     / CAST(n AS DOUBLE) "
+        "   + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) "
+        "     * CAST(s1 AS DOUBLE) "
+        "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) "
+        "/ POWER(CAST(s2 AS DOUBLE) "
+        "  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) "
+        "    / CAST(n AS DOUBLE), 1.5) "
+        "* 1000000) AS BIGINT) AS skewness_x1e6 FROM s"
+    ),
+)
+def x_agg_skewness(spark, sf_dir):
+    """Per-type skewness from exact integer moment sums (decimal-38
+    accumulation — cents³ wraps int64 around 10⁶ rows/group), closed
+    form evaluated with the oracle's identical IEEE op sequence.
+    Deterministic under any partitioning, unlike native skewness()."""
+    from .operators.stats import value_skewness
+
+    return value_skewness(_table(spark, sf_dir, "events"))
+
+
+@query(
     "x_stats_drift",
     oracle=(
         "WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx "
