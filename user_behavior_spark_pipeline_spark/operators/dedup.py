@@ -400,6 +400,7 @@ def dedup_report(
     max_shingle_df: int | None = None,
     max_anchor_df: int | None = None,
     max_anchor_tf: int | None = None,
+    share_key: str | None = None,
 ) -> DataFrame:
     """Per-document DEDUP REPORT — every duplication signal this module
     computes, joined into one row per document (the triage table a
@@ -487,15 +488,18 @@ def dedup_report(
     )
     # runs feeds BOTH branches of the coverage union below — materialize
     # once or the full anchor-join + window pipeline computes twice (the
-    # fan-out-recompute pathology, SCALE.md)
-    runs = materialize(
-        maximal_duplicated_substrings(
-            documents,
-            n=substr_n,
-            max_anchor_df=max_anchor_df,
-            max_anchor_tf=max_anchor_tf,
-        )
+    # fan-out-recompute pathology, SCALE.md). Under share_key the keyed
+    # seam already persisted it — a second wrapper would just add a
+    # checkpoint write.
+    runs = maximal_duplicated_substrings(
+        documents,
+        n=substr_n,
+        max_anchor_df=max_anchor_df,
+        max_anchor_tf=max_anchor_tf,
+        share_key=share_key,
     )
+    if share_key is None:
+        runs = materialize(runs)
     covered = (
         runs.select(
             F.col("doc_id_1").alias("doc_id"),
@@ -613,6 +617,7 @@ def maximal_duplicated_substrings(
     min_tokens: int | None = None,
     max_anchor_df: int | None = None,
     max_anchor_tf: int | None = None,
+    share_key: str | None = None,
 ) -> DataFrame:
     """ARBITRARY-LENGTH verbatim-substring dedup: every maximal token run
     shared verbatim by a document pair, with its positions and length —
@@ -658,9 +663,37 @@ def maximal_duplicated_substrings(
     the anchor's TOTAL occurrence count (positions, not documents)
     drops only pathologically self-repeating anchors, which carry no
     dedup signal; like the df cap it is computed string-exact over the
-    candidate set."""
+    candidate set.
+
+    ``share_key``: the run list is SMALL (one row per maximal shared
+    run) but its discovery is the expensive stage, and three registered
+    queries consume the same runs (detection, strip action, report).
+    Passing a corpus identity string routes the result through
+    materialize.cache_shared_by_key — computed once per session per
+    (corpus, n, min_tokens, caps), the ANN-baseline pattern. None
+    (default) computes per call."""
     if min_tokens is None:
         min_tokens = n
+    if share_key is not None:
+        from ..materialize import cache_shared_by_key
+
+        return cache_shared_by_key(
+            (
+                "mem_runs",
+                share_key,
+                n,
+                min_tokens,
+                max_anchor_df,
+                max_anchor_tf,
+            ),
+            lambda: maximal_duplicated_substrings(
+                documents,
+                n=n,
+                min_tokens=min_tokens,
+                max_anchor_df=max_anchor_df,
+                max_anchor_tf=max_anchor_tf,
+            ),
+        )
     tokenized = _spread(documents).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
     )
@@ -871,6 +904,7 @@ def strip_duplicated_substrings(
     min_tokens: int | None = None,
     max_anchor_df: int | None = None,
     max_anchor_tf: int | None = None,
+    share_key: str | None = None,
 ) -> DataFrame:
     """The dedup ACTION for verbatim repeats (Lee et al.'s "Deduplicating
     Training Data Makes Language Models Better" removal step): every
@@ -901,6 +935,7 @@ def strip_duplicated_substrings(
         min_tokens=min_tokens,
         max_anchor_df=max_anchor_df,
         max_anchor_tf=max_anchor_tf,
+        share_key=share_key,
     )
     strip_pos = (
         runs.select(

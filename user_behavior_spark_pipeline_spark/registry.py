@@ -1085,7 +1085,8 @@ def x_dedup_substring(spark, sf_dir):
     from .operators.dedup import maximal_duplicated_substrings
 
     return maximal_duplicated_substrings(
-        _table(spark, sf_dir, "documents"), n=5
+        _table(spark, sf_dir, "documents"), n=5,
+        share_key=f"{sf_dir}:documents",
     )
 
 
@@ -1128,7 +1129,10 @@ def x_dedup_strip(spark, sf_dir):
     stripped volume; reassembly is one groupBy(doc_id)."""
     from .operators.dedup import strip_duplicated_substrings
 
-    return strip_duplicated_substrings(_table(spark, sf_dir, "documents"), n=5)
+    return strip_duplicated_substrings(
+        _table(spark, sf_dir, "documents"), n=5,
+        share_key=f"{sf_dir}:documents",
+    )
 
 
 @query("x_dedup_ngram", oracle=_SHINGLE_PAIRS_SQL)
@@ -1213,7 +1217,9 @@ def x_dedup_report(spark, sf_dir):
     materialization feeds both pair signals."""
     from .operators.dedup import dedup_report
 
-    return dedup_report(_table(spark, sf_dir, "documents"))
+    return dedup_report(
+        _table(spark, sf_dir, "documents"), share_key=f"{sf_dir}:documents"
+    )
 
 
 @query(
