@@ -915,3 +915,45 @@ def test_incremental_substring_anchor_cap_tames_boilerplate(spark):
         for r in incremental_substring_verdict(cdf, ndf, n=5).collect()
     }
     assert uncapped[100]["max_run_tokens"] == 7  # the boiler run itself
+
+
+# Property-based MEM invariant (hypothesis): random low-alphabet corpora
+# maximize diagonal structure, within-doc repeats, and boundary cases —
+# the operator must equal the per-diagonal brute force on ALL of them.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_mem_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_mem_corpus, n=st.integers(2, 4))
+def test_maximal_substrings_property_equals_bruteforce(spark, corpus, n):
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        maximal_duplicated_substrings,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, maximal_duplicated_substrings(df, n=n).collect())
+    )
+    toks = {i: t.split() for i, t in docs}
+    exp = sorted(
+        (i, j, s1, s2, L)
+        for i in toks
+        for j in toks
+        if i < j
+        for s1, s2, L in _bruteforce_mems(toks[i], toks[j], n)
+    )
+    assert got == exp
