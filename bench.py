@@ -8,17 +8,23 @@ unparseable for exactly that reason):
 where "queries" holds only the 10 slowest; the FULL per-query map is written
 to BENCH_DETAIL.json next to this script.
 
-``--runs N`` (or env SPARK_GRAFT_RUNS) repeats the whole suite N times in
-one session and reports the per-query MEDIAN, with min/max spread per query
+``--runs N`` (or env SPARK_GRAFT_RUNS) samples every query N times in one
+session and reports the per-query MEDIAN, with min/max spread per query
 in BENCH_DETAIL.json — single-shot numbers on a shared box swing ±10-20%
 (round-6 observation: three same-code runs totalled 136.5/147.0/165.8 s),
 which previously needed hand-run idle triplicates and prose adjudication
 (BENCH_NOTES); medians make round-over-round deltas self-describing
 (VERDICT r05 #8). Default is 3 runs, bounded by $SPARK_GRAFT_BENCH_BUDGET
-(300 s): a pass that has started always completes, but no new pass starts
-past the budget — so a slow box degrades to fewer samples instead of
-blowing a caller's subprocess timeout. "runs" in the output reports the
-passes actually taken.
+(480 s of timed work). Scheduling is PER QUERY, not per suite (VERDICT
+r06 #6 — the r06 run lost its third pass because whole-suite passes
+leave the budget check only between passes): pass 1 covers every query,
+then extra samples run cheapest-query-first with the budget checked
+before EACH query against its own estimated cost, so wall-clock overrun
+is bounded by one query (~seconds), not one suite pass (~minutes), and
+a contended box sheds samples from the expensive tail last-first instead
+of dropping a whole pass for everyone. "runs" reports the MINIMUM
+samples any query received (the driver-facing guarantee); per-query
+sample counts are in BENCH_DETAIL.json.
 
 Each query is fully materialized through the noop datasource (no driver-side
 collect bottleneck, no disk write) — i.e. we time scan + compute + shuffle,
@@ -41,10 +47,15 @@ def main() -> None:
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
     runs = max(1, runs)
-    # extra passes stop once this much wall-clock has elapsed (a pass that
-    # has STARTED always completes): medians by default without risking a
-    # caller's subprocess timeout if the box is slow that day
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+    # no new SAMPLE starts once this much timed wall-clock has elapsed (a
+    # sample that has started always completes): medians by default
+    # without risking a caller's subprocess timeout if the box is slow
+    # that day. Raised 300 -> 480 with the move to per-query scheduling:
+    # overrun past the budget is now one query (seconds), not one suite
+    # pass (minutes), so the budget can absorb 3 full passes (~3 x 150 s)
+    # while keeping worst-case wall-clock BELOW the old scheme's
+    # 300 + full-pass ~= 500 s.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     except ValueError:
@@ -72,38 +83,64 @@ def main() -> None:
     # non-path. It stays in queries() for the correctness driver; the
     # timed set covers the real embedding-dedup paths (_blocked, _lsh).
     SKIP_TIMING = {"x_dedup_embedding"}
-    bench_names = sorted(QUERIES)
+    bench_names = [n for n in sorted(QUERIES) if n not in SKIP_TIMING]
+    # --only a,b,c: restrict to a named subset — the scale-rehearsal
+    # hook (VERDICT r06 #1: time the slow tail once at sf1 without
+    # paying 141 queries x 10x data). Unknown names are an error, not a
+    # silent skip.
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(bench_names)
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {sorted(unknown)}")
+        bench_names = [n for n in bench_names if n in only]
     samples: dict[str, list[float]] = {n: [] for n in bench_names}
     bench_start = time.perf_counter()
-    passes = 0
-    while passes < runs and (
-        passes == 0 or time.perf_counter() - bench_start < budget_s
-    ):
-        passes += 1
-        for name in bench_names:
-            if name in SKIP_TIMING:
-                continue
-            # isolate per-query cost: collect garbage left by the previous
-            # query (memory sinks, state stores) before starting the clock
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            # reclaim executor storage held by shared-intermediate caches
-            # (cache_shared registry) — inside the timed window: releasing a
-            # query's caches is part of that query's cost, not its
-            # successor's
-            release_shared()
-            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    def _sample(name: str) -> None:
+        # isolate per-query cost: collect garbage left by the previous
+        # query (memory sinks, state stores) before starting the clock
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        # reclaim executor storage held by shared-intermediate caches
+        # (cache_shared registry) — inside the timed window: releasing a
+        # query's caches is part of that query's cost, not its
+        # successor's
+        release_shared()
+        samples[name].append(round(time.perf_counter() - t0, 3))
+
+    # pass 1: every query gets its (mandatory) first sample
+    for name in bench_names:
+        _sample(name)
+    # extra samples, budget checked per QUERY: cheapest-first so a tight
+    # budget sheds the expensive tail's re-runs, never pass 1 or the
+    # cheap majority's medians; a query whose estimate doesn't fit ends
+    # the round (everything after it in the order costs more)
+    for _ in range(1, runs):
+        for name in sorted(bench_names, key=lambda n: min(samples[n])):
+            est = statistics.median(samples[name])
+            if time.perf_counter() - bench_start + est > budget_s:
+                break
+            _sample(name)
 
     timings = {
         n: round(statistics.median(t), 3) for n, t in samples.items() if t
     }
     spread = {
-        n: {"median": timings[n], "min": min(t), "max": max(t), "all": t}
+        n: {
+            "median": timings[n],
+            "min": min(t),
+            "max": max(t),
+            "all": t,
+            "n_samples": len(t),
+        }
         for n, t in samples.items()
         if t
     }
+    runs_min = min(len(t) for t in samples.values())
+    runs_max = max(len(t) for t in samples.values())
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -116,7 +153,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
-                "runs": passes,
+                "runs": runs_min,
+                "runs_max": runs_max,
                 "runs_requested": runs,
                 "sf": sf,
                 "n_queries": len(timings),
@@ -136,7 +174,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
-                "runs": passes,
+                "runs": runs_min,
+                "runs_max": runs_max,
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",

@@ -157,6 +157,58 @@ def test_embedding_lsh_recall_on_perturbed_near_dups(spark, sf_dir):
     assert lsh <= exact, "verify step must kill every false candidate"
 
 
+def test_semantic_dedup_recall_vs_exact_blocked_baseline(spark, sf_dir):
+    """SemDeDup vs the exact blocked all-pairs baseline on the real corpus:
+    within-cluster scoring is EXACT, so every semantic pair must be in the
+    exact set (precision 1.0); cross-cluster misses are the documented
+    approximation, gated by a catastrophe floor (threshold-0.4 pairs on
+    this corpus are unclustered noise — measured recall 0.37-0.42 across
+    n_clusters 8/16/32, so 0.2 only trips on a broken assignment)."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        embedding_near_dup_blocked,
+        semantic_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = lambda r: (r["vec_id_1"], r["vec_id_2"])  # noqa: E731
+    exact = set(map(key, embedding_near_dup_blocked(emb, 0.4).collect()))
+    sem = set(map(key, semantic_near_dup_pairs(emb, 0.4, 16).collect()))
+    assert sem <= exact, f"false pairs: {sorted(sem - exact)[:5]}"
+    recall = len(sem & exact) / max(1, len(exact))
+    assert recall >= 0.2, f"semantic recall collapsed: {recall:.2f}"
+
+
+def test_semantic_dedup_catches_planted_paraphrases(spark, sf_dir):
+    """The SemDeDup claim that matters: TIGHT pairs (paraphrases, cosine
+    ~0.97) land in the same cluster and are caught — unlike the noise
+    pairs of the corpus-recall test, a near-identical pair only splits
+    when it straddles a Voronoi boundary. Same deterministic perturbation
+    as the LSH recall test above."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        semantic_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    n = emb.count()
+    perturbed = emb.select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (1.0 + 0.1 * F.sin(F.col("vec_id") + i)),
+        ).alias("embedding"),
+        "label",
+    )
+    planted = emb.unionByName(perturbed)
+    sem = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in semantic_near_dup_pairs(planted, 0.9, 8).collect()
+    }
+    caught = sum(1 for i in range(n) if (i, i + n) in sem)
+    assert caught >= 0.9 * n, f"planted-paraphrase recall {caught}/{n}"
+
+
 def test_lsh_auto_knobs_scale_with_corpus():
     """The SCALE.md operating rule as code: bits grow by log2 of corpus
     growth (constant per-bucket density → near-linear candidates), tables

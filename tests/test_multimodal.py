@@ -68,8 +68,144 @@ def test_resize_preserves_aspect_and_bounds(media):
 
 
 def test_real_decoder_seam_raises(media):
+    # JPEG (SOI + APP0 marker) is the remaining documented codec seam
     with pytest.raises(NotImplementedError):
+        decode_real(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image")
+    # a PNG signature prefix alone is not a PNG
+    with pytest.raises((NotImplementedError, ValueError)):
         decode_real(b"\x89PNG", "image")
+
+
+def _png_encode(width, height, pixels, color_type, filters, split_idat=1):
+    """Minimal in-test PNG writer (independent of the decoder under test):
+    filters[r] picks the filter type applied to row r — the ENCODE
+    direction of each of the five defined filters, so the decoder's
+    defiltering is checked against hand-applied spec math, not against
+    itself."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    bpp = channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = bytes(pixels[r * stride : (r + 1) * stride])
+        ft = filters[r]
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = line[i]
+            elif ft == 1:
+                f = (line[i] - a) & 0xFF
+            elif ft == 2:
+                f = (line[i] - b) & 0xFF
+            elif ft == 3:
+                f = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                f = (line[i] - pred) & 0xFF
+            raw.append(f)
+        prev = line
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    step = max(1, len(comp) // split_idat)
+    idats = b"".join(
+        chunk(b"IDAT", comp[i : i + step]) for i in range(0, len(comp), step)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + idats
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_png_byte_exact_all_filters():
+    """8-bit PNG: every defined filter type (None/Sub/Up/Average/Paeth,
+    one per row) must defilter back to the exact source pixels, for gray,
+    RGB and RGBA, including an IDAT stream split mid-bytes across chunks."""
+    import random
+
+    rng = random.Random(7)
+    for color_type, channels in ((0, 1), (2, 3), (6, 4)):
+        w, h = 5, 5
+        pixels = [rng.randrange(256) for _ in range(w * h * channels)]
+        png = _png_encode(w, h, pixels, color_type, filters=[0, 1, 2, 3, 4])
+        got = decode_real(png, "image")
+        assert got == {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "maxval": 255,
+            "channels": channels,
+            "pixels": pixels,
+        }, f"color_type={color_type}"
+    # gray+alpha, every row Paeth, IDAT split into 7 chunks
+    w, h = 4, 3
+    pixels = [rng.randrange(256) for _ in range(w * h * 2)]
+    png = _png_encode(w, h, pixels, 4, filters=[4, 4, 4], split_idat=7)
+    got = decode_real(png, "image")
+    assert got["channels"] == 2 and got["pixels"] == pixels
+
+
+def test_decode_real_png_rejects_out_of_scope_and_malformed():
+    """16-bit depth / palette / interlace are NotImplementedError (spec
+    surface outside the stated seam scope); bad filter bytes and truncated
+    chunks fail loudly with ValueError."""
+    import struct
+    import zlib
+
+    def png_with_ihdr(bit_depth=8, color_type=0, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 1, bit_depth, color_type, 0, 0, interlace)
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (
+                struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+            )
+
+        comp = zlib.compress(b"\x00\x01\x02")
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp)
+            + chunk(b"IEND", b"")
+        )
+
+    for kwargs in (
+        {"bit_depth": 16},
+        {"color_type": 3},
+        {"interlace": 1},
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_real(png_with_ihdr(**kwargs), "image")
+    # filter byte 9 is malformed
+    bad = _png_encode(2, 1, [1, 2], 0, filters=[0])
+    comp = zlib.compress(b"\x09\x01\x02")
+    crc = zlib.crc32(b"IDAT" + comp) & 0xFFFFFFFF
+    bad_idat = struct.pack(">I", len(comp)) + b"IDAT" + comp + struct.pack(">I", crc)
+    head, _, _tail = bad.partition(b"IDAT")
+    raw_bad = head[:-4] + bad_idat + b"\x00\x00\x00\x00IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="filter"):
+        decode_real(raw_bad, "image")
+    # truncated mid-IDAT (cuts the IEND chunk plus the IDAT tail)
+    good = _png_encode(2, 2, [1, 2, 3, 4], 0, filters=[0, 0])
+    with pytest.raises(ValueError):
+        decode_real(good[:-20], "image")
 
 
 def test_decode_real_wav_byte_exact():

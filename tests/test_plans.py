@@ -322,6 +322,10 @@ PLAN_LINT_WHITELIST = {
     # single-row aggregates
     "x_sim_pq": {"BroadcastNestedLoopJoin"},
     "x_dedup_simhash": {"BroadcastNestedLoopJoin"},
+    # broadcast crossJoin of the bounded (n_clusters-row) centroid table
+    # for cell assignment — the same ivf_topk shape (dedup.py,
+    # semantic_near_dup_pairs)
+    "x_dedup_semantic": {"BroadcastNestedLoopJoin"},
     # broadcast crossJoin of the ONE-row corpus-total aggregate
     "x_text_distinctive": {"BroadcastNestedLoopJoin"},
     # ONE-row broadcasts: (N,V) totals into the vocab, (min,max)/(na,nb)
@@ -419,3 +423,41 @@ def test_q7_disjunctive_pair_stays_hash_joinable(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q4_correlated_exists_decorrelates_to_semi_hash_join(spark, sf_dir):
+    """Q4's correlated EXISTS (with a non-equi correlated predicate,
+    l_shipdate > o_orderdate) must decorrelate to a LEFT SEMI hash join —
+    the equi key carries the join, the inequality rides as a residual.
+    A nested loop here means RewritePredicateSubquery regressed."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q4"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q21_exists_not_exists_decorrelate_to_semi_and_anti_hash_joins(
+    spark, sf_dir
+):
+    """Q21's EXISTS + NOT EXISTS double correlation must become one LEFT
+    SEMI and one LEFT ANTI hash join on l_orderkey (suppkey inequality and
+    lateness predicate as residuals) — never a nested loop."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q21"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

@@ -57,6 +57,48 @@ def test_hll_gate_holds_at_realistic_cardinality(spark):
     assert all(r["sketch_ok"] for r in rows), rows
 
 
+def test_misra_gries_recalls_every_true_heavy_hitter_under_pruning(spark):
+    """Force real MG pruning (k=20 counters against 2,000 distinct items)
+    on a zipf-ish stream and check the theorem end-to-end: every item with
+    true count > n/(k+1) is in the candidate set, every estimate is an
+    underestimate within n/(k+1), and the certified flag logic would pass.
+    Deterministic — holds for ANY partitioning/batch order, so no seeds."""
+    from user_behavior_spark_pipeline_spark.operators.approx import (
+        heavy_hitter_candidates,
+    )
+
+    k = 20
+    # 10 hot items with 400 occurrences each + 2000 tail items with 3 each
+    # -> n = 10000, n/(k+1) = 476 ... too big; use 40 hot x 400 = 16000 +
+    # tail 2000*3 = 6000 -> n = 22000, bound = 1047, hot(400) below bound.
+    # Make hot items clear the bound: 10 hot x 3000 = 30000, tail 6000
+    # -> n = 36000, bound = 1714 < 3000. Repartition to 8 so per-partition
+    # vocab (~2010) far exceeds k and pruning fires in every partition.
+    hot = spark.range(30_000).select(
+        F.concat(F.lit("hot"), (F.col("id") % 10).cast("string")).alias("t")
+    )
+    tail = spark.range(6_000).select(
+        F.concat(F.lit("tail"), (F.col("id") % 2000).cast("string")).alias(
+            "t"
+        )
+    )
+    items = hot.union(tail).repartition(8)
+    n = 36_000
+    bound = n // (k + 1)
+    est = {
+        r["t"]: r["est_count"]
+        for r in heavy_hitter_candidates(items, "t", k).collect()
+    }
+    true = {f"hot{i}": 3000 for i in range(10)}
+    for t, c in true.items():
+        assert t in est, f"heavy hitter {t} (count {c} > {bound}) missed"
+        assert 0 < est[t] <= c, (t, est[t], c)
+        assert c - est[t] <= bound, (t, est[t], c, bound)
+    # every reported estimate underestimates its true count (tail = 3)
+    for t, e in est.items():
+        assert e <= true.get(t, 3), (t, e)
+
+
 def test_distribution_drift_hand_computed(spark):
     """4 events, two types, split at the midpoint: type a is 2/2 in half A
     vs 0/2 in half B -> |1 - 0| = 1e9; type b symmetric."""

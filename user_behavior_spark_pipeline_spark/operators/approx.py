@@ -52,6 +52,115 @@ def value_percentiles_with_sketch(
     )
 
 
+def bigrams_col(text="text"):
+    """Adjacent-token bigrams as a JVM-side array expression: zip each
+    token with its successor (zip_with over two slices — no explode until
+    the caller asks, no Python)."""
+    from .text import tokens_col
+
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def _mg_partial(col: str, k: int):
+    """Per-partition Misra-Gries summary of size ≤ k (mergeable-summaries
+    form): fold each Arrow batch's value_counts into the running summary;
+    when it exceeds k counters, subtract the (k+1)-th largest count from
+    every counter and drop the non-positive ones. Each subtraction of m
+    removes ≥ (k+1)·m total mass, so the per-partition total subtracted is
+    ≤ n_p/(k+1) — every counter underestimates its token's true partition
+    count by at most that."""
+    import pandas as pd
+
+    def fn(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for tok, c in pdf[col].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > k:
+                m = sorted(counts.values(), reverse=True)[k]
+                counts = {t: c - m for t, c in counts.items() if c > m}
+        yield pd.DataFrame(
+            {col: list(counts.keys()), "est": list(counts.values())}
+        )
+
+    return fn
+
+
+def heavy_hitter_candidates(
+    items: DataFrame, col: str = "gram", k: int = 700
+) -> DataFrame:
+    """Distributed Misra-Gries heavy-hitters sketch: per-partition MG
+    summaries (``k`` counters each, Arrow-batched) summed per token.
+
+    THE frequent-items shape for 100 TB hot-token/boilerplate monitoring:
+    the exact histogram shuffles every distinct gram (the
+    boilerplate_ngram_stats cost), while this shuffles ≤ k rows per
+    partition regardless of vocabulary size. Guarantees (deterministic,
+    not probabilistic — any partitioning, any batch order):
+
+    - underestimate only: est(t) ≤ true(t);
+    - bounded error: true(t) − est(t) ≤ Σ_p subtracted_p ≤ n/(k+1);
+    - recall: every token with true(t) > n/(k+1) appears (its estimate
+      stays positive in ≥ 1 partition summary).
+
+    The final merge is a plain groupBy-sum over ≤ partitions·k rows —
+    summing per-partition underestimates preserves both bounds."""
+    summaries = items.select(col).mapInPandas(
+        _mg_partial(col, k), schema=f"{col} string, est long"
+    )
+    return summaries.groupBy(col).agg(F.sum("est").alias("est_count"))
+
+
+def heavy_hitters_certified(
+    documents: DataFrame, phi: float = 0.0015, k: int = 700
+) -> DataFrame:
+    """Corpus hot-bigram detection, certified: exact heavy hitters (count ≥
+    ceil(phi·n) over all adjacent-token bigrams) + a flag that the MG
+    sketch recalled each one with its estimate inside the n/(k+1) bound.
+
+    Same tolerance-flag oracle contract as the other sketches (module
+    docstring), but the MG bound is DETERMINISTIC — the flag is a theorem,
+    not a confidence interval, so it never flips at any scale or
+    partitioning. Requires phi > 1/(k+1) (here 0.0015 > 1/701) or the
+    recall guarantee is void; asserted below. The exact side exists to
+    CERTIFY the sketch and doubles as the oracle twin; a production
+    monitor runs only `heavy_hitter_candidates` and never pays the
+    full-vocabulary shuffle."""
+    if phi <= 1.0 / (k + 1):
+        raise ValueError(f"recall guarantee needs phi > 1/(k+1): {phi=} {k=}")
+    from ..materialize import materialize
+
+    grams = documents.select(F.explode(bigrams_col()).alias("gram"))
+    # small post-agg table feeding three consumers (scalar n, threshold
+    # filter, certify join) — materialize so the corpus explode runs once
+    exact = materialize(
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    n = exact.agg(F.sum("exact_count").alias("n")).scalar()
+    cand = heavy_hitter_candidates(grams, "gram", k)
+    heavy = exact.filter(
+        F.col("exact_count") >= F.ceil(F.lit(phi) * n)
+    )
+    return heavy.join(cand, "gram", "left").select(
+        "gram",
+        "exact_count",
+        (
+            F.col("est_count").isNotNull()
+            & (F.col("est_count") <= F.col("exact_count"))
+            & (
+                F.col("exact_count") - F.col("est_count")
+                <= F.floor(n / F.lit(k + 1))
+            )
+        ).alias("sketch_ok"),
+    )
+
+
 def distinct_users_mergeable_sketch(events: DataFrame, tolerance: float = 0.05) -> DataFrame:
     """MERGEABLE sketches (Datasketches HLL): per-day sketches built in one
     pass, then hll_union_agg'd into the per-type total — the incremental

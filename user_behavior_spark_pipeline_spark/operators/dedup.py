@@ -1572,6 +1572,129 @@ def embedding_near_dup_blocked(
     )
 
 
+def semantic_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, n_clusters: int = 16
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means cluster the
+    embeddings (centroids trained on a bounded driver-side sample — the
+    constant-cost ANN recipe, similarity._train_centroids), then score
+    all pairs WITHIN each cluster only — the curation family that catches
+    paraphrases MEM/shingle methods miss (Abbas et al., SemDeDup,
+    arXiv:2303.09540).
+
+    Scale shape: assignment is one broadcast-centroid crossJoin + max_by
+    hash-agg (corpus scanned once, shuffled only by cell id — the
+    ivf_topk plan); pair scoring is cluster-local, so compute is
+    Σ|cell|²/2 instead of N²/2 — at 100 TB, n_clusters grows with the
+    corpus so a cell fits one task (cluster skew is the documented
+    SemDeDup trade: a mega-cluster re-approaches all-pairs; raise
+    n_clusters or pre-split hot cells). Same kernel economics as
+    embedding_near_dup_blocked: one numpy matmul per cell, Arrow in/out.
+
+    Approximate BY DESIGN: pairs straddling a cluster boundary are
+    missed (recall vs the exact blocked baseline is measured in
+    tests/test_dedup.py); within a cluster the scoring is exact. Output
+    contract matches the other near-dup fns: (vec_id_1, vec_id_2,
+    cosine_x1e6), i<j, cosine >= threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _centroids_df, _dot, _train_centroids, normalized_vectors
+
+    spark = embeddings.sparkSession
+    cent = _train_centroids(embeddings, n_clusters)
+    cdf = _centroids_df(spark, cent)
+    assigned = (
+        normalized_vectors(embeddings)
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("score", _dot(F.col("ne"), F.col("ce")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("centroid_id", "score").alias("cell"),
+            F.first("ne").alias("ne"),
+        )
+    )
+
+    # no type hints: a partially-annotated applyInPandas kernel trips
+    # pyspark's eval-type inference warning
+    def _score(key, pdf):
+        empty = pd.DataFrame(
+            {"vec_id_1": [], "vec_id_2": [], "cosine_x1e6": []}
+        ).astype(
+            {"vec_id_1": "int64", "vec_id_2": "int64", "cosine_x1e6": "int64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        x = np.array(pdf["ne"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sims = x @ x.T
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        i, j = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "vec_id_1": ids[i],
+                "vec_id_2": ids[j],
+                # same half-up 1e-6 grain as the exact baselines
+                "cosine_x1e6": np.floor(sims[i, j] * 1_000_000 + 0.5).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _score, "vec_id_1 long, vec_id_2 long, cosine_x1e6 long"
+    )
+
+
+def semantic_dedup_certified(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    num_probes: int = 10,
+    planted_offset: int = 1 << 40,
+) -> DataFrame:
+    """Self-certifying SemDeDup (the x_sim_lsh planted-probe pattern): the
+    corpus is augmented with a PARAPHRASE DOUBLE of each probe vector —
+    the same direction at 2× magnitude, so byte-level/exact dedup can
+    never catch it but its cosine with the probe is exactly 1.0 — and the
+    certificate per probe asserts the semantic pipeline did:
+
+    - ``planted_ok``: the (probe, double) pair was detected. Deterministic
+      for ANY trained centroid set: scaling by a power of two is exact in
+      IEEE arithmetic, so the double's normalized vector is bit-identical
+      to the probe's, lands in the same cell, and scores >= threshold;
+    - ``dropped_id``: the id SemDeDup's keep-lowest rule removes — always
+      the planted double (probe_id + planted_offset), engine-independent,
+      so the DuckDB oracle states it literally.
+
+    ``planted_offset`` must exceed every real vec_id (certified_ann_topk
+    docstring); cluster-boundary recall of the UNPLANTED corpus is the
+    tests/test_dedup.py measurement, not this certificate's claim."""
+    planted = embeddings.filter(F.col("vec_id") < num_probes).select(
+        (F.col("vec_id") + F.lit(planted_offset)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(planted)
+    pairs = semantic_near_dup_pairs(corpus, threshold, n_clusters)
+    probes = embeddings.filter(F.col("vec_id") < num_probes).select(
+        F.col("vec_id").alias("probe_id")
+    )
+    hits = pairs.filter(
+        (F.col("vec_id_2") == F.col("vec_id_1") + F.lit(planted_offset))
+    ).select(F.col("vec_id_1").alias("probe_id"), F.lit(True).alias("hit"))
+    return (
+        probes.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("planted_ok"),
+            (F.col("probe_id") + F.lit(planted_offset)).alias("dropped_id"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

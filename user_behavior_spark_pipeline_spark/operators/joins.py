@@ -250,6 +250,102 @@ def large_quantity_orders(
     )
 
 
+def priority_order_exists(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: order count per priority for orders in one quarter
+    having at least one lineitem shipped after the order date — the
+    correlated-EXISTS decorrelation case.
+
+    Deliberately written as SQL with the correlated subquery INTACT so
+    Catalyst's RewritePredicateSubquery does the decorrelation (the one
+    classic optimizer path the hand-decorrelated shapes like Q18 never
+    exercise): the EXISTS becomes a LEFT SEMI join on the equi part
+    (l_orderkey = o_orderkey) with the correlated non-equi predicate
+    (l_shipdate > o_orderdate) as a join residual — a hash semi join,
+    never a nested loop (pinned in tests/test_plans.py). The date range
+    pushes into the orders scan; the semi join's lineitem side prunes to
+    (l_orderkey, l_shipdate) and stops probing an order at its first
+    match, so at 100 TB the shuffle carries two columns of each relation
+    and the aggregate is a 5-row hash agg.
+
+    The canonical Q4 predicate is l_commitdate < l_receiptdate; this
+    corpus's lineitem carries neither column (TESTDATA.md), so the
+    shipped-after-order-date predicate stands in — same correlation
+    structure (outer column compared inside the subquery), same plan."""
+    spark = orders.sparkSession
+    orders.createOrReplaceTempView("ubsp_q4_orders")
+    lineitem.createOrReplaceTempView("ubsp_q4_lineitem")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority AS priority, COUNT(*) AS order_count
+        FROM ubsp_q4_orders
+        WHERE o_orderdate >= TIMESTAMP '{date_lo}'
+          AND o_orderdate < TIMESTAMP '{date_hi}'
+          AND EXISTS (SELECT 1 FROM ubsp_q4_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — the EXISTS + NOT EXISTS double
+    correlation, the heaviest decorrelation shape in the TPC-H suite.
+
+    Like Q4 this keeps both correlated subqueries in the SQL so Catalyst
+    rewrites them: the EXISTS (another supplier on the same order) becomes
+    a LEFT SEMI hash join on l_orderkey with the l_suppkey <> residual,
+    the NOT EXISTS (another supplier ALSO late on that order) a LEFT ANTI
+    hash join on the same key — both hash-strategy because the equi part
+    carries the join, the inequalities ride as residuals (pinned: no
+    BroadcastNestedLoopJoin). Both subquery sides prune lineitem to 2-3
+    columns before shuffling; at 100 TB each is one fact-sized shuffle on
+    l_orderkey, and since the outer, EXISTS and NOT EXISTS sides all hash
+    on l_orderkey an engine reuses one exchange for all three.
+
+    "Late" is l_shipdate > o_orderdate + late_days (the corpus has no
+    commit/receipt dates — TESTDATA.md); the NOT EXISTS correlates on BOTH
+    l1.l_orderkey and the outer o_orderdate, reproducing Q21's multi-column
+    correlation. Top-k is TakeOrdered over the ~|supplier| aggregate."""
+    spark = supplier.sparkSession
+    supplier.createOrReplaceTempView("ubsp_q21_supplier")
+    lineitem.createOrReplaceTempView("ubsp_q21_lineitem")
+    orders.createOrReplaceTempView("ubsp_q21_orders")
+    return spark.sql(
+        f"""
+        SELECT s_name AS supp_name, COUNT(*) AS numwait
+        FROM ubsp_q21_supplier
+        JOIN ubsp_q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN ubsp_q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+          AND EXISTS (SELECT 1 FROM ubsp_q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM ubsp_q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                o_orderdate + INTERVAL {late_days} DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, supp_name
+        LIMIT {k}
+        """
+    )
+
+
 def shipping_priority(
     lineitem: DataFrame,
     orders: DataFrame,
