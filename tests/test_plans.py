@@ -461,3 +461,37 @@ def test_q21_exists_not_exists_decorrelate_to_semi_and_anti_hash_joins(
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q13_orders_aggregated_before_outer_join(spark, sf_dir):
+    """Q13's Spark plan must aggregate orders to one row per custkey
+    UNDER the outer join (hand aggregate-pushdown — the whole point of
+    the operator vs the oracle's ON-clause form): in the optimized plan
+    the per-custkey Aggregate appears below the LeftOuter join, and no
+    nested loop anywhere."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    qe = QUERIES["x_join_tpch_q13"](spark, sf_dir)._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert opt.index("Join LeftOuter") < opt.index("Aggregate [o_custkey")
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_subquery_plus_anti_hash_join(spark, sf_dir):
+    """Q22's NOT EXISTS must become a LEFT ANTI hash join on c_custkey
+    and the scalar above-average threshold a one-row subquery (never a
+    nested loop over customer x orders)."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q22"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan

@@ -346,6 +346,98 @@ def waiting_suppliers(
     )
 
 
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — the outer-join-then-double-aggregate report.
+
+    Canonical Q13 puts the filter in the LEFT OUTER JOIN's ON clause so
+    zero-order customers survive; since the predicate touches only the
+    orders side, filtering before the join is equivalent — and this
+    implementation goes one step further than Catalyst would: it
+    AGGREGATES orders down to one (o_custkey, c_count) row BEFORE the
+    join (aggregate pushdown through a join is not a Catalyst rewrite —
+    it changes cardinality contracts — so it's done by hand here). At
+    100 TB that's the difference between a join carrying one row per
+    ORDER (then re-grouping 10:1) and one row per CUSTOMER: the orders
+    fact is ground once by the partial-agg shuffle on o_custkey, the
+    join probes |customer| ≈ |counts| rows, and the second aggregate
+    (c_count → custdist) is a ~tiny-domain hash agg. Zero-order
+    customers fall out of the LEFT join's nulls as c_count = 0 —
+    semantically identical to the ON-clause form (pinned against the
+    literal-SQL oracle, which DOES use the ON-clause form).
+
+    The canonical predicate is o_comment NOT LIKE '%special%requests%';
+    this corpus's orders carries no comment column (TESTDATA.md), so
+    excluding a priority class stands in — same structure: a non-key
+    predicate that must not turn the outer join inner."""
+    counts = (
+        orders.filter(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def dormant_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    max_nationkey: int = 12,
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average-
+    balance customers who have NEVER ordered — the scalar-subquery +
+    NOT EXISTS anti-join combination.
+
+    Kept in SQL so Catalyst plans both subquery forms: the scalar AVG
+    threshold becomes a one-row subquery broadcast to every scan task
+    (computed once, reused), and the NOT EXISTS becomes a LEFT ANTI hash
+    join on c_custkey (pinned: no BroadcastNestedLoopJoin). At 100 TB
+    the anti join's orders side prunes to the single o_custkey column
+    before its shuffle, and the aggregate is ~25 nation rows.
+
+    The above-average comparison is INTEGER-EXACT: balances quantize to
+    cents, and ``bal_c * COUNT > SUM(bal_c)`` replaces ``bal_c >
+    AVG(bal_c)`` — same rational inequality, no float division, so the
+    boundary row set is bit-identical in any engine at any partitioning
+    (the x_agg_pricing_summary integer-money recipe). Canonical Q22
+    derives country codes from c_phone substrings; this corpus has no
+    phone column (TESTDATA.md), so c_nationkey ≤ max_nationkey stands in
+    for the IN-list of codes."""
+    spark = customer.sparkSession
+    customer.createOrReplaceTempView("ubsp_q22_customer")
+    orders.createOrReplaceTempView("ubsp_q22_orders")
+    return spark.sql(
+        f"""
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM ubsp_q22_customer
+            WHERE c_nationkey <= {max_nationkey}
+        )
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               SUM(bal_c) AS totacctbal_x100
+        FROM pool
+        WHERE bal_c * (SELECT COUNT(*) FROM pool WHERE bal_c > 0)
+              > (SELECT SUM(bal_c) FROM pool WHERE bal_c > 0)
+          AND NOT EXISTS (SELECT 1 FROM ubsp_q22_orders
+                          WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+        """
+    )
+
+
 def shipping_priority(
     lineitem: DataFrame,
     orders: DataFrame,

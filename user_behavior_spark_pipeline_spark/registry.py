@@ -526,6 +526,59 @@ def x_join_tpch_q21(spark, sf_dir):
 
 
 @query(
+    "x_join_tpch_q13",
+    oracle=(
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c.c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer c LEFT OUTER JOIN orders "
+        "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c.c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+)
+def x_join_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer distribution incl. zero-order
+    customers. The Spark plan pre-aggregates orders to one row per
+    custkey BEFORE the outer join (hand aggregate-pushdown — not a
+    Catalyst rewrite); the oracle states the canonical ON-clause-filter
+    outer-join form, pinning the equivalence."""
+    from .operators.joins import customer_order_distribution
+
+    return customer_order_distribution(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "x_join_tpch_q22",
+    oracle=(
+        "WITH pool AS (SELECT c_custkey, c_nationkey, "
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c "
+        "FROM customer WHERE c_nationkey <= 12) "
+        "SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust, "
+        "CAST(SUM(bal_c) AS BIGINT) AS totacctbal_x100 FROM pool "
+        "WHERE bal_c * (SELECT COUNT(*) FROM pool WHERE bal_c > 0) "
+        "> (SELECT SUM(bal_c) FROM pool WHERE bal_c > 0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY c_nationkey ORDER BY cntrycode"
+    ),
+)
+def x_join_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: never-ordered customers above the average
+    balance — scalar subquery (computed once, broadcast) + NOT EXISTS
+    anti hash join. The above-average comparison is integer-exact
+    (bal·n > Σbal in cents), so the boundary set is engine- and
+    partitioning-independent."""
+    from .operators.joins import dormant_rich_customers
+
+    return dormant_rich_customers(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+    )
+
+
+@query(
     "x_join_salted",
     oracle=(
         "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
@@ -4338,13 +4391,14 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # Queries whose implementation or oracle changed in the CURRENT round:
 # the rotation promotes these to the front of the green tail so the
 # driver's 50-slot window re-earns their green on the new code. Round 7:
-# EMPTY — the round's additions (Q4/Q21, semantic dedup, heavy hitters)
-# are never-checked and rank ahead of every green automatically; the
-# other r07 changes touch timing (bench scheduler) and pytest-only
-# surface (decode_real PNG), not any registered query's semantics. With
-# zero touched, the 50-slot window is exactly 4 never-checked + the 23
-# pre-r04 stale greens (VERDICT r06 #2) + the 23 r04-vintage greens —
-# draining the entire pre-r05 tail in one round.
+# EMPTY — the round's additions (Q4/Q21/Q13/Q22, semantic dedup, heavy
+# hitters) are never-checked and rank ahead of every green
+# automatically; the other r07 changes touch timing (bench scheduler)
+# and pytest-only surface (decode_real PNG), not any registered query's
+# semantics. With zero touched, the 50-slot window is exactly 6
+# never-checked + the 23 pre-r04 stale greens (VERDICT r06 #2) + the 21
+# stalest r04-vintage greens — draining the entire pre-r04 tail in one
+# round.
 # Everything else in the window comes from the stalest-vintage-first
 # green ordering (see _rotated).
 _TOUCHED_THIS_ROUND = frozenset()
