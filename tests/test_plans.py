@@ -495,3 +495,173 @@ def test_q22_scalar_subquery_plus_anti_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert "Subquery" in plan
+
+
+def test_q15_no_nested_loop_and_broadcast_scalar_joinback(spark, sf_dir):
+    """Q15's max-revenue join-back must be a broadcast hash join over the
+    one-row aggregate — never a nested loop or cartesian."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q15"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_not_in_plans_null_aware_anti_hash_join(spark, sf_dir):
+    """Q16's NOT IN must hit Catalyst's null-aware anti-join fast path:
+    the optimized plan carries the ``eq OR isnull(eq)`` condition on a
+    LeftAnti join (the exact pattern the rewrite recognizes) and the
+    physical plan is a hash join, not a nested loop."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    qe = QUERIES["x_join_tpch_q16"](spark, sf_dir)._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    anti = [l for l in opt.splitlines() if "Join LeftAnti" in l]
+    assert anti and "OR isnull((l_suppkey" in anti[0]
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_q17_correlated_scalar_avg_decorrelates_to_agg_join(spark, sf_dir):
+    """Q17's correlated scalar AVG must decorrelate: the optimized plan
+    contains a per-partkey Aggregate computing avg(l_quantity) joined
+    back with hash joins — no per-row re-scan, no nested loop."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    qe = QUERIES["x_join_tpch_q17"](spark, sf_dir)._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert "Aggregate [l_partkey" in opt and "avg(l_quantity" in opt
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_single_hash_join_with_pushed_bands(
+    spark, sf_dir
+):
+    """Q19's OR-of-ANDs must plan as ONE hash join on the shared partkey
+    (the disjunction as a residual), with the disjunct-common bounds
+    pushed below the join on BOTH sides."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    qe = QUERIES["x_join_tpch_q19"](spark, sf_dir)._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    joins = re.findall(r"Join Inner", opt)
+    assert len(joins) == 1
+    # extracted per-side bounds sit in Filters UNDER the join
+    below = opt.split("Join Inner", 1)[1]
+    assert "l_quantity" in below.split("Relation", 1)[0]  # lineitem filter
+    assert "p_size" in below
+    plan = qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        len(
+            re.findall(
+                r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan
+            )
+        )
+        == 1
+    )
+
+
+def test_q8_nation_joined_twice_all_dims_broadcast(spark, sf_dir):
+    """Q8 must broadcast both nation roles (two separate broadcast
+    exchanges over the nation scan) and never fall into a nested loop;
+    lineitem, the only at-scale fact, appears in exactly one scan."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q8"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("nation.parquet") == 2
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q14_date_band_pushed_single_join(spark, sf_dir):
+    """Q14's ship-date band must reach the lineitem scan as pushed
+    filters (the conditional CASE itself cannot push — both branches
+    need the joined rows) and the plan is one hash join."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q14"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+    assert (
+        len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan))
+        == 1
+    )
+
+
+def test_q6_all_three_bands_reach_the_scan(spark, sf_dir):
+    """Q6's plan must be scan → filter → one-row agg (no join, no
+    shuffle beyond the final single-partition agg) with all three range
+    predicates in PushedFilters — including the l_discount sandwich
+    band that backs the exact cents filter — and a 4-column ReadSchema."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    from user_behavior_spark_pipeline_spark.plans import (
+        pushed_filters,
+        read_schemas,
+    )
+
+    df = QUERIES["x_agg_tpch_q6"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    (schema,) = read_schemas(df)
+    assert len(re.findall(r"l_\w+", schema)) == 4
+
+
+def test_q12_dual_case_counts_single_join(spark, sf_dir):
+    """Q12: one hash join on orderkey; the date band pushed to the
+    lineitem scan; both scans pruned to two columns each."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q12"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan))
+        == 1
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+    # column pruning: lineitem reads (orderkey, linestatus, shipdate) —
+    # the filter column counts — orders reads (orderkey, priority)
+    for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(cols.split(",")) <= 3

@@ -209,3 +209,52 @@ def test_kfold_leakage_safe_keeps_families_together(spark):
         a, b, c = 1000 + 3 * f, 1001 + 3 * f, 1002 + 3 * f
         assert got[a] == got[b] == got[c]
     assert all(0 <= v < 4 for v in got.values())
+
+
+def test_reservoir_two_phase_pruning_is_lossless(spark, sf_dir):
+    """The skew-safe two-phase form (local per-(group, salt) top-k, then
+    global top-k) must return EXACTLY the naive single-window rows — the
+    min-k-is-monotone argument made executable."""
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    naive = reservoir_per_group(
+        ev, "event_type", "event_id", k=7, prune_partitions=0
+    )
+    pruned = reservoir_per_group(
+        ev, "event_type", "event_id", k=7, prune_partitions=5
+    )
+    a = sorted(map(tuple, naive.collect()))
+    b = sorted(map(tuple, pruned.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_reservoir_bounds_output_per_group_and_is_stable(spark, sf_dir):
+    """Exactly min(k, |group|) rows per group; membership unchanged by
+    repartitioning (key-addressed, the module contract)."""
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    sizes = dict(
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    )
+    out = reservoir_per_group(ev, "event_type", "event_id", k=9,
+                              prune_partitions=4)
+    got = dict(
+        (r["event_type"], r["n"])
+        for r in out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    )
+    assert got == {g: min(9, n) for g, n in sizes.items()}
+    re = reservoir_per_group(
+        ev.repartition(13), "event_type", "event_id", k=9, prune_partitions=4
+    )
+    assert sorted(map(tuple, re.collect())) == sorted(map(tuple, out.collect()))

@@ -139,3 +139,25 @@ def test_distribution_drift_degenerate_single_instant(spark):
     row = distribution_drift(events).collect()[0]
     assert row["ca"] == 0 and row["cb"] == 3
     assert row["tvd_x1e9"] is None
+
+
+def test_robust_outlier_counts_hand_computed(spark):
+    """9 values of median 50, MAD 10 -> |v-50| > 30 flags exactly the
+    two extremes; a second group with zero MAD flags every off-median
+    value (the degenerate-constant case a mean/sigma score misses)."""
+    from user_behavior_spark_pipeline_spark.operators.stats import (
+        robust_outlier_counts,
+    )
+
+    rows = [("a", v / 100) for v in (20, 40, 45, 50, 50, 55, 60, 81, 200)]
+    rows += [("b", 1.0)] * 4 + [("b", 1.01)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        r["event_type"]: (r["n_rows"], r["n_outliers"])
+        for r in robust_outlier_counts(df).collect()
+    }
+    # group a: cents 20..200, median 50, deviations 30,10,5,0,0,5,10,31,150
+    #          -> MAD 10 -> threshold 30 -> outliers: 81 (31) and 200 (150)
+    assert got["a"] == (9, 2)
+    # group b: median 100, MAD 0 -> any deviation > 0 is an outlier
+    assert got["b"] == (5, 1)

@@ -582,3 +582,49 @@ def test_left_outer_bucketed_hot_key_nulls_exactly_once(spark, tmp_path):
     assert sorted(r.click_id for r in nulls.select("click_id").collect()) == lonely
     # and the hot key actually produced multi-purchase matches (skew shape)
     assert bucketed.filter("user_id = 0").count() > 500
+
+
+def test_mg_heavy_hitters_bounds_and_eviction(spark, tmp_path):
+    """Streaming MG on a constructed stream: a planted whale (40% of one
+    type's traffic) must survive with its estimate inside n/(k+1), the
+    final summary must hold <= k counters (eviction really ran: the
+    domain is 3x k), and every estimate must be an underestimate."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        final_heavy_hitter_snapshot,
+        mg_heavy_hitters_stream,
+    )
+
+    k = 20
+    rows = [("a", 777)] * 400  # the whale
+    rows += [("a", u) for u in range(60) for _ in range(10)]  # 600 spread
+    batch = spark.createDataFrame(rows, "event_type string, user_id long")
+    src = str(tmp_path / "mg_src")
+    # deterministic multi-batch slicing: 4 files, one per trigger
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mg_heavy_hitters_stream(stream, query_name="mg_test", k=k)
+    q.awaitTermination()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in final_heavy_hitter_snapshot(spark, "mg_test").collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = 1000
+    assert len(est) <= k  # eviction happened: 61-user domain, 20 counters
+    for u, e in est.items():
+        assert e <= exact[u]  # underestimate only
+    # the whale's true count (400) dwarfs n/(k+1) (47): must be present
+    # and inside the deterministic bound
+    assert 777 in est
+    assert exact[777] - est[777] <= n // (k + 1)

@@ -1610,7 +1610,11 @@ def semantic_near_dup_pairs(
         .withColumn("score", _dot(F.col("ne"), F.col("ce")))
         .groupBy("vec_id")
         .agg(
-            F.max_by("centroid_id", "score").alias("cell"),
+            # struct tie-break on duplicate centroids (ADVICE r07 #1)
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("score"), -F.col("centroid_id")),
+            ).alias("cell"),
             F.first("ne").alias("ne"),
         )
     )

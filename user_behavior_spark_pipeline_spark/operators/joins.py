@@ -733,3 +733,380 @@ def bloom_semi_join(
     return candidates.join(
         kd, candidates[fact_key].cast(common) == kd["_k"], "left_semi"
     )
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals the
+    global maximum — an aggregate view consumed twice (once as rows, once
+    reduced to a one-row scalar).
+
+    Plan: the revenue view is ONE shuffle of the date-pruned lineitem on
+    l_suppkey (predicates push to the scan; map-side partial sums mean
+    the shuffle carries (suppkey, partial) pairs, ~|suppliers| rows per
+    task). Its MAX is a one-row aggregate joined back with a broadcast
+    hint — Spark's ReuseExchange dedups the underlying shuffle when
+    plans match, and even when AQE re-plans one side, recomputing a
+    ~|suppliers|-row aggregate is noise at any scale. Ties: ALL
+    max-revenue suppliers return (set semantics, same as canonical
+    Q15's view form), ordered by s_suppkey. Revenue is integer-exact
+    (money_e4 per row, decimal accumulation — sum_money above)."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(sum_money(rev).alias("total_revenue_x10000"))
+    )
+    top = revenue.agg(
+        F.max("total_revenue_x10000").alias("max_revenue_x10000")
+    )
+    return (
+        revenue.join(
+            F.broadcast(top),
+            F.col("total_revenue_x10000") == F.col("max_revenue_x10000"),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_x10000")
+        .orderBy("s_suppkey")
+    )
+
+
+def parts_per_clean_supplier(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    sizes: tuple = (1, 4, 9, 14, 23, 36, 45, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape: supplier count per (brand, type, size) bucket,
+    EXCLUDING a blacklist via NOT IN — the null-aware anti-join path
+    (distinct from Q21's NOT EXISTS: NOT IN must also reject when the
+    subquery yields any NULL, so Catalyst plans a null-aware LeftAnti
+    hash join, not a plain one).
+
+    Canonical Q16 counts suppliers from partsupp and blacklists
+    '%Customer%Complaints%' suppliers; this corpus has no partsupp or
+    s_comment (TESTDATA.md), so supplier-per-part comes from lineitem
+    (l_partkey, l_suppkey) and negative account balance stands in for
+    the complaint flag — same structure: a small subquery feeding a
+    NOT IN against the fact's FK.
+
+    Plan at 100 TB: the blacklist is a handful of rows → broadcast
+    null-aware anti join on l_suppkey (no shuffle added); part joins on
+    the partkey with the p_size IN-list and inequality predicates pushed
+    to the part scan; COUNT(DISTINCT) shuffles (brand, type, size,
+    suppkey) once for the distinct, then re-aggregates — Spark's two-
+    phase distinct-agg expansion, the same plan a hand-written
+    dedup-then-count would produce."""
+    blacklist = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        # NOT IN semantics via null-aware anti join: Catalyst recognizes
+        # exactly the shape ``eq OR isnull(eq)`` (what SQL NOT IN
+        # compiles to) and plans BroadcastHashJoin ... LeftAnti ...
+        # NullAwareAntiJoin; any other null-handling spelling falls off
+        # the fast path into a nested loop (plan-pinned in test_plans).
+        .join(
+            F.broadcast(blacklist),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            | (F.col("l_suppkey") == F.col("s_suppkey")).isNull(),
+            "left_anti",
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#23",
+    ptype: str = "MEDIUM",
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    average order quantity — the correlated scalar aggregate subquery.
+
+    Kept in SQL so Catalyst performs the decorrelation itself: the
+    per-partkey AVG becomes an Aggregate over lineitem joined back on
+    l_partkey (a hash join), never a per-row re-scan. At 100 TB the avg
+    side is one map-combined shuffle of (partkey, sum, count) — the
+    canonical plan TPC-H validates optimizers with.
+
+    The threshold compare stays the canonical ``l_quantity < 0.2 *
+    avg(l_quantity)`` and is still engine-exact here: quantities are
+    integer-valued (1..50), so SUM/COUNT are exact in any engine and
+    the final divide-and-scale is one IEEE double op with identical
+    rounding everywhere — no order-of-accumulation hazard (contrast
+    sum_money's rationale, which guards fractional per-row doubles).
+    Canonical Q17 filters p_container; this corpus has none
+    (TESTDATA.md), so p_type stands in. Output: exact cents sum +
+    matched row count (no /7.0 — integer outputs hash stably)."""
+    spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("ubsp_q17_lineitem")
+    part.createOrReplaceTempView("ubsp_q17_part")
+    return spark.sql(
+        f"""
+        SELECT
+            CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS small_qty_revenue_x100,
+            COUNT(*) AS n_rows
+        FROM ubsp_q17_lineitem, ubsp_q17_part
+        WHERE p_partkey = l_partkey
+          AND p_brand = '{brand}'
+          AND p_type = '{ptype}'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity)
+              FROM ubsp_q17_lineitem l2
+              WHERE l2.l_partkey = ubsp_q17_part.p_partkey
+          )
+        """
+    )
+
+
+def disjunctive_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — the classic test that a disjunction sharing one
+    equi-key still plans as a HASH join with a residual filter, not a
+    nested loop (each disjunct constrains both part and lineitem
+    columns, but ``p_partkey = l_partkey`` is common to all three).
+
+    Plan: single join on partkey (part broadcasts while it fits; at
+    100 TB AQE falls back to a shuffle hash join on the same key) with
+    the OR evaluated as a post-join residual; Catalyst additionally
+    extracts disjunct-common bounds (brand IN-list, p_size >= 1) and
+    pushes them into the part scan, so the build side carries only
+    candidate brands. Canonical Q19 uses p_container/l_shipmode —
+    absent here (TESTDATA.md); p_size and l_quantity bands preserve
+    the structure: per-disjunct ranges on BOTH sides of the join."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    j = lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        sum_money(rev).alias("revenue_x10000"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_2",
+    market_region: str = "ASIA",
+    ptype: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's market
+    for one part type, per order year — the widest join in the TPC deck
+    (7 tables, 8 scans) and the one that needs the SAME dimension twice
+    with different roles: nation joins once through the CUSTOMER side
+    (restricting the market to a region) and once through the SUPPLIER
+    side (labeling revenue with the supplier's nation).
+
+    Plan at 100 TB: every dimension chain (customer→nation→region,
+    supplier→nation, part) broadcasts — nation/region are fixed-size,
+    and filtered part / customer-in-region shrink with their predicates
+    — so lineitem, the only fact at scale, is scanned once and never
+    shuffled until the final tiny per-year aggregate; orders joins
+    lineitem on l_orderkey (the one potentially-shuffled join; AQE picks
+    broadcast while the date-pruned orders side fits). The two nation
+    roles are separate aliased broadcasts, not a shared plan node — the
+    self-join-of-dims pattern. Share is returned as exact integer
+    numerator/denominator (×10000 cents), not a float division."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    cust_region = (
+        customer.join(
+            F.broadcast(nation).select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region).filter(F.col("r_name") == market_region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = part.filter(F.col("p_type") == ptype).select("p_partkey")
+    vol = (
+        lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            sum_money(
+                F.when(
+                    F.col("supp_nation") == target_nation, F.col("volume")
+                ).otherwise(F.lit(0))
+            ).alias("nation_volume_x10000"),
+            sum_money(F.col("volume")).alias("total_volume_x10000"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-02-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue vs total revenue for one
+    month — conditional aggregation over a fact-dim join where the
+    CASE branches on the DIMENSION's attribute (the filter can't be
+    pushed: both branches need the same joined rows).
+
+    Plan: l_shipdate band pushed to the lineitem scan; part joins on
+    partkey carrying only (p_partkey, p_type); one map-combined
+    aggregate emits a single row. Share returned as exact integer
+    numerator/denominator (the module's no-float-division contract);
+    canonical Q14's 'PROMO%' LIKE prefix becomes equality — p_type here
+    is a closed 6-value enum (TESTDATA.md), not TPC-H's 3-word type."""
+    rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    return (
+        l.join(part.select("p_partkey", "p_type"),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            sum_money(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_revenue_x10000"),
+            sum_money(rev).alias("total_revenue_x10000"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: single-table revenue delta under three range
+    predicates — THE predicate-pushdown microbenchmark (no join at all:
+    the whole query is scan + filter + one-row agg).
+
+    All three bands (shipdate, discount, quantity) must reach the
+    parquet scan as PushedFilters (plan-pinned), so at 100 TB row groups
+    outside the date year never leave storage and the scan reads exactly
+    4 columns. The discount band compares against per-row cents
+    (round(d*100)) rather than raw doubles — 0.07 has no exact binary
+    representation, and this corpus quantizes discounts to cents, so the
+    integer band is both exact and identical in any engine. Because the
+    cents expression can't push through parquet (it's a cast-round, not
+    a column predicate), a REDUNDANT raw-double sandwich band with
+    half-a-cent slack on each side is applied first — it pushes to the
+    scan, and anything the exact band keeps lies inside it, so row
+    groups prune on all three columns while the exact integer filter
+    still decides every boundary row."""
+    d_cents = F.round(F.col("l_discount") * 100).cast("long")
+    rev = money_e4(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+            & (F.col("l_quantity") < max_qty)
+            # pushable sandwich: anything rounding into [lo, hi] cents
+            # lies inside [lo - 0.5c, hi + 0.5c] — pure column bounds,
+            # so parquet row-group stats prune on l_discount too
+            & (F.col("l_discount") >= disc_lo - 0.005)
+            & (F.col("l_discount") <= disc_hi + 0.005)
+        )
+        .filter(
+            (d_cents >= int(round(disc_lo * 100)))
+            & (d_cents <= int(round(disc_hi * 100)))
+        )
+        .agg(
+            sum_money(rev).alias("revenue_x10000"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def priority_shipping_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per-category counts of critical- vs normal-
+    priority orders among a year's shipments — the dual-CASE conditional
+    count over a fact-fact join.
+
+    Canonical Q12 groups by l_shipmode and bands commit/receipt dates;
+    this corpus has none of those columns (TESTDATA.md), so the group
+    key is l_linestatus and the band is l_shipdate — structure
+    preserved: the CASE branches on the OTHER side of the join
+    (o_orderpriority), so neither branch can be pushed below it.
+
+    Plan: date band pushed to the lineitem scan, one equi-join on
+    orderkey carrying only (l_orderkey, l_linestatus) against
+    (o_orderkey, o_orderpriority), map-combined dual conditional count
+    to ~2 rows."""
+    is_critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    return (
+        l.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(is_critical, 1)).alias("high_line_count"),
+            F.count(F.when(~is_critical, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

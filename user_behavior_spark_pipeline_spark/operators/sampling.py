@@ -159,3 +159,51 @@ def leakage_safe_split(
         "split",
         F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 50,
+    prune_partitions: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample per group: the k rows with
+    the smallest md5(id) in each group — reservoir sampling's contract
+    (every subset of size k equally likely under the hash's uniformity)
+    with this module's key-addressing instead of an RNG, so membership
+    is stable across runs, engines and partitionings, and OUTPUT SIZE IS
+    BOUNDED (k rows per group) no matter how skewed the group sizes are
+    — the property rate-based sampling (:func:`mixture_sample`) cannot
+    give: a 10^9-row whale group still yields exactly k rows.
+
+    Scale plan: the naive form is one window (row_number over the group,
+    ordered by hash) — a full sort of each group in a single task, which
+    a whale group turns into the straggler. With ``prune_partitions >
+    0`` a LOCAL top-k pass runs first: rows are sprayed into
+    (group, salt) cells by a hash of the id (deterministic — not
+    spark_partition_id, whose numbering is plan-dependent), each cell
+    keeps its k smallest, and only ``prune_partitions * k`` survivors
+    per group reach the global window — the classic two-phase top-k.
+    Any row in the TRUE global top-k is also in its own cell's top-k
+    (min-k is a monotone per-cell property), so pruning is lossless and
+    both forms return identical rows (pinned by test). Survivor count is
+    tiny, so the second window's per-group sort is O(salt·k log salt·k).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    if prune_partitions > 0:
+        salt = hash_bucket(F.col(id_col), prune_partitions)
+        local = Window.partitionBy(F.col(group_col), salt).orderBy(
+            key.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("_lrn", F.row_number().over(local))
+            .filter(F.col("_lrn") <= k)
+            .drop("_lrn")
+        )
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -254,6 +254,9 @@ def _train_centroids(
         .collect()
     )
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # zero-norm guard (ADVICE r07 #2): a zero vector would put NaN into
+    # one centroid and poison every assignment dot product
+    x = x[np.linalg.norm(x, axis=1) > 0]
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -300,7 +303,13 @@ def ivf_topk(
         .withColumn("score", _dot(F.col("ne"), F.col("ce")))
         .groupBy("vec_id")
         .agg(
-            F.max_by("centroid_id", "score").alias("cell"),
+            # struct tie-break: duplicate/collapsed centroids tie on
+            # score exactly; lowest centroid_id wins deterministically
+            # (ADVICE r07 #1 — same convention as incremental_near_dup)
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("score"), -F.col("centroid_id")),
+            ).alias("cell"),
             F.first("ne").alias("ne"),
         )
     )

@@ -167,3 +167,58 @@ def value_skewness(events: DataFrame) -> DataFrame:
             "* 1000000) AS BIGINT)"
         ).alias("skewness_x1e6"),
     )
+
+
+def robust_outlier_counts(
+    events: DataFrame, k_times_mad: int = 3
+) -> DataFrame:
+    """Robust per-group outlier monitor: |value − median| > k·MAD, counted
+    per event_type — the median/MAD recipe that survives the outliers it
+    measures (a mean/stddev z-score moves with every whale it's supposed
+    to flag; the 50% breakdown point of median/MAD doesn't).
+
+    Exactness: values quantize to cents first, so the inputs to the
+    medians are integers; `percentile(col, 0.5)` interpolates the two
+    middle integers — one IEEE add + halve, identical in any engine —
+    and the k·MAD comparison stays in doubles derived from those exact
+    integers. No accumulation-order hazard anywhere (contrast the moment
+    sums above, which need decimal accumulators).
+
+    Scale shape: exact medians need the values per group — ONE shuffle
+    keyed on event_type for the (median, MAD) pair via two cascaded
+    aggregates sharing that partitioning, then the flag pass re-scans
+    the fact and broadcast-joins the tiny per-type table (5 rows):
+    total one fact shuffle + one re-scan, no per-row window state. A
+    skewed group concentrates its percentile into one task — at 100 TB
+    swap `percentile` for `approx_percentile` (KLL) and the plan is
+    unchanged; the exact form here is what makes the oracle hash-exact.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    typed = events.select("event_type", cents.alias("cents"))
+    med = typed.groupBy("event_type").agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
+    )
+    mad = (
+        typed.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("cents") - F.col("med")).alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
+    )
+    return (
+        typed.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med"))
+                    > F.lit(k_times_mad) * F.col("mad"),
+                    F.lit(1),
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

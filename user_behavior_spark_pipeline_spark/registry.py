@@ -579,6 +579,354 @@ def x_join_tpch_q22(spark, sf_dir):
 
 
 @query(
+    "x_join_tpch_q15",
+    oracle=(
+        "WITH revenue AS (SELECT l_suppkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
+        "AS total_revenue_x10000 FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue_x10000 "
+        "FROM supplier JOIN revenue ON s_suppkey = l_suppkey "
+        "WHERE total_revenue_x10000 = (SELECT MAX(total_revenue_x10000) FROM revenue) "
+        "ORDER BY s_suppkey"
+    ),
+)
+def x_join_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): an aggregate view consumed as rows
+    AND as a one-row MAX scalar — one lineitem shuffle, broadcast scalar
+    join-back, all ties returned."""
+    from .operators.joins import top_revenue_suppliers
+
+    return top_revenue_suppliers(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "x_join_tpch_q16",
+    oracle=(
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+)
+def x_join_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: supplier count per part bucket with a NOT IN
+    blacklist — the null-aware anti-join Catalyst path (NOT EXISTS
+    covers plain anti; NOT IN must also reject on subquery NULLs)."""
+    from .operators.joins import parts_per_clean_supplier
+
+    return parts_per_clean_supplier(
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "x_join_tpch_q17",
+    oracle=(
+        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS small_qty_revenue_x100, COUNT(*) AS n_rows "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM' "
+        "AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = part.p_partkey)"
+    ),
+)
+def x_join_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue below 20% of the part's average quantity —
+    correlated scalar AVG, decorrelated by Catalyst into a per-partkey
+    aggregate + hash join (integer-valued quantities keep the float
+    threshold engine-exact)."""
+    from .operators.joins import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "x_join_tpch_q19",
+    oracle=(
+        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
+        "AS revenue_x10000, COUNT(*) AS n_rows "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+        "AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+        "AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 20 AND 30)"
+    ),
+)
+def x_join_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides — must stay a
+    single hash join on the shared partkey with a residual disjunction,
+    never a nested loop (plan-pinned)."""
+    from .operators.joins import disjunctive_brand_revenue
+
+    return disjunctive_brand_revenue(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "x_sample_reservoir",
+    oracle=(
+        "SELECT event_type, event_id, user_id FROM ("
+        "SELECT event_type, event_id, user_id, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
+        "FROM events) WHERE rn <= 50 "
+        "ORDER BY event_type, event_id"
+    ),
+)
+def x_sample_reservoir(spark, sf_dir):
+    """Deterministic fixed-k-per-group reservoir sample (k smallest
+    md5(id) per group): bounded output under any skew, engine-portable
+    membership. Runs the SKEW-SAFE two-phase form (local top-k pruning
+    before the global window) — the oracle states the naive single-window
+    definition, pinning the lossless-pruning equivalence."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import reservoir_per_group
+
+    return reservoir_per_group(
+        _table(spark, sf_dir, "events").select(
+            "event_type", "event_id", "user_id"
+        ),
+        group_col="event_type",
+        id_col="event_id",
+        k=50,
+        prune_partitions=8,
+    ).orderBy("event_type", "event_id")
+
+
+@query(
+    "x_join_tpch_q8",
+    oracle=(
+        "SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+        "CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN "
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT) AS nation_volume_x10000, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
+        "AS total_volume_x10000 "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+        "GROUP BY o_year ORDER BY o_year"
+    ),
+)
+def x_join_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the widest TPC join — 7
+    tables, nation joined TWICE in different roles (customer's region
+    gate, supplier's revenue label). Exact integer numerator/denominator
+    instead of a float share."""
+    from .operators.joins import national_market_share
+
+    return national_market_share(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+        _table(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "x_join_tpch_q14",
+    oracle=(
+        "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) "
+        "ELSE 0 END) AS BIGINT) AS promo_revenue_x10000, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) "
+        "AS total_revenue_x10000, COUNT(*) AS n_rows "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-02-01'"
+    ),
+)
+def x_join_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): conditional aggregation
+    branching on the joined DIMENSION attribute — date band pushed to the
+    fact scan, exact integer numerator/denominator."""
+    from .operators.joins import promo_revenue_share
+
+    return promo_revenue_share(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "x_agg_tpch_q6",
+    oracle=(
+        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) "
+        "AS revenue_x10000, COUNT(*) AS n_rows FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_quantity < 24 "
+        "AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7"
+    ),
+)
+def x_agg_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): scan + three range
+    predicates + one-row agg — the predicate-pushdown microbenchmark.
+    Discount band integer-exact (cents, not raw doubles)."""
+    from .operators.joins import forecast_revenue_change
+
+    return forecast_revenue_change(_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "x_join_tpch_q12",
+    oracle=(
+        "SELECT l_linestatus, "
+        "COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) "
+        "AS high_line_count, "
+        "COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) "
+        "AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    ),
+)
+def x_join_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: dual conditional counts branching on the OTHER
+    side of the join (o_orderpriority) grouped by l_linestatus — neither
+    CASE branch can push below the join."""
+    from .operators.joins import priority_shipping_counts
+
+    return priority_shipping_counts(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+    )
+
+
+@query(
+    "x_dq_expectations",
+    oracle=(
+        "SELECT * FROM ("
+        "SELECT 'events_id_not_null' AS check_name, "
+        "COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS n_violations FROM events "
+        "UNION ALL SELECT 'events_type_accepted', COUNT(CASE WHEN NOT COALESCE("
+        "event_type IN ('click','error','purchase','signup','view'), FALSE) THEN 1 END) FROM events "
+        "UNION ALL SELECT 'events_value_le_100', COUNT(CASE WHEN NOT COALESCE("
+        "value <= 100, FALSE) THEN 1 END) FROM events "
+        "UNION ALL SELECT 'unique_event_id', COUNT(event_id) - COUNT(DISTINCT event_id) FROM events "
+        "UNION ALL SELECT 'lineitem_qty_in_1_50', COUNT(CASE WHEN NOT COALESCE("
+        "l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 END) FROM lineitem "
+        "UNION ALL SELECT 'lineitem_discount_in_0_1', COUNT(CASE WHEN NOT COALESCE("
+        "l_discount BETWEEN 0 AND 1, FALSE) THEN 1 END) FROM lineitem "
+        "UNION ALL SELECT 'fk_orders_custkey', (SELECT COUNT(*) FROM "
+        "(SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o "
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) "
+        "UNION ALL SELECT 'fk_lineitem_orderkey', (SELECT COUNT(*) FROM "
+        "(SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l "
+        "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))"
+        ") ORDER BY check_name"
+    ),
+)
+def x_dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite: all row-level checks per table fold
+    into ONE scan each (conditional counts + count-minus-distinct in a
+    single aggregate, unpivoted with stack); referential integrity as
+    distinct-FK anti joins. The value<=100 check is deliberately tight —
+    nonzero violations prove the counting path against the oracle."""
+    from pyspark.sql import functions as F
+
+    from .operators.dq import (
+        expectations_report,
+        referential_check,
+        row_checks,
+    )
+
+    events = _table(spark, sf_dir, "events")
+    lineitem = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    return expectations_report(
+        [
+            row_checks(
+                events,
+                {
+                    "events_id_not_null": F.col("event_id").isNotNull(),
+                    "events_type_accepted": F.col("event_type").isin(
+                        "click", "error", "purchase", "signup", "view"
+                    ),
+                    "events_value_le_100": F.col("value") <= 100,
+                },
+                uniques=["event_id"],
+            ),
+            row_checks(
+                lineitem,
+                {
+                    "lineitem_qty_in_1_50": F.col("l_quantity").between(1, 50),
+                    "lineitem_discount_in_0_1": F.col("l_discount").between(
+                        0, 1
+                    ),
+                },
+            ),
+            referential_check(
+                "fk_orders_custkey", orders, "o_custkey", customer, "c_custkey"
+            ),
+            referential_check(
+                "fk_lineitem_orderkey", lineitem, "l_orderkey", orders,
+                "o_orderkey",
+            ),
+        ]
+    )
+
+
+@query(
+    "x_stats_outliers",
+    oracle=(
+        "WITH typed AS (SELECT event_type, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+        "med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med "
+        "FROM typed GROUP BY event_type), "
+        "mad AS (SELECT t.event_type, "
+        "quantile_cont(ABS(t.cents - m.med), 0.5) AS mad "
+        "FROM typed t JOIN med m ON t.event_type = m.event_type "
+        "GROUP BY t.event_type) "
+        "SELECT t.event_type, COUNT(*) AS n_rows, "
+        "COUNT(CASE WHEN ABS(t.cents - m.med) > 3 * d.mad THEN 1 END) "
+        "AS n_outliers "
+        "FROM typed t JOIN med m ON t.event_type = m.event_type "
+        "JOIN mad d ON t.event_type = d.event_type "
+        "GROUP BY t.event_type ORDER BY t.event_type"
+    ),
+)
+def x_stats_outliers(spark, sf_dir):
+    """Robust outlier monitor: |value − median| > 3·MAD per event_type —
+    median/MAD instead of mean/σ (50% breakdown point: the whales being
+    flagged can't drag the threshold). Integer-cents inputs keep both
+    engines' interpolated medians IEEE-identical."""
+    from .operators.stats import robust_outlier_counts
+
+    return robust_outlier_counts(_table(spark, sf_dir, "events"))
+
+
+@query(
     "x_join_salted",
     oracle=(
         "SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_events, "
@@ -2158,6 +2506,72 @@ def x_stream_stateful(spark, sf_dir):
         q = stateful_user_totals_stream(stream, query_name=name)
         q.awaitTermination()
     return final_user_totals(spark, name)
+
+
+@query(
+    "x_stream_heavy_hitters",
+    oracle=(
+        "WITH pertype AS (SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY 1), "
+        "cnt AS (SELECT event_type, user_id, COUNT(*) AS exact_count "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT c.event_type, c.user_id, c.exact_count, TRUE AS sketch_ok "
+        "FROM cnt c JOIN pertype p ON c.event_type = p.event_type "
+        "WHERE c.exact_count >= CEIL(0.011 * p.n) "
+        "ORDER BY c.event_type, c.user_id"
+    ),
+)
+def x_stream_heavy_hitters(spark, sf_dir):
+    """Streaming Misra-Gries heavy hitters: per-type hot-user sketch
+    carried in the state store across micro-batches (k=100 counters —
+    below the 150-user domain, so eviction genuinely happens), certified
+    at end-of-stream against the exact batch counts: every user above
+    ceil(phi·n) must be present with an estimate inside n/(k+1). The MG
+    bounds hold for ANY arrival order, so sketch_ok is a theorem (TRUE
+    in the oracle), not a measurement."""
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import (
+        final_heavy_hitter_snapshot,
+        mg_heavy_hitters_stream,
+    )
+
+    k, phi = 100, 0.011
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .select("event_type", "user_id")
+    )
+    name = "ubsp_mg_heavy"
+    with _state_partitions(spark, 8):
+        q = mg_heavy_hitters_stream(stream, query_name=name, k=k)
+        q.awaitTermination()
+    est = final_heavy_hitter_snapshot(spark, name)
+    cnt = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    pertype = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.join(F.broadcast(pertype), "event_type")
+        .filter(F.col("exact_count") >= F.ceil(F.lit(phi) * F.col("n")))
+        .join(est, ["event_type", "user_id"], "left")
+        .select(
+            "event_type",
+            "user_id",
+            "exact_count",
+            (
+                F.col("est_count").isNotNull()
+                & (F.col("est_count") <= F.col("exact_count"))
+                & (
+                    F.col("exact_count") - F.col("est_count")
+                    <= F.floor(F.col("n") / F.lit(k + 1))
+                )
+            ).alias("sketch_ok"),
+        )
+        .orderBy("event_type", "user_id")
+    )
 
 
 @query(
@@ -4391,17 +4805,21 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # Queries whose implementation or oracle changed in the CURRENT round:
 # the rotation promotes these to the front of the green tail so the
 # driver's 50-slot window re-earns their green on the new code. Round 7:
-# EMPTY — the round's additions (Q4/Q21/Q13/Q22, semantic dedup, heavy
-# hitters) are never-checked and rank ahead of every green
-# automatically; the other r07 changes touch timing (bench scheduler)
-# and pytest-only surface (decode_real PNG), not any registered query's
-# semantics. With zero touched, the 50-slot window is exactly 6
-# never-checked + the 23 pre-r04 stale greens (VERDICT r06 #2) + the 21
-# stalest r04-vintage greens — draining the entire pre-r04 tail in one
-# round.
+# the round's additions (TPC Q4/Q6/Q8/Q12/Q13/Q14/Q15/Q16/Q17/
+# Q19/Q21/Q22, semantic dedup, heavy hitters, reservoir sample) are
+# never-checked and rank ahead of every green automatically (with the
+# DQ suite, outlier monitor and streaming heavy hitters, 18 never-checked);
+# the other r07 changes touch timing (bench scheduler) and pytest-only
+# surface (decode_real PNG) — EXCEPT x_sim_ivf: the ADVICE r07 #1/#2
+# hardening (deterministic centroid tie-break, zero-norm training
+# guard) is a no-op on the fixtures but does change the IVF
+# implementation, so its r06 green re-earns a slot. The window is then
+# 18 never-checked + x_sim_ivf + the 23 pre-r04 stale greens (VERDICT
+# r06 #2) + the 8 stalest r04-vintage greens — still draining the
+# entire pre-r04 tail in one round.
 # Everything else in the window comes from the stalest-vintage-first
 # green ordering (see _rotated).
-_TOUCHED_THIS_ROUND = frozenset()
+_TOUCHED_THIS_ROUND = frozenset({"x_sim_ivf"})
 
 
 def _rotated(keys):

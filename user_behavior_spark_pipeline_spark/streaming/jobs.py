@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.ingest import validate_events
@@ -792,4 +792,120 @@ def fanout_by_class_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def mg_heavy_hitters_stream(
+    events_stream: DataFrame,
+    query_name: str,
+    k: int = 100,
+):
+    """Streaming Misra-Gries heavy hitters (applyInPandasWithState): per
+    event_type, a bounded k-counter summary of hot user_ids maintained
+    across micro-batches — the streaming twin of
+    approx.heavy_hitter_candidates, carrying the sketch in the state
+    store instead of re-scanning history every trigger.
+
+    Each micro-batch folds as an MG MERGE: the batch's exact per-user
+    histogram (a vectorized value_counts, no per-row python loop) is
+    added into the state counters, then pruned back to k by subtracting
+    the (k+1)-st largest count from all (Agarwal et al., "Mergeable
+    Summaries" — merging an exact histogram into an MG summary and
+    pruning preserves every MG theorem for the concatenated stream):
+
+    - est(u) ≤ true(u) (underestimate only),
+    - true(u) − est(u) ≤ n_type/(k+1),
+    - any u with true(u) > n_type/(k+1) is present.
+
+    All three hold for ANY arrival order, which is what makes the end
+    state CERTIFIABLE against a batch oracle even though shuffle order
+    inside a micro-batch isn't contractual. State per key is exactly
+    ≤ k (user, count) pairs — bytes, not history; at 100 TB/day this is
+    the hot-key monitor that never grows.
+
+    Emits the FULL current counter set each batch stamped with a state
+    sequence number; the reader takes the max-seq snapshot per type, so
+    users evicted mid-stream can't linger in the final answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("est_count", LongType(), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("users", ArrayType(LongType()), False),
+            StructField("counts", ArrayType(LongType()), False),
+            StructField("seq", LongType(), False),
+        ]
+    )
+
+    def _fold(key, pdfs, state: "GroupState"):
+        if state.exists:
+            users, counts, seq = state.get
+            summary = dict(zip(users, counts))
+        else:
+            summary, seq = {}, 0
+        for pdf in pdfs:
+            # exact batch histogram, merged in one pass
+            for user, c in pdf["user_id"].value_counts().items():
+                summary[int(user)] = summary.get(int(user), 0) + int(c)
+            if len(summary) > k:
+                # MG prune: subtract the (k+1)-st largest from everyone
+                cut = sorted(summary.values(), reverse=True)[k]
+                summary = {
+                    u: c - cut for u, c in summary.items() if c - cut > 0
+                }
+        seq += 1
+        state.update((list(summary), [summary[u] for u in summary], seq))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(summary),
+                "user_id": list(summary),
+                "est_count": [summary[u] for u in summary],
+                "seq": [seq] * len(summary),
+            }
+        )
+
+    sketched = events_stream.groupBy("event_type").applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sketched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def final_heavy_hitter_snapshot(spark: SparkSession, query_name: str) -> DataFrame:
+    """The max-seq counter snapshot per event_type from the memory sink —
+    the end-of-stream MG summary (evicted users excluded by construction)."""
+    t = spark.table(query_name)
+    # window max instead of a groupBy self-join: self-joining a memory
+    # sink's MemoryPlan hits conflicting-attribute INTERNAL_ERROR in
+    # Spark 4.1; the sink holds <= k rows per (type, batch), so a window
+    # over it is trivial
+    w = Window.partitionBy("event_type")
+    return (
+        t.withColumn("_max_seq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_max_seq"))
+        .select("event_type", "user_id", "est_count")
     )
