@@ -665,3 +665,26 @@ def test_q12_dual_case_counts_single_join(spark, sf_dir):
     # the filter column counts — orders reads (orderkey, priority)
     for cols in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(cols.split(",")) <= 3
+
+
+def test_incremental_merge_equals_recompute_any_split(spark, sf_dir):
+    """merge(rollup(base), rollup(delta)) == rollup(all) for an
+    arbitrary overlapping split — and an empty delta is the identity."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.rollup import (
+        mergeable_daily_rollup,
+        merge_rollups,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    full = mergeable_daily_rollup(events)
+    for pred in (F.col("user_id") % 3 == 0, F.lit(False)):
+        merged = merge_rollups(
+            mergeable_daily_rollup(events.filter(~pred)),
+            mergeable_daily_rollup(events.filter(pred)),
+        )
+        a = sorted(map(tuple, merged.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b

@@ -258,3 +258,43 @@ def test_reservoir_bounds_output_per_group_and_is_stable(spark, sf_dir):
         ev.repartition(13), "event_type", "event_id", k=9, prune_partitions=4
     )
     assert sorted(map(tuple, re.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_reservoir_property_two_phase_equals_naive_on_random_groups(spark):
+    """Hypothesis: for ANY group-size profile (including whales and
+    singleton groups) and any (k, salt-count), the two-phase pruned form
+    returns exactly the naive single-window rows — the lossless-pruning
+    claim as a property, not just on the fixture."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(1, 40), min_size=1, max_size=5),
+        k=st.integers(1, 8),
+        salts=st.integers(1, 6),
+    )
+    def run(sizes, k, salts):
+        rows, next_id = [], 0
+        for g, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((f"g{g}", next_id))
+                next_id += 1
+        df = spark.createDataFrame(rows, "grp string, id long")
+        naive = reservoir_per_group(df, "grp", "id", k=k, prune_partitions=0)
+        pruned = reservoir_per_group(
+            df, "grp", "id", k=k, prune_partitions=salts
+        )
+        assert sorted(map(tuple, naive.collect())) == sorted(
+            map(tuple, pruned.collect())
+        )
+
+    run()

@@ -68,3 +68,51 @@ def orders_grouping_sets(spark, orders: DataFrame) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+def mergeable_daily_rollup(events: DataFrame) -> DataFrame:
+    """The mergeable per-(day, type) rollup row: COUNT and exact-cents SUM
+    — both associative, so two rollups over disjoint row sets merge by
+    key-wise addition into exactly the rollup of the union (the property
+    :func:`merge_rollups` exploits)."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+def merge_rollups(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental aggregate maintenance: fold a late-arriving delta's
+    rollup into the standing rollup WITHOUT re-scanning base history —
+    union the two (small) rollup tables and re-aggregate by key, adding
+    the mergeable measures.
+
+    THE pattern that makes a 100 TB daily-metrics pipeline affordable:
+    the standing rollup is ~(days × types) rows regardless of fact size,
+    the delta pays only its own scan + a rollup-sized shuffle, and late
+    data lands in its TRUE event-time day (contrast processing-time
+    pipelines that misfile it — README.md's reference counts by arrival).
+    Works for any associative measure (counts, exact-integer sums,
+    HLL/KLL sketch blobs via their union aggs — see
+    distinct_users_mergeable_sketch); averages/medians must be carried
+    as (sum, count) / sketch, never as the finished ratio. Equality with
+    a full recompute is not a convention but a theorem (associativity +
+    commutativity of the measures), which the registered query's oracle
+    states literally: the full GROUP BY over base ∪ delta."""
+    from pyspark.sql import functions as F
+
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

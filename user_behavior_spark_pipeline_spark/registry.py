@@ -898,6 +898,105 @@ def x_dq_expectations(spark, sf_dir):
 
 
 @query(
+    "x_agg_incremental",
+    oracle=(
+        "SELECT date_trunc('day', ts) AS day, event_type, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM events GROUP BY 1, 2 ORDER BY day, event_type"
+    ),
+)
+def x_agg_incremental(spark, sf_dir):
+    """Incremental aggregate maintenance: the corpus is split
+    deterministically into a 95% base and a 5% late-arriving delta
+    (md5-bucketed — engine-reproducible), each rolled up separately, and
+    the delta MERGED into the base rollup by key-wise addition. The
+    oracle is the full recompute over everything — merge == recompute is
+    the associativity theorem, stated literally."""
+    from pyspark.sql import functions as F
+
+    from .operators.rollup import mergeable_daily_rollup, merge_rollups
+    from .operators.sampling import hash_bucket
+
+    events = _table(spark, sf_dir, "events")
+    late = hash_bucket(F.col("event_id"), 100) < 5
+    base = mergeable_daily_rollup(events.filter(~late))
+    delta = mergeable_daily_rollup(events.filter(late))
+    return merge_rollups(base, delta).orderBy("day", "event_type")
+
+
+@query(
+    "x_privacy_k_anon",
+    oracle=(
+        "WITH classes AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz "
+        "FROM customer GROUP BY 1, 2) "
+        "SELECT 5 AS k, CAST(COUNT(*) AS BIGINT) AS n_classes, "
+        "CAST(COUNT(CASE WHEN sz < 5 THEN 1 END) AS BIGINT) AS n_small_classes, "
+        "CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT) "
+        "AS n_rows_at_risk, "
+        "CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS min_class_size FROM classes"
+    ),
+)
+def x_privacy_k_anon(spark, sf_dir):
+    """k-anonymity audit on the (nation, market-segment) quasi-identifier
+    tuple: classes smaller than k are re-identifiable — the release gate
+    a published extract must pass. One QI-keyed shuffle, one-row report."""
+    from .operators.governance import k_anonymity_report
+
+    return k_anonymity_report(
+        _table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
+@query(
+    "x_privacy_erasure",
+    oracle=(
+        "WITH t AS (SELECT DISTINCT user_id AS sid FROM events "
+        "WHERE user_id % 97 = 0) "
+        "SELECT * FROM ("
+        "SELECT 'customer' AS table_name, "
+        "(SELECT COUNT(*) FROM customer) AS rows_before, "
+        "(SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT sid FROM t)) AS rows_purged, "
+        "(SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT sid FROM t)) AS rows_after "
+        "UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events), "
+        "(SELECT COUNT(*) FROM events WHERE user_id IN (SELECT sid FROM t)), "
+        "(SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT sid FROM t)) "
+        "UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders), "
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT sid FROM t)), "
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT sid FROM t))"
+        ") ORDER BY table_name"
+    ),
+)
+def x_privacy_erasure(spark, sf_dir):
+    """Right-to-erasure propagation audit: per-table purge counts through
+    the SAME broadcast anti-join the production purge runs, with the
+    rows_before = rows_purged + rows_after conservation invariant the
+    oracle re-derives independently via IN / NOT IN counts. Tombstones =
+    users with user_id % 97 == 0 (a deterministic stand-in for an
+    erasure-request list)."""
+    from pyspark.sql import functions as F
+
+    from .operators.governance import erasure_audit
+
+    events = _table(spark, sf_dir, "events")
+    tombstones = (
+        events.filter(F.col("user_id") % 97 == 0)
+        .select(F.col("user_id").alias("subject_id"))
+        .distinct()
+    )
+    return erasure_audit(
+        {
+            "customer": (_table(spark, sf_dir, "customer"), "c_custkey"),
+            "events": (events, "user_id"),
+            "orders": (_table(spark, sf_dir, "orders"), "o_custkey"),
+        },
+        tombstones,
+    )
+
+
+@query(
     "x_stats_outliers",
     oracle=(
         "WITH typed AS (SELECT event_type, "
@@ -4808,14 +4907,15 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # the round's additions (TPC Q4/Q6/Q8/Q12/Q13/Q14/Q15/Q16/Q17/
 # Q19/Q21/Q22, semantic dedup, heavy hitters, reservoir sample) are
 # never-checked and rank ahead of every green automatically (with the
-# DQ suite, outlier monitor and streaming heavy hitters, 18 never-checked);
+# DQ suite, outlier monitor, streaming heavy hitters and the privacy
+# pair and incremental rollup maintenance, 21 never-checked);
 # the other r07 changes touch timing (bench scheduler) and pytest-only
 # surface (decode_real PNG) — EXCEPT x_sim_ivf: the ADVICE r07 #1/#2
 # hardening (deterministic centroid tie-break, zero-norm training
 # guard) is a no-op on the fixtures but does change the IVF
 # implementation, so its r06 green re-earns a slot. The window is then
-# 18 never-checked + x_sim_ivf + the 23 pre-r04 stale greens (VERDICT
-# r06 #2) + the 8 stalest r04-vintage greens — still draining the
+# 21 never-checked + x_sim_ivf + the 23 pre-r04 stale greens (VERDICT
+# r06 #2) + the 5 stalest r04-vintage greens — still draining the
 # entire pre-r04 tail in one round.
 # Everything else in the window comes from the stalest-vintage-first
 # green ordering (see _rotated).
