@@ -119,7 +119,14 @@ def main() -> None:
     # cheap majority's medians; a query whose estimate doesn't fit ends
     # the round (everything after it in the order costs more)
     for _ in range(1, runs):
-        for name in sorted(bench_names, key=lambda n: min(samples[n])):
+        # sort by the SAME median used as the cost estimate below — the
+        # early break's justification ("everything after costs more")
+        # only holds if the ordering key IS the estimate; ordering by
+        # min() let one noisy-cheap sample pull an expensive query ahead
+        # of stable cheap ones and starve them at the break
+        for name in sorted(
+            bench_names, key=lambda n: statistics.median(samples[n])
+        ):
             est = statistics.median(samples[name])
             if time.perf_counter() - bench_start + est > budget_s:
                 break

@@ -33,7 +33,9 @@ def test_erasure_audit_matches_purge_and_conserves_rows(spark):
         [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
         "uid long, payload string",
     )
-    tomb = spark.createDataFrame([(1,), (99,)], "subject_id long")
+    # subject 1 appears TWICE, as an erasure-request log replay would
+    # deliver it: the audit must not row-multiply (code-review r07)
+    tomb = spark.createDataFrame([(1,), (1,), (99,)], "subject_id long")
     audit = {
         r["table_name"]: r
         for r in erasure_audit({"t": (df, "uid")}, tomb).collect()

@@ -67,24 +67,37 @@ def bigrams_col(text="text"):
     )
 
 
+def mg_merge(summary: dict, batch_counts, k: int) -> dict:
+    """THE Misra-Gries merge-and-prune step, shared by the batch sketch
+    (:func:`_mg_partial`) and the streaming fold
+    (streaming.jobs.mg_heavy_hitters_stream) so the arithmetic the
+    deterministic certificate rests on lives in exactly one place: add
+    an EXACT histogram (pairs of (item, count)) into the running
+    summary; if it exceeds k counters, subtract the (k+1)-st largest
+    count from every counter and drop the non-positive ones. Each
+    subtraction of m removes ≥ (k+1)·m total mass, so the total
+    subtracted over a stream of n items is ≤ n/(k+1) — every surviving
+    counter underestimates its item's true count by at most that, and
+    any item with true count above the bound cannot have been fully
+    subtracted away (Agarwal et al., "Mergeable Summaries")."""
+    for item, c in batch_counts:
+        summary[item] = summary.get(item, 0) + int(c)
+    if len(summary) > k:
+        m = sorted(summary.values(), reverse=True)[k]
+        summary = {t: c - m for t, c in summary.items() if c > m}
+    return summary
+
+
 def _mg_partial(col: str, k: int):
-    """Per-partition Misra-Gries summary of size ≤ k (mergeable-summaries
-    form): fold each Arrow batch's value_counts into the running summary;
-    when it exceeds k counters, subtract the (k+1)-th largest count from
-    every counter and drop the non-positive ones. Each subtraction of m
-    removes ≥ (k+1)·m total mass, so the per-partition total subtracted is
-    ≤ n_p/(k+1) — every counter underestimates its token's true partition
-    count by at most that."""
+    """Per-partition Misra-Gries summary of size ≤ k: fold each Arrow
+    batch's value_counts through :func:`mg_merge` (the shared
+    merge-and-prune step that carries the error/recall proof)."""
     import pandas as pd
 
     def fn(batches):
         counts: dict = {}
         for pdf in batches:
-            for tok, c in pdf[col].value_counts().items():
-                counts[tok] = counts.get(tok, 0) + int(c)
-            if len(counts) > k:
-                m = sorted(counts.values(), reverse=True)[k]
-                counts = {t: c - m for t, c in counts.items() if c > m}
+            counts = mg_merge(counts, pdf[col].value_counts().items(), k)
         yield pd.DataFrame(
             {col: list(counts.keys()), "est": list(counts.values())}
         )

@@ -1599,25 +1599,20 @@ def semantic_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    from .similarity import _centroids_df, _dot, _train_centroids, normalized_vectors
+    from .similarity import (
+        _centroids_df,
+        _train_centroids,
+        assign_cells,
+        normalized_vectors,
+    )
 
     spark = embeddings.sparkSession
     cent = _train_centroids(embeddings, n_clusters)
     cdf = _centroids_df(spark, cent)
-    assigned = (
-        normalized_vectors(embeddings)
-        .crossJoin(F.broadcast(cdf))
-        .withColumn("score", _dot(F.col("ne"), F.col("ce")))
-        .groupBy("vec_id")
-        .agg(
-            # struct tie-break on duplicate centroids (ADVICE r07 #1)
-            F.max_by(
-                "centroid_id",
-                F.struct(F.col("score"), -F.col("centroid_id")),
-            ).alias("cell"),
-            F.first("ne").alias("ne"),
-        )
-    )
+    # the SHARED ivf_topk assignment (similarity.assign_cells): one
+    # audited implementation of normalize -> broadcast score -> max_by
+    # struct tie-break, instead of a drifting copy
+    assigned = assign_cells(normalized_vectors(embeddings), cdf)
 
     # no type hints: a partially-annotated applyInPandas kernel trips
     # pyspark's eval-type inference warning

@@ -60,6 +60,11 @@ def erasure_audit(
     the anti-join primitive the audit's counts predict, pytest-pinned
     equal) is bounded by scan + write — the storage floor without a
     subject-key index."""
+    # distinct FIRST: a duplicated subject in the tombstone list (an
+    # erasure-request log replays) would row-multiply the left join and
+    # inflate rows_before/rows_purged while purge()'s anti join stayed
+    # correct — the audit would stop predicting the purge it certifies
+    tombstones = tombstones.select("subject_id").distinct()
     parts = []
     for name in sorted(tables):
         df, col = tables[name]

@@ -173,7 +173,12 @@ def reservoir_per_group(
     (every subset of size k equally likely under the hash's uniformity)
     with this module's key-addressing instead of an RNG, so membership
     is stable across runs, engines and partitionings, and OUTPUT SIZE IS
-    BOUNDED (k rows per group) no matter how skewed the group sizes are
+    BOUNDED (k rows per group) no matter how skewed the group sizes are.
+    PRECONDITION: ``id_col`` must be unique within each group — two
+    different rows sharing an id tie on the (md5, id) sort key and
+    row_number picks arbitrarily, voiding both the stability contract
+    and the two-phase/naive equivalence at the k boundary (pre-dedup or
+    extend the orderBy with the remaining columns if keys can repeat)
     — the property rate-based sampling (:func:`mixture_sample`) cannot
     give: a 10^9-row whale group still yields exactly k rows.
 

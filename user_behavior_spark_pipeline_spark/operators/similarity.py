@@ -277,6 +277,32 @@ def _centroids_df(spark, cent) -> DataFrame:
     )
 
 
+def assign_cells(normed: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment, shared by ivf_topk and
+    dedup.semantic_near_dup_pairs so the assignment semantics (and any
+    fix to them) live in ONE place: broadcast crossJoin against the tiny
+    centroid table + one max_by hash-agg — the corpus is scanned once
+    and shuffled only by vec_id. Returns (vec_id, cell, ne).
+
+    Struct tie-break: duplicate/collapsed centroids tie on score
+    exactly; lowest centroid_id wins deterministically (ADVICE r07 #1 —
+    same convention as incremental_near_dup). `first("ne")` is safe:
+    every row of a vec_id group carries the identical normalized
+    vector."""
+    return (
+        normed.crossJoin(F.broadcast(cdf))
+        .withColumn("score", _dot(F.col("ne"), F.col("ce")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("score"), -F.col("centroid_id")),
+            ).alias("cell"),
+            F.first("ne").alias("ne"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     num_queries: int = 10,
@@ -298,21 +324,7 @@ def ivf_topk(
     cdf = _centroids_df(spark, cent)
 
     normed = normalized_vectors(embeddings)
-    assigned = (
-        normed.crossJoin(F.broadcast(cdf))
-        .withColumn("score", _dot(F.col("ne"), F.col("ce")))
-        .groupBy("vec_id")
-        .agg(
-            # struct tie-break: duplicate/collapsed centroids tie on
-            # score exactly; lowest centroid_id wins deterministically
-            # (ADVICE r07 #1 — same convention as incremental_near_dup)
-            F.max_by(
-                "centroid_id",
-                F.struct(F.col("score"), -F.col("centroid_id")),
-            ).alias("cell"),
-            F.first("ne").alias("ne"),
-        )
-    )
+    assigned = assign_cells(normed, cdf)
     q = (
         normed.filter(F.col("vec_id") < num_queries)
         .crossJoin(F.broadcast(cdf))

@@ -852,6 +852,8 @@ def mg_heavy_hitters_stream(
         ]
     )
 
+    from ..operators.approx import mg_merge
+
     def _fold(key, pdfs, state: "GroupState"):
         if state.exists:
             users, counts, seq = state.get
@@ -859,15 +861,17 @@ def mg_heavy_hitters_stream(
         else:
             summary, seq = {}, 0
         for pdf in pdfs:
-            # exact batch histogram, merged in one pass
-            for user, c in pdf["user_id"].value_counts().items():
-                summary[int(user)] = summary.get(int(user), 0) + int(c)
-            if len(summary) > k:
-                # MG prune: subtract the (k+1)-st largest from everyone
-                cut = sorted(summary.values(), reverse=True)[k]
-                summary = {
-                    u: c - cut for u, c in summary.items() if c - cut > 0
-                }
+            # exact batch histogram through the SHARED merge-and-prune
+            # step (approx.mg_merge) — the certificate's arithmetic
+            # lives in one audited place, not two drifting copies
+            summary = mg_merge(
+                summary,
+                (
+                    (int(u), int(c))
+                    for u, c in pdf["user_id"].value_counts().items()
+                ),
+                k,
+            )
         seq += 1
         state.update((list(summary), [summary[u] for u in summary], seq))
         yield pd.DataFrame(
