@@ -497,9 +497,12 @@ def test_q22_scalar_subquery_plus_anti_hash_join(spark, sf_dir):
     assert "Subquery" in plan
 
 
-def test_q15_no_nested_loop_and_broadcast_scalar_joinback(spark, sf_dir):
+def test_q15_no_nested_loop_and_single_materialized_fact_scan(spark, sf_dir):
     """Q15's max-revenue join-back must be a broadcast hash join over the
-    one-row aggregate — never a nested loop or cartesian."""
+    one-row aggregate — never a nested loop — and the revenue view must
+    be MATERIALIZED so its two consumers (rows + MAX scalar) share one
+    underlying lineitem scan (measured: AQE does not ReuseExchange here;
+    without the cache the fact is scanned twice — ADVICE r07)."""
     from user_behavior_spark_pipeline_spark.registry import QUERIES
 
     plan = (
@@ -511,6 +514,15 @@ def test_q15_no_nested_loop_and_broadcast_scalar_joinback(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # mode-independent materialization pin: the revenue view's two
+    # consumers must NOT each rescan the fact — under local_checkpoint
+    # the lineitem scan vanishes from this plan entirely (0 nodes);
+    # without materialization it appears twice (plan text prints ~2
+    # nodes per logical scan, so > 2 lines means a double scan)
+    fact_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert len(fact_scans) <= 2, fact_scans
 
 
 def test_q16_not_in_plans_null_aware_anti_hash_join(spark, sf_dir):

@@ -748,13 +748,16 @@ def top_revenue_suppliers(
     Plan: the revenue view is ONE shuffle of the date-pruned lineitem on
     l_suppkey (predicates push to the scan; map-side partial sums mean
     the shuffle carries (suppkey, partial) pairs, ~|suppliers| rows per
-    task). Its MAX is a one-row aggregate joined back with a broadcast
-    hint — Spark's ReuseExchange dedups the underlying shuffle when
-    plans match, and even when AQE re-plans one side, recomputing a
-    ~|suppliers|-row aggregate is noise at any scale. Ties: ALL
+    task). The view feeds TWO consumers (its own rows + the one-row
+    MAX), and measured plans showed AQE does NOT reuse the exchange
+    between them (ADVICE r07, 2 lineitem scans) — so the ~|suppliers|-row
+    aggregate is MATERIALIZED once and both consumers read the cache:
+    one fact scan total, which at 100 TB is the difference that
+    matters. The MAX joins back with a broadcast hint. Ties: ALL
     max-revenue suppliers return (set semantics, same as canonical
     Q15's view form), ordered by s_suppkey. Revenue is integer-exact
     (money_e4 per row, decimal accumulation — sum_money above)."""
+    from ..materialize import materialize
     rev = money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
     revenue = (
         lineitem.filter(
@@ -764,6 +767,7 @@ def top_revenue_suppliers(
         .groupBy("l_suppkey")
         .agg(sum_money(rev).alias("total_revenue_x10000"))
     )
+    revenue = materialize(revenue)
     top = revenue.agg(
         F.max("total_revenue_x10000").alias("max_revenue_x10000")
     )
