@@ -413,17 +413,28 @@ def dormant_rich_customers(
     derives country codes from c_phone substrings; this corpus has no
     phone column (TESTDATA.md), so c_nationkey ≤ max_nationkey stands in
     for the IN-list of codes."""
+    from ..materialize import materialize
+
     spark = customer.sparkSession
-    customer.createOrReplaceTempView("ubsp_q22_customer")
+    # the pool feeds THREE consumers (the scalar COUNT, the scalar SUM,
+    # and the main scan); Spark inlines SQL CTEs, so without this the
+    # customer fact is scanned three times (measured). Materialize the
+    # filtered two-predicate projection once and let Catalyst plan the
+    # scalar subqueries + anti join over the checkpoint.
+    pool = materialize(
+        customer.filter(F.col("c_nationkey") <= max_nationkey).select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("bal_c"),
+        )
+    )
+    pool.createOrReplaceTempView("ubsp_q22_pool")
     orders.createOrReplaceTempView("ubsp_q22_orders")
     return spark.sql(
-        f"""
-        WITH pool AS (
-            SELECT c_custkey, c_nationkey,
-                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
-            FROM ubsp_q22_customer
-            WHERE c_nationkey <= {max_nationkey}
-        )
+        """
+        WITH pool AS (SELECT * FROM ubsp_q22_pool)
         SELECT c_nationkey AS cntrycode,
                COUNT(*) AS numcust,
                SUM(bal_c) AS totacctbal_x100

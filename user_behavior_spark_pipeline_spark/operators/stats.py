@@ -184,17 +184,20 @@ def robust_outlier_counts(
     integers. No accumulation-order hazard anywhere (contrast the moment
     sums above, which need decimal accumulators).
 
-    Scale shape: exact medians need the values per group — ONE shuffle
-    keyed on event_type for the (median, MAD) pair via two cascaded
-    aggregates sharing that partitioning, then the flag pass re-scans
-    the fact and broadcast-joins the tiny per-type table (5 rows):
-    total one fact shuffle + one re-scan, no per-row window state. A
-    skewed group concentrates its percentile into one task — at 100 TB
-    swap `percentile` for `approx_percentile` (KLL) and the plan is
+    Scale shape: the projected fact (two columns) feeds THREE passes —
+    median, MAD-given-median, flag counts — so it is cache_shared'd
+    once (persist with lineage, the corpus-sized rule) and the three
+    consumers read the cache instead of re-scanning storage (measured:
+    without the cache the plan scanned the fact three times). Each pass
+    broadcast-joins the tiny per-type table (5 rows). A skewed group
+    concentrates its percentile into one task — at 100 TB swap
+    `percentile` for `approx_percentile` (KLL) and the plan is
     unchanged; the exact form here is what makes the oracle hash-exact.
     """
+    from ..materialize import cache_shared
+
     cents = F.round(F.col("value") * 100).cast("long")
-    typed = events.select("event_type", cents.alias("cents"))
+    typed = cache_shared(events.select("event_type", cents.alias("cents")))
     med = typed.groupBy("event_type").agg(
         F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
     )
