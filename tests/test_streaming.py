@@ -628,3 +628,80 @@ def test_mg_heavy_hitters_bounds_and_eviction(spark, tmp_path):
     # and inside the deterministic bound
     assert 777 in est
     assert exact[777] - est[777] <= n // (k + 1)
+
+
+def test_mg_merge_property_bounds_hold_for_any_stream():
+    """Pure-python hypothesis check of the shared merge-and-prune step
+    (approx.mg_merge) that BOTH MG certificates rest on: for any batch
+    sequence and any k — underestimate-only, error within n/(k+1),
+    recall of every item above the bound, and summary size <= k."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.approx import mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        batches=st.lists(
+            st.lists(st.integers(0, 12), min_size=1, max_size=60),
+            min_size=1,
+            max_size=6,
+        ),
+        k=st.integers(1, 8),
+    )
+    def run(batches, k):
+        summary: dict = {}
+        exact: Counter = Counter()
+        for batch in batches:
+            bc = Counter(batch)
+            exact.update(bc)
+            summary = mg_merge(summary, bc.items(), k)
+        n = sum(exact.values())
+        bound = n // (k + 1)
+        assert len(summary) <= k
+        for item, est in summary.items():
+            assert 0 < est <= exact[item]
+            assert exact[item] - est <= bound
+        for item, true in exact.items():
+            if true > bound:
+                assert item in summary, (item, true, bound, summary)
+
+    run()
+
+
+def test_dq_monitor_accumulates_across_batches(spark, tmp_path):
+    """Streaming DQ totals over one-file triggers must equal the batch
+    one-scan counts (conditional counts are associative)."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        dq_monitor_stream,
+        final_dq_totals,
+    )
+
+    rows = [(1, "a", 5.0), (2, "b", 150.0), (None, "zzz", 7.0),
+            (4, "a", -1.0), (5, "b", 200.0), (6, "a", 3.0)]
+    batch = spark.createDataFrame(rows, "id long, cat string, v double")
+    src = str(tmp_path / "dq_src")
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    checks = {
+        "id_not_null": F.col("id").isNotNull(),
+        "cat_accepted": F.col("cat").isin("a", "b"),
+        "v_in_0_100": F.col("v").between(0, 100),
+    }
+    q = dq_monitor_stream(stream, query_name="dq_stream_test", checks=checks)
+    q.awaitTermination()
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in final_dq_totals(
+            spark, "dq_stream_test", list(checks)
+        ).collect()
+    }
+    assert got == {"id_not_null": 1, "cat_accepted": 1, "v_in_0_100": 3}

@@ -2674,6 +2674,51 @@ def x_stream_heavy_hitters(spark, sf_dir):
 
 
 @query(
+    "x_stream_dq",
+    oracle=(
+        "SELECT * FROM ("
+        "SELECT 'events_id_not_null' AS check_name, "
+        "COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS n_violations FROM events "
+        "UNION ALL SELECT 'events_type_accepted', COUNT(CASE WHEN NOT COALESCE("
+        "event_type IN ('click','error','purchase','signup','view'), FALSE) THEN 1 END) FROM events "
+        "UNION ALL SELECT 'events_value_le_100', COUNT(CASE WHEN NOT COALESCE("
+        "value <= 100, FALSE) THEN 1 END) FROM events"
+        ") ORDER BY check_name"
+    ),
+)
+def x_stream_dq(spark, sf_dir):
+    """Streaming data-contract monitor: the batch DQ suite's row-level
+    checks folded into a streaming global aggregate across micro-batches
+    (complete mode); end-of-stream totals equal the batch one-scan suite
+    — conditional counts are associative, the x_agg_incremental
+    argument. Shares the batch suite's violation semantics (dq._viol),
+    so stream and batch cannot drift."""
+    from pyspark.sql import functions as F
+
+    from .streaming.jobs import dq_monitor_stream, final_dq_totals
+
+    checks = {
+        "events_id_not_null": F.col("event_id").isNotNull(),
+        "events_type_accepted": F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"
+        ),
+        "events_value_le_100": F.col("value") <= 100,
+    }
+    events = _table(spark, sf_dir, "events")
+    src = _stage_events_parquet(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .select("event_id", "event_type", "value")
+    )
+    name = "ubsp_stream_dq"
+    with _state_partitions(spark, 8):
+        q = dq_monitor_stream(stream, query_name=name, checks=checks)
+        q.awaitTermination()
+    return final_dq_totals(spark, name, list(checks))
+
+
+@query(
     "x_stream_session",
     oracle=_SESSION_ISLANDS_SQL,
 )
@@ -4908,14 +4953,15 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # Q19/Q21/Q22, semantic dedup, heavy hitters, reservoir sample) are
 # never-checked and rank ahead of every green automatically (with the
 # DQ suite, outlier monitor, streaming heavy hitters and the privacy
-# pair and incremental rollup maintenance, 21 never-checked);
+# pair, incremental rollup maintenance and the streaming DQ monitor,
+# 22 never-checked);
 # the other r07 changes touch timing (bench scheduler) and pytest-only
 # surface (decode_real PNG) — EXCEPT x_sim_ivf: the ADVICE r07 #1/#2
 # hardening (deterministic centroid tie-break, zero-norm training
 # guard) is a no-op on the fixtures but does change the IVF
 # implementation, so its r06 green re-earns a slot. The window is then
-# 21 never-checked + x_sim_ivf + the 23 pre-r04 stale greens (VERDICT
-# r06 #2) + the 5 stalest r04-vintage greens — still draining the
+# 22 never-checked + x_sim_ivf + the 23 pre-r04 stale greens (VERDICT
+# r06 #2) + the 4 stalest r04-vintage greens — still draining the
 # entire pre-r04 tail in one round.
 # Everything else in the window comes from the stalest-vintage-first
 # green ordering (see _rotated).

@@ -913,3 +913,46 @@ def final_heavy_hitter_snapshot(spark: SparkSession, query_name: str) -> DataFra
         .filter(F.col("seq") == F.col("_max_seq"))
         .select("event_type", "user_id", "est_count")
     )
+
+
+def dq_monitor_stream(
+    events_stream: DataFrame,
+    query_name: str,
+    checks: dict,
+):
+    """Streaming data-contract monitor: the batch DQ suite's row-level
+    checks (operators.dq) evaluated continuously — each micro-batch's
+    conditional violation counts fold into a streaming global aggregate
+    (complete mode), so the sink always holds the violations-so-far
+    totals a data-contract alert reads.
+
+    Reuses the batch suite's violation semantics via dq._viol (NULL
+    expectation = violation), so stream and batch can never drift; the
+    end-of-stream state over a finite source equals the batch one-scan
+    suite by the same mergeable-aggregate argument as
+    x_agg_incremental — conditional counts are associative. Uniqueness
+    checks are deliberately absent: streaming COUNT(DISTINCT) needs
+    different machinery (state ∝ key domain — dropDuplicates + count,
+    the x_stream_dedup shape), while these counters hold O(checks)
+    state forever at any input rate."""
+    from ..operators.dq import _viol
+
+    totals = events_stream.agg(
+        *[_viol(name, cond) for name, cond in sorted(checks.items())]
+    )
+    return (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def final_dq_totals(spark: SparkSession, query_name: str, names) -> DataFrame:
+    """Unpivot the monitor's one-row totals to the batch suite's
+    (check_name, n_violations) contract."""
+    pairs = ", ".join(f"'{n}', `{n}`" for n in sorted(names))
+    return spark.table(query_name).selectExpr(
+        f"stack({len(names)}, {pairs}) AS (check_name, n_violations)"
+    ).orderBy("check_name")
