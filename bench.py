@@ -119,17 +119,19 @@ def main() -> None:
     # cheap majority's medians; a query whose estimate doesn't fit ends
     # the round (everything after it in the order costs more)
     for _ in range(1, runs):
-        # sort by the SAME median used as the cost estimate below — the
-        # early break's justification ("everything after costs more")
-        # only holds if the ordering key IS the estimate; ordering by
-        # min() let one noisy-cheap sample pull an expensive query ahead
-        # of stable cheap ones and starve them at the break
-        for name in sorted(
-            bench_names, key=lambda n: statistics.median(samples[n])
-        ):
+        # pick the cheapest REMAINING query by its CURRENT median each
+        # step (ADVICE r07: a pre-round sort goes stale as _sample()
+        # mutates the medians it was keyed on, breaking the early-break
+        # invariant mid-round). Selecting the min of the remainder makes
+        # the invariant exact: when the cheapest remaining estimate
+        # doesn't fit the budget, nothing else this round fits either.
+        pending = set(bench_names)
+        while pending:
+            name = min(pending, key=lambda n: statistics.median(samples[n]))
             est = statistics.median(samples[name])
             if time.perf_counter() - bench_start + est > budget_s:
                 break
+            pending.discard(name)
             _sample(name)
 
     timings = {

@@ -97,6 +97,15 @@ def build(src: str, out: str, factor: int, seed: int = 42) -> None:
         ).fetchone()[0]
         for dom, tab in DOMAIN_TABLE.items()
     }
+    # events.user_id and customer.c_custkey share one SUBJECT domain in
+    # the base fixture (the privacy/erasure family joins tombstones from
+    # events.user_id against c_custkey/o_custkey). Shifting them by
+    # independent roots would break that linkage in every shard but the
+    # first, under-exercising cross-shard purge work at scale — shift
+    # both by the max over the union so subject u in events and customer
+    # u land on the same shifted key in every replica (ADVICE r07).
+    joint = max(shift["user_id"], shift["c_custkey"])
+    shift["user_id"] = shift["c_custkey"] = joint
 
     for table, (keys, name_col) in TPC_SHIFTS.items():
         cols = [

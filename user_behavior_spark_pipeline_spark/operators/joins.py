@@ -272,24 +272,30 @@ def priority_order_exists(
     match, so at 100 TB the shuffle carries two columns of each relation
     and the aggregate is a 5-row hash agg.
 
+    Inputs bind via parameterized spark.sql (ADVICE r07): DataFrames as
+    ``{df}`` plan substitutions (no session-global temp views to race
+    on), the dates as typed ``:param`` literals (no string splicing, no
+    injection surface).
+
     The canonical Q4 predicate is l_commitdate < l_receiptdate; this
     corpus's lineitem carries neither column (TESTDATA.md), so the
     shipped-after-order-date predicate stands in — same correlation
     structure (outer column compared inside the subquery), same plan."""
     spark = orders.sparkSession
-    orders.createOrReplaceTempView("ubsp_q4_orders")
-    lineitem.createOrReplaceTempView("ubsp_q4_lineitem")
     return spark.sql(
-        f"""
+        """
         SELECT o_orderpriority AS priority, COUNT(*) AS order_count
-        FROM ubsp_q4_orders
-        WHERE o_orderdate >= TIMESTAMP '{date_lo}'
-          AND o_orderdate < TIMESTAMP '{date_hi}'
-          AND EXISTS (SELECT 1 FROM ubsp_q4_lineitem
+        FROM {orders}
+        WHERE o_orderdate >= CAST(:date_lo AS TIMESTAMP)
+          AND o_orderdate < CAST(:date_hi AS TIMESTAMP)
+          AND EXISTS (SELECT 1 FROM {lineitem}
                       WHERE l_orderkey = o_orderkey
                         AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
-        """
+        """,
+        args={"date_lo": str(date_lo), "date_hi": str(date_hi)},
+        orders=orders,
+        lineitem=lineitem,
     )
 
 
@@ -318,23 +324,26 @@ def waiting_suppliers(
     "Late" is l_shipdate > o_orderdate + late_days (the corpus has no
     commit/receipt dates — TESTDATA.md); the NOT EXISTS correlates on BOTH
     l1.l_orderkey and the outer o_orderdate, reproducing Q21's multi-column
-    correlation. Top-k is TakeOrdered over the ~|supplier| aggregate."""
+    correlation. Top-k is TakeOrdered over the ~|supplier| aggregate.
+
+    Inputs bind via parameterized spark.sql (ADVICE r07): DataFrames as
+    ``{df}`` substitutions instead of session-global temp views; the two
+    numeric knobs pass through ``int()`` (INTERVAL/LIMIT positions can't
+    take :param markers, so coercion is the injection guard there)."""
     spark = supplier.sparkSession
-    supplier.createOrReplaceTempView("ubsp_q21_supplier")
-    lineitem.createOrReplaceTempView("ubsp_q21_lineitem")
-    orders.createOrReplaceTempView("ubsp_q21_orders")
+    late_days, k = int(late_days), int(k)
     return spark.sql(
         f"""
         SELECT s_name AS supp_name, COUNT(*) AS numwait
-        FROM ubsp_q21_supplier
-        JOIN ubsp_q21_lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN ubsp_q21_orders ON o_orderkey = l1.l_orderkey
+        FROM {{supplier}}
+        JOIN {{lineitem}} l1 ON s_suppkey = l1.l_suppkey
+        JOIN {{orders}} ON o_orderkey = l1.l_orderkey
         WHERE o_orderstatus = 'F'
           AND l1.l_shipdate > o_orderdate + INTERVAL {late_days} DAY
-          AND EXISTS (SELECT 1 FROM ubsp_q21_lineitem l2
+          AND EXISTS (SELECT 1 FROM {{lineitem}} l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM ubsp_q21_lineitem l3
+          AND NOT EXISTS (SELECT 1 FROM {{lineitem}} l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_shipdate >
@@ -342,7 +351,10 @@ def waiting_suppliers(
         GROUP BY s_name
         ORDER BY numwait DESC, supp_name
         LIMIT {k}
-        """
+        """,
+        supplier=supplier,
+        lineitem=lineitem,
+        orders=orders,
     )
 
 
@@ -430,22 +442,22 @@ def dormant_rich_customers(
             .alias("bal_c"),
         )
     )
-    pool.createOrReplaceTempView("ubsp_q22_pool")
-    orders.createOrReplaceTempView("ubsp_q22_orders")
     return spark.sql(
         """
-        WITH pool AS (SELECT * FROM ubsp_q22_pool)
+        WITH pool AS (SELECT * FROM {pool})
         SELECT c_nationkey AS cntrycode,
                COUNT(*) AS numcust,
                SUM(bal_c) AS totacctbal_x100
         FROM pool
         WHERE bal_c * (SELECT COUNT(*) FROM pool WHERE bal_c > 0)
               > (SELECT SUM(bal_c) FROM pool WHERE bal_c > 0)
-          AND NOT EXISTS (SELECT 1 FROM ubsp_q22_orders
+          AND NOT EXISTS (SELECT 1 FROM {orders}
                           WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey
         ORDER BY cntrycode
-        """
+        """,
+        pool=pool,
+        orders=orders,
     )
 
 
@@ -872,26 +884,32 @@ def small_quantity_revenue(
     sum_money's rationale, which guards fractional per-row doubles).
     Canonical Q17 filters p_container; this corpus has none
     (TESTDATA.md), so p_type stands in. Output: exact cents sum +
-    matched row count (no /7.0 — integer outputs hash stably)."""
+    matched row count (no /7.0 — integer outputs hash stably).
+
+    Inputs bind via parameterized spark.sql (ADVICE r07): DataFrames as
+    ``{df}`` substitutions instead of session-global temp views,
+    brand/ptype as typed ``:param`` literals — no string splicing, so a
+    quote in a brand name is data, not syntax."""
     spark = lineitem.sparkSession
-    lineitem.createOrReplaceTempView("ubsp_q17_lineitem")
-    part.createOrReplaceTempView("ubsp_q17_part")
     return spark.sql(
-        f"""
+        """
         SELECT
             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
                  AS BIGINT) AS small_qty_revenue_x100,
             COUNT(*) AS n_rows
-        FROM ubsp_q17_lineitem, ubsp_q17_part
-        WHERE p_partkey = l_partkey
-          AND p_brand = '{brand}'
-          AND p_type = '{ptype}'
-          AND l_quantity < (
-              SELECT 0.2 * AVG(l_quantity)
-              FROM ubsp_q17_lineitem l2
-              WHERE l2.l_partkey = ubsp_q17_part.p_partkey
+        FROM {lineitem} li, {part} p
+        WHERE p.p_partkey = li.l_partkey
+          AND p.p_brand = :brand
+          AND p.p_type = :ptype
+          AND li.l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM {lineitem} l2
+              WHERE l2.l_partkey = p.p_partkey
           )
-        """
+        """,
+        args={"brand": str(brand), "ptype": str(ptype)},
+        lineitem=lineitem,
+        part=part,
     )
 
 

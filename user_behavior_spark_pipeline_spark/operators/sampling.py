@@ -194,7 +194,14 @@ def reservoir_per_group(
     (min-k is a monotone per-cell property), so pruning is lossless and
     both forms return identical rows (pinned by test). Survivor count is
     tiny, so the second window's per-group sort is O(salt·k log salt·k).
+
+    NULL ids are dropped up front (ADVICE r07): md5(NULL) is NULL and
+    Spark's ASC sort puts NULLS FIRST while DuckDB defaults NULLS LAST,
+    so a NULL id would silently diverge between engine and oracle — and
+    a NULL id also can't satisfy the uniqueness precondition. The oracle
+    SQL carries the matching ``WHERE id IS NOT NULL``.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     key = F.md5(F.col(id_col).cast("string"))
     if prune_partitions > 0:
         salt = hash_bucket(F.col(id_col), prune_partitions)

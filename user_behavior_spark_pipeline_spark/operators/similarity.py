@@ -70,10 +70,17 @@ def normalized_vectors(
     """(id, L2-normalized embedding) with the norm computed ONCE per row:
     the doubled array and its norm are materialized as plain columns first,
     so the element-wise divide references a bound attribute instead of
-    re-evaluating the norm aggregate per element (measured ~d× faster)."""
+    re-evaluating the norm aggregate per element (measured ~d× faster).
+
+    Zero-norm rows are DROPPED (ADVICE r07, the assignment-side twin of
+    _train_centroids' guard): cosine is undefined for the zero vector, and
+    0/0 would otherwise seed NaN into every downstream dot product — NaN
+    scores sort unpredictably across engines, silently corrupting top-k
+    and threshold comparisons instead of failing loudly."""
     return (
         embeddings.select(id_col, _as_double(F.col(emb_col)).alias("_d"))
         .withColumn("_nrm", _norm(F.col("_d")))
+        .filter(F.col("_nrm") > 0)
         .select(
             id_col,
             F.transform(F.col("_d"), lambda x: x / F.col("_nrm")).alias(out),

@@ -688,7 +688,7 @@ def x_join_tpch_q19(spark, sf_dir):
         "SELECT event_type, event_id, user_id, "
         "ROW_NUMBER() OVER (PARTITION BY event_type "
         "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn "
-        "FROM events) WHERE rn <= 50 "
+        "FROM events WHERE event_id IS NOT NULL) WHERE rn <= 50 "
         "ORDER BY event_type, event_id"
     ),
 )
@@ -4965,7 +4965,20 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # entire pre-r04 tail in one round.
 # Everything else in the window comes from the stalest-vintage-first
 # green ordering (see _rotated).
-_TOUCHED_THIS_ROUND = frozenset({"x_sim_ivf"})
+_TOUCHED_THIS_ROUND = frozenset(
+    {
+        # r08: parameterized-spark.sql rewrite (temp views removed)
+        "x_join_tpch_q4",
+        "x_join_tpch_q21",
+        "x_join_tpch_q17",
+        "x_join_tpch_q22",
+        # r08: NULL-id drop + oracle NOT NULL filter
+        "x_sample_reservoir",
+        # r08: zero-norm rows dropped in normalized_vectors
+        "x_sim_ivf",
+        "x_dedup_semantic",
+    }
+)
 
 
 def _rotated(keys):
