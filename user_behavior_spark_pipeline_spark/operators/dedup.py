@@ -1216,13 +1216,23 @@ def embedding_near_dup_lsh(
 
         for pdf in batches:
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            # zero-norm drop (ADVICE r08, shared convention with
+            # normalized_vectors): a zero vector would normalize to NaN,
+            # and Spark's NaN-is-greatest comparison would then PASS the
+            # cosine >= threshold verify that DuckDB/numpy reject
+            keep = n[:, 0] > 0
+            x = x[keep] / n[keep]
             bits = (x @ planes.T > 0).astype(np.int64)
             packed = (
                 bits.reshape(len(x), num_tables, bits_per_table) * weights
             ).sum(axis=2)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "ne": list(x), "sig_arr": list(packed)}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "ne": list(x),
+                    "sig_arr": list(packed),
+                }
             )
 
     prepped = cache_shared(

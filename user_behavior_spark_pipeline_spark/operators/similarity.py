@@ -89,8 +89,22 @@ def normalized_vectors(
 
 
 def with_cosine(scored: DataFrame, q_col: str = "qe", e_col: str = "e") -> DataFrame:
+    """Score candidate pairs with exact cosine. Zero-norm rows on EITHER
+    side are DROPPED (ADVICE r08: the shared convention with
+    :func:`normalized_vectors` — cosine is undefined for the zero vector,
+    and 0/0 would seed NaN scores that sort unpredictably across engines).
+    Every cosine path — brute force, LSH rescore, PQ rerank — goes through
+    this one scorer, so the convention cannot drift per path. Binding the
+    norms as columns first also computes each norm aggregate once instead
+    of re-evaluating it inside the divide."""
     qd, ed = _as_double(F.col(q_col)), _as_double(F.col(e_col))
-    return scored.withColumn("cosine", _dot(qd, ed) / (_norm(qd) * _norm(ed)))
+    return (
+        scored.withColumn("_qn", _norm(qd))
+        .withColumn("_en", _norm(ed))
+        .filter((F.col("_qn") > 0) & (F.col("_en") > 0))
+        .withColumn("cosine", _dot(qd, ed) / (F.col("_qn") * F.col("_en")))
+        .drop("_qn", "_en")
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -374,8 +388,17 @@ def pandas_cosine_topk(
         .select("vec_id", "embedding")
         .collect()
     )
-    q_ids = [r["vec_id"] for r in qrows]
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    # zero-norm convention (ADVICE r08, same as with_cosine /
+    # normalized_vectors): zero-norm queries are dropped here, zero-norm
+    # corpus rows are marked NaN in the UDF and filtered below — every
+    # cosine path agrees that the zero vector participates in nothing
+    q_keep = [
+        (r["vec_id"], r["embedding"])
+        for r in qrows
+        if any(v != 0 for v in r["embedding"])
+    ]
+    q_ids = [i for i, _ in q_keep]
+    q_mat = np.array([e for _, e in q_keep], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     # NB: no type hints — `from __future__ import annotations` stringifies
@@ -383,8 +406,10 @@ def pandas_cosine_topk(
     @pandas_udf("array<double>")
     def cosines(batch):
         m = np.array(batch.tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        m = np.divide(m, n, out=np.zeros_like(m), where=n > 0)
         sims = m @ q_mat.T  # (batch, |Q|)
+        sims[n[:, 0] == 0] = np.nan
         return pd.Series(list(sims))
 
     scored = (
@@ -400,6 +425,7 @@ def pandas_cosine_topk(
             F.element_at(F.array(*[F.lit(i) for i in q_ids]), F.col("q_idx") + 1),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(~F.isnan("cosine"))
     )
     return _rank_topk(scored, k)
 

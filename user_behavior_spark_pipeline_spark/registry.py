@@ -2117,12 +2117,20 @@ def x_dedup_simhash_portable(spark, sf_dir):
 # North-star extensions: similarity search over embeddings (OP-X-SIM)
 # ---------------------------------------------------------------------------
 
+# Zero-norm convention (ADVICE r08): BOTH engines drop zero vectors from
+# every cosine computation — Spark's with_cosine/normalized_vectors filter
+# norm > 0; here the list_dot_product(x, x) > 0 predicates mirror it.
+# Without the predicate DuckDB silently scores cos(0, y) = -1.0 (measured)
+# while Spark would NaN — a hash divergence waiting for the first
+# zero-norm fixture row.
 _COSINE_TOPK_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
-    "WHERE vec_id < 10), "
+    "WHERE vec_id < 10 "
+    "AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0), "
     "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
     "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) "
-    "AS c FROM q, embeddings e WHERE e.vec_id != query_id), "
+    "AS c FROM q, embeddings e WHERE e.vec_id != query_id "
+    "AND list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0), "
     "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
     "PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM scored) "
     "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
@@ -4965,19 +4973,79 @@ def _correctness_history() -> dict[str, tuple[str, int]]:
 # entire pre-r04 tail in one round.
 # Everything else in the window comes from the stalest-vintage-first
 # green ordering (see _rotated).
-_TOUCHED_THIS_ROUND = frozenset(
-    {
-        # r08: parameterized-spark.sql rewrite (temp views removed)
-        "x_join_tpch_q4",
-        "x_join_tpch_q21",
-        "x_join_tpch_q17",
-        "x_join_tpch_q22",
-        # r08: NULL-id drop + oracle NOT NULL filter
-        "x_sample_reservoir",
-        # r08: zero-norm rows dropped in normalized_vectors
-        "x_sim_ivf",
-        "x_dedup_semantic",
-    }
+def _derive_touched(
+    seed_fns: frozenset[str],
+    sql_tokens: frozenset[str] = frozenset(),
+    extra: frozenset[str] = frozenset(),
+) -> frozenset[str]:
+    """DERIVE the touched-query set from the operator FUNCTIONS the round
+    changed (ADVICE r08 #1: hand-listing callers is exactly how
+    x_sim_ivf_exhaustive escaped the r08 re-check window after its
+    operator changed underneath it).
+
+    Mechanism: a static over-approximate caller closure — parse every
+    module in ``operators/``, and fixpoint-expand the touched set with any
+    top-level function whose source mentions a touched name (word-bounded
+    match, so ``normalized`` does not claim ``normalized_vectors``). Then
+    a registered query is touched iff its own source mentions a touched
+    function or one of ``sql_tokens`` (for oracle-constant edits), or it
+    is hand-listed in ``extra`` (for inline-oracle / predicate edits with
+    no operator seam). Over-approximation only costs re-check slots;
+    under-approximation is a silent certification hole."""
+    import ast
+    import os
+    import re
+
+    op_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "operators")
+    fn_src: dict[str, str] = {}
+    for fname in sorted(os.listdir(op_dir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(op_dir, fname)) as f:
+            src = f.read()
+        for node in ast.parse(src).body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                seg = ast.get_source_segment(src, node) or ""
+                # last definition wins on cross-module name collisions —
+                # acceptable for an over-approximation keyed on mentions
+                fn_src[node.name] = fn_src.get(node.name, "") + "\n" + seg
+
+    touched = set(seed_fns)
+    changed = True
+    while changed:
+        changed = False
+        pat = re.compile(r"\b(" + "|".join(map(re.escape, sorted(touched))) + r")\b")
+        for name, src in fn_src.items():
+            if name not in touched and pat.search(src):
+                touched.add(name)
+                changed = True
+    qpat = re.compile(
+        r"\b(" + "|".join(map(re.escape, sorted(touched | sql_tokens))) + r")\b"
+    )
+    import inspect
+
+    out = set(extra)
+    for qname, qfn in QUERIES.items():
+        try:
+            qsrc = inspect.getsource(qfn)
+        except OSError:
+            qsrc = ""
+        if qpat.search(qsrc):
+            out.add(qname)
+    return frozenset(out)
+
+
+_TOUCHED_THIS_ROUND = _derive_touched(
+    # r09 changed operator functions: zero-norm drop unified across every
+    # cosine path (with_cosine + pandas_cosine_topk in similarity.py, the
+    # _prep stage of embedding_near_dup_lsh in dedup.py)
+    seed_fns=frozenset(
+        {"with_cosine", "pandas_cosine_topk", "embedding_near_dup_lsh"}
+    ),
+    # r09 oracle-constant edit: zero-norm predicates added to the shared
+    # cosine-top-k oracle SQL
+    sql_tokens=frozenset({"_COSINE_TOPK_SQL"}),
+    extra=frozenset(),
 )
 
 
