@@ -405,10 +405,19 @@ def dormant_rich_customers(
     customer: DataFrame,
     orders: DataFrame,
     max_nationkey: int = 12,
+    dormant_since: str = "2000-01-01",
 ) -> DataFrame:
     """TPC-H Q22 shape: per-nation count and balance of above-average-
-    balance customers who have NEVER ordered — the scalar-subquery +
-    NOT EXISTS anti-join combination.
+    balance customers with no order since ``dormant_since`` — the
+    scalar-subquery + NOT EXISTS anti-join combination.
+
+    The dormancy WINDOW (vs canonical Q22's "never ordered") de-vacuates
+    the certificate (VERDICT r08 #1): this fixture gives every customer
+    ~10 orders, so the never-ordered form hash-matched 0 rows vs 0 rows —
+    a wrong-key anti join would also "pass". With the window the result
+    is non-empty at every SF (1 / 26 / 345 rows at sf0.001/0.01/0.1), so
+    the green certifies the anti join's VALUE path. The date predicate
+    pushes into the orders scan below the anti join; plan shape unchanged.
 
     Kept in SQL so Catalyst plans both subquery forms: the scalar AVG
     threshold becomes a one-row subquery broadcast to every scan task
@@ -452,10 +461,12 @@ def dormant_rich_customers(
         WHERE bal_c * (SELECT COUNT(*) FROM pool WHERE bal_c > 0)
               > (SELECT SUM(bal_c) FROM pool WHERE bal_c > 0)
           AND NOT EXISTS (SELECT 1 FROM {orders}
-                          WHERE o_custkey = c_custkey)
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= CAST(:dormant_since AS TIMESTAMP))
         GROUP BY c_nationkey
         ORDER BY cntrycode
         """,
+        args={"dormant_since": str(dormant_since)},
         pool=pool,
         orders=orders,
     )

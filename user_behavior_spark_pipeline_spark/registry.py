@@ -560,16 +560,19 @@ def x_join_tpch_q13(spark, sf_dir):
         "CAST(SUM(bal_c) AS BIGINT) AS totacctbal_x100 FROM pool "
         "WHERE bal_c * (SELECT COUNT(*) FROM pool WHERE bal_c > 0) "
         "> (SELECT SUM(bal_c) FROM pool WHERE bal_c > 0) "
-        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
         "GROUP BY c_nationkey ORDER BY cntrycode"
     ),
 )
 def x_join_tpch_q22(spark, sf_dir):
-    """TPC-H Q22 shape: never-ordered customers above the average
-    balance — scalar subquery (computed once, broadcast) + NOT EXISTS
-    anti hash join. The above-average comparison is integer-exact
-    (bal·n > Σbal in cents), so the boundary set is engine- and
-    partitioning-independent."""
+    """TPC-H Q22 shape: customers above the average balance with no order
+    since 2000-01-01 — scalar subquery (computed once, broadcast) + NOT
+    EXISTS anti hash join. The dormancy window (vs 'never ordered')
+    de-vacuates the certificate: 26 rows survive at sf0.01 where the
+    never-ordered form matched 0 vs 0 (VERDICT r08 #1). The
+    above-average comparison is integer-exact (bal·n > Σbal in cents),
+    so the boundary set is engine- and partitioning-independent."""
     from .operators.joins import dormant_rich_customers
 
     return dormant_rich_customers(
@@ -1073,15 +1076,27 @@ def x_set_intersect(spark, sf_dir):
     "x_set_except",
     oracle=(
         "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' "
         "EXCEPT "
-        "SELECT user_id FROM events WHERE event_type = 'error'"
+        "SELECT user_id FROM events WHERE event_type = 'error' "
+        "AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'"
     ),
 )
 def x_set_except(spark, sf_dir):
-    """EXCEPT (purchasers who never errored) — plans as left-anti join."""
+    """EXCEPT (first-week purchasers who didn't error that week) — plans
+    as left-anti join. The one-week window de-vacuates the certificate
+    (VERDICT r08 #2): unwindowed, every user performs every event type,
+    so the difference hash-matched 0 vs 0 for four rounds; windowed it is
+    7 rows at sf0.01 (68 at sf0.1, 1 at sf0.001)."""
     from .operators.setops import users_except
 
-    return users_except(_table(spark, sf_dir, "events"), "purchase", "error")
+    return users_except(
+        _table(spark, sf_dir, "events"),
+        "purchase",
+        "error",
+        lo="2024-01-01",
+        hi="2024-01-08",
+    )
 
 
 @query(
@@ -5040,7 +5055,14 @@ _TOUCHED_THIS_ROUND = _derive_touched(
     # cosine path (with_cosine + pandas_cosine_topk in similarity.py, the
     # _prep stage of embedding_near_dup_lsh in dedup.py)
     seed_fns=frozenset(
-        {"with_cosine", "pandas_cosine_topk", "embedding_near_dup_lsh"}
+        {
+            "with_cosine",
+            "pandas_cosine_topk",
+            "embedding_near_dup_lsh",
+            # r09 de-vacuated certificates (VERDICT r08 #1/#2)
+            "dormant_rich_customers",
+            "users_except",
+        }
     ),
     # r09 oracle-constant edit: zero-norm predicates added to the shared
     # cosine-top-k oracle SQL
