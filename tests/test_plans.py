@@ -700,3 +700,79 @@ def test_incremental_merge_equals_recompute_any_split(spark, sf_dir):
         a = sorted(map(tuple, merged.collect()))
         b = sorted(map(tuple, full.collect()))
         assert a == b
+
+
+def test_q2_decorrelated_min_no_nested_loop(spark, sf_dir):
+    """Q2: the correlated scalar MIN must decorrelate to an aggregate +
+    equi hash join-back — never a nested loop — and the region-scoped
+    partsupp view must be materialized (one InMemory scan feeding both
+    the MIN and the join-back)."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q2"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # materialize() plans as Scan ExistingRDD under the default
+    # local_checkpoint mode, InMemoryTableScan under persist
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+
+
+def test_q9_six_table_rollup_hash_joins_only(spark, sf_dir):
+    """Q9: all six joins are equi hash joins (dims broadcast); the part
+    LIKE filter reaches the part scan."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q9"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*StringContains\(p_name,gear", plan)
+
+
+def test_q11_having_scalars_share_materialized_scope(spark, sf_dir):
+    """Q11: the scoped view feeds the group-by and BOTH global scalar
+    subqueries from one materialized cache (Spark inlines CTEs — without
+    the cache the partsupp derivation re-runs three times)."""
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q11"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+    assert "Subquery" in plan
+
+
+def test_q20_nested_semi_joins_are_hash(spark, sf_dir):
+    """Q20: both IN subqueries (part LIKE filter, excess-stock supplier
+    set) plan as LeftSemi hash joins; the ship-date band is pushed to the
+    lineitem scan of the aggregate."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["x_join_tpch_q20"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)

@@ -1154,3 +1154,278 @@ def priority_shipping_counts(
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp + the four partsupp-backed TPC-H shapes (Q2/Q9/Q11/Q20)
+# ---------------------------------------------------------------------------
+
+
+def derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    """The fixture has no ``partsupp`` table (TESTDATA.md), which kept the
+    TPC-H deck at 18/22 through round 8 (COVERAGE.md). This derives one:
+    rows are the DISTINCT ``(l_partkey, l_suppkey)`` pairs actually traded
+    in ``lineitem`` — so every Q9/Q20 join over both keys has referential
+    integrity by construction — and ``ps_availqty`` /
+    ``ps_supplycost_x100`` are pure integer hash formulas of the two keys,
+    so both engines recompute identical values with no float in sight
+    (availqty 1..100, supplycost 1.00..1000.00 dollars in cents).
+
+    Scale: one distinct over two int columns of the fact — partial
+    (map-side) aggregation, shuffle carries only the two keys; the
+    derived columns are per-row expressions after the distinct. ~26
+    suppliers/part at sf0.01. The DuckDB twin is ``_PARTSUPP_SQL`` in
+    registry.py — keep the constants (17/29/100, 131/373/99901) in sync."""
+    pairs = lineitem.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            F.lit(1)
+            + (F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 29) % 100
+        ).alias("ps_availqty"),
+        (
+            F.lit(100)
+            + (F.col("ps_partkey") * 131 + F.col("ps_suppkey") * 373) % 99901
+        ).alias("ps_supplycost_x100"),
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    name_like: str = "%bolt",
+    max_size: int = 25,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the cheapest supplier(s)
+    within one region — the correlated scalar MIN over a 4-dimension join
+    chain, decorrelated to a per-part MIN aggregate joined back on
+    (partkey, cost = min).
+
+    Plan: supplier/nation/region broadcast under the region filter; the
+    region-scoped partsupp view is MATERIALIZED because it feeds both the
+    MIN aggregate and the join-back (Spark inlines SQL CTEs — the Q22
+    lesson, ADVICE r07); part's LIKE + size filters prune before its
+    join. All ties at the minimum are returned (no LIMIT), so the result
+    set is deterministic without a tie-break."""
+    from ..materialize import materialize
+
+    spark = part.sparkSession
+    ps = derived_partsupp(lineitem)
+    scoped = materialize(
+        spark.sql(
+            """
+            SELECT ps_partkey, ps_suppkey, ps_supplycost_x100, s_name,
+                   n_name,
+                   CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_x100
+            FROM {ps}
+            JOIN {supplier} ON s_suppkey = ps_suppkey
+            JOIN {nation} ON n_nationkey = s_nationkey
+            JOIN {region} ON r_regionkey = n_regionkey
+            WHERE r_name = :region_name
+            """,
+            args={"region_name": str(region_name)},
+            ps=ps,
+            supplier=supplier,
+            nation=nation,
+            region=region,
+        )
+    )
+    return spark.sql(
+        """
+        WITH mn AS (SELECT ps_partkey, MIN(ps_supplycost_x100) AS min_cost
+                    FROM {scoped} GROUP BY ps_partkey)
+        SELECT p.p_partkey, e.ps_suppkey AS s_suppkey, e.s_name, e.n_name,
+               e.s_acctbal_x100, e.ps_supplycost_x100
+        FROM {part} p
+        JOIN {scoped} e ON e.ps_partkey = p.p_partkey
+        JOIN mn ON mn.ps_partkey = p.p_partkey
+               AND e.ps_supplycost_x100 = mn.min_cost
+        WHERE p.p_name LIKE :name_like AND p.p_size <= :max_size
+        """,
+        args={"name_like": str(name_like), "max_size": int(max_size)},
+        part=part,
+        scoped=scoped,
+    )
+
+
+def nation_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_like: str = "%gear%",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) per nation per
+    order year for parts matching a LIKE filter — the 6-table rollup.
+
+    Plan: part (LIKE-filtered) and supplier/nation broadcast; lineitem
+    joins partsupp on BOTH keys (partkey, suppkey) and orders on
+    orderkey — the two genuine fact shuffles. Profit is integer-exact:
+    revenue in x10000 minus cost-cents × quantity-cents (x100·x100 =
+    x10000), accumulated in decimal(38,0) against int64 overflow at the
+    100 TB group sizes (the sum_money rationale)."""
+    spark = lineitem.sparkSession
+    ps = derived_partsupp(lineitem)
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)
+                   - ps_supplycost_x100 * CAST(ROUND(l_quantity * 100)
+                                               AS BIGINT)
+                   AS DECIMAL(38,0))) AS BIGINT) AS profit_x10000
+        FROM {lineitem} li
+        JOIN {part} p ON p.p_partkey = li.l_partkey
+        JOIN {ps} ON ps_partkey = li.l_partkey AND ps_suppkey = li.l_suppkey
+        JOIN {supplier} s ON s.s_suppkey = li.l_suppkey
+        JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+        JOIN {orders} o ON o.o_orderkey = li.l_orderkey
+        WHERE p.p_name LIKE :name_like
+        GROUP BY n_name, YEAR(o_orderdate)
+        """,
+        args={"name_like": str(name_like)},
+        lineitem=lineitem,
+        part=part,
+        ps=ps,
+        supplier=supplier,
+        nation=nation,
+        orders=orders,
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    multiple: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value within a nation scope,
+    kept only where it exceeds a GLOBAL scalar threshold — the group-by
+    HAVING against scalar subqueries over the same scoped view.
+
+    Canonical Q11's fixed FRACTION is scale-dependent (it emptied at
+    sf0.1 in probing: more parts → smaller per-part share), so the
+    threshold here is ``value > multiple × mean part value`` — the same
+    HAVING-vs-global-scalar plan with COUNT and SUM scalars, but
+    non-vacuous at every SF by construction (the Q22 de-vacuation
+    lesson). The scoped view is MATERIALIZED: it feeds the aggregate and
+    both scalars (Spark inlines CTEs). Values accumulate in
+    decimal(38,0) (sum_money rationale)."""
+    from ..materialize import materialize
+
+    spark = lineitem.sparkSession
+    ps = derived_partsupp(lineitem)
+    scoped = materialize(
+        spark.sql(
+            """
+            SELECT ps_partkey, ps_supplycost_x100 * ps_availqty AS v
+            FROM {ps}
+            JOIN {supplier} ON s_suppkey = ps_suppkey
+            JOIN {nation} ON n_nationkey = s_nationkey
+            WHERE n_name IN (:nation_a, :nation_b)
+            """,
+            args={"nation_a": str(nation_a), "nation_b": str(nation_b)},
+            ps=ps,
+            supplier=supplier,
+            nation=nation,
+        )
+    )
+    return spark.sql(
+        """
+        SELECT ps_partkey,
+               CAST(SUM(CAST(v AS DECIMAL(38,0))) AS BIGINT) AS value_x100
+        FROM {scoped}
+        GROUP BY ps_partkey
+        HAVING SUM(CAST(v AS DECIMAL(38,0)))
+                   * (SELECT COUNT(DISTINCT ps_partkey) FROM {scoped})
+               > :multiple * (SELECT SUM(CAST(v AS DECIMAL(38,0)))
+                              FROM {scoped})
+        """,
+        args={"multiple": int(multiple)},
+        scoped=scoped,
+    )
+
+
+def excess_stock_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_like: str = "small%",
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    nations: tuple[str, ...] = (
+        "NATION_1",
+        "NATION_2",
+        "NATION_3",
+        "NATION_4",
+        "NATION_5",
+    ),
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock — availqty above
+    half the year's shipped quantity — of any LIKE-matching part, within
+    a nation set. The nested semi-join over an aggregate threshold:
+    supplier IN (partsupp semi part, joined to a grouped lineitem
+    aggregate, filtered on the threshold).
+
+    Plan: the shipped-quantity aggregate is date-pruned at the lineitem
+    scan and map-combined on (partkey, suppkey); the part LIKE filter
+    enters as a left-semi broadcast; both IN subqueries plan as left-semi
+    hash joins (pinned in tests/test_plans.py — no
+    BroadcastNestedLoopJoin). The excess comparison is integer-exact:
+    availqty × 2 × 100 > Σ qty_x100 ⟺ availqty > 0.5 × Σ qty."""
+    spark = lineitem.sparkSession
+    ps = derived_partsupp(lineitem)
+    na, nb, nc, nd, ne = nations
+    return spark.sql(
+        """
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                            AS DECIMAL(38,0))) AS qty_x100
+            FROM {lineitem}
+            WHERE l_shipdate >= CAST(:date_lo AS TIMESTAMP)
+              AND l_shipdate < CAST(:date_hi AS TIMESTAMP)
+            GROUP BY l_partkey, l_suppkey),
+        excess AS (
+            SELECT ps_suppkey
+            FROM {ps}
+            JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            WHERE ps_partkey IN (SELECT p_partkey FROM {part}
+                                 WHERE p_name LIKE :name_like)
+              AND ps_availqty * 200 > qty_x100)
+        SELECT s_suppkey, s_name
+        FROM {supplier}
+        JOIN {nation} ON n_nationkey = s_nationkey
+        WHERE n_name IN (:na, :nb, :nc, :nd, :ne)
+          AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+        """,
+        args={
+            "date_lo": str(date_lo),
+            "date_hi": str(date_hi),
+            "name_like": str(name_like),
+            "na": str(na),
+            "nb": str(nb),
+            "nc": str(nc),
+            "nd": str(nd),
+            "ne": str(ne),
+        },
+        lineitem=lineitem,
+        ps=ps,
+        part=part,
+        supplier=supplier,
+        nation=nation,
+    )

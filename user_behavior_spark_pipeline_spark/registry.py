@@ -581,6 +581,154 @@ def x_join_tpch_q22(spark, sf_dir):
     )
 
 
+# Derived partsupp (the fixture has no partsupp table — TESTDATA.md):
+# rows are the distinct (l_partkey, l_suppkey) pairs traded in lineitem,
+# availqty/supplycost are integer hash formulas of the two keys. DuckDB
+# twin of operators/joins.py::derived_partsupp — keep the constants
+# (17/29/100, 131/373/99901) in sync with it.
+_PARTSUPP_SQL = (
+    "partsupp AS (SELECT ps_partkey, ps_suppkey, "
+    "1 + (ps_partkey * 17 + ps_suppkey * 29) % 100 AS ps_availqty, "
+    "100 + (ps_partkey * 131 + ps_suppkey * 373) % 99901 AS ps_supplycost_x100 "
+    "FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey "
+    "FROM lineitem))"
+)
+
+
+@query(
+    "x_join_tpch_q2",
+    oracle=(
+        f"WITH {_PARTSUPP_SQL}, "
+        "scoped AS (SELECT ps_partkey, ps_suppkey, ps_supplycost_x100, "
+        "s_name, n_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_x100 "
+        "FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'EUROPE'), "
+        "mn AS (SELECT ps_partkey, MIN(ps_supplycost_x100) AS min_cost "
+        "FROM scoped GROUP BY 1) "
+        "SELECT p_partkey, e.ps_suppkey AS s_suppkey, e.s_name, e.n_name, "
+        "e.s_acctbal_x100, e.ps_supplycost_x100 "
+        "FROM part JOIN scoped e ON e.ps_partkey = p_partkey "
+        "JOIN mn ON mn.ps_partkey = p_partkey "
+        "AND e.ps_supplycost_x100 = mn.min_cost "
+        "WHERE p_name LIKE '%bolt' AND p_size <= 25"
+    ),
+)
+def x_join_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest EUROPE supplier(s) per qualifying part —
+    correlated scalar MIN over the 4-dimension chain, decorrelated to a
+    per-part MIN joined back on (partkey, cost). All min ties returned,
+    so no tie-break needed. 129 rows at sf0.01."""
+    from .operators.joins import min_cost_supplier
+
+    return min_cost_supplier(
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "x_join_tpch_q9",
+    oracle=(
+        f"WITH {_PARTSUPP_SQL} "
+        "SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) "
+        "- ps_supplycost_x100 * CAST(ROUND(l_quantity * 100) AS BIGINT)) "
+        "AS BIGINT) AS profit_x10000 "
+        "FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE p_name LIKE '%gear%' "
+        "GROUP BY 1, 2"
+    ),
+)
+def x_join_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: profit by nation and order year for LIKE-matched
+    parts — the 6-table rollup with the (partkey, suppkey) two-key
+    partsupp join. Integer-exact profit (x10000), decimal accumulation.
+    175 rows at sf0.01."""
+    from .operators.joins import nation_profit
+
+    return nation_profit(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "x_join_tpch_q11",
+    oracle=(
+        f"WITH {_PARTSUPP_SQL}, "
+        "scoped AS (SELECT ps_partkey, ps_supplycost_x100 * ps_availqty AS v "
+        "FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "WHERE n_name IN ('NATION_3', 'NATION_7')) "
+        "SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_x100 "
+        "FROM scoped GROUP BY 1 "
+        "HAVING SUM(v) * (SELECT COUNT(DISTINCT ps_partkey) FROM scoped) "
+        "> 2 * (SELECT SUM(v) FROM scoped)"
+    ),
+)
+def x_join_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value in a two-nation scope,
+    HAVING-filtered against GLOBAL scalar subqueries (count + sum) over
+    the same scoped view. Threshold is scale-free (> 2x the mean part
+    value) so the certificate stays non-vacuous at every SF — canonical
+    Q11's fixed fraction emptied at sf0.1 in probing. 207 rows at
+    sf0.01."""
+    from .operators.joins import important_stock
+
+    return important_stock(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "x_join_tpch_q20",
+    oracle=(
+        f"WITH {_PARTSUPP_SQL}, "
+        "shipped AS (SELECT l_partkey, l_suppkey, "
+        "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_x100 "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2), "
+        "excess AS (SELECT ps_suppkey FROM partsupp "
+        "JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
+        "WHERE ps_partkey IN (SELECT p_partkey FROM part "
+        "WHERE p_name LIKE 'small%') "
+        "AND ps_availqty * 200 > qty_x100) "
+        "SELECT s_suppkey, s_name FROM supplier "
+        "JOIN nation ON n_nationkey = s_nationkey "
+        "WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', "
+        "'NATION_4', 'NATION_5') "
+        "AND s_suppkey IN (SELECT ps_suppkey FROM excess)"
+    ),
+)
+def x_join_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in a nation set holding excess stock
+    (availqty > half the year's shipped quantity) of any 'small%' part —
+    the nested semi-join over an aggregate threshold. Both IN subqueries
+    plan as left-semi hash joins. 17 rows at sf0.01."""
+    from .operators.joins import excess_stock_suppliers
+
+    return excess_stock_suppliers(
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "part"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
 @query(
     "x_join_tpch_q15",
     oracle=(
