@@ -68,12 +68,18 @@ def test_resize_preserves_aspect_and_bounds(media):
 
 
 def test_real_decoder_seam_raises(media):
-    # JPEG (SOI + APP0 marker) is the remaining documented codec seam
+    # MP3 (MPEG frame sync) is the remaining documented codec seam
+    # (JPEG graduated to a real decode in round 9)
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image")
+        decode_real(b"\xff\xfb\x90\x00" + b"\x00" * 16, "audio")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"ID3\x03\x00\x00\x00\x00\x00\x00", "audio")
     # a PNG signature prefix alone is not a PNG
     with pytest.raises((NotImplementedError, ValueError)):
         decode_real(b"\x89PNG", "image")
+    # a bare JPEG SOI + APP0 with no SOF/SOS is malformed, not a seam
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff\xe0\x00\x10JFIF", "image")
 
 
 def _png_encode(width, height, pixels, color_type, filters, split_idat=1):
@@ -271,3 +277,277 @@ def test_decode_real_pgm_ppm_byte_exact():
     # truncated raster must fail loudly, not return short pixels
     with pytest.raises(ValueError, match="truncated"):
         decode_real(b"P5\n4 4\n255\n\x00\x01", "image")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG byte-exact fixtures (round 9)
+# ---------------------------------------------------------------------------
+# A minimal JFIF ENCODER lives here in the tests (the repo needs no
+# encoder): it entropy-codes caller-chosen QUANTIZED coefficient blocks
+# directly — no forward DCT — so the expected pixels are computable
+# analytically/independently, making the decode assertion byte-exact
+# rather than codec-vs-codec.
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):  # pad with 1-bits per T.81
+        while self.nbits:
+            self.write(1, 1)
+        return bytes(self.out)
+
+
+_ENC_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_category(v):
+    return abs(v).bit_length()
+
+
+def _jpeg_encode(width, height, comps, qtabs, comp_blocks, restart_interval=0):
+    """comps: [(cid, h, v, tq)]; qtabs: {tq: 64 ints, natural order};
+    comp_blocks: {cid: [[64-coeff natural-order block] per (block_row,
+    block_col)]} covering the full padded plane. One DC and one AC
+    Huffman table shared by all components; every symbol gets a
+    uniform-length canonical code (all-ones left unused)."""
+    import struct
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    def emit_blocks(collect_dc, collect_ac, writer=None, dc_codes=None, ac_codes=None):
+        pred = {c[0]: 0 for c in comps}
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                if writer is not None:
+                    ent.append(writer.flush())
+                    writer.__init__()
+                pred = {c[0]: 0 for c in comps}
+            my, mx = divmod(m, mcux)
+            for cid, ch, cv, _tq in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        nat = comp_blocks[cid][my * cv + by][mx * ch + bx]
+                        zz = [nat[_ENC_ZIGZAG[k]] for k in range(64)]
+                        diff = zz[0] - pred[cid]
+                        pred[cid] = zz[0]
+                        s = _jpeg_category(diff)
+                        if writer is None:
+                            collect_dc.add(s)
+                        else:
+                            writer.write(*dc_codes[s])
+                            if s:
+                                writer.write(
+                                    diff if diff >= 0 else diff + (1 << s) - 1, s
+                                )
+                        k, run = 1, 0
+                        while k < 64:
+                            if zz[k] == 0:
+                                run += 1
+                                k += 1
+                                continue
+                            while run > 15:
+                                if writer is None:
+                                    collect_ac.add(0xF0)
+                                else:
+                                    writer.write(*ac_codes[0xF0])
+                                run -= 16
+                            s = _jpeg_category(zz[k])
+                            sym = (run << 4) | s
+                            if writer is None:
+                                collect_ac.add(sym)
+                            else:
+                                writer.write(*ac_codes[sym])
+                                v = zz[k]
+                                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                            k += 1
+                        if run:
+                            if writer is None:
+                                collect_ac.add(0x00)
+                            else:
+                                writer.write(*ac_codes[0x00])
+
+    dc_syms, ac_syms = set(), set()
+    emit_blocks(dc_syms, ac_syms)
+
+    def build_table(syms):
+        syms = sorted(syms)
+        length = max(2, (len(syms) + 1).bit_length())  # all-ones unused
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        codes = {s: (i, length) for i, s in enumerate(syms)}
+        return counts, syms, codes
+
+    dc_counts, dc_list, dc_codes = build_table(dc_syms)
+    ac_counts, ac_list, ac_codes = build_table(ac_syms)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for tq, tbl in qtabs.items():
+        zz_tbl = bytes(tbl[_ENC_ZIGZAG[k]] for k in range(64))
+        seg(0xDB, bytes([tq]) + zz_tbl)
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    seg(0xC0, bytes(sof))
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline fixed)
+    seg(0xDA, bytes(sos))
+
+    ent = []
+    w = _JpegBitWriter()
+    emit_blocks(None, None, writer=w, dc_codes={s: (c, l) for s, (c, l) in (
+        (s, dc_codes[s]) for s in dc_codes)}, ac_codes=ac_codes)
+    ent.append(w.flush())
+    for i, e in enumerate(ent):
+        if i:
+            out.extend(bytes([0xFF, 0xD0 + ((i - 1) % 8)]))
+        out.extend(e)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def test_decode_real_jpeg_gray_dc_exact():
+    """Grayscale 16x8 (two blocks), DC-only coefficients with distinct
+    values: pixel = floor(DC*q/8 + 128.5) analytically (the orthonormal
+    IDCT of a DC-only block is flat at DC*q/8). Exercises marker parse,
+    Huffman decode, DC prediction across blocks, dequant, level shift."""
+    q = [16] * 64
+    b0 = [0] * 64
+    b1 = [0] * 64
+    b0[0] = 3   # 3*16/8 = 6  -> 134
+    b1[0] = -5  # -5*16/8 = -10 -> 118
+    jpg = _jpeg_encode(16, 8, [(1, 1, 1, 0)], {0: q}, {1: [[b0, b1]]})
+    got = decode_real(jpg, "image")
+    assert (got["width"], got["height"], got["channels"]) == (16, 8, 1)
+    expect = [[134] * 8 + [118] * 8 for _ in range(8)]
+    assert got["pixels"] == [p for row in expect for p in row]
+
+
+def test_decode_real_jpeg_ac_matches_independent_idct():
+    """One nonzero AC coefficient: expected pixels computed here with an
+    INDEPENDENT per-pixel cosine loop (math.cos, no numpy, no shared
+    code path) under the documented rounding convention."""
+    import math
+
+    q = list(range(16, 80))  # distinct quant steps exercise zigzag order
+    blk = [0] * 64
+    blk[0] = 4    # DC (natural index 0)
+    blk[1] = 7    # AC (row 0, col 1) -> zigzag position 1
+    blk[8] = -3   # AC (row 1, col 0) -> zigzag position 2
+    blk[9] = 2    # AC (row 1, col 1)
+    jpg = _jpeg_encode(8, 8, [(1, 1, 1, 0)], {0: q}, {1: [[blk]]})
+    got = decode_real(jpg, "image")
+
+    def c(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+
+    expect = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        c(u) * c(v) * blk[v * 8 + u] * q[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    ) / 4.0
+            expect.append(min(255, max(0, math.floor(s + 128.5))))
+    assert got["pixels"] == expect
+
+
+def test_decode_real_jpeg_color_420_flat_exact():
+    """YCbCr 4:2:0, flat planes, 12x10 (crops an odd tail off the 16x16
+    MCU): expected RGB via the JFIF matrix computed inline. Exercises
+    subsampled MCU geometry, chroma replication upsampling, color
+    convert, and crop."""
+    import math
+
+    q = [8] * 64
+    yv, cbv, crv = 5, -4, 6  # quantized DC values
+    flat = lambda dc: [dc] + [0] * 63  # noqa: E731
+    blocks_y = [[flat(yv), flat(yv)], [flat(yv), flat(yv)]]
+    blocks_c = lambda dc: [[flat(dc)]]  # noqa: E731
+    jpg = _jpeg_encode(
+        12, 10,
+        [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)],
+        {0: q},
+        {1: blocks_y, 2: blocks_c(cbv), 3: blocks_c(crv)},
+    )
+    got = decode_real(jpg, "image")
+    assert (got["width"], got["height"], got["channels"]) == (12, 10, 3)
+    yf = yv * 8 / 8 + 128.0
+    cbf = cbv * 8 / 8
+    crf = crv * 8 / 8
+    r = min(255, max(0, math.floor(yf + 1.402 * crf + 0.5)))
+    g = min(255, max(0, math.floor(yf - 0.344136 * cbf - 0.714136 * crf + 0.5)))
+    b = min(255, max(0, math.floor(yf + 1.772 * cbf + 0.5)))
+    assert got["pixels"] == [r, g, b] * (12 * 10)
+
+
+def test_decode_real_jpeg_restart_markers_reset_dc():
+    """DRI/RSTn: with restart_interval=1 every MCU starts a fresh DC
+    predictor — a decoder that fails to reset would drift by the
+    cumulative sum of DCs instead of holding each block's value."""
+    q = [16] * 64
+    dcs = [2, 2, -3, 4]
+    blocks = [[[dc] + [0] * 63 for dc in dcs]]
+    jpg = _jpeg_encode(
+        32, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, restart_interval=1
+    )
+    got = decode_real(jpg, "image")
+    vals = [dc * 16 // 8 + 128 for dc in dcs]
+    expect_row = [v for v in vals for _ in range(8)]
+    assert got["pixels"] == expect_row * 8
+
+
+def test_decode_real_jpeg_out_of_scope_and_malformed():
+    import struct
+
+    # progressive (SOF2) is NotImplementedError
+    sof2 = bytearray(b"\xff\xd8")
+    body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    sof2 += bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2) + body
+    with pytest.raises(NotImplementedError):
+        decode_real(bytes(sof2), "image")
+    # truncated entropy data is ValueError
+    q = [16] * 64
+    blk = [1] + [0] * 63
+    jpg = _jpeg_encode(8, 8, [(1, 1, 1, 0)], {0: q}, {1: [[blk]]})
+    with pytest.raises(ValueError):
+        decode_real(jpg[: jpg.index(b"\xff\xda") + 10], "image")

@@ -12,12 +12,13 @@ The engine-side design (all real and tested):
 - frame sampling / resize planning are pure column ops on metadata — no
   payload bytes move at all.
 
-Decoding: ``decode_real`` REALLY decodes the formats the stdlib can
-(WAV/PCM via the ``wave`` module; binary PGM/PPM via a pure-Python
+Decoding: ``decode_real`` REALLY decodes the formats pure Python/numpy
+can (WAV/PCM via the ``wave`` module; binary PGM/PPM via a pure-Python
 header+raster parse — round 6; 8-bit PNG via zlib + the five defined
-scanline filters — round 7; all with byte-exact test fixtures) and raises
-NotImplementedError only for formats that genuinely need external codec
-libraries (JPEG, MP3/MP4 — the PIL/librosa/av seam). The
+scanline filters — round 7; baseline sequential JPEG via Huffman +
+dequant + float64 IDCT — round 9; all with byte-exact test fixtures)
+and raises NotImplementedError only for formats that genuinely need
+external codec libraries (MP3/MP4 — the librosa/av seam). The
 oracle-checked pipeline (``decode_features``) keeps the deterministic
 byte-histogram "embedding" (clearly fake, stable across runs, and
 SQL-reproducible). The Spark plumbing — schemas, batch iteration,
@@ -227,6 +228,285 @@ def _png_decode(payload: bytes) -> dict:
     }
 
 
+# JPEG zigzag order: scan index -> (row*8 + col) natural index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one entropy-coded segment (byte stuffing
+    already removed). Per-bit Python is fine here: fixtures are tiny, and
+    the production path for bulk media is the documented codec seam."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, lut: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/AC magnitude decode (ITU T.81 F.2.2.1): s-bit value v maps to
+    [-2^s+1, -2^(s-1)] ∪ [2^(s-1), 2^s-1]."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(payload: bytes) -> dict:
+    """Pure Python+numpy baseline JPEG decode (VERDICT r08 #8 stretch):
+    SOF0/SOF1 (8-bit sequential Huffman), grayscale and YCbCr with any
+    h/v sampling factors (4:4:4, 4:2:0, 4:2:2 covered by fixtures),
+    multi-table DQT/DHT segments, restart markers (DRI/RSTn).
+
+    Progressive (SOF2), arithmetic coding (SOF9+/DAC) and 12-bit
+    precision raise NotImplementedError — spec surface outside the
+    seam's stated scope, same policy as PNG's palette/interlace carve-out.
+
+    Determinism convention (shared with the byte-exact fixtures in
+    tests/test_multimodal.py): IDCT in float64 via the separable
+    orthonormal 8×8 basis, pixel = clip(floor(x + 128.5), 0, 255); chroma
+    upsampling is sample replication; YCbCr→RGB is the JFIF matrix with
+    the same floor(x+0.5) rounding. Output shape matches PNG/PNM:
+    (width, height, maxval, channels, pixels interleaved row-major)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:  # TEM / bare RST
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2")
+                    i += 128
+                qt[tq] = tbl.astype(np.int64)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline + extended seq
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} != 8")
+            height, width = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append([cid, hv >> 4, hv & 15, tq])
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X}: only baseline/extended "
+                "sequential Huffman (SOF0/SOF1) is in the seam's scope"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                counts = seg[i : i + 16]
+                i += 16
+                lut: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        lut[(ln, code)] = seg[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = lut
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            scomps = []
+            for c in range(seg[0]):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scomps.append((cs, tt >> 4, tt & 15))
+            scan = (scomps, pos + seglen)
+            break
+        # APPn/COM/unknown: skip
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    width, height, comps = frame
+    scomps, data_start = scan
+
+    # split entropy data at restart markers, removing 0xFF00 stuffing
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = data_start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # real marker (EOI)
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = {
+        c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+        for c in comps
+    }
+    # orthonormal IDCT basis: T[u, x] = C(u) cos((2x+1)uπ/16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    T = (
+        np.cos((2 * x + 1) * u * np.pi / 16)
+        * np.where(u == 0, 1 / np.sqrt(2), 1.0)
+        / 2
+    )
+
+    comp_by_id = {c[0]: c for c in comps}
+    scan_tables = {cs: (dc, ac) for cs, dc, ac in scomps}
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    pred = {c[0]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _JpegBitReader(segments[seg_idx])
+            pred = {c[0]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for cs, dc_id, ac_id in scomps:
+            cid, ch, cv, ctq = comp_by_id[cs]
+            dc_lut = huff[(0, dc_id)]
+            ac_lut = huff[(1, ac_id)]
+            quant = qt[ctq]
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = _jpeg_huff_decode(reader, dc_lut)
+                    pred[cid] += _jpeg_extend(reader.read_bits(s), s)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_lut)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overrun")
+                        zz[k] = _jpeg_extend(reader.read_bits(sz), sz)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_JPEG_ZIGZAG] = zz * quant
+                    pix = T.T @ block.reshape(8, 8) @ T
+                    r0 = (my * cv + by) * 8
+                    c0 = (mx * ch + bx) * 8
+                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = pix
+    # level shift + shared rounding convention, upsample, color convert
+    out_planes = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        gray = np.clip(np.floor(out_planes[0] + 128.5), 0, 255)
+        pixels = gray.astype(np.int64).ravel().tolist()
+        channels = 1
+    elif len(out_planes) == 3:
+        y = out_planes[0] + 128.0
+        cb = out_planes[1]
+        cr = out_planes[2]
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        pixels = (
+            np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.int64).ravel().tolist()
+        )
+        channels = 3
+    else:
+        raise NotImplementedError(
+            f"JPEG with {len(out_planes)} components: only grayscale and "
+            "YCbCr are in the seam's scope"
+        )
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "channels": channels,
+        "pixels": pixels,
+    }
+
+
 def decode_real(payload: bytes, kind: str) -> dict:
     """Real decoding for the stdlib-decodable formats (VERDICT r05 #6,
     r06 #3) — byte-exact pytest fixtures in test_multimodal:
@@ -241,9 +521,15 @@ def decode_real(payload: bytes, kind: str) -> dict:
       of the concatenated IDAT stream + per-scanline defiltering
       (None/Sub/Up/Average/Paeth) — same output shape as PNM.
 
-    Formats genuinely requiring external codec libraries (JPEG's DCT
-    pipeline, MP3/MP4/AV) still raise NotImplementedError — that residue
-    is the documented seam (PIL/librosa/av), not missing plumbing;
+    - baseline sequential JPEG (SOF0/SOF1, grayscale + YCbCr at any h/v
+      sampling, multi-table DQT/DHT, restart markers): Huffman entropy
+      decode + dequant + float64 orthonormal IDCT + JFIF color convert
+      (round 9, ``_jpeg_decode``); progressive/arithmetic/12-bit raise
+      NotImplementedError.
+
+    Formats genuinely requiring external codec libraries (MP3/MP4/AV)
+    still raise NotImplementedError — that residue is the documented
+    seam (librosa/av), not missing plumbing;
     ``decode_features`` keeps the deterministic byte-histogram embedding
     for the oracle-checked pipeline either way."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -272,6 +558,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
         }
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_decode(payload)
     if payload[:2] in (b"P5", b"P6"):
         magic, width, height, maxval, pos = _parse_pnm_header(payload)
         channels = 1 if magic == "P5" else 3
@@ -298,10 +586,11 @@ def decode_real(payload: bytes, kind: str) -> dict:
             "pixels": pixels,
         }
     raise NotImplementedError(
-        "decode_real handles WAV/PCM, binary PGM/PPM and 8-bit PNG with "
-        f"the stdlib; this payload (kind={kind!r}, head={payload[:4]!r}) "
-        "needs external codec libraries (PIL/librosa/av) not present in "
-        "this environment — decode_features uses the deterministic "
+        "decode_real handles WAV/PCM, binary PGM/PPM, 8-bit PNG and "
+        "baseline JPEG in pure Python/numpy; this payload "
+        f"(kind={kind!r}, head={payload[:4]!r}) needs external codec "
+        "libraries (librosa/av for MP3/MP4) not present in this "
+        "environment — decode_features uses the deterministic "
         "byte-histogram stub instead"
     )
 
