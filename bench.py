@@ -15,7 +15,8 @@ in BENCH_DETAIL.json — single-shot numbers on a shared box swing ±10-20%
 which previously needed hand-run idle triplicates and prose adjudication
 (BENCH_NOTES); medians make round-over-round deltas self-describing
 (VERDICT r05 #8). Default is 3 runs, bounded by $SPARK_GRAFT_BENCH_BUDGET
-(480 s of timed work). Scheduling is PER QUERY, not per suite (VERDICT
+(860 s of wall-clock; sized in round 9 to hold 3 full passes on a
+slow-band day — see the inline note at budget_s). Scheduling is PER QUERY, not per suite (VERDICT
 r06 #6 — the r06 run lost its third pass because whole-suite passes
 leave the budget check only between passes): pass 1 covers every query,
 then extra samples run cheapest-query-first with the budget checked
@@ -47,15 +48,25 @@ def main() -> None:
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
     runs = max(1, runs)
-    # no new SAMPLE starts once this much timed wall-clock has elapsed (a
+    # no new SAMPLE starts once this much wall-clock has elapsed (a
     # sample that has started always completes): medians by default
     # without risking a caller's subprocess timeout if the box is slow
-    # that day. Raised 300 -> 480 with the move to per-query scheduling:
-    # overrun past the budget is now one query (seconds), not one suite
-    # pass (minutes), so the budget can absorb 3 full passes (~3 x 150 s)
-    # while keeping worst-case wall-clock BELOW the old scheme's
-    # 300 + full-pass ~= 500 s.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # that day. History: 300 -> 480 with per-query scheduling (overrun
+    # past the budget is one query, seconds, not one suite pass);
+    # 480 -> 860 in round 9, when an IDLE full pass measured 243 s (this
+    # box runs the identical r07 code 1.5x slower — BENCH_NOTES
+    # documents the host-speed band), so 480 could never hold 3 passes
+    # and the shipped artifact violated the repo's own median-of-3
+    # standard (VERDICT r08 #2). Sizing: pass 1 runs ~257 s (cold
+    # first-samples), passes 2-3 ~223 s each, plus ~60 s of untimed
+    # GC/scheduling = ~800 s for a guaranteed median-of-3 on the slow
+    # band (a 780 budget left exactly the 3 costliest queries one
+    # sample short). Worst-case wall is budget + ONE query (~10 s) +
+    # session boot/warm (~30 s) ~= 15 min — bounded and small against a
+    # multi-hour round; on a fast day the run simply finishes early
+    # (the loop stops after `runs` samples per query, it never pads to
+    # the budget).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "860"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     except ValueError:
@@ -99,8 +110,14 @@ def main() -> None:
 
     def _sample(name: str) -> None:
         # isolate per-query cost: collect garbage left by the previous
-        # query (memory sinks, state stores) before starting the clock
-        spark._jvm.System.gc()
+        # query (memory sinks, state stores) before starting the clock.
+        # Skipped once a query has shown itself sub-second — a full JVM
+        # GC costs ~0.1-0.3 s of UNTIMED budget per sample, and across
+        # ~400 cheap-query samples that burned ~1 minute of the budget
+        # (round 9) for isolation those 0.3 s timings don't measurably
+        # need; every first sample and every >= 1 s query keeps the GC.
+        if not samples[name] or statistics.median(samples[name]) >= 1.0:
+            spark._jvm.System.gc()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
