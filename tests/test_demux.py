@@ -1,0 +1,358 @@
+"""Container demux (operators/demux): MP3 frame walk + MP4 box parse.
+
+Fixtures here are HAND-PACKED byte-by-byte from the public specs
+(ISO/IEC 11172-3 frame headers, ISO/IEC 14496-12 boxes) — independent of
+the synth_* builders — so they certify the parsers against the spec, not
+against the builder. Builder-roundtrip identities (parser output ==
+closed form) are pinned separately; the registry queries hash-verify the
+same closed form against DuckDB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.demux import (
+    mp3_parse,
+    mp4_demux,
+    synth_mp3_bytes,
+    synth_mp4_bytes,
+)
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def _full(btype: bytes, version: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+# ---------------------------------------------------------------------------
+# MP3
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III, 48000 Hz (rate idx 1), 96 kbps (idx 7), stereo (00):
+# frame length = 144*96000/48000 + padding = 288 + padding
+_HDR_NOPAD = bytes((0xFF, 0xFB, 0x74, 0x00))  # bitrate 0111, rate 01, pad 0
+_HDR_PAD = bytes((0xFF, 0xFB, 0x76, 0x00))  # same + padding bit
+
+
+def test_mp3_cbr_frame_walk_exact():
+    # three frames: nopad(288), pad(289), nopad(288); trailing ID3v1 tag
+    payload = (
+        _HDR_NOPAD
+        + bytes(284)
+        + _HDR_PAD
+        + bytes(285)
+        + _HDR_NOPAD
+        + bytes(284)
+        + b"TAG"
+        + bytes(125)
+    )
+    m = mp3_parse(payload)
+    assert m["n_frames"] == 3
+    assert m["sample_rate"] == 48000
+    assert m["n_channels"] == 2
+    assert m["version"] == "MPEG1"
+    assert m["layer"] == 3
+    assert m["avg_bitrate_kbps"] == 96
+    # 3 frames x 1152 samples at 48 kHz = 72 ms exactly
+    assert m["duration_us"] == 3 * 1152 * 1_000_000 // 48000 == 72000
+    assert m["audio_bytes"] == 288 + 289 + 288
+    assert m["vbr"] is False
+
+
+def test_mp3_id3v2_skip_and_layer2():
+    # ID3v2 header: 'ID3' v2.3, no footer, synchsafe size 130 (0x01, 0x02)
+    id3 = b"ID3" + bytes((3, 0, 0x00, 0, 0, 0x01, 0x02)) + bytes(130)
+    # MPEG-2 Layer II (version bits 10, layer bits 10, no CRC -> 0xF5),
+    # 32 kbps (idx 4), 24000 Hz (idx 1), mono: 144*32000/24000 = 192
+    hdr = bytes((0xFF, 0xF5, 0x44, 0xC0))
+    payload = id3 + hdr + bytes(188) + hdr + bytes(188)
+    m = mp3_parse(payload)
+    assert m["n_frames"] == 2
+    assert m["version"] == "MPEG2"
+    assert m["layer"] == 2
+    assert m["sample_rate"] == 24000
+    assert m["n_channels"] == 1
+    # Layer II is always 1152 samples/frame
+    assert m["duration_us"] == 2 * 1152 * 1_000_000 // 24000
+
+
+def test_mp3_xing_vbr_tag():
+    # MPEG-1 L3 stereo -> side info 32 bytes; Xing at frame_start+4+32
+    body = bytearray(284)
+    body[32 : 32 + 12] = b"Xing" + struct.pack(">II", 0x1, 999)
+    payload = _HDR_NOPAD + bytes(body)
+    m = mp3_parse(payload)
+    assert m["vbr"] is True
+    assert m["vbr_frames"] == 999
+    assert m["n_frames"] == 1  # the walk itself saw one physical frame
+
+
+def test_mp3_stops_at_garbage_and_truncation():
+    payload = _HDR_NOPAD + bytes(284) + b"\x00garbage-not-a-frame"
+    assert mp3_parse(payload)["n_frames"] == 1
+    # truncated second frame is not counted
+    payload = _HDR_NOPAD + bytes(284) + _HDR_NOPAD + bytes(100)
+    assert mp3_parse(payload)["n_frames"] == 1
+    with pytest.raises(ValueError):
+        mp3_parse(b"\x00" * 64)
+    with pytest.raises(ValueError):  # free-format bitrate idx 0 unsupported
+        mp3_parse(bytes((0xFF, 0xFB, 0x04, 0x00)) + bytes(400))
+
+
+# ---------------------------------------------------------------------------
+# MP4
+# ---------------------------------------------------------------------------
+
+
+def _minimal_mp4(
+    sizes, deltas, sync=(1,), stsc_entries=((1, 2),), timescale=600,
+    co64=False, v1=False,
+):
+    """Hand-assembled single-track MP4. mdat precedes moov; data at 32."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat = _box(b"mdat", bytes(sum(sizes)))
+    data_start = len(ftyp) + 8
+    per_chunk = []
+    for k, (first, spc) in enumerate(stsc_entries):
+        last = (
+            stsc_entries[k + 1][0] - 1
+            if k + 1 < len(stsc_entries)
+            else None
+        )
+        if last is None:
+            # enough chunks to cover the remaining samples
+            rem = len(sizes) - sum(per_chunk)
+            while rem > 0:
+                per_chunk.append(min(spc, rem))
+                rem -= spc
+        else:
+            per_chunk.extend([spc] * (last - first + 1))
+    chunk_offsets = []
+    at = data_start
+    s = 0
+    for spc in per_chunk:
+        chunk_offsets.append(at)
+        at += sum(sizes[s : s + spc])
+        s += spc
+    n = len(sizes)
+    dur = sum(c * d for c, d in deltas)
+    stsd = _full(
+        b"stsd", 0,
+        struct.pack(">I", 1) + struct.pack(">I4s", 16, b"avc1") + bytes(8),
+    )
+    stts = _full(
+        b"stts", 0,
+        struct.pack(">I", len(deltas))
+        + b"".join(struct.pack(">II", c, d) for c, d in deltas),
+    )
+    stss = _full(
+        b"stss", 0,
+        struct.pack(">I", len(sync))
+        + b"".join(struct.pack(">I", i) for i in sync),
+    )
+    stsz = _full(
+        b"stsz", 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", x) for x in sizes),
+    )
+    stsc = _full(
+        b"stsc", 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", f, c, 1) for f, c in stsc_entries),
+    )
+    if co64:
+        stco = _full(
+            b"co64", 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _full(
+            b"stco", 0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", 0, struct.pack(">I4s", 0, b"vide") + bytes(13))
+    if v1:
+        mdhd = _full(
+            b"mdhd", 1,
+            struct.pack(">QQIQ", 0, 0, timescale, dur) + bytes(4),
+        )
+        tkhd = _full(b"tkhd", 1, struct.pack(">QQI", 0, 0, 7) + bytes(72))
+        mvhd = _full(
+            b"mvhd", 1,
+            struct.pack(">QQIQ", 0, 0, timescale, dur) + bytes(80),
+        )
+    else:
+        mdhd = _full(
+            b"mdhd", 0,
+            struct.pack(">IIII", 0, 0, timescale, dur) + bytes(4),
+        )
+        tkhd = _full(b"tkhd", 0, struct.pack(">III", 0, 0, 7) + bytes(68))
+        mvhd = _full(
+            b"mvhd", 0,
+            struct.pack(">IIII", 0, 0, timescale, dur) + bytes(80),
+        )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_sample_table_exact():
+    # 5 samples in chunks of 2,2,1; two stts runs; keyframes 1 and 4
+    payload = _minimal_mp4(
+        sizes=[10, 20, 30, 40, 50],
+        deltas=[(3, 100), (2, 250)],
+        sync=(1, 4),
+        stsc_entries=((1, 2), (3, 1)),
+    )
+    info = mp4_demux(payload)
+    assert info["brand"] == "isom"
+    (t,) = info["tracks"]
+    assert t["track_id"] == 7
+    assert t["handler"] == "vide"
+    assert t["codec"] == "avc1"
+    assert t["sizes"] == [10, 20, 30, 40, 50]
+    # chunks at 32, 32+30=62, 62+70=132; intra-chunk prefix sums
+    assert t["offsets"] == [32, 42, 62, 92, 132]
+    assert t["dts"] == [0, 100, 200, 300, 550]
+    assert t["keyframe"] == [True, False, False, True, False]
+    # movie duration: 3*100 + 2*250 = 800 at timescale 600
+    assert info["duration_us"] == 800 * 1_000_000 // 600
+
+
+def test_mp4_v1_boxes_and_co64():
+    payload = _minimal_mp4(
+        sizes=[8, 8, 8],
+        deltas=[(3, 200)],
+        sync=(1,),
+        stsc_entries=((1, 3),),
+        timescale=1000,
+        co64=True,
+        v1=True,
+    )
+    info = mp4_demux(payload)
+    (t,) = info["tracks"]
+    assert t["track_id"] == 7
+    assert t["offsets"] == [32, 40, 48]
+    assert info["duration_us"] == 600 * 1000
+    assert t["duration_us"] == 600 * 1000
+
+
+def test_mp4_structural_errors():
+    with pytest.raises(ValueError):
+        mp4_demux(b"\x00\x00\x00\x08free")  # no ftyp
+    good = _minimal_mp4(sizes=[10], deltas=[(1, 100)], stsc_entries=((1, 1),))
+    with pytest.raises(ValueError):  # box overruns its parent
+        mp4_demux(good[:-10])
+    # stts/stsz disagreement
+    bad = good.replace(
+        _full(b"stts", 0, struct.pack(">III", 1, 1, 100)),
+        _full(b"stts", 0, struct.pack(">III", 1, 2, 100)),
+    )
+    # keep total length consistent by rebuilding instead when replace
+    # changed nothing (defensive: replace must have matched)
+    assert bad != good
+    with pytest.raises(ValueError):
+        mp4_demux(bad)
+
+
+# ---------------------------------------------------------------------------
+# Builder <-> parser roundtrip: closed form
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id,n_chars", [(0, 0), (2, 5), (4, 13), (104, 999)])
+def test_synth_mp4_roundtrip_closed_form(doc_id, n_chars):
+    info = mp4_demux(synth_mp4_bytes(doc_id, n_chars))
+    n = n_chars % 7 + 2
+    (t,) = info["tracks"]
+    sizes = [(doc_id + 13 * i) % 240 + 16 for i in range(n)]
+    offsets = [32 + sum(sizes[:i]) for i in range(n)]
+    assert t["codec"] == "mp4v"
+    assert t["handler"] == "vide"
+    assert t["sizes"] == sizes
+    assert t["offsets"] == offsets
+    assert t["dts"] == [40 * i for i in range(n)]
+    assert t["keyframe"] == [i % 3 == 0 for i in range(n)]
+    assert info["duration_us"] == 40 * n * 1000
+
+
+@pytest.mark.parametrize("doc_id,n_chars", [(1, 0), (3, 7), (11, 19), (101, 1234)])
+def test_synth_mp3_roundtrip_closed_form(doc_id, n_chars):
+    m = mp3_parse(synth_mp3_bytes(doc_id, n_chars))
+    n_frames = n_chars % 20 + 5
+    assert m["n_frames"] == n_frames
+    assert m["sample_rate"] == 32000
+    assert m["n_channels"] == 1
+    assert m["avg_bitrate_kbps"] == 64
+    assert m["vbr"] is False
+    assert m["duration_us"] == n_frames * 36000
+    assert m["audio_bytes"] == n_frames * 288
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators over the synthesized corpus
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sample_ranges_and_keyframe_plan(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp4_keyframe_plan,
+        mp4_sample_ranges,
+        synth_container_media,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = synth_container_media(docs)
+    mp4s = media.filter("kind = 'video'")
+    rows = mp4_sample_ranges(mp4s).orderBy("media_id", "sample_idx").collect()
+    assert rows, "no MP4 samples demuxed"
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    doc_chars = {r.doc_id: r.n_chars for r in docs.collect()}
+    for media_id, samples in by_media.items():
+        n = doc_chars[media_id] % 7 + 2
+        assert len(samples) == n
+        for i, r in enumerate(samples):
+            assert r.sample_idx == i
+            assert r.size == (media_id + 13 * i) % 240 + 16
+            assert r.keyframe == (i % 3 == 0)
+            assert r.dts_ms == 40 * i
+    # keyframe plan: earliest keyframe per 80 ms grid cell
+    plan = mp4_keyframe_plan(mp4s, every_ms=80).collect()
+    for r in plan:
+        assert r.sample_idx % 3 == 0  # only keyframes are picked
+        assert r.dts_ms // 80 == r.grid_idx
+    picked = {(r.media_id, r.grid_idx) for r in plan}
+    assert len(picked) == len(plan)  # one pick per cell
+
+
+def test_mp3_audio_metadata_operator(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp3_audio_metadata,
+        synth_container_media,
+    )
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = synth_container_media(docs).filter("kind = 'audio'")
+    doc_chars = {r.doc_id: r.n_chars for r in docs.collect()}
+    out = mp3_audio_metadata(media).collect()
+    assert out
+    for r in out:
+        n_frames = doc_chars[r.media_id] % 20 + 5
+        assert r.n_frames == n_frames
+        assert r.duration_us == n_frames * 36000
+        assert r.sample_rate == 32000 and r.avg_bitrate_kbps == 64

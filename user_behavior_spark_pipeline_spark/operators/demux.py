@@ -1,0 +1,713 @@
+"""Container demux for the audio/video formats whose BITSTREAMS need
+external codec libraries but whose CONTAINERS are pure struct parsing:
+MPEG audio (MP3) frame walking and ISO-BMFF (MP4) box demuxing.
+
+Why this is the 100 TB-relevant half: a training-data pipeline over video
+never decodes whole files on the shuffle path — it demuxes the (small)
+``moov`` index, picks keyframes, and emits BYTE-RANGE fetch plans that a
+GPU/codec tier executes elsewhere. Demux is cheap, deterministic, and
+exactly what belongs in the Spark layer; entropy decode (MP3 frames ->
+PCM, H.264 NALs -> pixels) stays behind the documented codec seam
+(multimodal.decode_real raises NotImplementedError for it).
+
+Both parsers implement the public specs directly (ISO/IEC 11172-3 frame
+headers + the de-facto Xing/Info VBR tag; ISO/IEC 14496-12 box structure)
+and are pinned by hand-packed byte fixtures in tests/test_demux.py. The
+``synth_mp3`` / ``synth_mp4`` builders generate deterministic payloads
+whose demux output is closed-form in (doc_id, n_chars) — SQL-reproducible,
+so the registry queries hash-verify the full parse through real bytes.
+
+Reference parity note: the reference pipeline (rpg_spark_stream.py,
+filter_swords_batch.py) has no media path at all — this module is part of
+the training-data extension surface (SURVEY.md §2.5), same family as
+operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame walk — ISO/IEC 11172-3 §2.4.1.3 header layout
+# ---------------------------------------------------------------------------
+
+# bitrate_kbps[(version_group, layer)][bitrate_index]; 0 = free-format
+# (unsupported here), index 15 is invalid. version_group: 1 = MPEG-1,
+# 2 = MPEG-2/2.5 (they share tables).
+_MP3_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample_rate[version][samplerate_index]; version: 3 = MPEG-1, 2 = MPEG-2,
+# 0 = MPEG-2.5 (header encoding), index 3 reserved.
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(hdr: int):
+    """Decode one 32-bit MPEG audio frame header; returns None if the sync
+    word or any index field is invalid (the walker treats that as
+    end-of-audio, tolerating trailing tags/garbage)."""
+    if hdr >> 21 != 0x7FF:
+        return None
+    version_bits = (hdr >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_bits = (hdr >> 17) & 0x3  # 3=Layer I, 2=Layer II, 1=Layer III
+    bitrate_idx = (hdr >> 12) & 0xF
+    rate_idx = (hdr >> 10) & 0x3
+    padding = (hdr >> 9) & 0x1
+    channel_mode = (hdr >> 6) & 0x3  # 3 = mono
+    if version_bits == 1 or layer_bits == 0 or rate_idx == 3:
+        return None
+    if bitrate_idx in (0, 15):  # free-format / invalid
+        return None
+    layer = 4 - layer_bits  # 1, 2, 3
+    vgroup = 1 if version_bits == 3 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][bitrate_idx] * 1000
+    sample_rate = _MP3_RATES[version_bits][rate_idx]
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+    elif layer == 2:
+        samples = 1152
+        frame_len = 144 * bitrate // sample_rate + padding
+    else:  # Layer III: MPEG-1 1152 samples, MPEG-2/2.5 576
+        samples = 1152 if vgroup == 1 else 576
+        per = 144 if vgroup == 1 else 72
+        frame_len = per * bitrate // sample_rate + padding
+    return {
+        "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[version_bits],
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": sample_rate,
+        "samples": samples,
+        "frame_len": frame_len,
+        "channels": 1 if channel_mode == 3 else 2,
+    }
+
+
+def _id3v2_len(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent). Size is
+    4 synchsafe bytes (7 bits each); the footer flag adds 10."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:  # not synchsafe -> not a valid tag; don't skip
+            return 0
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def mp3_parse(payload: bytes) -> dict:
+    """Walk the MPEG audio frames of an MP3 payload; no PCM is produced.
+
+    Returns frame count, duration, sample rate/channels, average bitrate
+    and whether a Xing/Info VBR tag was present (in which case the tag's
+    frame count is cross-checked against the walk). Skips a leading ID3v2
+    tag and stops cleanly at an ID3v1 ``TAG`` trailer or at the first
+    byte run that is not a valid frame header (players do the same — the
+    stream is self-synchronizing). Raises ValueError when no valid frame
+    exists at all."""
+    pos = _id3v2_len(payload)
+    n_frames = 0
+    total_samples = 0
+    total_bitrate = 0
+    sample_rate = None
+    channels = None
+    version = None
+    layer = None
+    vbr = False
+    vbr_frames = None
+    while pos + 4 <= len(payload):
+        if payload[pos : pos + 3] == b"TAG":  # ID3v1 trailer (128 bytes)
+            break
+        hdr = _mp3_frame_header(struct.unpack_from(">I", payload, pos)[0])
+        if hdr is None:
+            break
+        if pos + hdr["frame_len"] > len(payload):
+            break  # truncated final frame: count only complete frames
+        if n_frames == 0:
+            sample_rate = hdr["sample_rate"]
+            channels = hdr["channels"]
+            version = hdr["version"]
+            layer = hdr["layer"]
+            # Xing/Info VBR tag sits after the side info of frame 1:
+            # MPEG-1 mono 17 bytes / stereo 32; MPEG-2(.5) mono 9 / 17
+            side = (
+                (17 if hdr["channels"] == 1 else 32)
+                if hdr["version"] == "MPEG1"
+                else (9 if hdr["channels"] == 1 else 17)
+            )
+            tag_at = pos + 4 + side
+            tag = payload[tag_at : tag_at + 4]
+            if tag in (b"Xing", b"Info") and tag_at + 12 <= len(payload):
+                vbr = tag == b"Xing"
+                flags = struct.unpack_from(">I", payload, tag_at + 4)[0]
+                if flags & 0x1:  # FRAMES field present
+                    vbr_frames = struct.unpack_from(">I", payload, tag_at + 8)[0]
+        n_frames += 1
+        total_samples += hdr["samples"]
+        total_bitrate += hdr["bitrate"]
+        pos += hdr["frame_len"]
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frame found")
+    return {
+        "kind": "audio",
+        "container": "mp3",
+        "version": version,
+        "layer": layer,
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "n_frames": n_frames,
+        "vbr": vbr,
+        "vbr_frames": vbr_frames,
+        # integer microseconds so cross-engine comparison is exact
+        "duration_us": total_samples * 1_000_000 // sample_rate,
+        "avg_bitrate_kbps": total_bitrate // n_frames // 1000,
+        "audio_bytes": pos - _id3v2_len(payload),
+    }
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) box demux — ISO/IEC 14496-12 sample tables
+# ---------------------------------------------------------------------------
+
+_CONTAINER_BOXES = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _iter_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in [start, end).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0);
+    raises ValueError on a box that overruns its parent."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", payload, pos)
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack_from(">Q", payload, body)[0]
+            body += 8
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(
+                f"box {btype!r} overruns parent: size={size} at {pos}"
+            )
+        yield btype, body, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError(f"trailing bytes in box range: {end - pos}")
+
+
+def _full_box(payload: bytes, start: int):
+    """(version, flags, body_start) of a FullBox."""
+    version = payload[start]
+    flags = int.from_bytes(payload[start + 1 : start + 4], "big")
+    return version, flags, start + 4
+
+
+def _parse_mvhd(payload, start):
+    v, _, p = _full_box(payload, start)
+    if v == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, p + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, p + 8)
+    return timescale, duration
+
+
+def _parse_mdhd(payload, start):
+    v, _, p = _full_box(payload, start)
+    if v == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, p + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, p + 8)
+    return timescale, duration
+
+
+def _parse_tkhd(payload, start):
+    v, _, p = _full_box(payload, start)
+    # v1: ctime8 mtime8 id4; v0: ctime4 mtime4 id4
+    track_id = struct.unpack_from(">I", payload, p + (16 if v == 1 else 8))[0]
+    return track_id
+
+
+def _u32_table(payload, p, n, width=4):
+    fmt = ">%d%s" % (n, "I" if width == 4 else "Q")
+    return list(struct.unpack_from(fmt, payload, p))
+
+
+def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
+    """Parse the sample-table box into flat per-sample arrays."""
+    codec = None
+    deltas: list[tuple[int, int]] = []  # (count, delta)
+    sync: set[int] | None = None  # 1-based sample numbers; None = all sync
+    uniform_size = 0
+    sizes: list[int] = []
+    stsc: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    chunk_offsets: list[int] = []
+    for btype, b, e in _iter_boxes(payload, start, end):
+        if btype == b"stsd":
+            _, _, p = _full_box(payload, b)
+            n_entries = struct.unpack_from(">I", payload, p)[0]
+            if n_entries >= 1:
+                codec = payload[p + 8 : p + 12].decode("latin-1")
+        elif btype == b"stts":
+            _, _, p = _full_box(payload, b)
+            n = struct.unpack_from(">I", payload, p)[0]
+            vals = _u32_table(payload, p + 4, 2 * n)
+            deltas = list(zip(vals[0::2], vals[1::2]))
+        elif btype == b"stss":
+            _, _, p = _full_box(payload, b)
+            n = struct.unpack_from(">I", payload, p)[0]
+            sync = set(_u32_table(payload, p + 4, n))
+        elif btype == b"stsz":
+            _, _, p = _full_box(payload, b)
+            uniform_size, n = struct.unpack_from(">II", payload, p)
+            if uniform_size == 0:
+                sizes = _u32_table(payload, p + 8, n)
+            else:
+                sizes = [uniform_size] * n
+        elif btype == b"stsc":
+            _, _, p = _full_box(payload, b)
+            n = struct.unpack_from(">I", payload, p)[0]
+            vals = _u32_table(payload, p + 4, 3 * n)
+            stsc = list(zip(vals[0::3], vals[1::3]))
+        elif btype == b"stco":
+            _, _, p = _full_box(payload, b)
+            n = struct.unpack_from(">I", payload, p)[0]
+            chunk_offsets = _u32_table(payload, p + 4, n)
+        elif btype == b"co64":
+            _, _, p = _full_box(payload, b)
+            n = struct.unpack_from(">I", payload, p)[0]
+            chunk_offsets = _u32_table(payload, p + 4, n, width=8)
+    n_samples = len(sizes)
+    if sum(c for c, _ in deltas) != n_samples:
+        raise ValueError(
+            f"stts sample count {sum(c for c, _ in deltas)} != stsz {n_samples}"
+        )
+    # expand stsc runs over the chunk list: entry k applies from its
+    # first_chunk (1-based) until the next entry's first_chunk
+    per_chunk: list[int] = []
+    for k, (first, spc) in enumerate(stsc):
+        last = (
+            stsc[k + 1][0] - 1 if k + 1 < len(stsc) else len(chunk_offsets)
+        )
+        if first < 1 or first > last + 1:
+            raise ValueError(f"stsc first_chunk {first} out of order")
+        per_chunk.extend([spc] * (last - first + 1))
+    if sum(per_chunk) != n_samples:
+        raise ValueError(
+            f"stsc maps {sum(per_chunk)} samples, stsz has {n_samples}"
+        )
+    # per-sample dts (in media timescale units) from the delta runs
+    dts: list[int] = []
+    t = 0
+    for count, delta in deltas:
+        for _ in range(count):
+            dts.append(t)
+            t += delta
+    # per-sample byte offset from chunk offsets + intra-chunk prefix sums
+    offsets: list[int] = []
+    s = 0
+    for chunk_idx, spc in enumerate(per_chunk):
+        at = chunk_offsets[chunk_idx]
+        for _ in range(spc):
+            offsets.append(at)
+            at += sizes[s]
+            s += 1
+    keyframe = [
+        True if sync is None else (i + 1) in sync for i in range(n_samples)
+    ]
+    return {
+        "codec": codec,
+        "sizes": sizes,
+        "offsets": offsets,
+        "dts": dts,
+        "keyframe": keyframe,
+        "media_duration": t,
+    }
+
+
+def mp4_demux(payload: bytes) -> dict:
+    """Demux an ISO-BMFF (MP4/MOV) payload: brand, movie timescale and
+    duration, and per-track sample tables (codec, per-sample byte
+    offset/size, decode timestamp, keyframe flag).
+
+    This is the entire metadata surface a frame-sampling pipeline needs —
+    the payload's media data (``mdat``) is never interpreted, only
+    addressed. Raises ValueError on structural corruption (overrunning
+    boxes, inconsistent sample tables) and NotImplementedError never:
+    bitstream decode simply isn't attempted here."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+    brand = payload[8:12].decode("latin-1")
+    timescale = None
+    duration = 0
+    tracks = []
+    for btype, b, e in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for mtype, mb, me in _iter_boxes(payload, b, e):
+            if mtype == b"mvhd":
+                timescale, duration = _parse_mvhd(payload, mb)
+            elif mtype == b"trak":
+                track_id = None
+                handler = None
+                mdhd_ts = None
+                mdhd_dur = 0
+                stbl = None
+                for ttype, tb, te in _iter_boxes(payload, mb, me):
+                    if ttype == b"tkhd":
+                        track_id = _parse_tkhd(payload, tb)
+                    elif ttype == b"mdia":
+                        for dtype, db, de in _iter_boxes(payload, tb, te):
+                            if dtype == b"mdhd":
+                                mdhd_ts, mdhd_dur = _parse_mdhd(payload, db)
+                            elif dtype == b"hdlr":
+                                handler = payload[db + 8 : db + 12].decode(
+                                    "latin-1"
+                                )
+                            elif dtype == b"minf":
+                                for n2, b2, e2 in _iter_boxes(
+                                    payload, db, de
+                                ):
+                                    if n2 == b"stbl":
+                                        stbl = _parse_stbl(payload, b2, e2)
+                if stbl is None or mdhd_ts is None:
+                    raise ValueError("trak without stbl/mdhd")
+                tracks.append(
+                    {
+                        "track_id": track_id,
+                        "handler": handler,
+                        "timescale": mdhd_ts,
+                        "duration_us": mdhd_dur * 1_000_000 // mdhd_ts,
+                        **stbl,
+                    }
+                )
+    if timescale is None:
+        raise ValueError("no moov/mvhd found")
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "timescale": timescale,
+        "duration_us": duration * 1_000_000 // timescale,
+        "tracks": tracks,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic payload builders (fixtures): closed-form in (doc_id, n)
+# so the registry oracle can re-derive every demuxed row in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def _full(btype: bytes, version: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def synth_mp4_bytes(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic one-video-track MP4. Layout puts ``mdat`` BEFORE
+    ``moov`` so every sample's absolute offset is independent of the
+    index size: data starts at 32 = len(ftyp)=24 + mdat header 8.
+
+    Closed form (mirrored by the registry oracle SQL):
+      n_samples   = n_chars % 7 + 2
+      size(i)     = (doc_id + 13*i) % 240 + 16          (0-based i)
+      offset(i)   = 32 + sum_{j<i} size(j)
+      dts_ms(i)   = 40 * i                               (timescale 1000)
+      keyframe(i) = i % 3 == 0                           (via stss)
+    Chunking: 2 samples per chunk (last chunk may hold 1) — exercises a
+    2-entry stsc run map and real stco arithmetic rather than the
+    trivial one-chunk case."""
+    n = n_chars % 7 + 2
+    sizes = [(doc_id + 13 * i) % 240 + 16 for i in range(n)]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    assert len(ftyp) == 24
+    mdat = _box(b"mdat", bytes(sum(sizes)))
+    data_start = len(ftyp) + 8
+    # chunks of 2 samples (possibly a final 1-sample chunk)
+    chunk_offsets = []
+    at = data_start
+    for c in range(0, n, 2):
+        chunk_offsets.append(at)
+        at += sum(sizes[c : c + 2])
+    n_chunks = len(chunk_offsets)
+    duration = 40 * n  # timescale 1000 -> ms
+    stsd = _full(
+        b"stsd",
+        0,
+        struct.pack(">I", 1)
+        + struct.pack(">I4s", 16, b"mp4v")
+        + bytes(8),
+    )
+    stts = _full(b"stts", 0, struct.pack(">III", 1, n, 40))
+    stss = _full(
+        b"stss",
+        0,
+        struct.pack(">I", (n + 2) // 3)
+        + b"".join(struct.pack(">I", i + 1) for i in range(0, n, 3)),
+    )
+    stsz = _full(
+        b"stsz",
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    if n % 2 == 1:  # final 1-sample chunk needs its own stsc entry
+        stsc_entries = [(1, 2), (n_chunks, 1)] if n_chunks > 1 else [(1, 1)]
+    else:
+        stsc_entries = [(1, 2)]
+    stsc = _full(
+        b"stsc",
+        0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", f, s, 1) for f, s in stsc_entries
+        ),
+    )
+    stco = _full(
+        b"stco",
+        0,
+        struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", 0, struct.pack(">I4s", 0, b"vide") + bytes(13))
+    mdhd = _full(b"mdhd", 0, struct.pack(">IIII", 0, 0, 1000, duration) + bytes(4))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, struct.pack(">III", 0, 0, 1) + bytes(72))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, duration) + bytes(80))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def synth_mp3_bytes(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic CBR MP3: MPEG-1 Layer III, 64 kbps, 32000 Hz, mono,
+    no padding — frame length is EXACTLY 144*64000/32000 = 288 bytes, so
+    every derived quantity is integer closed-form:
+      n_frames    = n_chars % 20 + 5
+      total_bytes = 288 * n_frames
+      duration_us = n_frames * 1152 * 1000000 / 32000  (exact: 36000*n)
+    Frame body bytes are a doc_id-seeded LCG — irrelevant to the walker,
+    present so payloads differ per document."""
+    n_frames = n_chars % 20 + 5
+    # sync fff, MPEG1 (11), Layer III (01), no CRC (1) -> 0xFFFB;
+    # bitrate idx 5 (64 kbps), rate idx 2 (32000), no padding -> 0x58;
+    # mono (11) -> 0xC0
+    header = bytes((0xFF, 0xFB, 0x58, 0xC0))
+    frames = []
+    x = (doc_id * 2654435761 + 1) & 0xFFFFFFFF
+    body = bytearray()
+    for _ in range(284):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        body.append((x >> 16) & 0xFF)
+    # the walker sniffs frame offset 21..25 (MPEG-1 mono side info = 17)
+    # for a Xing/Info tag — keep those LCG bytes zero so no doc_id can
+    # accidentally synthesize a VBR header (body idx = frame offset - 4)
+    body[17:21] = b"\x00" * 4
+    for _ in range(n_frames):
+        frames.append(header + bytes(body))
+    return b"".join(frames)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators: demux plans over binary media columns
+# ---------------------------------------------------------------------------
+
+MP4_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("track_id", IntegerType(), False),
+        StructField("handler", StringType(), True),
+        StructField("codec", StringType(), True),
+        StructField("sample_idx", IntegerType(), False),
+        StructField("byte_offset", LongType(), False),
+        StructField("size", LongType(), False),
+        StructField("keyframe", BooleanType(), False),
+        StructField("dts_ms", LongType(), False),
+    ]
+)
+
+MP3_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("duration_us", LongType(), False),
+        StructField("avg_bitrate_kbps", IntegerType(), False),
+        StructField("vbr", BooleanType(), False),
+        StructField("audio_bytes", LongType(), False),
+    ]
+)
+
+
+def mp4_sample_ranges(media: DataFrame) -> DataFrame:
+    """Demux MP4 payloads into one row per (track, sample): absolute byte
+    offset + size + keyframe + decode timestamp — the byte-range fetch
+    plan downstream frame extraction consumes.
+
+    Scale shape: mapInPandas over the payload column, Arrow-batched; the
+    parse touches only the moov index, cost O(index), and the output is
+    a few dozen integer rows per file — the 100 TB pattern where the
+    heavy mdat bytes are addressed, never shuffled. Tracks whose payload
+    fails structural validation are surfaced, not dropped: callers
+    quarantine via a left anti join on this output (same policy as
+    ingest.quarantine)."""
+
+    def _demux(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                info = mp4_demux(bytes(payload))
+                for t in info["tracks"]:
+                    ts = t["timescale"]
+                    for i in range(len(t["sizes"])):
+                        rows.append(
+                            (
+                                int(media_id),
+                                int(t["track_id"]),
+                                t["handler"],
+                                t["codec"],
+                                i,
+                                t["offsets"][i],
+                                t["sizes"][i],
+                                t["keyframe"][i],
+                                t["dts"][i] * 1000 // ts,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_SAMPLE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _demux, MP4_SAMPLE_SCHEMA
+    )
+
+
+def mp4_keyframe_plan(
+    media: DataFrame, every_ms: int = 1000, track_handler: str = "vide"
+) -> DataFrame:
+    """Evenly-spaced keyframe selection over the demuxed sample table:
+    for each video track, keep the first keyframe at-or-after every
+    ``every_ms`` grid point — the standard thumbnail/training-frame
+    sampling plan, computed entirely from container metadata.
+
+    Pure DataFrame composition over mp4_sample_ranges: grid bucket =
+    dts_ms / every_ms; within a bucket the earliest keyframe wins
+    (min_by), so cost is one partial-aggregable groupBy — no window
+    sort, no payload bytes."""
+    samples = mp4_sample_ranges(media).filter(
+        (F.col("handler") == track_handler) & F.col("keyframe")
+    )
+    bucket = (F.col("dts_ms") / F.lit(every_ms)).cast("long")
+    return (
+        samples.groupBy("media_id", "track_id", bucket.alias("grid_idx"))
+        .agg(
+            F.min_by(
+                F.struct("dts_ms", "sample_idx", "byte_offset", "size"),
+                F.struct("dts_ms", "sample_idx"),
+            ).alias("pick")
+        )
+        .select(
+            "media_id",
+            "track_id",
+            "grid_idx",
+            F.col("pick.sample_idx").alias("sample_idx"),
+            F.col("pick.byte_offset").alias("byte_offset"),
+            F.col("pick.size").alias("size"),
+            F.col("pick.dts_ms").alias("dts_ms"),
+        )
+    )
+
+
+def mp3_audio_metadata(media: DataFrame) -> DataFrame:
+    """Frame-walk MP3 payloads into per-file audio metadata (no PCM):
+    sample rate, frame count, exact integer duration, average bitrate,
+    VBR flag. mapInPandas, Arrow-batched, linear in payload size."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                m = mp3_parse(bytes(payload))
+                rows.append(
+                    (
+                        int(media_id),
+                        m["sample_rate"],
+                        m["n_channels"],
+                        m["n_frames"],
+                        m["duration_us"],
+                        m["avg_bitrate_kbps"],
+                        m["vbr"],
+                        m["audio_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_META_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, MP3_META_SCHEMA
+    )
+
+
+def synth_container_media(documents: DataFrame) -> DataFrame:
+    """Deterministic container fixtures from documents: even doc_id ->
+    synthetic MP4, odd -> synthetic MP3 (builders above; closed-form
+    demux output). Pandas-UDF built so the bytes are produced
+    executor-side, partition-parallel — no driver materialization."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR eval type (same pattern as udf_surface's
+    # GROUPED_AGG): `from __future__ import annotations` stringifies any
+    # pd.Series hints and the UDF's __globals__ can't resolve them
+    def _build_fn(doc_id, n_chars):
+        out = []
+        for d, n in zip(doc_id, n_chars):
+            d, n = int(d), int(n)
+            out.append(
+                synth_mp4_bytes(d, n) if d % 2 == 0 else synth_mp3_bytes(d, n)
+            )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "video").otherwise("audio").alias("kind"),
+        _build("doc_id", "n_chars").alias("payload"),
+    )

@@ -18,7 +18,12 @@ header+raster parse — round 6; 8-bit PNG via zlib + the five defined
 scanline filters — round 7; baseline sequential JPEG via Huffman +
 dequant + float64 IDCT — round 9; all with byte-exact test fixtures)
 and raises NotImplementedError only for formats that genuinely need
-external codec libraries (MP3/MP4 — the librosa/av seam). The
+external codec libraries. Round 9 narrowed that seam to BITSTREAM
+decode only: MP3 frame walking and MP4 sample-table demux are pure
+struct parsing, implemented in operators/demux.py (oracle-backed
+registry queries + hand-packed spec fixtures); what remains behind
+NotImplementedError is synthesizing PCM samples / pixels from the
+entropy-coded payload (the librosa/av seam). The
 oracle-checked pipeline (``decode_features``) keeps the deterministic
 byte-histogram "embedding" (clearly fake, stable across runs, and
 SQL-reproducible). The Spark plumbing — schemas, batch iteration,
@@ -589,9 +594,13 @@ def decode_real(payload: bytes, kind: str) -> dict:
         "decode_real handles WAV/PCM, binary PGM/PPM, 8-bit PNG and "
         "baseline JPEG in pure Python/numpy; this payload "
         f"(kind={kind!r}, head={payload[:4]!r}) needs external codec "
-        "libraries (librosa/av for MP3/MP4) not present in this "
-        "environment — decode_features uses the deterministic "
-        "byte-histogram stub instead"
+        "libraries (librosa/av) not present in this environment. "
+        "For MP3/MP4 the CONTAINER layer is fully supported without "
+        "codecs — operators/demux.py (mp3_parse / mp4_demux) yields "
+        "frame counts, durations, sample tables and keyframe byte "
+        "ranges; only bitstream decode (PCM samples / pixels) remains "
+        "behind this seam. decode_features uses the deterministic "
+        "byte-histogram stub either way."
     )
 
 

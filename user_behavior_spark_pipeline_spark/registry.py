@@ -3247,6 +3247,110 @@ def x_multimodal_decode_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Container demux (operators/demux): the REAL half of the codec seam —
+# MP4 sample tables and MP3 frame walks are pure struct parsing; only
+# bitstream decode (PCM / pixels) stays behind NotImplementedError.
+# ---------------------------------------------------------------------------
+
+_MP4_SAMPLES_SQL = (
+    # closed form mirrored from demux.synth_mp4_bytes: n = n_chars%7+2
+    # samples, size(i) = (doc_id+13i)%240+16, data at byte 32 (mdat
+    # precedes moov), dts = 40 ms ticks, keyframes every 3rd sample
+    "WITH v AS (SELECT doc_id, n_chars % 7 + 2 AS n FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "s AS (SELECT doc_id, CAST(u.i AS INT) AS sample_idx, "
+    "CAST((doc_id + 13 * u.i) % 240 + 16 AS BIGINT) AS size "
+    "FROM v, UNNEST(range(n)) AS u(i)) "
+    "SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id, "
+    "'vide' AS handler, 'mp4v' AS codec, sample_idx, "
+    "CAST(32 + COALESCE(SUM(size) OVER (PARTITION BY doc_id "
+    "ORDER BY sample_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    "), 0) AS BIGINT) AS byte_offset, "
+    "size, sample_idx % 3 = 0 AS keyframe, "
+    "CAST(40 * sample_idx AS BIGINT) AS dts_ms FROM s"
+)
+
+
+@query("x_demux_mp4_samples", oracle=_MP4_SAMPLES_SQL)
+def x_demux_mp4_samples(spark, sf_dir):
+    """ISO-BMFF (MP4) demux to per-sample byte ranges: payloads are
+    deterministic real MP4 files built executor-side (demux.synth_mp4_bytes
+    — ftyp/mdat/moov with 2-entry stsc, stss keyframes), parsed back by
+    the spec-implementing box walker (demux.mp4_demux, pinned against
+    hand-packed fixtures in tests/test_demux.py). The oracle re-derives
+    every row of the sample table in closed form, so the hash certifies
+    offsets/sizes/dts/keyframes THROUGH real container bytes."""
+    from .operators.demux import mp4_sample_ranges, synth_container_media
+
+    docs = _table(spark, sf_dir, "documents")
+    media = synth_container_media(docs).filter("kind = 'video'")
+    return mp4_sample_ranges(media)
+
+
+_MP3_META_SQL = (
+    "SELECT doc_id AS media_id, CAST(32000 AS INT) AS sample_rate, "
+    "CAST(1 AS INT) AS n_channels, "
+    "CAST(n_chars % 20 + 5 AS INT) AS n_frames, "
+    "CAST((n_chars % 20 + 5) * 36000 AS BIGINT) AS duration_us, "
+    "CAST(64 AS INT) AS avg_bitrate_kbps, FALSE AS vbr, "
+    "CAST((n_chars % 20 + 5) * 288 AS BIGINT) AS audio_bytes "
+    "FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+@query("x_demux_mp3_meta", oracle=_MP3_META_SQL)
+def x_demux_mp3_meta(spark, sf_dir):
+    """MPEG-audio frame walk over deterministic real MP3 payloads
+    (demux.synth_mp3_bytes: MPEG-1 Layer III CBR 64 kbps / 32 kHz mono —
+    frame length exactly 288 bytes, so every metadata value is integer
+    closed-form). Certifies the frame walker (header decode, frame-length
+    arithmetic, duration accounting) through real bytes; ID3/Xing/VBR
+    handling is pinned by hand-packed fixtures in tests/test_demux.py."""
+    from .operators.demux import mp3_audio_metadata, synth_container_media
+
+    docs = _table(spark, sf_dir, "documents")
+    media = synth_container_media(docs).filter("kind = 'audio'")
+    return mp3_audio_metadata(media)
+
+
+_KEYFRAME_PLAN_SQL = (
+    "WITH v AS (SELECT doc_id, n_chars % 7 + 2 AS n FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "s AS (SELECT doc_id, CAST(u.i AS INT) AS sample_idx, "
+    "CAST((doc_id + 13 * u.i) % 240 + 16 AS BIGINT) AS size "
+    "FROM v, UNNEST(range(n)) AS u(i)), "
+    "o AS (SELECT doc_id, sample_idx, size, "
+    "CAST(32 + COALESCE(SUM(size) OVER (PARTITION BY doc_id "
+    "ORDER BY sample_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    "), 0) AS BIGINT) AS byte_offset, "
+    "CAST(40 * sample_idx AS BIGINT) AS dts_ms FROM s), "
+    # keyframe filter AFTER the prefix sum: offsets are sums over ALL
+    # samples, not just the kept keyframes
+    "k AS (SELECT * FROM o WHERE sample_idx % 3 = 0) "
+    "SELECT doc_id AS media_id, CAST(1 AS INT) AS track_id, "
+    "CAST(dts_ms // 80 AS BIGINT) AS grid_idx, sample_idx, byte_offset, "
+    "size, dts_ms FROM k "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, dts_ms // 80 "
+    "ORDER BY dts_ms, sample_idx) = 1"
+)
+
+
+@query("x_demux_keyframe_plan", oracle=_KEYFRAME_PLAN_SQL)
+def x_demux_keyframe_plan(spark, sf_dir):
+    """Training-frame sampling plan: demux -> keyframes only -> earliest
+    keyframe per 80 ms grid cell (min_by over a partial-aggregable
+    groupBy — no window sort). The 100 TB shape: container indexes are
+    parsed, heavy media bytes are only ADDRESSED (byte ranges for a
+    downstream decode tier). 80 ms grid on the synthetic 40 ms/sample
+    fixtures makes the pick non-trivial (cells hold 1-2 keyframes)."""
+    from .operators.demux import mp4_keyframe_plan, synth_container_media
+
+    docs = _table(spark, sf_dir, "documents")
+    media = synth_container_media(docs).filter("kind = 'video'")
+    return mp4_keyframe_plan(media, every_ms=80)
+
+
 @query(
     "x_udf_apply_in_pandas",
     oracle=(
