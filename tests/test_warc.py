@@ -1,0 +1,123 @@
+"""WARC walker (operators/warc): hand-packed ISO 28500 fixtures —
+independent of the synth_warc_bytes builder — plus builder roundtrip and
+the DataFrame operator over the documents-derived corpus."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.warc import (
+    synth_warc_bytes,
+    warc_parse,
+    warc_records,
+    synth_warc_archives,
+)
+
+
+def _rec(headers: dict, body: bytes, version=b"WARC/1.0") -> bytes:
+    head = version + b"\r\n"
+    for k, v in headers.items():
+        head += f"{k}: {v}\r\n".encode()
+    head += f"Content-Length: {len(body)}\r\n".encode()
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
+def test_warc_multi_record_framing():
+    payload = _rec(
+        {"WARC-Type": "warcinfo"}, b"software: x\r\n"
+    ) + _rec(
+        {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "http://example.invalid/a",
+            "Content-Type": "text/html",
+        },
+        b"<html>hi \r\n\r\n tricky body with blank line</html>",
+    )
+    recs = warc_parse(payload)
+    assert len(recs) == 2
+    assert recs[0]["headers"]["warc-type"] == "warcinfo"
+    assert recs[1]["headers"]["warc-target-uri"] == "http://example.invalid/a"
+    # Content-Length framing, NOT delimiter scanning: the body's embedded
+    # CRLF CRLF must not split the record
+    assert b"tricky body" in recs[1]["body"]
+    assert recs[1]["body"].startswith(b"<html>")
+
+
+def test_warc_header_folding_and_case():
+    body = b"x" * 10
+    raw = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://example.invalid/very/long\r\n"
+        b"\tcontinued-path\r\n"
+        b"CONTENT-LENGTH: 10\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    (rec,) = warc_parse(raw)
+    assert rec["version"] == "WARC/1.1"
+    # folded continuation joined with a single space; keys lowercased
+    assert (
+        rec["headers"]["warc-target-uri"]
+        == "http://example.invalid/very/long continued-path"
+    )
+    assert rec["body"] == body
+
+
+def test_warc_gzip_members_transparent():
+    plain = synth_warc_bytes(42, "hello world", gzip_members=False)
+    gz = synth_warc_bytes(42, "hello world", gzip_members=True)
+    assert gz[:2] == b"\x1f\x8b" and gz != plain
+    assert warc_parse(gz) == warc_parse(plain)
+
+
+def test_warc_structural_errors():
+    with pytest.raises(ValueError):
+        warc_parse(b"HTTP/1.1 200 OK\r\n\r\n")  # not a WARC version line
+    with pytest.raises(ValueError):  # no Content-Length
+        warc_parse(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+    good = _rec({"WARC-Type": "response"}, b"0123456789")
+    with pytest.raises(ValueError):  # truncated body
+        warc_parse(good[:-8])
+    with pytest.raises(ValueError):  # truncated gzip member
+        warc_parse(synth_warc_bytes(1, "abc", gzip_members=True)[:-5])
+    with pytest.raises(ValueError):
+        warc_parse(b"")
+
+
+@pytest.mark.parametrize("doc_id,text", [(0, ""), (3, "héllo wörld"), (7, "a" * 500)])
+def test_synth_warc_roundtrip_closed_form(doc_id, text):
+    for gz in (False, True):
+        recs = warc_parse(synth_warc_bytes(doc_id, text, gzip_members=gz))
+        assert len(recs) == 2
+        assert recs[0]["headers"]["warc-type"] == "warcinfo"
+        r = recs[1]
+        assert r["headers"]["warc-type"] == "response"
+        assert (
+            r["headers"]["warc-target-uri"]
+            == f"http://example.invalid/doc/{doc_id}"
+        )
+        assert r["body"] == text.encode("utf-8")
+        assert int(r["headers"]["content-length"]) == len(text.encode("utf-8"))
+
+
+def test_warc_records_operator(spark, sf_dir):
+    from user_behavior_spark_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = (
+        warc_records(synth_warc_archives(docs))
+        .orderBy("archive_id", "record_idx")
+        .collect()
+    )
+    expected = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == 2 * len(expected)
+    for r in out:
+        if r.record_idx == 0:
+            assert r.warc_type == "warcinfo" and r.target_uri is None
+        else:
+            assert r.warc_type == "response"
+            assert r.target_uri == f"http://example.invalid/doc/{r.archive_id}"
+            assert bytes(r.body).decode("utf-8") == expected[r.archive_id]
+            assert r.content_length == len(expected[r.archive_id].encode())

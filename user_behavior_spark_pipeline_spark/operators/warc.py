@@ -1,0 +1,253 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the container format of
+web-crawl pretraining corpora (Common Crawl ships WARC/WAT/WET).
+
+The 100 TB shape: crawl archives arrive as millions of ~1 GB WARC files;
+the Spark job splits per FILE (binary column or binaryFile source), and a
+mapInPandas walker emits one row per record with its headers and body.
+Parsing is pure framing — ``WARC/1.0`` version line, RFC-822-style
+headers, ``Content-Length``-framed body, CRLF CRLF record separator — no
+external library. Real-world archives gzip each record INDIVIDUALLY and
+concatenate the members (the spec's recommended "record-at-time"
+compression); the walker handles both plain and multi-member-gzip
+payloads via stdlib zlib.
+
+Certification: hand-packed spec fixtures in tests/test_warc.py (multi
+record, gzip members, header folding, missing-length rejection) +
+``synth_warc_bytes`` builders whose parse output is closed-form in
+(doc_id, text) so the registry query hash-verifies the walker through
+real archive bytes against a DuckDB twin.
+
+Reference parity note: the reference pipeline has no archive-ingestion
+path (its sources are Kafka JSON — SURVEY.md §2.1); this module is part
+of the training-data extension surface (SURVEY.md §2.5 OP-X-DEMUX /
+ingestion family).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (each WARC record its own
+    member, per the spec's record-at-time compression) by chaining
+    zlib decompressobj over the unused tail of each member."""
+    out = []
+    data = payload
+    while data:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC payload")
+        data = d.unused_data
+    return b"".join(out)
+
+
+def warc_parse(payload: bytes) -> list[dict]:
+    """Walk the records of a WARC payload (plain or member-gzipped).
+
+    Returns one dict per record: version, headers (case-insensitive
+    keys, first occurrence wins), and the exact body bytes. Framing per
+    ISO 28500: version line, header lines until an empty line (long
+    header values may fold onto continuation lines starting with
+    space/tab), body of exactly Content-Length bytes, then CRLF CRLF.
+    Raises ValueError on structural corruption (bad version line,
+    missing Content-Length, truncated body) — quarantine, don't guess."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    records = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # tolerate extra blank lines between records (seen in the wild)
+        while payload[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        eol = payload.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("unterminated WARC version line")
+        version = payload[pos:eol].decode("latin-1")
+        if not version.startswith("WARC/"):
+            raise ValueError(f"bad WARC version line: {version!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        last_key = None
+        while True:
+            eol = payload.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError("unterminated WARC header block")
+            line = payload[pos:eol].decode("latin-1")
+            pos = eol + 2
+            if not line:
+                break
+            if line[0] in " \t" and last_key is not None:  # folded value
+                headers[last_key] += " " + line.strip()
+                continue
+            key, sep, value = line.partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line: {line!r}")
+            last_key = key.strip().lower()
+            headers.setdefault(last_key, value.strip())
+        if "content-length" not in headers:
+            raise ValueError("WARC record without Content-Length")
+        length = int(headers["content-length"])
+        if pos + length > n:
+            raise ValueError("truncated WARC record body")
+        body = payload[pos : pos + length]
+        pos += length
+        if payload[pos : pos + 4] != _CRLF + _CRLF and pos < n:
+            raise ValueError("missing CRLF CRLF record separator")
+        pos += 4
+        records.append(
+            {"version": version, "headers": headers, "body": body}
+        )
+    if not records:
+        raise ValueError("no WARC records in payload")
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Deterministic builder: closed form in (doc_id, text) for the oracle
+# ---------------------------------------------------------------------------
+
+
+def synth_warc_bytes(doc_id: int, text: str, gzip_members: bool = False) -> bytes:
+    """Deterministic two-record WARC per document: a ``warcinfo`` record
+    (fixed 28-byte body) followed by a ``response`` record whose body is
+    the document's UTF-8 text. Closed form mirrored by the oracle:
+      records        = 2
+      response url   = http://example.invalid/doc/<doc_id>
+      content_length = octet_length(utf8(text))
+    With ``gzip_members`` each record is its own gzip member (the spec's
+    record-at-time compression), mtime pinned to 0 for determinism."""
+    info_body = b"software: synth-warc/1.0\r\n"  # 26 bytes
+    info = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        + f"WARC-Record-ID: <urn:synth:{doc_id}:0>\r\n".encode()
+        + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(info_body)}\r\n".encode()
+        + b"\r\n"
+        + info_body
+        + b"\r\n\r\n"
+    )
+    body = text.encode("utf-8")
+    resp = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:synth:{doc_id}:1>\r\n".encode()
+        + f"WARC-Target-URI: http://example.invalid/doc/{doc_id}\r\n".encode()
+        + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n"
+        + body
+        + b"\r\n\r\n"
+    )
+    if not gzip_members:
+        return info + resp
+
+    def _member(rec: bytes) -> bytes:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return co.compress(rec) + co.flush()
+
+    return _member(info) + _member(resp)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operator
+# ---------------------------------------------------------------------------
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("archive_id", LongType(), False),
+        StructField("record_idx", IntegerType(), False),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("content_length", LongType(), False),
+        StructField("body", BinaryType(), False),
+    ]
+)
+
+
+def warc_records(archives: DataFrame) -> DataFrame:
+    """Explode WARC archive payloads into one row per record.
+
+    Input: (archive_id long, payload binary) — e.g. a binaryFile scan of
+    a crawl bucket. Output keeps the body as binary (downstream text
+    extraction decides the charset); headers the pipeline filters on
+    (type / target URI / content type / length) are promoted to columns
+    so Catalyst can prune and push predicates on them after this stage.
+    mapInPandas, Arrow-batched; cost is linear in archive bytes and
+    embarrassingly parallel per archive file — the standard Common-Crawl
+    topology (one task per WARC, no shuffle until aggregation)."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for archive_id, payload in zip(
+                batch["archive_id"], batch["payload"]
+            ):
+                for i, rec in enumerate(warc_parse(bytes(payload))):
+                    h = rec["headers"]
+                    rows.append(
+                        (
+                            int(archive_id),
+                            i,
+                            h.get("warc-type"),
+                            h.get("warc-target-uri"),
+                            h.get("content-type"),
+                            len(rec["body"]),
+                            rec["body"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return archives.select("archive_id", "payload").mapInPandas(
+        _walk, WARC_RECORD_SCHEMA
+    )
+
+
+def synth_warc_archives(documents: DataFrame) -> DataFrame:
+    """Deterministic WARC fixtures from documents: one two-record archive
+    per document; every third document's archive is member-gzipped (the
+    parse output is identical by construction — the walker is
+    transparent to record-at-time compression)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        out = []
+        for d, t in zip(doc_id, text):
+            d = int(d)
+            out.append(synth_warc_bytes(d, str(t), gzip_members=d % 3 == 0))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+
+    return documents.select(
+        F.col("doc_id").alias("archive_id"),
+        _build("doc_id", "text").alias("payload"),
+    )

@@ -3351,6 +3351,53 @@ def x_demux_keyframe_plan(spark, sf_dir):
     return mp4_keyframe_plan(media, every_ms=80)
 
 
+_WARC_RECORDS_SQL = (
+    # closed form mirrored from warc.synth_warc_bytes: 2 records per
+    # archive — a fixed-body warcinfo + a response whose body is the
+    # document text (sha256 certifies byte-exact body recovery through
+    # the Content-Length framing AND the member-gzip path: every third
+    # archive is record-at-time gzipped, same parse by construction)
+    "SELECT doc_id AS archive_id, CAST(0 AS INT) AS record_idx, "
+    "'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri, "
+    "CAST(NULL AS VARCHAR) AS content_type, CAST(26 AS BIGINT) AS "
+    "content_length, sha256('software: synth-warc/1.0' || chr(13) || "
+    "chr(10)) AS body_sha256 FROM documents "
+    "UNION ALL "
+    "SELECT doc_id, CAST(1 AS INT), 'response', "
+    "'http://example.invalid/doc/' || doc_id, 'text/plain', "
+    "CAST(octet_length(encode(text)) AS BIGINT), sha256(text) "
+    "FROM documents"
+)
+
+
+@query("x_warc_records", oracle=_WARC_RECORDS_SQL)
+def x_warc_records(spark, sf_dir):
+    """WARC (ISO 28500) archive ingestion: deterministic two-record
+    archives built executor-side (warc.synth_warc_bytes — every third
+    one member-gzipped, the spec's record-at-time compression), exploded
+    to one row per record by the framing walker (warc.warc_records).
+    The oracle re-derives record boundaries, promoted headers and the
+    sha256 of every body in closed form — certifying Content-Length
+    framing, header normalization and gzip transparency through real
+    archive bytes. Spec fixtures (folding, embedded CRLF CRLF bodies,
+    corruption rejection) are pinned in tests/test_warc.py."""
+    from .operators.warc import synth_warc_archives, warc_records
+
+    docs = _table(spark, sf_dir, "documents")
+    recs = warc_records(synth_warc_archives(docs))
+    from pyspark.sql import functions as F
+
+    return recs.select(
+        "archive_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "content_type",
+        "content_length",
+        F.sha2("body", 256).alias("body_sha256"),
+    )
+
+
 @query(
     "x_udf_apply_in_pandas",
     oracle=(
