@@ -121,3 +121,46 @@ def test_warc_records_operator(spark, sf_dir):
             assert r.target_uri == f"http://example.invalid/doc/{r.archive_id}"
             assert bytes(r.body).decode("utf-8") == expected[r.archive_id]
             assert r.content_length == len(expected[r.archive_id].encode())
+
+
+# ---------------------------------------------------------------------------
+# HTML visible-text extraction (WET step)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_html_text_inverts_escape_and_strips(spark):
+    """Nasty inputs through build -> parse -> extract: entities, literal
+    escape sequences, whitespace runs, tag-lookalikes in text."""
+    import pandas as pd
+
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        extract_html_text,
+        synth_warc_bytes,
+        warc_parse,
+    )
+
+    cases = [
+        "plain words",
+        "a & b < c > d",
+        "literal &lt; stays literal",
+        "tag lookalike <script>x</script> is text",
+        "runs \t of\n\nwhitespace",
+        "",
+        "   leading and trailing   ",
+    ]
+    rows = []
+    for i, text in enumerate(cases):
+        payload = synth_warc_bytes(i, text, html=True)
+        rec = warc_parse(payload)[1]
+        assert rec["headers"]["content-type"] == "text/html"
+        rows.append((i, rec["body"]))
+    df = spark.createDataFrame(rows, "archive_id long, body binary")
+    got = {
+        r.archive_id: r.extracted_text
+        for r in extract_html_text(df).collect()
+    }
+    import re
+
+    for i, text in enumerate(cases):
+        expected = re.sub(r"\s+", " ", f"doc {i} {text}").strip()
+        assert got[i] == expected, (i, got[i], expected)

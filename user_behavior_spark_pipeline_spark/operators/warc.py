@@ -127,7 +127,16 @@ def warc_parse(payload: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def synth_warc_bytes(doc_id: int, text: str, gzip_members: bool = False) -> bytes:
+def _escape_html(text: str) -> str:
+    """Minimal exact-inverse HTML escape (&, <, > — amp first)."""
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def synth_warc_bytes(
+    doc_id: int, text: str, gzip_members: bool = False, html: bool = False
+) -> bytes:
     """Deterministic two-record WARC per document: a ``warcinfo`` record
     (fixed 28-byte body) followed by a ``response`` record whose body is
     the document's UTF-8 text. Closed form mirrored by the oracle:
@@ -135,7 +144,12 @@ def synth_warc_bytes(doc_id: int, text: str, gzip_members: bool = False) -> byte
       response url   = http://example.invalid/doc/<doc_id>
       content_length = octet_length(utf8(text))
     With ``gzip_members`` each record is its own gzip member (the spec's
-    record-at-time compression), mtime pinned to 0 for determinism."""
+    record-at-time compression), mtime pinned to 0 for determinism.
+    With ``html`` the response body is a text/html page whose visible
+    text is exactly ``doc <doc_id>`` (the title) followed by the
+    entity-escaped document text — plus a <style> block and attributes
+    that a correct extractor must REMOVE, making extraction certifiable
+    against the closed form trim(collapse_ws('doc <id> ' || text))."""
     info_body = b"software: synth-warc/1.0\r\n"  # 26 bytes
     info = (
         b"WARC/1.0\r\n"
@@ -147,14 +161,27 @@ def synth_warc_bytes(doc_id: int, text: str, gzip_members: bool = False) -> byte
         + info_body
         + b"\r\n\r\n"
     )
-    body = text.encode("utf-8")
+    if html:
+        page = (
+            f"<html><head><title>doc {doc_id}</title>"
+            "<style>p { color: #333; }</style>"
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            '</head><body class="main">\n<p id="t">'
+            + _escape_html(text)
+            + "</p>\n</body></html>"
+        )
+        body = page.encode("utf-8")
+        content_type = b"text/html"
+    else:
+        body = text.encode("utf-8")
+        content_type = b"text/plain"
     resp = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
         + f"WARC-Record-ID: <urn:synth:{doc_id}:1>\r\n".encode()
         + f"WARC-Target-URI: http://example.invalid/doc/{doc_id}\r\n".encode()
         + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
-        + b"Content-Type: text/plain\r\n"
+        + b"Content-Type: " + content_type + b"\r\n"
         + f"Content-Length: {len(body)}\r\n".encode()
         + b"\r\n"
         + body
@@ -229,11 +256,12 @@ def warc_records(archives: DataFrame) -> DataFrame:
     )
 
 
-def synth_warc_archives(documents: DataFrame) -> DataFrame:
+def synth_warc_archives(documents: DataFrame, html: bool = False) -> DataFrame:
     """Deterministic WARC fixtures from documents: one two-record archive
     per document; every third document's archive is member-gzipped (the
     parse output is identical by construction — the walker is
-    transparent to record-at-time compression)."""
+    transparent to record-at-time compression). ``html`` switches the
+    response bodies to the escaped-HTML page form (see synth_warc_bytes)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     def _build_fn(doc_id, text):
@@ -242,7 +270,11 @@ def synth_warc_archives(documents: DataFrame) -> DataFrame:
         out = []
         for d, t in zip(doc_id, text):
             d = int(d)
-            out.append(synth_warc_bytes(d, str(t), gzip_members=d % 3 == 0))
+            out.append(
+                synth_warc_bytes(
+                    d, str(t), gzip_members=d % 3 == 0, html=html
+                )
+            )
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -251,3 +283,30 @@ def synth_warc_archives(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("archive_id"),
         _build("doc_id", "text").alias("payload"),
     )
+
+
+def extract_html_text(records: DataFrame, body_col: str = "body") -> DataFrame:
+    """Visible-text extraction from HTML record bodies — the WET step of
+    a crawl pipeline, expressed ENTIRELY in JVM-native expressions
+    (decode + regexp_replace + replace chains inside whole-stage
+    codegen; no Python in the hot path, which is what survives 100 TB):
+
+    1. drop <script>/<style> subtrees (their text is never content),
+    2. strip remaining tags to spaces (attributes included),
+    3. undo the minimal entity escape (&lt; &gt; &amp; — amp LAST, the
+       exact inverse of escaping amp FIRST),
+    4. collapse whitespace runs and trim.
+
+    Works on any text/html record stream; pair with a closed-form
+    oracle via the synth_warc_archives(html=True) fixtures, where the
+    visible text is 'doc <id> ' || document text by construction."""
+    s = F.decode(F.col(body_col), "UTF-8")
+    s = F.regexp_replace(
+        s, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
+    )
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    s = F.replace(s, F.lit("&lt;"), F.lit("<"))
+    s = F.replace(s, F.lit("&gt;"), F.lit(">"))
+    s = F.replace(s, F.lit("&amp;"), F.lit("&"))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return records.withColumn("extracted_text", s)

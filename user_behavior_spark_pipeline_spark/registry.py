@@ -3398,6 +3398,45 @@ def x_warc_records(spark, sf_dir):
     )
 
 
+_WARC_TEXT_SQL = (
+    # the builder makes the page's VISIBLE text exactly
+    # 'doc <id> ' || text (title + escaped body; style/script content
+    # must vanish), so extraction certifies against this closed form —
+    # the oracle does NOT mirror the pipeline, it states the answer
+    "SELECT doc_id AS archive_id, "
+    "TRIM(regexp_replace('doc ' || doc_id || ' ' || text, "
+    "'\\s+', ' ', 'g')) AS extracted_text FROM documents"
+)
+
+
+@query("x_warc_text", oracle=_WARC_TEXT_SQL)
+def x_warc_text(spark, sf_dir):
+    """WET-style visible-text extraction from crawled HTML: WARC walk ->
+    text/html responses -> JVM-native strip pipeline (script/style
+    subtree removal, tag strip, exact-inverse entity unescape,
+    whitespace collapse — warc.extract_html_text, zero Python in the
+    transform). The builder escapes the document text into a real HTML
+    page whose visible text is 'doc <id> ' || text by construction, so
+    a closed-form oracle (NOT a pipeline mirror) certifies that the
+    extractor inverts the escaping and drops exactly the non-content
+    subtrees, through real (and every third archive, gzipped) WARC
+    bytes."""
+    from .operators.warc import (
+        extract_html_text,
+        synth_warc_archives,
+        warc_records,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    recs = warc_records(synth_warc_archives(docs, html=True))
+    out = extract_html_text(
+        recs.filter(
+            "warc_type = 'response' AND content_type = 'text/html'"
+        )
+    )
+    return out.select("archive_id", "extracted_text")
+
+
 @query(
     "x_udf_apply_in_pandas",
     oracle=(
