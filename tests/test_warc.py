@@ -164,3 +164,115 @@ def test_extract_html_text_inverts_escape_and_strips(spark):
     for i, text in enumerate(cases):
         expected = re.sub(r"\s+", " ", f"doc {i} {text}").strip()
         assert got[i] == expected, (i, got[i], expected)
+
+
+
+# ---------------------------------------------------------------------------
+# Property tests: build -> parse roundtrip over arbitrary inputs
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_property():
+    """Any (doc_id, text) — including control chars, CRLF runs, unicode —
+    must frame and parse back byte-exactly, gzipped or not. Framing is
+    Content-Length based, so no body content may break it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        doc_id=st.integers(min_value=0, max_value=2**40),
+        text=st.text(max_size=400),
+        gz=st.booleans(),
+    )
+    def check(doc_id, text, gz):
+        recs = warc_parse(synth_warc_bytes(doc_id, text, gzip_members=gz))
+        assert len(recs) == 2
+        r = recs[1]
+        assert r["body"] == text.encode("utf-8")
+        assert int(r["headers"]["content-length"]) == len(r["body"])
+        assert (
+            r["headers"]["warc-target-uri"]
+            == f"http://example.invalid/doc/{doc_id}"
+        )
+
+    check()
+
+
+def test_warc_html_extraction_property_pure_python():
+    """The escape is exactly invertible and visible text survives the
+    page wrapper: re-derive extraction in pure Python (the same regex
+    pipeline the Spark operator runs) for arbitrary text."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        _escape_html,
+    )
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(text=st.text(max_size=300))
+    def check(text):
+        recs = warc_parse(synth_warc_bytes(5, text, html=True))
+        page = recs[1]["body"].decode("utf-8")
+        # mirror of the Spark pipeline, with the engines' ASCII \s
+        # spelled out: Python's \s is WIDER (it matches \x1c-\x1f and
+        # unicode spaces) than Java regex / RE2 \s = [ \t\n\x0B\f\r],
+        # and this property must test the escape/strip inverse under
+        # the ENGINES' dialect, not Python's
+        ws = r"[ \t\n\r\f\x0b]"
+        s = re.sub(
+            rf"(?is)<(script|style)[^>]*>.*?</\1{ws}*>", " ", page
+        )
+        s = re.sub(r"<[^>]*>", " ", s)
+        s = s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+        got = re.sub(rf"{ws}+", " ", s).strip(" \t\n\r\f\x0b")
+        expected = re.sub(rf"{ws}+", " ", f"doc 5 {text}").strip(
+            " \t\n\r\f\x0b"
+        )
+        assert got == expected
+
+    check()
+
+
+def test_mp4_roundtrip_property():
+    """Arbitrary (doc_id, n_chars) builder inputs parse back to the
+    closed form — sizes, offsets, dts, keyframes, duration."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp4_demux,
+        synth_mp4_bytes,
+    )
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        doc_id=st.integers(min_value=0, max_value=2**40),
+        n_chars=st.integers(min_value=0, max_value=10**9),
+    )
+    def check(doc_id, n_chars):
+        info = mp4_demux(synth_mp4_bytes(doc_id, n_chars))
+        n = n_chars % 7 + 2
+        (t,) = info["tracks"]
+        sizes = [(doc_id + 13 * i) % 240 + 16 for i in range(n)]
+        assert t["sizes"] == sizes
+        assert t["offsets"] == [32 + sum(sizes[:i]) for i in range(n)]
+        assert t["dts"] == [40 * i for i in range(n)]
+        assert t["keyframe"] == [i % 3 == 0 for i in range(n)]
+
+    check()
