@@ -276,3 +276,25 @@ def test_mp4_roundtrip_property():
         assert t["keyframe"] == [i % 3 == 0 for i in range(n)]
 
     check()
+
+
+def test_normalize_url_edge_cases(spark):
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        normalize_url,
+    )
+
+    cases = [
+        # (input, expected canonical)
+        ("http://Example.COM:80/a?b=2&a=1#f", "http://example.com/a?a=1&b=2"),
+        ("https://h.io:443/x", "https://h.io/x"),
+        ("https://h.io:8443/x", "https://h.io:8443/x"),  # non-default kept
+        ("http://h.io", "http://h.io/"),  # empty path -> /
+        ("http://h.io/p?utm_source=a&utm_medium=b", "http://h.io/p"),
+        ("http://h.io//a///b?x=1", "http://h.io/a/b?x=1"),
+        ("HTTPS://H.IO/", "https://h.io/"),
+        ("http://h.io/p?gclid=z&q=1&fbclid=y", "http://h.io/p?q=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(normalize_url("url").alias("c")).collect()]
+    for (u, expected), g in zip(cases, got):
+        assert g == expected, (u, g, expected)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import zlib
 from collections.abc import Iterator
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -282,6 +283,63 @@ def synth_warc_archives(documents: DataFrame, html: bool = False) -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("archive_id"),
         _build("doc_id", "text").alias("payload"),
+    )
+
+
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def normalize_url(url):  # -> Column
+    """Canonical URL form for crawl-level dedup — the step BEFORE content
+    dedup in a web pipeline (the same page arrives under case variants,
+    default ports, shuffled query order, tracking params; fetching and
+    content-deduping those wastes the crawl budget). Entirely JVM-native:
+    ``parse_url`` + array ops inside whole-stage codegen, no Python.
+
+    Rules (the conservative, semantics-preserving subset):
+      - scheme and host lowercased;
+      - default port dropped (``:80`` for http, ``:443`` for https),
+        any other explicit port kept;
+      - duplicate path slashes collapsed, empty path -> ``/``;
+      - fragment dropped (never sent to the server);
+      - query params: tracking params (utm_*, fbclid, gclid, msclkid)
+        removed, the rest SORTED bytewise and re-joined — param order is
+        almost never semantic, and a stable order is what makes the
+        string groupable.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", "80").when(
+        scheme == "https", "443"
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/")), "/{2,}", "/"
+    )
+    path = F.when(path == "", "/").otherwise(path)
+    params = F.split(
+        F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"
+    )
+    keep = F.array_sort(
+        F.filter(
+            params,
+            lambda p: (p != "")
+            & ~reduce(
+                lambda a, b: a | b,
+                [p.startswith(pre) for pre in _TRACKING_PREFIXES],
+            ),
+        )
+    )
+    query_part = F.when(
+        F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), host, port_part, path, query_part
     )
 
 

@@ -3437,6 +3437,62 @@ def x_warc_text(spark, sf_dir):
     return out.select("archive_id", "extracted_text")
 
 
+_URL_NORMALIZE_SQL = (
+    # closed form: all three synthesized variants of a document's URL
+    # (case/default-port/fragment, shuffled params + utm tracking,
+    # duplicate slashes) must collapse to ONE canonical string with
+    # n_variants = 3 — a wrong normalization either splits the group
+    # (count < 3) or changes the canonical text; both break the hash
+    "SELECT 'http://example.com/path/' || doc_id || '?a=1&b=' || "
+    "(doc_id % 7) AS canonical_url, CAST(3 AS BIGINT) AS n_variants "
+    "FROM documents"
+)
+
+
+@query("x_warc_url_normalize", oracle=_URL_NORMALIZE_SQL)
+def x_warc_url_normalize(spark, sf_dir):
+    """Crawl-level URL canonicalization (warc.normalize_url — lowercased
+    scheme/host, default port dropped, fragment dropped, tracking params
+    removed, remaining params sorted, duplicate path slashes collapsed)
+    certified by a COLLAPSE test: three JVM-built variants per document
+    — already-canonical, 'HTTP://EXAMPLE.com:80/...?b=..&a=1#frag', and
+    '//path//' + utm_source — are normalized and grouped; the oracle
+    demands exactly one canonical string with n_variants = 3 per doc.
+    The whole query (variant synthesis, parse_url normalization, the
+    groupBy) is native expressions — zero Python."""
+    from pyspark.sql import functions as F
+
+    from .operators.warc import normalize_url
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 7).cast("string")
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("http://example.com/path/"), d,
+                    F.lit("?a=1&b="), m,
+                ),
+                F.concat(
+                    F.lit("HTTP://EXAMPLE.com:80/path/"), d,
+                    F.lit("?b="), m, F.lit("&a=1#frag"),
+                ),
+                F.concat(
+                    F.lit("http://example.com//path//"), d,
+                    F.lit("?utm_source=feed&a=1&b="), m,
+                ),
+            )
+        ).alias("url"),
+    )
+    return (
+        variants.select(normalize_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
 @query(
     "x_udf_apply_in_pandas",
     oracle=(
