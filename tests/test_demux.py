@@ -356,3 +356,47 @@ def test_mp3_audio_metadata_operator(spark, sf_dir):
         assert r.n_frames == n_frames
         assert r.duration_us == n_frames * 36000
         assert r.sample_rate == 32000 and r.avg_bitrate_kbps == 64
+
+
+def test_mp4_uniform_stsz_and_absent_stss():
+    """stsz with a nonzero uniform sample_size carries NO size table;
+    absent stss means every sample is a sync sample (spec default)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    sizes = [24, 24, 24]
+    mdat = _box(b"mdat", bytes(sum(sizes)))
+    stsd = _full(
+        b"stsd", 0,
+        struct.pack(">I", 1) + struct.pack(">I4s", 16, b"avc1") + bytes(8),
+    )
+    stts = _full(b"stts", 0, struct.pack(">III", 1, 3, 100))
+    stsz = _full(b"stsz", 0, struct.pack(">II", 24, 3))  # uniform, no table
+    stsc = _full(b"stsc", 0, struct.pack(">IIII", 1, 1, 3, 1))
+    stco = _full(b"stco", 0, struct.pack(">II", 1, 32))
+    stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)  # no stss
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", 0, struct.pack(">I4s", 0, b"vide") + bytes(13))
+    mdhd = _full(b"mdhd", 0, struct.pack(">IIII", 0, 0, 600, 300) + bytes(4))
+    tkhd = _full(b"tkhd", 0, struct.pack(">III", 0, 0, 9) + bytes(68))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 600, 300) + bytes(80))
+    moov = _box(b"moov", mvhd + trak)
+    info = mp4_demux(ftyp + mdat + moov)
+    (t,) = info["tracks"]
+    assert t["sizes"] == [24, 24, 24]
+    assert t["offsets"] == [32, 56, 80]
+    assert t["keyframe"] == [True, True, True]  # no stss -> all sync
+
+
+def test_mp3_layer1_frame_length():
+    """Layer I frames are 384 samples and (12*bitrate/rate + pad)*4
+    bytes: MPEG-1 Layer I (layer bits 11 -> byte2 0xFF), 96 kbps
+    (L1 idx 3), 32000 Hz (idx 2): (12*96000/32000)*4 = 144."""
+    hdr = bytes((0xFF, 0xFF, 0x38, 0xC0))
+    payload = (hdr + bytes(140)) * 2
+    m = mp3_parse(payload)
+    assert m["layer"] == 1
+    assert m["n_frames"] == 2
+    assert m["sample_rate"] == 32000
+    assert m["avg_bitrate_kbps"] == 96
+    assert m["duration_us"] == 2 * 384 * 1_000_000 // 32000
