@@ -298,3 +298,21 @@ def test_normalize_url_edge_cases(spark):
     got = [r.c for r in df.select(normalize_url("url").alias("c")).collect()]
     for (u, expected), g in zip(cases, got):
         assert g == expected, (u, g, expected)
+
+
+def test_normalize_url_garbage_yields_null(spark):
+    """Crawl-quality inputs: unparseable URLs normalize to NULL (never
+    throw) so a 100 TB scan survives and callers can quarantine."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        normalize_url,
+    )
+
+    df = spark.createDataFrame(
+        [("not a url at all",), ("http://ok.io/fine",)], "url string"
+    )
+    got = {
+        r.url: r.c
+        for r in df.select("url", normalize_url("url").alias("c")).collect()
+    }
+    assert got["http://ok.io/fine"] == "http://ok.io/fine"
+    assert got["not a url at all"] is None

@@ -306,11 +306,18 @@ def normalize_url(url):  # -> Column
         removed, the rest SORTED bytewise and re-joined — param order is
         almost never semantic, and a stable order is what makes the
         string groupable.
+
+    Unparseable input yields NULL — ``try_parse_url``, NOT ``parse_url``:
+    under Spark 4's default ANSI mode parse_url THROWS on a malformed
+    URL, so one garbage URL would kill a 100 TB scan (caught by
+    tests/test_warc.py::test_normalize_url_garbage_yields_null); the
+    try_ variant returns NULL parts and the concat propagates it.
+    Filter or quarantine NULLs downstream.
     """
     url = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
     default_port = F.when(scheme == "http", "80").when(
         scheme == "https", "443"
@@ -319,11 +326,11 @@ def normalize_url(url):  # -> Column
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/")), "/{2,}", "/"
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("/")), "/{2,}", "/"
     )
     path = F.when(path == "", "/").otherwise(path)
     params = F.split(
-        F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"
+        F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"
     )
     keep = F.array_sort(
         F.filter(
