@@ -316,3 +316,27 @@ def test_normalize_url_garbage_yields_null(spark):
     }
     assert got["http://ok.io/fine"] == "http://ok.io/fine"
     assert got["not a url at all"] is None
+
+
+def test_gunzip_zip_bomb_capped():
+    """A member that inflates past the cap raises (quarantine) instead of
+    buffering the bomb — and a legitimate archive right AT the cap
+    passes."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        _gunzip_members,
+    )
+
+    def member(raw: bytes) -> bytes:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return co.compress(raw) + co.flush()
+
+    bomb = member(b"\x00" * 100_000)  # ~100:1 ratio
+    with pytest.raises(ValueError, match="zip-bomb"):
+        _gunzip_members(bomb, max_bytes=50_000)
+    # exactly at the cap is fine; one byte under the payload also fine
+    assert _gunzip_members(member(b"x" * 50_000), max_bytes=50_000) == b"x" * 50_000
+    # multi-member totals are capped TOGETHER, not per member
+    two = member(b"a" * 30_000) + member(b"b" * 30_000)
+    with pytest.raises(ValueError, match="zip-bomb"):
+        _gunzip_members(two, max_bytes=50_000)
+    assert len(_gunzip_members(two, max_bytes=60_000)) == 60_000

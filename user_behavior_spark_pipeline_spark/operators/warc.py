@@ -43,18 +43,38 @@ from pyspark.sql.types import (
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(payload: bytes) -> bytes:
+#: Decompression budget per ARCHIVE (not per member): crawl archives are
+#: ~1 GB compressed and bounded-ratio; a hostile member can expand
+#: ~1000:1 (a zip bomb), and an uncapped inflate OOMs the executor —
+#: the one failure mode a 100 TB scan over untrusted crawl bytes must
+#: convert into a quarantine row, never a dead task.
+MAX_INFLATED_BYTES = 1 << 30
+
+
+def _gunzip_members(payload: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> bytes:
     """Decompress a multi-member gzip stream (each WARC record its own
     member, per the spec's record-at-time compression) by chaining
-    zlib decompressobj over the unused tail of each member."""
+    zlib decompressobj over the unused tail of each member. Inflation is
+    CAPPED at ``max_bytes`` total — exceeding it raises ValueError
+    (zip-bomb defense) instead of exhausting executor memory."""
     out = []
+    total = 0
     data = payload
     while data:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        # ask for at most one byte past the remaining budget: if we get
+        # it, the archive inflates past the cap — stop before buffering
+        # a bomb, not after
+        chunk = d.decompress(data, max_bytes - total + 1)
+        total += len(chunk)
+        if total > max_bytes:
+            raise ValueError(
+                f"WARC payload inflates past the {max_bytes}-byte cap "
+                "(zip-bomb defense) — quarantine this archive"
+            )
         if not d.eof:
             raise ValueError("truncated gzip member in WARC payload")
+        out.append(chunk)
         data = d.unused_data
     return b"".join(out)
 
