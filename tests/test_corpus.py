@@ -322,3 +322,45 @@ def test_corpus_ops_define_null_text_behavior(spark):
     assert {r["doc_id"] for r in packs} == {1, 3}
     reps = repetition_stats(docs).collect()
     assert {r["doc_id"] for r in reps} == {1, 3}
+
+
+def test_snapshot_diff_null_text_and_all_states(spark):
+    """Presence must come from row existence, not fingerprint nullness:
+    md5(NULL) is NULL, so null-text docs would otherwise read as
+    removed/added. All four states + both null transitions pinned."""
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "same"),
+            (2, "will change"),
+            (3, "will be removed"),
+            (5, None),          # null -> null : unchanged
+            (6, None),          # null -> text : changed
+            (7, "text"),        # text -> null : changed
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same"),
+            (2, "changed!"),
+            (4, "brand new"),
+            (5, None),
+            (6, "now real"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",
+        6: "changed",
+        7: "changed",
+    }

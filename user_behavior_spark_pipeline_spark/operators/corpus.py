@@ -360,3 +360,52 @@ def cap_per_source(
         narrowed.withColumn("source_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("source_rank") <= cap)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff — the training-data provenance question
+    "what changed between corpus snapshot N and N+1?" answered WITHOUT
+    comparing text bytes across the shuffle: each side reduces to
+    (id, md5(text)) at the scan (bytes of fingerprint per doc, however
+    large the documents), then ONE full outer join on the id classifies
+
+      removed    — id only in ``old``
+      added      — id only in ``new``
+      changed    — id in both, fingerprints differ
+      unchanged  — id in both, fingerprints equal
+
+    Emits (id, status). At 100 TB both inputs shuffle fingerprints, not
+    documents; the join is a plain hash join on the id. md5 (not
+    xxhash64) so any SQL engine reproduces the fingerprint for audits.
+
+    Presence is tracked with explicit flags, NOT fingerprint nullness:
+    md5(NULL) is NULL, so a null-text document present on one side would
+    otherwise masquerade as removed/added; fingerprints compare
+    null-safely (null -> null counts as unchanged, null -> text as
+    changed).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(text_col).alias("_old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    nw = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(text_col).alias("_new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
+    return o.join(nw, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_in_new").isNull(), "removed")
+        .when(F.col("_in_old").isNull(), "added")
+        .when(
+            ~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), "changed"
+        )
+        .otherwise("unchanged")
+        .alias("status"),
+    )

@@ -3493,6 +3493,53 @@ def x_warc_url_normalize(spark, sf_dir):
     )
 
 
+_SNAPSHOT_DIFF_SQL = (
+    # the synthetic snapshot N+1 drops doc_id%10==0, appends ' v2' to
+    # doc_id%7==1 (deletion applied FIRST, so 70 is removed, not
+    # changed), and adds shifted-id docs for doc_id%13==2 — the oracle
+    # states the resulting per-id status directly
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN 'removed' "
+    "WHEN doc_id % 7 = 1 THEN 'changed' ELSE 'unchanged' END AS status "
+    "FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 13 = 2"
+)
+
+
+@query("x_corpus_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def x_corpus_snapshot_diff(spark, sf_dir):
+    """Dataset-version diff (corpus.snapshot_diff): snapshot N+1 is
+    derived from the documents table (drop %10, modify %7, add %13
+    under shifted ids), both sides reduce to (id, md5) fingerprints at
+    the scan, one full outer join classifies removed / added / changed /
+    unchanged. The oracle states the per-id status closed-form — a wrong
+    join type, fingerprint, or null-handling branch flips labels."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import snapshot_diff
+
+    docs = _table(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 1, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    return snapshot_diff(docs, new)
+
+
 @query(
     "x_udf_apply_in_pandas",
     oracle=(
