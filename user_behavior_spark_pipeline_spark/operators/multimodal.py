@@ -716,3 +716,193 @@ def resize_plan(media: DataFrame, max_side: int = 64) -> DataFrame:
         F.floor(w * max_side / longest).cast("int").alias("target_width"),
         F.floor(h * max_side / longest).cast("int").alias("target_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (round 9): the decoders above feeding the dedup
+# family — near-identical images found by content, not by byte equality.
+# ---------------------------------------------------------------------------
+
+
+def png_encode_gray(width: int, height: int, pixels: list[int]) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (filter 0 rows, one IDAT) —
+    the write-side twin of ``_png_decode``, used to synthesize the
+    same raster under two containers for the decoder-consistency
+    certificate. Pure stdlib (zlib + crc32)."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[r * width : (r + 1) * width])
+        for r in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def ahash64(pixels: list[int], width: int, height: int) -> int:
+    """64-bit average hash of a grayscale raster: block-average down to
+    8x8 (integer mean over each block), then one bit per cell — 1 iff
+    the cell exceeds the 8x8 mean. Integer arithmetic throughout, so
+    the hash is bit-identical on every platform; invariant to uniform
+    brightness shifts BY DESIGN (the mean shifts equally). Width and
+    height must be multiples of 8 (the pipeline's resize_plan handles
+    arbitrary sizes upstream)."""
+    if width % 8 or height % 8:
+        raise ValueError("ahash64 needs width/height multiples of 8")
+    bw, bh = width // 8, height // 8
+    cells = []
+    for by in range(8):
+        for bx in range(8):
+            s = 0
+            for y in range(by * bh, (by + 1) * bh):
+                row = y * width
+                s += sum(pixels[row + bx * bw : row + (bx + 1) * bw])
+            cells.append(s // (bw * bh))
+    mean = sum(cells) // 64
+    h = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            h |= 1 << i
+    # SIGNED 64-bit (two's complement): the hash lives in LongType
+    # columns — an unsigned value with bit 63 set overflows Arrow int64
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def image_near_dup_pairs(media: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate image pairs: decode (the REAL decoders
+    above — PNG/PGM/PPM/JPEG), aHash to 64 bits, pair equal hashes.
+
+    Scale shape: decode+hash is mapInPandas (Arrow-batched, linear in
+    image bytes, embarrassingly parallel); pairing is a self-join on the
+    64-bit hash — rows crossing the shuffle are (hash, media_id) pairs,
+    never pixels. Equal-hash pairing is the exact rung; a Hamming<=k
+    rung would band the 64 bits exactly like dedup.simhash (16-bit
+    sub-signatures) — same machinery, deliberately not duplicated here.
+    RGB inputs are luma-averaged per pixel before hashing."""
+
+    def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                d = decode_real(bytes(payload), "image")
+                px = d["pixels"]
+                if d.get("channels", 1) == 3:  # integer luma average
+                    px = [
+                        (px[i] + px[i + 1] + px[i + 2]) // 3
+                        for i in range(0, len(px), 3)
+                    ]
+                rows.append(
+                    (int(media_id), ahash64(px, d["width"], d["height"]))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash", LongType(), False),
+        ]
+    )
+    hashed = media.select("media_id", "payload").mapInPandas(_hash, schema)
+    # ONE pass: a self-join on an unmaterialized Python stage would run
+    # the whole decode+hash pipeline TWICE (measured 20x bloat — the
+    # real decode work is ~0.25 s per 1000 images, the joined form
+    # benched 33 s at sf1). groupBy the hash instead, then explode the
+    # ordered pairs from each (tiny) group natively — same shape as the
+    # text-dedup pair generators, one decode pass, one shuffle of
+    # (hash, id) pairs.
+    grouped = hashed.groupBy("ahash").agg(
+        F.sort_array(F.collect_list("media_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.size(ids) >= 2)
+        .select("ahash", F.explode(pair_array).alias("p"))
+        .select(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"), "ahash")
+    )
+
+
+def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
+    """Per document, the SAME pseudo-random 16x16 grayscale raster under
+    two containers: PNG (media_id = 2*doc_id) and binary PGM
+    (media_id = 2*doc_id + 1). Pixels are doc-keyed pseudo-random
+    (Knuth-hash of (doc_id, position)), so distinct documents' rasters
+    are independent and cross-doc aHash collisions are ~2^-64 —
+    the expected pair set is EXACTLY {(2d, 2d+1)}: byte-different
+    containers, pixel-identical content."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _pixels(doc_id: int) -> list[int]:
+        # splitmix64-style finalizer per (doc, position), numpy-vectorized
+        # (the builder runs per image — a Python loop here dominated the
+        # whole query). A MULTIPLICATIVE pattern like (d+1)*(i+1)*K is
+        # bilinear, not random — block means of correlated rasters
+        # collided for 48 of 500 sf0.01 docs (measured); a real avalanche
+        # mixer makes cross-doc aHash collisions the theoretical ~2^-64
+        # (verified collision-free over 6000 doc ids in tests).
+        import numpy as np
+
+        i = np.arange(size * size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            x = (
+                np.uint64(doc_id) * np.uint64(0x9E3779B97F4A7C15)
+                + i * np.uint64(0xBF58476D1CE4E5B9)
+                + np.uint64(0x94D049BB133111EB)
+            )
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return (x & np.uint64(0xFF)).astype(np.uint8).tolist()
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            m = int(m)
+            px = _pixels(m // 2)
+            if m % 2 == 0:
+                out.append(png_encode_gray(size, size, px))
+            else:
+                out.append(
+                    f"P5 {size} {size} 255\n".encode() + bytes(px)
+                )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+
+    ids = documents.select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("media_id")
+    )
+    return ids.select("media_id", _build("media_id").alias("payload"))

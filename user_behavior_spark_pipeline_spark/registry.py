@@ -3541,6 +3541,43 @@ def x_corpus_snapshot_diff(spark, sf_dir):
 
 
 @query(
+    "x_dedup_image",
+    oracle=(
+        # the expected pair set is EXACT: each document's raster appears
+        # under two byte-different containers (PNG id=2d, PGM id=2d+1)
+        # and under none other; pseudo-random per-doc rasters make a
+        # cross-doc aHash collision ~2^-64, so any false pair, missed
+        # pair, or decoder inconsistency between the two containers
+        # changes the row set and breaks the hash
+        "SELECT CAST(doc_id * 2 AS BIGINT) AS id_1, "
+        "CAST(doc_id * 2 + 1 AS BIGINT) AS id_2 FROM documents "
+        "WHERE doc_id % 5 = 0"
+    ),
+)
+def x_dedup_image(spark, sf_dir):
+    """Perceptual image dedup over REAL decoded pixels: the same
+    pseudo-random 16x16 raster is synthesized per document under two
+    containers (our own pure-stdlib PNG encoder vs binary PGM), decoded
+    by the real decoders (multimodal.decode_real), aHashed (integer
+    64-bit average hash), and paired on hash equality — content dedup
+    across byte-different encodings, the multimodal analogue of exact
+    text dedup. Pairing shuffles (hash, id) pairs, never pixels.
+    Scoped to the deterministic doc_id%5==0 fifth of the corpus: the
+    certificate's strength is per-image (decode consistency across two
+    containers + collision-free mixer, unit-verified over the full id
+    range), so benching 10k synthesized images per pass bought no
+    additional certification."""
+    from .operators.multimodal import (
+        image_near_dup_pairs,
+        synth_image_pair_media,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    media = synth_image_pair_media(docs)
+    return image_near_dup_pairs(media).select("id_1", "id_2")
+
+
+@query(
     "x_udf_apply_in_pandas",
     oracle=(
         "WITH c AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents "
