@@ -15,7 +15,7 @@ in BENCH_DETAIL.json — single-shot numbers on a shared box swing ±10-20%
 which previously needed hand-run idle triplicates and prose adjudication
 (BENCH_NOTES); medians make round-over-round deltas self-describing
 (VERDICT r05 #8). Default is 3 runs, bounded by $SPARK_GRAFT_BENCH_BUDGET
-(860 s of wall-clock; sized in round 9 to hold 3 full passes on a
+(1000 s of wall-clock; sized in round 9 to hold 3 full passes on a
 slow-band day — see the inline note at budget_s). Scheduling is PER QUERY, not per suite (VERDICT
 r06 #6 — the r06 run lost its third pass because whole-suite passes
 leave the budget check only between passes): pass 1 covers every query,
@@ -53,20 +53,21 @@ def main() -> None:
     # without risking a caller's subprocess timeout if the box is slow
     # that day. History: 300 -> 480 with per-query scheduling (overrun
     # past the budget is one query, seconds, not one suite pass);
-    # 480 -> 860 in round 9, when an IDLE full pass measured 243 s (this
-    # box runs the identical r07 code 1.5x slower — BENCH_NOTES
-    # documents the host-speed band), so 480 could never hold 3 passes
+    # 480 -> 860 -> 1000 in round 9, sized to MEASURED full passes (this
+    # box runs identical code up to 1.5x slower hour to hour — the
+    # host-speed band, BENCH_NOTES), so 480 could never hold 3 passes
     # and the shipped artifact violated the repo's own median-of-3
-    # standard (VERDICT r08 #2). Sizing: pass 1 runs ~257 s (cold
-    # first-samples), passes 2-3 ~223 s each, plus ~60 s of untimed
-    # GC/scheduling = ~800 s for a guaranteed median-of-3 on the slow
-    # band (a 780 budget left exactly the 3 costliest queries one
-    # sample short). Worst-case wall is budget + ONE query (~10 s) +
-    # session boot/warm (~30 s) ~= 15 min — bounded and small against a
-    # multi-hour round; on a fast day the run simply finishes early
-    # (the loop stops after `runs` samples per query, it never pads to
-    # the budget).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "860"))
+    # standard (VERDICT r08 #2). Sizing data, 173-query catalog: fast
+    # band = pass 1 ~257 s + passes 2-3 ~212 s each; slow band = 270 +
+    # 2x259; plus ~60 s untimed GC/scheduling => ~740-850 s needed. 860
+    # delivered runs=3 on the fast band but left the 12 costliest
+    # queries one sample short on a slow-band run; 1000 covers the band.
+    # Worst-case wall is budget + ONE query (~11 s) + session boot/warm
+    # (~30 s) ~= 17.4 min — bounded and small against a multi-hour
+    # round; on a fast day the run simply finishes early (the loop
+    # stops after `runs` samples per query, it never pads to the
+    # budget).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1000"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     except ValueError:
