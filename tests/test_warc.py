@@ -340,3 +340,102 @@ def test_gunzip_zip_bomb_capped():
     with pytest.raises(ValueError, match="zip-bomb"):
         _gunzip_members(two, max_bytes=50_000)
     assert len(_gunzip_members(two, max_bytes=60_000)) == 60_000
+
+
+# ---------------------------------------------------------------------------
+# Quarantine path (round 10): corruption routes, never kills the task
+# ---------------------------------------------------------------------------
+
+
+def test_warc_negative_content_length_rejected():
+    """ADVICE r09 (high): a signed Content-Length walked ``pos`` BACKWARD
+    — this exact payload re-parsed the same record forever (reproduced
+    infinite loop before the guard). It must now fail fast."""
+    evil = b"\r\n\r\nWARC/1.0\r\nContent-Length: -37\r\n\r\n"
+    with pytest.raises(ValueError, match="invalid Content-Length"):
+        warc_parse(evil)
+    # latin-1 superscript two: str.isdigit() is True but int() raises —
+    # the guard must be ascii-and-digit, not isdigit alone
+    with pytest.raises(ValueError, match="invalid Content-Length"):
+        warc_parse(b"WARC/1.0\r\nContent-Length: \xb2\r\n\r\n")
+    # sign/space/underscore forms int() would accept or mangle
+    for bad in (b"+5", b"5_0", b"5 x"):
+        raw = (
+            b"WARC/1.0\r\nContent-Length: " + bad + b"\r\n\r\nxxxxx\r\n\r\n"
+        )
+        with pytest.raises(ValueError, match="invalid Content-Length"):
+            warc_parse(raw)
+
+
+def test_warc_duplicate_header_continuation_ignored():
+    """ADVICE r09 (low): a folded continuation AFTER an ignored duplicate
+    header must not corrupt the kept first occurrence's value."""
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Type: duplicate-to-ignore\r\n"
+        b"\tfolded-into-the-duplicate\r\n"
+        b"Content-Length: 3\r\n"
+        b"\r\nabc\r\n\r\n"
+    )
+    (rec,) = warc_parse(raw)
+    assert rec["headers"]["warc-type"] == "response"
+    assert rec["body"] == b"abc"
+
+
+def test_warc_iter_salvages_prefix_records():
+    """The generator yields every record BEFORE the corruption point,
+    then raises — the salvage contract warc_records builds on."""
+    from user_behavior_spark_pipeline_spark.operators.warc import warc_iter
+
+    good = synth_warc_bytes(7, "keep me")
+    corrupt = good + b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort"
+    it = warc_iter(corrupt)
+    assert next(it)["headers"]["warc-type"] == "warcinfo"
+    assert next(it)["body"] == b"keep me"
+    with pytest.raises(ValueError, match="truncated WARC record body"):
+        next(it)
+
+
+def test_warc_records_quarantine_operator(spark):
+    """One corrupt archive among good ones: good archives flow complete,
+    the corrupt one keeps its pre-corruption records plus ONE error row
+    — never a task failure (VERDICT r09 #1)."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        synth_corrupt_warc_archives,
+        warc_records,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    out = warc_records(synth_corrupt_warc_archives(docs)).collect()
+    by_archive = {}
+    for r in out:
+        by_archive.setdefault(r.archive_id, []).append(r)
+    assert set(by_archive) == set(range(8))
+    for a, rows in by_archive.items():
+        ok = sorted(
+            (r for r in rows if r.parse_error is None),
+            key=lambda r: r.record_idx,
+        )
+        err = [r for r in rows if r.parse_error is not None]
+        if a % 4 == 0:
+            assert len(ok) == 2 and not err
+        elif a % 4 == 2:
+            assert not ok and len(err) == 1
+            assert err[0].record_idx == 0
+            assert "bad WARC version line" in err[0].parse_error
+        else:
+            # both appended-corrupt kinds keep the two good records
+            assert len(ok) == 2 and len(err) == 1
+            assert err[0].record_idx == 2
+            assert err[0].body is None and err[0].content_length is None
+            expect = (
+                "truncated WARC record body"
+                if a % 4 == 1
+                else "invalid Content-Length"
+            )
+            assert expect in err[0].parse_error
+        for r in ok:  # good rows are fully populated
+            assert r.body is not None and r.content_length is not None

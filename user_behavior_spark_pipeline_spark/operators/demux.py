@@ -123,8 +123,12 @@ def mp3_parse(payload: bytes) -> dict:
     """Walk the MPEG audio frames of an MP3 payload; no PCM is produced.
 
     Returns frame count, duration, sample rate/channels, average bitrate
-    and whether a Xing/Info VBR tag was present (in which case the tag's
-    frame count is cross-checked against the walk). Skips a leading ID3v2
+    and whether a Xing/Info VBR tag was present — the tag's claimed frame
+    count is returned (``vbr_frames``) and cross-checked against the walk
+    (``vbr_frame_mismatch``): a mismatch signals truncation or a lying
+    tag, surfaced rather than fatal because players tolerate both and a
+    truncated tail already downgrades to "count complete frames only".
+    Skips a leading ID3v2
     tag and stops cleanly at an ID3v1 ``TAG`` trailer or at the first
     byte run that is not a valid frame header (players do the same — the
     stream is self-synchronizing). Raises ValueError when no valid frame
@@ -182,6 +186,7 @@ def mp3_parse(payload: bytes) -> dict:
         "n_frames": n_frames,
         "vbr": vbr,
         "vbr_frames": vbr_frames,
+        "vbr_frame_mismatch": vbr_frames is not None and vbr_frames != n_frames,
         # integer microseconds so cross-engine comparison is exact
         "duration_us": total_samples * 1_000_000 // sample_rate,
         "avg_bitrate_kbps": total_bitrate // n_frames // 1000,
@@ -545,27 +550,29 @@ def synth_mp3_bytes(doc_id: int, n_chars: int) -> bytes:
 MP4_SAMPLE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("track_id", IntegerType(), False),
+        StructField("track_id", IntegerType(), True),
         StructField("handler", StringType(), True),
         StructField("codec", StringType(), True),
-        StructField("sample_idx", IntegerType(), False),
-        StructField("byte_offset", LongType(), False),
-        StructField("size", LongType(), False),
-        StructField("keyframe", BooleanType(), False),
-        StructField("dts_ms", LongType(), False),
+        StructField("sample_idx", IntegerType(), True),
+        StructField("byte_offset", LongType(), True),
+        StructField("size", LongType(), True),
+        StructField("keyframe", BooleanType(), True),
+        StructField("dts_ms", LongType(), True),
+        StructField("parse_error", StringType(), True),
     ]
 )
 
 MP3_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("sample_rate", IntegerType(), False),
-        StructField("n_channels", IntegerType(), False),
-        StructField("n_frames", IntegerType(), False),
-        StructField("duration_us", LongType(), False),
-        StructField("avg_bitrate_kbps", IntegerType(), False),
-        StructField("vbr", BooleanType(), False),
-        StructField("audio_bytes", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("duration_us", LongType(), True),
+        StructField("avg_bitrate_kbps", IntegerType(), True),
+        StructField("vbr", BooleanType(), True),
+        StructField("audio_bytes", LongType(), True),
+        StructField("parse_error", StringType(), True),
     ]
 )
 
@@ -578,10 +585,14 @@ def mp4_sample_ranges(media: DataFrame) -> DataFrame:
     Scale shape: mapInPandas over the payload column, Arrow-batched; the
     parse touches only the moov index, cost O(index), and the output is
     a few dozen integer rows per file — the 100 TB pattern where the
-    heavy mdat bytes are addressed, never shuffled. Tracks whose payload
-    fails structural validation are surfaced, not dropped: callers
-    quarantine via a left anti join on this output (same policy as
-    ingest.quarantine)."""
+    heavy mdat bytes are addressed, never shuffled.
+
+    A payload that fails structural validation QUARANTINES (one row with
+    ``parse_error`` set, sample columns NULL) instead of killing the
+    task — at crawl scale a corrupt file is a certainty and an uncaught
+    ValueError fails the whole stage after retries. Callers route with
+    ``filter(parse_error IS NULL)`` / ``IS NOT NULL`` (the
+    ingest.quarantine contract)."""
 
     def _demux(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -589,7 +600,13 @@ def mp4_sample_ranges(media: DataFrame) -> DataFrame:
         for batch in batches:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
-                info = mp4_demux(bytes(payload))
+                try:
+                    info = mp4_demux(bytes(payload))
+                except ValueError as e:
+                    rows.append(
+                        (int(media_id),) + (None,) * 8 + (str(e),)
+                    )
+                    continue
                 for t in info["tracks"]:
                     ts = t["timescale"]
                     for i in range(len(t["sizes"])):
@@ -604,6 +621,7 @@ def mp4_sample_ranges(media: DataFrame) -> DataFrame:
                                 t["sizes"][i],
                                 t["keyframe"][i],
                                 t["dts"][i] * 1000 // ts,
+                                None,
                             )
                         )
             yield pd.DataFrame(
@@ -654,7 +672,10 @@ def mp4_keyframe_plan(
 def mp3_audio_metadata(media: DataFrame) -> DataFrame:
     """Frame-walk MP3 payloads into per-file audio metadata (no PCM):
     sample rate, frame count, exact integer duration, average bitrate,
-    VBR flag. mapInPandas, Arrow-batched, linear in payload size."""
+    VBR flag. mapInPandas, Arrow-batched, linear in payload size.
+    A payload with no valid MPEG frame quarantines as one row with
+    ``parse_error`` set and metadata NULL — never a dead task (same
+    contract as mp4_sample_ranges)."""
 
     def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -662,7 +683,11 @@ def mp3_audio_metadata(media: DataFrame) -> DataFrame:
         for batch in batches:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
-                m = mp3_parse(bytes(payload))
+                try:
+                    m = mp3_parse(bytes(payload))
+                except ValueError as e:
+                    rows.append((int(media_id),) + (None,) * 7 + (str(e),))
+                    continue
                 rows.append(
                     (
                         int(media_id),
@@ -673,6 +698,7 @@ def mp3_audio_metadata(media: DataFrame) -> DataFrame:
                         m["avg_bitrate_kbps"],
                         m["vbr"],
                         m["audio_bytes"],
+                        None,
                     )
                 )
             yield pd.DataFrame(
@@ -709,5 +735,43 @@ def synth_container_media(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, "video").otherwise("audio").alias("kind"),
+        _build("doc_id", "n_chars").alias("payload"),
+    )
+
+
+def synth_corrupt_mp4_media(documents: DataFrame) -> DataFrame:
+    """Corruption-injection fixtures for the demux quarantine
+    certificate: every payload starts as a valid synth_mp4_bytes build,
+    then ``doc_id % 3`` picks the mangling —
+
+      0. left valid (full sample table, no error row);
+      1. the final 20 bytes chopped → the moov index overruns its file,
+         error row says ``box b'moov' overruns parent``;
+      2. the first 8 bytes zeroed → no ftyp magic, error row says
+         ``not an ISO-BMFF payload (no leading ftyp)``.
+
+    (rows kept, error category) is closed-form in doc_id, so
+    x_demux_quarantine hash-certifies that a corrupt container yields a
+    quarantine row while intact files in the same scan flow untouched."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, n_chars):
+        import pandas as pd
+
+        out = []
+        for d, n in zip(doc_id, n_chars):
+            d, n = int(d), int(n)
+            raw = synth_mp4_bytes(d, n)
+            if d % 3 == 1:
+                raw = raw[:-20]
+            elif d % 3 == 2:
+                raw = b"\x00" * 8 + raw[8:]
+            out.append(raw)
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
         _build("doc_id", "n_chars").alias("payload"),
     )

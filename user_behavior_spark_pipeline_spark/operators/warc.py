@@ -79,19 +79,26 @@ def _gunzip_members(payload: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> byte
     return b"".join(out)
 
 
-def warc_parse(payload: bytes) -> list[dict]:
-    """Walk the records of a WARC payload (plain or member-gzipped).
+def warc_iter(payload: bytes) -> Iterator[dict]:
+    """Incremental record walk of a WARC payload (plain or member-gzipped):
+    yields one dict per record (version, case-insensitive headers — first
+    occurrence wins, folded continuations of an ignored duplicate are
+    ignored with it — and the exact body bytes), and raises ValueError AT
+    the corruption point. A generator, not a list builder, so a caller
+    salvages every record BEFORE the corruption — the quarantine path in
+    ``warc_records`` keeps a 1 GB archive's good prefix when one record
+    is mangled mid-file.
 
-    Returns one dict per record: version, headers (case-insensitive
-    keys, first occurrence wins), and the exact body bytes. Framing per
-    ISO 28500: version line, header lines until an empty line (long
-    header values may fold onto continuation lines starting with
-    space/tab), body of exactly Content-Length bytes, then CRLF CRLF.
-    Raises ValueError on structural corruption (bad version line,
-    missing Content-Length, truncated body) — quarantine, don't guess."""
+    Framing per ISO 28500: version line, header lines until an empty
+    line (long header values may fold onto continuation lines starting
+    with space/tab), body of exactly Content-Length bytes, then
+    CRLF CRLF. Content-Length is validated as ASCII digits before use —
+    a signed value like ``-37`` would walk ``pos`` BACKWARD and re-parse
+    the same record forever (a crafted 37-byte payload hangs the task
+    with no exception; reproduced before the guard), and a latin-1
+    digit like ``²`` passes str.isdigit but not int()."""
     if payload[:2] == b"\x1f\x8b":
         payload = _gunzip_members(payload)
-    records = []
     pos = 0
     n = len(payload)
     while pos < n:
@@ -117,17 +124,29 @@ def warc_parse(payload: bytes) -> list[dict]:
             pos = eol + 2
             if not line:
                 break
-            if line[0] in " \t" and last_key is not None:  # folded value
-                headers[last_key] += " " + line.strip()
+            if line[0] in " \t":  # folded value
+                if last_key is not None:
+                    headers[last_key] += " " + line.strip()
+                # else: continuation of an IGNORED duplicate — drop it
+                # too, don't re-parse it as a (malformed) header line
                 continue
             key, sep, value = line.partition(":")
             if not sep:
                 raise ValueError(f"malformed WARC header line: {line!r}")
-            last_key = key.strip().lower()
-            headers.setdefault(last_key, value.strip())
+            k = key.strip().lower()
+            if k in headers:
+                # duplicate: first occurrence wins, and continuations of
+                # the DISCARDED value must not fold into the kept one
+                last_key = None
+                continue
+            last_key = k
+            headers[k] = value.strip()
         if "content-length" not in headers:
             raise ValueError("WARC record without Content-Length")
-        length = int(headers["content-length"])
+        raw_len = headers["content-length"]
+        if not (raw_len.isascii() and raw_len.isdigit()):
+            raise ValueError(f"invalid Content-Length: {raw_len!r}")
+        length = int(raw_len)
         if pos + length > n:
             raise ValueError("truncated WARC record body")
         body = payload[pos : pos + length]
@@ -135,9 +154,14 @@ def warc_parse(payload: bytes) -> list[dict]:
         if payload[pos : pos + 4] != _CRLF + _CRLF and pos < n:
             raise ValueError("missing CRLF CRLF record separator")
         pos += 4
-        records.append(
-            {"version": version, "headers": headers, "body": body}
-        )
+        yield {"version": version, "headers": headers, "body": body}
+
+
+def warc_parse(payload: bytes) -> list[dict]:
+    """All-or-nothing form of :func:`warc_iter`: the full record list, or
+    ValueError on any structural corruption (including an empty payload —
+    a crawl archive with zero records is itself corrupt)."""
+    records = list(warc_iter(payload))
     if not records:
         raise ValueError("no WARC records in payload")
     return records
@@ -229,8 +253,9 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("warc_type", StringType(), True),
         StructField("target_uri", StringType(), True),
         StructField("content_type", StringType(), True),
-        StructField("content_length", LongType(), False),
-        StructField("body", BinaryType(), False),
+        StructField("content_length", LongType(), True),
+        StructField("body", BinaryType(), True),
+        StructField("parse_error", StringType(), True),
     ]
 )
 
@@ -245,7 +270,17 @@ def warc_records(archives: DataFrame) -> DataFrame:
     so Catalyst can prune and push predicates on them after this stage.
     mapInPandas, Arrow-batched; cost is linear in archive bytes and
     embarrassingly parallel per archive file — the standard Common-Crawl
-    topology (one task per WARC, no shuffle until aggregation)."""
+    topology (one task per WARC, no shuffle until aggregation).
+
+    Corruption QUARANTINES, never kills the task (the ingest.quarantine
+    contract — at 100 TB one mangled archive among millions is a
+    certainty, and an uncaught ValueError here fails the whole stage
+    after retries): every record parsed BEFORE the corruption point is
+    emitted normally (``parse_error`` NULL), then one error row per
+    corrupt archive carries the structural error at the next
+    ``record_idx`` with NULL header/body columns. Callers route with
+    ``filter(parse_error IS NULL)`` / ``IS NOT NULL`` — the same
+    dead-letter split as the JSON ingest path."""
 
     def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -255,18 +290,31 @@ def warc_records(archives: DataFrame) -> DataFrame:
             for archive_id, payload in zip(
                 batch["archive_id"], batch["payload"]
             ):
-                for i, rec in enumerate(warc_parse(bytes(payload))):
-                    h = rec["headers"]
-                    rows.append(
-                        (
-                            int(archive_id),
-                            i,
-                            h.get("warc-type"),
-                            h.get("warc-target-uri"),
-                            h.get("content-type"),
-                            len(rec["body"]),
-                            rec["body"],
+                i = 0
+                err = None
+                try:
+                    for rec in warc_iter(bytes(payload)):
+                        h = rec["headers"]
+                        rows.append(
+                            (
+                                int(archive_id),
+                                i,
+                                h.get("warc-type"),
+                                h.get("warc-target-uri"),
+                                h.get("content-type"),
+                                len(rec["body"]),
+                                rec["body"],
+                                None,
+                            )
                         )
+                        i += 1
+                    if i == 0:
+                        err = "no WARC records in payload"
+                except ValueError as e:
+                    err = str(e)
+                if err is not None:
+                    rows.append(
+                        (int(archive_id), i, None, None, None, None, None, err)
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
@@ -296,6 +344,58 @@ def synth_warc_archives(documents: DataFrame, html: bool = False) -> DataFrame:
                     d, str(t), gzip_members=d % 3 == 0, html=html
                 )
             )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+
+    return documents.select(
+        F.col("doc_id").alias("archive_id"),
+        _build("doc_id", "text").alias("payload"),
+    )
+
+
+def synth_corrupt_warc_archives(documents: DataFrame) -> DataFrame:
+    """Corruption-injection fixtures for the quarantine certificate:
+    every archive starts as a valid two-record build, then ``doc_id % 4``
+    picks a deterministic mangling —
+
+      0. left valid (two records, no error row);
+      1. a THIRD record appended whose declared Content-Length overruns
+         the payload → the two good records still flow, error row says
+         ``truncated WARC record body``;
+      2. the leading ``WARC/`` magic smashed → nothing parses, the lone
+         error row says ``bad WARC version line``;
+      3. a third record appended with ``Content-Length: -5`` — the
+         header that, unvalidated, walked the parser backward into an
+         infinite loop → error row says ``invalid Content-Length``.
+
+    The per-kind (rows kept, error category) pairs are closed-form in
+    doc_id, which is what lets x_warc_quarantine hash-certify that
+    corruption is ROUTED (good records kept, error surfaced) rather
+    than fatal or silently dropped."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        out = []
+        for d, t in zip(doc_id, text):
+            d = int(d)
+            raw = synth_warc_bytes(d, str(t), gzip_members=False)
+            k = d % 4
+            if k == 1:
+                raw += (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"Content-Length: 100\r\n\r\nshort"
+                )
+            elif k == 2:
+                raw = b"JUNK?" + raw[5:]
+            elif k == 3:
+                raw += (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"Content-Length: -5\r\n\r\nxxxxx\r\n\r\n"
+                )
+            out.append(raw)
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)

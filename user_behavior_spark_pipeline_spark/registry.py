@@ -3285,7 +3285,7 @@ def x_demux_mp4_samples(spark, sf_dir):
 
     docs = _table(spark, sf_dir, "documents")
     media = synth_container_media(docs).filter("kind = 'video'")
-    return mp4_sample_ranges(media)
+    return mp4_sample_ranges(media).drop("parse_error")
 
 
 _MP3_META_SQL = (
@@ -3311,7 +3311,7 @@ def x_demux_mp3_meta(spark, sf_dir):
 
     docs = _table(spark, sf_dir, "documents")
     media = synth_container_media(docs).filter("kind = 'audio'")
-    return mp3_audio_metadata(media)
+    return mp3_audio_metadata(media).drop("parse_error")
 
 
 _KEYFRAME_PLAN_SQL = (
@@ -3490,6 +3490,83 @@ def x_warc_url_normalize(spark, sf_dir):
         variants.select(normalize_url("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+_WARC_QUARANTINE_SQL = (
+    # closed form mirrored from warc.synth_corrupt_warc_archives: the
+    # corruption kind is doc_id % 4, and each kind pins BOTH how many
+    # good records survive AND the structural error category — a walker
+    # that dies (query errors), drops good records (n_ok short), or
+    # misclassifies the corruption (category off) breaks the hash
+    "SELECT doc_id AS archive_id, "
+    "CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 2 END AS BIGINT) AS n_ok, "
+    "CASE doc_id % 4 WHEN 1 THEN 'truncated WARC record body' "
+    "WHEN 2 THEN 'bad WARC version line' "
+    "WHEN 3 THEN 'invalid Content-Length' END AS error_kind "
+    "FROM documents"
+)
+
+
+@query("x_warc_quarantine", oracle=_WARC_QUARANTINE_SQL)
+def x_warc_quarantine(spark, sf_dir):
+    """Corrupt-archive quarantine certificate (VERDICT r09 #1): every
+    fourth archive is left valid and the rest are mangled three
+    deterministic ways (overrun Content-Length, smashed WARC magic,
+    NEGATIVE Content-Length — the header that, unvalidated, hung the
+    parser in an infinite loop). The walker must keep every record
+    parsed before the corruption point AND surface the error as a
+    quarantine row (warc.warc_records parse_error column) — one corrupt
+    archive in a crawl-scale scan quarantines, never kills the stage.
+    The oracle states (good-record count, error category) closed-form
+    per archive."""
+    from pyspark.sql import functions as F
+
+    from .operators.warc import synth_corrupt_warc_archives, warc_records
+
+    docs = _table(spark, sf_dir, "documents")
+    recs = warc_records(synth_corrupt_warc_archives(docs))
+    return recs.groupBy("archive_id").agg(
+        F.count(F.when(F.col("parse_error").isNull(), 1)).alias("n_ok"),
+        F.regexp_extract(F.max("parse_error"), "^[^:]*", 0).alias(
+            "error_kind"
+        ),
+    )
+
+
+_DEMUX_QUARANTINE_SQL = (
+    # closed form mirrored from demux.synth_corrupt_mp4_media: valid
+    # files keep their full sample table (n_chars%7+2 rows), corrupt
+    # ones yield zero samples plus one categorized quarantine row
+    "SELECT doc_id AS media_id, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 7 + 2 ELSE 0 END "
+    "AS BIGINT) AS n_samples, "
+    "CASE doc_id % 3 WHEN 1 THEN 'box b''moov'' overruns parent' "
+    "WHEN 2 THEN 'not an ISO-BMFF payload (no leading ftyp)' END "
+    "AS error_kind FROM documents"
+)
+
+
+@query("x_demux_quarantine", oracle=_DEMUX_QUARANTINE_SQL)
+def x_demux_quarantine(spark, sf_dir):
+    """Corrupt-container quarantine certificate for the MP4 demux walker
+    (VERDICT r09 #1, demux side): every third payload is truncated
+    mid-index or stripped of its ftyp magic; mp4_sample_ranges must
+    emit the intact files' full sample tables and ONE parse_error row
+    per corrupt file — structural corruption routed, never a dead task.
+    Oracle states (sample count, error category) closed-form per
+    media_id."""
+    from pyspark.sql import functions as F
+
+    from .operators.demux import mp4_sample_ranges, synth_corrupt_mp4_media
+
+    docs = _table(spark, sf_dir, "documents")
+    samples = mp4_sample_ranges(synth_corrupt_mp4_media(docs))
+    return samples.groupBy("media_id").agg(
+        F.count(F.when(F.col("parse_error").isNull(), 1)).alias("n_samples"),
+        F.regexp_extract(F.max("parse_error"), "^[^:]*", 0).alias(
+            "error_kind"
+        ),
     )
 
 
@@ -5529,22 +5606,22 @@ def _derive_touched(
 
 
 _TOUCHED_THIS_ROUND = _derive_touched(
-    # r09 changed operator functions: zero-norm drop unified across every
-    # cosine path (with_cosine + pandas_cosine_topk in similarity.py, the
-    # _prep stage of embedding_near_dup_lsh in dedup.py)
+    # r10 changed operator functions: quarantine path in the three binary
+    # walkers (warc_iter restructure + Content-Length validation + header
+    # fold fix; mp4/mp3 walker schemas gained parse_error), the mp3 Xing
+    # cross-check, and the image-dedup guard/Hamming work
     seed_fns=frozenset(
         {
-            "with_cosine",
-            "pandas_cosine_topk",
-            "embedding_near_dup_lsh",
-            # r09 de-vacuated certificates (VERDICT r08 #1/#2)
-            "dormant_rich_customers",
-            "users_except",
+            "warc_iter",
+            "warc_parse",
+            "warc_records",
+            "mp3_parse",
+            "mp4_sample_ranges",
+            "mp3_audio_metadata",
+            "image_near_dup_pairs",
         }
     ),
-    # r09 oracle-constant edit: zero-norm predicates added to the shared
-    # cosine-top-k oracle SQL
-    sql_tokens=frozenset({"_COSINE_TOPK_SQL"}),
+    sql_tokens=frozenset(),
     extra=frozenset(),
 )
 
