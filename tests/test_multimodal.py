@@ -618,3 +618,92 @@ def test_image_near_dup_pairs_end_to_end(spark, sf_dir):
     assert {(r.id_1, r.id_2) for r in pairs} == {
         (2 * d, 2 * d + 1) for d in ids
     }
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket guard + Hamming<=k rung (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_image_hot_bucket_guard_trips(spark):
+    """1000 byte-identical uniform rasters collapse to ONE aHash bucket —
+    the degenerate crawl shape (placeholder/solid images). The guard must
+    refuse the O(g^2) pair explosion and the report surface must name the
+    dropped bucket with its size (VERDICT r09 #2: no silent caps)."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        image_ahash,
+        image_hot_buckets,
+        image_near_dup_pairs,
+    )
+
+    pgm = b"P5 16 16 255\n" + bytes([128] * 256)
+    media = spark.createDataFrame(
+        [(i, pgm) for i in range(1000)], "media_id long, payload binary"
+    )
+    # cap of 50: the single 1000-id bucket must be dropped entirely
+    assert image_near_dup_pairs(media, max_bucket=50).count() == 0
+    report = image_hot_buckets(image_ahash(media), max_bucket=50).collect()
+    assert len(report) == 1
+    assert report[0].n_ids == 1000
+    # uniform raster: no cell exceeds the mean -> hash exactly 0
+    assert report[0].ahash == 0
+    # and a mixed corpus: the whale bucket dies, honest pairs survive
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        png_encode_gray,
+    )
+
+    px = [(7 * i) % 256 for i in range(256)]
+    pair = [
+        (2000, png_encode_gray(16, 16, px)),
+        (2001, b"P5 16 16 255\n" + bytes(px)),
+    ]
+    mixed = media.union(
+        spark.createDataFrame(pair, "media_id long, payload binary")
+    )
+    got = image_near_dup_pairs(mixed, max_bucket=50).collect()
+    assert [(r.id_1, r.id_2) for r in got] == [(2000, 2001)]
+
+
+def test_pattern_raster_ahash_identity():
+    """The Hamming certificate's foundation: a block-pattern raster's
+    aHash equals the pattern BIT-FOR-BIT (popcount constrained to
+    [16, 48] keeps the global mean strictly interior)."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        ahash64,
+        image_block_pattern,
+        image_pattern_flips,
+        _pattern_raster,
+    )
+
+    for d in range(50):
+        p = image_block_pattern(d)
+        assert 16 <= bin(p).count("1") <= 48
+        h = ahash64(_pattern_raster(p, 16), 16, 16)
+        assert h & ((1 << 64) - 1) == p, d
+        # the planted flip mask has exactly d % 4 distinct bits
+        mask = image_pattern_flips(d, d % 4)
+        assert bin(mask).count("1") == d % 4
+        h2 = ahash64(_pattern_raster(p ^ mask, 16), 16, 16)
+        assert bin((h ^ h2) & ((1 << 64) - 1)).count("1") == d % 4
+
+
+def test_image_near_dup_hamming_end_to_end(spark):
+    """Planted <=3-bit perturbations across byte-different containers
+    pair at their exact distance; nothing else pairs."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        image_near_dup_pairs_hamming,
+        synth_image_near_pair_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in image_near_dup_pairs_hamming(
+            synth_image_near_pair_media(docs), max_hamming=3
+        ).collect()
+    }
+    assert got == {(2 * d, 2 * d + 1): d % 4 for d in range(40)}

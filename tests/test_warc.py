@@ -439,3 +439,107 @@ def test_warc_records_quarantine_operator(spark):
             assert expect in err[0].parse_error
         for r in ok:  # good rows are fully populated
             assert r.body is not None and r.content_length is not None
+
+
+# ---------------------------------------------------------------------------
+# HTTP envelope split (round 10): real Common Crawl record shape
+# ---------------------------------------------------------------------------
+
+
+def test_dechunk_http_exact_and_malformed():
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        dechunk_http,
+    )
+
+    # exact roundtrip incl. a chunk extension and uppercase hex size
+    chunked = b"4\r\nWiki\r\n5;ext=1\r\npedia\r\nE\r\n in\r\n\r\nchunks.\r\n0\r\n\r\n"
+    assert dechunk_http(chunked) == b"Wikipedia in\r\n\r\nchunks."
+    for bad in (
+        b"zz\r\nxxxx\r\n0\r\n\r\n",  # non-hex size
+        b"5\r\nab",  # truncated chunk body
+        b"4\r\nWikiXX0\r\n\r\n",  # missing CRLF after chunk
+        b"4\r\nWiki\r\n",  # no terminator
+        b"-4\r\nWiki\r\n0\r\n\r\n",  # negative size
+    ):
+        with pytest.raises(ValueError):
+            dechunk_http(bad)
+
+
+def test_split_http_response_operator(spark):
+    """Status/headers/payload split over plain, chunked, and non-HTTP
+    bodies; payload bytes recovered EXACTLY (including non-UTF-8)."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        split_http_response,
+    )
+
+    page = "<p>café &amp; more</p>".encode("utf-8")
+    plain = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(page) + page
+    )
+    chunked = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Transfer-Encoding: chunked\r\nContent-Type: text/html\r\n\r\n"
+        b"6\r\n<html>\r\n7\r\n</html>\r\n0\r\n\r\n"
+    )
+    bad_chunks = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nxx"
+    )
+    raw_binary = b"HTTP/1.1 200 OK\r\n\r\n\x00\xff\xfe binary body"
+    not_http = b"<html>no envelope at all</html>"
+    df = spark.createDataFrame(
+        [
+            (1, plain),
+            (2, chunked),
+            (3, bad_chunks),
+            (4, raw_binary),
+            (5, not_http),
+        ],
+        "archive_id long, body binary",
+    )
+    got = {
+        r.archive_id: r for r in split_http_response(df).collect()
+    }
+    assert got[1].http_status == 200
+    assert got[1].http_content_type == "text/html; charset=utf-8"
+    assert bytes(got[1].http_payload) == page
+    assert got[2].http_status == 301
+    assert bytes(got[2].http_payload) == b"<html></html>"
+    # malformed chunking: NULL payload (quarantine), status still split
+    assert got[3].http_status == 200 and got[3].http_payload is None
+    # byte-exact through the latin-1 bijection, NUL and \xff included
+    assert bytes(got[4].http_payload) == b"\x00\xff\xfe binary body"
+    assert got[4].http_content_type is None
+    # no envelope: everything NULL, row survives for quarantine routing
+    assert got[5].http_status is None and got[5].http_payload is None
+
+
+def test_http_envelope_end_to_end(spark):
+    """build(http_envelope) -> walker -> split -> WET extraction equals
+    the closed form, through chunked AND gzipped archives."""
+    import re
+
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        extract_html_text,
+        split_http_response,
+        synth_warc_archives,
+        warc_records,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i} & <tag>") for i in range(22)],
+        "doc_id long, text string",
+    )
+    recs = warc_records(synth_warc_archives(docs, http_envelope=True))
+    resp = split_http_response(recs.filter("warc_type = 'response'"))
+    out = extract_html_text(resp, body_col="http_payload")
+    got = {
+        r.archive_id: (r.http_status, r.extracted_text)
+        for r in out.collect()
+    }
+    for i in range(22):
+        if i % 7 == 3:
+            assert got[i] == (404, "gone"), i
+        else:
+            expected = re.sub(r"\s+", " ", f"doc {i} body text {i} & <tag>").strip()
+            assert got[i] == (200, expected), i

