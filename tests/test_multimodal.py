@@ -167,9 +167,10 @@ def test_decode_real_png_byte_exact_all_filters():
 
 
 def test_decode_real_png_rejects_out_of_scope_and_malformed():
-    """16-bit depth / palette / interlace are NotImplementedError (spec
-    surface outside the stated seam scope); bad filter bytes and truncated
-    chunks fail loudly with ValueError."""
+    """After the r10 widening only 16-bit depth remains
+    NotImplementedError; palette without PLTE and truncated interlace
+    data are now STRUCTURAL errors (ValueError); bad filter bytes and
+    truncated chunks fail loudly with ValueError."""
     import struct
     import zlib
 
@@ -190,13 +191,16 @@ def test_decode_real_png_rejects_out_of_scope_and_malformed():
             + chunk(b"IEND", b"")
         )
 
-    for kwargs in (
-        {"bit_depth": 16},
-        {"color_type": 3},
-        {"interlace": 1},
-    ):
-        with pytest.raises(NotImplementedError):
-            decode_real(png_with_ihdr(**kwargs), "image")
+    with pytest.raises(NotImplementedError):
+        decode_real(png_with_ihdr(bit_depth=16), "image")
+    # palette is supported now, but an 8-bit palette PNG without a PLTE
+    # chunk is structurally corrupt
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_real(png_with_ihdr(color_type=3), "image")
+    # interlace is supported now; this payload has too few bytes for
+    # the Adam7 passes of a 2x1 image -> raster mismatch
+    with pytest.raises(ValueError, match="raster"):
+        decode_real(png_with_ihdr(interlace=1), "image")
     # filter byte 9 is malformed
     bad = _png_encode(2, 1, [1, 2], 0, filters=[0])
     comp = zlib.compress(b"\x09\x01\x02")
@@ -707,3 +711,240 @@ def test_image_near_dup_hamming_end_to_end(spark):
         ).collect()
     }
     assert got == {(2 * d, 2 * d + 1): d % 4 for d in range(40)}
+
+
+# ---------------------------------------------------------------------------
+# PNG palette / sub-8-bit / Adam7 decode (round 10, VERDICT r09 #7)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_file(width, height, bit_depth, color_type, raster, extra=b"", interlace=0):
+    """Hand-packed PNG from pre-filtered raster bytes (caller supplies
+    the filter bytes inside `raster`)."""
+    import struct
+    import zlib
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+    )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(raster))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_8bit():
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    plte = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )  # red green blue white
+    raster = b"\x00\x00\x01" + b"\x00\x02\x03"  # filter 0 rows, indices
+    d = _png_decode(
+        _png_file(2, 2, 8, 3, raster, extra=_png_chunk(b"PLTE", plte))
+    )
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+    assert d["pixels"] == [
+        255, 0, 0, 0, 255, 0,
+        0, 0, 255, 255, 255, 255,
+    ]
+
+
+def test_png_palette_4bit_odd_width_and_trns():
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    plte = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32])
+    trns = bytes([128, 200])  # entry 2 defaults to alpha 255
+    # width 3 at 4 bits -> 2 bytes/row (last nibble is pad)
+    raster = b"\x00\x01\x20" + b"\x00\x21\x00"
+    d = _png_decode(
+        _png_file(
+            3, 2, 4, 3, raster,
+            extra=_png_chunk(b"PLTE", plte) + _png_chunk(b"tRNS", trns),
+        )
+    )
+    assert d["channels"] == 4  # tRNS promotes to RGBA
+    assert d["pixels"] == [
+        10, 11, 12, 128,  20, 21, 22, 200,  10, 11, 12, 128,
+        30, 31, 32, 255,  20, 21, 22, 200,  10, 11, 12, 128,
+    ]
+
+
+def test_png_palette_index_out_of_range():
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    plte = bytes([1, 2, 3])  # one entry; index 5 is invalid
+    raster = b"\x00\x05"
+    with pytest.raises(ValueError, match="palette index"):
+        _png_decode(
+            _png_file(1, 1, 8, 3, raster, extra=_png_chunk(b"PLTE", plte))
+        )
+
+
+def test_png_gray_1bit_scaled():
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    # width 10, 1-bit: 2 bytes/row; pattern 1010101010, then 0000000011
+    raster = b"\x00\xaa\x80" + b"\x00\x00\xc0"
+    d = _png_decode(_png_file(10, 2, 1, 0, raster))
+    assert d["channels"] == 1
+    assert d["pixels"][:10] == [255, 0] * 5
+    assert d["pixels"][10:] == [0] * 8 + [255, 255]
+
+
+def _adam7_encode(width, height, channels, px):
+    """Independent Adam7 re-encoder (filter 0 rows) for 8-bit rasters."""
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    out = bytearray()
+    for x0, y0, xs, ys in passes:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            out.append(0)
+            y = y0 + r * ys
+            for i in range(pw):
+                x = x0 + i * xs
+                base = (y * width + x) * channels
+                out.extend(px[base : base + channels])
+    return bytes(out)
+
+
+def test_png_adam7_equals_sequential():
+    """An interlaced image must decode to the SAME raster as its
+    non-interlaced encoding — gray and RGB, non-multiple-of-8 dims."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+        png_encode_gray,
+    )
+
+    for w, h in ((8, 8), (5, 3), (9, 10), (1, 1), (16, 2)):
+        px = [(31 * i + 7) % 256 for i in range(w * h)]
+        seq = _png_decode(png_encode_gray(w, h, px))
+        inter = _png_decode(
+            _png_file(w, h, 8, 0, _adam7_encode(w, h, 1, px), interlace=1)
+        )
+        assert inter["pixels"] == seq["pixels"] == px, (w, h)
+    # RGB 6x5
+    w, h = 6, 5
+    px = [(17 * i + 3) % 256 for i in range(w * h * 3)]
+    d = _png_decode(
+        _png_file(w, h, 8, 2, _adam7_encode(w, h, 3, px), interlace=1)
+    )
+    assert d["pixels"] == px and d["channels"] == 3
+
+
+def test_png_adam7_with_filters_and_palette():
+    """Adam7 passes are filtered INDEPENDENTLY (prev row resets per
+    pass): a pass-2 row Up-filtered against pass-1 bytes would corrupt;
+    also exercise a 2-bit palette under interlace."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    # 2x9 gray 8-bit: passes present: 1 (col 0, rows 0,8), 6 (col 1,
+    # rows 0..8 step 2), 7 (rows 1,3,5,7). Use filter 2 (Up) on the
+    # second row of pass 7 — its "up" is the PREVIOUS PASS-7 ROW.
+    px = [0] * 18
+    def put(x, y, v):
+        px[y * 2 + x] = v
+    raster = bytearray()
+    # pass 1: x0=0,y0=0,8x8 -> rows y=0,8, 1 px each
+    put(0, 0, 10); put(0, 8, 11)
+    raster += b"\x00\x0a" + b"\x00\x0b"
+    # pass 6: x0=1,y0=0,2x2 -> col 1, rows 0,2,4,6,8
+    for k, y in enumerate(range(0, 9, 2)):
+        put(1, y, 40 + k)
+        raster += b"\x00" + bytes([40 + k])
+    # pass 7: y0=1 step 2 -> full rows y=1,3,5,7 (2 px each)
+    put(0, 1, 60); put(1, 1, 61)
+    raster += b"\x00" + bytes([60, 61])
+    for j, y in enumerate((3, 5, 7)):
+        put(0, y, 60 + 2 * (j + 1)); put(1, y, 61 + 2 * (j + 1))
+        raster += b"\x02" + bytes([2, 2])  # Up vs previous pass-7 row
+    d = _png_decode(_png_file(2, 9, 8, 0, bytes(raster), interlace=1))
+    assert d["pixels"] == px
+    # 2-bit palette 5x3 interlaced: only passes 6 (x=1,3 rows 0,2) and
+    # 7 (row 1) + pass 1 (x=0 row 0) + pass 4 (x=2 row 0) + pass 5
+    # (x0=0 step 2, row 2: x=0,2,4) exist at this size
+    plte = bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    idx = [
+        [0, 1, 2, 3, 0],
+        [1, 2, 3, 0, 1],
+        [2, 3, 0, 1, 2],
+    ]
+    # derive pass bytes independently: spec geometry at 5x3
+    def pack2(vals):
+        b = 0
+        out = bytearray()
+        for i, v in enumerate(vals):
+            b |= v << (6 - 2 * (i % 4))
+            if i % 4 == 3:
+                out.append(b); b = 0
+        if len(vals) % 4:
+            out.append(b)
+        return bytes(out)
+    raster2 = bytearray()
+    raster2 += b"\x00" + pack2([idx[0][0]])            # pass 1
+    raster2 += b"\x00" + pack2([idx[0][4]])            # pass 2 (x=4)
+    raster2 += b"\x00" + pack2([idx[0][2]])            # pass 4 (x=2)
+    raster2 += b"\x00" + pack2([idx[2][0], idx[2][2], idx[2][4]])  # pass 5
+    raster2 += b"\x00" + pack2([idx[0][1], idx[0][3]]) # pass 6 row 0
+    raster2 += b"\x00" + pack2([idx[2][1], idx[2][3]]) # pass 6 row 2
+    raster2 += b"\x00" + pack2(idx[1])                 # pass 7 row 1
+    d2 = _png_decode(
+        _png_file(
+            5, 3, 2, 3, bytes(raster2),
+            extra=_png_chunk(b"PLTE", plte), interlace=1,
+        )
+    )
+    expected = []
+    for row in idx:
+        for v in row:
+            expected.extend(plte[3 * v : 3 * v + 3])
+    assert d2["pixels"] == expected
+
+
+def test_png_16bit_still_out_of_scope():
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    raster = b"\x00\x00\x01"
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _png_decode(_png_file(1, 1, 16, 0, raster))

@@ -148,53 +148,32 @@ def _parse_pnm_header(payload: bytes):
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_decode(payload: bytes) -> dict:
-    """Pure-stdlib PNG decode (zlib inflate + the five defined scanline
-    filters), VERDICT r06 #3: 8-bit depth, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit depth,
-    palette (3), and Adam7 interlace raise NotImplementedError — they are
-    spec surface, not codec-library surface, but out of the seam's
-    stated scope; anything malformed raises ValueError."""
-    import struct
-    import zlib
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step), spec order.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    pos = len(PNG_SIGNATURE)
-    ihdr = None
-    idat = []
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit_depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit gray/RGB/gray+alpha/RGBA "
-            "non-interlaced is in the stdlib seam's scope"
-        )
-    raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    # defilter: a = left neighbor (bpp back), b = up, c = up-left
-    pixels: list[int] = []
+
+def _png_defilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Undo the five PNG scanline filters over ``n_rows`` rows of
+    ``stride`` bytes starting at ``pos`` (each row is 1 filter byte +
+    stride data bytes). Returns (rows, new_pos). ``bpp`` is the filter
+    distance — bytes per complete pixel, rounded UP to one, per spec
+    (so sub-8-bit depths filter at distance 1)."""
+    rows: list[bytearray] = []
     prev = bytes(stride)
-    bpp = channels  # 8-bit depth -> bytes per pixel == channels
-    for r in range(height):
-        ft = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+    for _ in range(n_rows):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG raster size mismatch")
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
         if ft == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -221,8 +200,157 @@ def _png_decode(payload: bytes) -> dict:
                 line[i] = (line[i] + pred) & 0xFF
         elif ft != 0:  # None is 0; anything else is malformed
             raise ValueError(f"PNG filter type {ft}")
-        pixels.extend(line)
-        prev = bytes(line)
+        rows.append(line)
+        prev = line
+    return rows, pos
+
+
+def _png_unpack_indices(line, width: int, bit_depth: int) -> list[int]:
+    """Per-pixel values from one defiltered row at sub-byte depth
+    (1/2/4 bits, MSB-first packing; trailing pad bits ignored)."""
+    per_byte = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    return [
+        (line[i // per_byte] >> (8 - bit_depth * (i % per_byte + 1))) & mask
+        for i in range(width)
+    ]
+
+
+def _png_decode(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode (zlib inflate + the five defined scanline
+    filters), VERDICT r06 #3, widened r10 (VERDICT r09 #7): 8-bit gray/
+    RGB/gray+alpha/RGBA, PALETTE (color type 3) at depths 1/2/4/8 with
+    optional tRNS (-> RGBA), sub-8-bit GRAYSCALE (depths 1/2/4, samples
+    scaled to 8-bit by v*255/(2^d-1)), and ADAM7 interlace for all of
+    those. The seam narrows to 16-bit depth only — spec surface, not
+    codec-library surface, still out of scope; anything malformed raises
+    ValueError. The ubiquitous-in-crawl 8-bit non-interlaced non-palette
+    case keeps its fast row-extend path (it is the image_ahash hot
+    loop); the general grid path handles the rest."""
+    import struct
+    import zlib
+
+    pos = len(PNG_SIGNATURE)
+    ihdr = None
+    idat = []
+    plte = None
+    trns = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    paletted = color_type == 3
+    supported = (
+        (bit_depth == 8 and channels is not None)
+        or (paletted and bit_depth in (1, 2, 4, 8))
+        or (color_type == 0 and bit_depth in (1, 2, 4))
+    ) and interlace in (0, 1)
+    if not supported:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: 16-bit depth is the remaining "
+            "out-of-scope spec surface (gray/RGB/alpha at 8-bit, "
+            "palette and gray at 1/2/4/8-bit, Adam7 all supported)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    # channels IN THE RASTER: palette rows hold 1 index per pixel
+    src_channels = 1 if paletted else channels
+    bits_pp = bit_depth * src_channels
+    bpp = max(1, bits_pp // 8)
+
+    if interlace == 0 and bit_depth == 8 and not paletted:
+        # fast path: flat extend, no per-pixel tuples (ahash hot loop)
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        rows, _ = _png_defilter(raw, 0, height, stride, bpp)
+        pixels: list[int] = []
+        for line in rows:
+            pixels.extend(line)
+        return {
+            "kind": "image",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "channels": channels,
+            "pixels": pixels,
+        }
+
+    # general path: per-pixel grid of raw samples (indices or tuples)
+    grid: list[list] = [[None] * width for _ in range(height)]
+    passes = (
+        ((0, 0, 1, 1),) if interlace == 0 else _ADAM7_PASSES
+    )
+    rpos = 0
+    for x0, y0, xs, ys in passes:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no bytes, not even filters
+        stride = (pw * bits_pp + 7) // 8
+        rows, rpos = _png_defilter(raw, rpos, ph, stride, bpp)
+        for r, line in enumerate(rows):
+            if bit_depth < 8:
+                samples = _png_unpack_indices(line, pw, bit_depth)
+            elif src_channels == 1:
+                samples = list(line[:pw])
+            else:
+                samples = [
+                    tuple(line[i * src_channels : (i + 1) * src_channels])
+                    for i in range(pw)
+                ]
+            y = y0 + r * ys
+            row = grid[y]
+            for i, s in enumerate(samples):
+                row[x0 + i * xs] = s
+    if rpos != len(raw):
+        raise ValueError("PNG raster size mismatch")
+
+    pixels = []
+    if paletted:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        n_entries = len(plte) // 3
+        out_channels = 4 if trns is not None else 3
+        for row in grid:
+            for idx in row:
+                if idx >= n_entries:
+                    raise ValueError(f"palette index {idx} out of range")
+                pixels.extend(plte[3 * idx : 3 * idx + 3])
+                if out_channels == 4:
+                    pixels.append(trns[idx] if idx < len(trns) else 255)
+        channels = out_channels
+    elif bit_depth < 8:  # sub-8-bit grayscale: scale to 8-bit
+        maxv = (1 << bit_depth) - 1
+        for row in grid:
+            pixels.extend(v * 255 // maxv for v in row)
+        channels = 1
+    else:
+        for row in grid:
+            for s in row:
+                if src_channels == 1:
+                    pixels.append(s)
+                else:
+                    pixels.extend(s)
     return {
         "kind": "image",
         "width": width,
