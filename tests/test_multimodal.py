@@ -787,8 +787,10 @@ def test_png_palette_4bit_odd_width_and_trns():
         )
     )
     assert d["channels"] == 4  # tRNS promotes to RGBA
+    # MSB-first nibble packing: row 0 bytes \x01\x20 -> indices [0,1,2]
+    # (entry 2 has no tRNS entry -> alpha 255); row 1 \x21\x00 -> [2,1,0].
     assert d["pixels"] == [
-        10, 11, 12, 128,  20, 21, 22, 200,  10, 11, 12, 128,
+        10, 11, 12, 128,  20, 21, 22, 200,  30, 31, 32, 255,
         30, 31, 32, 255,  20, 21, 22, 200,  10, 11, 12, 128,
     ]
 
@@ -875,9 +877,10 @@ def test_png_adam7_with_filters_and_palette():
         _png_decode,
     )
 
-    # 2x9 gray 8-bit: passes present: 1 (col 0, rows 0,8), 6 (col 1,
-    # rows 0..8 step 2), 7 (rows 1,3,5,7). Use filter 2 (Up) on the
-    # second row of pass 7 — its "up" is the PREVIOUS PASS-7 ROW.
+    # 2x9 gray 8-bit: passes present: 1 (col 0, rows 0,8), 3 (pixel
+    # (0,4)), 5 (pixels (0,2),(0,6)), 6 (col 1, rows 0..8 step 2),
+    # 7 (rows 1,3,5,7). Use filter 2 (Up) on the second row of pass 7
+    # — its "up" is the PREVIOUS PASS-7 ROW.
     px = [0] * 18
     def put(x, y, v):
         px[y * 2 + x] = v
@@ -885,6 +888,12 @@ def test_png_adam7_with_filters_and_palette():
     # pass 1: x0=0,y0=0,8x8 -> rows y=0,8, 1 px each
     put(0, 0, 10); put(0, 8, 11)
     raster += b"\x00\x0a" + b"\x00\x0b"
+    # pass 3: x0=0,y0=4,xs=4,ys=8 -> single pixel (0,4)
+    put(0, 4, 20)
+    raster += b"\x00\x14"
+    # pass 5: x0=0,y0=2,xs=2,ys=4 -> pixels (0,2),(0,6), 1 px/row
+    put(0, 2, 30); put(0, 6, 31)
+    raster += b"\x00\x1e" + b"\x00\x1f"
     # pass 6: x0=1,y0=0,2x2 -> col 1, rows 0,2,4,6,8
     for k, y in enumerate(range(0, 9, 2)):
         put(1, y, 40 + k)
