@@ -470,3 +470,36 @@ def test_mp3_audio_metadata_quarantine(spark):
     assert out[1].n_frames is None and out[1].duration_us is None
     assert out[2].parse_error is None
     assert out[2].n_frames == 9 % 20 + 5
+
+
+def test_mp4_sample_ranges_quarantines_struct_error(spark):
+    """A corrupted stbl entry count makes struct.unpack_from read past
+    the buffer and raise struct.error — NOT a ValueError — which must
+    still quarantine, never kill the task (r10 advisor, reproduced at
+    stsz/stts/stco offsets)."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp4_sample_ranges,
+        synth_mp4_bytes,
+    )
+
+    good = synth_mp4_bytes(7, 5)
+    rows_in = [(0, good)]
+    for mid, (tag, off) in enumerate(
+        ((b"stsz", 12), (b"stts", 8), (b"stco", 8)), start=1
+    ):
+        i = good.index(tag)
+        bad = bytearray(good)
+        bad[i + off : i + off + 4] = struct.pack(">I", 0x7FFFFFFF)
+        # sanity: the corruption really raises struct.error, not ValueError
+        with pytest.raises(struct.error):
+            mp4_demux(bytes(bad))
+        rows_in.append((mid, bytes(bad)))
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {}
+    for r in mp4_sample_ranges(media).collect():
+        out.setdefault(r.media_id, []).append(r)
+    assert all(r.parse_error is None for r in out[0])
+    assert len(out[0]) == 5 % 7 + 2
+    for mid in (1, 2, 3):
+        (r,) = out[mid]
+        assert "overruns payload" in r.parse_error

@@ -607,9 +607,10 @@ def test_ahash_container_invariance_and_signedness():
 
 
 def test_image_near_dup_pairs_end_to_end(spark, sf_dir):
-    """Each document's raster under two byte-different containers pairs
-    exactly once; no cross-document pairs (mixer verified collision-free
-    over 6000 doc ids — beyond the sf0.1 range)."""
+    """Each document's raster under three byte-different containers
+    (gray PNG, PGM, indexed Adam7 PNG) pairs as the per-doc triangle;
+    no cross-document pairs (mixer verified collision-free over 6000
+    doc ids — beyond the sf0.1 range)."""
     from user_behavior_spark_pipeline_spark.operators.multimodal import (
         image_near_dup_pairs,
         synth_image_pair_media,
@@ -620,7 +621,9 @@ def test_image_near_dup_pairs_end_to_end(spark, sf_dir):
     pairs = image_near_dup_pairs(synth_image_pair_media(docs)).collect()
     ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {(r.id_1, r.id_2) for r in pairs} == {
-        (2 * d, 2 * d + 1) for d in ids
+        (3 * d + a, 3 * d + b)
+        for d in ids
+        for a, b in ((0, 1), (0, 2), (1, 2))
     }
 
 
@@ -711,6 +714,38 @@ def test_image_near_dup_hamming_end_to_end(spark):
         ).collect()
     }
     assert got == {(2 * d, 2 * d + 1): d % 4 for d in range(40)}
+
+
+def test_image_hot_bands_report_twin(spark):
+    """Band-key exclusions in the Hamming rung are REPORTED, not silent
+    (r10 advisor): uniform rasters collapse every band to one bucket —
+    the guard refuses the pair explosion AND image_hot_bands names each
+    capped (band, bucket) with its size, mirroring image_hot_buckets on
+    the exact rung."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        image_ahash,
+        image_hot_bands,
+        image_near_dup_pairs_hamming,
+    )
+
+    pgm = b"P5 16 16 255\n" + bytes([128] * 256)
+    media = spark.createDataFrame(
+        [(i, pgm) for i in range(200)], "media_id long, payload binary"
+    )
+    assert (
+        image_near_dup_pairs_hamming(
+            media, max_hamming=3, max_bucket=50
+        ).count()
+        == 0
+    )
+    report = image_hot_bands(
+        image_ahash(media), max_hamming=3, max_bucket=50
+    ).collect()
+    # uniform raster -> ahash 0 -> all 4 bands hot at bucket 0
+    assert {(r.band, r.bucket) for r in report} == {
+        (b, 0) for b in range(4)
+    }
+    assert all(r.n_ids == 200 for r in report)
 
 
 # ---------------------------------------------------------------------------

@@ -397,6 +397,34 @@ def test_warc_iter_salvages_prefix_records():
         next(it)
 
 
+def test_warc_iter_gzip_corruption_salvages_and_normalizes():
+    """A bit-flip inside a gzip member raises zlib.error in zlib — the
+    walker must salvage every WHOLE member before it and surface a
+    ValueError (never a bare zlib.error, which would escape the
+    quarantine catch and kill the task; r10 advisor, reproduced)."""
+    from user_behavior_spark_pipeline_spark.operators.warc import warc_iter
+
+    gz = synth_warc_bytes(3, "survives", gzip_members=True)
+    # flip a byte of the LAST member's CRC32 (trailer = CRC32 + ISIZE)
+    flipped = gz[:-8] + bytes([gz[-8] ^ 0xFF]) + gz[-7:]
+    it = warc_iter(flipped)
+    assert next(it)["headers"]["warc-type"] == "warcinfo"
+    with pytest.raises(
+        ValueError, match="corrupt gzip member in WARC payload"
+    ):
+        next(it)
+    # mid-member bit flip (deflate stream, not just the trailer) is
+    # also a ValueError, with the leading intact member still salvaged
+    member2 = gz.index(b"\x1f\x8b", 4)
+    mid = member2 + (len(gz) - member2) // 2
+    flipped2 = gz[:mid] + bytes([gz[mid] ^ 0xFF]) + gz[mid + 1 :]
+    rows = []
+    with pytest.raises(ValueError):
+        for rec in warc_iter(flipped2):
+            rows.append(rec)
+    assert [r["headers"]["warc-type"] for r in rows] == ["warcinfo"]
+
+
 def test_warc_records_quarantine_operator(spark):
     """One corrupt archive among good ones: good archives flow complete,
     the corrupt one keeps its pre-corruption records plus ONE error row
@@ -407,25 +435,35 @@ def test_warc_records_quarantine_operator(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
     )
     out = warc_records(synth_corrupt_warc_archives(docs)).collect()
     by_archive = {}
     for r in out:
         by_archive.setdefault(r.archive_id, []).append(r)
-    assert set(by_archive) == set(range(8))
+    assert set(by_archive) == set(range(10))
     for a, rows in by_archive.items():
         ok = sorted(
             (r for r in rows if r.parse_error is None),
             key=lambda r: r.record_idx,
         )
         err = [r for r in rows if r.parse_error is not None]
-        if a % 4 == 0:
+        if a % 5 == 0:
             assert len(ok) == 2 and not err
-        elif a % 4 == 2:
+        elif a % 5 == 2:
             assert not ok and len(err) == 1
             assert err[0].record_idx == 0
             assert "bad WARC version line" in err[0].parse_error
+        elif a % 5 == 4:
+            # gzip CRC bit-flip in member 2: member 1's record salvages,
+            # zlib.error is normalized to a quarantine row, not a task
+            # death (r10 advisor)
+            assert len(ok) == 1 and len(err) == 1
+            assert ok[0].record_idx == 0
+            assert err[0].record_idx == 1
+            assert (
+                "corrupt gzip member in WARC payload" in err[0].parse_error
+            )
         else:
             # both appended-corrupt kinds keep the two good records
             assert len(ok) == 2 and len(err) == 1
@@ -433,7 +471,7 @@ def test_warc_records_quarantine_operator(spark):
             assert err[0].body is None and err[0].content_length is None
             expect = (
                 "truncated WARC record body"
-                if a % 4 == 1
+                if a % 5 == 1
                 else "invalid Content-Length"
             )
             assert expect in err[0].parse_error

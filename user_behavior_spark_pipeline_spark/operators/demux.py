@@ -602,10 +602,17 @@ def mp4_sample_ranges(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 try:
                     info = mp4_demux(bytes(payload))
-                except ValueError as e:
-                    rows.append(
-                        (int(media_id),) + (None,) * 8 + (str(e),)
+                except (ValueError, struct.error) as e:
+                    # struct.unpack_from on a corrupt stbl (entry count
+                    # past the buffer) raises struct.error, a direct
+                    # Exception subclass — it must quarantine like any
+                    # ValueError, never kill the task (r10 advisor)
+                    msg = (
+                        str(e)
+                        if isinstance(e, ValueError)
+                        else f"ISO-BMFF field overruns payload: {e}"
                     )
+                    rows.append((int(media_id),) + (None,) * 8 + (msg,))
                     continue
                 for t in info["tracks"]:
                     ts = t["timescale"]
@@ -685,8 +692,15 @@ def mp3_audio_metadata(media: DataFrame) -> DataFrame:
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 try:
                     m = mp3_parse(bytes(payload))
-                except ValueError as e:
-                    rows.append((int(media_id),) + (None,) * 7 + (str(e),))
+                except (ValueError, struct.error) as e:
+                    # symmetry with mp4_sample_ranges: unpack_from past
+                    # the buffer quarantines, never kills the task
+                    msg = (
+                        str(e)
+                        if isinstance(e, ValueError)
+                        else f"MP3 field overruns payload: {e}"
+                    )
+                    rows.append((int(media_id),) + (None,) * 7 + (msg,))
                     continue
                 rows.append(
                     (

@@ -884,6 +884,52 @@ def png_encode_gray(width: int, height: int, pixels: list[int]) -> bytes:
     )
 
 
+def png_encode_palette_gray_adam7(
+    width: int, height: int, pixels: list[int]
+) -> bytes:
+    """Adam7-INTERLACED indexed-color PNG of a grayscale raster: an
+    identity palette (entry v = RGB (v,v,v), 256 entries) with 8-bit
+    indices, filter-0 rows per pass. The write-side driver for the
+    palette + interlace decode paths: the same raster under this
+    container must decode (PLTE lookup, per-pass de-interleave) to the
+    identical gray values — (v+v+v)//3 == v through the luma average —
+    so container-invariance certificates (x_dedup_image) also certify
+    the round-10 palette/Adam7 surface. Pure stdlib."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for x0, y0, xs, ys in _ADAM7_PASSES:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            raw.append(0)  # filter type None
+            y = y0 + r * ys
+            raw.extend(pixels[y * width + x0 : y * width + width : xs])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 1)
+    plte = bytes(v for p in range(256) for v in (p, p, p))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def ahash64(pixels: list[int], width: int, height: int) -> int:
     """64-bit average hash of a grayscale raster: block-average down to
     8x8 (integer mean over each block), then one bit per cell — 1 iff
@@ -1027,6 +1073,70 @@ def image_near_dup_pairs(
     )
 
 
+def _ahash_band_keys(hashed: DataFrame, max_hamming: int) -> DataFrame:
+    """Band decomposition of the 64-bit aHash for the Hamming<=k rung:
+    (media_id, ahash, band, bucket, band_key), one row per (id, band),
+    with ``max_hamming + 1`` bands so two hashes within ``max_hamming``
+    differing bits must share at least one whole band (pigeonhole).
+    Shared by image_near_dup_pairs_hamming and its exclusion-report twin
+    image_hot_bands, so both surfaces see the SAME band geometry. Takes
+    the HASHED frame (from image_ahash) so consumers share one decode
+    pass; all banding arithmetic is JVM-native."""
+    n_bands = max_hamming + 1
+    width, rem = divmod(64, n_bands)
+    widths = [width + 1] * rem + [width] * (n_bands - rem)
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    return (
+        hashed.select(
+            "media_id",
+            "ahash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            # arithmetic shift sign-extends for the top
+                            # band; the width mask keeps the band's bits
+                            F.shiftright(F.col("ahash"), offsets[b])
+                            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("media_id", "ahash", "bb.band", "bb.bucket")
+        .withColumn(
+            "band_key", F.concat_ws(":", F.col("band"), F.col("bucket"))
+        )
+    )
+
+
+def image_hot_bands(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = IMAGE_MAX_BUCKET,
+) -> DataFrame:
+    """The (band, bucket) keys the Hamming rung's guard excludes —
+    (band, bucket, n_ids) for every band-bucket held by more than
+    ``max_bucket`` images. The REPORT half of the band-key cap
+    (r10 advisor: exclusion is REPORTED, not silent — the twin of
+    image_hot_buckets for the exact rung): a hot band-bucket is where a
+    true near-dup pair could be missed when its only agreeing band is
+    capped, so a pipeline persists this alongside the pair output and
+    routes the named buckets to the cluster-shaped path instead. Takes
+    the HASHED frame (from image_ahash) so report + pairing share one
+    decode pass, and derives bands from the same geometry helper the
+    pair rung uses."""
+    return (
+        _ahash_band_keys(hashed, max_hamming)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )
+
+
 def image_near_dup_pairs_hamming(
     media: DataFrame,
     max_hamming: int = 3,
@@ -1048,41 +1158,16 @@ def image_near_dup_pairs_hamming(
     exact rung documents). Hot (band, bucket) keys past ``max_bucket``
     are dropped by the shared guard — same degenerate-image rationale as
     the exact rung, applied to the band key the join actually shuffles
-    on."""
+    on. A capped band-bucket CAN hide a true pair whose only agreeing
+    band it was (bounded recall at degenerate keys) — which is why the
+    exclusion is REPORTED, not silent: image_hot_bands over the same
+    hashed frame names every capped (band, bucket) with its size."""
     from ..materialize import materialize
     from .dedup import _drop_hot_values
 
-    n_bands = max_hamming + 1
-    width, rem = divmod(64, n_bands)
-    widths = [width + 1] * rem + [width] * (n_bands - rem)
-    offsets = [sum(widths[:b]) for b in range(n_bands)]
-    hashed = image_ahash(media)
-    bands = (
-        hashed.select(
-            "media_id",
-            "ahash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            # arithmetic shift sign-extends for the top
-                            # band; the width mask keeps the band's bits
-                            F.shiftright(F.col("ahash"), offsets[b])
-                            .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                            .alias("bucket"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("media_id", "ahash", "bb.band", "bb.bucket")
-        .transform(materialize)
-    )
     bands = _drop_hot_values(
-        bands.withColumn(
-            "band_key", F.concat_ws(":", F.col("band"), F.col("bucket"))
+        _ahash_band_keys(image_ahash(media), max_hamming).transform(
+            materialize
         ),
         "band_key",
         max_bucket,
@@ -1111,12 +1196,15 @@ def image_near_dup_pairs_hamming(
 
 def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
     """Per document, the SAME pseudo-random 16x16 grayscale raster under
-    two containers: PNG (media_id = 2*doc_id) and binary PGM
-    (media_id = 2*doc_id + 1). Pixels are doc-keyed pseudo-random
-    (Knuth-hash of (doc_id, position)), so distinct documents' rasters
-    are independent and cross-doc aHash collisions are ~2^-64 —
-    the expected pair set is EXACTLY {(2d, 2d+1)}: byte-different
-    containers, pixel-identical content."""
+    THREE containers: grayscale PNG (media_id = 3*doc_id), binary PGM
+    (3*doc_id + 1), and indexed-color Adam7-interlaced PNG
+    (3*doc_id + 2 — round 11, certifying the palette + interlace decode
+    paths by container invariance). Pixels are doc-keyed pseudo-random
+    (splitmix64 of (doc_id, position)), so distinct documents' rasters
+    are independent and cross-doc aHash collisions are ~2^-64 — the
+    expected pair set is EXACTLY the per-doc triangle
+    {(3d,3d+1), (3d,3d+2), (3d+1,3d+2)}: byte-different containers,
+    pixel-identical content."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     def _pixels(doc_id: int) -> list[int]:
@@ -1149,20 +1237,29 @@ def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
         out = []
         for m in media_id:
             m = int(m)
-            px = _pixels(m // 2)
-            if m % 2 == 0:
+            px = _pixels(m // 3)
+            if m % 3 == 0:
                 out.append(png_encode_gray(size, size, px))
-            else:
+            elif m % 3 == 1:
                 out.append(
                     f"P5 {size} {size} 255\n".encode() + bytes(px)
                 )
+            else:
+                # round 11: the SAME raster under indexed-color +
+                # Adam7 interlace, certifying the r10 palette decode
+                # path by container invariance
+                out.append(png_encode_palette_gray_adam7(size, size, px))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
 
     ids = documents.select(
         F.explode(
-            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+            F.array(
+                F.col("doc_id") * 3,
+                F.col("doc_id") * 3 + 1,
+                F.col("doc_id") * 3 + 2,
+            )
         ).alias("media_id")
     )
     return ids.select("media_id", _build("media_id").alias("payload"))

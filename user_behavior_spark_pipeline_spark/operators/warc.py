@@ -51,13 +51,19 @@ _CRLF = b"\r\n"
 MAX_INFLATED_BYTES = 1 << 30
 
 
-def _gunzip_members(payload: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> bytes:
+def _gunzip_member_iter(
+    payload: bytes, max_bytes: int = MAX_INFLATED_BYTES
+) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream (each WARC record its own
     member, per the spec's record-at-time compression) by chaining
-    zlib decompressobj over the unused tail of each member. Inflation is
-    CAPPED at ``max_bytes`` total — exceeding it raises ValueError
-    (zip-bomb defense) instead of exhausting executor memory."""
-    out = []
+    zlib decompressobj over the unused tail of each member, yielding one
+    inflated chunk PER MEMBER — a generator so a caller salvages every
+    member before a corruption point. Inflation is CAPPED at
+    ``max_bytes`` total — exceeding it raises ValueError (zip-bomb
+    defense) instead of exhausting executor memory. Bit-flip / CRC
+    corruption raises zlib.error inside zlib, which is NOT a ValueError;
+    it is re-raised AS ValueError here so every quarantine catch
+    upstream sees one exception type."""
     total = 0
     data = payload
     while data:
@@ -65,7 +71,12 @@ def _gunzip_members(payload: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> byte
         # ask for at most one byte past the remaining budget: if we get
         # it, the archive inflates past the cap — stop before buffering
         # a bomb, not after
-        chunk = d.decompress(data, max_bytes - total + 1)
+        try:
+            chunk = d.decompress(data, max_bytes - total + 1)
+        except zlib.error as e:
+            raise ValueError(
+                f"corrupt gzip member in WARC payload: {e}"
+            ) from e
         total += len(chunk)
         if total > max_bytes:
             raise ValueError(
@@ -74,9 +85,14 @@ def _gunzip_members(payload: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> byte
             )
         if not d.eof:
             raise ValueError("truncated gzip member in WARC payload")
-        out.append(chunk)
+        yield chunk
         data = d.unused_data
-    return b"".join(out)
+
+
+def _gunzip_members(payload: bytes, max_bytes: int = MAX_INFLATED_BYTES) -> bytes:
+    """All-members inflate (raises at the first corrupt member; see
+    ``_gunzip_member_iter`` for the salvaging form)."""
+    return b"".join(_gunzip_member_iter(payload, max_bytes))
 
 
 def warc_iter(payload: bytes) -> Iterator[dict]:
@@ -97,8 +113,18 @@ def warc_iter(payload: bytes) -> Iterator[dict]:
     the same record forever (a crafted 37-byte payload hangs the task
     with no exception; reproduced before the guard), and a latin-1
     digit like ``²`` passes str.isdigit but not int()."""
+    deferred: ValueError | None = None
     if payload[:2] == b"\x1f\x8b":
-        payload = _gunzip_members(payload)
+        # inflate member-at-a-time so a corrupt member (bit flip, bad
+        # CRC, truncation) loses only the TAIL: record-at-time
+        # compression aligns members with records, so the salvaged
+        # prefix holds whole records — walk them first, raise after
+        chunks = []
+        try:
+            chunks.extend(_gunzip_member_iter(payload))
+        except ValueError as e:
+            deferred = e
+        payload = b"".join(chunks)
     pos = 0
     n = len(payload)
     while pos < n:
@@ -155,6 +181,8 @@ def warc_iter(payload: bytes) -> Iterator[dict]:
             raise ValueError("missing CRLF CRLF record separator")
         pos += 4
         yield {"version": version, "headers": headers, "body": body}
+    if deferred is not None:
+        raise deferred
 
 
 def warc_parse(payload: bytes) -> list[dict]:
@@ -416,7 +444,7 @@ def synth_warc_archives(
 
 def synth_corrupt_warc_archives(documents: DataFrame) -> DataFrame:
     """Corruption-injection fixtures for the quarantine certificate:
-    every archive starts as a valid two-record build, then ``doc_id % 4``
+    every archive starts as a valid two-record build, then ``doc_id % 5``
     picks a deterministic mangling —
 
       0. left valid (two records, no error row);
@@ -427,7 +455,13 @@ def synth_corrupt_warc_archives(documents: DataFrame) -> DataFrame:
          error row says ``bad WARC version line``;
       3. a third record appended with ``Content-Length: -5`` — the
          header that, unvalidated, walked the parser backward into an
-         infinite loop → error row says ``invalid Content-Length``.
+         infinite loop → error row says ``invalid Content-Length``;
+      4. the archive rebuilt with record-at-time gzip members and the
+         SECOND member's CRC32 byte-flipped — the most common real
+         crawl corruption (bit rot in a .warc.gz), which raises
+         zlib.error (not ValueError) inside zlib; the first member's
+         record salvages, error row says ``corrupt gzip member in WARC
+         payload``.
 
     The per-kind (rows kept, error category) pairs are closed-form in
     doc_id, which is what lets x_warc_quarantine hash-certify that
@@ -441,9 +475,15 @@ def synth_corrupt_warc_archives(documents: DataFrame) -> DataFrame:
         out = []
         for d, t in zip(doc_id, text):
             d = int(d)
-            raw = synth_warc_bytes(d, str(t), gzip_members=False)
-            k = d % 4
-            if k == 1:
+            k = d % 5
+            raw = synth_warc_bytes(d, str(t), gzip_members=(k == 4))
+            if k == 4:
+                # flip a byte of the LAST member's CRC32 (trailer is
+                # CRC32+ISIZE, 8 bytes): inflate decodes cleanly, the
+                # data check fails -> deterministic zlib.error, and the
+                # first member stays salvageable
+                raw = raw[:-8] + bytes([raw[-8] ^ 0xFF]) + raw[-7:]
+            elif k == 1:
                 raw += (
                     b"WARC/1.0\r\nWARC-Type: response\r\n"
                     b"Content-Length: 100\r\n\r\nshort"

@@ -3544,31 +3544,39 @@ def x_warc_url_normalize(spark, sf_dir):
 
 _WARC_QUARANTINE_SQL = (
     # closed form mirrored from warc.synth_corrupt_warc_archives: the
-    # corruption kind is doc_id % 4, and each kind pins BOTH how many
+    # corruption kind is doc_id % 5, and each kind pins BOTH how many
     # good records survive AND the structural error category — a walker
     # that dies (query errors), drops good records (n_ok short), or
-    # misclassifies the corruption (category off) breaks the hash
+    # misclassifies the corruption (category off) breaks the hash.
+    # Kind 4 (gzip CRC bit-flip) certifies the zlib.error->ValueError
+    # normalization AND member-at-a-time prefix salvage: exactly the
+    # first member's record survives.
     "SELECT doc_id AS archive_id, "
-    "CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 2 END AS BIGINT) AS n_ok, "
-    "CASE doc_id % 4 WHEN 1 THEN 'truncated WARC record body' "
+    "CAST(CASE doc_id % 5 WHEN 2 THEN 0 WHEN 4 THEN 1 ELSE 2 END "
+    "AS BIGINT) AS n_ok, "
+    "CASE doc_id % 5 WHEN 1 THEN 'truncated WARC record body' "
     "WHEN 2 THEN 'bad WARC version line' "
-    "WHEN 3 THEN 'invalid Content-Length' END AS error_kind "
+    "WHEN 3 THEN 'invalid Content-Length' "
+    "WHEN 4 THEN 'corrupt gzip member in WARC payload' END AS error_kind "
     "FROM documents"
 )
 
 
 @query("x_warc_quarantine", oracle=_WARC_QUARANTINE_SQL)
 def x_warc_quarantine(spark, sf_dir):
-    """Corrupt-archive quarantine certificate (VERDICT r09 #1): every
-    fourth archive is left valid and the rest are mangled three
-    deterministic ways (overrun Content-Length, smashed WARC magic,
+    """Corrupt-archive quarantine certificate (VERDICT r09 #1, r10
+    advisor): every fifth archive is left valid and the rest are mangled
+    four deterministic ways (overrun Content-Length, smashed WARC magic,
     NEGATIVE Content-Length — the header that, unvalidated, hung the
-    parser in an infinite loop). The walker must keep every record
-    parsed before the corruption point AND surface the error as a
-    quarantine row (warc.warc_records parse_error column) — one corrupt
-    archive in a crawl-scale scan quarantines, never kills the stage.
-    The oracle states (good-record count, error category) closed-form
-    per archive."""
+    parser in an infinite loop — and a gzip-member CRC bit-flip, the
+    most common real .warc.gz corruption, which raises zlib.error
+    rather than ValueError and must still quarantine with the good
+    prefix member salvaged). The walker must keep every record parsed
+    before the corruption point AND surface the error as a quarantine
+    row (warc.warc_records parse_error column) — one corrupt archive in
+    a crawl-scale scan quarantines, never kills the stage. The oracle
+    states (good-record count, error category) closed-form per
+    archive."""
     from pyspark.sql import functions as F
 
     from .operators.warc import synth_corrupt_warc_archives, warc_records
@@ -3670,26 +3678,32 @@ def x_corpus_snapshot_diff(spark, sf_dir):
     "x_dedup_image",
     oracle=(
         # the expected pair set is EXACT: each document's raster appears
-        # under two byte-different containers (PNG id=2d, PGM id=2d+1)
-        # and under none other; pseudo-random per-doc rasters make a
+        # under three byte-different containers (gray PNG id=3d, PGM
+        # id=3d+1, indexed-color Adam7 PNG id=3d+2 — the third added in
+        # round 11 to certify the palette/interlace decode path) and
+        # under none other; pseudo-random per-doc rasters make a
         # cross-doc aHash collision ~2^-64, so any false pair, missed
-        # pair, or decoder inconsistency between the two containers
+        # pair, or decoder inconsistency among the three containers
         # changes the row set and breaks the hash
-        "SELECT CAST(doc_id * 2 AS BIGINT) AS id_1, "
-        "CAST(doc_id * 2 + 1 AS BIGINT) AS id_2 FROM documents "
+        "SELECT CAST(doc_id * 3 + o.a AS BIGINT) AS id_1, "
+        "CAST(doc_id * 3 + o.b AS BIGINT) AS id_2 "
+        "FROM documents CROSS JOIN "
+        "(VALUES (0, 1), (0, 2), (1, 2)) AS o(a, b) "
         "WHERE doc_id % 5 = 0"
     ),
 )
 def x_dedup_image(spark, sf_dir):
     """Perceptual image dedup over REAL decoded pixels: the same
-    pseudo-random 16x16 raster is synthesized per document under two
-    containers (our own pure-stdlib PNG encoder vs binary PGM), decoded
-    by the real decoders (multimodal.decode_real), aHashed (integer
-    64-bit average hash), and paired on hash equality — content dedup
-    across byte-different encodings, the multimodal analogue of exact
-    text dedup. Pairing shuffles (hash, id) pairs, never pixels.
-    Scoped to the deterministic doc_id%5==0 fifth of the corpus: the
-    certificate's strength is per-image (decode consistency across two
+    pseudo-random 16x16 raster is synthesized per document under three
+    containers (our own pure-stdlib grayscale PNG encoder, binary PGM,
+    and an indexed-color Adam7-interlaced PNG — the r10 palette decode
+    surface, oracle-certified here per VERDICT r10 #2), decoded by the
+    real decoders (multimodal.decode_real), aHashed (integer 64-bit
+    average hash), and paired on hash equality — content dedup across
+    byte-different encodings, the multimodal analogue of exact text
+    dedup. Pairing shuffles (hash, id) pairs, never pixels. Scoped to
+    the deterministic doc_id%5==0 fifth of the corpus: the
+    certificate's strength is per-image (decode consistency across the
     containers + collision-free mixer, unit-verified over the full id
     range), so benching 10k synthesized images per pass bought no
     additional certification."""
@@ -5689,19 +5703,22 @@ def _derive_touched(
 
 
 _TOUCHED_THIS_ROUND = _derive_touched(
-    # r10 changed operator functions: quarantine path in the three binary
-    # walkers (warc_iter restructure + Content-Length validation + header
-    # fold fix; mp4/mp3 walker schemas gained parse_error), the mp3 Xing
-    # cross-check, and the image-dedup guard/Hamming work
+    # r11 changed operator functions: gzip-corruption quarantine kind
+    # (zlib.error normalization + member-at-a-time salvage in warc_iter,
+    # synth_corrupt_warc_archives %5), struct.error quarantine in the
+    # mp4/mp3 walkers, the Hamming band refactor + hot-band report twin,
+    # and the third (palette/Adam7) container in the image-dedup synth
     seed_fns=frozenset(
         {
             "warc_iter",
             "warc_parse",
             "warc_records",
-            "mp3_parse",
+            "synth_corrupt_warc_archives",
             "mp4_sample_ranges",
             "mp3_audio_metadata",
             "image_near_dup_pairs",
+            "image_near_dup_pairs_hamming",
+            "synth_image_pair_media",
         }
     ),
     sql_tokens=frozenset(),
