@@ -705,3 +705,54 @@ def test_dq_monitor_accumulates_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == {"id_not_null": 1, "cat_accepted": 1, "v_in_0_100": 3}
+
+
+def test_warc_ingest_stream_batch_equiv(spark, tmp_path):
+    """Streaming WARC ingestion (r10 #6): the file stream drains the
+    archive directory through the SAME warc_records walker batch uses —
+    sink contents (records AND quarantine rows) equal the batch output,
+    including incremental pickup of late-landing archives through the
+    checkpoint."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        synth_corrupt_warc_archives,
+        warc_records,
+    )
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        warc_archive_stream_source,
+        warc_ingest_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    archives = synth_corrupt_warc_archives(docs)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    archives.filter("archive_id < 6").repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    q = warc_ingest_stream(
+        warc_archive_stream_source(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    # late-landing archives: only the delta is processed on restart
+    archives.filter("archive_id >= 6").repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = warc_ingest_stream(
+        warc_archive_stream_source(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination()
+
+    batch = warc_records(archives)
+    key = lambda r: (r.archive_id, r.record_idx)
+    got = sorted(spark.read.parquet(out).collect(), key=key)
+    want = sorted(batch.collect(), key=key)
+    assert n1 < len(want)
+    assert [key(r) for r in got] == [key(r) for r in want]
+    assert [r.parse_error for r in got] == [r.parse_error for r in want]
+    assert [r.body for r in got] == [r.body for r in want]

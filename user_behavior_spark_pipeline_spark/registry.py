@@ -3591,6 +3591,52 @@ def x_warc_quarantine(spark, sf_dir):
     )
 
 
+@query("x_stream_warc", oracle=_WARC_QUARANTINE_SQL)
+def x_stream_warc(spark, sf_dir):
+    """Streaming WARC ingestion (VERDICT r10 #6, r9 stretch #8): the
+    corrupt-archive fixtures land as parquet files in a directory, a
+    file stream drains them through the SAME warc_records walker batch
+    uses (stateless mapInPandas — one operator object, two execution
+    modes) into a checkpointed parquet sink with availableNow, split
+    into multiple micro-batches via maxFilesPerTrigger. The sink read
+    back must match the BATCH quarantine oracle exactly — batch≡stream
+    over records AND quarantine rows, exactly-once through the
+    checkpoint manifest."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.warc import synth_corrupt_warc_archives
+    from .streaming.jobs import (
+        warc_archive_stream_source,
+        warc_ingest_stream,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="ubsp_warc_src_")
+    out = tempfile.mkdtemp(prefix="ubsp_warc_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_warc_ckpt_")
+    synth_corrupt_warc_archives(docs).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = warc_ingest_stream(
+        warc_archive_stream_source(spark, src, max_files_per_trigger=2),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("archive_id")
+        .agg(
+            F.count(F.when(F.col("parse_error").isNull(), 1)).alias("n_ok"),
+            F.regexp_extract(F.max("parse_error"), "^[^:]*", 0).alias(
+                "error_kind"
+            ),
+        )
+    )
+
+
 _DEMUX_QUARANTINE_SQL = (
     # closed form mirrored from demux.synth_corrupt_mp4_media: valid
     # files keep their full sample table (n_chars%7+2 rows), corrupt

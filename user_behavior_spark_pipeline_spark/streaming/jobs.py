@@ -88,6 +88,48 @@ def write_validated_stream(
     return writer.start()
 
 
+def warc_archive_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingestion source (VERDICT r10 #6): a landing
+    directory of parquet files holding (archive_id, payload) rows — the
+    shape a crawl fetcher drops archives in. maxFilesPerTrigger bounds
+    per-batch work so a 100 TB backlog drains in bounded-memory batches
+    instead of one giant micro-batch."""
+    reader = spark.readStream.schema("archive_id long, payload binary")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_dir)
+
+
+def warc_ingest_stream(
+    archive_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Stream WARC archives through the BATCH walker into a
+    checkpointed parquet sink: warc_records is a stateless mapInPandas,
+    so the identical operator object serves both batch and stream —
+    x_stream_warc certifies batch≡stream against the batch quarantine
+    oracle. Corruption quarantines in-stream (parse_error rows flow to
+    the same sink as records; one corrupt archive never kills the
+    query), and availableNow + the checkpoint manifest give
+    exactly-once sink semantics."""
+    from ..operators.warc import warc_records
+
+    return (
+        warc_records(archive_stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def console_stream(raw_stream: DataFrame, available_now: bool = True):
     """OP-SINK-CONSOLE (filter_swords_stream.py:62-65) — debug sink."""
     writer = validate_events(raw_stream).writeStream.format("console")
