@@ -167,10 +167,10 @@ def test_decode_real_png_byte_exact_all_filters():
 
 
 def test_decode_real_png_rejects_out_of_scope_and_malformed():
-    """After the r10 widening only 16-bit depth remains
-    NotImplementedError; palette without PLTE and truncated interlace
-    data are now STRUCTURAL errors (ValueError); bad filter bytes and
-    truncated chunks fail loudly with ValueError."""
+    """After the r11 widening every LEGAL IHDR decodes; spec-illegal
+    combinations, palette without PLTE, truncated interlace data, bad
+    filter bytes and truncated chunks all fail loudly with
+    ValueError."""
     import struct
     import zlib
 
@@ -191,8 +191,13 @@ def test_decode_real_png_rejects_out_of_scope_and_malformed():
             + chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError):
+    # 16-bit depth decodes since r11; this stream is 2 bytes short for
+    # a 2x1 16-bit gray raster -> structural error, not a seam
+    with pytest.raises(ValueError, match="raster"):
         decode_real(png_with_ihdr(bit_depth=16), "image")
+    # spec-illegal IHDR (RGB at depth 4) is refused outright
+    with pytest.raises(ValueError, match="illegal PNG IHDR"):
+        decode_real(png_with_ihdr(bit_depth=4, color_type=2), "image")
     # palette is supported now, but an 8-bit palette PNG without a PLTE
     # chunk is structurally corrupt
     with pytest.raises(ValueError, match="PLTE"):
@@ -982,13 +987,68 @@ def test_png_adam7_with_filters_and_palette():
     assert d2["pixels"] == expected
 
 
-def test_png_16bit_still_out_of_scope():
-    import pytest
-
+def test_png_16bit_single_pixel():
+    """r11: the former 16-bit seam now decodes — a 1x1 gray16 image
+    returns its big-endian sample with maxval 65535."""
     from user_behavior_spark_pipeline_spark.operators.multimodal import (
         _png_decode,
     )
 
     raster = b"\x00\x00\x01"
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        _png_decode(_png_file(1, 1, 16, 0, raster))
+    d = _png_decode(_png_file(1, 1, 16, 0, raster))
+    assert (d["pixels"], d["maxval"], d["channels"]) == ([1], 65535, 1)
+
+
+def test_png_16bit_gray_filters_and_rgb():
+    """16-bit depth (r11, VERDICT r10 #7): big-endian 2-byte samples
+    returned as-is with maxval 65535; filters run at the BYTE level
+    with bpp = 2*channels, so Sub reaches back one full sample."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    # 2x2 gray16: row 0 None, row 1 Sub (recon: b2+=b0, b3+=b1)
+    raster = b"\x00\x01\x02\x03\x04" + b"\x01\x05\x06\x07\x08"
+    d = _png_decode(_png_file(2, 2, 16, 0, raster))
+    assert (d["maxval"], d["channels"]) == (65535, 1)
+    assert d["pixels"] == [0x0102, 0x0304, 0x0506, 0x0C0E]
+    # 1x2 RGB16: row 0 None, row 1 Up (bytewise add of the row above)
+    raster = (
+        b"\x00\x10\x00\x20\x00\x30\x00"
+        + b"\x02\x00\x01\x00\x02\x00\x03"
+    )
+    d = _png_decode(_png_file(1, 2, 16, 2, raster))
+    assert (d["maxval"], d["channels"]) == (65535, 3)
+    assert d["pixels"] == [
+        0x1000, 0x2000, 0x3000,
+        0x1001, 0x2002, 0x3003,
+    ]
+
+
+def test_png_16bit_matches_pgm_16bit_and_adam7():
+    """Container invariance at 16-bit: the same high-depth raster under
+    PNG and under maxval-65535 PGM decodes to identical samples; Adam7
+    de-interleave works at 2-byte samples."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+        decode_real,
+    )
+
+    vals = [0, 1, 255, 256, 4660, 65535]  # 2x3, spans both bytes
+    raw = b"".join(v.to_bytes(2, "big") for v in vals)
+    raster = b"".join(
+        b"\x00" + raw[r * 4 : (r + 1) * 4] for r in range(3)
+    )
+    d_png = _png_decode(_png_file(2, 3, 16, 0, raster))
+    d_pgm = decode_real(b"P5 2 3 65535\n" + raw, "image")
+    assert d_png["pixels"] == d_pgm["pixels"] == vals
+    assert d_png["maxval"] == d_pgm["maxval"] == 65535
+    # Adam7 2x2 gray16: pass 1 = (0,0), pass 6 = (1,0), pass 7 = row 1
+    px = [0x1111, 0x2222, 0x3333, 0x4444]
+    raster7 = (
+        b"\x00\x11\x11"          # pass 1
+        + b"\x00\x22\x22"        # pass 6
+        + b"\x00\x33\x33\x44\x44"  # pass 7
+    )
+    d = _png_decode(_png_file(2, 2, 16, 0, raster7, interlace=1))
+    assert d["pixels"] == px and d["maxval"] == 65535
