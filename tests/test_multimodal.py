@@ -1052,3 +1052,42 @@ def test_png_16bit_matches_pgm_16bit_and_adam7():
     )
     d = _png_decode(_png_file(2, 2, 16, 0, raster7, interlace=1))
     assert d["pixels"] == px and d["maxval"] == 65535
+
+
+def test_png_trns_transparency_key_gray_and_rgb():
+    """tRNS on the alpha-less color types (r11): a transparency KEY —
+    2-byte big-endian raw sample value(s); matching pixels get alpha 0,
+    promoting gray -> gray+alpha and RGB -> RGBA."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    # 8-bit gray 3x1, key = 7
+    raster = b"\x00\x07\x08\x07"
+    d = _png_decode(
+        _png_file(3, 1, 8, 0, raster, extra=_png_chunk(b"tRNS", b"\x00\x07"))
+    )
+    assert d["channels"] == 2
+    assert d["pixels"] == [7, 0, 8, 255, 7, 0]
+    # 16-bit gray 2x1, key = 0x0102
+    raster = b"\x00\x01\x02\x01\x03"
+    d = _png_decode(
+        _png_file(2, 1, 16, 0, raster, extra=_png_chunk(b"tRNS", b"\x01\x02"))
+    )
+    assert d["channels"] == 2 and d["maxval"] == 65535
+    assert d["pixels"] == [0x0102, 0, 0x0103, 65535]
+    # 8-bit RGB 2x1, key = (1,2,3)
+    raster = b"\x00\x01\x02\x03\x01\x02\x04"
+    trns = b"\x00\x01\x00\x02\x00\x03"
+    d = _png_decode(
+        _png_file(2, 1, 8, 2, raster, extra=_png_chunk(b"tRNS", trns))
+    )
+    assert d["channels"] == 4
+    assert d["pixels"] == [1, 2, 3, 0, 1, 2, 4, 255]
+    # 2-bit gray 4x1, key = raw 1 (scaled output 85)
+    raster = b"\x00\x6c"  # 01 10 11 00
+    d = _png_decode(
+        _png_file(4, 1, 2, 0, raster, extra=_png_chunk(b"tRNS", b"\x00\x01"))
+    )
+    assert d["channels"] == 2
+    assert d["pixels"] == [85, 0, 170, 255, 255, 255, 0, 255]

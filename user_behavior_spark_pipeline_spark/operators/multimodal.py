@@ -284,7 +284,9 @@ def _png_decode(payload: bytes) -> dict:
     bits_pp = bit_depth * src_channels
     bpp = max(1, bits_pp // 8)
 
-    if interlace == 0 and bit_depth == 8 and not paletted:
+    if interlace == 0 and bit_depth == 8 and not paletted and not (
+        trns is not None and color_type in (0, 2)
+    ):
         # fast path: flat extend, no per-pixel tuples (ahash hot loop)
         stride = width * channels
         if len(raw) != height * (stride + 1):
@@ -347,7 +349,34 @@ def _png_decode(payload: bytes) -> dict:
         raise ValueError("PNG raster size mismatch")
 
     pixels = []
-    if paletted:
+    if trns is not None and color_type in (0, 2):
+        # tRNS on the alpha-less color types is a transparency KEY
+        # (r11): one 2-byte big-endian field per channel holding the
+        # RAW (pre-scaling) transparent sample value; matching pixels
+        # get alpha 0, everything else full alpha (-> +alpha channel)
+        amax = 65535 if bit_depth == 16 else 255
+        if color_type == 0:
+            if len(trns) < 2:
+                raise ValueError("bad tRNS length for grayscale")
+            key = (trns[0] << 8) | trns[1]
+            maxv = (1 << bit_depth) - 1
+            for row in grid:
+                for v in row:
+                    pixels.append(v if bit_depth >= 8 else v * 255 // maxv)
+                    pixels.append(0 if v == key else amax)
+            channels = 2
+        else:
+            if len(trns) < 6:
+                raise ValueError("bad tRNS length for RGB")
+            key = tuple(
+                (trns[2 * i] << 8) | trns[2 * i + 1] for i in range(3)
+            )
+            for row in grid:
+                for s3 in row:
+                    pixels.extend(s3)
+                    pixels.append(0 if tuple(s3) == key else amax)
+            channels = 4
+    elif paletted:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         n_entries = len(plte) // 3

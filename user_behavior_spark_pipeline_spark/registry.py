@@ -3673,6 +3673,47 @@ def x_demux_quarantine(spark, sf_dir):
     )
 
 
+@query("x_stream_demux", oracle=_DEMUX_QUARANTINE_SQL)
+def x_stream_demux(spark, sf_dir):
+    """Streaming media-container ingestion (r11, the demux twin of
+    x_stream_warc): MP4 containers (including the corrupt ones) land as
+    parquet files, a file stream drains them through the SAME
+    mp4_sample_ranges walker batch uses into a checkpointed parquet
+    sink, availableNow, multi-micro-batch via maxFilesPerTrigger. The
+    sink read back must match the BATCH quarantine oracle —
+    batch≡stream over sample tables AND quarantine rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.demux import synth_corrupt_mp4_media
+    from .streaming.jobs import media_stream_source, mp4_ingest_stream
+
+    docs = _table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="ubsp_demux_src_")
+    out = tempfile.mkdtemp(prefix="ubsp_demux_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_demux_ckpt_")
+    synth_corrupt_mp4_media(docs).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = mp4_ingest_stream(
+        media_stream_source(spark, src, max_files_per_trigger=2), out, ckpt
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.when(F.col("parse_error").isNull(), 1)).alias(
+                "n_samples"
+            ),
+            F.regexp_extract(F.max("parse_error"), "^[^:]*", 0).alias(
+                "error_kind"
+            ),
+        )
+    )
+
+
 _SNAPSHOT_DIFF_SQL = (
     # the synthetic snapshot N+1 drops doc_id%10==0, appends ' v2' to
     # doc_id%7==1 (deletion applied FIRST, so 70 is removed, not

@@ -130,6 +130,46 @@ def warc_ingest_stream(
     )
 
 
+def media_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming media-container source: a landing directory of parquet
+    files holding (media_id, payload) rows — the drop-box shape of a
+    fetcher writing MP4/MP3 containers. Same bounded-batch posture as
+    warc_archive_stream_source."""
+    reader = spark.readStream.schema("media_id long, payload binary")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_dir)
+
+
+def mp4_ingest_stream(
+    media_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Stream MP4 containers through the BATCH demux walker
+    (demux.mp4_sample_ranges — stateless mapInPandas, the identical
+    operator serves batch and stream; x_stream_demux certifies
+    batch≡stream against the batch quarantine oracle) into a
+    checkpointed parquet sink. Corrupt containers quarantine in-stream
+    as parse_error rows; availableNow + the checkpoint manifest give
+    exactly-once sink semantics."""
+    from ..operators.demux import mp4_sample_ranges
+
+    return (
+        mp4_sample_ranges(media_stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def console_stream(raw_stream: DataFrame, available_now: bool = True):
     """OP-SINK-CONSOLE (filter_swords_stream.py:62-65) — debug sink."""
     writer = validate_events(raw_stream).writeStream.format("console")
