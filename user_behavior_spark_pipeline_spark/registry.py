@@ -3804,6 +3804,62 @@ def x_dedup_image(spark, sf_dir):
     return image_near_dup_pairs(media).select("id_1", "id_2")
 
 
+_IMAGE_GUARD_SQL = (
+    # closed form: the whale half (doc_id%2==0, one shared uniform
+    # raster -> one aHash bucket) is capped and REPORTED id-for-id;
+    # the honest half (per-doc random rasters, 3 containers) keeps its
+    # full pair triangles. A guard that silently drops (report short),
+    # fails to cap (pair count explodes by ~U^2/2), or over-caps
+    # (surviving pairs short) breaks the hash.
+    "SELECT 'capped_ids' AS metric, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT 'surviving_pairs' AS metric, CAST(3 * COUNT(*) AS BIGINT) "
+    "AS n FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+@query("x_dedup_image_guard", oracle=_IMAGE_GUARD_SQL)
+def x_dedup_image_guard(spark, sf_dir):
+    """Hot-bucket guard certificate as a driver-green oracle (r11):
+    the 'no silent truncation' doctrine, hash-certified end-to-end.
+    Every even document contributes the SAME uniform 16x16 PGM (the
+    placeholder-image degenerate: all collapse to aHash 0), every odd
+    document its usual three-container triple. With max_bucket=16 the
+    whale bucket must be (a) refused by the pair stage — the surviving
+    pair count is exactly the odd docs' triangles — and (b) reported by
+    image_hot_buckets with its exact id count. Cross-contamination is
+    ~2^-64 (avalanche-mixed honest rasters never hash to 0)."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import (
+        image_ahash,
+        image_hot_buckets,
+        image_near_dup_pairs,
+        synth_image_pair_media,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    whale = docs.filter("doc_id % 2 = 0").select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("media_id"),
+        F.lit(b"P5 16 16 255\n" + bytes([128] * 256)).alias("payload"),
+    )
+    media = whale.unionByName(
+        synth_image_pair_media(docs.filter("doc_id % 2 = 1"))
+    )
+    capped = image_hot_buckets(image_ahash(media), max_bucket=16).agg(
+        F.coalesce(F.sum("n_ids"), F.lit(0)).alias("n")
+    )
+    pairs = image_near_dup_pairs(media, max_bucket=16).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return capped.select(
+        F.lit("capped_ids").alias("metric"), "n"
+    ).unionByName(
+        pairs.select(F.lit("surviving_pairs").alias("metric"), "n")
+    )
+
+
 @query(
     "x_dedup_image_near",
     oracle=(
