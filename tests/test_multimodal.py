@@ -450,6 +450,257 @@ def _jpeg_encode(width, height, comps, qtabs, comp_blocks, restart_interval=0):
     return bytes(out)
 
 
+def _jpeg_encode_progressive(
+    width, height, comps, qtabs, comp_blocks, scans=None,
+    restart_interval=0,
+):
+    """Progressive (SOF2) twin of _jpeg_encode, emitting per ITU T.81
+    G.1.2 with libjpeg's buffering rules (EOB runs, correction-bit
+    buffer in refinement scans) — an INDEPENDENT encode path so the
+    decoder's progressive reconstruction is checked against hand-argued
+    spec math plus baseline container invariance, not against itself.
+
+    scans: list of (comp_ids, Ss, Se, Ah, Al); default script mirrors
+    libjpeg's: interleaved DC at Al=1, per-component AC bands (1-5,
+    6-63) at Al=1, the matching AC refinement scans to Al=0, and a DC
+    refinement scan. Static uniform-length Huffman tables (DC 5-bit,
+    AC 9-bit canonical, all-ones unused) are emitted once."""
+    import struct
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_by_id = {c[0]: c for c in comps}
+    # zigzag-order coefficient grids per component (padded MCU grid)
+    zz = {}
+    for cid, ch, cv, _tq in comps:
+        zz[cid] = [
+            [
+                [blk_nat[_ENC_ZIGZAG[k]] for k in range(64)]
+                for blk_nat in row
+            ]
+            for row in comp_blocks[cid]
+        ]
+    nblocks = {}
+    for cid, ch, cv, _tq in comps:
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        nblocks[cid] = (-(-chh // 8), -(-cw // 8))
+
+    if scans is None:
+        all_ids = [c[0] for c in comps]
+        scans = [(all_ids, 0, 0, 0, 1)]
+        for cid in all_ids:
+            scans += [([cid], 1, 5, 0, 1), ([cid], 6, 63, 0, 1)]
+        for cid in all_ids:
+            scans += [([cid], 1, 5, 1, 0), ([cid], 6, 63, 1, 0)]
+        scans += [(all_ids, 0, 0, 1, 0)]
+
+    dc_codes = {s: (s, 5) for s in range(16)}
+    # canonical: 255 codes at length 9 (0..254), symbol 255 at length 10
+    # (code 510) — a DHT count byte caps at 255, so one symbol spills
+    ac_codes = {s: (s, 9) for s in range(255)}
+    ac_codes[255] = (510, 10)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    for tq, tbl in qtabs.items():
+        seg(0xDB, bytes([tq]) + bytes(tbl[_ENC_ZIGZAG[k]] for k in range(64)))
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes(
+        [len(comps)]
+    )
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    seg(0xC2, bytes(sof))
+    dc_counts = [0] * 16
+    dc_counts[4] = 16
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(16)))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_counts[9] = 1
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(range(256)))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_ids, ss, se, ah, al in scans:
+        sos = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        # unit iteration mirrors the decoder: MCUs when interleaved,
+        # the component's own ceil-dims block raster when Ns == 1
+        if len(comp_ids) > 1:
+            units = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                blocks = []
+                for cid in comp_ids:
+                    _c, ch, cv, _q = comp_by_id[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blocks.append(
+                                (cid, my * cv + by, mx * ch + bx)
+                            )
+                units.append(blocks)
+        else:
+            cid = comp_ids[0]
+            nby, nbx = nblocks[cid]
+            units = [
+                [(cid, m // nbx, m % nbx)] for m in range(nby * nbx)
+            ]
+
+        rst_chunks = (
+            [units]
+            if not restart_interval
+            else [
+                units[i : i + restart_interval]
+                for i in range(0, len(units), restart_interval)
+            ]
+        )
+        ent_parts = []
+        for chunk in rst_chunks:
+            w = _JpegBitWriter()
+            _encode_prog_chunk(
+                w, chunk, zz, ss, se, ah, al, comp_ids, dc_codes, ac_codes
+            )
+            ent_parts.append(w.flush())
+        for i, part in enumerate(ent_parts):
+            if i:
+                out.extend(bytes([0xFF, 0xD0 + ((i - 1) % 8)]))
+            out.extend(part)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _encode_prog_chunk(
+    w, units, zz, ss, se, ah, al, comp_ids, dc_codes, ac_codes
+):
+    # One restart interval of progressive scan data: DC prediction, EOB
+    # runs and correction-bit buffers all reset at the chunk boundary,
+    # exactly as a decoder resets at RSTn.
+    if True:
+        if ss == 0 and ah == 0:  # DC first: diff-coded shifted values
+            pred = {cid: 0 for cid in comp_ids}
+            for blocks in units:
+                for cid, gy, gx in blocks:
+                    v = zz[cid][gy][gx][0] >> al
+                    diff = v - pred[cid]
+                    pred[cid] = v
+                    s = _jpeg_category(diff)
+                    w.write(*dc_codes[s])
+                    if s:
+                        w.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for blocks in units:
+                for cid, gy, gx in blocks:
+                    w.write((zz[cid][gy][gx][0] >> al) & 1, 1)
+        elif ah == 0:  # AC first with EOB runs
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun > 0:
+                    r = eobrun.bit_length() - 1
+                    w.write(*ac_codes[r << 4])
+                    if r:
+                        w.write(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for blocks in units:
+                ((cid, gy, gx),) = blocks
+                blk = zz[cid][gy][gx]
+                r = 0
+                for k in range(ss, se + 1):
+                    c = blk[k]
+                    t = abs(c) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        w.write(*ac_codes[0xF0])
+                        r -= 16
+                    if c < 0:
+                        t = -t
+                    s = _jpeg_category(t)
+                    w.write(*ac_codes[(r << 4) | s])
+                    w.write(t if t >= 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        else:  # AC refinement (libjpeg encode_mcu_AC_refine)
+            eobrun = 0
+            pending = []  # BE: correction bits attached to the EOB run
+            cur = []  # BR: correction bits since the last emitted symbol
+
+            def flush_eob():
+                # emits the pending EOB run + its attached (BE) bits;
+                # the CURRENT block's bits stay buffered — they belong
+                # after the next (r,1)/ZRL symbol (libjpeg emit_eobrun)
+                nonlocal eobrun
+                if eobrun > 0:
+                    r = eobrun.bit_length() - 1
+                    w.write(*ac_codes[r << 4])
+                    if r:
+                        w.write(eobrun - (1 << r), r)
+                    eobrun = 0
+                    for b in pending:
+                        w.write(b, 1)
+                    pending.clear()
+
+            def flush_cur():
+                for b in cur:
+                    w.write(b, 1)
+                cur.clear()
+
+            for blocks in units:
+                ((cid, gy, gx),) = blocks
+                blk = zz[cid][gy][gx]
+                absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                eob = 0  # band-relative index just past last new bit
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                r = 0
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        flush_eob()
+                        w.write(*ac_codes[0xF0])
+                        r -= 16
+                        flush_cur()
+                    if t > 1:
+                        # already-significant: buffer its correction bit
+                        cur.append(t & 1)
+                        continue
+                    flush_eob()
+                    w.write(*ac_codes[(r << 4) | 1])
+                    w.write(1 if blk[ss + i] > 0 else 0, 1)
+                    r = 0
+                    flush_cur()
+                if r > 0 or cur:
+                    eobrun += 1
+                    pending.extend(cur)  # BE += BR
+                    cur.clear()
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+
+
 def test_decode_real_jpeg_gray_dc_exact():
     """Grayscale 16x8 (two blocks), DC-only coefficients with distinct
     values: pixel = floor(DC*q/8 + 128.5) analytically (the orthonormal
@@ -548,12 +799,17 @@ def test_decode_real_jpeg_restart_markers_reset_dc():
 def test_decode_real_jpeg_out_of_scope_and_malformed():
     import struct
 
-    # progressive (SOF2) is NotImplementedError
+    # progressive (SOF2) decodes since r11; a frame with no SOS at all
+    # is structurally corrupt, and arithmetic coding (SOF9) stays a
+    # NotImplementedError seam
     sof2 = bytearray(b"\xff\xd8")
     body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     sof2 += bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2) + body
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="missing SOF or SOS"):
         decode_real(bytes(sof2), "image")
+    sof9 = bytes(sof2).replace(b"\xff\xc2", b"\xff\xc9")
+    with pytest.raises(NotImplementedError):
+        decode_real(sof9, "image")
     # truncated entropy data is ValueError
     q = [16] * 64
     blk = [1] + [0] * 63
@@ -1091,3 +1347,151 @@ def test_png_trns_transparency_key_gray_and_rgb():
     )
     assert d["channels"] == 2
     assert d["pixels"] == [85, 0, 170, 255, 255, 255, 0, 255]
+
+
+def _rand_blocks(rng, nby, nbx, max_abs=48, density=0.4):
+    """Random natural-order coefficient blocks: sparse, mixed signs,
+    a few large values — the shapes EOB runs / ZRL / refinement care
+    about."""
+    rows = []
+    for _ in range(nby):
+        row = []
+        for _ in range(nbx):
+            blk = [0] * 64
+            blk[0] = rng.randrange(-200, 201)
+            for k in range(1, 64):
+                if rng.random() < density:
+                    blk[k] = rng.randrange(-max_abs, max_abs + 1) or 1
+            row.append(blk)
+        rows.append(row)
+    return rows
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    """Progressive decode certificate: the SAME quantized coefficients
+    encoded as SOF2 (spectral selection + successive approximation,
+    libjpeg scan script) and as SOF0 must decode pixel-identical."""
+    import random
+
+    rng = random.Random(11)
+    q = [16] + [12] * 63
+    for trial in range(6):
+        blocks = _rand_blocks(rng, 2, 2)
+        base = _jpeg_encode(16, 16, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+        prog = _jpeg_encode_progressive(
+            16, 16, [(1, 1, 1, 0)], {0: q}, {1: blocks}
+        )
+        db, dp = decode_real(base, "image"), decode_real(prog, "image")
+        assert dp == db, f"trial {trial}"
+
+
+def test_jpeg_progressive_equals_baseline_color_420_odd_dims():
+    """YCbCr 4:2:0 at non-multiple-of-16 dims: interleaved DC scan over
+    the padded MCU grid, per-component non-interleaved AC scans over
+    each component's OWN ceil-dims block raster, crop identical to
+    baseline."""
+    import random
+
+    rng = random.Random(23)
+    ql = [16] * 64
+    qc = [24] * 64
+    comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    for trial, (w, h) in enumerate(((19, 13), (24, 16), (8, 8))):
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        cblocks = {
+            1: _rand_blocks(rng, mcuy * 2, mcux * 2),
+            2: _rand_blocks(rng, mcuy, mcux, max_abs=20),
+            3: _rand_blocks(rng, mcuy, mcux, max_abs=20),
+        }
+        base = _jpeg_encode(w, h, comps, {0: ql, 1: qc}, cblocks)
+        prog = _jpeg_encode_progressive(
+            w, h, comps, {0: ql, 1: qc}, cblocks
+        )
+        db, dp = decode_real(base, "image"), decode_real(prog, "image")
+        assert dp == db, f"dims {(w, h)}"
+
+
+def test_jpeg_progressive_multi_level_and_spectral_only():
+    """Two extra scan scripts: (a) three-level successive approximation
+    (Al=2 -> 1 -> 0 — two chained AC refinement scans), (b) spectral
+    selection only (no approximation): both must reproduce baseline."""
+    import random
+
+    rng = random.Random(37)
+    q = [16] * 64
+    blocks = _rand_blocks(rng, 2, 3, max_abs=70, density=0.5)
+    base = _jpeg_encode(24, 16, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+    db = decode_real(base, "image")
+    three_level = [
+        ([1], 0, 0, 0, 2),
+        ([1], 1, 20, 0, 2),
+        ([1], 21, 63, 0, 2),
+        ([1], 1, 20, 2, 1),
+        ([1], 21, 63, 2, 1),
+        ([1], 1, 20, 1, 0),
+        ([1], 21, 63, 1, 0),
+        ([1], 0, 0, 2, 1),
+        ([1], 0, 0, 1, 0),
+    ]
+    prog = _jpeg_encode_progressive(
+        24, 16, [(1, 1, 1, 0)], {0: q}, {1: blocks}, scans=three_level
+    )
+    assert decode_real(prog, "image") == db
+    spectral_only = [
+        ([1], 0, 0, 0, 0),
+        ([1], 1, 1, 0, 0),
+        ([1], 2, 9, 0, 0),
+        ([1], 10, 63, 0, 0),
+    ]
+    prog2 = _jpeg_encode_progressive(
+        24, 16, [(1, 1, 1, 0)], {0: q}, {1: blocks}, scans=spectral_only
+    )
+    assert decode_real(prog2, "image") == db
+
+
+def test_jpeg_progressive_eob_run_stress():
+    """Blocks that are entirely zero in a band produce long EOB runs
+    (including the r>0 extension-bits form); a lone late coefficient
+    must land exactly where the run ends."""
+    blocks = [[([0] * 64) for _ in range(5)] for _ in range(1)]
+    blocks[0][0][0] = 40
+    blocks[0][4][63] = 5  # natural index 63 = zigzag 63
+    blocks[0][2][1] = -3
+    q = [16] * 64
+    base = _jpeg_encode(40, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks})
+    prog = _jpeg_encode_progressive(
+        40, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}
+    )
+    assert decode_real(prog, "image") == decode_real(base, "image")
+
+
+def test_jpeg_progressive_restart_markers():
+    """RSTn inside progressive scans: DC prediction, EOB runs and
+    correction-bit buffers reset at every restart interval, in both
+    interleaved DC and non-interleaved AC/refinement scans."""
+    import random
+
+    rng = random.Random(51)
+    q = [16] * 64
+    blocks = _rand_blocks(rng, 1, 6, max_abs=40, density=0.35)
+    base = _jpeg_encode(
+        48, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, restart_interval=2
+    )
+    db = decode_real(base, "image")
+    prog = _jpeg_encode_progressive(
+        48, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, restart_interval=2
+    )
+    assert decode_real(prog, "image") == db
+    # 4:2:0 color with restarts in every scan kind
+    comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    w, h = 32, 16  # 2x1 MCUs
+    cblocks = {
+        1: _rand_blocks(rng, 2, 4, max_abs=30),
+        2: _rand_blocks(rng, 1, 2, max_abs=15),
+        3: _rand_blocks(rng, 1, 2, max_abs=15),
+    }
+    base = _jpeg_encode(w, h, comps, {0: q}, cblocks, restart_interval=1)
+    prog = _jpeg_encode_progressive(
+        w, h, comps, {0: q}, cblocks, restart_interval=1
+    )
+    assert decode_real(prog, "image") == decode_real(base, "image")

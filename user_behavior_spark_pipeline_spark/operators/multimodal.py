@@ -17,8 +17,9 @@ can (WAV/PCM via the ``wave`` module; binary PGM/PPM via a pure-Python
 header+raster parse — round 6; PNG via zlib + the five defined
 scanline filters — round 7, widened to palette/tRNS/sub-8-bit/Adam7 in
 round 10 and 16-bit depth in round 11, covering every legal IHDR;
-baseline sequential JPEG via Huffman +
-dequant + float64 IDCT — round 9; all with byte-exact test fixtures)
+sequential AND progressive JPEG via
+Huffman + dequant + one vectorized float64 IDCT — rounds 9/11; all
+with byte-exact test fixtures)
 and raises NotImplementedError only for formats that genuinely need
 external codec libraries. Round 9 narrowed that seam to BITSTREAM
 decode only: MP3 frame walking and MP4 sample-table demux are pure
@@ -467,21 +468,29 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def _jpeg_decode(payload: bytes) -> dict:
-    """Pure Python+numpy baseline JPEG decode (VERDICT r08 #8 stretch):
-    SOF0/SOF1 (8-bit sequential Huffman), grayscale and YCbCr with any
-    h/v sampling factors (4:4:4, 4:2:0, 4:2:2 covered by fixtures),
-    multi-table DQT/DHT segments, restart markers (DRI/RSTn).
+    """Pure Python+numpy JPEG decode (VERDICT r08 #8 stretch; widened to
+    PROGRESSIVE in round 11): SOF0/SOF1 (8-bit sequential Huffman) and
+    SOF2 (8-bit progressive Huffman — spectral selection, successive
+    approximation with DC/AC refinement scans and EOB runs per ITU T.81
+    G.1.2, interleaved and non-interleaved scans), grayscale and YCbCr
+    with any h/v sampling factors (4:4:4, 4:2:0, 4:2:2 covered by
+    fixtures), multi-table DQT/DHT segments, restart markers (DRI/RSTn)
+    inside any scan. Certification is container invariance: the
+    progressive encodings of the same quantized coefficients must
+    decode pixel-identical to the baseline encoding (test_multimodal).
 
-    Progressive (SOF2), arithmetic coding (SOF9+/DAC) and 12-bit
-    precision raise NotImplementedError — spec surface outside the
-    seam's stated scope, same policy as PNG's palette/interlace carve-out.
+    Arithmetic coding (SOF9+/DAC), 12-bit precision and hierarchical
+    (SOF3/5/6/7/11+) raise NotImplementedError — spec surface outside
+    the seam's stated scope.
 
     Determinism convention (shared with the byte-exact fixtures in
-    tests/test_multimodal.py): IDCT in float64 via the separable
-    orthonormal 8×8 basis, pixel = clip(floor(x + 128.5), 0, 255); chroma
-    upsampling is sample replication; YCbCr→RGB is the JFIF matrix with
-    the same floor(x+0.5) rounding. Output shape matches PNG/PNM:
-    (width, height, maxval, channels, pixels interleaved row-major)."""
+    tests/test_multimodal.py): coefficients accumulate scan-by-scan in
+    zigzag order, then ONE vectorized float64 IDCT over all blocks
+    (separable orthonormal 8×8 basis), pixel = clip(floor(x + 128.5),
+    0, 255); chroma upsampling is sample replication; YCbCr→RGB is the
+    JFIF matrix with the same floor(x+0.5) rounding. Output shape
+    matches PNG/PNM: (width, height, maxval, channels, pixels
+    interleaved row-major)."""
     import struct
 
     import numpy as np
@@ -491,9 +500,36 @@ def _jpeg_decode(payload: bytes) -> dict:
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    scans = []  # (scomps, ss, se, ah, al, restart_interval, segments)
     pos = 2
+
+    def _split_entropy(start: int):
+        """Entropy-coded data from ``start`` to the next real marker,
+        split at RSTn boundaries with 0xFF00 stuffing removed."""
+        segments: list[bytes] = []
+        cur = bytearray()
+        i = start
+        while i < len(payload):
+            b = payload[i]
+            if b == 0xFF and i + 1 < len(payload):
+                nxt = payload[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # real marker (EOI / next SOS / DHT ...)
+            cur.append(b)
+            i += 1
+        segments.append(bytes(cur))
+        return segments, i
+
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -517,21 +553,23 @@ def _jpeg_decode(payload: bytes) -> dict:
                     tbl = np.frombuffer(seg[i : i + 128], dtype=">u2")
                     i += 128
                 qt[tq] = tbl.astype(np.int64)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline + extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} != 8")
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append([cid, hv >> 4, hv & 15, tq])
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X}: only baseline/extended "
-                "sequential Huffman (SOF0/SOF1) is in the seam's scope"
+                f"JPEG SOF marker 0x{marker:02X}: only sequential and "
+                "progressive Huffman (SOF0/SOF1/SOF2) are in the seam's "
+                "scope"
             )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
@@ -548,87 +586,117 @@ def _jpeg_decode(payload: bytes) -> dict:
                         i += 1
                         code += 1
                     code <<= 1
-                huff[(tc, th)] = lut
+                huff[(tc, th)] = dict(lut)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
+            ns = seg[0]
             scomps = []
-            for c in range(seg[0]):
+            for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scomps.append((cs, tt >> 4, tt & 15))
-            scan = (scomps, pos + seglen)
-            break
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            segments, pos = _split_entropy(pos + seglen)
+            scans.append(
+                (
+                    scomps,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 15,
+                    restart_interval,
+                    # snapshot the tables: a later DHT may redefine them
+                    {k: v for k, v in huff.items()},
+                    segments,
+                )
+            )
+            if not progressive:
+                break
+            continue
         # APPn/COM/unknown: skip
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF or SOS")
     width, height, comps = frame
-    scomps, data_start = scan
-
-    # split entropy data at restart markers, removing 0xFF00 stuffing
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = data_start
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF and i + 1 < len(payload):
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # real marker (EOI)
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    planes = {
-        c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+    comp_by_id = {c[0]: c for c in comps}
+    # per-component coefficient store, ZIGZAG order, padded to MCU grid
+    coeffs = {
+        c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
         for c in comps
     }
-    # orthonormal IDCT basis: T[u, x] = C(u) cos((2x+1)uπ/16)
-    u = np.arange(8).reshape(8, 1)
-    x = np.arange(8).reshape(1, 8)
-    T = (
-        np.cos((2 * x + 1) * u * np.pi / 16)
-        * np.where(u == 0, 1 / np.sqrt(2), 1.0)
-        / 2
-    )
+    # non-interleaved block dims: ceil(ceil(width*h/hmax) / 8)
+    nblocks = {}
+    for cid, ch, cv, _tq in comps:
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        nblocks[cid] = (-(-chh // 8), -(-cw // 8))
 
-    comp_by_id = {c[0]: c for c in comps}
-    scan_tables = {cs: (dc, ac) for cs, dc, ac in scomps}
-    seg_idx = 0
-    reader = _JpegBitReader(segments[0])
-    pred = {c[0]: 0 for c in comps}
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG missing restart segment")
-            reader = _JpegBitReader(segments[seg_idx])
-            pred = {c[0]: 0 for c in comps}
-        my, mx = divmod(m, mcux)
-        for cs, dc_id, ac_id in scomps:
-            cid, ch, cv, ctq = comp_by_id[cs]
-            dc_lut = huff[(0, dc_id)]
-            ac_lut = huff[(1, ac_id)]
-            quant = qt[ctq]
-            for by in range(cv):
-                for bx in range(ch):
-                    zz = np.zeros(64, dtype=np.int64)
+    for scomps, ss, se, ah, al, rsti, tables, segments in scans:
+        ns = len(scomps)
+        if progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("JPEG progressive scan mixes DC and AC")
+            if ss != 0 and ns != 1:
+                raise ValueError("JPEG progressive AC scan must be Ns=1")
+        is_dc = ss == 0
+        # iteration units: MCUs when interleaved, blocks when Ns == 1
+        if ns > 1:
+            n_units = mcux * mcuy
+        else:
+            cid0 = scomps[0][0]
+            n_units = nblocks[cid0][0] * nblocks[cid0][1]
+        seg_idx = 0
+        reader = _JpegBitReader(segments[0])
+        pred = {c[0]: 0 for c in comps}
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+
+        def _refine_nonzero(blk, k):
+            if reader.read_bit():
+                if (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+
+        for m in range(n_units):
+            if rsti and m and m % rsti == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                reader = _JpegBitReader(segments[seg_idx])
+                pred = {c[0]: 0 for c in comps}
+                eobrun = 0
+            # blocks this unit touches: [(cid, gy, gx, dc_id, ac_id)]
+            if ns > 1:
+                my, mx = divmod(m, mcux)
+                blocks = []
+                for cs, dc_id, ac_id in scomps:
+                    _cid, ch, cv, _ctq = comp_by_id[cs]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blocks.append(
+                                (cs, my * cv + by, mx * ch + bx,
+                                 dc_id, ac_id)
+                            )
+            else:
+                cs, dc_id, ac_id = scomps[0]
+                gy, gx = divmod(m, nblocks[cs][1])
+                blocks = [(cs, gy, gx, dc_id, ac_id)]
+
+            for cs, gy, gx, dc_id, ac_id in blocks:
+                blk = coeffs[cs][gy, gx]
+                if not progressive:
+                    # sequential: DC + full AC in one pass
+                    dc_lut = tables[(0, dc_id)]
+                    ac_lut = tables[(1, ac_id)]
                     s = _jpeg_huff_decode(reader, dc_lut)
-                    pred[cid] += _jpeg_extend(reader.read_bits(s), s)
-                    zz[0] = pred[cid]
+                    pred[cs] += _jpeg_extend(reader.read_bits(s), s)
+                    blk[0] = pred[cs]
                     k = 1
                     while k < 64:
                         rs = _jpeg_huff_decode(reader, ac_lut)
@@ -641,20 +709,105 @@ def _jpeg_decode(payload: bytes) -> dict:
                         k += r
                         if k > 63:
                             raise ValueError("JPEG AC index overrun")
-                        zz[k] = _jpeg_extend(reader.read_bits(sz), sz)
+                        blk[k] = _jpeg_extend(reader.read_bits(sz), sz)
                         k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_JPEG_ZIGZAG] = zz * quant
-                    pix = T.T @ block.reshape(8, 8) @ T
-                    r0 = (my * cv + by) * 8
-                    c0 = (mx * ch + bx) * 8
-                    planes[cid][r0 : r0 + 8, c0 : c0 + 8] = pix
-    # level shift + shared rounding convention, upsample, color convert
+                elif is_dc and ah == 0:  # DC first
+                    s = _jpeg_huff_decode(reader, tables[(0, dc_id)])
+                    pred[cs] += _jpeg_extend(reader.read_bits(s), s)
+                    blk[0] = pred[cs] << al
+                elif is_dc:  # DC refinement: one appended bit
+                    if reader.read_bit():
+                        blk[0] |= p1
+                elif ah == 0:  # AC first (band [ss, se], scaled by Al)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    ac_lut = tables[(1, ac_id)]
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(reader, ac_lut)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overrun")
+                        blk[k] = _jpeg_extend(reader.read_bits(sz), sz) << al
+                        k += 1
+                else:  # AC refinement (T.81 G.1.2.3 / libjpeg semantics)
+                    ac_lut = tables[(1, ac_id)]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_huff_decode(reader, ac_lut)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r < 15:
+                                    # EOB run INCLUDES this block; its
+                                    # trailing corrections happen below
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                newval = 0  # ZRL: 16 zero-history skips
+                            else:
+                                if sz != 1:
+                                    raise ValueError(
+                                        "JPEG AC refinement size != 1"
+                                    )
+                                newval = p1 if reader.read_bit() else m1
+                            # advance over r zero-history coeffs; nonzero
+                            # ones consume a correction bit each
+                            while k <= se:
+                                if blk[k] != 0:
+                                    _refine_nonzero(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval != 0:
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG AC refinement overrun"
+                                    )
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0:
+                                _refine_nonzero(blk, k)
+                            k += 1
+                        eobrun -= 1
+
+    # dequant + ONE vectorized IDCT over every block of every component
+    # orthonormal IDCT basis: T[u, x] = C(u) cos((2x+1)uπ/16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    T = (
+        np.cos((2 * x + 1) * u * np.pi / 16)
+        * np.where(u == 0, 1 / np.sqrt(2), 1.0)
+        / 2
+    )
     out_planes = []
-    for cid, ch, cv, _ in comps:
-        p = planes[cid]
-        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        out_planes.append(p[:height, :width])
+    for cid, ch, cv, ctq in comps:
+        zz = coeffs[cid] * qt[ctq]  # (nby, nbx, 64), zigzag order
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros_like(zz, dtype=np.float64)
+        nat[..., _JPEG_ZIGZAG] = zz
+        b8 = nat.reshape(nby, nbx, 8, 8)
+        pix = np.einsum("ux,mnuv,vy->mnxy", T, b8, T, optimize=True)
+        plane = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )
+        out_planes.append(plane[:height, :width])
     if len(out_planes) == 1:
         gray = np.clip(np.floor(out_planes[0] + 128.5), 0, 255)
         pixels = gray.astype(np.int64).ravel().tolist()
@@ -704,10 +857,12 @@ def decode_real(payload: bytes, kind: str) -> dict:
       of the concatenated IDAT stream + per-scanline defiltering
       (None/Sub/Up/Average/Paeth) — same output shape as PNM.
 
-    - baseline sequential JPEG (SOF0/SOF1, grayscale + YCbCr at any h/v
-      sampling, multi-table DQT/DHT, restart markers): Huffman entropy
-      decode + dequant + float64 orthonormal IDCT + JFIF color convert
-      (round 9, ``_jpeg_decode``); progressive/arithmetic/12-bit raise
+    - JPEG, sequential (SOF0/SOF1) AND progressive (SOF2 — spectral
+      selection, successive approximation, EOB runs; round 11):
+      grayscale + YCbCr at any h/v sampling, multi-table DQT/DHT,
+      restart markers in any scan; Huffman entropy decode + dequant +
+      vectorized float64 orthonormal IDCT + JFIF color convert
+      (``_jpeg_decode``); arithmetic coding and 12-bit precision raise
       NotImplementedError.
 
     Formats genuinely requiring external codec libraries (MP3/MP4/AV)
@@ -932,6 +1087,150 @@ def png_encode_gray(width: int, height: int, pixels: list[int]) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
+
+
+def jpeg_encode_gray_dc(
+    width: int, height: int, dc_values: list[int], progressive: bool = False
+) -> bytes:
+    """Minimal grayscale JPEG encoder for DC-only blocks — the
+    write-side driver for the closed-form JPEG decode certificate
+    (x_multimodal_jpeg): a DC-only block IDCTs to a FLAT 8x8 tile at
+    exactly floor(dc*q/8 + 128.5), so the whole decode (marker parse,
+    Huffman, DC prediction, dequant, IDCT, level shift) is
+    SQL-expressible. ``dc_values`` is one quantized DC per 8x8 block in
+    raster order; quant table is all 16s. With ``progressive`` the same
+    coefficients are emitted as SOF2 with the spec's successive
+    approximation split (DC first at Al=1, an all-zero AC band coded as
+    one EOB run, DC refinement) — byte-different container, pixel-
+    identical content, certifying the r11 progressive path against the
+    same closed form. Uniform-length canonical Huffman tables
+    (all-ones unused)."""
+    import struct
+
+    nbx, nby = -(-width // 8), -(-height // 8)
+    if len(dc_values) != nbx * nby:
+        raise ValueError("dc_values must cover the block grid")
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    class _W:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def write(self, value: int, nbits: int) -> None:
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((value >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0x00)
+                    self.acc = 0
+                    self.n = 0
+
+        def flush(self) -> bytes:
+            while self.n:
+                self.write(1, 1)
+            return bytes(self.buf)
+
+    def category(v: int) -> int:
+        return abs(v).bit_length()
+
+    def write_coded(w: "_W", v: int, codes) -> None:
+        s = category(v)
+        w.write(*codes[s])
+        if s:
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    dc_codes = {s: (s, 5) for s in range(16)}
+    ac_codes = {s: (s, 9) for s in range(255)}
+    ac_codes[255] = (510, 10)
+
+    seg(0xDB, bytes([0]) + bytes([16] * 64))
+    seg(
+        0xC2 if progressive else 0xC0,
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+    )
+    dc_counts = [0] * 16
+    dc_counts[4] = 16
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(16)))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_counts[9] = 1
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(range(256)))
+
+    if not progressive:
+        seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        w = _W()
+        pred = 0
+        for dc in dc_values:
+            write_coded(w, dc - pred, dc_codes)
+            pred = dc
+            w.write(*ac_codes[0x00])  # EOB: no AC
+        out.extend(w.flush())
+    else:
+        # scan 1: DC first, Al=1 (diff-coded arithmetic-shifted values)
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        w = _W()
+        pred = 0
+        for dc in dc_values:
+            v = dc >> 1
+            write_coded(w, v - pred, dc_codes)
+            pred = v
+        out.extend(w.flush())
+        # scan 2: the whole AC band, all zero -> ONE EOB run over every
+        # block (exercises the EOBn + extension-bits decode path)
+        seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+        w = _W()
+        n = len(dc_values)
+        r = n.bit_length() - 1
+        w.write(*ac_codes[r << 4])
+        if r:
+            w.write(n - (1 << r), r)
+        out.extend(w.flush())
+        # scan 3: DC refinement to Al=0 — one raw bit per block
+        seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        w = _W()
+        for dc in dc_values:
+            w.write(dc & 1, 1)
+        out.extend(w.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def synth_jpeg_pair_media(documents: DataFrame) -> DataFrame:
+    """Per document, the SAME two-block 16x8 DC-only grayscale image as
+    a baseline JPEG (media_id = 2*doc_id) and a progressive JPEG
+    (media_id = 2*doc_id + 1). DC values are closed-form in doc_id
+    (dc0 = doc_id%256 - 128, dc1 = (7*doc_id)%256 - 128), so the
+    decoded flat tiles are SQL-derivable: pixel = clip(2*dc + 128)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            m = int(m)
+            d = m // 2
+            dcs = [d % 256 - 128, (7 * d) % 256 - 128]
+            out.append(jpeg_encode_gray_dc(16, 8, dcs, progressive=m % 2 == 1))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    ids = documents.select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("media_id")
+    )
+    return ids.select("media_id", _build("media_id").alias("payload"))
 
 
 def png_encode_palette_gray_adam7(

@@ -3804,6 +3804,82 @@ def x_dedup_image(spark, sf_dir):
     return image_near_dup_pairs(media).select("id_1", "id_2")
 
 
+_JPEG_DECODE_SQL = (
+    # closed form: a DC-only 8x8 block IDCTs to a flat tile at exactly
+    # clip(2*dc + 128) under the all-16 quant table (orthonormal IDCT
+    # of a DC-only block is dc*q/8 everywhere), and the SAME image is
+    # emitted under two byte-different containers — baseline SOF0
+    # (media 2d) and progressive SOF2 with successive approximation
+    # (media 2d+1, r11). Any drift in marker parse, Huffman, DC
+    # prediction/refinement, EOB-run decode, dequant, IDCT or level
+    # shift breaks the hash.
+    "SELECT CAST(doc_id * 2 + o.i AS BIGINT) AS media_id, "
+    "CAST(LEAST(255, GREATEST(0, 2 * (doc_id % 256 - 128) + 128)) "
+    "AS INT) AS p0, "
+    "CAST(LEAST(255, GREATEST(0, 2 * ((7 * doc_id) % 256 - 128) + 128)) "
+    "AS INT) AS p1, "
+    "TRUE AS flat "
+    "FROM documents CROSS JOIN (VALUES (0), (1)) AS o(i)"
+)
+
+
+@query("x_multimodal_jpeg", oracle=_JPEG_DECODE_SQL)
+def x_multimodal_jpeg(spark, sf_dir):
+    """JPEG decode certificate (r11): per document the same two-block
+    DC-only grayscale image under baseline (SOF0) and PROGRESSIVE
+    (SOF2: DC-first at Al=1, an all-zero AC band coded as one EOB run,
+    DC refinement) containers, really decoded by multimodal._jpeg_decode
+    in one Arrow-batched pass; each block must come back FLAT at the
+    closed-form value clip(2*dc + 128). Container invariance certifies
+    the round-11 progressive path in the driver slot; the full
+    AC-refinement surface is pytest-certified against a libjpeg-rule
+    encoder (test_multimodal)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.multimodal import decode_real, synth_jpeg_pair_media
+
+    docs = _table(spark, sf_dir, "documents")
+    media = synth_jpeg_pair_media(docs)
+
+    def _dec(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                d = decode_real(bytes(payload), "image")
+                px = d["pixels"]
+                b0 = {px[r * 16 + c] for r in range(8) for c in range(8)}
+                b1 = {px[r * 16 + c] for r in range(8) for c in range(8, 16)}
+                rows.append(
+                    (
+                        int(media_id),
+                        px[0],
+                        px[8],
+                        len(b0) == 1 and len(b1) == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "p0", "p1", "flat"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("p0", IntegerType(), False),
+            StructField("p1", IntegerType(), False),
+            StructField("flat", BooleanType(), False),
+        ]
+    )
+    return media.mapInPandas(_dec, schema)
+
+
 _IMAGE_GUARD_SQL = (
     # closed form: the whale half (doc_id%2==0, one shared uniform
     # raster -> one aHash bucket) is capped and REPORTED id-for-id;
