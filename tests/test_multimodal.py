@@ -333,7 +333,7 @@ def _jpeg_category(v):
     return abs(v).bit_length()
 
 
-def _jpeg_encode(width, height, comps, qtabs, comp_blocks, restart_interval=0):
+def _jpeg_encode(width, height, comps, qtabs, comp_blocks, restart_interval=0, precision=8):
     """comps: [(cid, h, v, tq)]; qtabs: {tq: 64 ints, natural order};
     comp_blocks: {cid: [[64-coeff natural-order block] per (block_row,
     block_col)]} covering the full padded plane. One DC and one AC
@@ -423,10 +423,11 @@ def _jpeg_encode(width, height, comps, qtabs, comp_blocks, restart_interval=0):
     for tq, tbl in qtabs.items():
         zz_tbl = bytes(tbl[_ENC_ZIGZAG[k]] for k in range(64))
         seg(0xDB, bytes([tq]) + zz_tbl)
-    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    sof = bytearray([precision]) + struct.pack(">HH", height, width) + bytes([len(comps)])
     for cid, ch, cv, tq in comps:
         sof += bytes([cid, (ch << 4) | cv, tq])
-    seg(0xC0, bytes(sof))
+    # 12-bit sequential is EXTENDED sequential (SOF1); baseline is 8-bit
+    seg(0xC0 if precision == 8 else 0xC1, bytes(sof))
     seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
     seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
     if restart_interval:
@@ -452,7 +453,7 @@ def _jpeg_encode(width, height, comps, qtabs, comp_blocks, restart_interval=0):
 
 def _jpeg_encode_progressive(
     width, height, comps, qtabs, comp_blocks, scans=None,
-    restart_interval=0,
+    restart_interval=0, precision=8,
 ):
     """Progressive (SOF2) twin of _jpeg_encode, emitting per ITU T.81
     G.1.2 with libjpeg's buffering rules (EOB runs, correction-bit
@@ -512,7 +513,7 @@ def _jpeg_encode_progressive(
 
     for tq, tbl in qtabs.items():
         seg(0xDB, bytes([tq]) + bytes(tbl[_ENC_ZIGZAG[k]] for k in range(64)))
-    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes(
+    sof = bytearray([precision]) + struct.pack(">HH", height, width) + bytes(
         [len(comps)]
     )
     for cid, ch, cv, tq in comps:
@@ -1493,5 +1494,46 @@ def test_jpeg_progressive_restart_markers():
     base = _jpeg_encode(w, h, comps, {0: q}, cblocks, restart_interval=1)
     prog = _jpeg_encode_progressive(
         w, h, comps, {0: q}, cblocks, restart_interval=1
+    )
+    assert decode_real(prog, "image") == decode_real(base, "image")
+
+
+def test_jpeg_12bit_precision():
+    """12-bit precision (r11): level shift 2048, clip to 4095, maxval
+    4095 (the PNM high-maxval convention) — DC-only closed form, and
+    sequential(SOF1)≡progressive(SOF2) container invariance at 12-bit
+    magnitudes (DC up to ±2047, AC categories past 10)."""
+    import random
+
+    q = [16] * 64
+    dcs = [0, 100, -100, 1500, -1500, 2047]
+    blocks = [[None] * 6]
+    for i, dc in enumerate(dcs):
+        b = [0] * 64
+        b[0] = dc
+        blocks[0][i] = b
+    base = _jpeg_encode(
+        48, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, precision=12
+    )
+    d = decode_real(base, "image")
+    assert d["maxval"] == 4095
+    for i, dc in enumerate(dcs):
+        expect = min(4095, max(0, 2 * dc + 2048))
+        tile = {
+            d["pixels"][r * 48 + c]
+            for r in range(8)
+            for c in range(8 * i, 8 * i + 8)
+        }
+        assert tile == {expect}, (i, dc)
+    rng = random.Random(77)
+    blocks = _rand_blocks(rng, 1, 4, max_abs=900, density=0.3)
+    for b_row in blocks:
+        for b in b_row:
+            b[0] = rng.randrange(-2000, 2001)
+    base = _jpeg_encode(
+        32, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, precision=12
+    )
+    prog = _jpeg_encode_progressive(
+        32, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, precision=12
     )
     assert decode_real(prog, "image") == decode_real(base, "image")

@@ -479,9 +479,11 @@ def _jpeg_decode(payload: bytes) -> dict:
     progressive encodings of the same quantized coefficients must
     decode pixel-identical to the baseline encoding (test_multimodal).
 
-    Arithmetic coding (SOF9+/DAC), 12-bit precision and hierarchical
-    (SOF3/5/6/7/11+) raise NotImplementedError — spec surface outside
-    the seam's stated scope.
+    12-bit precision decodes too (r11: level shift 2048, clip 4095,
+    maxval 4095 — the PNM high-maxval convention). Arithmetic coding
+    (SOF9+/DAC), lossless and hierarchical (SOF3/5/6/7/11+) raise
+    NotImplementedError — spec surface outside the seam's stated
+    scope.
 
     Determinism convention (shared with the byte-exact fixtures in
     tests/test_multimodal.py): coefficients accumulate scan-by-scan in
@@ -555,15 +557,15 @@ def _jpeg_decode(payload: bytes) -> dict:
                 qt[tq] = tbl.astype(np.int64)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec = seg[0]
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec} != 8")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"JPEG precision {prec}")
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append([cid, hv >> 4, hv & 15, tq])
-            frame = (width, height, comps)
+            frame = (width, height, comps, prec)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -619,7 +621,9 @@ def _jpeg_decode(payload: bytes) -> dict:
         pos += seglen
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF or SOS")
-    width, height, comps = frame
+    width, height, comps, prec = frame
+    mid = 1 << (prec - 1)  # level shift: 128 at 8-bit, 2048 at 12-bit
+    top = (1 << prec) - 1
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -809,11 +813,11 @@ def _jpeg_decode(payload: bytes) -> dict:
         )
         out_planes.append(plane[:height, :width])
     if len(out_planes) == 1:
-        gray = np.clip(np.floor(out_planes[0] + 128.5), 0, 255)
+        gray = np.clip(np.floor(out_planes[0] + mid + 0.5), 0, top)
         pixels = gray.astype(np.int64).ravel().tolist()
         channels = 1
     elif len(out_planes) == 3:
-        y = out_planes[0] + 128.0
+        y = out_planes[0] + float(mid)
         cb = out_planes[1]
         cr = out_planes[2]
         rgb = np.stack(
@@ -825,7 +829,7 @@ def _jpeg_decode(payload: bytes) -> dict:
             axis=-1,
         )
         pixels = (
-            np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.int64).ravel().tolist()
+            np.clip(np.floor(rgb + 0.5), 0, top).astype(np.int64).ravel().tolist()
         )
         channels = 3
     else:
@@ -837,7 +841,7 @@ def _jpeg_decode(payload: bytes) -> dict:
         "kind": "image",
         "width": width,
         "height": height,
-        "maxval": 255,
+        "maxval": top,
         "channels": channels,
         "pixels": pixels,
     }
@@ -862,8 +866,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
       grayscale + YCbCr at any h/v sampling, multi-table DQT/DHT,
       restart markers in any scan; Huffman entropy decode + dequant +
       vectorized float64 orthonormal IDCT + JFIF color convert
-      (``_jpeg_decode``); arithmetic coding and 12-bit precision raise
-      NotImplementedError.
+      at 8-bit AND 12-bit precision (``_jpeg_decode``); arithmetic
+      coding raises NotImplementedError.
 
     Formats genuinely requiring external codec libraries (MP3/MP4/AV)
     still raise NotImplementedError — that residue is the documented
