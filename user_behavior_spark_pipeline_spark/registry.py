@@ -5938,6 +5938,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "image_near_dup_pairs",
             "image_near_dup_pairs_hamming",
             "synth_image_pair_media",
+            "decode_real",
         }
     ),
     sql_tokens=frozenset(),
