@@ -581,3 +581,46 @@ def test_http_envelope_end_to_end(spark):
         else:
             expected = re.sub(r"\s+", " ", f"doc {i} body text {i} & <tag>").strip()
             assert got[i] == (200, expected), i
+
+
+def test_warc_digest_verify(spark):
+    """Block-digest verification: spec-form sha1:base32 digests verify
+    JVM-side; planted wrong-byte digests flag false; absent digests are
+    NULL; malformed labels/values never match (false, not a crash)."""
+    import base64
+    import hashlib
+
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        warc_digest_verify,
+        warc_records,
+    )
+
+    def rec(idx, body, digest_line=b""):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + digest_line
+            + b"Content-Length: %d\r\n\r\n" % len(body)
+            + body
+            + b"\r\n\r\n"
+        )
+
+    good = base64.b32encode(hashlib.sha1(b"abc").digest())
+    payload = (
+        rec(0, b"abc", b"WARC-Block-Digest: sha1:" + good + b"\r\n")
+        + rec(1, b"abc", b"WARC-Block-Digest: sha1:" + good[:-4] + b"AAAA\r\n")
+        + rec(2, b"abc")  # no digest
+        + rec(3, b"abc", b"WARC-Block-Digest: md5:ABCD\r\n")  # wrong algo
+        + rec(4, b"abc", b"WARC-Block-Digest: sha1:!!notb32!!\r\n")
+    )
+    archives = spark.createDataFrame(
+        [(1, payload)], "archive_id long, payload binary"
+    )
+    out = {
+        r.record_idx: r
+        for r in warc_digest_verify(warc_records(archives)).collect()
+    }
+    assert out[0].digest_ok is True and out[0].has_digest
+    assert out[1].digest_ok is False
+    assert out[2].digest_ok is None and not out[2].has_digest
+    assert out[3].digest_ok is False  # unsupported algo: flagged
+    assert out[4].digest_ok is False  # malformed base32: flagged

@@ -3591,6 +3591,58 @@ def x_warc_quarantine(spark, sf_dir):
     )
 
 
+_WARC_DIGEST_SQL = (
+    # closed form from synth_warc_bytes: the response record carries a
+    # sha1:base32 WARC-Block-Digest computed over the body — except for
+    # doc_id % 7 == 2, where the digest covers the WRONG bytes (planted
+    # bit rot) and verification must flag it; warcinfo records carry no
+    # digest, so their digest_ok is NULL
+    "SELECT doc_id AS archive_id, o.record_idx, "
+    "CASE o.record_idx WHEN 0 THEN 'warcinfo' ELSE 'response' END "
+    "AS warc_type, "
+    "o.record_idx = 1 AS has_digest, "
+    "CASE WHEN o.record_idx = 0 THEN 'no-digest' "
+    "WHEN doc_id % 7 <> 2 THEN 'ok' ELSE 'mismatch' END "
+    "AS digest_status "
+    "FROM documents CROSS JOIN "
+    "(VALUES (CAST(0 AS INT)), (CAST(1 AS INT))) AS o(record_idx)"
+)
+
+
+@query("x_warc_digest", oracle=_WARC_DIGEST_SQL)
+def x_warc_digest(spark, sf_dir):
+    """Crawl-integrity digest verification (r11): real WARC archives
+    whose response records carry spec-form ``WARC-Block-Digest:
+    sha1:<base32>`` headers; every seventh digest is computed over the
+    wrong bytes (planted bit rot). warc.warc_digest_verify recomputes
+    SHA-1 JVM-side and compares — the closed form pins which records
+    have digests, which verify, and which are flagged. The digest-less
+    warcinfo records certify the NULL path."""
+    from .operators.warc import (
+        synth_warc_archives,
+        warc_digest_verify,
+        warc_records,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = _table(spark, sf_dir, "documents")
+    checked = warc_digest_verify(warc_records(synth_warc_archives(docs)))
+    # NULL-free status string: the driver's row sort stringifies cells,
+    # and a NULL boolean renders differently in pandas ("None") vs
+    # DuckDB ("nan"), destabilizing the order within an archive
+    return checked.select(
+        "archive_id",
+        "record_idx",
+        "warc_type",
+        "has_digest",
+        F.when(~F.col("has_digest"), "no-digest")
+        .when(F.col("digest_ok"), "ok")
+        .otherwise("mismatch")
+        .alias("digest_status"),
+    )
+
+
 @query("x_stream_warc", oracle=_WARC_QUARANTINE_SQL)
 def x_stream_warc(spark, sf_dir):
     """Streaming WARC ingestion (VERDICT r10 #6, r9 stretch #8): the
@@ -5947,6 +5999,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "image_near_dup_pairs_hamming",
             "synth_image_pair_media",
             "decode_real",
+            "synth_warc_bytes",
+            "warc_digest_verify",
         }
     ),
     sql_tokens=frozenset(),
