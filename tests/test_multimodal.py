@@ -1537,3 +1537,127 @@ def test_jpeg_12bit_precision():
         32, 8, [(1, 1, 1, 0)], {0: q}, {1: blocks}, precision=12
     )
     assert decode_real(prog, "image") == decode_real(base, "image")
+
+
+def _png_encode_any(w, h, color_type, depth, samples, interlace, plte=b""):
+    """Generic independent PNG writer (filter-0 rows) over the full
+    supported IHDR grid: gray 1/2/4/8/16, palette 1/2/4/8, RGB/GA/RGBA
+    8/16, optional Adam7 — raster packing re-derived from the spec
+    (MSB-first sub-byte, big-endian 16-bit), NOT from the decoder."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def pack_row(vals):
+        # vals: flat per-sample ints for one pass row
+        if depth < 8:
+            out = bytearray()
+            acc, n = 0, 0
+            for v in vals:
+                acc = (acc << depth) | v
+                n += depth
+                if n == 8:
+                    out.append(acc)
+                    acc, n = 0, 0
+            if n:
+                out.append(acc << (8 - n))
+            return bytes(out)
+        if depth == 8:
+            return bytes(vals)
+        return b"".join(v.to_bytes(2, "big") for v in vals)
+
+    passes = (
+        ((0, 0, 1, 1),) if interlace == 0 else (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        )
+    )
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            y = y0 + r * ys
+            vals = []
+            for i in range(pw):
+                x = x0 + i * xs
+                base = (y * w + x) * channels
+                vals.extend(samples[base : base + channels])
+            raw += b"\x00" + pack_row(vals)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_property_full_ihdr_grid():
+    """Property: every supported (color type, depth, interlace) combo
+    round-trips arbitrary rasters through an independent writer — the
+    decoder's de-interleave, unpacking, scaling and palette lookup hold
+    across the whole legal grid, not just the hand fixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    grid = (
+        [(0, d) for d in (1, 2, 4, 8, 16)]
+        + [(3, d) for d in (1, 2, 4, 8)]
+        + [(2, 8), (2, 16), (4, 8), (4, 16), (6, 8), (6, 16)]
+    )
+
+    @settings(
+        max_examples=150,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.data())
+    def check(data):
+        color_type, depth = data.draw(st.sampled_from(grid))
+        w = data.draw(st.integers(1, 11))
+        h = data.draw(st.integers(1, 11))
+        interlace = data.draw(st.integers(0, 1))
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        top = (1 << depth) - 1
+        n = w * h * channels
+        samples = data.draw(
+            st.lists(st.integers(0, top), min_size=n, max_size=n)
+        )
+        plte = b""
+        if color_type == 3:
+            plte = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=3 * (top + 1),
+                        max_size=3 * (top + 1),
+                    )
+                )
+            )
+        png = _png_encode_any(
+            w, h, color_type, depth, samples, interlace, plte
+        )
+        d = _png_decode(png)
+        if color_type == 3:
+            expect = []
+            for idx in samples:
+                expect.extend(plte[3 * idx : 3 * idx + 3])
+            assert d["channels"] == 3 and d["pixels"] == expect
+        elif depth < 8:
+            assert d["pixels"] == [v * 255 // top for v in samples]
+        else:
+            assert d["pixels"] == samples
+            assert d["maxval"] == top
+
+    check()
