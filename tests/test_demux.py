@@ -503,3 +503,109 @@ def test_mp4_sample_ranges_quarantines_struct_error(spark):
     for mid in (1, 2, 3):
         (r,) = out[mid]
         assert "overruns payload" in r.parse_error
+
+
+def test_fmp4_equals_plain_closed_form():
+    """The fragmented builder plants the same sample geometry as the
+    plain one — both demux to identical sample tables (moof walker
+    certified against the stbl walker)."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        synth_fmp4_bytes,
+    )
+
+    for d, nc in ((0, 5), (3, 9), (11, 13), (42, 6)):
+        pt = mp4_demux(synth_mp4_bytes(d, nc))["tracks"][0]
+        ft = mp4_demux(synth_fmp4_bytes(d, nc))["tracks"][0]
+        for k in ("sizes", "offsets", "dts", "keyframe"):
+            assert pt[k] == ft[k], (d, nc, k)
+
+
+def test_fmp4_default_base_is_moof_and_first_sample_flags():
+    """The trun layouts the builder does NOT use: default-base-is-moof
+    anchoring (offsets relative to the moof box), trex-supplied default
+    size/duration (no per-sample fields at all), and first-sample-flags
+    overriding a non-sync default for the leading keyframe."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        _box,
+        _full,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"cmfciso6")
+    stsd = _full(
+        b"stsd",
+        0,
+        struct.pack(">I", 1) + struct.pack(">I4s", 16, b"mp4v") + bytes(8),
+    )
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, struct.pack(">II", 0, 0))
+        + _full(b"stsc", 0, struct.pack(">I", 0))
+        + _full(b"stco", 0, struct.pack(">I", 0)),
+    )
+    mdia = _box(
+        b"mdia",
+        _full(b"mdhd", 0, struct.pack(">IIII", 0, 0, 1000, 120) + bytes(4))
+        + _full(b"hdlr", 0, struct.pack(">I4s", 0, b"vide") + bytes(13))
+        + _box(b"minf", stbl),
+    )
+    trak = _box(
+        b"trak",
+        _full(b"tkhd", 0, struct.pack(">III", 0, 0, 1) + bytes(72)) + mdia,
+    )
+    # trex: default size 50, duration 40, flags non-sync
+    mvex = _box(
+        b"mvex",
+        _full(b"trex", 0, struct.pack(">IIIII", 1, 1, 40, 50, 0x10000)),
+    )
+    moov = _box(
+        b"moov",
+        _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 120) + bytes(80))
+        + mvex
+        + trak,
+    )
+    # tfhd: NO base-data-offset, flag 0x020000 default-base-is-moof
+    tfhd = _box(b"tfhd", bytes([0, 0x02, 0, 0]) + struct.pack(">I", 1))
+    tfdt = _full(b"tfdt", 0, struct.pack(">I", 0))
+    # trun: 3 samples, data-offset + first-sample-flags only — sizes,
+    # durations and the two trailing non-sync flags come from trex
+    trun = _box(
+        b"trun",
+        bytes([0, 0, 0x00, 0x05])  # data-offset + first-sample-flags
+        + struct.pack(">Ii", 3, 200)
+        + struct.pack(">I", 0),  # first-sample-flags: sync
+    )
+    traf = _box(b"traf", tfhd + tfdt + trun)
+    moof = _box(b"moof", _full(b"mfhd", 0, struct.pack(">I", 1)) + traf)
+    mdat = _box(b"mdat", bytes(150))
+    payload = ftyp + moov + moof + mdat
+    moof_start = len(ftyp) + len(moov)
+    t = mp4_demux(payload)["tracks"][0]
+    assert t["sizes"] == [50, 50, 50]
+    assert t["offsets"] == [
+        moof_start + 200,
+        moof_start + 250,
+        moof_start + 300,
+    ]
+    assert t["dts"] == [0, 40, 80]
+    assert t["keyframe"] == [True, False, False]
+
+
+def test_fmp4_corrupt_trun_quarantines(spark):
+    """A corrupted trun sample count reads past the buffer -> the
+    walker quarantines the file instead of dying (struct.error path)."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp4_sample_ranges,
+        synth_fmp4_bytes,
+    )
+
+    raw = synth_fmp4_bytes(3, 9)
+    i = raw.index(b"trun")
+    bad = bytearray(raw)
+    bad[i + 8 : i + 12] = struct.pack(">I", 0x0FFFFFFF)
+    media = spark.createDataFrame(
+        [(1, bytes(bad))], "media_id long, payload binary"
+    )
+    (r,) = mp4_sample_ranges(media).collect()
+    assert r.parse_error is not None and r.sample_idx is None

@@ -355,10 +355,115 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
     }
 
 
+def _parse_moof(payload, moof_start, body_start, body_end, trex, frag):
+    """One movie fragment: per-traf tfhd defaults + tfdt decode time +
+    trun sample runs, appended into ``frag[track_id]`` flat arrays
+    (sizes / absolute offsets / dts / keyframe) — the same shape
+    _parse_stbl produces, so fragmented and plain samples merge."""
+    for ttype, tb, te in _iter_boxes(payload, body_start, body_end):
+        if ttype != b"traf":
+            continue
+        tfhd = None
+        tfdt_time = 0
+        truns = []
+        for ftype, fb, fe in _iter_boxes(payload, tb, te):
+            if ftype == b"tfhd":
+                _v, flags, p = _full_box(payload, fb)
+                tid = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+                base = None
+                if flags & 0x1:  # base-data-offset
+                    base = struct.unpack_from(">Q", payload, p)[0]
+                    p += 8
+                if flags & 0x2:  # sample-description-index
+                    p += 4
+                ddur = dsize = dflags = None
+                if flags & 0x8:
+                    ddur = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                if flags & 0x10:
+                    dsize = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                if flags & 0x20:
+                    dflags = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                tfhd = (tid, base, ddur, dsize, dflags, flags)
+            elif ftype == b"tfdt":
+                ver, _f, p = _full_box(payload, fb)
+                tfdt_time = struct.unpack_from(
+                    ">Q" if ver == 1 else ">I", payload, p
+                )[0]
+            elif ftype == b"trun":
+                truns.append(fb)
+        if tfhd is None:
+            raise ValueError("traf without tfhd")
+        tid, base, ddur, dsize, dflags, hflags = tfhd
+        xdur, xsize, xflags = trex.get(tid, (None, None, None))
+        ddur = ddur if ddur is not None else xdur
+        dsize = dsize if dsize is not None else xsize
+        dflags = dflags if dflags is not None else xflags
+        if base is None:
+            # default-base-is-moof (0x020000), and the spec's fallback
+            # for the first traf, both anchor at the moof box itself
+            base = moof_start
+        tr = frag.setdefault(
+            tid, {"sizes": [], "offsets": [], "dts": [], "keyframe": []}
+        )
+        t = tfdt_time
+        for fb in truns:
+            _v, flags, p = _full_box(payload, fb)
+            n = struct.unpack_from(">I", payload, p)[0]
+            p += 4
+            data_off = 0
+            if flags & 0x1:
+                data_off = struct.unpack_from(">i", payload, p)[0]
+                p += 4
+            first_flags = None
+            if flags & 0x4:
+                first_flags = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+            at = base + data_off
+            for i in range(n):
+                dur, size, sflags = ddur, dsize, dflags
+                if flags & 0x100:
+                    dur = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                if flags & 0x200:
+                    size = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                if flags & 0x400:
+                    sflags = struct.unpack_from(">I", payload, p)[0]
+                    p += 4
+                if flags & 0x800:  # composition offset: dts unaffected
+                    p += 4
+                if i == 0 and first_flags is not None:
+                    sflags = first_flags
+                if size is None or dur is None:
+                    raise ValueError(
+                        "trun sample without size/duration (no default)"
+                    )
+                # sample_is_non_sync_sample is flag bit 16; absent
+                # flags (no per-sample, no default, no trex) mean sync
+                tr["sizes"].append(size)
+                tr["offsets"].append(at)
+                tr["dts"].append(t)
+                tr["keyframe"].append(
+                    sflags is None or not (sflags & 0x10000)
+                )
+                at += size
+                t += dur
+        tr["end_dts"] = t
+
+
 def mp4_demux(payload: bytes) -> dict:
     """Demux an ISO-BMFF (MP4/MOV) payload: brand, movie timescale and
     duration, and per-track sample tables (codec, per-sample byte
-    offset/size, decode timestamp, keyframe flag).
+    offset/size, decode timestamp, keyframe flag) — from the plain
+    ``moov/stbl`` index AND from movie fragments (``moof/traf/trun``,
+    r11): fMP4/DASH/CMAF segments demux with trex/tfhd defaults, tfdt
+    decode times, per-sample or default trun flags (bit 16 =
+    non-sync), and base-data-offset / default-base-is-moof anchoring;
+    fragment samples append after any stbl samples of the same track.
 
     This is the entire metadata surface a frame-sampling pipeline needs —
     the payload's media data (``mdat``) is never interpreted, only
@@ -371,12 +476,22 @@ def mp4_demux(payload: bytes) -> dict:
     timescale = None
     duration = 0
     tracks = []
+    trex: dict[int, tuple] = {}
+    frag: dict[int, dict] = {}
     for btype, b, e in _iter_boxes(payload, 0, len(payload)):
         if btype != b"moov":
             continue
         for mtype, mb, me in _iter_boxes(payload, b, e):
             if mtype == b"mvhd":
                 timescale, duration = _parse_mvhd(payload, mb)
+            elif mtype == b"mvex":
+                for xtype, xb, _xe in _iter_boxes(payload, mb, me):
+                    if xtype == b"trex":
+                        _v, _f, xp = _full_box(payload, xb)
+                        tid, _sdi, ddur, dsize, dflags = struct.unpack_from(
+                            ">IIIII", payload, xp
+                        )
+                        trex[tid] = (ddur, dsize, dflags)
             elif mtype == b"trak":
                 track_id = None
                 handler = None
@@ -413,6 +528,36 @@ def mp4_demux(payload: bytes) -> dict:
                 )
     if timescale is None:
         raise ValueError("no moov/mvhd found")
+    # movie FRAGMENTS (fMP4 / DASH / CMAF — the shape streaming video
+    # actually lands in): walk top-level moof boxes with their header
+    # offsets (base-data-offset defaults anchor at the moof box itself)
+    pos = 0
+    while pos + 8 <= len(payload):
+        size, btype4 = struct.unpack_from(">I4s", payload, pos)
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = len(payload) - pos
+        if size < hdr or pos + size > len(payload):
+            raise ValueError(f"box {btype4!r} overruns payload")
+        if btype4 == b"moof":
+            _parse_moof(payload, pos, pos + hdr, pos + size, trex, frag)
+        pos += size
+    for t in tracks:
+        f = frag.get(t["track_id"])
+        if not f:
+            continue
+        t["sizes"] = t["sizes"] + f["sizes"]
+        t["offsets"] = t["offsets"] + f["offsets"]
+        t["dts"] = t["dts"] + f["dts"]
+        t["keyframe"] = t["keyframe"] + f["keyframe"]
+        end = f.get("end_dts", t["media_duration"])
+        t["media_duration"] = max(t["media_duration"], end)
+        t["duration_us"] = max(
+            t["duration_us"], end * 1_000_000 // t["timescale"]
+        )
     return {
         "container": "mp4",
         "brand": brand,
@@ -512,6 +657,84 @@ def synth_mp4_bytes(doc_id: int, n_chars: int) -> bytes:
     mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, duration) + bytes(80))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def synth_fmp4_bytes(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic FRAGMENTED one-video-track MP4 (fMP4 — the
+    DASH/CMAF shape): a sample-less ``moov`` init (empty stbl + mvex/
+    trex defaults) followed by two ``moof`` fragments whose trun tables
+    carry per-sample sizes and flags, with tfhd base-data-offset
+    pointing into a single up-front ``mdat``. Same closed form as
+    synth_mp4_bytes (data still starts at byte 32):
+      n_samples   = n_chars % 7 + 2
+      size(i)     = (doc_id + 13*i) % 240 + 16          (0-based i)
+      offset(i)   = 32 + sum_{j<i} size(j)
+      dts_ms(i)   = 40 * i   (tfdt v1 + tfhd default duration 40)
+      keyframe(i) = i % 3 == 0   (per-sample trun flags, bit 16)
+    Fragment 1 holds ceil(n/2) samples; fragment 2 adds composition
+    offsets (all zero) to exercise that trun layout too."""
+    n = n_chars % 7 + 2
+    sizes = [(doc_id + 13 * i) % 240 + 16 for i in range(n)]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"cmfciso6")
+    assert len(ftyp) == 24
+    mdat = _box(b"mdat", bytes(sum(sizes)))
+    duration = 40 * n
+    stsd = _full(
+        b"stsd",
+        0,
+        struct.pack(">I", 1) + struct.pack(">I4s", 16, b"mp4v") + bytes(8),
+    )
+    stts = _full(b"stts", 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, struct.pack(">II", 0, 0))
+    stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+    stco = _full(b"stco", 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", 0, struct.pack(">I4s", 0, b"vide") + bytes(13))
+    mdhd = _full(
+        b"mdhd", 0, struct.pack(">IIII", 0, 0, 1000, duration) + bytes(4)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, struct.pack(">III", 0, 0, 1) + bytes(72))
+    trak = _box(b"trak", tkhd + mdia)
+    # trex: default duration 40 (also in tfhd, belt and braces),
+    # default flags = non-sync — per-sample trun flags override it
+    trex = _full(
+        b"trex", 0, struct.pack(">IIIII", 1, 1, 40, 0, 0x10000)
+    )
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(
+        b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, duration) + bytes(80)
+    )
+    moov = _box(b"moov", mvhd + mvex + trak)
+
+    def frag(seq: int, start: int, stop: int, with_cts: bool) -> bytes:
+        mfhd = _full(b"mfhd", 0, struct.pack(">I", seq))
+        base = 32 + sum(sizes[:start])
+        # tfhd flags: 0x1 base-data-offset + 0x8 default-sample-duration
+        tfhd = _box(
+            b"tfhd",
+            bytes([0, 0, 0, 0x09])
+            + struct.pack(">IQI", 1, base, 40),
+        )
+        tfdt = _full(b"tfdt", 1, struct.pack(">Q", 40 * start))
+        # trun flags: 0x1 data-offset + 0x200 sizes + 0x400 flags
+        # (+ 0x800 composition offsets in fragment 2)
+        tflags = 0x601 | (0x800 if with_cts else 0)
+        body = struct.pack(">I", stop - start) + struct.pack(">i", 0)
+        for i in range(start, stop):
+            body += struct.pack(">I", sizes[i])
+            body += struct.pack(">I", 0 if i % 3 == 0 else 0x10000)
+            if with_cts:
+                body += struct.pack(">I", 0)
+        trun = _box(
+            b"trun", bytes([0, (tflags >> 16) & 0xFF, (tflags >> 8) & 0xFF, tflags & 0xFF]) + body
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        return _box(b"moof", mfhd + traf)
+
+    h = (n + 1) // 2
+    return ftyp + mdat + moov + frag(1, 0, h, False) + frag(2, h, n, True)
 
 
 def synth_mp3_bytes(doc_id: int, n_chars: int) -> bytes:
@@ -721,6 +944,25 @@ def mp3_audio_metadata(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _walk, MP3_META_SCHEMA
+    )
+
+
+def synth_fmp4_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of fragmented MP4s, one per document —
+    executor-side builder, same pattern as synth_container_media."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, n_chars):
+        out = []
+        for d, n in zip(doc_id, n_chars):
+            out.append(synth_fmp4_bytes(int(d), int(n)))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "n_chars").alias("payload"),
     )
 
 

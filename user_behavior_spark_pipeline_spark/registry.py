@@ -3272,6 +3272,44 @@ _MP4_SAMPLES_SQL = (
 )
 
 
+_FMP4_SAMPLES_SQL = (
+    # identical closed form to _MP4_SAMPLES_SQL (the fragmented builder
+    # plants the SAME sample geometry through moof/traf/trun instead of
+    # stbl), over the odd half of the corpus
+    _MP4_SAMPLES_SQL.replace("doc_id % 2 = 0", "doc_id % 2 = 1")
+)
+
+
+@query("x_demux_fmp4", oracle=_FMP4_SAMPLES_SQL)
+def x_demux_fmp4(spark, sf_dir):
+    """Fragmented-MP4 demux (r11) — the DASH/CMAF shape streaming video
+    actually lands in: a sample-less moov init (empty stbl, mvex/trex
+    defaults) plus two moof fragments per file; sample geometry comes
+    entirely from tfhd base-data-offset + defaults, tfdt v1 decode
+    times, and per-sample trun sizes/flags (fragment 2 adds composition
+    offsets). The closed form is IDENTICAL to x_demux_mp4_samples — the
+    same sample table must come out of the fragmented container as out
+    of the plain one — which certifies the moof walker against the
+    already-certified stbl walker AND against SQL."""
+    from .operators.demux import mp4_sample_ranges, synth_fmp4_media
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 2 = 1")
+    samples = mp4_sample_ranges(synth_fmp4_media(docs))
+    from pyspark.sql import functions as F
+
+    return samples.select(
+        "media_id",
+        "track_id",
+        "handler",
+        "codec",
+        "sample_idx",
+        "byte_offset",
+        "size",
+        "keyframe",
+        "dts_ms",
+    )
+
+
 @query("x_demux_mp4_samples", oracle=_MP4_SAMPLES_SQL)
 def x_demux_mp4_samples(spark, sf_dir):
     """ISO-BMFF (MP4) demux to per-sample byte ranges: payloads are
@@ -6001,6 +6039,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "decode_real",
             "synth_warc_bytes",
             "warc_digest_verify",
+            "mp4_demux",
         }
     ),
     sql_tokens=frozenset(),
