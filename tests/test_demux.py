@@ -609,3 +609,53 @@ def test_fmp4_corrupt_trun_quarantines(spark):
     )
     (r,) = mp4_sample_ranges(media).collect()
     assert r.parse_error is not None and r.sample_idx is None
+
+
+def test_subtitle_parse_edge_cases():
+    """Hand fixtures beyond the builder: hour-less VTT timestamps, BOM,
+    multi-line cue text joined with spaces, reversed range and missing
+    arrow line rejected, stray SRT index-only block tolerated."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        subtitle_cues_parse,
+    )
+
+    vtt = (
+        b"\xef\xbb\xbfWEBVTT\n\n"
+        b"00:05.250 --> 01:02.500\nline one\nline two\n\n"
+        b"NOTE ignore me\n\n"
+        b"1:00:00.000 --> 1:00:01.000\nlate cue\n"
+    )
+    cues = subtitle_cues_parse(vtt)
+    assert cues[0] == {
+        "cue_idx": 0,
+        "start_ms": 5250,
+        "end_ms": 62500,
+        "text": "line one line two",
+    }
+    assert cues[1]["start_ms"] == 3600_000
+    srt = b"1\n00:00:01,000 --> 00:00:02,000\nhello\n\n7\n"
+    assert subtitle_cues_parse(srt)[0]["text"] == "hello"
+    with pytest.raises(ValueError, match="ends before"):
+        subtitle_cues_parse(b"1\n00:00:05,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(ValueError, match="timing"):
+        subtitle_cues_parse(b"hello world no timing\n")
+
+
+def test_subtitle_cues_operator_quarantines(spark):
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        subtitle_cues,
+        synth_subtitle_bytes,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, synth_subtitle_bytes(0, 3)),
+            (1, b"WEBVTT\n\nbroken block without arrow\n"),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = subtitle_cues(media).collect()
+    good = [r for r in rows if r.media_id == 0]
+    (bad,) = [r for r in rows if r.media_id == 1]
+    assert len(good) == 3 % 5 + 2 and all(r.parse_error is None for r in good)
+    assert bad.parse_error is not None and bad.format == "vtt"

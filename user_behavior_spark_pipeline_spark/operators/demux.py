@@ -966,6 +966,180 @@ def synth_fmp4_media(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Subtitle / caption companion streams (SRT, WebVTT) — the text half of a
+# video training corpus: cue-aligned transcripts for frame/caption pairs
+# ---------------------------------------------------------------------------
+
+
+def _sub_time_ms(tok: str) -> int:
+    """``HH:MM:SS,mmm`` (SRT) or ``[HH:]MM:SS.mmm`` (WebVTT) to ms."""
+    tok = tok.strip().replace(",", ".")
+    parts = tok.split(":")
+    if len(parts) == 2:
+        parts = ["0"] + parts
+    if len(parts) != 3:
+        raise ValueError(f"bad subtitle timestamp: {tok!r}")
+    h, m = int(parts[0]), int(parts[1])
+    sec = parts[2]
+    if "." in sec:
+        s, frac = sec.split(".", 1)
+        ms = int((frac + "000")[:3])
+    else:
+        s, ms = sec, 0
+    return ((h * 60 + m) * 60 + int(s)) * 1000 + ms
+
+
+def subtitle_cues_parse(payload: bytes) -> list[dict]:
+    """Parse an SRT or WebVTT payload into cue dicts (cue_idx 0-based,
+    start_ms, end_ms, text with internal newlines joined by a space).
+    Format is sniffed: a ``WEBVTT`` magic line means VTT (NOTE/STYLE
+    blocks and cue settings after the arrow are skipped; optional cue
+    identifiers tolerated); otherwise SRT (numeric index lines).
+    Raises ValueError on structural corruption — a reversed time range,
+    a block with no arrow line — so the walker can quarantine."""
+    text = payload.decode("utf-8-sig", errors="replace")
+    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
+    if is_vtt:
+        lines = lines[1:]
+    # split into blank-line-separated blocks
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    for ln in lines:
+        if ln.strip():
+            cur.append(ln)
+        elif cur:
+            blocks.append(cur)
+            cur = []
+    if cur:
+        blocks.append(cur)
+    cues = []
+    for block in blocks:
+        if is_vtt and block[0].strip().split(" ")[0] in ("NOTE", "STYLE", "REGION"):
+            continue
+        arrow_at = next(
+            (i for i, ln in enumerate(block) if "-->" in ln), None
+        )
+        if arrow_at is None:
+            if not is_vtt and len(block) == 1 and block[0].strip().isdigit():
+                continue  # stray index block
+            raise ValueError(
+                f"subtitle block without a cue timing line: {block[0]!r}"
+            )
+        timing = block[arrow_at]
+        left, _, right = timing.partition("-->")
+        start = _sub_time_ms(left)
+        # VTT allows settings after the end time: take the first token
+        end = _sub_time_ms(right.strip().split(" ")[0])
+        if end < start:
+            raise ValueError(f"subtitle cue ends before it starts: {timing!r}")
+        body = " ".join(s.strip() for s in block[arrow_at + 1 :]).strip()
+        cues.append(
+            {
+                "cue_idx": len(cues),
+                "start_ms": start,
+                "end_ms": end,
+                "text": body,
+            }
+        )
+    if not cues:
+        raise ValueError("no subtitle cues in payload")
+    return cues
+
+
+SUBTITLE_CUE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("cue_idx", IntegerType(), True),
+        StructField("start_ms", LongType(), True),
+        StructField("end_ms", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def subtitle_cues(media: DataFrame) -> DataFrame:
+    """Explode (media_id, payload) subtitle files into one row per cue
+    — mapInPandas, linear in subtitle bytes, embarrassingly parallel;
+    structural corruption routes to a parse_error row (the walker
+    quarantine contract, same as the WARC/MP4 walkers)."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                raw = bytes(payload)
+                fmt = (
+                    "vtt"
+                    if raw.lstrip(b"\xef\xbb\xbf").startswith(b"WEBVTT")
+                    else "srt"
+                )
+                try:
+                    for c in subtitle_cues_parse(raw):
+                        rows.append(
+                            (
+                                int(media_id),
+                                fmt,
+                                c["cue_idx"],
+                                c["start_ms"],
+                                c["end_ms"],
+                                c["text"],
+                                None,
+                            )
+                        )
+                except ValueError as e:
+                    rows.append(
+                        (int(media_id), fmt, None, None, None, None, str(e))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SUBTITLE_CUE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, SUBTITLE_CUE_SCHEMA
+    )
+
+
+def synth_subtitle_bytes(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic subtitle file: even doc_id -> SRT (CRLF, comma
+    times), odd -> WebVTT (header, dot times, a NOTE block, cue ids,
+    settings after the arrow). Closed form (oracle-mirrored):
+      n_cues     = n_chars % 5 + 2
+      start_ms   = 2000*i,  end_ms = 2000*i + 1500
+      text       = 'cue <doc_id> <i>'
+    """
+    n = n_chars % 5 + 2
+
+    def ts(ms: int, sep: str) -> str:
+        h, rem = divmod(ms, 3600_000)
+        m, rem = divmod(rem, 60_000)
+        s, ms = divmod(rem, 1000)
+        return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
+
+    if doc_id % 2 == 0:
+        out = []
+        for i in range(n):
+            out.append(
+                f"{i + 1}\r\n"
+                f"{ts(2000 * i, ',')} --> {ts(2000 * i + 1500, ',')}\r\n"
+                f"cue {doc_id} {i}\r\n"
+            )
+        return "\r\n".join(out).encode()
+    out = ["WEBVTT\n", "\nNOTE synthetic fixture\n"]
+    for i in range(n):
+        out.append(
+            f"\ncue-id-{i}\n"
+            f"{ts(2000 * i, '.')} --> {ts(2000 * i + 1500, '.')} align:start\n"
+            f"cue {doc_id} {i}\n"
+        )
+    return "".join(out).encode()
+
+
 def synth_container_media(documents: DataFrame) -> DataFrame:
     """Deterministic container fixtures from documents: even doc_id ->
     synthetic MP4, odd -> synthetic MP3 (builders above; closed-form

@@ -3272,6 +3272,56 @@ _MP4_SAMPLES_SQL = (
 )
 
 
+_SUBTITLE_SQL = (
+    # closed form from demux.synth_subtitle_bytes: n_chars%5+2 cues at
+    # 2s spacing, 1.5s long, deterministic text; even docs SRT (CRLF,
+    # comma times), odd WebVTT (NOTE block, cue ids, settings) — the
+    # same cue table must come out of both syntaxes
+    "WITH v AS (SELECT doc_id, n_chars % 5 + 2 AS n FROM documents), "
+    "c AS (SELECT doc_id, CAST(u.i AS INT) AS cue_idx FROM v, "
+    "UNNEST(range(n)) AS u(i)) "
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format, "
+    "cue_idx, CAST(2000 * cue_idx AS BIGINT) AS start_ms, "
+    "CAST(2000 * cue_idx + 1500 AS BIGINT) AS end_ms, "
+    "'cue ' || doc_id || ' ' || cue_idx AS text FROM c"
+)
+
+
+@query("x_demux_subtitles", oracle=_SUBTITLE_SQL)
+def x_demux_subtitles(spark, sf_dir):
+    """Subtitle/caption ingestion (r11) — the text companion stream of
+    a video corpus (frame/caption alignment for multimodal training):
+    deterministic SRT (even docs) and WebVTT (odd docs) files explode
+    to one row per cue via demux.subtitle_cues; the closed form pins
+    cue count, timing arithmetic across both timestamp syntaxes
+    (comma vs dot, VTT settings after the arrow, NOTE blocks, cue
+    identifiers) and text assembly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.demux import subtitle_cues, synth_subtitle_bytes
+
+    def _build_fn(doc_id, n_chars):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_subtitle_bytes(int(d), int(n))
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "n_chars").alias("payload"),
+    )
+    return subtitle_cues(media).drop("parse_error")
+
+
 _FMP4_SAMPLES_SQL = (
     # identical closed form to _MP4_SAMPLES_SQL (the fragmented builder
     # plants the SAME sample geometry through moof/traf/trun instead of
