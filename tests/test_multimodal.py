@@ -1661,3 +1661,53 @@ def test_png_property_full_ihdr_grid():
             assert d["maxval"] == top
 
     check()
+
+
+def test_jpeg_exif_both_byte_orders_and_edge_cases():
+    """EXIF IFD walk: both TIFF byte orders, out-of-line ASCII values,
+    Exif-IFD pointer chase, no-EXIF returns {}, corrupt TIFF raises."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        exif_app1_segment,
+        jpeg_encode_gray_dc,
+        jpeg_exif,
+    )
+
+    fields = {
+        "make": "m0",  # short ASCII: inline (<= 4 bytes with NUL)
+        "model": "a much longer model name",  # out-of-line value
+        "orientation": 8,
+        "datetime": "2026:02:03 04:05:06",
+        "pixel_width": 16,
+        "pixel_height": 8,
+    }
+    jpg = jpeg_encode_gray_dc(16, 8, [5, -5])
+    for le in (True, False):
+        seg = exif_app1_segment(fields, little_endian=le)
+        assert jpeg_exif(jpg[:2] + seg + jpg[2:]) == fields, le
+    assert jpeg_exif(jpg) == {}  # no APP1 at all
+    # corrupt: entry count overruns the TIFF block
+    seg = exif_app1_segment(fields)
+    bad = bytearray(jpg[:2] + seg + jpg[2:])
+    i = bytes(bad).index(b"II") + 8  # IFD0 entry count position
+    bad[i : i + 2] = b"\xff\x00"
+    with pytest.raises(ValueError, match="overrun"):
+        jpeg_exif(bytes(bad))
+
+
+def test_image_exif_operator(spark):
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        image_exif,
+        synth_exif_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(16)], "doc_id long"
+    )
+    rows = {r.media_id: r for r in image_exif(synth_exif_media(docs)).collect()}
+    assert set(rows) == set(range(16))
+    for d, r in rows.items():
+        assert r.orientation == d % 8 + 1
+        assert r.make == f"maker{d % 3}" and r.model == f"model {d}"
+        assert (r.pixel_width, r.pixel_height) == (16, 8)
+        assert r.transposed == ("yes" if d % 8 + 1 >= 5 else "no")
+        assert r.parse_error is None

@@ -847,6 +847,272 @@ def _jpeg_decode(payload: bytes) -> dict:
     }
 
 
+# EXIF tags surfaced by jpeg_exif (IFD0 + Exif-IFD pointer)
+_EXIF_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+    0xA002: "pixel_width",
+    0xA003: "pixel_height",
+}
+
+
+def jpeg_exif(payload: bytes) -> dict:
+    """EXIF metadata from a JPEG's APP1 segment (TIFF IFD walk, both
+    byte orders): make / model / datetime / orientation / Exif-IFD
+    pixel dimensions. Orientation is the load-bearing field for an
+    image pipeline — values 5-8 transpose width/height, and a dedup or
+    resize stage that ignores it mis-handles every rotated photo.
+    Returns {} when no EXIF APP1 exists; raises ValueError on a
+    structurally corrupt TIFF block (bounds-checked IFD walk)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10 : pos + 2 + seglen]
+            break
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        return {}
+    if len(tiff) < 8:
+        raise ValueError("EXIF TIFF header truncated")
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {tiff[:2]!r}")
+    magic, ifd0 = struct.unpack_from(bo + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+
+    out: dict = {}
+
+    def read_value(vtype, count, at):
+        if vtype == 2:  # ASCII
+            raw = tiff[at : at + count]
+            if len(raw) < count:
+                raise ValueError("EXIF ASCII value overruns block")
+            return raw.split(b"\x00", 1)[0].decode("latin-1")
+        if vtype == 3:  # SHORT
+            return struct.unpack_from(bo + "H", tiff, at)[0]
+        if vtype == 4:  # LONG
+            return struct.unpack_from(bo + "I", tiff, at)[0]
+        return None
+
+    def walk_ifd(off):
+        if off + 2 > len(tiff):
+            raise ValueError("EXIF IFD offset overruns block")
+        (n,) = struct.unpack_from(bo + "H", tiff, off)
+        if off + 2 + 12 * n + 4 > len(tiff):
+            raise ValueError("EXIF IFD entries overrun block")
+        exif_ptr = None
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag, vtype, count = struct.unpack_from(bo + "HHI", tiff, e)
+            sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+            nbytes = sizes.get(vtype, 0) * count
+            at = (
+                e + 8
+                if nbytes <= 4
+                else struct.unpack_from(bo + "I", tiff, e + 8)[0]
+            )
+            if tag == 0x8769 and vtype == 4:
+                exif_ptr = struct.unpack_from(bo + "I", tiff, e + 8)[0]
+                continue
+            name = _EXIF_TAGS.get(tag)
+            if name is not None:
+                out[name] = read_value(vtype, count, at)
+        return exif_ptr
+
+    sub = walk_ifd(ifd0)
+    if sub is not None:
+        walk_ifd(sub)
+    return out
+
+
+def exif_app1_segment(fields: dict, little_endian: bool = True) -> bytes:
+    """Build a spec-form APP1/EXIF segment for the given fields (the
+    write-side twin for fixtures and the oracle query; supports both
+    byte orders so the reader's endianness handling is certified).
+    ``fields`` maps the _EXIF_TAGS names; pixel_width/pixel_height go
+    into a linked Exif IFD, the rest into IFD0."""
+    import struct
+
+    bo = "<" if little_endian else ">"
+    names = {v: k for k, v in _EXIF_TAGS.items()}
+    ifd0_fields = [
+        (names[k], fields[k])
+        for k in ("make", "model", "orientation", "datetime")
+        if k in fields
+    ]
+    exif_fields = [
+        (names[k], fields[k])
+        for k in ("pixel_width", "pixel_height")
+        if k in fields
+    ]
+
+    def build_ifd(entries, base, extra_ptr=None):
+        # returns (ifd_bytes, tail_bytes); tail holds out-of-line values
+        n = len(entries) + (1 if extra_ptr is not None else 0)
+        tail = bytearray()
+        body = bytearray(struct.pack(bo + "H", n))
+        tail_base = base + 2 + 12 * n + 4
+        for tag, val in sorted(entries):
+            if isinstance(val, str):
+                raw = val.encode("latin-1") + b"\x00"
+                if len(raw) <= 4:
+                    body += struct.pack(
+                        bo + "HHI", tag, 2, len(raw)
+                    ) + raw.ljust(4, b"\x00")
+                else:
+                    body += struct.pack(
+                        bo + "HHII", tag, 2, len(raw), tail_base + len(tail)
+                    )
+                    tail += raw
+            else:
+                body += struct.pack(bo + "HHIHH", tag, 3, 1, val, 0) if bo == "<" else struct.pack(bo + "HHI", tag, 3, 1) + struct.pack(bo + "H", val) + b"\x00\x00"
+        if extra_ptr is not None:
+            body += struct.pack(bo + "HHII", 0x8769, 4, 1, extra_ptr)
+        body += struct.pack(bo + "I", 0)  # next-IFD: none
+        return bytes(body), bytes(tail)
+
+    # two-pass layout: IFD0 at offset 8; Exif IFD after IFD0's tail
+    for _ in range(2):
+        n0 = len(ifd0_fields) + (1 if exif_fields else 0)
+        ifd0_len_guess = 2 + 12 * n0 + 4
+        # first pass with a guessed exif offset, second pass exact
+        exif_off = 8 + ifd0_len_guess + sum(
+            len(v.encode("latin-1")) + 1
+            for _t, v in ifd0_fields
+            if isinstance(v, str) and len(v.encode("latin-1")) + 1 > 4
+        )
+        ifd0, tail0 = build_ifd(
+            ifd0_fields, 8, extra_ptr=exif_off if exif_fields else None
+        )
+        sub = b""
+        if exif_fields:
+            ifd_s, tail_s = build_ifd(exif_fields, exif_off)
+            sub = ifd_s + tail_s
+    tiff = (
+        (b"II" if little_endian else b"MM")
+        + struct.pack(bo + "HI", 42, 8)
+        + ifd0
+        + tail0
+        + sub
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("orientation", IntegerType(), True),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("pixel_width", IntegerType(), True),
+        StructField("pixel_height", IntegerType(), True),
+        StructField("transposed", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def image_exif(media: DataFrame) -> DataFrame:
+    """EXIF metadata extraction over a media frame: one mapInPandas
+    pass, touching ONLY the marker segments before SOS (never entropy
+    data) — linear in header bytes, embarrassingly parallel.
+    ``transposed`` ('yes'/'no') derives from orientation (values 5-8
+    swap the display axes) — the column a resize/dedup stage must
+    consult before trusting pixel dimensions. Corruption quarantines
+    as a parse_error row."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                try:
+                    x = jpeg_exif(bytes(payload))
+                except ValueError as e:
+                    rows.append(
+                        (int(media_id),) + (None,) * 6 + (str(e),)
+                    )
+                    continue
+                ori = x.get("orientation")
+                rows.append(
+                    (
+                        int(media_id),
+                        ori,
+                        x.get("make"),
+                        x.get("model"),
+                        x.get("pixel_width"),
+                        x.get("pixel_height"),
+                        None if ori is None else ("yes" if ori >= 5 else "no"),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXIF_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, EXIF_SCHEMA
+    )
+
+
+def synth_exif_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload): per document a DC-only JPEG with an APP1
+    EXIF block — closed form: orientation = doc_id%8+1, make =
+    'maker<doc_id%3>', model = 'model <doc_id>', pixel dims 16x8;
+    even docs little-endian TIFF, odd big-endian, so one query
+    certifies both byte orders."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            d = int(m)
+            seg = exif_app1_segment(
+                {
+                    "make": f"maker{d % 3}",
+                    "model": f"model {d}",
+                    "orientation": d % 8 + 1,
+                    "datetime": "2026:01:01 00:00:00",
+                    "pixel_width": 16,
+                    "pixel_height": 8,
+                },
+                little_endian=d % 2 == 0,
+            )
+            jpg = jpeg_encode_gray_dc(16, 8, [d % 100, 0])
+            out.append(jpg[:2] + seg + jpg[2:])
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+
+
 def decode_real(payload: bytes, kind: str) -> dict:
     """Real decoding for the stdlib-decodable formats (VERDICT r05 #6,
     r06 #3) — byte-exact pytest fixtures in test_multimodal:

@@ -4025,6 +4025,37 @@ def x_multimodal_jpeg(spark, sf_dir):
     return media.mapInPandas(_dec, schema)
 
 
+_EXIF_SQL = (
+    # closed form from multimodal.synth_exif_media: orientation cycles
+    # 1..8 (values 5-8 are the transposed ones), maker/model derive
+    # from doc_id, dims fixed 16x8; even docs little-endian TIFF, odd
+    # big-endian — one hash certifies the IFD walk in both byte orders
+    "SELECT doc_id AS media_id, "
+    "CAST(doc_id % 8 + 1 AS INT) AS orientation, "
+    "'maker' || (doc_id % 3) AS make, "
+    "'model ' || doc_id AS model, "
+    "CAST(16 AS INT) AS pixel_width, CAST(8 AS INT) AS pixel_height, "
+    "CASE WHEN doc_id % 8 + 1 >= 5 THEN 'yes' ELSE 'no' END "
+    "AS transposed "
+    "FROM documents WHERE doc_id % 5 = 0"
+)
+
+
+@query("x_multimodal_exif", oracle=_EXIF_SQL)
+def x_multimodal_exif(spark, sf_dir):
+    """EXIF metadata extraction (r11): APP1/TIFF IFD walk over real
+    JPEG bytes — make, model, orientation (with the derived
+    'transposed' flag a resize/dedup stage must consult: orientations
+    5-8 swap the display axes) and Exif-IFD pixel dimensions, in BOTH
+    TIFF byte orders. Headers only — entropy data is never touched.
+    Scoped to the deterministic doc_id%5==0 fifth (same policy as the
+    other per-image certificates)."""
+    from .operators.multimodal import image_exif, synth_exif_media
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    return image_exif(synth_exif_media(docs)).drop("parse_error")
+
+
 _IMAGE_GUARD_SQL = (
     # closed form: the whale half (doc_id%2==0, one shared uniform
     # raster -> one aHash bucket) is capped and REPORTED id-for-id;
