@@ -659,3 +659,66 @@ def test_subtitle_cues_operator_quarantines(spark):
     (bad,) = [r for r in rows if r.media_id == 1]
     assert len(good) == 3 % 5 + 2 and all(r.parse_error is None for r in good)
     assert bad.parse_error is not None and bad.format == "vtt"
+
+
+def test_flac_and_id3_edge_cases():
+    """Hand fixtures: FLAC 20-bit sample-rate boundary + 36-bit total,
+    missing STREAMINFO rejected, truncated vorbis comment rejected;
+    ID3v2.2 returns {} (skipped), non-synchsafe v2.4 frame rejected,
+    UTF-16BE encoding decodes."""
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        flac_parse,
+        id3v2_text_frames,
+        synth_flac_bytes,
+    )
+
+    # max-field STREAMINFO: rate 655350 fits in 20 bits, 8 channels,
+    # 32-bit depth, huge total
+    packed = (655350 << 44) | (7 << 41) | (31 << 36) | ((1 << 36) - 1)
+    si = (4096).to_bytes(2, "big") * 2 + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
+    raw = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    f = flac_parse(raw)
+    assert (f["sample_rate"], f["channels"], f["bits_per_sample"]) == (
+        655350, 8, 32,
+    )
+    assert f["total_samples"] == (1 << 36) - 1
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        # a lone (empty) padding block, marked last: no STREAMINFO
+        flac_parse(b"fLaC" + bytes([0x81]) + (0).to_bytes(3, "big"))
+    # truncated vorbis comment
+    good = synth_flac_bytes(2, 5)
+    with pytest.raises(ValueError):
+        flac_parse(good[:-6] + b"\x00" * 2)
+
+    assert id3v2_text_frames(b"ID3\x02\x00\x00\x00\x00\x00\x00") == {}
+    body = b"\x02" + "héllo".encode("utf-16-be")
+    fr = b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+    sz = bytes((len(fr) >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3\x04\x00\x00" + sz + fr
+    assert id3v2_text_frames(tag) == {"TIT2": "héllo"}
+    bad = b"ID3\x04\x00\x00" + sz + b"TIT2" + b"\x00\x00\x00\xff" + b"\x00\x00" + body
+    with pytest.raises(ValueError, match="synchsafe"):
+        id3v2_text_frames(bad)
+
+
+def test_audio_tags_operator(spark):
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        audio_tags,
+        synth_flac_bytes,
+        synth_id3_mp3_bytes,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, synth_flac_bytes(0, 5)),
+            (1, synth_id3_mp3_bytes(1, 5)),
+            (2, b"fLaC\x84\x00\x00\x00"),  # corrupt: no STREAMINFO
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in audio_tags(media).collect()}
+    assert out[0].container == "flac" and out[0].sample_rate == 8000
+    assert out[0].title == "title 0" and out[0].total_samples == 501
+    assert out[1].container == "mp3" and out[1].artist == "artist 1"
+    assert out[1].sample_rate is None
+    assert out[2].parse_error is not None

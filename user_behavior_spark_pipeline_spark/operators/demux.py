@@ -1140,6 +1140,277 @@ def synth_subtitle_bytes(doc_id: int, n_chars: int) -> bytes:
     return "".join(out).encode()
 
 
+# ---------------------------------------------------------------------------
+# Audio metadata tags: FLAC STREAMINFO + Vorbis comments, ID3v2 text frames
+# ---------------------------------------------------------------------------
+
+
+def flac_parse(payload: bytes) -> dict:
+    """FLAC metadata-block walk (no audio decode): STREAMINFO (sample
+    rate / channels / bit depth / total samples — bit-packed per the
+    spec) and VORBIS_COMMENT tags (title/artist/album). Raises
+    ValueError on structural corruption; audio frames are never
+    touched."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (no fLaC magic)")
+    pos = 4
+    info = None
+    tags: dict[str, str] = {}
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("FLAC metadata block overruns payload")
+        if btype == 0:  # STREAMINFO
+            if length < 34:
+                raise ValueError("FLAC STREAMINFO too short")
+            bits = int.from_bytes(body[10:18], "big")
+            # layout after the 10 block/frame-size bytes: 20-bit rate,
+            # 3-bit channels-1, 5-bit bps-1, 36-bit total samples
+            info = {
+                "sample_rate": bits >> 44,
+                "channels": ((bits >> 41) & 0x7) + 1,
+                "bits_per_sample": ((bits >> 36) & 0x1F) + 1,
+                "total_samples": bits & ((1 << 36) - 1),
+            }
+        elif btype == 4:  # VORBIS_COMMENT (little-endian lengths)
+            p = 0
+            if p + 4 > length:
+                raise ValueError("FLAC vorbis comment truncated")
+            vlen = int.from_bytes(body[p : p + 4], "little")
+            p += 4 + vlen
+            if p + 4 > length:
+                raise ValueError("FLAC vorbis comment truncated")
+            n = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            for _ in range(n):
+                if p + 4 > length:
+                    raise ValueError("FLAC vorbis comment truncated")
+                clen = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                entry = body[p : p + clen]
+                if len(entry) < clen:
+                    raise ValueError("FLAC vorbis comment truncated")
+                p += clen
+                k, _, v = entry.decode("utf-8", "replace").partition("=")
+                tags[k.strip().lower()] = v
+        pos += 4 + length
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if info is None:
+        raise ValueError("FLAC without STREAMINFO")
+    return {"container": "flac", **info, "tags": tags}
+
+
+_ID3_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3v2_text_frames(payload: bytes) -> dict:
+    """Text frames of a leading ID3v2.3/2.4 tag: {frame_id: value}.
+    v2.4 frame sizes are synchsafe, v2.3 plain big-endian; text frames
+    carry an encoding byte (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8)
+    and may be NUL-terminated. Returns {} when no tag is present;
+    malformed frames raise ValueError."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {}
+    ver = payload[3]
+    if ver not in (3, 4):
+        return {}  # v2.2 and unknown: skipped, same as players do
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            return {}
+        size = (size << 7) | b
+    end = min(10 + size, len(payload))
+    pos = 10
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_sz = payload[pos + 4 : pos + 8]
+        if ver == 4:
+            fsz = 0
+            for b in raw_sz:
+                if b & 0x80:
+                    raise ValueError(f"ID3v2.4 frame size not synchsafe: {fid!r}")
+                fsz = (fsz << 7) | b
+        else:
+            fsz = int.from_bytes(raw_sz, "big")
+        body = payload[pos + 10 : pos + 10 + fsz]
+        if len(body) < fsz:
+            raise ValueError(f"ID3 frame {fid!r} overruns tag")
+        if fid[:1] == b"T" and fsz >= 1:
+            enc = _ID3_TEXT_ENCODINGS.get(body[0])
+            if enc is None:
+                raise ValueError(f"ID3 frame {fid!r} bad text encoding {body[0]}")
+            out[fid.decode("latin-1")] = (
+                body[1:].decode(enc, "replace").rstrip("\x00")
+            )
+        pos += 10 + fsz
+    return out
+
+
+AUDIO_TAG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("artist", StringType(), True),
+        StructField("album", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("total_samples", LongType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def audio_tags(media: DataFrame) -> DataFrame:
+    """Audio corpus metadata in one pass: FLAC payloads yield
+    STREAMINFO numbers + Vorbis-comment tags; MP3 payloads yield
+    ID3v2 text-frame tags (TIT2/TPE1/TALB). mapInPandas over header
+    bytes only; corruption quarantines as a parse_error row."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                raw = bytes(payload)
+                try:
+                    if raw[:4] == b"fLaC":
+                        f = flac_parse(raw)
+                        t = f["tags"]
+                        rows.append(
+                            (
+                                int(media_id),
+                                "flac",
+                                t.get("title"),
+                                t.get("artist"),
+                                t.get("album"),
+                                f["sample_rate"],
+                                f["channels"],
+                                f["bits_per_sample"],
+                                f["total_samples"],
+                                None,
+                            )
+                        )
+                    else:
+                        t = id3v2_text_frames(raw)
+                        rows.append(
+                            (
+                                int(media_id),
+                                "mp3",
+                                t.get("TIT2"),
+                                t.get("TPE1"),
+                                t.get("TALB"),
+                                None,
+                                None,
+                                None,
+                                None,
+                                None,
+                            )
+                        )
+                except ValueError as e:
+                    rows.append(
+                        (int(media_id),) + (None,) * 8 + (str(e),)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_TAG_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, AUDIO_TAG_SCHEMA
+    )
+
+
+def synth_flac_bytes(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic FLAC header (STREAMINFO + VORBIS_COMMENT, no audio
+    frames — the metadata surface is what the engine reads). Closed
+    form: sample_rate = 8000 + (doc_id%5)*4000, channels = doc_id%2+1,
+    bits = 16, total_samples = n_chars*100 + 1, title 'title <doc_id>',
+    artist 'artist <doc_id%7>', album 'album <doc_id%3>'."""
+    rate = 8000 + (doc_id % 5) * 4000
+    channels = doc_id % 2 + 1
+    bits_ps = 16
+    total = n_chars * 100 + 1
+    packed = (
+        (rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_ps - 1) << 36)
+        | total
+    )
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2
+        + bytes(6)
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # md5 placeholder
+    )
+    assert len(streaminfo) == 34
+    def block(btype, body, last=False):
+        return bytes([btype | (0x80 if last else 0)]) + len(body).to_bytes(
+            3, "big"
+        ) + body
+
+    vendor = b"synth-flac/1.0"
+    comments = [
+        f"TITLE=title {doc_id}".encode(),
+        f"ARTIST=artist {doc_id % 7}".encode(),
+        f"ALBUM=album {doc_id % 3}".encode(),
+    ]
+    vc = (
+        len(vendor).to_bytes(4, "little")
+        + vendor
+        + len(comments).to_bytes(4, "little")
+        + b"".join(len(c).to_bytes(4, "little") + c for c in comments)
+    )
+    return (
+        b"fLaC"
+        + block(0, streaminfo)
+        + block(4, vc, last=True)
+    )
+
+
+def synth_id3_mp3_bytes(doc_id: int, n_chars: int) -> bytes:
+    """synth_mp3_bytes audio prefixed with a deterministic ID3v2 tag:
+    v2.3 for doc_id%4==1, v2.4 (synchsafe frame sizes) for %4==3;
+    TALB uses UTF-16-with-BOM when doc_id%3==0, else UTF-8 (v2.4) /
+    latin-1 (v2.3). Same closed-form tag values as the FLAC builder."""
+    ver = 3 if doc_id % 4 == 1 else 4
+
+    def frame(fid: bytes, text: str, enc: int) -> bytes:
+        codec = _ID3_TEXT_ENCODINGS[enc]
+        body = bytes([enc]) + text.encode(codec)
+        if ver == 4:
+            sz = bytes(
+                (len(body) >> s) & 0x7F for s in (21, 14, 7, 0)
+            )
+        else:
+            sz = len(body).to_bytes(4, "big")
+        return fid + sz + b"\x00\x00" + body
+
+    default_enc = 0 if ver == 3 else 3
+    frames = (
+        frame(b"TIT2", f"title {doc_id}", default_enc)
+        + frame(b"TPE1", f"artist {doc_id % 7}", default_enc)
+        + frame(
+            b"TALB",
+            f"album {doc_id % 3}",
+            1 if doc_id % 3 == 0 else default_enc,
+        )
+    )
+    frames += bytes(16)  # padding
+    tsz = len(frames)
+    ssz = bytes((tsz >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3" + bytes([ver, 0, 0]) + ssz + frames
+    return tag + synth_mp3_bytes(doc_id, n_chars)
+
+
 def synth_container_media(documents: DataFrame) -> DataFrame:
     """Deterministic container fixtures from documents: even doc_id ->
     synthetic MP4, odd -> synthetic MP3 (builders above; closed-form

@@ -3272,6 +3272,70 @@ _MP4_SAMPLES_SQL = (
 )
 
 
+_AUDIO_TAGS_SQL = (
+    # closed form shared by both builders (demux.synth_flac_bytes /
+    # synth_id3_mp3_bytes): even docs are FLAC (STREAMINFO numbers +
+    # Vorbis comments), odd docs MP3 with ID3v2.3 (%4==1) or v2.4
+    # (%4==3) text frames across three encodings — one hash certifies
+    # bit-packed STREAMINFO, little-endian Vorbis lengths, synchsafe
+    # frame sizes and latin-1/UTF-16-BOM/UTF-8 text decode
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS container, "
+    "'title ' || doc_id AS title, "
+    "'artist ' || (doc_id % 7) AS artist, "
+    "'album ' || (doc_id % 3) AS album, "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "CAST(8000 + (doc_id % 5) * 4000 AS INT) END AS sample_rate, "
+    "CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 2 + 1 AS INT) END "
+    "AS channels, "
+    "CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS INT) END "
+    "AS bits_per_sample, "
+    "CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars * 100 + 1 AS BIGINT) "
+    "END AS total_samples "
+    "FROM documents"
+)
+
+
+@query("x_demux_audio_tags", oracle=_AUDIO_TAGS_SQL)
+def x_demux_audio_tags(spark, sf_dir):
+    """Audio-corpus metadata extraction (r11): FLAC STREAMINFO
+    (bit-packed sample rate / channels / bit depth / total samples) +
+    Vorbis-comment tags on the even half, ID3v2.3/2.4 text frames
+    (synchsafe sizes, latin-1 / UTF-16-BOM / UTF-8 encodings) over real
+    MP3 bytes on the odd half — one demux.audio_tags pass, headers
+    only, quarantine on corruption."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.demux import (
+        audio_tags,
+        synth_flac_bytes,
+        synth_id3_mp3_bytes,
+    )
+
+    def _build_fn(doc_id, n_chars):
+        import pandas as pd
+
+        out = []
+        for d, n in zip(doc_id, n_chars):
+            d, n = int(d), int(n)
+            out.append(
+                synth_flac_bytes(d, n)
+                if d % 2 == 0
+                else synth_id3_mp3_bytes(d, n)
+            )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "n_chars").alias("payload"),
+    )
+    return audio_tags(media).drop("parse_error")
+
+
 _SUBTITLE_SQL = (
     # closed form from demux.synth_subtitle_bytes: n_chars%5+2 cues at
     # 2s spacing, 1.5s long, deterministic text; even docs SRT (CRLF,
@@ -6121,6 +6185,9 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "synth_warc_bytes",
             "warc_digest_verify",
             "mp4_demux",
+            "subtitle_cues",
+            "audio_tags",
+            "image_exif",
         }
     ),
     sql_tokens=frozenset(),
