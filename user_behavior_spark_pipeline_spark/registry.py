@@ -3336,6 +3336,32 @@ def x_demux_audio_tags(spark, sf_dir):
     return audio_tags(media).drop("parse_error")
 
 
+_PDF_TEXT_SQL = (
+    # closed form from pdf.synth_pdf_bytes: page 1 shows 'doc <id>' as
+    # a literal string, page 2 the document text as a BOM'd UTF-16BE
+    # hex string; even docs FlateDecode their content streams — one
+    # hash certifies stream framing, inflate, both string syntaxes,
+    # escape decode and unicode fidelity
+    "SELECT doc_id AS media_id, CAST(2 AS INT) AS n_pages, "
+    "'doc ' || doc_id || ' ' || text AS text FROM documents"
+)
+
+
+@query("x_pdf_text", oracle=_PDF_TEXT_SQL)
+def x_pdf_text(spark, sf_dir):
+    """PDF text extraction (r11) — the top non-HTML document format of
+    a pretraining corpus: deterministic two-page classic-layout PDFs
+    (literal + UTF-16BE hex strings, FlateDecode on the even half,
+    real xref/trailer) through pdf.pdf_text; the closed form pins page
+    count, stream decode and exact text round-trip including non-Latin
+    scripts. Encrypted/ObjStm/CID-font PDFs are the documented seam
+    (quarantine or omission, never mojibake — operators/pdf.py)."""
+    from .operators.pdf import pdf_text, synth_pdf_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return pdf_text(synth_pdf_media(docs)).drop("parse_error")
+
+
 _SUBTITLE_SQL = (
     # closed form from demux.synth_subtitle_bytes: n_chars%5+2 cues at
     # 2s spacing, 1.5s long, deterministic text; even docs SRT (CRLF,
