@@ -1,0 +1,82 @@
+"""WebDataset tar-shard walker: stdlib-tarfile cross-check, first-dot
+keying, quarantine with prefix salvage."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zlib
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.webdataset import (
+    synth_webdataset_bytes,
+    synth_webdataset_shards,
+    tar_members,
+    webdataset_members,
+    webdataset_samples,
+)
+
+
+def test_tar_walk_matches_stdlib_tarfile():
+    """The hand-rolled ustar walker agrees byte-for-byte with the
+    stdlib tarfile module over the synth shards (plain and gzipped)."""
+    for d, t in ((0, "hello"), (1, "wörld"), (5, "x" * 600), (4, "")):
+        raw = synth_webdataset_bytes(d, t)
+        plain = zlib.decompress(raw, 47) if d % 2 == 0 else raw
+        tf = tarfile.open(fileobj=io.BytesIO(plain))
+        ref = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+        assert dict(tar_members(raw)) == ref, d
+
+
+def test_tar_walk_stdlib_written_archive_with_dirs_and_prefix():
+    """An archive WRITTEN by the stdlib (not our builder): directories
+    are skipped, nested paths keep their directory in the sample key,
+    and a pax/ustar long name via prefix field round-trips."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        tf.addfile(tarfile.TarInfo("sub"), None)  # directory-ish entry
+        for name, data in (
+            ("sub/0001.txt", b"alpha"),
+            ("sub/0001.meta.json", b"{}"),
+            ("p" * 120 + "/deep.txt", b"deep"),  # needs the prefix field
+        ):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    got = dict(tar_members(buf.getvalue()))
+    assert got["sub/0001.txt"] == b"alpha"
+    assert got["p" * 120 + "/deep.txt"] == b"deep"
+
+
+def test_tar_corruption_salvages_prefix():
+    raw = synth_webdataset_bytes(1, "keep")  # odd: plain tar
+    # smash the magic of the SECOND member's header
+    second = 512 + 512 * ((len(b"keep #0") + 511) // 512)
+    bad = bytearray(raw)
+    bad[second + 257 : second + 263] = b"XXXXXX"
+    out = []
+    with pytest.raises(ValueError, match="bad tar magic"):
+        for m in tar_members(bytes(bad)):
+            out.append(m)
+    assert [n for n, _ in out] == ["1_0.txt"]
+
+
+def test_webdataset_operator_keys_and_quarantine(spark):
+    shards = spark.createDataFrame(
+        [(2, synth_webdataset_bytes(2, "text two")), (9, b"not a tar at all" * 40)],
+        "shard_id long, payload binary",
+    )
+    rows = webdataset_members(shards).collect()
+    good = [r for r in rows if r.shard_id == 2]
+    (bad,) = [r for r in rows if r.shard_id == 9]
+    assert bad.parse_error is not None
+    by_key = {}
+    for r in good:
+        by_key.setdefault(r.sample_key, set()).add(r.ext)
+    assert set(by_key) == {"2_0", "2_1", "2_2"}
+    assert all(v == {"txt", "cls", "meta.json"} for v in by_key.values())
+    samples = webdataset_samples(webdataset_members(shards)).collect()
+    assert {(r.sample_key, r.n_files) for r in samples} == {
+        ("2_0", 3), ("2_1", 3), ("2_2", 3),
+    }

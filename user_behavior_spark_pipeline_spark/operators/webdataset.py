@@ -1,0 +1,231 @@
+"""WebDataset (tar-shard) ingestion — the de-facto storage format of
+large multimodal training corpora (LAION, DataComp, img2dataset output):
+a dataset is millions of ``.tar`` shards, each holding samples as
+adjacent files sharing a basename key (``000123.jpg`` + ``000123.txt`` +
+``000123.json``).
+
+The 100 TB shape: one task per SHARD (binary column / binaryFile scan),
+a mapInPandas walker emits one row per member file with its sample key —
+grouping members into samples is then a plain groupBy(sample_key) that
+never crosses shard boundaries (keys are shard-local by construction, so
+with shard_id in the key the aggregation has no skew and AQE coalesces).
+The tar walk is pure 512-byte ustar header framing (name / octal size /
+typeflag / prefix), gzip-transparent via stdlib zlib, and corruption
+QUARANTINES (one ``parse_error`` row per bad shard, good prefix members
+kept) — the same walker contract as operators/warc.py.
+
+Reference parity note: no counterpart in the reference (SURVEY.md §2.1);
+training-data extension surface (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Same zip-bomb posture as the WARC walker.
+MAX_SHARD_BYTES = 1 << 30
+
+
+def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
+    """Walk a (possibly gzipped) ustar/tar payload, yielding
+    (member_name, bytes) for every regular file. A generator — a caller
+    salvages every member before a corruption point. Raises ValueError
+    at the corruption (bad magic, non-octal size, truncated data)."""
+    if payload[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)  # gzip or zlib wrapper
+        try:
+            payload = d.decompress(payload, MAX_SHARD_BYTES + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip shard: {e}") from e
+        if len(payload) > MAX_SHARD_BYTES:
+            raise ValueError("shard inflates past cap (zip-bomb defense)")
+        if not d.eof:
+            raise ValueError("truncated gzip shard")
+    pos = 0
+    n = len(payload)
+    while pos + 512 <= n:
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            break
+        name = hdr[:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        magic = hdr[257:263]
+        if magic not in (b"ustar\x00", b"ustar ", b"\x00" * 6):
+            raise ValueError(f"bad tar magic at member {name!r}")
+        raw_size = hdr[124:136].split(b"\x00", 1)[0].strip()
+        try:
+            size = int(raw_size or b"0", 8)
+        except ValueError:
+            raise ValueError(f"bad tar size field for {name!r}") from None
+        typeflag = hdr[156:157]
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        data_end = pos + 512 + size
+        if data_end > n:
+            raise ValueError(f"tar member {name!r} overruns shard")
+        if typeflag in (b"0", b"\x00"):
+            yield name, payload[pos + 512 : data_end]
+        # directories / links / pax headers: skipped, their data too
+        pos += 512 + ((size + 511) // 512) * 512
+
+
+WDS_MEMBER_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType(), False),
+        StructField("sample_key", StringType(), True),
+        StructField("ext", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def webdataset_members(shards: DataFrame) -> DataFrame:
+    """Explode (shard_id, payload) tar shards into one row per member
+    file, keyed the WebDataset way: ``sample_key`` is the member name up
+    to the FIRST dot (directories included), ``ext`` everything after
+    it — so ``a/000123.seg.json`` groups with ``a/000123.jpg`` under key
+    ``a/000123``. Corruption quarantines; members before the corruption
+    point survive."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for shard_id, payload in zip(batch["shard_id"], batch["payload"]):
+                err = None
+                count = 0
+                try:
+                    for name, data in tar_members(bytes(payload)):
+                        base = name.rsplit("/", 1)[-1]
+                        dot = base.find(".")
+                        if dot < 0:
+                            key, ext = name, ""
+                        else:
+                            prefix_dir = name[: len(name) - len(base)]
+                            key = prefix_dir + base[:dot]
+                            ext = base[dot + 1 :]
+                        rows.append(
+                            (
+                                int(shard_id),
+                                key,
+                                ext,
+                                len(data),
+                                data,
+                                None,
+                            )
+                        )
+                        count += 1
+                    if count == 0:
+                        err = "no members in tar shard"
+                except ValueError as e:
+                    err = str(e)
+                if err is not None:
+                    rows.append(
+                        (int(shard_id), None, None, None, None, err)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WDS_MEMBER_SCHEMA.fields]
+            )
+
+    return shards.select("shard_id", "payload").mapInPandas(
+        _walk, WDS_MEMBER_SCHEMA
+    )
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Assemble member rows into one row per SAMPLE: (shard_id,
+    sample_key, n_files, exts sorted array, total_bytes). The groupBy
+    key includes shard_id, so the shuffle is skew-free (keys are
+    shard-local) and the aggregation is partial-aggregable map-side."""
+    ok = members.filter(F.col("parse_error").isNull())
+    return ok.groupBy("shard_id", "sample_key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sort_array(F.collect_list("ext")).alias("exts"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """One ustar header block with a correct checksum."""
+    h = bytearray(512)
+    nb = name.encode()
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\x00"
+    h[108:116] = b"0000000\x00"
+    h[116:124] = b"0000000\x00"
+    h[124:136] = ("%011o" % size).encode() + b"\x00"
+    h[136:148] = b"00000000000\x00"
+    h[148:156] = b" " * 8  # checksum placeholder
+    h[156:157] = b"0"
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    csum = sum(h)
+    h[148:156] = ("%06o" % csum).encode() + b"\x00 "
+    return bytes(h)
+
+
+def synth_webdataset_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic WebDataset shard: ``doc_id % 3 + 1`` samples, each
+    with three members — ``<doc_id>_<i>.txt`` (the document text with a
+    per-sample suffix), ``<doc_id>_<i>.cls`` (label = (doc_id+i) % 10)
+    and ``<doc_id>_<i>.meta.json`` (a fixed-shape record; its
+    double-barreled extension certifies the first-dot key split).
+    Even doc_ids gzip the shard. Closed form mirrored by the oracle."""
+    n = doc_id % 3 + 1
+    out = bytearray()
+    for i in range(n):
+        key = f"{doc_id}_{i}"
+        files = [
+            (f"{key}.txt", f"{text} #{i}".encode()),
+            (f"{key}.cls", str((doc_id + i) % 10).encode()),
+            (
+                f"{key}.meta.json",
+                ('{"doc": %d, "i": %d}' % (doc_id, i)).encode(),
+            ),
+        ]
+        for name, data in files:
+            out += _tar_header(name, len(data))
+            out += data
+            out += bytes((512 - len(data) % 512) % 512)
+    out += bytes(1024)  # end-of-archive
+    raw = bytes(out)
+    if doc_id % 2 == 0:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        raw = co.compress(raw) + co.flush()
+    return raw
+
+
+def synth_webdataset_shards(documents: DataFrame) -> DataFrame:
+    """(shard_id, payload) of deterministic WebDataset shards."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_webdataset_bytes(int(d), str(t))
+                for d, t in zip(doc_id, text)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("shard_id"),
+        _build("doc_id", "text").alias("payload"),
+    )

@@ -3336,6 +3336,94 @@ def x_demux_audio_tags(spark, sf_dir):
     return audio_tags(media).drop("parse_error")
 
 
+_WDS_MEMBERS_SQL = (
+    # closed form from webdataset.synth_webdataset_bytes: doc_id%3+1
+    # samples/shard, three members each (txt carries the document text
+    # with a per-sample suffix, cls a single digit, meta.json a fixed
+    # record whose double-barreled extension certifies the first-dot
+    # key split); even shards are gzipped — one hash covers tar header
+    # framing, octal sizes, gzip transparency and UTF-8 payloads
+    "WITH s AS (SELECT doc_id, text, CAST(u.i AS INT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)), "
+    "m AS ("
+    "SELECT doc_id, i, 'txt' AS ext, text || ' #' || i AS content FROM s "
+    "UNION ALL SELECT doc_id, i, 'cls', "
+    "CAST((doc_id + i) % 10 AS VARCHAR) FROM s "
+    "UNION ALL SELECT doc_id, i, 'meta.json', "
+    "'{\"doc\": ' || doc_id || ', \"i\": ' || i || '}' FROM s) "
+    "SELECT doc_id AS shard_id, doc_id || '_' || i AS sample_key, ext, "
+    "CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes, content "
+    "FROM m"
+)
+
+
+@query("x_webdataset_members", oracle=_WDS_MEMBERS_SQL)
+def x_webdataset_members(spark, sf_dir):
+    """WebDataset shard ingestion (r11) — the tar-shard format
+    multimodal training corpora actually ship in (LAION/DataComp
+    layout): deterministic shards (gzipped on the even half) explode to
+    one row per member with the first-dot sample key; the closed form
+    pins tar framing, octal size fields, gzip transparency and exact
+    member payloads."""
+    from pyspark.sql import functions as F
+
+    from .operators.webdataset import (
+        synth_webdataset_shards,
+        webdataset_members,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    m = webdataset_members(synth_webdataset_shards(docs))
+    return m.filter(F.col("parse_error").isNull()).select(
+        "shard_id",
+        "sample_key",
+        "ext",
+        "n_bytes",
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+_WDS_SAMPLES_SQL = (
+    # sample assembly: every key completes with exactly its 3 members
+    "WITH s AS (SELECT doc_id, text, CAST(u.i AS INT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)) "
+    "SELECT doc_id AS shard_id, doc_id || '_' || i AS sample_key, "
+    "CAST(3 AS INT) AS n_files, 'cls,meta.json,txt' AS exts, "
+    "CAST(octet_length(encode(text || ' #' || i)) + "
+    "octet_length(encode(CAST((doc_id + i) % 10 AS VARCHAR))) + "
+    "octet_length(encode('{\"doc\": ' || doc_id || ', \"i\": ' || i "
+    "|| '}')) AS BIGINT) AS total_bytes FROM s"
+)
+
+
+@query("x_webdataset_samples", oracle=_WDS_SAMPLES_SQL)
+def x_webdataset_samples(spark, sf_dir):
+    """WebDataset sample assembly (r11): member rows group into one row
+    per sample on (shard_id, sample_key) — shard-local keys, skew-free
+    shuffle, map-side partial aggregation. The closed form pins that
+    every sample completes with exactly its three members and the
+    byte totals agree."""
+    from pyspark.sql import functions as F
+
+    from .operators.webdataset import (
+        synth_webdataset_shards,
+        webdataset_members,
+        webdataset_samples,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    agg = webdataset_samples(
+        webdataset_members(synth_webdataset_shards(docs))
+    )
+    return agg.select(
+        "shard_id",
+        "sample_key",
+        "n_files",
+        F.concat_ws(",", "exts").alias("exts"),
+        "total_bytes",
+    )
+
+
 _PDF_TEXT_SQL = (
     # closed form from pdf.synth_pdf_bytes: page 1 shows 'doc <id>' as
     # a literal string, page 2 the document text as a BOM'd UTF-16BE
@@ -6214,6 +6302,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "subtitle_cues",
             "audio_tags",
             "image_exif",
+            "pdf_text",
+            "webdataset_members",
         }
     ),
     sql_tokens=frozenset(),
