@@ -1711,3 +1711,62 @@ def test_image_exif_operator(spark):
         assert (r.pixel_width, r.pixel_height) == (16, 8)
         assert r.transposed == ("yes" if d % 8 + 1 >= 5 else "no")
         assert r.parse_error is None
+
+
+def test_sniff_media_type_all_builders():
+    """The dispatcher routes every container this repo walks to its
+    type, from the repo's own builders — and never raises."""
+    import io
+    import wave
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        synth_fmp4_bytes,
+        synth_flac_bytes,
+        synth_id3_mp3_bytes,
+        synth_mp3_bytes,
+        synth_mp4_bytes,
+        synth_subtitle_bytes,
+    )
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        jpeg_encode_gray_dc,
+        png_encode_gray,
+        sniff_media_type,
+    )
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        synth_pdf_bytes,
+    )
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        synth_warc_bytes,
+    )
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        synth_webdataset_bytes,
+    )
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x00\x00")
+    w.close()
+    cases = [
+        (png_encode_gray(8, 8, [0] * 64), "png"),
+        (jpeg_encode_gray_dc(8, 8, [1]), "jpeg"),
+        (b"P5 2 2 255\n" + bytes(4), "pgm"),
+        (b"P6 2 2 255\n" + bytes(12), "ppm"),
+        (buf.getvalue(), "wav"),
+        (synth_mp4_bytes(1, 5), "mp4"),
+        (synth_fmp4_bytes(1, 5), "mp4"),
+        (synth_mp3_bytes(1, 5), "mp3"),
+        (synth_id3_mp3_bytes(1, 5), "mp3"),
+        (synth_flac_bytes(2, 5), "flac"),
+        (synth_warc_bytes(1, "x"), "warc"),
+        (synth_warc_bytes(1, "x", gzip_members=True), "gzip"),
+        (synth_pdf_bytes(1, "x"), "pdf"),
+        (synth_webdataset_bytes(1, "x"), "tar"),
+        (synth_subtitle_bytes(1, 3), "vtt"),
+        (b"hello plain text", "unknown"),
+        (b"", "unknown"),
+    ]
+    for payload, want in cases:
+        assert sniff_media_type(payload) == want, want

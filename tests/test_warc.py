@@ -624,3 +624,57 @@ def test_warc_digest_verify(spark):
     assert out[2].digest_ok is None and not out[2].has_digest
     assert out[3].digest_ok is False  # unsupported algo: flagged
     assert out[4].digest_ok is False  # malformed base32: flagged
+
+
+def test_robots_parse_and_match():
+    """RFC 9309 semantics: group selection by longest UA token (the
+    wildcard group is IGNORED when a specific group matches), longest
+    rule wins with allow beating disallow on ties, '*' wildcards and
+    '$' anchors, empty Disallow = allow-all, grouped user-agents."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        robots_is_allowed,
+        robots_parse,
+    )
+
+    r = robots_parse(
+        b"User-agent: trainingbot\nDisallow: /private/\n"
+        b"Allow: /private/ok/\nCrawl-delay: 2\n\n"
+        b"User-agent: *\nDisallow: /tmp*\nDisallow: /exact$\n"
+        b"Sitemap: https://e.com/s.xml\n"
+    )
+    assert r["sitemaps"] == ["https://e.com/s.xml"]
+    assert not robots_is_allowed(r, "TrainingBot/1.0", "/private/x")
+    assert robots_is_allowed(r, "trainingbot", "/private/ok/y")
+    # specific group matched -> wildcard group's /tmp* does NOT apply
+    assert robots_is_allowed(r, "trainingbot", "/tmp123")
+    assert not robots_is_allowed(r, "otherbot", "/tmpfile")
+    assert not robots_is_allowed(r, "otherbot", "/exact")
+    assert robots_is_allowed(r, "otherbot", "/exactly")
+    # empty Disallow is allow-all; unknown agents with no * group pass
+    r2 = robots_parse(b"User-agent: x\nDisallow:\n")
+    assert robots_is_allowed(r2, "x", "/anything")
+    assert robots_is_allowed(robots_parse(b""), "anybot", "/")
+    # grouped user-agent lines share one rule set
+    r3 = robots_parse(b"User-agent: a\nUser-agent: b\nDisallow: /q\n")
+    assert not robots_is_allowed(r3, "b", "/q/1")
+
+
+def test_robots_url_filter_operator(spark):
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        robots_url_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [("h1", b"User-agent: *\nDisallow: /no\nCrawl-delay: 3\n")],
+        "host string, robots_payload binary",
+    )
+    urls = spark.createDataFrame(
+        [("h1", "/ok"), ("h1", "/no/x"), ("h2", "/anything")],
+        "host string, path string",
+    )
+    out = {(r.host, r.path): r for r in robots_url_filter(urls, robots).collect()}
+    assert out[("h1", "/ok")].allowed and out[("h1", "/ok")].crawl_delay == 3.0
+    assert not out[("h1", "/no/x")].allowed
+    # no robots.txt -> unrestricted, no delay
+    assert out[("h2", "/anything")].allowed
+    assert out[("h2", "/anything")].crawl_delay is None

@@ -573,6 +573,178 @@ def synth_corrupt_warc_archives(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# robots.txt — crawl-politeness surface (REP, RFC 9309)
+# ---------------------------------------------------------------------------
+
+
+def robots_parse(payload: bytes) -> dict:
+    """Parse a robots.txt per RFC 9309: user-agent groups (consecutive
+    user-agent lines share one group), allow/disallow rules, crawl-delay
+    (de-facto extension) and sitemap URLs (group-independent). Unknown
+    directives and comments are skipped; the file cannot be 'corrupt' —
+    the REP requires lenient parsing, so this never raises on text
+    input."""
+    groups: list[dict] = []
+    sitemaps: list[str] = []
+    cur: dict | None = None
+    last_was_ua = False
+    for raw_line in payload.decode("utf-8", "replace").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            last_was_ua = last_was_ua and not line
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not last_was_ua or cur is None:
+                cur = {
+                    "agents": [],
+                    "allow": [],
+                    "disallow": [],
+                    "crawl_delay": None,
+                }
+                groups.append(cur)
+            cur["agents"].append(value.lower())
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if key == "sitemap":
+            sitemaps.append(value)
+        elif cur is not None and key in ("allow", "disallow"):
+            if value:
+                cur[key].append(value)
+            elif key == "disallow":
+                # empty Disallow == allow all (classic idiom); recorded
+                # as an explicit allow-all rule
+                cur["allow"].append("/")
+        elif cur is not None and key == "crawl-delay":
+            try:
+                cur["crawl_delay"] = float(value)
+            except ValueError:
+                pass
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _robots_path_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path matching: '*' wildcards, '$' end anchor, prefix
+    otherwise."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    for i, part in enumerate(parts):
+        if i == 0:
+            if not path.startswith(part):
+                return False
+            pos = len(part)
+        else:
+            at = path.find(part, pos)
+            if at < 0:
+                return False
+            pos = at + len(part)
+    if anchored:
+        return pos == len(path) if parts[-1] else True
+    return True
+
+
+def robots_is_allowed(rules: dict, agent: str, path: str) -> bool:
+    """Longest-match decision for one (agent, path) against parsed
+    rules: the most specific matching rule wins, allow beats disallow
+    on ties; no matching group means allowed (RFC 9309 §2.2.1: groups
+    are selected by the longest matching user-agent token, '*' is the
+    fallback)."""
+    agent = agent.lower()
+    best_group = None
+    best_ua = -1
+    for g in rules["groups"]:
+        for ua in g["agents"]:
+            if ua == "*":
+                if best_ua < 0:
+                    best_group, best_ua = g, 0
+            elif ua in agent and len(ua) > best_ua:
+                best_group, best_ua = g, len(ua)
+    if best_group is None:
+        return True
+    verdict = True
+    best_len = -1
+    for kind, patterns in (("allow", best_group["allow"]),
+                           ("disallow", best_group["disallow"])):
+        for p in patterns:
+            if _robots_path_matches(p, path):
+                plen = len(p.replace("$", ""))
+                if plen > best_len or (
+                    plen == best_len and kind == "allow"
+                ):
+                    best_len = plen
+                    verdict = kind == "allow"
+    return verdict
+
+
+def robots_url_filter(
+    urls: DataFrame, robots: DataFrame, agent: str = "trainingbot"
+) -> DataFrame:
+    """Crawl-politeness filter: (host, path) URLs against per-host
+    robots.txt payloads — the step a compliant corpus pipeline runs
+    BEFORE fetching. Per-host rules are parsed once per Arrow batch
+    group (applyInPandas on host), never per URL; output adds
+    ``allowed`` and the host's ``crawl_delay``. Hosts with no
+    robots.txt row default to allowed (RFC 9309 §2.3.1.2: unavailable
+    means unrestricted)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+    )
+
+    joined = urls.join(robots, "host", "left")
+
+    def _decide(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            cache: dict[bytes, dict] = {}
+            allowed = []
+            delays = []
+            for payload, path in zip(batch["robots_payload"], batch["path"]):
+                if payload is None:
+                    allowed.append(True)
+                    delays.append(None)
+                    continue
+                key = bytes(payload)
+                rules = cache.get(key)
+                if rules is None:
+                    rules = cache[key] = robots_parse(key)
+                allowed.append(robots_is_allowed(rules, agent, str(path)))
+                g = None
+                a = agent.lower()
+                best = -1
+                for grp in rules["groups"]:
+                    for ua in grp["agents"]:
+                        if ua == "*" and best < 0:
+                            g, best = grp, 0
+                        elif ua in a and len(ua) > best:
+                            g, best = grp, len(ua)
+                delays.append(None if g is None else g["crawl_delay"])
+            out = batch[["host", "path"]].copy()
+            out["allowed"] = allowed
+            out["crawl_delay"] = delays
+            yield out
+
+    schema = StructType(
+        [
+            StructField("host", StringType(), True),
+            StructField("path", StringType(), True),
+            StructField("allowed", BooleanType(), True),
+            StructField("crawl_delay", DoubleType(), True),
+        ]
+    )
+    return joined.select("host", "path", "robots_payload").mapInPandas(
+        _decide, schema
+    )
+
+
 _TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
 
 

@@ -3857,6 +3857,75 @@ def x_warc_quarantine(spark, sf_dir):
     )
 
 
+_ROBOTS_SQL = (
+    # closed form: per host the trainingbot group disallows /private/
+    # but allows /private/ok/ with crawl-delay doc_id%5; a wildcard
+    # group disallows /tmp* but RFC 9309 selects only the MOST
+    # SPECIFIC matching group, so trainingbot ignores it; every third
+    # host has no robots.txt at all -> unrestricted, delay -1
+    "WITH p AS (SELECT doc_id, u.p AS path FROM documents, "
+    "(VALUES ('/a'), ('/private/x'), ('/private/ok/y'), ('/tmp123')) "
+    "AS u(p)) "
+    "SELECT 'h' || doc_id || '.example' AS host, path, "
+    "CASE WHEN doc_id % 3 = 0 THEN TRUE "
+    "ELSE path <> '/private/x' END AS allowed, "
+    "CASE WHEN doc_id % 3 = 0 THEN -1 "
+    "ELSE CAST(doc_id % 5 AS INT) END AS delay_s FROM p"
+)
+
+
+@query("x_warc_robots", oracle=_ROBOTS_SQL)
+def x_warc_robots(spark, sf_dir):
+    """Crawl-politeness filtering (r11, RFC 9309): per-host robots.txt
+    rules (user-agent group selection by longest token match, wildcard
+    fallback ignored when a specific group matches, longest-rule
+    allow/disallow with '*' wildcards and '$' anchors, crawl-delay)
+    applied to a URL frame — the compliance step BEFORE fetching.
+    Hosts without robots.txt are unrestricted per §2.3.1.2. Rules are
+    parsed once per distinct payload per batch, never per URL."""
+    from pyspark.sql import functions as F
+
+    from .operators.warc import robots_url_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), F.col("doc_id"), F.lit(".example"))
+    robots = docs.filter("doc_id % 3 <> 0").select(
+        host.alias("host"),
+        F.encode(
+            F.concat(
+                F.lit(
+                    "# synth robots\nUser-agent: trainingbot\n"
+                    "Disallow: /private/\nAllow: /private/ok/\n"
+                    "Crawl-delay: "
+                ),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("\n\nUser-agent: *\nDisallow: /tmp*\n"),
+            ),
+            "UTF-8",
+        ).alias("robots_payload"),
+    )
+    urls = docs.select(
+        host.alias("host"),
+        F.explode(
+            F.array(
+                F.lit("/a"),
+                F.lit("/private/x"),
+                F.lit("/private/ok/y"),
+                F.lit("/tmp123"),
+            )
+        ).alias("path"),
+    )
+    out = robots_url_filter(urls, robots, agent="trainingbot")
+    return out.select(
+        "host",
+        "path",
+        "allowed",
+        F.coalesce(F.col("crawl_delay").cast("int"), F.lit(-1)).alias(
+            "delay_s"
+        ),
+    )
+
+
 _WARC_DIGEST_SQL = (
     # closed form from synth_warc_bytes: the response record carries a
     # sha1:base32 WARC-Block-Digest computed over the body — except for
@@ -4232,6 +4301,76 @@ def x_multimodal_exif(spark, sf_dir):
 
     docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
     return image_exif(synth_exif_media(docs)).drop("parse_error")
+
+
+_SNIFF_SQL = (
+    # doc_id % 8 rotates through every container family this repo
+    # walks, built by the repo's own synth builders (tiny payloads);
+    # the sniffer must route each to its walker's type
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
+    "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' ELSE 'tar' END AS media_type "
+    "FROM documents"
+)
+
+
+@query("x_multimodal_sniff", oracle=_SNIFF_SQL)
+def x_multimodal_sniff(spark, sf_dir):
+    """Content-type dispatch (r11): magic-byte sniffing is the routing
+    step in front of every typed walker — crawl buckets and tar shards
+    arrive with lying or missing extensions. Each document synthesizes
+    one payload of a rotating container family using the repo's OWN
+    builders (PNG, PGM, WARC, PDF, FLAC, ID3-MP3, MP4, tar), and
+    multimodal.media_type_column must route every one correctly —
+    prefix checks only, no decode, 'unknown' never an exception."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import media_type_column, png_encode_gray
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        from .operators.demux import (
+            synth_flac_bytes,
+            synth_id3_mp3_bytes,
+            synth_mp4_bytes,
+        )
+        from .operators.pdf import synth_pdf_bytes
+        from .operators.warc import synth_warc_bytes
+        from .operators.webdataset import synth_webdataset_bytes
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            k = d % 8
+            if k == 0:
+                out.append(png_encode_gray(8, 8, [d % 256] * 64))
+            elif k == 1:
+                out.append(b"P5 2 2 255\n" + bytes(4))
+            elif k == 2:
+                out.append(synth_warc_bytes(d, "x"))
+            elif k == 3:
+                out.append(synth_pdf_bytes(d, "x"))
+            elif k == 4:
+                out.append(synth_flac_bytes(d, 2))
+            elif k == 5:
+                out.append(synth_id3_mp3_bytes(d, 2))
+            elif k == 6:
+                out.append(synth_mp4_bytes(d, 2))
+            else:
+                out.append(synth_webdataset_bytes(2 * d + 1, "x"))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+    return media_type_column(media).select("media_id", "media_type")
 
 
 _IMAGE_GUARD_SQL = (
@@ -6304,6 +6443,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "image_exif",
             "pdf_text",
             "webdataset_members",
+            "robots_url_filter",
+            "sniff_media_type",
         }
     ),
     sql_tokens=frozenset(),
