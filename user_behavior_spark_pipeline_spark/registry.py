@@ -3383,6 +3383,50 @@ def x_webdataset_members(spark, sf_dir):
     )
 
 
+@query("x_stream_webdataset", oracle=_WDS_MEMBERS_SQL)
+def x_stream_webdataset(spark, sf_dir):
+    """Streaming WebDataset ingestion (r11): shards land as parquet
+    files and a file stream drains them through the SAME
+    webdataset_members walker batch uses into a checkpointed parquet
+    sink (availableNow, multi-micro-batch). The sink read back must
+    match the BATCH member oracle exactly — the third batch≡stream
+    certificate alongside x_stream_warc and x_stream_demux."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.webdataset import synth_webdataset_shards
+    from .streaming.jobs import (
+        webdataset_ingest_stream,
+        webdataset_stream_source,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="ubsp_wds_src_")
+    out = tempfile.mkdtemp(prefix="ubsp_wds_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_wds_ckpt_")
+    synth_webdataset_shards(docs).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = webdataset_ingest_stream(
+        webdataset_stream_source(spark, src, max_files_per_trigger=2),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("parse_error").isNull())
+        .select(
+            "shard_id",
+            "sample_key",
+            "ext",
+            "n_bytes",
+            F.col("payload").cast("string").alias("content"),
+        )
+    )
+
+
 _WDS_SAMPLES_SQL = (
     # sample assembly: every key completes with exactly its 3 members
     "WITH s AS (SELECT doc_id, text, CAST(u.i AS INT) AS i "

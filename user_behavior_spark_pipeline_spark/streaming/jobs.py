@@ -170,6 +170,43 @@ def mp4_ingest_stream(
     )
 
 
+def webdataset_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WebDataset landing source: parquet files of
+    (shard_id, payload) tar shards — same bounded-batch posture as the
+    WARC and media sources."""
+    reader = spark.readStream.schema("shard_id long, payload binary")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_dir)
+
+
+def webdataset_ingest_stream(
+    shard_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Stream tar shards through the BATCH member walker
+    (webdataset.webdataset_members — stateless mapInPandas; the
+    identical operator serves both modes, x_stream_webdataset
+    certifies batch≡stream) into a checkpointed parquet sink;
+    corruption quarantines in-stream."""
+    from ..operators.webdataset import webdataset_members
+
+    return (
+        webdataset_members(shard_stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def console_stream(raw_stream: DataFrame, available_now: bool = True):
     """OP-SINK-CONSOLE (filter_swords_stream.py:62-65) — debug sink."""
     writer = validate_events(raw_stream).writeStream.format("console")
