@@ -80,3 +80,62 @@ def test_webdataset_operator_keys_and_quarantine(spark):
     assert {(r.sample_key, r.n_files) for r in samples} == {
         ("2_0", 3), ("2_1", 3), ("2_2", 3),
     }
+
+
+def test_zip_walker_matches_stdlib_both_directions():
+    """Our hand-built archives read back identically via stdlib
+    zipfile, and a stdlib-WRITTEN archive (deflate, directory entries)
+    reads identically via our walker."""
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        synth_zip_bytes,
+        zip_members,
+    )
+    import zipfile
+
+    for d, t in ((0, "alpha"), (1, "wörld"), (5, "x" * 500), (2, "")):
+        raw = synth_zip_bytes(d, t)
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+        assert dict(zip_members(raw)) == {
+            n: zf.read(n) for n in zf.namelist()
+        }, d
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("dir/", "")
+        zf.writestr("dir/a.txt", "content a")
+        zf.writestr("b.json", '{"k": 1}')
+    assert dict(zip_members(buf.getvalue())) == {
+        "dir/a.txt": b"content a",
+        "b.json": b'{"k": 1}',
+    }
+
+
+def test_zip_corruption_and_encryption_quarantine(spark):
+    import struct
+
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        synth_zip_bytes,
+        zip_entries,
+        zip_members,
+    )
+
+    good = synth_zip_bytes(1, "keep me")
+    # flip one byte of member data -> CRC mismatch (spec-checked)
+    i = good.index(b"keep me [0]")
+    bad = good[:i] + b"Xeep me [0]" + good[i + 11 :]
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        list(zip_members(bad))
+    # encrypted flag in the central directory
+    enc = bytearray(good)
+    cd = bytes(enc).index(b"PK\x01\x02")
+    flags = struct.unpack_from("<H", enc, cd + 8)[0]
+    struct.pack_into("<H", enc, cd + 8, flags | 0x1)
+    with pytest.raises(ValueError, match="encrypted"):
+        list(zip_members(bytes(enc)))
+    archives = spark.createDataFrame(
+        [(1, good), (2, bad), (3, b"not a zip")],
+        "archive_id long, payload binary",
+    )
+    rows = zip_entries(archives).collect()
+    ok = [r for r in rows if r.parse_error is None]
+    errs = {r.archive_id for r in rows if r.parse_error is not None}
+    assert {r.archive_id for r in ok} == {1} and errs == {2, 3}

@@ -1113,24 +1113,6 @@ def synth_exif_media(documents: DataFrame) -> DataFrame:
     )
 
 
-#: Magic-byte dispatch table for sniff_media_type — ordered, first hit
-#: wins; the WARC/PDF/PNM entries need more than a prefix so they get
-#: predicate entries below.
-_SNIFF_PREFIXES = (
-    (b"\x89PNG\r\n\x1a\n", "png"),
-    (b"\xff\xd8\xff", "jpeg"),
-    (b"RIFF", "wav"),  # refined to require WAVE at offset 8 below
-    (b"fLaC", "flac"),
-    (b"ID3", "mp3"),
-    (b"\x1f\x8b", "gzip"),
-    (b"%PDF-", "pdf"),
-    (b"WARC/", "warc"),
-    (b"WEBVTT", "vtt"),
-    (b"OggS", "ogg"),
-    (b"\x00\x00\x00", "mp4"),  # refined to ftyp below
-)
-
-
 def sniff_media_type(payload: bytes) -> str:
     """Magic-byte content-type detection — the DISPATCHER a mixed-media
     pipeline needs in front of the typed walkers: crawl buckets and

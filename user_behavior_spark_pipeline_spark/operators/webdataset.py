@@ -160,6 +160,173 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ZIP archive ingestion — the other container document dumps ship in
+# ---------------------------------------------------------------------------
+
+
+def zip_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
+    """Walk a ZIP archive via its CENTRAL DIRECTORY (the authoritative
+    index — local headers lie in the wild about sizes under streaming
+    writers): locate EOCD from the tail, walk CD entries, inflate
+    stored (0) and deflate (8) members. A generator in CD order;
+    corruption raises ValueError at the bad entry so earlier members
+    salvage. Encrypted members and unsupported methods raise (their
+    payloads would be garbage); zip64 is out of documented scope
+    (archives >4 GB arrive as shards in practice)."""
+    import struct
+
+    eocd = payload.rfind(b"PK\x05\x06", max(0, len(payload) - 65557))
+    if eocd < 0:
+        raise ValueError("not a ZIP archive (no end-of-central-directory)")
+    n_entries, cd_size, cd_off = struct.unpack_from(
+        "<HII", payload, eocd + 10
+    )
+    pos = cd_off
+    for _ in range(n_entries):
+        if payload[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError("bad ZIP central-directory signature")
+        (
+            flags,
+            method,
+            _t,
+            _d,
+            crc,
+            csize,
+            usize,
+            nlen,
+            elen,
+            clen,
+        ) = struct.unpack_from("<HHHHIIIHHH", payload, pos + 8)
+        lho = struct.unpack_from("<I", payload, pos + 42)[0]
+        name = payload[pos + 46 : pos + 46 + nlen].decode(
+            "utf-8" if flags & 0x800 else "cp437", "replace"
+        )
+        pos += 46 + nlen + elen + clen
+        if flags & 0x1:
+            raise ValueError(f"encrypted ZIP member {name!r}")
+        if name.endswith("/"):
+            continue  # directory entry
+        # local header: skip its (possibly different) name/extra lengths
+        if payload[lho : lho + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad ZIP local header for {name!r}")
+        lnlen, lelen = struct.unpack_from("<HH", payload, lho + 26)
+        data_at = lho + 30 + lnlen + lelen
+        raw = payload[data_at : data_at + csize]
+        if len(raw) < csize:
+            raise ValueError(f"ZIP member {name!r} overruns archive")
+        if method == 0:
+            data = raw
+        elif method == 8:
+            try:
+                data = zlib.decompress(raw, -15)
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt deflate in ZIP member {name!r}: {e}"
+                ) from e
+        else:
+            raise ValueError(
+                f"unsupported ZIP method {method} for {name!r}"
+            )
+        if len(data) != usize:
+            raise ValueError(f"ZIP member {name!r} size mismatch")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"ZIP member {name!r} CRC mismatch")
+        yield name, data
+
+
+ZIP_MEMBER_SCHEMA = StructType(
+    [
+        StructField("archive_id", LongType(), False),
+        StructField("name", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def zip_entries(archives: DataFrame) -> DataFrame:
+    """Explode (archive_id, payload) ZIP archives into one row per
+    member file — same quarantine contract as the tar walker: a corrupt
+    entry yields one parse_error row, earlier members survive."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for archive_id, payload in zip(
+                batch["archive_id"], batch["payload"]
+            ):
+                err = None
+                count = 0
+                try:
+                    for name, data in zip_members(bytes(payload)):
+                        rows.append(
+                            (int(archive_id), name, len(data), data, None)
+                        )
+                        count += 1
+                    if count == 0:
+                        err = "no members in ZIP archive"
+                except ValueError as e:
+                    err = str(e)
+                if err is not None:
+                    rows.append((int(archive_id), None, None, None, err))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ZIP_MEMBER_SCHEMA.fields]
+            )
+
+    return archives.select("archive_id", "payload").mapInPandas(
+        _walk, ZIP_MEMBER_SCHEMA
+    )
+
+
+def synth_zip_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic ZIP: doc_id%3+1 documents per archive,
+    ``doc_<doc_id>_<i>.txt`` holding the text with a per-member suffix;
+    members alternate stored/deflate (i%2); UTF-8 name flag set.
+    Closed form mirrored by the oracle. Hand-built (not zipfile) so the
+    walker is checked against spec math — tests cross-check BOTH
+    directions against the stdlib."""
+    import struct
+
+    n = doc_id % 3 + 1
+    out = bytearray()
+    cd = bytearray()
+    entries = []
+    for i in range(n):
+        name = f"doc_{doc_id}_{i}.txt".encode()
+        data = f"{text} [{i}]".encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if i % 2 == 0:
+            method, blob = 0, data
+        else:
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            method, blob = 8, co.compress(data) + co.flush()
+        lho = len(out)
+        out += b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH",
+            20, 0x800, method, 0, 0, crc, len(blob), len(data),
+            len(name), 0,
+        )
+        out += name + blob
+        entries.append((name, method, crc, len(blob), len(data), lho))
+    cd_off = len(out)
+    for name, method, crc, csize, usize, lho in entries:
+        cd += b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII",
+            20, 20, 0x800, method, 0, 0, crc, csize, usize,
+            len(name), 0, 0, 0, 0, 0, lho,
+        )
+        cd += name
+    out += cd
+    out += b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, len(entries), len(entries), len(cd), cd_off, 0
+    )
+    return bytes(out)
+
+
 def _tar_header(name: str, size: int) -> bytes:
     """One ustar header block with a correct checksum."""
     h = bytearray(512)

@@ -3383,6 +3383,59 @@ def x_webdataset_members(spark, sf_dir):
     )
 
 
+_ZIP_SQL = (
+    # closed form from webdataset.synth_zip_bytes: doc_id%3+1 members,
+    # alternating stored/deflate, byte-exact text; CRC verified
+    "WITH m AS (SELECT doc_id, CAST(u.i AS INT) AS i, text "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)) "
+    "SELECT doc_id AS archive_id, "
+    "'doc_' || doc_id || '_' || i || '.txt' AS name, "
+    "CAST(octet_length(encode(text || ' [' || i || ']')) AS BIGINT) "
+    "AS n_bytes, text || ' [' || i || ']' AS content FROM m"
+)
+
+
+@query("x_zip_entries", oracle=_ZIP_SQL)
+def x_zip_entries(spark, sf_dir):
+    """ZIP archive ingestion (r11) — the other container document dumps
+    ship in: central-directory walk (the authoritative index; local
+    headers lie under streaming writers), stored + deflate members,
+    CRC32 verification, UTF-8/CP437 name decoding, quarantine on
+    corruption/encryption. Hand-built deterministic archives
+    (alternating methods) pin the walker against spec math; tests also
+    cross-check both directions against stdlib zipfile."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.webdataset import synth_zip_bytes, zip_entries
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_zip_bytes(int(d), str(t))
+                for d, t in zip(doc_id, text)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    archives = docs.select(
+        F.col("doc_id").alias("archive_id"),
+        _build("doc_id", "text").alias("payload"),
+    )
+    return zip_entries(archives).filter(
+        F.col("parse_error").isNull()
+    ).select(
+        "archive_id",
+        "name",
+        "n_bytes",
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
 @query("x_stream_webdataset", oracle=_WDS_MEMBERS_SQL)
 def x_stream_webdataset(spark, sf_dir):
     """Streaming WebDataset ingestion (r11): shards land as parquet
@@ -6489,6 +6542,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "webdataset_members",
             "robots_url_filter",
             "sniff_media_type",
+            "zip_entries",
         }
     ),
     sql_tokens=frozenset(),
