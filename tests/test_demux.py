@@ -722,3 +722,82 @@ def test_audio_tags_operator(spark):
     assert out[1].container == "mp3" and out[1].artist == "artist 1"
     assert out[1].sample_rate is None
     assert out[2].parse_error is not None
+
+
+def test_mp3_walk_property():
+    """Property: any (doc_id, n_chars) synth MP3 walks to its closed
+    form, and truncating mid-frame only ever LOWERS the complete-frame
+    count (never a crash — self-synchronizing stream semantics)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        mp3_parse,
+        synth_mp3_bytes,
+    )
+
+    @settings(
+        max_examples=80,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        doc_id=st.integers(0, 2**32),
+        n_chars=st.integers(0, 400),
+        cut=st.integers(1, 200),
+    )
+    def check(doc_id, n_chars, cut):
+        raw = synth_mp3_bytes(doc_id, n_chars)
+        full = mp3_parse(raw)
+        assert full["n_frames"] == n_chars % 20 + 5
+        if cut < len(raw) - 4:
+            try:
+                part = mp3_parse(raw[: len(raw) - cut])
+                assert part["n_frames"] <= full["n_frames"]
+            except ValueError:
+                pass  # nothing parseable left: also legal
+
+    check()
+
+
+def test_subtitle_roundtrip_property():
+    """Property: the builder's closed form holds for any (doc_id,
+    n_chars) in both formats, and arbitrary text payloads never crash
+    the parser (they raise ValueError or parse)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        subtitle_cues_parse,
+        synth_subtitle_bytes,
+    )
+
+    @settings(
+        max_examples=80,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(doc_id=st.integers(0, 2**32), n_chars=st.integers(0, 100))
+    def check(doc_id, n_chars):
+        cues = subtitle_cues_parse(synth_subtitle_bytes(doc_id, n_chars))
+        assert len(cues) == n_chars % 5 + 2
+        assert [c["start_ms"] for c in cues] == [
+            2000 * i for i in range(len(cues))
+        ]
+
+    check()
+
+    @settings(
+        max_examples=120,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(blob=st.text(max_size=300))
+    def fuzz(blob):
+        try:
+            cues = subtitle_cues_parse(blob.encode())
+            assert cues  # if it parsed, it yielded at least one cue
+        except ValueError:
+            pass
+
+    fuzz()

@@ -4470,6 +4470,137 @@ def x_multimodal_sniff(spark, sf_dir):
     return media_type_column(media).select("media_id", "media_type")
 
 
+_MIXED_INGEST_SQL = (
+    # the capstone closed form: every container family's unit count,
+    # derivable because each builder's output is closed-form —
+    # png 8x8 pixels, pgm 2x2, warc 2 records, pdf 2 pages, flac
+    # total_samples = 2*100+1, mp3 n_frames = 2%20+5, mp4 n_samples =
+    # 2%7+2, tar members = 3*((2*doc_id+1)%3+1)
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
+    "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' ELSE 'tar' END AS media_type, "
+    "CAST(CASE doc_id % 8 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
+    "WHEN 3 THEN 2 WHEN 4 THEN 201 WHEN 5 THEN 7 WHEN 6 THEN 4 "
+    "ELSE 3 * ((2 * doc_id + 1) % 3 + 1) END AS BIGINT) AS n_units "
+    "FROM documents WHERE doc_id % 2 = 0 OR doc_id % 8 IN (3, 5, 7)"
+)
+
+
+@query("x_corpus_mixed_ingest", oracle=_MIXED_INGEST_SQL)
+def x_corpus_mixed_ingest(spark, sf_dir):
+    """Capstone mixed-corpus ingestion (r11): the dispatcher and the
+    typed walkers COMPOSED — one pass sniffs each payload's container
+    family by magic bytes and routes it to the matching parser (PNG
+    pixel decode, PNM, WARC record walk, PDF page extraction, FLAC
+    STREAMINFO, MP3 frame walk, MP4 sample demux, tar member walk),
+    emitting a per-document unit count whose closed form is the
+    conjunction of every builder's closed form. This is the engine's
+    'crawl bucket with lying extensions' shape end-to-end. (Scoped to
+    ~5/8 of the corpus purely to bound the per-pass build cost; the
+    heavier families keep their own dedicated certificates.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import png_encode_gray
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        from .operators.demux import (
+            synth_flac_bytes,
+            synth_id3_mp3_bytes,
+            synth_mp4_bytes,
+        )
+        from .operators.pdf import synth_pdf_bytes
+        from .operators.warc import synth_warc_bytes
+        from .operators.webdataset import synth_webdataset_bytes
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            k = d % 8
+            if k == 0:
+                out.append(png_encode_gray(8, 8, [d % 256] * 64))
+            elif k == 1:
+                out.append(b"P5 2 2 255\n" + bytes(4))
+            elif k == 2:
+                out.append(synth_warc_bytes(d, "x"))
+            elif k == 3:
+                out.append(synth_pdf_bytes(d, "x"))
+            elif k == 4:
+                out.append(synth_flac_bytes(d, 2))
+            elif k == 5:
+                out.append(synth_id3_mp3_bytes(d, 2))
+            elif k == 6:
+                out.append(synth_mp4_bytes(d, 2))
+            else:
+                out.append(synth_webdataset_bytes(2 * d + 1, "x"))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents").filter(
+        "doc_id % 2 = 0 OR doc_id % 8 IN (3, 5, 7)"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def _ingest(batches):
+        import pandas as pd
+
+        from .operators.demux import flac_parse, mp3_parse, mp4_demux
+        from .operators.multimodal import decode_real, sniff_media_type
+        from .operators.pdf import pdf_text_extract
+        from .operators.warc import warc_parse
+        from .operators.webdataset import tar_members
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                raw = bytes(payload)
+                t = sniff_media_type(raw)
+                if t in ("png", "pgm", "ppm", "jpeg"):
+                    d = decode_real(raw, "image")
+                    n = d["width"] * d["height"]
+                elif t == "warc":
+                    n = len(warc_parse(raw))
+                elif t == "pdf":
+                    n = pdf_text_extract(raw)["n_pages"]
+                elif t == "flac":
+                    n = flac_parse(raw)["total_samples"]
+                elif t == "mp3":
+                    n = mp3_parse(raw)["n_frames"]
+                elif t == "mp4":
+                    n = len(mp4_demux(raw)["tracks"][0]["sizes"])
+                elif t == "tar":
+                    n = sum(1 for _ in tar_members(raw))
+                else:
+                    n = -1
+                rows.append((int(media_id), t, n))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "n_units"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), False),
+            StructField("n_units", LongType(), False),
+        ]
+    )
+    return media.mapInPandas(_ingest, schema)
+
+
 _IMAGE_GUARD_SQL = (
     # closed form: the whale half (doc_id%2==0, one shared uniform
     # raster -> one aHash bucket) is capped and REPORTED id-for-id;
