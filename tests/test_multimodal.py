@@ -1770,3 +1770,60 @@ def test_sniff_media_type_all_builders():
     ]
     for payload, want in cases:
         assert sniff_media_type(payload) == want, want
+
+
+def test_bmp_decode_24bit_8bit_and_orientation():
+    """BMP: BGR order flipped to RGB, bottom-up vs top-down rows,
+    4-byte row padding, 8-bit palette lookup, unsupported variants
+    rejected."""
+    import struct
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        sniff_media_type,
+    )
+
+    def bmp24(width, height, rows_bgr, top_down=False):
+        stride = (width * 3 + 3) & ~3
+        raster = b"".join(
+            bytes(row) + bytes(stride - width * 3) for row in rows_bgr
+        )
+        h = height if not top_down else -height
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0,
+                          len(raster), 0, 0, 0, 0)
+            + raster
+        )
+
+    # 2x2, stored bottom-up: file rows are (bottom, top)
+    bottom = [255, 0, 0, 0, 255, 0]  # blue px, green px (BGR!)
+    top = [0, 0, 255, 255, 255, 255]  # red px, white px
+    d = decode_real(bmp24(2, 2, [bottom, top]), "image")
+    assert d["channels"] == 3 and d["maxval"] == 255
+    assert d["pixels"] == [
+        255, 0, 0, 255, 255, 255,  # top row: red, white (RGB)
+        0, 0, 255, 0, 255, 0,      # bottom row: blue, green
+    ]
+    # top-down (negative height): file order IS display order
+    d2 = decode_real(bmp24(2, 2, [top, bottom], top_down=True), "image")
+    assert d2["pixels"] == d["pixels"]
+    # 8-bit palette
+    pal = bytes([10, 20, 30, 0]) + bytes([40, 50, 60, 0]) + bytes(4 * 254)
+    raster = bytes([1, 0, 0, 0])  # 1 row, width 2 + pad
+    bmp8 = (
+        b"BM"
+        + struct.pack("<IHHI", 0, 0, 0, 54 + len(pal))
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 4, 0, 0, 256, 0)
+        + pal
+        + raster
+    )
+    d3 = decode_real(bmp8, "image")
+    assert d3["pixels"] == [60, 50, 40, 30, 20, 10]  # BGR pal -> RGB
+    assert sniff_media_type(bmp8) == "bmp"
+    # RLE compression is an unsupported variant, loudly
+    rle = bytearray(bmp24(2, 2, [bottom, top]))
+    struct.pack_into("<I", rle, 30, 1)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_real(bytes(rle), "image")

@@ -1113,6 +1113,70 @@ def synth_exif_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_decode(payload: bytes) -> dict:
+    """Pure-stdlib BMP decode (r11): BITMAPINFOHEADER (or larger) with
+    BI_RGB compression at 24-bit (BGR triples) and 8-bit (palette)
+    depths — the forms that actually appear in crawls. Rows are 4-byte
+    aligned and stored bottom-up (a negative height means top-down);
+    output matches the PNG/PNM shape (8-bit RGB, row-major top-down).
+    Anything else (RLE, bitfields, 1/4/16/32-bit) raises ValueError as
+    out-of-scope structure — BMP is a fully-contained spec so there is
+    no NotImplementedError seam, just unsupported variants."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, depth = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or compression != 0 or depth not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP variant: depth={depth} "
+            f"compression={compression}"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    palette = None
+    if depth == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_at = 14 + hdr_size
+        palette = payload[pal_at : pal_at + 4 * n_colors]
+        if len(palette) < 4 * n_colors:
+            raise ValueError("BMP palette overruns payload")
+    stride = ((width * depth // 8) + 3) & ~3
+    if data_off + stride * height > len(payload):
+        raise ValueError("BMP raster overruns payload")
+    pixels: list[int] = []
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for r in rows:
+        at = data_off + r * stride
+        if depth == 24:
+            for x in range(width):
+                b, g, rr = payload[at + 3 * x : at + 3 * x + 3]
+                pixels.extend((rr, g, b))
+        else:
+            for x in range(width):
+                idx = payload[at + x]
+                if 4 * idx + 3 > len(palette):
+                    raise ValueError(f"BMP palette index {idx} out of range")
+                b, g, rr = palette[4 * idx : 4 * idx + 3]
+                pixels.extend((rr, g, b))
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "channels": 3,
+        "pixels": pixels,
+    }
+
+
 def sniff_media_type(payload: bytes) -> str:
     """Magic-byte content-type detection — the DISPATCHER a mixed-media
     pipeline needs in front of the typed walkers: crawl buckets and
@@ -1148,6 +1212,8 @@ def sniff_media_type(payload: bytes) -> str:
         return "pdf"
     if payload[:5] == b"WARC/":
         return "warc"
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
     if payload[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
         return "vtt"
     if len(payload) >= 263 and payload[257:262] == b"ustar":
@@ -1227,6 +1293,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
         }
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return _png_decode(payload)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return _bmp_decode(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_decode(payload)
     if payload[:2] in (b"P5", b"P6"):
