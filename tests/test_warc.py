@@ -678,3 +678,38 @@ def test_robots_url_filter_operator(spark):
     # no robots.txt -> unrestricted, no delay
     assert out[("h2", "/anything")].allowed
     assert out[("h2", "/anything")].crawl_delay is None
+
+
+def test_sitemap_parse_edge_cases(spark):
+    """Hand fixtures: entity decode, missing lastmod, truncated-file
+    salvage (entries before the cut survive), gzip transparency,
+    non-sitemap rejection, operator quarantine."""
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        sitemap_entries,
+        sitemap_parse,
+        synth_sitemap_bytes,
+    )
+
+    xml = (
+        b'<?xml version="1.0"?><urlset xmlns="x">'
+        b"<url><loc> https://e.com/a?x=1&amp;y=%20 </loc></url>"
+        b"<url><loc>https://e.com/b</loc><lastmod>2026-02-03</lastmod>"
+        b"</url><url><loc>https://e.com/trunca"
+    )
+    d = sitemap_parse(xml)
+    assert d["kind"] == "urlset"
+    assert d["entries"] == [
+        ("https://e.com/a?x=1&y=%20", None),
+        ("https://e.com/b", "2026-02-03"),
+    ]
+    with pytest.raises(ValueError, match="not a sitemap"):
+        sitemap_parse(b"<html><body>404</body></html>")
+    media = spark.createDataFrame(
+        [(1, synth_sitemap_bytes(1)), (2, b"\x1f\x8bgarbage")],
+        "sitemap_id long, payload binary",
+    )
+    rows = sitemap_entries(media).collect()
+    ok = [r for r in rows if r.sitemap_id == 1]
+    (bad,) = [r for r in rows if r.sitemap_id == 2]
+    assert len(ok) == 1 % 6 + 1 and all(r.parse_error is None for r in ok)
+    assert bad.parse_error is not None

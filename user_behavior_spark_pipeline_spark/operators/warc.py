@@ -745,6 +745,150 @@ def robots_url_filter(
     )
 
 
+_XML_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&apos;": "'",
+}
+
+
+def _xml_unescape(text: str) -> str:
+    for k, v in _XML_ENTITIES.items():
+        text = text.replace(k, v)
+    return text
+
+
+def sitemap_parse(payload: bytes) -> dict:
+    """Parse a sitemap file (sitemaps.org protocol): a ``urlset`` of
+    page entries or a ``sitemapindex`` of child sitemaps, each entry a
+    ``<loc>`` with optional ``<lastmod>``. Gzip-transparent (the
+    standard ``.xml.gz`` serving form). A deliberate SCAN parser, not
+    an XML DOM: sitemaps are machine-generated, size-capped (50k URLs)
+    and untrusted — a regex walk has no entity-expansion attack
+    surface and salvages entries from truncated files the way crawlers
+    do. Raises ValueError only when no recognizable sitemap structure
+    exists."""
+    if payload[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)
+        try:
+            payload = d.decompress(payload, MAX_INFLATED_BYTES + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip sitemap: {e}") from e
+        if len(payload) > MAX_INFLATED_BYTES:
+            raise ValueError("sitemap inflates past cap")
+    text = payload.decode("utf-8", "replace")
+    if "<sitemapindex" in text:
+        kind, tag = "sitemapindex", "sitemap"
+    elif "<urlset" in text:
+        kind, tag = "urlset", "url"
+    else:
+        raise ValueError("not a sitemap (no urlset/sitemapindex root)")
+    import re as _re
+
+    entries = []
+    for block in _re.finditer(
+        rf"<{tag}\b[^>]*>(.*?)</{tag}>", text, _re.S
+    ):
+        body = block.group(1)
+        loc = _re.search(r"<loc\s*>(.*?)</loc>", body, _re.S)
+        if loc is None:
+            continue
+        lastmod = _re.search(r"<lastmod\s*>(.*?)</lastmod>", body, _re.S)
+        entries.append(
+            (
+                _xml_unescape(loc.group(1).strip()),
+                None
+                if lastmod is None
+                else _xml_unescape(lastmod.group(1).strip()),
+            )
+        )
+    return {"kind": kind, "entries": entries}
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("sitemap_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("entry_idx", IntegerType(), True),
+        StructField("loc", StringType(), True),
+        StructField("lastmod", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def sitemap_entries(media: DataFrame) -> DataFrame:
+    """Explode (sitemap_id, payload) sitemap files into one row per
+    entry — the crawl-seeding step paired with robots_url_filter
+    (robots.txt names the sitemaps; this walks them). Quarantine on
+    structural corruption."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for sid, payload in zip(batch["sitemap_id"], batch["payload"]):
+                try:
+                    d = sitemap_parse(bytes(payload))
+                    for i, (loc, lastmod) in enumerate(d["entries"]):
+                        rows.append(
+                            (int(sid), d["kind"], i, loc, lastmod, None)
+                        )
+                    if not d["entries"]:
+                        rows.append(
+                            (int(sid), d["kind"], None, None, None, None)
+                        )
+                except ValueError as e:
+                    rows.append((int(sid), None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SITEMAP_SCHEMA.fields]
+            )
+
+    return media.select("sitemap_id", "payload").mapInPandas(
+        _walk, SITEMAP_SCHEMA
+    )
+
+
+def synth_sitemap_bytes(doc_id: int) -> bytes:
+    """Deterministic sitemap: every fifth doc is a sitemapindex of two
+    child sitemaps, the rest urlsets of doc_id%6+1 page entries with
+    entity-escaped query URLs and lastmod dates; even docs gzip.
+    Closed form mirrored by the oracle."""
+    if doc_id % 5 == 0:
+        body = "".join(
+            f"<sitemap><loc>https://h{doc_id}.example/s{j}.xml.gz</loc>"
+            f"</sitemap>"
+            for j in range(2)
+        )
+        xml = (
+            '<?xml version="1.0"?><sitemapindex '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + body
+            + "</sitemapindex>"
+        )
+    else:
+        body = "".join(
+            f"<url><loc>https://h{doc_id}.example/p?a={i}&amp;b=2</loc>"
+            f"<lastmod>2026-01-{i % 9 + 1:02d}</lastmod>"
+            f"<priority>0.5</priority></url>"
+            for i in range(doc_id % 6 + 1)
+        )
+        xml = (
+            '<?xml version="1.0"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + body
+            + "</urlset>"
+        )
+    raw = xml.encode()
+    if doc_id % 2 == 0:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        raw = co.compress(raw) + co.flush()
+    return raw
+
+
 _TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
 
 

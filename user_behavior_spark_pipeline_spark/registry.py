@@ -4023,6 +4023,65 @@ def x_warc_robots(spark, sf_dir):
     )
 
 
+_SITEMAP_SQL = (
+    # closed form from warc.synth_sitemap_bytes: every fifth doc is a
+    # 2-entry sitemapindex, the rest urlsets of doc_id%6+1 entries
+    # with entity-escaped locs and lastmod dates; even docs gzipped
+    "WITH u AS (SELECT doc_id, CAST(v.i AS INT) AS i FROM documents, "
+    "UNNEST(range(CASE WHEN doc_id % 5 = 0 THEN 2 "
+    "ELSE doc_id % 6 + 1 END)) AS v(i)) "
+    "SELECT doc_id AS sitemap_id, "
+    "CASE WHEN doc_id % 5 = 0 THEN 'sitemapindex' ELSE 'urlset' END "
+    "AS kind, i AS entry_idx, "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'https://h' || doc_id || '.example/s' || i || '.xml.gz' "
+    "ELSE 'https://h' || doc_id || '.example/p?a=' || i || '&b=2' END "
+    "AS loc, "
+    "CASE WHEN doc_id % 5 = 0 THEN 'none' "
+    "ELSE '2026-01-0' || (i % 9 + 1) END AS lastmod FROM u"
+)
+
+
+@query("x_warc_sitemap", oracle=_SITEMAP_SQL)
+def x_warc_sitemap(spark, sf_dir):
+    """Sitemap ingestion (r11, sitemaps.org protocol) — the crawl
+    SEEDING step paired with robots_url_filter (robots.txt names the
+    sitemaps, this walks them): urlset page entries and sitemapindex
+    children, entity-unescaped locs, lastmod, gzip transparency
+    (.xml.gz, the standard serving form). A scan parser by design —
+    no XML entity-expansion attack surface, salvages truncated files
+    the way crawlers do."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.warc import sitemap_entries, synth_sitemap_bytes
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [synth_sitemap_bytes(int(d)) for d in doc_id]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("sitemap_id"),
+        _build("doc_id").alias("payload"),
+    )
+    out = sitemap_entries(media)
+    # NULL-free lastmod for a stable driver row sort (see
+    # x_warc_digest): index children carry none
+    return out.select(
+        "sitemap_id",
+        "kind",
+        "entry_idx",
+        "loc",
+        F.coalesce("lastmod", F.lit("none")).alias("lastmod"),
+    )
+
+
 _WARC_DIGEST_SQL = (
     # closed form from synth_warc_bytes: the response record carries a
     # sha1:base32 WARC-Block-Digest computed over the body — except for
@@ -6674,6 +6733,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "robots_url_filter",
             "sniff_media_type",
             "zip_entries",
+            "sitemap_entries",
         }
     ),
     sql_tokens=frozenset(),
