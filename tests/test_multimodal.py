@@ -1827,3 +1827,165 @@ def test_bmp_decode_24bit_8bit_and_orientation():
     struct.pack_into("<I", rle, 30, 1)
     with pytest.raises(ValueError, match="unsupported BMP"):
         decode_real(bytes(rle), "image")
+
+
+def _gif_encode(width, height, palette, indices, interlace=False,
+                transparent=None, local_ct=False):
+    """Independent in-test GIF writer: REAL LZW (dictionary growth,
+    LSB-first variable-width codes, clear on full table) re-derived
+    from the spec — so the decoder's dictionary logic (incl. KwKwK) is
+    checked against spec math, not itself."""
+    import struct
+
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    ct = palette + bytes(3 * ((1 << depth) - n_colors))
+
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, height, step))
+        indices = [
+            v for y in order for v in indices[y * width : (y + 1) * width]
+        ]
+
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width_):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    cwidth = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, cwidth)
+    run = b""
+    for v in indices:
+        cand = run + bytes([v])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], cwidth)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << cwidth) and cwidth < 12:
+            # decoder bumps width when ITS table reaches 2^width
+            cwidth += 1
+        if next_code == 4096:
+            emit(clear, cwidth)
+            cwidth = min_code + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        run = bytes([v])
+    if run:
+        emit(table[run], cwidth)
+    emit(eoi, cwidth)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    gflags = 0 if local_ct else (0x80 | (depth - 1))
+    out += struct.pack("<HHBBB", width, height, gflags, 0, 0)
+    if not local_ct:
+        out += ct
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += bytes([0x21, 0xFE, 3]) + b"cmt" + bytes([0])  # comment ext
+    iflags = (0x40 if interlace else 0) | (
+        (0x80 | (depth - 1)) if local_ct else 0
+    )
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, iflags)
+    if local_ct:
+        out += ct
+    out += bytes([min_code])
+    data = bytes(out_bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_and_features():
+    """GIF (r11): real-LZW round-trip for random rasters, interlace,
+    local color table, transparency (-> RGBA), KwKwK-heavy input, and
+    structural rejection."""
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        sniff_media_type,
+    )
+
+    rng = random.Random(99)
+    pal = bytes(rng.randrange(256) for _ in range(3 * 7))  # 7 colors
+    for w, h, inter, lct in (
+        (13, 9, False, False),
+        (8, 8, True, False),
+        (16, 3, False, True),
+        (1, 1, False, False),
+    ):
+        idx = [rng.randrange(7) for _ in range(w * h)]
+        gif = _gif_encode(w, h, pal, idx, interlace=inter, local_ct=lct)
+        assert sniff_media_type(gif) == "gif"
+        d = decode_real(gif, "image")
+        expect = [c for v in idx for c in pal[3 * v : 3 * v + 3]]
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["pixels"] == expect, (w, h, inter, lct)
+    # KwKwK stress: aaaa... runs force the code==next_code case
+    idx = [0] * 40 + [1] + [0] * 40
+    d = decode_real(_gif_encode(9, 9, pal, idx), "image")
+    assert d["pixels"] == [c for v in idx for c in pal[3 * v : 3 * v + 3]]
+    # transparency index -> RGBA with alpha 0 at matches
+    idx = [0, 2, 0, 1]
+    d = decode_real(_gif_encode(2, 2, pal, idx, transparent=2), "image")
+    assert d["channels"] == 4
+    assert d["pixels"][3::4] == [255, 0, 255, 255]
+    # truncated raster and bad magic reject loudly
+    gif = _gif_encode(4, 4, pal, [0] * 16)
+    with pytest.raises(ValueError):
+        decode_real(gif[:-8], "image")
+    with pytest.raises(ValueError, match="not a GIF|unknown"):
+        decode_real(b"GIF89a" + b"\x00" * 20, "image")
+
+
+def test_gif_lzw_property():
+    """Property: arbitrary index streams round-trip through the real
+    LZW encoder — long runs, alternations, full-palette noise."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+    )
+
+    pal = bytes(range(48))  # 16 colors
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.data())
+    def check(data):
+        w = data.draw(st.integers(1, 24))
+        h = data.draw(st.integers(1, 24))
+        idx = data.draw(
+            st.lists(
+                st.integers(0, 15), min_size=w * h, max_size=w * h
+            )
+        )
+        d = decode_real(_gif_encode(w, h, pal, idx), "image")
+        assert d["pixels"] == [
+            c for v in idx for c in pal[3 * v : 3 * v + 3]
+        ]
+
+    check()

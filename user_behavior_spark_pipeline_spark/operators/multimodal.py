@@ -18,7 +18,8 @@ header+raster parse — round 6; PNG via zlib + the five defined
 scanline filters — round 7, widened to palette/tRNS/sub-8-bit/Adam7 in
 round 10 and 16-bit depth in round 11, covering every legal IHDR;
 sequential AND progressive JPEG via
-Huffman + dequant + one vectorized float64 IDCT — rounds 9/11; all
+Huffman + dequant + one vectorized float64 IDCT — rounds 9/11; GIF via
+real LZW incl. interlace/transparency and BMP (BI_RGB) — round 11; all
 with byte-exact test fixtures)
 and raises NotImplementedError only for formats that genuinely need
 external codec libraries. Round 9 narrowed that seam to BITSTREAM
@@ -1113,6 +1114,166 @@ def synth_exif_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, variable code width from
+    min_code_size+1 to 12 bits, clear/EOI codes, dictionary growth with
+    the KwKwK special case. Stops after ``n_pixels`` indices (trailing
+    junk tolerated, truncation raises)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read_code(width):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            raise ValueError("GIF LZW ended before raster complete")
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("GIF LZW referenced reserved code")
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+#: GIF interlace pass order: (start_row, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_decode(payload: bytes) -> dict:
+    """Pure-stdlib GIF decode (r11): GIF87a/89a, global and local color
+    tables, LZW raster decode, interlacing, and the 89a graphic-control
+    transparency index (-> RGBA, the PNG-tRNS convention). Decodes the
+    FIRST image frame (the still-image surface; animation frames beyond
+    the first are composition state, not decode — out of documented
+    scope). Raises ValueError on structural corruption."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos + 1]
+            pos += 2
+            # graphic control: pick up the transparency index
+            if label == 0xF9 and pos + 6 <= len(payload):
+                bsz = payload[pos]
+                if bsz == 4 and payload[pos + 1] & 0x1:
+                    transparent = payload[pos + 4]
+            while True:  # skip sub-blocks
+                if pos >= len(payload):
+                    raise ValueError("GIF extension sub-blocks truncated")
+                bsz = payload[pos]
+                pos += 1 + bsz
+                if bsz == 0:
+                    break
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x7)
+                ct = payload[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    raise ValueError("GIF local color table truncated")
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without any color table")
+            if pos >= len(payload):
+                raise ValueError("GIF raster truncated")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"bad GIF LZW min code size {min_code}")
+            lzw = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF raster sub-blocks truncated")
+                bsz = payload[pos]
+                pos += 1
+                if bsz == 0:
+                    break
+                lzw += payload[pos : pos + bsz]
+                pos += bsz
+            idx = _gif_lzw_decode(bytes(lzw), min_code, w * h)
+            if iflags & 0x40:  # interlaced: reorder rows
+                rows = [idx[r * w : (r + 1) * w] for r in range(h)]
+                grid: list = [None] * h
+                it = iter(rows)
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, h, step):
+                        grid[y] = next(it)
+                idx = [v for row in grid for v in row]
+            n_colors = len(ct) // 3
+            channels = 3 if transparent is None else 4
+            pixels: list[int] = []
+            for v in idx:
+                if v >= n_colors:
+                    raise ValueError(f"GIF color index {v} out of range")
+                pixels.extend(ct[3 * v : 3 * v + 3])
+                if channels == 4:
+                    pixels.append(0 if v == transparent else 255)
+            return {
+                "kind": "image",
+                "width": w,
+                "height": h,
+                "maxval": 255,
+                "channels": channels,
+                "pixels": pixels,
+            }
+        elif b == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF without an image frame")
+
+
 def _bmp_decode(payload: bytes) -> dict:
     """Pure-stdlib BMP decode (r11): BITMAPINFOHEADER (or larger) with
     BI_RGB compression at 24-bit (BGR triples) and 8-bit (palette)
@@ -1214,6 +1375,8 @@ def sniff_media_type(payload: bytes) -> str:
         return "warc"
     if payload[:2] == b"BM" and len(payload) >= 54:
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
         return "vtt"
     if len(payload) >= 263 and payload[257:262] == b"ustar":
@@ -1295,6 +1458,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
         return _png_decode(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:
         return _bmp_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_decode(payload)
     if payload[:2] in (b"P5", b"P6"):
