@@ -1338,6 +1338,96 @@ def _bmp_decode(payload: bytes) -> dict:
     }
 
 
+def bmp_encode_rgb24(width: int, height: int, rgb: list[int]) -> bytes:
+    """Minimal BI_RGB 24-bit BMP writer (bottom-up, padded rows) — the
+    write-side twin of ``_bmp_decode`` for fixtures and the dispatch
+    certificates."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    raster = bytearray()
+    for r in range(height - 1, -1, -1):
+        for x in range(width):
+            at = (r * width + x) * 3
+            raster += bytes((rgb[at + 2], rgb[at + 1], rgb[at]))  # BGR
+        raster += bytes(stride - width * 3)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+            0, 0, 0, 0,
+        )
+        + bytes(raster)
+    )
+
+
+def gif_encode_indexed(
+    width: int, height: int, palette: bytes, indices: list[int]
+) -> bytes:
+    """Minimal GIF89a writer with REAL LZW (variable-width LSB codes,
+    dictionary growth, clear on full table) — the write-side twin of
+    ``_gif_decode``. The pytest certification uses the test suite's own
+    independent writer; this one exists for engine-side fixture
+    synthesis (dispatch certificates) and is itself decode-verified."""
+    import struct
+
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    ct = palette + bytes(3 * ((1 << depth) - n_colors))
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    cwidth = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, cwidth)
+    run = b""
+    for v in indices:
+        cand = run + bytes([v])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], cwidth)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << cwidth) and cwidth < 12:
+            cwidth += 1
+        if next_code == 4096:
+            emit(clear, cwidth)
+            cwidth = min_code + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        run = bytes([v])
+    if run:
+        emit(table[run], cwidth)
+    emit(eoi, cwidth)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += ct
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out += bytes([min_code])
+    data = bytes(out_bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
 def sniff_media_type(payload: bytes) -> str:
     """Magic-byte content-type detection — the DISPATCHER a mixed-media
     pipeline needs in front of the typed walkers: crawl buckets and

@@ -4464,9 +4464,10 @@ _SNIFF_SQL = (
     # walks, built by the repo's own synth builders (tiny payloads);
     # the sniffer must route each to its walker's type
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
     "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
-    "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' ELSE 'tar' END AS media_type "
+    "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' WHEN 7 THEN 'tar' "
+    "WHEN 8 THEN 'gif' ELSE 'bmp' END AS media_type "
     "FROM documents"
 )
 
@@ -4477,7 +4478,8 @@ def x_multimodal_sniff(spark, sf_dir):
     step in front of every typed walker — crawl buckets and tar shards
     arrive with lying or missing extensions. Each document synthesizes
     one payload of a rotating container family using the repo's OWN
-    builders (PNG, PGM, WARC, PDF, FLAC, ID3-MP3, MP4, tar), and
+    builders (PNG, PGM, WARC, PDF, FLAC, ID3-MP3, MP4, tar, GIF, BMP),
+    and
     multimodal.media_type_column must route every one correctly —
     prefix checks only, no decode, 'unknown' never an exception."""
     from pyspark.sql import functions as F
@@ -4494,6 +4496,10 @@ def x_multimodal_sniff(spark, sf_dir):
             synth_id3_mp3_bytes,
             synth_mp4_bytes,
         )
+        from .operators.multimodal import (
+            bmp_encode_rgb24,
+            gif_encode_indexed,
+        )
         from .operators.pdf import synth_pdf_bytes
         from .operators.warc import synth_warc_bytes
         from .operators.webdataset import synth_webdataset_bytes
@@ -4501,7 +4507,7 @@ def x_multimodal_sniff(spark, sf_dir):
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 8
+            k = d % 10
             if k == 0:
                 out.append(png_encode_gray(8, 8, [d % 256] * 64))
             elif k == 1:
@@ -4516,8 +4522,16 @@ def x_multimodal_sniff(spark, sf_dir):
                 out.append(synth_id3_mp3_bytes(d, 2))
             elif k == 6:
                 out.append(synth_mp4_bytes(d, 2))
-            else:
+            elif k == 7:
                 out.append(synth_webdataset_bytes(2 * d + 1, "x"))
+            elif k == 8:
+                out.append(
+                    gif_encode_indexed(
+                        5, 4, bytes(range(12)), [d % 4] * 20
+                    )
+                )
+            else:
+                out.append(bmp_encode_rgb24(3, 2, [d % 256] * 18))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -4536,13 +4550,15 @@ _MIXED_INGEST_SQL = (
     # total_samples = 2*100+1, mp3 n_frames = 2%20+5, mp4 n_samples =
     # 2%7+2, tar members = 3*((2*doc_id+1)%3+1)
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
     "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
-    "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' ELSE 'tar' END AS media_type, "
-    "CAST(CASE doc_id % 8 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
+    "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' WHEN 7 THEN 'tar' "
+    "WHEN 8 THEN 'gif' ELSE 'bmp' END AS media_type, "
+    "CAST(CASE doc_id % 10 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
     "WHEN 3 THEN 2 WHEN 4 THEN 201 WHEN 5 THEN 7 WHEN 6 THEN 4 "
-    "ELSE 3 * ((2 * doc_id + 1) % 3 + 1) END AS BIGINT) AS n_units "
-    "FROM documents WHERE doc_id % 2 = 0 OR doc_id % 8 IN (3, 5, 7)"
+    "WHEN 7 THEN 3 * ((2 * doc_id + 1) % 3 + 1) "
+    "WHEN 8 THEN 20 ELSE 6 END AS BIGINT) AS n_units "
+    "FROM documents WHERE doc_id % 2 = 0 OR doc_id % 10 IN (3, 5, 7, 9)"
 )
 
 
@@ -4556,7 +4572,7 @@ def x_corpus_mixed_ingest(spark, sf_dir):
     emitting a per-document unit count whose closed form is the
     conjunction of every builder's closed form. This is the engine's
     'crawl bucket with lying extensions' shape end-to-end. (Scoped to
-    ~5/8 of the corpus purely to bound the per-pass build cost; the
+    ~3/5 of the corpus purely to bound the per-pass build cost; the
     heavier families keep their own dedicated certificates.)"""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -4576,10 +4592,15 @@ def x_corpus_mixed_ingest(spark, sf_dir):
         from .operators.warc import synth_warc_bytes
         from .operators.webdataset import synth_webdataset_bytes
 
+        from .operators.multimodal import (
+            bmp_encode_rgb24,
+            gif_encode_indexed,
+        )
+
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 8
+            k = d % 10
             if k == 0:
                 out.append(png_encode_gray(8, 8, [d % 256] * 64))
             elif k == 1:
@@ -4594,13 +4615,21 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                 out.append(synth_id3_mp3_bytes(d, 2))
             elif k == 6:
                 out.append(synth_mp4_bytes(d, 2))
-            else:
+            elif k == 7:
                 out.append(synth_webdataset_bytes(2 * d + 1, "x"))
+            elif k == 8:
+                out.append(
+                    gif_encode_indexed(
+                        5, 4, bytes(range(12)), [d % 4] * 20
+                    )
+                )
+            else:
+                out.append(bmp_encode_rgb24(3, 2, [d % 256] * 18))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
     docs = _table(spark, sf_dir, "documents").filter(
-        "doc_id % 2 = 0 OR doc_id % 8 IN (3, 5, 7)"
+        "doc_id % 2 = 0 OR doc_id % 10 IN (3, 5, 7, 9)"
     )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -4628,7 +4657,7 @@ def x_corpus_mixed_ingest(spark, sf_dir):
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 raw = bytes(payload)
                 t = sniff_media_type(raw)
-                if t in ("png", "pgm", "ppm", "jpeg"):
+                if t in ("png", "pgm", "ppm", "jpeg", "gif", "bmp"):
                     d = decode_real(raw, "image")
                     n = d["width"] * d["height"]
                 elif t == "warc":
