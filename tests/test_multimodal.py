@@ -869,10 +869,10 @@ def test_ahash_container_invariance_and_signedness():
 
 
 def test_image_near_dup_pairs_end_to_end(spark, sf_dir):
-    """Each document's raster under three byte-different containers
-    (gray PNG, PGM, indexed Adam7 PNG) pairs as the per-doc triangle;
-    no cross-document pairs (mixer verified collision-free over 6000
-    doc ids — beyond the sf0.1 range)."""
+    """Each document's raster under four byte-different containers
+    (gray PNG, PGM, indexed Adam7 PNG, big-endian TIFF) pairs as the
+    per-doc 6-clique; no cross-document pairs (mixer verified
+    collision-free over 6000 doc ids — beyond the sf0.1 range)."""
     from user_behavior_spark_pipeline_spark.operators.multimodal import (
         image_near_dup_pairs,
         synth_image_pair_media,
@@ -883,9 +883,10 @@ def test_image_near_dup_pairs_end_to_end(spark, sf_dir):
     pairs = image_near_dup_pairs(synth_image_pair_media(docs)).collect()
     ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {(r.id_1, r.id_2) for r in pairs} == {
-        (3 * d + a, 3 * d + b)
+        (4 * d + a, 4 * d + b)
         for d in ids
-        for a, b in ((0, 1), (0, 2), (1, 2))
+        for a in range(4)
+        for b in range(a + 1, 4)
     }
 
 
@@ -1989,3 +1990,35 @@ def test_gif_lzw_property():
         ]
 
     check()
+
+
+def test_tiff_decode_roundtrip_and_rejection():
+    """TIFF (r11): both byte orders, multi-strip assembly, RGB and
+    gray; unsupported variants (compression, depth) reject loudly."""
+    import random
+    import struct
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        sniff_media_type,
+        tiff_encode,
+    )
+
+    rng = random.Random(17)
+    for le in (True, False):
+        for ch, w, h, rps in ((1, 7, 5, None), (3, 4, 6, 2), (1, 3, 9, 4)):
+            px = [rng.randrange(256) for _ in range(w * h * ch)]
+            raw = tiff_encode(
+                w, h, px, channels=ch, little_endian=le, rows_per_strip=rps
+            )
+            d = decode_real(raw, "image")
+            assert d["pixels"] == px and d["channels"] == ch, (le, ch)
+            assert sniff_media_type(raw) == "tiff"
+    # LZW compression (5) is out of scope, loudly
+    raw = bytearray(tiff_encode(4, 4, [0] * 16))
+    i = raw.index(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", raw, i + 8, 5)
+    with pytest.raises(ValueError, match="unsupported TIFF"):
+        decode_real(bytes(raw), "image")
+    with pytest.raises(ValueError, match="strip overruns"):
+        decode_real(tiff_encode(4, 4, [0] * 16)[:-8], "image")

@@ -1274,6 +1274,191 @@ def _gif_decode(payload: bytes) -> dict:
     raise ValueError("GIF without an image frame")
 
 
+def _tiff_decode(payload: bytes) -> dict:
+    """Pure-stdlib TIFF decode (r11): baseline uncompressed
+    (Compression=1) 8-bit grayscale (PhotometricInterpretation 1) and
+    RGB (2) rasters in strips, both byte orders — the scanned-document
+    corpus shape. LZW/JPEG-in-TIFF, tiles, planar configuration 2 and
+    other depths reject loudly as out-of-scope variants (ValueError);
+    like BMP, TIFF here has no codec seam, only unsupported structure.
+    Output matches the PNG/PNM shape."""
+    import struct
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd0 = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd0 + 2 > len(payload):
+        raise ValueError("TIFF IFD offset overruns payload")
+    (n,) = struct.unpack_from(bo + "H", payload, ifd0)
+    if ifd0 + 2 + 12 * n + 4 > len(payload):
+        raise ValueError("TIFF IFD entries overrun payload")
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = ifd0 + 2 + 12 * i
+        tag, vtype, count = struct.unpack_from(bo + "HHI", payload, e)
+        unit = sizes.get(vtype)
+        if unit is None:
+            continue
+        nbytes = unit * count
+        at = (
+            e + 8
+            if nbytes <= 4
+            else struct.unpack_from(bo + "I", payload, e + 8)[0]
+        )
+        if at + nbytes > len(payload):
+            raise ValueError(f"TIFF tag {tag} value overruns payload")
+        fmt = {1: "B", 3: "H", 4: "I"}.get(vtype)
+        if fmt is None:
+            continue  # rationals etc.: not needed for the raster
+        tags[tag] = list(
+            struct.unpack_from(bo + fmt * count, payload, at)
+        )
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width = one(256)
+    height = one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    planar = one(284, 1)
+    samples = one(277, 1)
+    bits = tags.get(258, [8])
+    if (
+        compression != 1
+        or planar != 1
+        or any(b != 8 for b in bits)
+        or (photometric, samples) not in ((1, 1), (2, 3))
+    ):
+        raise ValueError(
+            f"unsupported TIFF variant: compression={compression} "
+            f"photometric={photometric} samples={samples} bits={bits} "
+            f"planar={planar}"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or inconsistent")
+    raster = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip overruns payload")
+        raster += payload[off : off + cnt]
+    if len(raster) != width * height * samples:
+        raise ValueError("TIFF raster size mismatch")
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "channels": samples,
+        "pixels": list(raster),
+    }
+
+
+def tiff_encode(
+    width: int,
+    height: int,
+    pixels: list[int],
+    channels: int = 1,
+    little_endian: bool = True,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Baseline-TIFF writer (uncompressed strips, both byte orders) —
+    the write-side twin of ``_tiff_decode`` for fixtures and dispatch
+    certificates."""
+    import struct
+
+    bo = "<" if little_endian else ">"
+    rps = rows_per_strip or height
+    strips = []
+    for r0 in range(0, height, rps):
+        rows = min(rps, height - r0)
+        at = r0 * width * channels
+        strips.append(bytes(pixels[at : at + rows * width * channels]))
+    header_end = 8
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (258, 3, 1, 8) if channels == 1 else (258, 3, 3, None),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1 if channels == 1 else 2),
+        (273, 4, len(strips), None),
+        (277, 3, 1, channels),
+        (278, 3, 1, rps),
+        (279, 4, len(strips), None),
+    ]
+    n = len(entries)
+    ifd_at = header_end
+    data_at = ifd_at + 2 + 12 * n + 4
+    tail = bytearray()
+    strip_offsets_pos = None
+    body = bytearray(struct.pack(bo + "H", n))
+    for tag, vtype, count, inline in entries:
+        if tag == 258 and channels == 3:
+            at = data_at + len(tail)
+            tail += struct.pack(bo + "HHH", 8, 8, 8)
+            body += struct.pack(bo + "HHII", tag, vtype, count, at)
+        elif tag == 273:
+            strip_offsets_pos = data_at + len(tail)
+            if len(strips) == 1:
+                body += struct.pack(bo + "HHII", tag, vtype, 1, 0)
+                strip_offsets_pos = ifd_at + len(body) - 4
+            else:
+                body += struct.pack(
+                    bo + "HHII", tag, vtype, count, strip_offsets_pos
+                )
+                tail += bytes(4 * len(strips))
+        elif tag == 279:
+            if len(strips) == 1:
+                body += struct.pack(
+                    bo + "HHII", tag, vtype, 1, len(strips[0])
+                )
+            else:
+                at = data_at + len(tail)
+                body += struct.pack(bo + "HHII", tag, vtype, count, at)
+                for st in strips:
+                    tail += struct.pack(bo + "I", len(st))
+        elif vtype == 3:
+            body += struct.pack(bo + "HHIHH", tag, vtype, count, inline, 0) if bo == "<" else struct.pack(bo + "HHI", tag, vtype, count) + struct.pack(bo + "H", inline) + b"\x00\x00"
+        else:
+            body += struct.pack(bo + "HHII", tag, vtype, count, inline)
+    body += struct.pack(bo + "I", 0)
+    strip_data_at = data_at + len(tail)
+    offs = []
+    pos = strip_data_at
+    for st in strips:
+        offs.append(pos)
+        pos += len(st)
+    out = bytearray()
+    out += (b"II" if little_endian else b"MM") + struct.pack(
+        bo + "HI", 42, ifd_at
+    )
+    out += body
+    out += tail
+    for st in strips:
+        out += st
+    # patch strip offsets
+    if len(strips) == 1:
+        struct.pack_into(bo + "I", out, strip_offsets_pos, offs[0])
+    else:
+        for i, o in enumerate(offs):
+            struct.pack_into(bo + "I", out, strip_offsets_pos + 4 * i, o)
+    return bytes(out)
+
+
 def _bmp_decode(payload: bytes) -> dict:
     """Pure-stdlib BMP decode (r11): BITMAPINFOHEADER (or larger) with
     BI_RGB compression at 24-bit (BGR triples) and 8-bit (palette)
@@ -1467,6 +1652,8 @@ def sniff_media_type(payload: bytes) -> str:
         return "bmp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return "tiff"
     if payload[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
         return "vtt"
     if len(payload) >= 263 and payload[257:262] == b"ustar":
@@ -1550,6 +1737,8 @@ def decode_real(payload: bytes, kind: str) -> dict:
         return _bmp_decode(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode(payload)
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return _tiff_decode(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_decode(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -2199,14 +2388,15 @@ def image_near_dup_pairs_hamming(
 
 def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
     """Per document, the SAME pseudo-random 16x16 grayscale raster under
-    THREE containers: grayscale PNG (media_id = 3*doc_id), binary PGM
-    (3*doc_id + 1), and indexed-color Adam7-interlaced PNG
-    (3*doc_id + 2 — round 11, certifying the palette + interlace decode
-    paths by container invariance). Pixels are doc-keyed pseudo-random
-    (splitmix64 of (doc_id, position)), so distinct documents' rasters
-    are independent and cross-doc aHash collisions are ~2^-64 — the
-    expected pair set is EXACTLY the per-doc triangle
-    {(3d,3d+1), (3d,3d+2), (3d+1,3d+2)}: byte-different containers,
+    FOUR containers: grayscale PNG (media_id = 4*doc_id), binary PGM
+    (4*doc_id + 1), indexed-color Adam7-interlaced PNG (4*doc_id + 2 —
+    certifying the palette + interlace decode paths) and big-endian
+    baseline TIFF (4*doc_id + 3 — r11, certifying the TIFF strip
+    decode), all by container invariance. Pixels are doc-keyed
+    pseudo-random (splitmix64 of (doc_id, position)), so distinct
+    documents' rasters are independent and cross-doc aHash collisions
+    are ~2^-64 — the expected pair set is EXACTLY the per-doc
+    6-pair clique over {4d..4d+3}: byte-different containers,
     pixel-identical content."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -2240,18 +2430,25 @@ def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
         out = []
         for m in media_id:
             m = int(m)
-            px = _pixels(m // 3)
-            if m % 3 == 0:
+            px = _pixels(m // 4)
+            k = m % 4
+            if k == 0:
                 out.append(png_encode_gray(size, size, px))
-            elif m % 3 == 1:
+            elif k == 1:
                 out.append(
                     f"P5 {size} {size} 255\n".encode() + bytes(px)
                 )
-            else:
-                # round 11: the SAME raster under indexed-color +
-                # Adam7 interlace, certifying the r10 palette decode
-                # path by container invariance
+            elif k == 2:
+                # the SAME raster under indexed-color + Adam7 interlace
                 out.append(png_encode_palette_gray_adam7(size, size, px))
+            else:
+                # r11: and under big-endian baseline TIFF strips
+                out.append(
+                    tiff_encode(
+                        size, size, px,
+                        little_endian=False, rows_per_strip=size // 2,
+                    )
+                )
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -2259,9 +2456,7 @@ def synth_image_pair_media(documents: DataFrame, size: int = 16) -> DataFrame:
     ids = documents.select(
         F.explode(
             F.array(
-                F.col("doc_id") * 3,
-                F.col("doc_id") * 3 + 1,
-                F.col("doc_id") * 3 + 2,
+                *[F.col("doc_id") * 4 + i for i in range(4)]
             )
         ).alias("media_id")
     )

@@ -4308,26 +4308,26 @@ def x_corpus_snapshot_diff(spark, sf_dir):
     "x_dedup_image",
     oracle=(
         # the expected pair set is EXACT: each document's raster appears
-        # under three byte-different containers (gray PNG id=3d, PGM
-        # id=3d+1, indexed-color Adam7 PNG id=3d+2 — the third added in
-        # round 11 to certify the palette/interlace decode path) and
-        # under none other; pseudo-random per-doc rasters make a
-        # cross-doc aHash collision ~2^-64, so any false pair, missed
-        # pair, or decoder inconsistency among the three containers
-        # changes the row set and breaks the hash
-        "SELECT CAST(doc_id * 3 + o.a AS BIGINT) AS id_1, "
-        "CAST(doc_id * 3 + o.b AS BIGINT) AS id_2 "
+        # under FOUR byte-different containers (gray PNG id=4d, PGM
+        # id=4d+1, indexed-color Adam7 PNG id=4d+2, big-endian baseline
+        # TIFF id=4d+3 — r11) and under none other; pseudo-random
+        # per-doc rasters make a cross-doc aHash collision ~2^-64, so
+        # any false pair, missed pair, or decoder inconsistency among
+        # the four containers changes the row set and breaks the hash
+        "SELECT CAST(doc_id * 4 + o.a AS BIGINT) AS id_1, "
+        "CAST(doc_id * 4 + o.b AS BIGINT) AS id_2 "
         "FROM documents CROSS JOIN "
-        "(VALUES (0, 1), (0, 2), (1, 2)) AS o(a, b) "
+        "(VALUES (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)) "
+        "AS o(a, b) "
         "WHERE doc_id % 5 = 0"
     ),
 )
 def x_dedup_image(spark, sf_dir):
     """Perceptual image dedup over REAL decoded pixels: the same
-    pseudo-random 16x16 raster is synthesized per document under three
+    pseudo-random 16x16 raster is synthesized per document under FOUR
     containers (our own pure-stdlib grayscale PNG encoder, binary PGM,
-    and an indexed-color Adam7-interlaced PNG — the r10 palette decode
-    surface, oracle-certified here per VERDICT r10 #2), decoded by the
+    an indexed-color Adam7-interlaced PNG — the r10 palette decode
+    surface — and a big-endian baseline TIFF, r11), decoded by the
     real decoders (multimodal.decode_real), aHashed (integer 64-bit
     average hash), and paired on hash equality — content dedup across
     byte-different encodings, the multimodal analogue of exact text
@@ -4699,7 +4699,7 @@ _IMAGE_GUARD_SQL = (
     "SELECT 'capped_ids' AS metric, CAST(COUNT(*) AS BIGINT) AS n "
     "FROM documents WHERE doc_id % 10 = 0 "
     "UNION ALL "
-    "SELECT 'surviving_pairs' AS metric, CAST(3 * COUNT(*) AS BIGINT) "
+    "SELECT 'surviving_pairs' AS metric, CAST(6 * COUNT(*) AS BIGINT) "
     "AS n FROM documents WHERE doc_id % 10 = 1"
 )
 
@@ -4710,12 +4710,12 @@ def x_dedup_image_guard(spark, sf_dir):
     the 'no silent truncation' doctrine, hash-certified end-to-end.
     Every doc_id%10==0 document contributes the SAME uniform 16x16 PGM
     (the placeholder-image degenerate: all collapse to aHash 0), every
-    doc_id%10==1 document its usual three-container triple (a
+    doc_id%10==1 document its usual four-container clique (a
     deterministic fifth of the corpus total — the certificate is
     per-bucket, and the sf1 rehearsal priced the unscoped form at
     exponent 0.72 of pure decode cost). With max_bucket=16 the
     whale bucket must be (a) refused by the pair stage — the surviving
-    pair count is exactly the odd docs' triangles — and (b) reported by
+    pair count is exactly the honest docs' 6-cliques — and (b) reported by
     image_hot_buckets with its exact id count. Cross-contamination is
     ~2^-64 (avalanche-mixed honest rasters never hash to 0)."""
     from pyspark.sql import functions as F
