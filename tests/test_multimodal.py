@@ -2014,11 +2014,204 @@ def test_tiff_decode_roundtrip_and_rejection():
             d = decode_real(raw, "image")
             assert d["pixels"] == px and d["channels"] == ch, (le, ch)
             assert sniff_media_type(raw) == "tiff"
-    # LZW compression (5) is out of scope, loudly
+    # JPEG-in-TIFF (7) is out of scope, loudly
     raw = bytearray(tiff_encode(4, 4, [0] * 16))
     i = raw.index(struct.pack("<HHI", 259, 3, 1))
-    struct.pack_into("<H", raw, i + 8, 5)
+    struct.pack_into("<H", raw, i + 8, 7)
     with pytest.raises(ValueError, match="unsupported TIFF"):
         decode_real(bytes(raw), "image")
     with pytest.raises(ValueError, match="strip overruns"):
         decode_real(tiff_encode(4, 4, [0] * 16)[:-8], "image")
+
+
+def test_tiff_lzw_byte_exact_and_packbits_fixture():
+    """Byte-exact pinning of the TIFF LZW coder against a hand-derived
+    spec coding, and of the PackBits packet grammar: for input
+    07 07 07 08 the code stream is Clear(256), 7, 258, 8, EOI(257),
+    all at 9 bits MSB-first -> 8001e0408808. PackBits: a 5-run, 3
+    literals, then a 200-run split 128+72."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_encode(b"\x07\x07\x07\x08").hex() == "8001e0408808"
+    assert (
+        _tiff_lzw_decode(bytes.fromhex("8001e0408808"), 4)
+        == b"\x07\x07\x07\x08"
+    )
+    data = b"\xaa" * 5 + b"\x01\x02\x03" + b"\xbb" * 200
+    enc = _packbits_encode(data)
+    assert enc.hex() == "fcaa0201020381bbb9bb"
+    assert _packbits_decode(enc, len(data)) == data
+    # the no-op byte (128) must be skipped, not treated as data
+    assert _packbits_decode(b"\x80\x00\x41", 1) == b"A"
+
+
+def _independent_tiff_lzw_encode(data: bytes) -> bytes:
+    """An INDEPENDENT TIFF-LZW writer for cross-checking the package
+    decoder: bit-string based (not the package's accumulator), early
+    change expressed directly in the spec's wording — 'switch to w+1
+    bits after adding code 2^w - 1 to the table', table reset once
+    code 4093 has been assigned."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    bits: list[str] = [format(256, "09b")]
+    omega = b""
+    for b in data:
+        k = omega + bytes([b])
+        if k in table:
+            omega = k
+            continue
+        bits.append(format(table[omega], f"0{width}b"))
+        table[k] = nxt
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        nxt += 1
+        omega = bytes([b])
+        if nxt == 4094:
+            bits.append(format(256, f"0{width}b"))
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+    if omega:
+        bits.append(format(table[omega], f"0{width}b"))
+    bits.append(format(257, f"0{width}b"))
+    s = "".join(bits)
+    s += "0" * ((8 - len(s) % 8) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_tiff_lzw_independent_writer_and_width_boundaries():
+    """The package LZW decoder reproduces streams from an independent
+    spec-derived writer, across the 9->10->11->12-bit width boundaries
+    and a table reset at code 4094 (needs >3836 fresh dictionary
+    entries); the package encoder's output is byte-identical to the
+    independent writer's (same spec, two implementations)."""
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = random.Random(99)
+    # incompressible: dictionary grows one entry per ~byte -> crosses
+    # every width boundary and the 4094 reset within 8k bytes
+    for n in (1, 17, 700, 3000, 9000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        ind = _independent_tiff_lzw_encode(data)
+        assert _tiff_lzw_decode(ind, n) == data, n
+        assert _tiff_lzw_encode(data) == ind, n
+    # highly repetitive: KwKwK (code == next_code) cases
+    data = b"\x05" * 1000 + b"\x06\x05" * 500
+    ind = _independent_tiff_lzw_encode(data)
+    assert _tiff_lzw_decode(ind, len(data)) == data
+    assert _tiff_lzw_encode(data) == ind
+
+
+def test_tiff_compressed_roundtrip_grid():
+    """PackBits and LZW (with and without the horizontal predictor)
+    round-trip across byte orders, channel counts and strip layouts;
+    corruption quarantines (ValueError), never a wrong raster."""
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        sniff_media_type,
+        tiff_encode,
+    )
+
+    rng = random.Random(31)
+    for comp in (5, 32773):
+        for pred in (1, 2):
+            for le in (True, False):
+                for ch, w, h, rps in (
+                    (1, 7, 5, None),
+                    (3, 4, 6, 2),
+                    (1, 9, 9, 4),
+                ):
+                    if comp == 32773 and pred == 2:
+                        continue  # predictor certified on the LZW path
+                    px = [rng.randrange(256) for _ in range(w * h * ch)]
+                    raw = tiff_encode(
+                        w,
+                        h,
+                        px,
+                        channels=ch,
+                        little_endian=le,
+                        rows_per_strip=rps,
+                        compression=comp,
+                        predictor=pred,
+                    )
+                    d = decode_real(raw, "image")
+                    assert d["pixels"] == px, (comp, pred, le, ch)
+                    assert sniff_media_type(raw) == "tiff"
+    # gradient rasters: predictor turns them into near-constant deltas
+    w, h = 16, 16
+    px = [(r + c) % 256 for r in range(h) for c in range(w)]
+    raw = tiff_encode(w, h, px, compression=5, predictor=2)
+    base = tiff_encode(w, h, px, compression=5, predictor=1)
+    assert decode_real(raw, "image")["pixels"] == px
+    assert len(raw) < len(base)  # the predictor actually helps
+    # truncated LZW strip -> quarantine-shaped rejection
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LZW|strip"):
+        decode_real(raw[:-6], "image")
+    # RGB predictor is per-channel: r=g=b would hide channel mixing,
+    # so use channel-distinct values
+    px3 = [(i * 11 + (i % 3) * 37) % 256 for i in range(w * h * 3)]
+    raw3 = tiff_encode(
+        w, h, px3, channels=3, compression=5, predictor=2, rows_per_strip=3
+    )
+    assert decode_real(raw3, "image")["pixels"] == px3
+
+
+def test_tiff_compression_property():
+    """Property: arbitrary rasters round-trip through every supported
+    TIFF compression x predictor combination."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        tiff_encode,
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.data())
+    def check(data):
+        w = data.draw(st.integers(1, 12))
+        h = data.draw(st.integers(1, 12))
+        ch = data.draw(st.sampled_from([1, 3]))
+        comp = data.draw(st.sampled_from([1, 5, 32773]))
+        pred = data.draw(st.sampled_from([1, 2]))
+        rps = data.draw(st.one_of(st.none(), st.integers(1, h)))
+        px = data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+        raw = tiff_encode(
+            w,
+            h,
+            px,
+            channels=ch,
+            little_endian=data.draw(st.booleans()),
+            rows_per_strip=rps,
+            compression=comp,
+            predictor=pred,
+        )
+        assert decode_real(raw, "image")["pixels"] == px
+
+    check()

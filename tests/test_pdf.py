@@ -35,10 +35,13 @@ def test_pdf_hex_strings_and_tj_array():
 
 
 def test_pdf_roundtrip_closed_form():
-    for d, t in ((0, "plain"), (1, "par(en)s \\ slash"), (3, "日本語"), (2, "")):
+    for d, t in ((0, "plain"), (1, "par(en)s \\ slash"), (3, "日本語")):
         out = pdf_text_extract(synth_pdf_bytes(d, t))
         assert out["n_pages"] == 2
         assert out["text"] == f"doc {d} {t}"
+    # empty page texts are skipped by the joiner (no trailing space)
+    out = pdf_text_extract(synth_pdf_bytes(2, ""))
+    assert out["n_pages"] == 2 and out["text"] == "doc 2"
 
 
 def test_pdf_rejects_corrupt_and_encrypted():
@@ -50,10 +53,16 @@ def test_pdf_rejects_corrupt_and_encrypted():
         pdf_text_extract(bad)
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_text_extract(b"%!PS adobe postscript")
-    enc = good + b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF\n"
+    # /Encrypt in the LIVE trailer (the one the last startxref reaches)
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
     with pytest.raises(ValueError, match="encrypted"):
         pdf_text_extract(enc)
-    with pytest.raises(ValueError, match="no text"):
+    # a dangling appended trailer is NOT the live trailer; the xref
+    # path correctly ignores it and still extracts
+    dangling = good + b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text_extract(dangling)["text"] == "doc 2 text here"
+    # no xref AND no recoverable body: the xref error propagates
+    with pytest.raises(ValueError, match="no text|startxref"):
         pdf_text_extract(b"%PDF-1.4\nnothing here\n%%EOF")
 
 
@@ -70,3 +79,92 @@ def test_pdf_text_operator_quarantines(spark):
     )
     (r,) = pdf_text(broken).collect()
     assert r.parse_error is not None and r.text is None
+
+
+def test_pdf_modern_layout_roundtrip():
+    """PDF 1.5 modern layout: xref stream (both predictor variants),
+    ObjStm-packed page tree, scrambled file order, multi-part
+    /Contents — pages come back in PAGE-TREE order."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        synth_pdf_modern_bytes,
+    )
+
+    for d, t in (
+        (0, "even: predicted xref"),  # /Predictor 12
+        (1, "odd: raw xref rows"),
+        (4, "日本語テキスト mixed"),
+        (7, "x" * 3000),
+    ):
+        out = pdf_text_extract(synth_pdf_modern_bytes(d, t))
+        assert out["n_pages"] == 3
+        assert out["text"] == f"doc {d} {t} tail {d}"
+
+
+def test_pdf_object_parser_units():
+    """The object tokenizer on spec corner syntax: nested dicts,
+    refs vs plain ints, #-escaped names, comments, reals."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        _pdf_parse_obj,
+        _Ref,
+    )
+
+    v, _ = _pdf_parse_obj(b"<< /A 1 0 R /B 2 /C [3 4 5 0 R] /D#20E (val) "
+                          b"/F << /G true >> /H -1.5 >>", 0)
+    assert isinstance(v["A"], _Ref) and v["A"].num == 1
+    assert v["B"] == 2
+    assert [x for x in v["C"][:2]] == [3, 4] and v["C"][2].num == 5
+    assert v["D E"] == "val"  # #20 -> space
+    assert v["F"] == {"G": True} and v["H"] == -1.5
+    v, _ = _pdf_parse_obj(b" % comment\n /Name", 0)
+    assert v == "Name"
+    with pytest.raises(ValueError):
+        _pdf_parse_obj(b"<< /Broken", 0)
+
+
+def test_pdf_png_predictor_undo_rows():
+    """PNG row predictors over xref-stream-shaped data: each filter
+    type against hand-computed expectations."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        _png_predictor_undo_rows,
+    )
+
+    # Up filter (type 2): row = delta + prev
+    enc = b"\x02\x01\x02\x03" + b"\x02\x01\x01\x01"
+    assert _png_predictor_undo_rows(enc, 3) == b"\x01\x02\x03\x02\x03\x04"
+    # Sub filter (type 1): cumulative within the row
+    enc = b"\x01\x05\x01\x01"
+    assert _png_predictor_undo_rows(enc, 3) == b"\x05\x06\x07"
+    # None (0) passes through; bad filter type rejects
+    assert _png_predictor_undo_rows(b"\x00\xaa\xbb", 2) == b"\xaa\xbb"
+    with pytest.raises(ValueError, match="filter type"):
+        _png_predictor_undo_rows(b"\x07\x00\x00", 2)
+    with pytest.raises(ValueError, match="whole rows"):
+        _png_predictor_undo_rows(b"\x00\x00", 2)
+
+
+def test_pdf_modern_corruption_quarantines():
+    """Structural damage in the modern machinery raises ValueError
+    (quarantine), and a damaged xref on a classic file SALVAGES via
+    the framing scan."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        synth_pdf_modern_bytes,
+    )
+
+    good = synth_pdf_modern_bytes(2, "body")
+    # corrupt the first Flate stream (a content stream)
+    i = good.index(b"stream\n") + 10
+    bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+    with pytest.raises(ValueError):
+        pdf_text_extract(bad)
+    # truncating the xref stream data kills the walk AND the framing
+    # fallback cannot find BT text in ObjStm-packed dicts alone -> the
+    # original xref error propagates
+    trunc = good[: good.rindex(b"endstream")]
+    with pytest.raises(ValueError):
+        pdf_text_extract(trunc)
+    # classic file with a smashed startxref offset still extracts
+    classic = bytearray(synth_pdf_bytes(5, "still here"))
+    at = classic.rindex(b"startxref")
+    classic[at + 10 : at + 11] = b"9"
+    out = pdf_text_extract(bytes(classic))
+    assert out["text"] == "doc 5 still here"

@@ -1274,11 +1274,213 @@ def _gif_decode(payload: bytes) -> dict:
     raise ValueError("GIF without an image frame")
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF Compression=32773) decompression to exactly
+    ``expected`` bytes — the other classic fax/scan strip codec. n in
+    0..127 copies n+1 literals; n in 129..255 repeats the next byte
+    257-n times; 128 is a no-op. Overrun or shortfall is structural
+    corruption (ValueError → quarantine), never a wrong raster."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("PackBits strip underruns expected size")
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            lit = data[pos : pos + n + 1]
+            if len(lit) != n + 1:
+                raise ValueError("PackBits literal run truncated")
+            out += lit
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("PackBits strip overruns expected size")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits compressor (write-side twin of ``_packbits_decode`` for
+    fixtures): greedy — runs of >=3 identical bytes become repeat
+    packets (max 128), everything else literal packets (max 128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until a >=3 run starts (or 128 cap)
+        k = i
+        while k < n and k - i < 128:
+            j = k + 1
+            while j < n and j - k < 3 and data[j] == data[k]:
+                j += 1
+            if j - k >= 3:
+                break
+            k = j
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (Compression=5) decompression: MSB-first variable-width
+    codes starting at 9 bits, ClearCode 256 / EOI 257, and the TIFF
+    'early change' (width grows when the NEXT code to assign would be
+    2^w - 1 — one code earlier than GIF). Truncation, an out-of-range
+    code, or a size mismatch raises ValueError (quarantine)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+
+    def _next_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    while True:
+        code = _next_code()
+        if code is None:
+            raise ValueError("LZW stream ended without EOI")
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"LZW first code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) > expected:
+            raise ValueError("LZW strip overruns expected size")
+    if len(out) != expected:
+        raise ValueError("LZW strip underruns expected size")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW compressor (write-side twin of ``_tiff_lzw_decode``):
+    dict-based with the spec's early width change and a table reset at
+    code 4094, emitting MSB-first bit packing."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def _emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    _emit(256, width)
+    omega = b""
+    for byte in data:
+        k = bytes([byte])
+        if omega + k in table:
+            omega += k
+            continue
+        _emit(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        # early change: switch width once entry (1<<w)-1 is ASSIGNED —
+        # one code earlier than the natural (1<<w) point (TIFF6 spec)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        omega = k
+        if next_code == 4094:
+            _emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if omega:
+        _emit(table[omega], width)
+    _emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_predictor_undo(
+    strip: bytes, width: int, channels: int
+) -> bytes:
+    """Undo the TIFF horizontal-differencing predictor (tag 317 = 2):
+    per row, each sample is a delta from the previous sample of the
+    same channel — cumulative sum mod 256, vectorized per strip."""
+    import numpy as np
+
+    row_bytes = width * channels
+    if len(strip) % row_bytes:
+        raise ValueError("TIFF strip is not a whole number of rows")
+    arr = np.frombuffer(strip, dtype=np.uint8).reshape(
+        -1, width, channels
+    )
+    return (
+        np.cumsum(arr, axis=1, dtype=np.uint32) % 256
+    ).astype(np.uint8).tobytes()
+
+
+def _tiff_predictor_apply(
+    raster: bytes, width: int, channels: int
+) -> bytes:
+    """Apply horizontal differencing (encode-side twin)."""
+    import numpy as np
+
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(
+        -1, width, channels
+    ).astype(np.int16)
+    diff = arr.copy()
+    diff[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
+    return (diff % 256).astype(np.uint8).tobytes()
+
+
 def _tiff_decode(payload: bytes) -> dict:
-    """Pure-stdlib TIFF decode (r11): baseline uncompressed
-    (Compression=1) 8-bit grayscale (PhotometricInterpretation 1) and
-    RGB (2) rasters in strips, both byte orders — the scanned-document
-    corpus shape. LZW/JPEG-in-TIFF, tiles, planar configuration 2 and
+    """Pure-stdlib TIFF decode: baseline uncompressed (Compression=1),
+    PackBits (32773) and LZW (5, with the optional horizontal
+    predictor, tag 317=2) 8-bit grayscale (PhotometricInterpretation 1)
+    and RGB (2) rasters in strips, both byte orders — the
+    scanned-document corpus shapes (r11 baseline; compression added
+    later in r11). JPEG-in-TIFF, tiles, planar configuration 2 and
     other depths reject loudly as out-of-scope variants (ValueError);
     like BMP, TIFF here has no codec seam, only unsupported structure.
     Output matches the PNG/PNM shape."""
@@ -1335,9 +1537,11 @@ def _tiff_decode(payload: bytes) -> dict:
     photometric = one(262)
     planar = one(284, 1)
     samples = one(277, 1)
+    predictor = one(317, 1)
     bits = tags.get(258, [8])
     if (
-        compression != 1
+        compression not in (1, 5, 32773)
+        or predictor not in (1, 2)
         or planar != 1
         or any(b != 8 for b in bits)
         or (photometric, samples) not in ((1, 1), (2, 3))
@@ -1345,17 +1549,35 @@ def _tiff_decode(payload: bytes) -> dict:
         raise ValueError(
             f"unsupported TIFF variant: compression={compression} "
             f"photometric={photometric} samples={samples} bits={bits} "
-            f"planar={planar}"
+            f"planar={planar} predictor={predictor}"
         )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip tables missing or inconsistent")
+    rps = one(278, height)
+    if rps <= 0:
+        raise ValueError("TIFF RowsPerStrip must be positive")
+    if len(offsets) != -(-height // rps):
+        raise ValueError("TIFF strip count disagrees with RowsPerStrip")
     raster = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(payload):
             raise ValueError("TIFF strip overruns payload")
-        raster += payload[off : off + cnt]
+        rows = min(rps, height - i * rps)
+        expected = rows * width * samples
+        raw = payload[off : off + cnt]
+        if compression == 1:
+            if len(raw) != expected:
+                raise ValueError("TIFF uncompressed strip size mismatch")
+            strip = raw
+        elif compression == 32773:
+            strip = _packbits_decode(raw, expected)
+        else:
+            strip = _tiff_lzw_decode(raw, expected)
+        if predictor == 2:
+            strip = _tiff_predictor_undo(strip, width, samples)
+        raster += strip
     if len(raster) != width * height * samples:
         raise ValueError("TIFF raster size mismatch")
     return {
@@ -1375,31 +1597,46 @@ def tiff_encode(
     channels: int = 1,
     little_endian: bool = True,
     rows_per_strip: int | None = None,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
-    """Baseline-TIFF writer (uncompressed strips, both byte orders) —
-    the write-side twin of ``_tiff_decode`` for fixtures and dispatch
-    certificates."""
+    """TIFF writer (uncompressed / PackBits / LZW strips, optional
+    horizontal predictor, both byte orders) — the write-side twin of
+    ``_tiff_decode`` for fixtures and dispatch certificates."""
     import struct
 
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"tiff_encode: compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff_encode: predictor {predictor}")
     bo = "<" if little_endian else ">"
     rps = rows_per_strip or height
     strips = []
     for r0 in range(0, height, rps):
         rows = min(rps, height - r0)
         at = r0 * width * channels
-        strips.append(bytes(pixels[at : at + rows * width * channels]))
+        strip = bytes(pixels[at : at + rows * width * channels])
+        if predictor == 2:
+            strip = _tiff_predictor_apply(strip, width, channels)
+        if compression == 5:
+            strip = _tiff_lzw_encode(strip)
+        elif compression == 32773:
+            strip = _packbits_encode(strip)
+        strips.append(strip)
     header_end = 8
     entries = [
         (256, 3, 1, width),
         (257, 3, 1, height),
         (258, 3, 1, 8) if channels == 1 else (258, 3, 3, None),
-        (259, 3, 1, 1),
+        (259, 3, 1, compression),
         (262, 3, 1, 1 if channels == 1 else 2),
         (273, 4, len(strips), None),
         (277, 3, 1, channels),
         (278, 3, 1, rps),
         (279, 4, len(strips), None),
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
     n = len(entries)
     ifd_at = header_end
     data_at = ifd_at + 2 + 12 * n + 4
@@ -1457,6 +1694,70 @@ def tiff_encode(
         for i, o in enumerate(offs):
             struct.pack_into(bo + "I", out, strip_offsets_pos + 4 * i, o)
     return bytes(out)
+
+
+def synth_tiff_variant_media(documents: DataFrame) -> DataFrame:
+    """Per document, the SAME closed-form raster (pixel i =
+    (doc_id*31 + i*7) % 256, 16x16) under FOUR byte-different TIFF
+    encodings: media 4d = uncompressed gray LE, 4d+1 = PackBits gray
+    BE multi-strip (rows_per_strip=5), 4d+2 = LZW + horizontal
+    predictor gray LE (rows_per_strip=7), 4d+3 = LZW + predictor RGB
+    BE (channel-distinct pixels, so predictor channel mixing cannot
+    hide). The raster is SQL-derivable, so one oracle certifies
+    strip assembly, both codecs, the predictor and both byte orders."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            m = int(m)
+            d, v = m // 4, m % 4
+            n = 768 if v == 3 else 256
+            px = [(d * 31 + i * 7) % 256 for i in range(n)]
+            if v == 0:
+                raw = tiff_encode(16, 16, px)
+            elif v == 1:
+                raw = tiff_encode(
+                    16,
+                    16,
+                    px,
+                    little_endian=False,
+                    rows_per_strip=5,
+                    compression=32773,
+                )
+            elif v == 2:
+                raw = tiff_encode(
+                    16,
+                    16,
+                    px,
+                    rows_per_strip=7,
+                    compression=5,
+                    predictor=2,
+                )
+            else:
+                raw = tiff_encode(
+                    16,
+                    16,
+                    px,
+                    channels=3,
+                    little_endian=False,
+                    compression=5,
+                    predictor=2,
+                )
+            out.append(raw)
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    ids = documents.select(
+        F.explode(
+            F.array(
+                *[F.col("doc_id") * 4 + F.lit(i) for i in range(4)]
+            )
+        ).alias("media_id")
+    )
+    return ids.select("media_id", _build("media_id").alias("payload"))
 
 
 def _bmp_decode(payload: bytes) -> dict:

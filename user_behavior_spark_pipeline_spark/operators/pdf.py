@@ -1,17 +1,21 @@
 """PDF text extraction — the highest-value non-HTML document format in
 a pretraining corpus (papers, reports, books arrive as PDF).
 
-Scope (honest): CLASSIC-layout PDFs — objects in the file body, content
-streams raw or FlateDecode (stdlib zlib), text shown via Tj / TJ / ' / "
-operators with literal or hex strings (UTF-16BE with BOM, else
-Latin-1/WinAnsi approximated as latin-1). That covers the
-builder-certified closed form and the broad class of simple generated
-PDFs. NOT handled (documented seam, quarantine or partial output, never
-a dead task): encrypted files, cross-reference/object streams (ObjStm —
-PDF 1.5 compressed layout), CID/Type0 composite fonts with custom CMaps
+Scope (honest): BOTH PDF layouts. The primary path walks the
+cross-reference data — classic xref tables AND the PDF 1.5+ modern
+layout (xref STREAMS with /W field widths + PNG predictors, object
+streams /Type /ObjStm, /Prev incremental-update chains) — and emits
+pages in PAGE-TREE order with multi-part /Contents arrays concatenated
+per spec. Files whose xref is damaged fall back to a framing scan over
+intact body bytes (salvage, file order). Content streams raw or
+FlateDecode (stdlib zlib); text shown via Tj / TJ / ' / " operators
+with literal or hex strings (UTF-16BE with BOM, else Latin-1/WinAnsi
+approximated as latin-1). NOT handled (documented seam, quarantine or
+partial output, never a dead task): encrypted files, non-Flate filters
+(DCT/JBIG2/LZW/ASCII85), CID/Type0 composite fonts with custom CMaps
 (their bytes are font-indexed, not character codes — extracting them
 without the CMap would produce mojibake, so text in such fonts is
-OMITTED rather than garbled), and JBIG2/image-only scans (no OCR).
+OMITTED rather than garbled), and image-only scans (no OCR).
 
 The 100 TB shape: one mapInPandas pass, linear in PDF bytes,
 embarrassingly parallel per document; structural corruption routes to a
@@ -174,17 +178,489 @@ def pdf_content_text(data: bytes) -> str:
     return "".join(out)
 
 
+_PDF_WS = b"\x00\t\n\x0c\r "
+_PDF_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    """An indirect reference ``num gen R`` (gen ignored — incremental
+    updates resolve through the xref, which already picks the live
+    generation)."""
+
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"_Ref({self.num})"
+
+
+def _pdf_skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _PDF_WS:
+            pos += 1
+        elif c == 0x25:  # % comment runs to EOL
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![0-9A-Za-z])")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+
+
+def _pdf_parse_obj(data: bytes, pos: int) -> tuple[object, int]:
+    """Parse ONE PDF object (PDF 32000-1 §7.3) starting at/after
+    whitespace: dict, array, name, string, number, bool, null, or an
+    indirect reference. Structural nonsense raises ValueError (the
+    quarantine path)."""
+    pos = _pdf_skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("PDF object expected at end of data")
+    c = data[pos]
+    if data.startswith(b"<<", pos):
+        pos += 2
+        out: dict[str, object] = {}
+        while True:
+            pos = _pdf_skip_ws(data, pos)
+            if data.startswith(b">>", pos):
+                return out, pos + 2
+            if data[pos : pos + 1] != b"/":
+                raise ValueError("PDF dict key is not a name")
+            key, pos = _pdf_parse_obj(data, pos)
+            val, pos = _pdf_parse_obj(data, pos)
+            out[key] = val
+        # unreachable
+    if c == 0x5B:  # [
+        pos += 1
+        arr: list[object] = []
+        while True:
+            pos = _pdf_skip_ws(data, pos)
+            if pos >= len(data):
+                raise ValueError("unterminated PDF array")
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            v, pos = _pdf_parse_obj(data, pos)
+            arr.append(v)
+    if c == 0x2F:  # /name (with #xx escapes)
+        m = _NAME_RE.match(data, pos)
+        raw = m.group(1)
+        if b"#" in raw:
+            raw = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda mm: bytes([int(mm.group(1), 16)]),
+                raw,
+            )
+        return raw.decode("latin-1"), m.end()
+    if c == 0x28:  # literal string
+        return _pdf_literal_string(data, pos)
+    if c == 0x3C:  # hex string (<< handled above)
+        return _pdf_hex_string(data, pos)
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    rm = _REF_RE.match(data, pos)
+    if rm:
+        return _Ref(int(rm.group(1))), rm.end()
+    nm = _NUM_RE.match(data, pos)
+    if nm:
+        tok = nm.group(0)
+        return (
+            float(tok) if b"." in tok else int(tok)
+        ), nm.end()
+    raise ValueError(
+        f"unparsable PDF object at byte {pos}: {data[pos:pos+16]!r}"
+    )
+
+
+def _png_predictor_undo_rows(
+    data: bytes, columns: int, bpp: int = 1
+) -> bytes:
+    """Undo PNG row predictors (filters 0-4) on predictor-encoded
+    stream data (/DecodeParms /Predictor >= 10): rows of 1 filter-type
+    byte + ``columns`` bytes, as used by xref streams."""
+    stride = columns + 1
+    if len(data) % stride:
+        raise ValueError("PNG-predicted stream is not whole rows")
+    out = bytearray()
+    prev = bytes(columns)
+    for r0 in range(0, len(data), stride):
+        ftype = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, columns):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(columns):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG predictor filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+class _PdfDoc:
+    """Random-access view of a PDF through its cross-reference data:
+    classic xref tables, PDF 1.5 xref STREAMS (/W field widths, PNG
+    predictors) and object streams (/Type /ObjStm), with /Prev chains
+    merged newest-wins. This is the modern-layout path; files whose
+    xref is damaged fall back to the framing scan in
+    ``pdf_text_extract`` (salvage), and encrypted files reject."""
+
+    def __init__(self, payload: bytes) -> None:
+        self.payload = payload
+        self.xref: dict[int, tuple] = {}  # num -> ("in", off) | ("os", stm, idx)
+        self.trailer: dict[str, object] = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple[list[int], list[int], bytes]] = {}
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", payload):
+            pass
+        if m is None:
+            raise ValueError("PDF has no startxref")
+        self._read_xref_chain(int(m.group(1)))
+        if "Encrypt" in self.trailer:
+            raise ValueError("encrypted PDF (no text without the key)")
+
+    # -- xref ----------------------------------------------------------
+    def _read_xref_chain(self, start: int) -> None:
+        seen: set[int] = set()
+        pos = start
+        while True:
+            if pos in seen:
+                raise ValueError("circular PDF /Prev xref chain")
+            seen.add(pos)
+            if pos < 0 or pos >= len(self.payload):
+                raise ValueError("xref offset outside file")
+            at = _pdf_skip_ws(self.payload, pos)
+            if self.payload.startswith(b"xref", at):
+                trailer = self._read_xref_table(at + 4)
+            else:
+                trailer = self._read_xref_stream(at)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            if prev is None:
+                return
+            if not isinstance(prev, int):
+                raise ValueError("PDF /Prev is not an offset")
+            pos = prev
+
+    def _read_xref_table(self, pos: int) -> dict:
+        data = self.payload
+        while True:
+            pos = _pdf_skip_ws(data, pos)
+            if data.startswith(b"trailer", pos):
+                t, _ = _pdf_parse_obj(data, pos + 7)
+                if not isinstance(t, dict):
+                    raise ValueError("PDF trailer is not a dict")
+                return t
+            m = re.match(rb"(\d+)\s+(\d+)", data[pos : pos + 48])
+            if not m:
+                raise ValueError("bad xref subsection header")
+            first, count = int(m.group(1)), int(m.group(2))
+            pos = _pdf_skip_ws(data, pos + m.end())
+            for i in range(count):
+                ent = data[pos : pos + 20]
+                if len(ent) < 18:
+                    raise ValueError("truncated xref entry")
+                off, _gen, typ = ent[:10], ent[11:16], ent[17:18]
+                if typ == b"n":
+                    self.xref.setdefault(first + i, ("in", int(off)))
+                elif typ != b"f":
+                    raise ValueError(f"bad xref entry type {typ!r}")
+                # entries are 18-20 bytes; re-sync on digits
+                pos += 20 if ent[18:20] in (b" \n", b" \r", b"\r\n") else 18
+                while pos < len(data) and data[pos] in (0x0A, 0x0D, 0x20):
+                    pos += 1
+
+    def _read_xref_stream(self, pos: int) -> dict:
+        dic, raw = self._parse_stream_obj_at(pos)
+        if dic.get("Type") != "XRef":
+            raise ValueError("startxref does not point at xref data")
+        data = self._decode_stream(dic, raw)
+        w = dic.get("W")
+        size = dic.get("Size")
+        if (
+            not isinstance(w, list)
+            or len(w) != 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            or not isinstance(size, int)
+        ):
+            raise ValueError("xref stream missing sane /W or /Size")
+        index = dic.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            raise ValueError("bad xref stream /Index")
+        w1, w2, w3 = w
+        stride = w1 + w2 + w3
+        need = sum(index[i + 1] for i in range(0, len(index), 2)) * stride
+        if len(data) < need:
+            raise ValueError("xref stream data shorter than /Index claims")
+        at = 0
+        for i in range(0, len(index), 2):
+            first, count = index[i], index[i + 1]
+            for j in range(count):
+                f1 = (
+                    int.from_bytes(data[at : at + w1], "big") if w1 else 1
+                )
+                f2 = int.from_bytes(data[at + w1 : at + w1 + w2], "big")
+                f3 = int.from_bytes(
+                    data[at + w1 + w2 : at + stride], "big"
+                )
+                at += stride
+                num = first + j
+                if f1 == 1:
+                    self.xref.setdefault(num, ("in", f2))
+                elif f1 == 2:
+                    self.xref.setdefault(num, ("os", f2, f3))
+                elif f1 != 0:
+                    raise ValueError(f"bad xref stream entry type {f1}")
+        return dic
+
+    # -- objects -------------------------------------------------------
+    def _parse_stream_obj_at(self, pos: int) -> tuple[dict, bytes]:
+        """Parse ``N G obj <<dict>> stream`` at a byte offset and slice
+        the raw (still encoded) stream data."""
+        data = self.payload
+        m = re.match(rb"\s*\d+\s+\d+\s+obj\b", data[pos : pos + 48])
+        if not m:
+            raise ValueError("xref offset does not hit an object header")
+        dic, p = _pdf_parse_obj(data, pos + m.end())
+        if not isinstance(dic, dict):
+            raise ValueError("stream object without a dict")
+        p = _pdf_skip_ws(data, p)
+        if not data.startswith(b"stream", p):
+            raise ValueError("expected 'stream' keyword")
+        p += 6
+        if data[p : p + 2] == b"\r\n":
+            p += 2
+        elif data[p : p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = self.resolve(dic.get("Length"))
+        if not isinstance(length, int) or length < 0:
+            raise ValueError("stream /Length missing or bogus")
+        raw = data[p : p + length]
+        if len(raw) != length:
+            raise ValueError("stream data truncated")
+        return dic, raw
+
+    def _decode_stream(self, dic: dict, raw: bytes) -> bytes:
+        filt = self.resolve(dic.get("Filter"))
+        filters = (
+            [] if filt is None else filt if isinstance(filt, list) else [filt]
+        )
+        parms = self.resolve(dic.get("DecodeParms"))
+        parms_list = (
+            [] if parms is None
+            else parms if isinstance(parms, list) else [parms]
+        )
+        for i, f in enumerate(filters):
+            if f != "FlateDecode":
+                raise ValueError(f"unsupported PDF stream filter {f}")
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+            pp = self.resolve(parms_list[i]) if i < len(parms_list) else None
+            if isinstance(pp, dict):
+                pred = self.resolve(pp.get("Predictor", 1))
+                if pred and pred >= 10:
+                    columns = self.resolve(pp.get("Columns", 1))
+                    colors = self.resolve(pp.get("Colors", 1))
+                    bpc = self.resolve(pp.get("BitsPerComponent", 8))
+                    bpp = max(1, colors * bpc // 8)
+                    raw = _png_predictor_undo_rows(
+                        raw, columns * bpp, bpp
+                    )
+                elif pred not in (None, 1):
+                    raise ValueError(f"unsupported /Predictor {pred}")
+        return raw
+
+    def resolve(self, v: object, depth: int = 0) -> object:
+        while isinstance(v, _Ref):
+            if depth > 32:
+                raise ValueError("PDF reference chain too deep")
+            v = self.load(v.num)
+            depth += 1
+        return v
+
+    def load(self, num: int) -> object:
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            return None  # spec: an absent object is null
+        if ent[0] == "in":
+            pos = ent[1]
+            data = self.payload
+            m = re.match(rb"\s*\d+\s+\d+\s+obj\b", data[pos : pos + 48])
+            if not m:
+                raise ValueError(
+                    f"xref offset for obj {num} does not hit an object"
+                )
+            obj, p = _pdf_parse_obj(data, pos + m.end())
+            if isinstance(obj, dict):
+                q = _pdf_skip_ws(data, p)
+                if data.startswith(b"stream", q):
+                    dic, raw = self._parse_stream_obj_at(pos)
+                    obj = ("stream", dic, raw)
+        else:
+            stm_num, idx = ent[1], ent[2]
+            first, offs, data = self._load_objstm(stm_num)
+            if idx >= len(offs):
+                raise ValueError(
+                    f"ObjStm index {idx} out of range for stream {stm_num}"
+                )
+            obj, _ = _pdf_parse_obj(data, first + offs[idx])
+        self._cache[num] = obj
+        return obj
+
+    def _load_objstm(self, num: int) -> tuple[int, list[int], bytes]:
+        if num in self._objstm_cache:
+            return self._objstm_cache[num]
+        ent = self.xref.get(num)
+        if ent is None or ent[0] != "in":
+            raise ValueError(f"ObjStm {num} is missing or nested")
+        dic, raw = self._parse_stream_obj_at(ent[1])
+        if dic.get("Type") != "ObjStm":
+            raise ValueError(f"object {num} is not an ObjStm")
+        data = self._decode_stream(dic, raw)
+        n = self.resolve(dic.get("N"))
+        first = self.resolve(dic.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("ObjStm missing /N or /First")
+        offs: list[int] = []
+        at = 0
+        for _ in range(n):
+            _onum, at = _pdf_parse_obj(data, at)
+            off, at = _pdf_parse_obj(data, at)
+            if not isinstance(off, int) or first + off > len(data):
+                raise ValueError("ObjStm offset overruns stream")
+            offs.append(off)
+        out = (first, offs, data)
+        self._objstm_cache[num] = out
+        return out
+
+    # -- page tree -----------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise ValueError("PDF trailer has no /Root catalog")
+        tree = self.resolve(root.get("Pages"))
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node: object, depth: int) -> None:
+            if depth > 64:
+                raise ValueError("PDF page tree too deep")
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                raise ValueError("PDF page tree node is not a dict")
+            if node.get("Type") == "Page":
+                out.append(node)
+                return
+            kids = self.resolve(node.get("Kids"))
+            if not isinstance(kids, list):
+                raise ValueError("PDF /Pages node without /Kids")
+            if id(node) in seen:
+                raise ValueError("cycle in PDF page tree")
+            seen.add(id(node))
+            for k in kids:
+                walk(k, depth + 1)
+
+        walk(tree, 0)
+        if not out:
+            raise ValueError("PDF page tree has no pages")
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        parts = contents if isinstance(contents, list) else [contents]
+        chunks: list[bytes] = []
+        for p in parts:
+            obj = self.resolve(p)
+            if (
+                not isinstance(obj, tuple)
+                or len(obj) != 3
+                or obj[0] != "stream"
+            ):
+                raise ValueError("page /Contents is not a stream")
+            chunks.append(self._decode_stream(obj[1], obj[2]))
+        # the spec treats multiple /Contents streams as one stream with
+        # implicit whitespace between the pieces
+        return b"\n".join(chunks)
+
+
+def _pdf_extract_via_xref(payload: bytes) -> dict:
+    """Page-tree-ordered extraction through the cross-reference data —
+    handles classic xref tables AND the PDF 1.5 modern layout (xref
+    streams with /W + PNG predictors, ObjStm-packed page dicts,
+    multi-part /Contents arrays, objects in any file order)."""
+    doc = _PdfDoc(payload)
+    texts = []
+    pages = doc.pages()
+    for page in pages:
+        texts.append(pdf_content_text(doc.page_content(page)))
+    return {
+        "n_pages": len(pages),
+        "text": " ".join(t for t in texts if t),
+    }
+
+
 def pdf_text_extract(payload: bytes) -> dict:
-    """Extract visible text from a classic-layout PDF: every stream
-    object is located by framing (``<<dict>> stream ... endstream``),
-    FlateDecode'd when filtered (corrupt deflate raises ValueError for
-    the quarantine path), and content streams (those containing a BT
-    text block) contribute one page entry each. Returns n_pages and the
-    page texts joined with single spaces. Encrypted files raise
-    ValueError (their strings are ciphertext — extracting would emit
-    garbage silently)."""
+    """Extract visible text from a PDF. Primary path: walk the
+    cross-reference data (classic tables or PDF 1.5 xref streams +
+    object streams) and emit pages in PAGE-TREE order — the order a
+    reader sees, not file order. Salvage path: when the xref is
+    damaged or absent, fall back to the classic framing scan
+    (``<<dict>> stream ... endstream``), which recovers text from any
+    intact body. Encrypted files raise ValueError in both paths (their
+    strings are ciphertext — extracting would emit garbage silently);
+    structural corruption raises ValueError for the quarantine row."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
+    try:
+        return _pdf_extract_via_xref(payload)
+    except ValueError as xref_err:
+        if "encrypted PDF" in str(xref_err):
+            raise
+        try:
+            return _pdf_extract_by_framing(payload)
+        except ValueError:
+            raise xref_err from None
+
+
+def _pdf_extract_by_framing(payload: bytes) -> dict:
+    """The classic-layout salvage scan: every stream object located by
+    framing, FlateDecode'd when filtered, content streams (those with a
+    BT text block) contribute one page entry each, in FILE order."""
     if b"/Encrypt" in payload[-2048:]:
         raise ValueError("encrypted PDF (no text without the key)")
     pages: list[str] = []
@@ -317,6 +793,127 @@ def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
     return bytes(out)
 
 
+def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic PDF 1.5 MODERN-layout file: the document catalog,
+    page tree and page dicts live inside a compressed OBJECT STREAM
+    (/Type /ObjStm), the cross-reference is an XREF STREAM (/Type
+    /XRef, W=[1 3 1], type-2 entries for the packed objects; even
+    doc_ids PNG-Up-predict the xref data, /Predictor 12), content
+    streams are written in SCRAMBLED file order, and the middle page
+    shows its text through a TWO-PART /Contents array. Closed form
+    (oracle-mirrored):
+      n_pages = 3,  extracted = concat_ws(' ', 'doc <id>', text, 'tail <id>')
+    (empty page texts are skipped by the joiner)
+    Any drift in xref-stream field decoding, predictor undo, ObjStm
+    offset walk, reference resolution, page-tree ordering or multi-part
+    content concatenation changes the extracted text."""
+
+    def hexstr(s: str) -> bytes:
+        return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
+
+    half = len(text) // 2
+    c_p1 = b"BT /F1 12 Tf 72 720 Td " + hexstr(f"doc {doc_id}") + b" Tj ET"
+    c_p2a = b"BT /F1 12 Tf 72 700 Td " + hexstr(text[:half]) + b" Tj ET"
+    c_p2b = b"BT " + hexstr(text[half:]) + b" Tj ET"
+    c_p3 = b"BT " + hexstr(f"tail {doc_id}") + b" Tj ET"
+
+    packed = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 7 0 R >>",
+        4: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents [8 0 R 9 0 R] >>",
+        5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 10 0 R >>",
+    }
+    header = b" ".join(
+        b"%d %d" % (num, off)
+        for num, off in zip(
+            packed,
+            _running_offsets(packed.values()),
+        )
+    )
+    objstm_body = header + b" " + b"".join(packed.values())
+    first = len(header) + 1
+    objstm_data = zlib.compress(objstm_body, 9)
+    objstm = (
+        b"6 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(packed), first, len(objstm_data))
+        + objstm_data
+        + b"\nendstream\nendobj\n"
+    )
+
+    def content_obj(num: int, data: bytes) -> bytes:
+        filt = b""
+        if doc_id % 2 == 0:
+            data = zlib.compress(data, 9)
+            filt = b" /Filter /FlateDecode"
+        return (
+            b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (num, len(data), filt)
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    # scrambled file order: page-3 content first, then page-2 part A,
+    # page-1, page-2 part B, then the object stream
+    for num, body in (
+        (10, content_obj(10, c_p3)),
+        (8, content_obj(8, c_p2a)),
+        (7, content_obj(7, c_p1)),
+        (9, content_obj(9, c_p2b)),
+        (6, objstm),
+    ):
+        offsets[num] = len(out)
+        out += body
+
+    xref_at = len(out)
+    entries = [(0, 0, 65535)]  # obj 0: free
+    for num in range(1, 6):
+        entries.append((2, 6, num - 1))  # packed in ObjStm 6, index
+    entries.append((1, offsets[6], 0))
+    for num in (7, 8, 9, 10):
+        entries.append((1, offsets[num], 0))
+    entries.append((1, xref_at, 0))  # obj 11: the xref stream itself
+    rows = b"".join(
+        bytes([t]) + f2.to_bytes(3, "big") + bytes([f3 & 0xFF])
+        for t, f2, f3 in entries
+    )
+    parms = b""
+    if doc_id % 2 == 0:
+        stride = 5
+        pred = bytearray()
+        prev = bytes(stride)
+        for r0 in range(0, len(rows), stride):
+            row = rows[r0 : r0 + stride]
+            pred += b"\x02" + bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+            prev = row
+        rows = bytes(pred)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
+    xref_data = zlib.compress(rows, 9)
+    out += (
+        b"11 0 obj\n<< /Type /XRef /Size 12 /W [1 3 1] /Root 1 0 R "
+        b"/Length %d /Filter /FlateDecode%s >>\nstream\n"
+        % (len(xref_data), parms)
+        + xref_data
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)
+
+
+def _running_offsets(bodies) -> list[int]:
+    offs, at = [], 0
+    for b in bodies:
+        offs.append(at)
+        at += len(b)
+    return offs
+
+
 def synth_pdf_media(documents: DataFrame) -> DataFrame:
     """(media_id, payload) of deterministic PDFs, executor-side."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -327,6 +924,28 @@ def synth_pdf_media(documents: DataFrame) -> DataFrame:
         return pd.Series(
             [
                 synth_pdf_bytes(int(d), str(t))
+                for d, t in zip(doc_id, text)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "text").alias("payload"),
+    )
+
+
+def synth_pdf_modern_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of deterministic MODERN-layout (PDF 1.5
+    xref-stream + ObjStm) PDFs, executor-side."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_pdf_modern_bytes(int(d), str(t))
                 for d, t in zip(doc_id, text)
             ]
         )

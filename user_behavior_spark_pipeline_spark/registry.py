@@ -3547,6 +3547,39 @@ def x_pdf_text(spark, sf_dir):
     return pdf_text(synth_pdf_media(docs)).drop("parse_error")
 
 
+_PDF_MODERN_SQL = (
+    # closed form from pdf.synth_pdf_modern_bytes: three pages in
+    # page-tree order — 'doc <id>', the document text (shown through a
+    # TWO-part /Contents array, halves concatenated), 'tail <id>' —
+    # while the FILE order of the content streams is scrambled and the
+    # page/catalog dicts live inside a compressed object stream indexed
+    # by an xref STREAM (PNG-Up-predicted on the even half). A
+    # file-order or ObjStm/xref-stream decode drift reorders or loses
+    # page text and breaks the hash.
+    "SELECT doc_id AS media_id, CAST(3 AS INT) AS n_pages, "
+    "'doc ' || doc_id || ' ' || text || ' tail ' || doc_id AS text "
+    "FROM documents"
+)
+
+
+@query("x_pdf_modern", oracle=_PDF_MODERN_SQL)
+def x_pdf_modern(spark, sf_dir):
+    """PDF 1.5 MODERN-layout text extraction (r11) — the layout
+    real-world PDF producers have emitted since Acrobat 6: object
+    streams (/Type /ObjStm) holding the catalog/page dicts, a
+    cross-reference STREAM (/W field widths, PNG Up predictor on the
+    even half), scrambled object file order and a multi-part /Contents
+    array. The walker resolves pages through the xref in PAGE-TREE
+    order, so the closed form certifies reference resolution, ObjStm
+    offset walking, predictor undo and spec-correct content
+    concatenation; pdf.py documents the remaining seam (encryption,
+    non-Flate filters, CID fonts)."""
+    from .operators.pdf import pdf_text, synth_pdf_modern_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return pdf_text(synth_pdf_modern_media(docs)).drop("parse_error")
+
+
 _SUBTITLE_SQL = (
     # closed form from demux.synth_subtitle_bytes: n_chars%5+2 cues at
     # 2s spacing, 1.5s long, deterministic text; even docs SRT (CRLF,
@@ -4442,6 +4475,97 @@ _EXIF_SQL = (
     "AS transposed "
     "FROM documents WHERE doc_id % 5 = 0"
 )
+
+
+_TIFF_DECODE_SQL = (
+    # closed form from multimodal.synth_tiff_variant_media: pixel i of
+    # doc d is (d*31 + i*7) % 256, 16x16, gray for variants 0-2 and
+    # RGB (768 samples) for variant 3; the four variants are
+    # byte-different TIFF encodings (uncompressed LE / PackBits BE
+    # multi-strip / LZW+predictor LE / LZW+predictor RGB BE) of that
+    # same raster, so any drift in strip assembly, either codec, the
+    # horizontal predictor or byte-order handling changes pixel_sum or
+    # the order-sensitive pixel_dot and breaks the hash
+    "WITH v AS (SELECT * FROM (VALUES (0, 256), (1, 256), (2, 256), "
+    "(3, 768)) AS t(v, n)), "
+    "px AS (SELECT d.doc_id, v.v, CAST(u.i AS BIGINT) AS i, "
+    "(d.doc_id * 31 + u.i * 7) % 256 AS p "
+    "FROM documents d CROSS JOIN v, UNNEST(range(v.n)) AS u(i) "
+    "WHERE d.doc_id % 5 = 0) "
+    "SELECT CAST(doc_id * 4 + v AS BIGINT) AS media_id, "
+    "CAST(16 AS INT) AS width, "
+    "CAST(CASE WHEN v = 3 THEN 3 ELSE 1 END AS INT) AS channels, "
+    "CAST(SUM(p) AS BIGINT) AS pixel_sum, "
+    "CAST(SUM(p * i) AS BIGINT) AS pixel_dot "
+    "FROM px GROUP BY doc_id, v"
+)
+
+
+@query("x_multimodal_tiff", oracle=_TIFF_DECODE_SQL)
+def x_multimodal_tiff(spark, sf_dir):
+    """TIFF compression certificate (r11): the same closed-form raster
+    per document under uncompressed, PackBits and LZW+horizontal-
+    predictor strips (mixed byte orders, mixed strip heights, gray and
+    RGB), really decoded by multimodal._tiff_decode in one
+    Arrow-batched pass; the oracle recomputes the raster arithmetic in
+    SQL, with an order-sensitive dot product so a transposed or
+    strip-shuffled raster cannot alias. This drives the scanned-
+    document corpus shapes (fax/scan PackBits, archival LZW) end to
+    end in the driver slot; the byte-level coder laws (early width
+    change, KwKwK, packet grammar) are pytest-certified against an
+    independent spec-derived writer. Scoped to the deterministic
+    doc_id%5==0 fifth (same policy as the other per-image
+    certificates)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.multimodal import decode_real, synth_tiff_variant_media
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    media = synth_tiff_variant_media(docs)
+
+    def _dec(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                d = decode_real(bytes(payload), "image")
+                px = d["pixels"]
+                rows.append(
+                    (
+                        int(media_id),
+                        d["width"],
+                        d["channels"],
+                        sum(px),
+                        sum(p * i for i, p in enumerate(px)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "channels",
+                    "pixel_sum",
+                    "pixel_dot",
+                ],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("channels", IntegerType(), False),
+            StructField("pixel_sum", LongType(), False),
+            StructField("pixel_dot", LongType(), False),
+        ]
+    )
+    return media.mapInPandas(_dec, schema)
 
 
 @query("x_multimodal_exif", oracle=_EXIF_SQL)
@@ -6763,6 +6887,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "sniff_media_type",
             "zip_entries",
             "sitemap_entries",
+            "synth_tiff_variant_media",
+            "tiff_encode",
         }
     ),
     sql_tokens=frozenset(),
