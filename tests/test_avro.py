@@ -1,0 +1,143 @@
+"""Avro object-container ingestion (operators/avro): spec-arithmetic
+byte laws (no Avro library exists in this environment — the spec
+examples ARE the oracle), container walk, quarantine."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.avro import (
+    avro_container_records,
+    avro_records,
+    synth_avro_bytes,
+    synth_avro_media,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+
+def test_zigzag_spec_examples_and_roundtrip():
+    """The spec's own table: 0->00, -1->01, 1->02, -2->03, 2->04,
+    -64->7f, 64->80 01."""
+    import random
+
+    for n, z in (
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (2, b"\x04"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+    ):
+        assert zigzag_encode(n) == z
+        assert zigzag_decode(z, 0) == (n, len(z))
+    rng = random.Random(3)
+    for _ in range(500):
+        n = rng.randrange(-(2**62), 2**62)
+        assert zigzag_decode(zigzag_encode(n), 0)[0] == n
+    with pytest.raises(ValueError, match="truncated"):
+        zigzag_decode(b"\x80\x80", 0)
+    with pytest.raises(ValueError, match="overlong"):
+        zigzag_decode(b"\x80" * 11 + b"\x01", 0)
+
+
+def test_hand_built_container_from_spec_arithmetic():
+    """A container assembled field by field from the spec (not via the
+    synth builder): one record {a: long 3, b: string 'hi'}, null codec."""
+    schema = (
+        b'{"type":"record","name":"T","fields":'
+        b'[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    )
+    sync = bytes(range(16))
+    buf = bytearray(b"Obj\x01")
+    buf += zigzag_encode(1)  # one metadata pair
+    buf += zigzag_encode(11) + b"avro.schema"
+    buf += zigzag_encode(len(schema)) + schema
+    buf += zigzag_encode(0)
+    buf += sync
+    body = zigzag_encode(3) + zigzag_encode(2) + b"hi"
+    buf += zigzag_encode(1) + zigzag_encode(len(body)) + body + sync
+    rows = list(avro_container_records(bytes(buf)))
+    assert rows == [(0, "a", "long", "3"), (0, "b", "string", "hi")]
+
+
+def test_synth_container_closed_form():
+    for did in (0, 1, 2, 3, 4, 5, 11):
+        rows = list(avro_container_records(synth_avro_bytes(did)))
+        nrec = did % 3 + 1
+        assert len(rows) == nrec * 5
+        got = {(ri, fld): (t, v) for ri, fld, t, v in rows}
+        for i in range(nrec):
+            assert got[(i, "id")] == ("long", str(did * 10 + i))
+            assert got[(i, "kind")] == ("string", f"k{i % 2}")
+            assert got[(i, "score")] == ("double", repr((did * 2 + i) * 0.5))
+            assert got[(i, "flag")] == (
+                "boolean",
+                "true" if i % 2 == 0 else "false",
+            )
+            if i % 3 == 0:
+                assert got[(i, "note")] == ("null", None)
+            else:
+                assert got[(i, "note")] == ("string", f"n{i}")
+
+
+def test_avro_corruption_quarantine_shapes():
+    # torn sync marker
+    b = bytearray(synth_avro_bytes(2))
+    b[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker"):
+        list(avro_container_records(bytes(b)))
+    # bit flip inside a deflate block
+    b = bytearray(synth_avro_bytes(3))
+    b[len(b) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate|sync"):
+        list(avro_container_records(bytes(b)))
+    # unsupported codec rejects loudly
+    raw = synth_avro_bytes(2).replace(b"\x08null", b"\x0csnappy")
+    with pytest.raises(ValueError, match="codec"):
+        list(avro_container_records(raw))
+    # nested schema rejects as out of scope
+    nested = (
+        b'{"type":"record","name":"T","fields":'
+        b'[{"name":"a","type":{"type":"array","items":"long"}}]}'
+    )
+    good = synth_avro_bytes(0)
+    with pytest.raises(ValueError, match="bad magic|not an Avro"):
+        list(avro_container_records(b"NOPE" + good[4:]))
+    with pytest.raises(ValueError, match="out of scope"):
+        from user_behavior_spark_pipeline_spark.operators.avro import (
+            _parse_schema,
+        )
+
+        _parse_schema(nested)
+    # trailing bytes in a block are structural corruption
+    schema = (
+        b'{"type":"record","name":"T","fields":'
+        b'[{"name":"a","type":"long"}]}'
+    )
+    sync = bytes(range(16))
+    buf = bytearray(b"Obj\x01")
+    buf += zigzag_encode(1)
+    buf += zigzag_encode(11) + b"avro.schema"
+    buf += zigzag_encode(len(schema)) + schema
+    buf += zigzag_encode(0) + sync
+    body = zigzag_encode(3) + b"\x99"  # one long + junk
+    buf += zigzag_encode(1) + zigzag_encode(len(body)) + body + sync
+    with pytest.raises(ValueError, match="trailing"):
+        list(avro_container_records(bytes(buf)))
+
+
+def test_avro_records_operator_and_quarantine(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = avro_records(synth_avro_media(docs)).collect()
+    good = [r for r in rows if r.parse_error is None]
+    assert len(good) == sum((d % 3 + 1) * 5 for d in range(5))
+    broken = spark.createDataFrame(
+        [(9, b"Obj\x01\x00" + bytes(16))], "media_id long, payload binary"
+    )
+    (r,) = avro_records(broken).collect()
+    assert r.parse_error is not None

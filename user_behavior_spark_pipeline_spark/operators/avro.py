@@ -1,0 +1,361 @@
+"""Avro object-container ingestion — the row format event logs and
+Kafka archive dumps actually land in (avro.apache.org spec, container
+format §"Object Container Files").
+
+Scope: container files (magic ``Obj\\x01``) whose writer schema is a
+RECORD of primitive fields — long/int/string/double/float/boolean/
+bytes/null — or two-branch ``["null", <prim>]`` unions (the nullable
+column idiom); codecs ``null`` and ``deflate`` (raw DEFLATE, stdlib
+zlib). Multi-block files are walked block by block with the 16-byte
+sync marker VERIFIED between blocks, so a torn or spliced file cannot
+silently misalign. Nested records/arrays/maps/enums/fixed and the
+snappy/zstandard codecs reject loudly (ValueError -> quarantine): this
+walker is pure stdlib by design.
+
+Output is the generic long format — one row per (record, field) with
+the value rendered as a canonical string (decimal ints, repr floats,
+'true'/'false', hex bytes) — so ANY supported schema ingests without
+per-schema configuration and every cell stays driver-hashable; a typed
+projection is one pivot away in SQL.
+
+No Avro library exists in this environment, so certification is
+byte-level: the test suite pins the zigzag-varint laws and a hand-built
+container against spec arithmetic, and the builder/walker pair is
+closed-form-certified against DuckDB in the driver slot
+(x_avro_records).
+
+The 100 TB shape: one mapInPandas pass, linear in container bytes; a
+corrupt file becomes ONE parse_error row (the walker-quarantine
+contract of warc.py / demux.py / pdf.py / tensors.py).
+
+Reference parity note: the reference pipeline has no Avro path
+(SURVEY.md §2.1); this is training-data extension surface (§2.5).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"Obj\x01"
+_PRIMITIVES = {
+    "long",
+    "int",
+    "string",
+    "double",
+    "float",
+    "boolean",
+    "bytes",
+    "null",
+}
+
+
+def zigzag_encode(n: int) -> bytes:
+    """Avro varint: zigzag then little-endian base-128."""
+    z = (n << 1) if n >= 0 else (((-n - 1) << 1) | 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
+    """Returns (value, next_pos); truncation raises ValueError."""
+    shift = 0
+    acc = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("Avro varint truncated")
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("Avro varint overlong")
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = zigzag_decode(data, pos)
+    if n < 0 or pos + n > len(data):
+        raise ValueError("Avro bytes/string length overruns data")
+    return data[pos : pos + n], pos + n
+
+
+def _parse_schema(raw: bytes) -> list[tuple[str, object]]:
+    """Writer schema -> [(field_name, type)] where type is a primitive
+    name or ('union_null', prim) for ["null", prim] (either order)."""
+    try:
+        sch = json.loads(raw.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"bad Avro schema JSON: {e}") from None
+    if not isinstance(sch, dict) or sch.get("type") != "record":
+        raise ValueError("Avro schema is not a record (out of scope)")
+    fields = sch.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("Avro record schema has no fields")
+    out: list[tuple[str, object]] = []
+    for f in fields:
+        name, typ = f.get("name"), f.get("type")
+        if not isinstance(name, str):
+            raise ValueError("Avro field without a name")
+        if isinstance(typ, str) and typ in _PRIMITIVES:
+            out.append((name, typ))
+        elif (
+            isinstance(typ, list)
+            and len(typ) == 2
+            and "null" in typ
+            and any(t in _PRIMITIVES - {"null"} for t in typ)
+        ):
+            prim = typ[1] if typ[0] == "null" else typ[0]
+            out.append((name, ("union_null", typ.index(prim), prim)))
+        else:
+            raise ValueError(
+                f"Avro field {name!r} type {typ!r} out of scope "
+                "(primitives and [null, prim] unions only)"
+            )
+    return out
+
+
+def _decode_value(
+    data: bytes, pos: int, typ: str
+) -> tuple[str | None, int]:
+    """One primitive value -> canonical string (None for null)."""
+    if typ in ("long", "int"):
+        v, pos = zigzag_decode(data, pos)
+        return str(v), pos
+    if typ == "string":
+        raw, pos = _read_bytes(data, pos)
+        return raw.decode("utf-8"), pos
+    if typ == "bytes":
+        raw, pos = _read_bytes(data, pos)
+        return raw.hex(), pos
+    if typ == "double":
+        if pos + 8 > len(data):
+            raise ValueError("Avro double truncated")
+        return repr(struct.unpack_from("<d", data, pos)[0]), pos + 8
+    if typ == "float":
+        if pos + 4 > len(data):
+            raise ValueError("Avro float truncated")
+        return repr(struct.unpack_from("<f", data, pos)[0]), pos + 4
+    if typ == "boolean":
+        if pos >= len(data):
+            raise ValueError("Avro boolean truncated")
+        b = data[pos]
+        if b not in (0, 1):
+            raise ValueError(f"Avro boolean byte {b} invalid")
+        return ("true" if b else "false"), pos + 1
+    if typ == "null":
+        return None, pos
+    raise ValueError(f"Avro type {typ} unsupported")
+
+
+def avro_container_records(
+    payload: bytes,
+) -> Iterator[tuple[int, str, str, str | None]]:
+    """Walk one container file: yields (rec_idx, field, type, value)
+    with values canonically stringified. Structural corruption raises
+    ValueError."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not an Avro container (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:  # metadata map: blocks of key/value pairs
+        count, pos = zigzag_decode(payload, pos)
+        if count == 0:
+            break
+        if count < 0:
+            # negative block count: abs(count) items preceded by size
+            _size, pos = zigzag_decode(payload, pos)
+            count = -count
+        for _ in range(count):
+            k, pos = _read_bytes(payload, pos)
+            v, pos = _read_bytes(payload, pos)
+            meta[k.decode("utf-8", "replace")] = v
+    if "avro.schema" not in meta:
+        raise ValueError("Avro container missing avro.schema")
+    fields = _parse_schema(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("latin-1")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"Avro codec {codec!r} unsupported (null/deflate)")
+    sync = payload[pos : pos + 16]
+    if len(sync) != 16:
+        raise ValueError("Avro sync marker truncated")
+    pos += 16
+    rec_idx = 0
+    while pos < len(payload):
+        n_recs, pos = zigzag_decode(payload, pos)
+        size, pos = zigzag_decode(payload, pos)
+        if n_recs < 0 or size < 0 or pos + size > len(payload):
+            raise ValueError("Avro block header overruns file")
+        block = payload[pos : pos + size]
+        pos += size
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("Avro sync marker mismatch (torn file)")
+        pos += 16
+        if codec == "deflate":
+            try:
+                block = zlib.decompress(block, -15)
+            except zlib.error as e:
+                raise ValueError(f"corrupt Avro deflate block: {e}") from e
+        at = 0
+        for _ in range(n_recs):
+            for name, typ in fields:
+                if isinstance(typ, tuple):  # ("union_null", null_at, prim)
+                    branch, at = zigzag_decode(block, at)
+                    _tag, prim_at, prim = typ
+                    if branch == prim_at:
+                        v, at = _decode_value(block, at, prim)
+                        t = prim
+                    elif branch == 1 - prim_at:
+                        v, t = None, "null"
+                    else:
+                        raise ValueError(
+                            f"Avro union branch {branch} out of range"
+                        )
+                else:
+                    v, at = _decode_value(block, at, typ)
+                    t = typ
+                yield rec_idx, name, t, v
+            rec_idx += 1
+        if at != len(block):
+            raise ValueError(
+                f"Avro block has {len(block) - at} trailing bytes"
+            )
+
+
+AVRO_RECORDS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rec_idx", LongType(), True),
+        StructField("field", StringType(), True),
+        StructField("value_type", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def avro_records(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per (record, field) in the
+    generic long format; corrupt containers quarantine as ONE
+    parse_error row."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    for ri, fld, t, v in avro_container_records(
+                        bytes(payload)
+                    ):
+                        rows.append((mid, ri, fld, t, v, None))
+                except ValueError as e:
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVRO_RECORDS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, AVRO_RECORDS_SCHEMA
+    )
+
+
+_SYNTH_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "kind", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+).encode()
+
+
+def synth_avro_bytes(doc_id: int) -> bytes:
+    """Deterministic container for the closed-form oracle: doc_id%3+1
+    records of schema Event(id long, kind string, score double, flag
+    boolean, note null|string), split into blocks of at most 2 records,
+    deflate-coded on the odd half. Record i: id = doc_id*10+i, kind =
+    'k<i%2>', score = (doc_id*2+i)*0.5 (exactly representable), flag =
+    i%2==0, note = null when i%3==0 else 'n<i>'."""
+    deflate = doc_id % 2 == 1
+    recs = []
+    for i in range(doc_id % 3 + 1):
+        body = bytearray()
+        body += zigzag_encode(doc_id * 10 + i)
+        kind = f"k{i % 2}".encode()
+        body += zigzag_encode(len(kind)) + kind
+        body += struct.pack("<d", (doc_id * 2 + i) * 0.5)
+        body += b"\x01" if i % 2 == 0 else b"\x00"
+        if i % 3 == 0:
+            body += zigzag_encode(0)  # union branch 0: null
+        else:
+            note = f"n{i}".encode()
+            body += zigzag_encode(1) + zigzag_encode(len(note)) + note
+        recs.append(bytes(body))
+    sync = bytes((doc_id * 7 + k * 13) % 256 for k in range(16))
+    out = bytearray(_MAGIC)
+    meta = [
+        (b"avro.schema", _SYNTH_SCHEMA),
+        (b"avro.codec", b"deflate" if deflate else b"null"),
+    ]
+    out += zigzag_encode(len(meta))
+    for k, v in meta:
+        out += zigzag_encode(len(k)) + k
+        out += zigzag_encode(len(v)) + v
+    out += zigzag_encode(0)
+    out += sync
+    for b0 in range(0, len(recs), 2):
+        chunk = recs[b0 : b0 + 2]
+        blob = b"".join(chunk)
+        if deflate:
+            c = zlib.compressobj(9, zlib.DEFLATED, -15)
+            blob = c.compress(blob) + c.flush()
+        out += zigzag_encode(len(chunk))
+        out += zigzag_encode(len(blob))
+        out += blob
+        out += sync
+    return bytes(out)
+
+
+def synth_avro_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of deterministic Avro containers."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series([synth_avro_bytes(int(d)) for d in doc_id])
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )

@@ -1922,7 +1922,8 @@ def sniff_media_type(payload: bytes) -> str:
     best. Pure prefix/structure checks over the first bytes, no
     decoding; 'unknown' (never an exception) for everything else.
     Types covered = exactly the walkers this repo ships: png jpeg pgm
-    ppm wav flac mp3 mp4 gzip pdf warc tar vtt srt."""
+    ppm wav flac mp3 mp4 gzip pdf warc bmp gif tiff vtt npy avro zip
+    tar."""
     if len(payload) < 4:
         return "unknown"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1957,6 +1958,12 @@ def sniff_media_type(payload: bytes) -> str:
         return "tiff"
     if payload[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
         return "vtt"
+    if payload[:6] == b"\x93NUMPY":
+        return "npy"
+    if payload[:4] == b"Obj\x01":
+        return "avro"
+    if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return "zip"  # incl. NPZ (a ZIP of NPY members)
     if len(payload) >= 263 and payload[257:262] == b"ustar":
         return "tar"
     return "unknown"

@@ -3547,6 +3547,99 @@ def x_pdf_text(spark, sf_dir):
     return pdf_text(synth_pdf_media(docs)).drop("parse_error")
 
 
+_NPY_SQL = (
+    # closed form from tensors.synth_npz_bytes: member emb.npy is an
+    # f4 vector (len doc_id%5+3, v[j]=(doc*7+j)%100 — exactly f4-
+    # representable), ids.npy an i8 2x2 [[d,d+1],[d+2,d+3]]; even docs
+    # little-endian C-order stored-ZIP, odd BIG-endian Fortran-order
+    # deflate-ZIP. Values are canonical strings, so a byte-order or
+    # element-order drift cannot alias; C-order flatten of the Fortran
+    # matrix must still read row-major.
+    "WITH emb AS (SELECT doc_id, 'emb.npy' AS member, "
+    "CASE WHEN doc_id % 2 = 0 THEN '<f4' ELSE '>f4' END AS descr, "
+    "CAST(1 AS INT) AS n_dims, CAST(doc_id % 5 + 3 AS BIGINT) AS n_values, "
+    "CAST(u.i AS BIGINT) AS value_idx, "
+    "CAST(CAST((doc_id * 7 + u.i) % 100 AS DOUBLE) AS VARCHAR) AS value "
+    "FROM documents, UNNEST(range(doc_id % 5 + 3)) AS u(i)), "
+    "ids AS (SELECT doc_id, 'ids.npy' AS member, "
+    "CASE WHEN doc_id % 2 = 0 THEN '<i8' ELSE '>i8' END AS descr, "
+    "CAST(2 AS INT) AS n_dims, CAST(4 AS BIGINT) AS n_values, "
+    "CAST(u.i AS BIGINT) AS value_idx, "
+    "CAST(doc_id + u.i AS VARCHAR) AS value "
+    "FROM documents, UNNEST(range(4)) AS u(i)) "
+    "SELECT doc_id AS media_id, member, descr, n_dims, n_values, "
+    "value_idx, value FROM "
+    "(SELECT * FROM emb UNION ALL SELECT * FROM ids)"
+)
+
+
+@query("x_npy_values", oracle=_NPY_SQL)
+def x_npy_values(spark, sf_dir):
+    """NPY/NPZ tensor-file ingestion (r11) — the format embeddings and
+    tokenized shards move around in: deterministic NPZ archives (f4
+    vector + i8 matrix per document; even docs little-endian C-order
+    stored, odd BIG-endian Fortran-order deflated) explode to one row
+    per tensor element in C order through tensors.npy_values. The
+    closed form pins header-dict parsing, both byte orders, element-
+    order normalization and ZIP member decode; pytest cross-checks the
+    codec both directions against numpy's own writer/reader."""
+    from pyspark.sql import functions as F
+
+    from .operators.tensors import npy_values, synth_npz_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return npy_values(synth_npz_media(docs)).filter(
+        F.col("parse_error").isNull()
+    ).drop("parse_error")
+
+
+_AVRO_SQL = (
+    # closed form from avro.synth_avro_bytes: doc_id%3+1 records of
+    # Event(id long, kind string, score double, flag boolean,
+    # note null|string), blocks of <=2 records, deflate on the odd
+    # half, deterministic sync markers. One hash pins the varint/
+    # zigzag laws, the metadata map, block framing + sync verify,
+    # deflate transparency, every primitive codec and the nullable
+    # union branch.
+    "WITH r AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)), "
+    "f AS ("
+    "SELECT doc_id, i, 'id' AS field, 'long' AS value_type, "
+    "CAST(doc_id * 10 + i AS VARCHAR) AS value FROM r "
+    "UNION ALL SELECT doc_id, i, 'kind', 'string', 'k' || (i % 2) FROM r "
+    "UNION ALL SELECT doc_id, i, 'score', 'double', "
+    "CAST(CAST((doc_id * 2 + i) * 0.5 AS DOUBLE) AS VARCHAR) FROM r "
+    "UNION ALL SELECT doc_id, i, 'flag', 'boolean', "
+    "CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END FROM r "
+    "UNION ALL SELECT doc_id, i, 'note', "
+    "CASE WHEN i % 3 = 0 THEN 'null' ELSE 'string' END, "
+    "CASE WHEN i % 3 = 0 THEN NULL ELSE 'n' || i END FROM r) "
+    "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value "
+    "FROM f"
+)
+
+
+@query("x_avro_records", oracle=_AVRO_SQL)
+def x_avro_records(spark, sf_dir):
+    """Avro object-container ingestion (r11) — the row format event
+    logs and Kafka archive dumps land in: deterministic multi-block
+    containers (null + deflate codecs, nullable-union field, verified
+    sync markers) explode to the generic one-row-per-field long format
+    through avro.avro_records, pure stdlib. The closed form pins
+    zigzag varints, block framing and every primitive codec; corrupt
+    containers (torn sync, bad deflate, truncated varint) quarantine
+    as parse_error rows — pytest-certified against spec arithmetic
+    (no Avro library exists here, so the byte laws are the oracle)."""
+    from pyspark.sql import functions as F
+
+    from .operators.avro import avro_records, synth_avro_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return avro_records(synth_avro_media(docs)).filter(
+        F.col("parse_error").isNull()
+    ).drop("parse_error")
+
+
 _PDF_MODERN_SQL = (
     # closed form from pdf.synth_pdf_modern_bytes: three pages in
     # page-tree order — 'doc <id>', the document text (shown through a
@@ -6889,6 +6982,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "sitemap_entries",
             "synth_tiff_variant_media",
             "tiff_encode",
+            "npy_values",
+            "avro_records",
         }
     ),
     sql_tokens=frozenset(),
