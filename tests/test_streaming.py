@@ -756,3 +756,52 @@ def test_warc_ingest_stream_batch_equiv(spark, tmp_path):
     assert [key(r) for r in got] == [key(r) for r in want]
     assert [r.parse_error for r in got] == [r.parse_error for r in want]
     assert [r.body for r in got] == [r.body for r in want]
+
+
+def test_avro_ingest_stream_batch_equiv(spark, tmp_path):
+    """Streaming Avro ingestion (r11): the file stream drains the
+    container directory through the SAME avro_records walker batch
+    uses — sink contents equal the batch output, including incremental
+    pickup of late-landing containers through the checkpoint."""
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        avro_records,
+        synth_avro_media,
+    )
+    from user_behavior_spark_pipeline_spark.streaming.jobs import (
+        avro_ingest_stream,
+        avro_stream_source,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    media = synth_avro_media(docs)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    media.filter("media_id < 6").repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    q = avro_ingest_stream(
+        avro_stream_source(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    media.filter("media_id >= 6").repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = avro_ingest_stream(
+        avro_stream_source(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination()
+
+    batch = avro_records(media)
+    key = lambda r: (r.media_id, r.rec_idx, r.field)
+    got = sorted(spark.read.parquet(out).collect(), key=key)
+    want = sorted(batch.collect(), key=key)
+    assert n1 < len(want)
+    assert [key(r) for r in got] == [key(r) for r in want]
+    assert [r.value for r in got] == [r.value for r in want]
+    assert [r.value_type for r in got] == [r.value_type for r in want]

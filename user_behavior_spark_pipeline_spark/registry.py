@@ -3640,6 +3640,41 @@ def x_avro_records(spark, sf_dir):
     ).drop("parse_error")
 
 
+@query("x_stream_avro", oracle=_AVRO_SQL)
+def x_stream_avro(spark, sf_dir):
+    """Streaming Avro ingestion (r11): containers land as parquet
+    files and a file stream drains them through the SAME avro_records
+    walker batch uses into a checkpointed parquet sink (availableNow,
+    multi-micro-batch). The sink read back must match the BATCH
+    closed-form oracle exactly — the fourth batch≡stream certificate
+    alongside x_stream_warc / x_stream_demux / x_stream_webdataset."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.avro import synth_avro_media
+    from .streaming.jobs import avro_ingest_stream, avro_stream_source
+
+    docs = _table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="ubsp_avro_src_")
+    out = tempfile.mkdtemp(prefix="ubsp_avro_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_avro_ckpt_")
+    synth_avro_media(docs).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = avro_ingest_stream(
+        avro_stream_source(spark, src, max_files_per_trigger=2),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("parse_error").isNull())
+        .select("media_id", "rec_idx", "field", "value_type", "value")
+    )
+
+
 _PDF_MODERN_SQL = (
     # closed form from pdf.synth_pdf_modern_bytes: three pages in
     # page-tree order — 'doc <id>', the document text (shown through a
@@ -4677,14 +4712,15 @@ def x_multimodal_exif(spark, sf_dir):
 
 
 _SNIFF_SQL = (
-    # doc_id % 8 rotates through every container family this repo
+    # doc_id % 13 rotates through every container family this repo
     # walks, built by the repo's own synth builders (tiny payloads);
     # the sniffer must route each to its walker's type
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
     "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
     "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' WHEN 7 THEN 'tar' "
-    "WHEN 8 THEN 'gif' ELSE 'bmp' END AS media_type "
+    "WHEN 8 THEN 'gif' WHEN 9 THEN 'bmp' WHEN 10 THEN 'zip' "
+    "WHEN 11 THEN 'avro' ELSE 'npy' END AS media_type "
     "FROM documents"
 )
 
@@ -4695,8 +4731,8 @@ def x_multimodal_sniff(spark, sf_dir):
     step in front of every typed walker — crawl buckets and tar shards
     arrive with lying or missing extensions. Each document synthesizes
     one payload of a rotating container family using the repo's OWN
-    builders (PNG, PGM, WARC, PDF, FLAC, ID3-MP3, MP4, tar, GIF, BMP),
-    and
+    builders (PNG, PGM, WARC, PDF, FLAC, ID3-MP3, MP4, tar, GIF, BMP,
+    ZIP, Avro, NPY), and
     multimodal.media_type_column must route every one correctly —
     prefix checks only, no decode, 'unknown' never an exception."""
     from pyspark.sql import functions as F
@@ -4708,6 +4744,7 @@ def x_multimodal_sniff(spark, sf_dir):
     def _build_fn(doc_id):
         import pandas as pd
 
+        from .operators.avro import synth_avro_bytes
         from .operators.demux import (
             synth_flac_bytes,
             synth_id3_mp3_bytes,
@@ -4718,13 +4755,17 @@ def x_multimodal_sniff(spark, sf_dir):
             gif_encode_indexed,
         )
         from .operators.pdf import synth_pdf_bytes
+        from .operators.tensors import npy_encode
         from .operators.warc import synth_warc_bytes
-        from .operators.webdataset import synth_webdataset_bytes
+        from .operators.webdataset import (
+            synth_webdataset_bytes,
+            synth_zip_bytes,
+        )
 
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 10
+            k = d % 13
             if k == 0:
                 out.append(png_encode_gray(8, 8, [d % 256] * 64))
             elif k == 1:
@@ -4747,8 +4788,21 @@ def x_multimodal_sniff(spark, sf_dir):
                         5, 4, bytes(range(12)), [d % 4] * 20
                     )
                 )
-            else:
+            elif k == 9:
                 out.append(bmp_encode_rgb24(3, 2, [d % 256] * 18))
+            elif k == 10:
+                out.append(synth_zip_bytes(d, "x"))
+            elif k == 11:
+                out.append(synth_avro_bytes(d))
+            else:
+                n = d % 4 + 2
+                out.append(
+                    npy_encode(
+                        list(range(n)),
+                        (n,),
+                        "<f4" if d % 2 == 0 else ">i8",
+                    )
+                )
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -4765,17 +4819,23 @@ _MIXED_INGEST_SQL = (
     # derivable because each builder's output is closed-form —
     # png 8x8 pixels, pgm 2x2, warc 2 records, pdf 2 pages, flac
     # total_samples = 2*100+1, mp3 n_frames = 2%20+5, mp4 n_samples =
-    # 2%7+2, tar members = 3*((2*doc_id+1)%3+1)
+    # 2%7+2, tar members = 3*((2*doc_id+1)%3+1), zip members =
+    # doc_id%3+1, avro records = doc_id%3+1, npy elements = doc_id%4+2.
+    # Scope doc_id%3!=0 keeps both parities in every family (parity
+    # flips codec/byte-order branches inside several builders).
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 10 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
     "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
     "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' WHEN 7 THEN 'tar' "
-    "WHEN 8 THEN 'gif' ELSE 'bmp' END AS media_type, "
-    "CAST(CASE doc_id % 10 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
+    "WHEN 8 THEN 'gif' WHEN 9 THEN 'bmp' WHEN 10 THEN 'zip' "
+    "WHEN 11 THEN 'avro' ELSE 'npy' END AS media_type, "
+    "CAST(CASE doc_id % 13 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
     "WHEN 3 THEN 2 WHEN 4 THEN 201 WHEN 5 THEN 7 WHEN 6 THEN 4 "
     "WHEN 7 THEN 3 * ((2 * doc_id + 1) % 3 + 1) "
-    "WHEN 8 THEN 20 ELSE 6 END AS BIGINT) AS n_units "
-    "FROM documents WHERE doc_id % 2 = 0 OR doc_id % 10 IN (3, 5, 7, 9)"
+    "WHEN 8 THEN 20 WHEN 9 THEN 6 WHEN 10 THEN doc_id % 3 + 1 "
+    "WHEN 11 THEN doc_id % 3 + 1 ELSE doc_id % 4 + 2 END AS BIGINT) "
+    "AS n_units "
+    "FROM documents WHERE doc_id % 3 != 0"
 )
 
 
@@ -4785,12 +4845,14 @@ def x_corpus_mixed_ingest(spark, sf_dir):
     typed walkers COMPOSED — one pass sniffs each payload's container
     family by magic bytes and routes it to the matching parser (PNG
     pixel decode, PNM, WARC record walk, PDF page extraction, FLAC
-    STREAMINFO, MP3 frame walk, MP4 sample demux, tar member walk),
+    STREAMINFO, MP3 frame walk, MP4 sample demux, tar/zip member
+    walks, Avro record walk, NPY element decode — 13 families),
     emitting a per-document unit count whose closed form is the
     conjunction of every builder's closed form. This is the engine's
     'crawl bucket with lying extensions' shape end-to-end. (Scoped to
-    ~3/5 of the corpus purely to bound the per-pass build cost; the
-    heavier families keep their own dedicated certificates.)"""
+    doc_id%3!=0 — 2/3 of the corpus, both parities in every family —
+    purely to bound the per-pass build cost; the heavier families keep
+    their own dedicated certificates.)"""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import PandasUDFType, pandas_udf
     from pyspark.sql.types import BinaryType
@@ -4800,14 +4862,19 @@ def x_corpus_mixed_ingest(spark, sf_dir):
     def _build_fn(doc_id):
         import pandas as pd
 
+        from .operators.avro import synth_avro_bytes
         from .operators.demux import (
             synth_flac_bytes,
             synth_id3_mp3_bytes,
             synth_mp4_bytes,
         )
         from .operators.pdf import synth_pdf_bytes
+        from .operators.tensors import npy_encode
         from .operators.warc import synth_warc_bytes
-        from .operators.webdataset import synth_webdataset_bytes
+        from .operators.webdataset import (
+            synth_webdataset_bytes,
+            synth_zip_bytes,
+        )
 
         from .operators.multimodal import (
             bmp_encode_rgb24,
@@ -4817,7 +4884,7 @@ def x_corpus_mixed_ingest(spark, sf_dir):
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 10
+            k = d % 13
             if k == 0:
                 out.append(png_encode_gray(8, 8, [d % 256] * 64))
             elif k == 1:
@@ -4840,14 +4907,25 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                         5, 4, bytes(range(12)), [d % 4] * 20
                     )
                 )
-            else:
+            elif k == 9:
                 out.append(bmp_encode_rgb24(3, 2, [d % 256] * 18))
+            elif k == 10:
+                out.append(synth_zip_bytes(d, "x"))
+            elif k == 11:
+                out.append(synth_avro_bytes(d))
+            else:
+                n = d % 4 + 2
+                out.append(
+                    npy_encode(
+                        list(range(n)),
+                        (n,),
+                        "<f4" if d % 2 == 0 else ">i8",
+                    )
+                )
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
-    docs = _table(spark, sf_dir, "documents").filter(
-        "doc_id % 2 = 0 OR doc_id % 10 IN (3, 5, 7, 9)"
-    )
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 3 != 0")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         _build("doc_id").alias("payload"),
@@ -4863,11 +4941,13 @@ def x_corpus_mixed_ingest(spark, sf_dir):
     def _ingest(batches):
         import pandas as pd
 
+        from .operators.avro import avro_container_records
         from .operators.demux import flac_parse, mp3_parse, mp4_demux
         from .operators.multimodal import decode_real, sniff_media_type
         from .operators.pdf import pdf_text_extract
+        from .operators.tensors import npy_decode
         from .operators.warc import warc_parse
-        from .operators.webdataset import tar_members
+        from .operators.webdataset import tar_members, zip_members
 
         for batch in batches:
             rows = []
@@ -4889,6 +4969,16 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                     n = len(mp4_demux(raw)["tracks"][0]["sizes"])
                 elif t == "tar":
                     n = sum(1 for _ in tar_members(raw))
+                elif t == "zip":
+                    n = sum(1 for _ in zip_members(raw))
+                elif t == "avro":
+                    n = sum(
+                        1
+                        for _ri, fld, _t, _v in avro_container_records(raw)
+                        if fld == "id"
+                    )
+                elif t == "npy":
+                    n = len(npy_decode(raw)["values"])
                 else:
                     n = -1
                 rows.append((int(media_id), t, n))

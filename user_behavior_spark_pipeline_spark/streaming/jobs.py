@@ -207,6 +207,42 @@ def webdataset_ingest_stream(
     )
 
 
+def avro_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming Avro-container landing source: parquet files of
+    (media_id, payload) container blobs — same bounded-batch posture
+    as the WARC/media/WebDataset sources."""
+    reader = spark.readStream.schema("media_id long, payload binary")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_dir)
+
+
+def avro_ingest_stream(
+    container_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Stream Avro containers through the BATCH record walker
+    (avro.avro_records — stateless mapInPandas; the identical operator
+    serves both modes, x_stream_avro certifies batch≡stream) into a
+    checkpointed parquet sink; corruption quarantines in-stream."""
+    from ..operators.avro import avro_records
+
+    return (
+        avro_records(container_stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def console_stream(raw_stream: DataFrame, available_now: bool = True):
     """OP-SINK-CONSOLE (filter_swords_stream.py:62-65) — debug sink."""
     writer = validate_events(raw_stream).writeStream.format("console")
