@@ -801,3 +801,119 @@ def test_subtitle_roundtrip_property():
             pass
 
     fuzz()
+
+
+def test_ogg_crc_against_bitwise_implementation():
+    """The table-driven Ogg CRC equals a bit-at-a-time shift register
+    over the same polynomial (0x04C11DB7, init 0, no reflection) —
+    an independent implementation of RFC 3533 §6."""
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.demux import _ogg_crc
+
+    def bitwise(data: bytes) -> int:
+        reg = 0
+        for byte in data:
+            for k in range(7, -1, -1):
+                bit = (byte >> k) & 1
+                top = (reg >> 31) & 1
+                reg = ((reg << 1) | bit) & 0xFFFFFFFF
+                if top:
+                    reg ^= 0x04C11DB7
+        # flush 32 zero bits (standard non-augmented table equivalence)
+        for _ in range(32):
+            top = (reg >> 31) & 1
+            reg = (reg << 1) & 0xFFFFFFFF
+            if top:
+                reg ^= 0x04C11DB7
+        return reg
+
+    rng = random.Random(11)
+    for n in (0, 1, 3, 27, 200):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _ogg_crc(data) == bitwise(data), n
+
+
+def test_ogg_parse_closed_form_and_packet_spanning():
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        ogg_parse,
+        synth_ogg_bytes,
+    )
+
+    for did in (0, 1, 2, 3, 4, 5, 9, 14):
+        d = ogg_parse(synth_ogg_bytes(did, 5))
+        secs = did % 3 + 1
+        assert d["n_pages"] == 5
+        assert d["n_packets"] == (7 if did % 2 == 0 else 6)
+        assert d["duration_ms"] == 1000 * secs
+        assert d["tags"]["title"] == f"doc {did}"
+        assert d["tags"]["artist"] == f"artist{did % 5}"
+        if did % 2 == 0:
+            assert d["codec"] == "vorbis"
+            assert d["sample_rate"] == 8000 * (did % 4 + 1)
+            assert d["channels"] == did % 3 + 1
+        else:
+            assert d["codec"] == "opus"
+            assert d["sample_rate"] == 48000
+            assert d["channels"] == 2
+            assert d["pre_skip"] == 312
+
+
+def test_ogg_corruption_quarantine_shapes():
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        ogg_parse,
+        synth_ogg_bytes,
+    )
+
+    good = synth_ogg_bytes(2, 5)
+    # body bit flip -> CRC mismatch
+    b = bytearray(good)
+    b[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        ogg_parse(bytes(b))
+    # truncation mid-page
+    with pytest.raises(ValueError, match="truncated"):
+        ogg_parse(good[:-10])
+    # capture-pattern damage
+    b = bytearray(good)
+    b[0:4] = b"NOPE"
+    with pytest.raises(ValueError, match="capture"):
+        ogg_parse(bytes(b))
+    # unknown first packet (neither vorbis nor opus)
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        _ogg_page_bytes,
+    )
+
+    pages = _ogg_page_bytes(7, 0, 0, [b"????head"], bos=True, eos=True)
+    with pytest.raises(ValueError, match="unrecognized"):
+        ogg_parse(pages)
+    # sniffer routes ogg
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        sniff_media_type,
+    )
+
+    assert sniff_media_type(good) == "ogg"
+
+
+def test_ogg_operator_quarantines(spark):
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        ogg_audio_metadata,
+        synth_ogg_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 5) for i in range(4)], "doc_id long, n_chars int"
+    )
+    rows = {r.media_id: r for r in ogg_audio_metadata(synth_ogg_media(docs)).collect()}
+    for i in range(4):
+        assert rows[i].parse_error is None
+        assert rows[i].duration_ms == 1000 * (i % 3 + 1)
+    broken = spark.createDataFrame(
+        [(9, b"OggS garbage")], "media_id long, payload binary"
+    )
+    (r,) = ogg_audio_metadata(broken).collect()
+    assert r.parse_error is not None and r.codec is None

@@ -1476,3 +1476,391 @@ def synth_corrupt_mp4_media(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         _build("doc_id", "n_chars").alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ogg container: page framing + Vorbis/Opus identification headers
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc_table() -> list[int]:
+    """Ogg page CRC: CRC-32 with polynomial 0x04C11DB7, init 0, NO bit
+    reflection, xorout 0 (RFC 3533 §6) — zlib's reflected CRC cannot be
+    reused. Table built once per process."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+                r &= 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    return _OGG_CRC_TABLE
+
+
+def _ogg_crc(data: bytes) -> int:
+    table = _ogg_crc_table()
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_pages(payload: bytes):
+    """Walk Ogg pages (RFC 3533): yields dicts with the header fields,
+    the lacing table and the page body; page CRC is VERIFIED (the CRC
+    field zeroed during the computation, per spec). Structural garbage
+    raises ValueError."""
+    import struct
+
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"Ogg capture pattern missing at byte {pos}")
+        if pos + 27 > n:
+            raise ValueError("Ogg page header truncated")
+        (
+            version,
+            htype,
+            granule,
+            serial,
+            seq,
+            crc,
+            nseg,
+        ) = struct.unpack_from("<BBqIIIB", payload, pos + 4)
+        if version != 0:
+            raise ValueError(f"Ogg stream structure version {version}")
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("Ogg lacing table truncated")
+        body_len = sum(lacing)
+        body_at = pos + 27 + nseg
+        body = payload[body_at : body_at + body_len]
+        if len(body) < body_len:
+            raise ValueError("Ogg page body truncated")
+        page_raw = bytearray(payload[pos : body_at + body_len])
+        page_raw[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page_raw)) != crc:
+            raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        yield {
+            "continued": bool(htype & 0x01),
+            "bos": bool(htype & 0x02),
+            "eos": bool(htype & 0x04),
+            "granule": granule,
+            "serial": serial,
+            "seq": seq,
+            "lacing": bytes(lacing),
+            "body": body,
+        }
+        pos = body_at + body_len
+
+
+def _vorbis_comment_body(body: bytes) -> dict[str, str]:
+    """The Vorbis-comment structure shared by Ogg Vorbis (after
+    \\x03vorbis), Opus (after OpusTags) and FLAC block 4: little-endian
+    vendor length + vendor, count, then count KEY=value entries."""
+    tags: dict[str, str] = {}
+    p = 0
+    if p + 4 > len(body):
+        raise ValueError("vorbis comment truncated")
+    vlen = int.from_bytes(body[p : p + 4], "little")
+    p += 4 + vlen
+    if p + 4 > len(body):
+        raise ValueError("vorbis comment truncated")
+    cnt = int.from_bytes(body[p : p + 4], "little")
+    p += 4
+    for _ in range(cnt):
+        if p + 4 > len(body):
+            raise ValueError("vorbis comment truncated")
+        clen = int.from_bytes(body[p : p + 4], "little")
+        p += 4
+        entry = body[p : p + clen]
+        if len(entry) < clen:
+            raise ValueError("vorbis comment truncated")
+        p += clen
+        k, _, v = entry.decode("utf-8", "replace").partition("=")
+        tags[k.strip().lower()] = v
+    return tags
+
+
+def ogg_parse(payload: bytes) -> dict:
+    """Ogg audio demux (headers only, no codec decode): page walk with
+    CRC verification, packet reassembly across pages (255-lacing
+    continuation + the continued-page flag), codec identification from
+    the BOS packet (Vorbis ID header or OpusHead), Vorbis-comment tags
+    from the second header packet, and duration from the last page's
+    granule position (Vorbis: PCM samples at the ID rate; Opus: 48 kHz
+    ticks minus pre-skip). Single-logical-stream files (the normal
+    audio shape); grouped multiplexes raise ValueError. Corruption
+    (bad capture, CRC, truncation) raises ValueError — the quarantine
+    path."""
+    import struct
+
+    serial = None
+    n_pages = 0
+    packets: list[bytes] = []
+    partial = bytearray()
+    last_granule = 0
+    saw_eos = False
+    for page in ogg_pages(payload):
+        n_pages += 1
+        if serial is None:
+            if not page["bos"]:
+                raise ValueError("first Ogg page is not BOS")
+            serial = page["serial"]
+        elif page["serial"] != serial:
+            raise ValueError(
+                "grouped multi-stream Ogg is out of scope (one logical "
+                "stream per file)"
+            )
+        if page["continued"] != bool(partial):
+            raise ValueError("Ogg continuation flag disagrees with lacing")
+        at = 0
+        for lace in page["lacing"]:
+            partial += page["body"][at : at + lace]
+            at += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial.clear()
+        if page["granule"] >= 0:
+            last_granule = page["granule"]
+        saw_eos = page["eos"]
+    if serial is None:
+        raise ValueError("no Ogg pages in payload")
+    if partial:
+        raise ValueError("Ogg packet left unterminated at end of stream")
+    if not saw_eos:
+        raise ValueError("Ogg stream missing EOS page")
+    if not packets:
+        raise ValueError("Ogg stream has no packets")
+    first = packets[0]
+    out: dict = {"container": "ogg", "n_pages": n_pages, "n_packets": len(packets)}
+    if first[:7] == b"\x01vorbis":
+        if len(first) < 30:
+            raise ValueError("Vorbis ID header truncated")
+        version, channels, rate = struct.unpack_from("<IBI", first, 7)
+        if version != 0:
+            raise ValueError(f"Vorbis version {version}")
+        out.update(codec="vorbis", channels=channels, sample_rate=rate)
+        out["duration_ms"] = (
+            last_granule * 1000 // rate if rate else None
+        )
+        if len(packets) > 1 and packets[1][:7] == b"\x03vorbis":
+            out["tags"] = _vorbis_comment_body(packets[1][7:])
+        else:
+            out["tags"] = {}
+    elif first[:8] == b"OpusHead":
+        if len(first) < 19:
+            raise ValueError("OpusHead truncated")
+        version, channels, preskip, in_rate = struct.unpack_from(
+            "<BBHI", first, 8
+        )
+        if version >> 4 != 0:
+            raise ValueError(f"Opus version {version}")
+        out.update(
+            codec="opus",
+            channels=channels,
+            sample_rate=48000,  # Opus always decodes at 48 kHz
+            pre_skip=preskip,
+            input_sample_rate=in_rate,
+        )
+        out["duration_ms"] = max(0, last_granule - preskip) * 1000 // 48000
+        if len(packets) > 1 and packets[1][:8] == b"OpusTags":
+            out["tags"] = _vorbis_comment_body(packets[1][8:])
+        else:
+            out["tags"] = {}
+    else:
+        raise ValueError(
+            f"unrecognized Ogg codec (first packet {first[:8]!r}); "
+            "vorbis and opus are in scope"
+        )
+    return out
+
+
+OGG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_pages", IntegerType(), True),
+        StructField("n_packets", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("title", StringType(), True),
+        StructField("artist", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def ogg_audio_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one metadata row per Ogg file; corruption
+    quarantines as a parse_error row (same contract as the MP4/MP3
+    walkers)."""
+
+    def _walk(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    d = ogg_parse(bytes(payload))
+                    tags = d.get("tags", {})
+                    rows.append(
+                        (
+                            mid,
+                            d["codec"],
+                            d["channels"],
+                            d["sample_rate"],
+                            d["n_pages"],
+                            d["n_packets"],
+                            d["duration_ms"],
+                            tags.get("title"),
+                            tags.get("artist"),
+                            None,
+                        )
+                    )
+                except ValueError as e:
+                    rows.append(
+                        (mid,) + (None,) * 8 + (str(e),)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in OGG_META_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, OGG_META_SCHEMA
+    )
+
+
+def _ogg_page_bytes(
+    serial: int,
+    seq: int,
+    granule: int,
+    segments: list[bytes],
+    continued: bool = False,
+    bos: bool = False,
+    eos: bool = False,
+    open_ended: bool = False,
+) -> bytes:
+    """Assemble one spec-correct page (lacing + CRC). ``segments`` are
+    PACKET PIECES: each piece laced 255,255,...,r; with ``open_ended``
+    the LAST piece omits its terminating lace (the packet continues on
+    the next page, which must set ``continued``)."""
+    import struct
+
+    lacing = bytearray()
+    body = bytearray()
+    for i, seg in enumerate(segments):
+        body += seg
+        full, rest = divmod(len(seg), 255)
+        lacing += b"\xff" * full
+        if i == len(segments) - 1 and open_ended:
+            if rest:
+                raise ValueError("open-ended piece must be a 255 multiple")
+        else:
+            lacing.append(rest)
+    htype = (1 if continued else 0) | (2 if bos else 0) | (4 if eos else 0)
+    hdr = bytearray(b"OggS")
+    hdr += struct.pack(
+        "<BBqIIIB", 0, htype, granule, serial, seq, 0, len(lacing)
+    )
+    page = bytes(hdr) + bytes(lacing) + bytes(body)
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def synth_ogg_bytes(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic Ogg fixture: even doc_ids are Vorbis (ID rate
+    8000*(doc%4+1), channels doc%3+1), odd are Opus (pre-skip 312,
+    channels doc%2+1). The comment packet is padded past 255 bytes so
+    it SPANS two pages (255-lacing + continued flag), and the last page
+    is EOS with granule = <rate>*(doc%3+1) [+ pre-skip for Opus], so
+    duration_ms = 1000*(doc%3+1) exactly. Closed form (oracle-mirrored):
+      n_pages = 5, n_packets = 7 (vorbis) / 6 (opus),
+      title = 'doc <id>', artist = 'artist<id%5>'."""
+    import struct
+
+    vorbis = doc_id % 2 == 0
+    serial = 0x1000 + doc_id % 65536
+    secs = doc_id % 3 + 1
+    if vorbis:
+        rate = 8000 * (doc_id % 4 + 1)
+        channels = doc_id % 3 + 1
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<IBI", 0, channels, rate)
+            + struct.pack("<iii", -1, 128000, -1)
+            + b"\x66\x01"  # blocksizes + framing bit
+        )
+        tag_head = b"\x03vorbis"
+        setup = b"\x05vorbis" + bytes(16)
+        last_granule = rate * secs
+    else:
+        channels = doc_id % 2 + 1
+        ident = b"OpusHead" + struct.pack(
+            "<BBHIhB", 1, channels, 312, 24000, 0, 0
+        )
+        tag_head = b"OpusTags"
+        setup = None
+        last_granule = 48000 * secs + 312
+    vendor = b"synth-ogg"
+    pad = ("p" * 260).encode()  # forces the comment packet past 255
+    comments = [
+        f"TITLE=doc {doc_id}".encode(),
+        f"ARTIST=artist{doc_id % 5}".encode(),
+        b"PAD=" + pad,
+    ]
+    cbody = struct.pack("<I", len(vendor)) + vendor
+    cbody += struct.pack("<I", len(comments))
+    for c in comments:
+        cbody += struct.pack("<I", len(c)) + c
+    comment_pkt = tag_head + cbody
+    # paginate: BOS page (ident) / comment part 1 (open-ended 255s) /
+    # comment tail (+ setup for vorbis) / audio page / audio+EOS page
+    split = (len(comment_pkt) // 255) * 255
+    part1, part2 = comment_pkt[:split], comment_pkt[split:]
+    audio1 = [b"\xaa" * 20, b"\xbb" * 20]
+    audio2 = [b"\xcc" * 20, b"\xdd" * 20]
+    pages = [
+        _ogg_page_bytes(serial, 0, 0, [ident], bos=True),
+        _ogg_page_bytes(serial, 1, -1, [part1], open_ended=True),
+        _ogg_page_bytes(
+            serial,
+            2,
+            0,
+            [part2] + ([setup] if setup else []),
+            continued=True,
+        ),
+        _ogg_page_bytes(serial, 3, last_granule // 2, audio1),
+        _ogg_page_bytes(serial, 4, last_granule, audio2, eos=True),
+    ]
+    return b"".join(pages)
+
+
+def synth_ogg_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of deterministic Ogg files, executor-side."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, n_chars):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_ogg_bytes(int(d), int(n))
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "n_chars").alias("payload"),
+    )

@@ -3675,6 +3675,48 @@ def x_stream_avro(spark, sf_dir):
     )
 
 
+_OGG_SQL = (
+    # closed form from demux.synth_ogg_bytes: even docs Vorbis (rate
+    # 8000*(doc%4+1), channels doc%3+1, 3 header packets), odd Opus
+    # (48 kHz decode rate, channels 2, pre-skip 312 subtracted from the
+    # last granule), 5 pages with the comment packet SPANNING two of
+    # them, 4 audio packets, EOS granule = rate*(doc%3+1) (+pre-skip)
+    # so duration lands on exact seconds
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 1 ELSE 2 END "
+    "AS INT) AS channels, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (doc_id % 4 + 1) "
+    "ELSE 48000 END AS INT) AS sample_rate, "
+    "CAST(5 AS INT) AS n_pages, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS INT) "
+    "AS n_packets, "
+    "CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS duration_ms, "
+    "'doc ' || doc_id AS title, 'artist' || (doc_id % 5) AS artist "
+    "FROM documents"
+)
+
+
+@query("x_demux_ogg", oracle=_OGG_SQL)
+def x_demux_ogg(spark, sf_dir):
+    """Ogg container demux (r11) — the remaining mainstream audio
+    container (podcasts/voice ship Ogg Opus, archives Ogg Vorbis):
+    page walk with RFC 3533 CRC VERIFICATION (non-reflected 0x04C11DB7
+    — pinned in pytest against a bitwise implementation), packet
+    reassembly across pages (the comment packet deliberately spans two
+    pages via 255-lacing + the continued flag), codec identification,
+    Vorbis-comment tags and granule-position duration (Opus pre-skip
+    subtracted). Headers only — audio packets are counted, never
+    decoded; corruption (bad capture, CRC, truncation, grouped
+    multiplex) quarantines."""
+    from pyspark.sql import functions as F
+
+    from .operators.demux import ogg_audio_metadata, synth_ogg_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return ogg_audio_metadata(synth_ogg_media(docs)).drop("parse_error")
+
+
 _PDF_MODERN_SQL = (
     # closed form from pdf.synth_pdf_modern_bytes: three pages in
     # page-tree order — 'doc <id>', the document text (shown through a
@@ -7074,6 +7116,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "tiff_encode",
             "npy_values",
             "avro_records",
+            "ogg_audio_metadata",
         }
     ),
     sql_tokens=frozenset(),
