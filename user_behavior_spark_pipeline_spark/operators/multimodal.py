@@ -1922,8 +1922,8 @@ def sniff_media_type(payload: bytes) -> str:
     best. Pure prefix/structure checks over the first bytes, no
     decoding; 'unknown' (never an exception) for everything else.
     Types covered = exactly the walkers this repo ships: png jpeg pgm
-    ppm wav flac mp3 mp4 gzip pdf warc bmp gif tiff vtt ogg npy avro
-    zip tar."""
+    ppm wav flac mp3 mp4 gzip pdf warc bmp gif tiff vtt ogg mkv npy
+    avro zip tar."""
     if len(payload) < 4:
         return "unknown"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1960,6 +1960,8 @@ def sniff_media_type(payload: bytes) -> str:
         return "vtt"
     if payload[:4] == b"OggS":
         return "ogg"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "mkv"
     if payload[:6] == b"\x93NUMPY":
         return "npy"
     if payload[:4] == b"Obj\x01":

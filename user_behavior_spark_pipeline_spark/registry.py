@@ -3717,6 +3717,50 @@ def x_demux_ogg(spark, sf_dir):
     return ogg_audio_metadata(synth_ogg_media(docs)).drop("parse_error")
 
 
+_MKV_SQL = (
+    # closed form from mkv.synth_mkv_bytes: VP9 video track 1 + Opus
+    # audio track 2, ms tick scale, duration on exact seconds; d%2+1
+    # clusters, each 3 video SimpleBlocks (first keyed) + 1 BlockGroup
+    # (keyed on even clusters via OMITTED ReferenceBlock) + 2 audio
+    # SimpleBlocks (always keyed) -> video keyframes = nc + ceil(nc/2).
+    # The odd half writes the UNKNOWN-SIZE Segment vint (live-stream
+    # shape); output must be identical, so the hash certifies that
+    # path too.
+    "WITH b AS (SELECT doc_id, doc_id % 3 + 1 AS secs, "
+    "doc_id % 2 + 1 AS nc FROM documents) "
+    "SELECT doc_id AS media_id, 'webm' AS doc_type, "
+    "CAST(1000 * secs AS BIGINT) AS duration_ms, "
+    "CAST(1 AS INT) AS track_num, 'video' AS track_type, "
+    "'V_VP9' AS codec_id, CAST(320 AS INT) AS width, "
+    "CAST(240 + 8 * (doc_id % 4) AS INT) AS height, "
+    "CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS channels, "
+    "CAST(4 * nc AS BIGINT) AS n_blocks, "
+    "CAST(nc + (nc + 1) // 2 AS BIGINT) AS n_keyframes FROM b "
+    "UNION ALL "
+    "SELECT doc_id, 'webm', CAST(1000 * secs AS BIGINT), "
+    "CAST(2 AS INT), 'audio', 'A_OPUS', CAST(NULL AS INT), "
+    "CAST(NULL AS INT), CAST(48000 AS INT), CAST(2 AS INT), "
+    "CAST(2 * nc AS BIGINT), CAST(2 * nc AS BIGINT) FROM b"
+)
+
+
+@query("x_demux_mkv", oracle=_MKV_SQL)
+def x_demux_mkv(spark, sf_dir):
+    """Matroska/WebM container demux (r11) — the container web video
+    ships in: EBML element walk (variable-width IDs/sizes, nesting,
+    unknown-size Segment on the odd half — the live-stream shape),
+    track inventory with codec IDs and video/audio parameters,
+    SimpleBlock keyframe flags AND BlockGroup keyed-by-absent-
+    ReferenceBlock counting, TimestampScale-correct duration. Container
+    layer only (same posture as the MP4 walker); corruption
+    quarantines. The closed form certifies both Segment size forms
+    byte-for-byte."""
+    from .operators.mkv import mkv_tracks, synth_mkv_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return mkv_tracks(synth_mkv_media(docs)).drop("parse_error")
+
+
 _PDF_MODERN_SQL = (
     # closed form from pdf.synth_pdf_modern_bytes: three pages in
     # page-tree order — 'doc <id>', the document text (shown through a
