@@ -917,3 +917,36 @@ def test_ogg_operator_quarantines(spark):
     )
     (r,) = ogg_audio_metadata(broken).collect()
     assert r.parse_error is not None and r.codec is None
+
+
+def test_id3v22_three_byte_frames():
+    """ID3v2.2: 3-byte IDs + 3-byte sizes, IDs normalized to the v2.3
+    names so tag mapping is version-blind."""
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        id3v2_text_frames,
+    )
+
+    def fr(fid, body):
+        return fid + len(body).to_bytes(3, "big") + body
+
+    frames = (
+        fr(b"TT2", b"\x00my title")
+        + fr(b"TP1", b"\x00the artist")
+        + fr(b"TAL", b"\x01\xff\xfe" + "albúm".encode("utf-16-le"))
+    )
+    size = len(frames)
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    )
+    tag = b"ID3\x02\x00\x00" + ss + frames
+    out = id3v2_text_frames(tag + b"\xff\xfb junk")
+    assert out == {
+        "TIT2": "my title",
+        "TPE1": "the artist",
+        "TALB": "albúm",
+    }
+    with pytest.raises(ValueError, match="overruns"):
+        id3v2_text_frames(tag[:-4])

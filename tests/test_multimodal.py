@@ -2215,3 +2215,61 @@ def test_tiff_compression_property():
         assert decode_real(raw, "image")["pixels"] == px
 
     check()
+
+
+def test_wav_float_and_extensible_decode():
+    """WAV manual RIFF walk: integer PCM cross-checked against the
+    stdlib wave writer, IEEE float32/float64, EXTENSIBLE wrapping,
+    word-aligned odd chunks, compressed-format rejection."""
+    import io
+    import struct
+    import wave as wavemod
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _wav_decode,
+        decode_real,
+        wav_encode,
+    )
+
+    for width, vals in ((1, [0, 128, 255]), (2, [-30000, 0, 12345]),
+                        (4, [-2**31, 2**31 - 1, 7])):
+        buf = io.BytesIO()
+        w = wavemod.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(width)
+        w.setframerate(16000)
+        raw = b"".join(
+            (v.to_bytes(width, "little", signed=width > 1)
+             if width > 1 else bytes([v]))
+            for v in vals * 2
+        )
+        w.writeframes(raw)
+        w.close()
+        d = decode_real(buf.getvalue(), "audio")
+        assert (d["sample_rate"], d["n_channels"], d["sample_width"]) == (
+            16000, 2, width)
+        assert d["samples"] == vals * 2
+    for fmt, vals in (
+        ("pcm24", [-70000, 70000]),
+        ("float64", [0.1, -3.75]),
+        ("ext-pcm16", [-5, 42]),
+        ("ext-float32", [0.5, -1.0]),
+    ):
+        d = _wav_decode(wav_encode(vals, 8000, 1, fmt))
+        if fmt == "ext-float32":
+            assert all(abs(a - b) < 1e-6 for a, b in zip(d["samples"], vals))
+        else:
+            assert d["samples"] == vals, (fmt, d["samples"])
+    # stdlib wave reads our PCM output back (two-sided cross-check)
+    b = wav_encode([-5, 9999], 8000, 1, "pcm16")
+    w = wavemod.open(io.BytesIO(b))
+    assert w.getnframes() == 2 and w.getframerate() == 8000
+    # mu-law (tag 7) rejects as out-of-scope compression
+    mu = wav_encode([0, 1], 8000, 1, "pcm16").replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 7, 1), 1
+    )
+    with pytest.raises(ValueError, match="out of scope"):
+        _wav_decode(mu)
+    # truncated data chunk
+    with pytest.raises(ValueError, match="overruns"):
+        _wav_decode(wav_encode([1, 2, 3, 4], 8000, 1, "pcm16")[:-3])

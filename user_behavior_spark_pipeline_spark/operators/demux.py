@@ -1208,16 +1208,19 @@ _ID3_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
 
 
 def id3v2_text_frames(payload: bytes) -> dict:
-    """Text frames of a leading ID3v2.3/2.4 tag: {frame_id: value}.
-    v2.4 frame sizes are synchsafe, v2.3 plain big-endian; text frames
-    carry an encoding byte (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8)
-    and may be NUL-terminated. Returns {} when no tag is present;
-    malformed frames raise ValueError."""
+    """Text frames of a leading ID3v2.2/2.3/2.4 tag: {frame_id: value}.
+    v2.4 frame sizes are synchsafe, v2.3 plain big-endian; v2.2 frames
+    use 3-byte IDs + 3-byte sizes (6-byte headers) and their IDs are
+    normalized to the v2.3 names (TT2->TIT2, TP1->TPE1, TAL->TALB) so
+    downstream tag mapping is version-blind. Text frames carry an
+    encoding byte (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8) and may be
+    NUL-terminated. Returns {} when no tag is present; malformed
+    frames raise ValueError."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         return {}
     ver = payload[3]
-    if ver not in (3, 4):
-        return {}  # v2.2 and unknown: skipped, same as players do
+    if ver not in (2, 3, 4):
+        return {}  # unknown versions: skipped, same as players do
     size = 0
     for b in payload[6:10]:
         if b & 0x80:
@@ -1226,6 +1229,28 @@ def id3v2_text_frames(payload: bytes) -> dict:
     end = min(10 + size, len(payload))
     pos = 10
     out: dict[str, str] = {}
+    if ver == 2:
+        v22_names = {"TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB"}
+        while pos + 6 <= end:
+            fid = payload[pos : pos + 3]
+            if fid == b"\x00\x00\x00":
+                break  # padding
+            fsz = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+            body = payload[pos + 6 : pos + 6 + fsz]
+            if len(body) < fsz:
+                raise ValueError(f"ID3v2.2 frame {fid!r} overruns tag")
+            if fid[:1] == b"T" and fsz >= 1:
+                enc = _ID3_TEXT_ENCODINGS.get(body[0])
+                if enc is None:
+                    raise ValueError(
+                        f"ID3v2.2 frame {fid!r} bad text encoding {body[0]}"
+                    )
+                name = fid.decode("latin-1")
+                out[v22_names.get(name, name)] = (
+                    body[1:].decode(enc, "replace").rstrip("\x00")
+                )
+            pos += 6 + fsz
+        return out
     while pos + 10 <= end:
         fid = payload[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":

@@ -13,7 +13,8 @@ The engine-side design (all real and tested):
   payload bytes move at all.
 
 Decoding: ``decode_real`` REALLY decodes the formats pure Python/numpy
-can (WAV/PCM via the ``wave`` module; binary PGM/PPM via a pure-Python
+can (WAV via a manual RIFF walk — integer PCM, IEEE float and
+WAVE_FORMAT_EXTENSIBLE; binary PGM/PPM via a pure-Python
 header+raster parse — round 6; PNG via zlib + the five defined
 scanline filters — round 7, widened to palette/tRNS/sub-8-bit/Adam7 in
 round 10 and 16-bit depth in round 11, covering every legal IHDR;
@@ -1696,6 +1697,148 @@ def tiff_encode(
     return bytes(out)
 
 
+def _wav_decode(payload: bytes) -> dict:
+    """Manual RIFF/WAVE chunk walk (replaces the stdlib ``wave``
+    module, which rejects everything but integer PCM): integer PCM
+    (format tag 1 — 8-bit unsigned, wider widths signed little-endian),
+    IEEE FLOAT (tag 3 — float32/float64 samples returned as Python
+    floats), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — resolved through
+    the SubFormat GUID's leading format code). Chunks are word-aligned
+    (odd sizes padded); compressed formats (ADPCM, mu-law...) raise
+    ValueError as out-of-scope structure."""
+    import struct
+
+    if len(payload) < 12:
+        raise ValueError("WAV header truncated")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"WAV chunk {cid!r} overruns payload")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            tag, channels, rate, _bps, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag == 0xFFFE:  # EXTENSIBLE: real tag leads the GUID
+                if size < 40:
+                    raise ValueError("WAVE_FORMAT_EXTENSIBLE too short")
+                (tag,) = struct.unpack_from("<H", body, 24)
+            fmt = (tag, channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # word alignment
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    tag, channels, rate, bits = fmt
+    if channels == 0 or rate == 0 or bits == 0 or bits % 8:
+        raise ValueError(
+            f"WAV fmt fields bogus: channels={channels} rate={rate} "
+            f"bits={bits}"
+        )
+    width = bits // 8
+    if len(data) % width:
+        raise ValueError("WAV data chunk is not whole samples")
+    if tag == 1:  # integer PCM
+        if width == 1:
+            samples: list = list(data)
+        else:
+            samples = [
+                int.from_bytes(data[i : i + width], "little", signed=True)
+                for i in range(0, len(data), width)
+            ]
+    elif tag == 3:  # IEEE float
+        if width == 4:
+            samples = list(struct.unpack(f"<{len(data) // 4}f", data))
+        elif width == 8:
+            samples = list(struct.unpack(f"<{len(data) // 8}d", data))
+        else:
+            raise ValueError(f"IEEE-float WAV with width {width}")
+    else:
+        raise ValueError(
+            f"WAV format tag {tag} is out of scope (integer PCM and "
+            "IEEE float only; ADPCM/mu-law are compressed formats)"
+        )
+    return {
+        "kind": "audio",
+        "sample_rate": rate,
+        "n_channels": channels,
+        "sample_width": width,
+        "samples": samples,
+    }
+
+
+def wav_encode(
+    samples: list,
+    sample_rate: int,
+    channels: int = 1,
+    fmt: str = "pcm16",
+) -> bytes:
+    """WAV writer for fixtures: pcm8/pcm16/pcm24/pcm32, float32/
+    float64, or 'ext-pcm16'/'ext-float32' (WAVE_FORMAT_EXTENSIBLE
+    wrapping)."""
+    import struct
+
+    ext = fmt.startswith("ext-")
+    base = fmt[4:] if ext else fmt
+    if base == "pcm8":
+        tag, width = 1, 1
+        data = bytes(s & 0xFF for s in samples)
+    elif base in ("pcm16", "pcm24", "pcm32"):
+        tag, width = 1, int(base[3:]) // 8
+        data = b"".join(
+            int(s).to_bytes(width, "little", signed=True) for s in samples
+        )
+    elif base == "float32":
+        tag, width = 3, 4
+        data = struct.pack(f"<{len(samples)}f", *samples)
+    elif base == "float64":
+        tag, width = 3, 8
+        data = struct.pack(f"<{len(samples)}d", *samples)
+    else:
+        raise ValueError(f"wav_encode: fmt {fmt}")
+    bits = width * 8
+    if ext:
+        sub = struct.pack("<H", tag) + bytes.fromhex(
+            "0000000000100080" + "00aa00389b71"
+        )
+        fmt_body = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE,
+            channels,
+            sample_rate,
+            sample_rate * channels * width,
+            channels * width,
+            bits,
+            22,
+            bits,
+            (1 << channels) - 1,
+        ) + sub
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH",
+            tag,
+            channels,
+            sample_rate,
+            sample_rate * channels * width,
+            channels * width,
+            bits,
+        )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synth_tiff_variant_media(documents: DataFrame) -> DataFrame:
     """Per document, the SAME closed-form raster (pixel i =
     (doc_id*31 + i*7) % 256, 16x16) under FOUR byte-different TIFF
@@ -1996,9 +2139,11 @@ def decode_real(payload: bytes, kind: str) -> dict:
     """Real decoding for the stdlib-decodable formats (VERDICT r05 #6,
     r06 #3) — byte-exact pytest fixtures in test_multimodal:
 
-    - WAV/PCM (``wave`` module): returns sample_rate, n_channels,
-      sample_width, and the interleaved integer samples (8-bit unsigned
-      per spec; 16/24/32-bit signed little-endian);
+    - WAV (manual RIFF walk): returns sample_rate, n_channels,
+      sample_width, and the interleaved samples — integer PCM (8-bit
+      unsigned per spec; 16/24/32-bit signed little-endian), IEEE
+      FLOAT (float32/float64, Python floats), and EXTENSIBLE wrapping
+      of either;
     - PGM (P5) / PPM (P6) binary rasters, pure-Python header+raster parse
       (comments, multi-whitespace, maxval>255 big-endian 2-byte samples):
       returns width, height, maxval, and the flat pixel list;
@@ -2020,29 +2165,7 @@ def decode_real(payload: bytes, kind: str) -> dict:
     ``decode_features`` keeps the deterministic byte-histogram embedding
     for the oracle-checked pipeline either way."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        import io
-        import wave
-
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            n = w.getnframes()
-            width = w.getsampwidth()
-            rate = w.getframerate()
-            channels = w.getnchannels()
-            raw = w.readframes(n)
-        if width == 1:  # 8-bit WAV is unsigned
-            samples = list(raw)
-        else:
-            samples = [
-                int.from_bytes(raw[i : i + width], "little", signed=True)
-                for i in range(0, len(raw), width)
-            ]
-        return {
-            "kind": "audio",
-            "sample_rate": rate,
-            "n_channels": channels,
-            "sample_width": width,
-            "samples": samples,
-        }
+        return _wav_decode(payload)
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return _png_decode(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:

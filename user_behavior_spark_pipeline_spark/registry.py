@@ -3761,6 +3761,98 @@ def x_demux_mkv(spark, sf_dir):
     return mkv_tracks(synth_mkv_media(docs)).drop("parse_error")
 
 
+_WAV_SQL = (
+    # closed form from the wav_encode variants: the SAME integral
+    # sample vector s[j] = (doc*7 + j*11) % 200 - 100 (10 samples)
+    # under integer PCM16 (media 3d), IEEE float32 (3d+1) and
+    # WAVE_FORMAT_EXTENSIBLE float32 (3d+2) — integral values are
+    # exact in f32, so any drift in the RIFF walk, format-tag
+    # resolution or sample decode changes the order-sensitive dot
+    "WITH px AS (SELECT d.doc_id, v.v, CAST(u.i AS BIGINT) AS i, "
+    "(d.doc_id * 7 + u.i * 11) % 200 - 100 AS s "
+    "FROM documents d CROSS JOIN (VALUES (0), (1), (2)) AS v(v), "
+    "UNNEST(range(10)) AS u(i) WHERE d.doc_id % 5 = 0) "
+    "SELECT CAST(doc_id * 3 + v AS BIGINT) AS media_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "CAST(SUM(s) AS BIGINT) AS sample_sum, "
+    "CAST(SUM(s * i) AS BIGINT) AS sample_dot "
+    "FROM px GROUP BY doc_id, v"
+)
+
+
+@query("x_multimodal_wav", oracle=_WAV_SQL)
+def x_multimodal_wav(spark, sf_dir):
+    """WAV decode certificate (r11): one sample vector per document
+    under three byte-different encodings — integer PCM16, IEEE float32
+    (format tag 3, the float-WAV shape ML audio pipelines emit) and
+    WAVE_FORMAT_EXTENSIBLE-wrapped float32 (tag 0xFFFE + SubFormat
+    GUID) — really decoded by the manual RIFF walk in one Arrow pass;
+    integral sample values make the float paths exactly SQL-derivable.
+    Scoped to the deterministic doc_id%5==0 fifth (same policy as the
+    other per-media certificates)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.multimodal import _wav_decode, wav_encode
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            m = int(m)
+            d, v = m // 3, m % 3
+            vals = [(d * 7 + j * 11) % 200 - 100 for j in range(10)]
+            fmt = ("pcm16", "float32", "ext-float32")[v]
+            out.append(wav_encode(vals, 16000, 1, fmt))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    media = docs.select(
+        F.explode(
+            F.array(*[F.col("doc_id") * 3 + F.lit(i) for i in range(3)])
+        ).alias("media_id")
+    ).select("media_id", _build("media_id").alias("payload"))
+
+    def _dec(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                d = _wav_decode(bytes(payload))
+                s = [int(x) for x in d["samples"]]
+                rows.append(
+                    (
+                        int(media_id),
+                        len(s),
+                        sum(s),
+                        sum(v * i for i, v in enumerate(s)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_sum", "sample_dot"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("sample_sum", LongType(), False),
+            StructField("sample_dot", LongType(), False),
+        ]
+    )
+    return media.mapInPandas(_dec, schema)
+
+
 _PDF_MODERN_SQL = (
     # closed form from pdf.synth_pdf_modern_bytes: three pages in
     # page-tree order — 'doc <id>', the document text (shown through a
