@@ -2273,3 +2273,50 @@ def test_wav_float_and_extensible_decode():
     # truncated data chunk
     with pytest.raises(ValueError, match="overruns"):
         _wav_decode(wav_encode([1, 2, 3, 4], 8000, 1, "pcm16")[:-3])
+
+
+def test_image_dimensions_probe_all_formats():
+    """Decode-free dims: every repo image builder + all three WebP
+    header forms; truncation and unknown payloads reject."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        bmp_encode_rgb24,
+        gif_encode_indexed,
+        image_dimensions,
+        jpeg_encode_gray_dc,
+        png_encode_gray,
+        sniff_media_type,
+        synth_webp_bytes,
+        tiff_encode,
+    )
+
+    assert image_dimensions(png_encode_gray(7, 3, [0] * 21)) == {
+        "format": "png", "width": 7, "height": 3}
+    assert image_dimensions(
+        gif_encode_indexed(5, 4, bytes(range(12)), [0] * 20)
+    ) == {"format": "gif", "width": 5, "height": 4}
+    assert image_dimensions(bmp_encode_rgb24(3, 2, [0] * 18)) == {
+        "format": "bmp", "width": 3, "height": 2}
+    assert image_dimensions(
+        tiff_encode(9, 6, [0] * 54, little_endian=False)
+    ) == {"format": "tiff", "width": 9, "height": 6}
+    for prog in (False, True):
+        assert image_dimensions(
+            jpeg_encode_gray_dc(16, 8, [0, 0], progressive=prog)
+        ) == {"format": "jpeg", "width": 16, "height": 8}
+    for v in ("vp8x", "vp8", "vp8l"):
+        raw = synth_webp_bytes(123, 77, v)
+        assert image_dimensions(raw) == {
+            "format": "webp", "width": 123, "height": 77}, v
+        assert sniff_media_type(raw) == "webp"
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_dimensions(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="truncated"):
+        image_dimensions(png_encode_gray(7, 3, [0] * 21)[:20])
+    # a JPEG whose SOF the full decoder REJECTS (SOF9 arithmetic)
+    # still probes: dims are header facts, not decode facts
+    import struct
+
+    raw = bytearray(jpeg_encode_gray_dc(16, 8, [0, 0]))
+    i = raw.index(b"\xff\xc0")
+    raw[i + 1] = 0xC9
+    assert image_dimensions(bytes(raw))["width"] == 16

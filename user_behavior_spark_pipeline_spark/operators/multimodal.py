@@ -1697,6 +1697,143 @@ def tiff_encode(
     return bytes(out)
 
 
+def image_dimensions(payload: bytes) -> dict:
+    """DECODE-FREE image dimension probe — the op a 100 TB corpus
+    filter actually wants: resolution gating (drop icons, cap
+    megapixels) reads a few header bytes per file instead of decoding
+    pixels. Formats: PNG (IHDR), GIF (screen descriptor), BMP
+    (BITMAPINFOHEADER, top-down negatives normalized), TIFF (IFD tag
+    walk, both byte orders), JPEG (marker walk to any SOFn — including
+    the progressive/lossless/arithmetic variants the full decoder may
+    not decode), and WebP (VP8X extended header, VP8 lossy frame tag,
+    VP8L lossless signature; dims only — VP8 bitstream decode is the
+    documented codec seam). Returns {'format', 'width', 'height'};
+    structural damage raises ValueError (quarantine)."""
+    import struct
+
+    n = len(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if n < 24:
+            raise ValueError("PNG IHDR truncated")
+        w, h = struct.unpack_from(">II", payload, 16)
+        return {"format": "png", "width": w, "height": h}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if n < 10:
+            raise ValueError("GIF screen descriptor truncated")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if payload[:2] == b"BM":
+        if n < 26:
+            raise ValueError("BMP header truncated")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (
+        b"\x2a\x00",
+        b"\x00\x2a",
+    ):
+        bo = "<" if payload[:2] == b"II" else ">"
+        (ifd0,) = struct.unpack_from(bo + "I", payload, 4)
+        if ifd0 + 2 > n:
+            raise ValueError("TIFF IFD offset overruns payload")
+        (cnt,) = struct.unpack_from(bo + "H", payload, ifd0)
+        w = h = None
+        for i in range(cnt):
+            e = ifd0 + 2 + 12 * i
+            if e + 12 > n:
+                raise ValueError("TIFF IFD entry overruns payload")
+            tag, vtype = struct.unpack_from(bo + "HH", payload, e)
+            if tag in (256, 257):
+                v = (
+                    struct.unpack_from(bo + "H", payload, e + 8)[0]
+                    if vtype == 3
+                    else struct.unpack_from(bo + "I", payload, e + 8)[0]
+                )
+                if tag == 256:
+                    w = v
+                else:
+                    h = v
+        if w is None or h is None:
+            raise ValueError("TIFF without ImageWidth/ImageLength tags")
+        return {"format": "tiff", "width": w, "height": h}
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker stream desynchronized")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > n:
+                    raise ValueError("JPEG SOF truncated")
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + seglen
+        raise ValueError("JPEG without a SOF marker")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        chunk = payload[12:16]
+        if chunk == b"VP8X":
+            if n < 30:
+                raise ValueError("WebP VP8X truncated")
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return {"format": "webp", "width": w, "height": h}
+        if chunk == b"VP8 ":
+            if n < 30:
+                raise ValueError("WebP VP8 truncated")
+            if payload[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("WebP VP8 sync code missing")
+            w = struct.unpack_from("<H", payload, 26)[0] & 0x3FFF
+            h = struct.unpack_from("<H", payload, 28)[0] & 0x3FFF
+            return {"format": "webp", "width": w, "height": h}
+        if chunk == b"VP8L":
+            if n < 25 or payload[20] != 0x2F:
+                raise ValueError("WebP VP8L signature missing")
+            bits = int.from_bytes(payload[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {"format": "webp", "width": w, "height": h}
+        raise ValueError(f"WebP chunk {chunk!r} unsupported")
+    raise ValueError(
+        f"image_dimensions: unrecognized payload head {payload[:4]!r}"
+    )
+
+
+def synth_webp_bytes(
+    width: int, height: int, variant: str = "vp8x"
+) -> bytes:
+    """Header-only WebP fixture for the dimension probe: a VP8X, VP8
+    or VP8L header with the given dimensions and a stub body (the
+    probe never reads past the headers)."""
+    import struct
+
+    if variant == "vp8x":
+        body = (
+            b"VP8X"
+            + struct.pack("<I", 10)
+            + b"\x00\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+    elif variant == "vp8":
+        frame = (
+            b"\x00\x00\x00"  # frame tag stub
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + b"\x00" * 4
+        )
+        body = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        data = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 3
+        body = b"VP8L" + struct.pack("<I", len(data)) + data
+    else:
+        raise ValueError(f"synth_webp_bytes: variant {variant}")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
 def _wav_decode(payload: bytes) -> dict:
     """Manual RIFF/WAVE chunk walk (replaces the stdlib ``wave``
     module, which rejects everything but integer PCM): integer PCM
@@ -2065,8 +2202,8 @@ def sniff_media_type(payload: bytes) -> str:
     best. Pure prefix/structure checks over the first bytes, no
     decoding; 'unknown' (never an exception) for everything else.
     Types covered = exactly the walkers this repo ships: png jpeg pgm
-    ppm wav flac mp3 mp4 gzip pdf warc bmp gif tiff vtt ogg mkv npy
-    avro zip tar."""
+    ppm wav flac mp3 mp4 gzip pdf warc bmp gif tiff webp vtt ogg mkv
+    npy avro zip tar."""
     if len(payload) < 4:
         return "unknown"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -2101,6 +2238,8 @@ def sniff_media_type(payload: bytes) -> str:
         return "tiff"
     if payload[:6] == b"WEBVTT" or payload[:9] == b"\xef\xbb\xbfWEBVTT":
         return "vtt"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:4] == b"OggS":
         return "ogg"
     if payload[:4] == b"\x1a\x45\xdf\xa3":

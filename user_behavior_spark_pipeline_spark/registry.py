@@ -3853,6 +3853,129 @@ def x_multimodal_wav(spark, sf_dir):
     return media.mapInPandas(_dec, schema)
 
 
+_DIMS_SQL = (
+    # closed form: doc_id % 8 rotates containers, dims derived from
+    # doc_id (JPEG fixed 16x8 — the DC builder's block grid)
+    "SELECT doc_id AS media_id, "
+    "CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "
+    "WHEN 2 THEN 'bmp' WHEN 3 THEN 'tiff' WHEN 4 THEN 'jpeg' "
+    "ELSE 'webp' END AS format, "
+    "CAST(CASE doc_id % 8 WHEN 4 THEN 16 "
+    "WHEN 5 THEN doc_id % 1000 + 1 WHEN 6 THEN doc_id % 1000 + 1 "
+    "WHEN 7 THEN doc_id % 1000 + 1 ELSE doc_id % 7 + 1 END AS INT) "
+    "AS width, "
+    "CAST(CASE doc_id % 8 WHEN 4 THEN 8 "
+    "WHEN 5 THEN doc_id % 800 + 1 WHEN 6 THEN doc_id % 800 + 1 "
+    "WHEN 7 THEN doc_id % 800 + 1 ELSE doc_id % 5 + 1 END AS INT) "
+    "AS height "
+    "FROM documents"
+)
+
+
+@query("x_multimodal_dims", oracle=_DIMS_SQL)
+def x_multimodal_dims(spark, sf_dir):
+    """Decode-free image dimension probe (r11) — resolution gating at
+    100 TB reads a few header bytes per file instead of decoding
+    pixels: PNG IHDR, GIF screen descriptor, BMP info header, TIFF IFD
+    tag walk, JPEG marker walk to any SOFn, and all three WebP header
+    forms (VP8X extended, VP8 lossy frame tag + sync code, VP8L
+    lossless signature — dims without touching the VP8 bitstream,
+    which stays the documented codec seam). Containers rotate by
+    doc_id%8 with closed-form dimensions; progressive JPEG on the odd
+    JPEG half so the marker walk (not the decoder) is what's
+    certified."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.multimodal import (
+        bmp_encode_rgb24,
+        gif_encode_indexed,
+        image_dimensions,
+        jpeg_encode_gray_dc,
+        png_encode_gray,
+        synth_webp_bytes,
+        tiff_encode,
+    )
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            k = d % 8
+            w, h = d % 7 + 1, d % 5 + 1
+            if k == 0:
+                out.append(png_encode_gray(w, h, [d % 256] * (w * h)))
+            elif k == 1:
+                out.append(
+                    gif_encode_indexed(
+                        w, h, bytes(range(12)), [d % 4] * (w * h)
+                    )
+                )
+            elif k == 2:
+                out.append(bmp_encode_rgb24(w, h, [d % 256] * (3 * w * h)))
+            elif k == 3:
+                out.append(
+                    tiff_encode(
+                        w, h, [d % 256] * (w * h), little_endian=d % 2 == 0
+                    )
+                )
+            elif k == 4:
+                out.append(
+                    jpeg_encode_gray_dc(
+                        16, 8, [d % 128, 0], progressive=d % 2 == 1
+                    )
+                )
+            else:
+                bw, bh = d % 1000 + 1, d % 800 + 1
+                out.append(
+                    synth_webp_bytes(
+                        bw, bh, ("vp8x", "vp8", "vp8l")[k - 5]
+                    )
+                )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+
+    def _probe(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                d = image_dimensions(bytes(payload))
+                rows.append(
+                    (int(media_id), d["format"], d["width"], d["height"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "width", "height"]
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("format", StringType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    return media.mapInPandas(_probe, schema)
+
+
 _PDF_MODERN_SQL = (
     # closed form from pdf.synth_pdf_modern_bytes: three pages in
     # page-tree order — 'doc <id>', the document text (shown through a
