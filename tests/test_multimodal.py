@@ -2320,3 +2320,43 @@ def test_image_dimensions_probe_all_formats():
     i = raw.index(b"\xff\xc0")
     raw[i + 1] = 0xC9
     assert image_dimensions(bytes(raw))["width"] == 16
+
+
+def test_jpeg_lossless_sof3_full_grid():
+    """SOF3 lossless: encoder/decoder round-trip across precisions
+    8/12/16, all 7 predictors, point transforms 0/1, gray and RGB —
+    lossless means EXACT equality (low Pt bits dropped per spec)."""
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        jpeg_encode_lossless,
+    )
+
+    rng = random.Random(77)
+    for prec in (8, 12, 16):
+        for pred in range(1, 8):
+            for ch, pt in ((1, 0), (3, 0), (1, 1)):
+                w, h = 9, 7
+                px = [rng.randrange(1 << prec) for _ in range(w * h * ch)]
+                raw = jpeg_encode_lossless(w, h, px, prec, pred, pt, ch)
+                d = decode_real(raw, "image")
+                assert d["pixels"] == [(v >> pt) << pt for v in px], (
+                    prec, pred, ch, pt)
+                assert d["maxval"] == (1 << prec) - 1
+                assert d["channels"] == ch
+    # predictor 4 on a gradient compresses far below raw
+    w, h = 32, 32
+    px = [(x + y) % 256 for y in range(h) for x in range(w)]
+    assert len(jpeg_encode_lossless(w, h, px, 8, 4)) < w * h // 2
+    # truncation quarantines; unsupported variants stay loud
+    import pytest as _pytest
+
+    raw = jpeg_encode_lossless(9, 7, [0] * 63, 8, 1)
+    with _pytest.raises(ValueError, match="exhausted"):
+        decode_real(raw[:-20], "image")
+    with _pytest.raises(NotImplementedError, match="restart"):
+        # splice a DRI segment before the SOS
+        i = raw.index(b"\xff\xda")
+        decode_real(raw[:i] + b"\xff\xdd\x00\x04\x00\x04" + raw[i:],
+                    "image")

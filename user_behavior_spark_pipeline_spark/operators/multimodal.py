@@ -469,6 +469,280 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_lossless_decode(payload: bytes) -> dict:
+    """LOSSLESS JPEG (SOF3, ITU T.81 Annex H) — the DNG/medical/
+    archival shape: spatially PREDICTED samples with Huffman-coded
+    difference categories (the DC coefficient coding reused per
+    sample), no DCT anywhere. Supported: precision 2-16, predictors
+    1-7 (sel in the SOS Ss field), point transform (Al), grayscale and
+    interleaved multi-component with all-1x1 sampling. Restart
+    intervals raise NotImplementedError (seam); structural corruption
+    raises ValueError. Output maxval = 2^P - 1 with the point
+    transform undone by shifting."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xC3:
+            prec = seg[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"SOF3 precision {prec}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, _tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "SOF3 with subsampled components"
+                    )
+                comps.append(cid)
+            frame = (width, height, comps, prec)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                counts = seg[i : i + 16]
+                i += 16
+                lut: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        lut[(ln, code)] = seg[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = lut
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scomps.append((cs, tt >> 4))
+            sel = seg[1 + 2 * ns]  # predictor selector
+            pt = seg[3 + 2 * ns] & 15  # point transform
+            if not 1 <= sel <= 7:
+                raise ValueError(f"SOF3 predictor selector {sel}")
+            if restart_interval:
+                raise NotImplementedError(
+                    "SOF3 with restart intervals"
+                )
+            # entropy data to next marker, stuffing removed
+            data = bytearray()
+            i = pos + seglen
+            while i < len(payload):
+                b = payload[i]
+                if b == 0xFF and i + 1 < len(payload):
+                    nxt = payload[i + 1]
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        i += 2
+                        continue
+                    break
+                data.append(b)
+                i += 1
+            scan = (scomps, sel, pt, bytes(data))
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("SOF3 JPEG missing frame or scan")
+    width, height, comps, prec = frame
+    scomps, sel, pt, data = scan
+    if [c for c, _t in scomps] != comps:
+        raise ValueError("SOF3 scan does not cover the frame components")
+    nc = len(comps)
+    reader = _JpegBitReader(data)
+    planes = [[0] * (width * height) for _ in range(nc)]
+    default_pred = 1 << (prec - pt - 1)
+    for y in range(height):
+        for x in range(width):
+            for ci, (_cs, table_id) in enumerate(scomps):
+                lut = huff.get((0, table_id))
+                if lut is None:
+                    raise ValueError(
+                        f"SOF3 missing DC table {table_id}"
+                    )
+                t = _jpeg_huff_decode(reader, lut)
+                if t == 16:
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError(f"SOF3 diff category {t}")
+                else:
+                    diff = _jpeg_extend(reader.read_bits(t), t)
+                plane = planes[ci]
+                if y == 0:
+                    px = default_pred if x == 0 else plane[x - 1]
+                elif x == 0:
+                    px = plane[(y - 1) * width]
+                else:
+                    a = plane[y * width + x - 1]
+                    b = plane[(y - 1) * width + x]
+                    c = plane[(y - 1) * width + x - 1]
+                    if sel == 1:
+                        px = a
+                    elif sel == 2:
+                        px = b
+                    elif sel == 3:
+                        px = c
+                    elif sel == 4:
+                        px = a + b - c
+                    elif sel == 5:
+                        px = a + ((b - c) >> 1)
+                    elif sel == 6:
+                        px = b + ((a - c) >> 1)
+                    else:
+                        px = (a + b) >> 1
+                plane[y * width + x] = (px + diff) & 0xFFFF
+    maxval = (1 << prec) - 1
+    pixels = []
+    for i in range(width * height):
+        for ci in range(nc):
+            pixels.append(min(maxval, planes[ci][i] << pt))
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "channels": nc,
+        "pixels": pixels,
+    }
+
+
+def jpeg_encode_lossless(
+    width: int,
+    height: int,
+    pixels: list[int],
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+    channels: int = 1,
+) -> bytes:
+    """SOF3 writer (fixtures): encodes ``pixels`` (interleaved,
+    row-major, each < 2^precision; the low ``point_transform`` bits are
+    dropped per spec) with the given predictor. One shared DC table
+    (canonical codes over categories 0-16)."""
+    import struct
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel count mismatch")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor}")
+    # canonical Huffman for categories 0..16
+    lengths = [2, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+    counts = [0] * 16
+    for ln in lengths:
+        counts[ln - 1] += 1
+    order = sorted(range(17), key=lambda s: (lengths[s], s))
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = lengths[order[0]]
+    for s in order:
+        code <<= lengths[s] - prev_len
+        prev_len = lengths[s]
+        codes[s] = (lengths[s], code)
+        code += 1
+    planes = [
+        [
+            pixels[(y * width + x) * channels + ci] >> point_transform
+            for y in range(height)
+            for x in range(width)
+        ]
+        for ci in range(channels)
+    ]
+    bits: list[tuple[int, int]] = []  # (value, nbits)
+    default_pred = 1 << (precision - point_transform - 1)
+    for y in range(height):
+        for x in range(width):
+            for ci in range(channels):
+                plane = planes[ci]
+                if y == 0:
+                    px = default_pred if x == 0 else plane[x - 1]
+                elif x == 0:
+                    px = plane[(y - 1) * width]
+                else:
+                    a = plane[y * width + x - 1]
+                    b = plane[(y - 1) * width + x]
+                    c = plane[(y - 1) * width + x - 1]
+                    px = {
+                        1: a,
+                        2: b,
+                        3: c,
+                        4: a + b - c,
+                        5: a + ((b - c) >> 1),
+                        6: b + ((a - c) >> 1),
+                        7: (a + b) >> 1,
+                    }[predictor]
+                diff = (plane[y * width + x] - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536  # back into signed [-32768, 32767]
+                if diff == 32768 or diff == -32768:
+                    t = 16
+                else:
+                    t = abs(diff).bit_length()
+                ln, cd = codes[t]
+                bits.append((cd, ln))
+                if t == 16:
+                    pass  # category 16 carries no extra bits
+                elif t:
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    bits.append((v, t))
+    acc = 0
+    nbits = 0
+    body = bytearray()
+    for v, n in bits:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+    if nbits:
+        byte = ((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+        body.append(byte)
+        if byte == 0xFF:
+            body.append(0x00)
+    out = bytearray(b"\xff\xd8")
+    # DHT
+    syms = bytes(order)
+    dht = bytes([0x00]) + bytes(counts) + syms
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOF3
+    sof = bytes([precision]) + struct.pack(">HH", height, width)
+    sof += bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    # SOS
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_decode(payload: bytes) -> dict:
     """Pure Python+numpy JPEG decode (VERDICT r08 #8 stretch; widened to
     PROGRESSIVE in round 11): SOF0/SOF1 (8-bit sequential Huffman) and
@@ -482,10 +756,11 @@ def _jpeg_decode(payload: bytes) -> dict:
     decode pixel-identical to the baseline encoding (test_multimodal).
 
     12-bit precision decodes too (r11: level shift 2048, clip 4095,
-    maxval 4095 — the PNM high-maxval convention). Arithmetic coding
-    (SOF9+/DAC), lossless and hierarchical (SOF3/5/6/7/11+) raise
-    NotImplementedError — spec surface outside the seam's stated
-    scope.
+    maxval 4095 — the PNM high-maxval convention), and SOF3 LOSSLESS
+    delegates to the dedicated predictor path
+    (``_jpeg_lossless_decode``, r11). Arithmetic coding (SOF9+/DAC)
+    and hierarchical (SOF5/6/7/11+) raise NotImplementedError — spec
+    surface outside the seam's stated scope.
 
     Determinism convention (shared with the byte-exact fixtures in
     tests/test_multimodal.py): coefficients accumulate scan-by-scan in
@@ -568,12 +843,14 @@ def _jpeg_decode(payload: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append([cid, hv >> 4, hv & 15, tq])
             frame = (width, height, comps, prec)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless: dedicated predictor path
+            return _jpeg_lossless_decode(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X}: only sequential and "
-                "progressive Huffman (SOF0/SOF1/SOF2) are in the seam's "
-                "scope"
+                f"JPEG SOF marker 0x{marker:02X}: only sequential, "
+                "progressive and lossless Huffman (SOF0/1/2/3) are in "
+                "the seam's scope"
             )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0

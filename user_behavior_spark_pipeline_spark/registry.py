@@ -3853,6 +3853,109 @@ def x_multimodal_wav(spark, sf_dir):
     return media.mapInPandas(_dec, schema)
 
 
+_JPEG_LOSSLESS_SQL = (
+    # closed form from the SOF3 builder: per doc the same arithmetic
+    # raster under 8-bit (media 2d, predictor d%7+1) and 12-bit
+    # (media 2d+1, predictor (d+3)%7+1) lossless encodings; lossless
+    # means DECODED == SOURCE exactly, so pixel_sum and the order-
+    # sensitive pixel_dot are SQL-derivable with no DCT tolerance
+    "WITH v AS (SELECT * FROM (VALUES (0), (1)) AS t(v)), "
+    "px AS (SELECT d.doc_id, v.v, CAST(u.i AS BIGINT) AS i, "
+    "CASE WHEN v.v = 0 THEN (d.doc_id * 31 + u.i * 7) % 256 "
+    "ELSE (d.doc_id * 131 + u.i * 17) % 4096 END AS p "
+    "FROM documents d CROSS JOIN v, UNNEST(range(96)) AS u(i) "
+    "WHERE d.doc_id % 5 = 0) "
+    "SELECT CAST(doc_id * 2 + v AS BIGINT) AS media_id, "
+    "CAST(CASE WHEN v = 0 THEN 255 ELSE 4095 END AS INT) AS maxval, "
+    "CAST(SUM(p) AS BIGINT) AS pixel_sum, "
+    "CAST(SUM(p * i) AS BIGINT) AS pixel_dot "
+    "FROM px GROUP BY doc_id, v"
+)
+
+
+@query("x_multimodal_jpeg_lossless", oracle=_JPEG_LOSSLESS_SQL)
+def x_multimodal_jpeg_lossless(spark, sf_dir):
+    """LOSSLESS JPEG certificate (r11): SOF3 predictor coding (ITU
+    T.81 Annex H — the DNG/medical/archival shape) really decoded by
+    the dedicated predictor path; because lossless decode is EXACT,
+    the oracle recomputes the source raster arithmetic directly — no
+    DCT closed form needed. Predictors rotate with doc_id (all 7 get
+    driver coverage across the corpus), 8-bit and 12-bit precisions
+    per document; the full grid (precisions 8/12/16 x predictors 1-7 x
+    point transforms x gray/RGB) is pytest-certified by encoder/
+    decoder round-trip. Scoped doc_id%5==0 like the other per-image
+    certificates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.multimodal import decode_real, jpeg_encode_lossless
+
+    def _build_fn(media_id):
+        import pandas as pd
+
+        out = []
+        for m in media_id:
+            m = int(m)
+            d, v = m // 2, m % 2
+            if v == 0:
+                px = [(d * 31 + i * 7) % 256 for i in range(96)]
+                out.append(
+                    jpeg_encode_lossless(12, 8, px, 8, d % 7 + 1)
+                )
+            else:
+                px = [(d * 131 + i * 17) % 4096 for i in range(96)]
+                out.append(
+                    jpeg_encode_lossless(12, 8, px, 12, (d + 3) % 7 + 1)
+                )
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    media = docs.select(
+        F.explode(
+            F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+        ).alias("media_id")
+    ).select("media_id", _build("media_id").alias("payload"))
+
+    def _dec(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                d = decode_real(bytes(payload), "image")
+                px = d["pixels"]
+                rows.append(
+                    (
+                        int(media_id),
+                        d["maxval"],
+                        sum(px),
+                        sum(p * i for i, p in enumerate(px)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "maxval", "pixel_sum", "pixel_dot"],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("maxval", IntegerType(), False),
+            StructField("pixel_sum", LongType(), False),
+            StructField("pixel_dot", LongType(), False),
+        ]
+    )
+    return media.mapInPandas(_dec, schema)
+
+
 _DIMS_SQL = (
     # closed form: doc_id % 8 rotates containers, dims derived from
     # doc_id (JPEG fixed 16x8 — the DC builder's block grid)
