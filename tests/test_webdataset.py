@@ -139,3 +139,39 @@ def test_zip_corruption_and_encryption_quarantine(spark):
     ok = [r for r in rows if r.parse_error is None]
     errs = {r.archive_id for r in rows if r.parse_error is not None}
     assert {r.archive_id for r in ok} == {1} and errs == {2, 3}
+
+
+def test_tar_members_bz2_xz_transparency():
+    """Shard compression rotates gzip/plain/bz2/xz by doc_id%4 — the
+    same member table must come out of all four, and bz2/xz corruption
+    quarantines like gzip's."""
+    import bz2 as bz2mod
+    import lzma
+
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        synth_webdataset_bytes,
+        tar_members,
+    )
+
+    want = {}
+    for did in (1, 4, 5, 6, 7):  # covers plain, gzip, bz2, xz
+        mem = list(tar_members(synth_webdataset_bytes(did, "hello")))
+        assert len(mem) == 3 * (did % 3 + 1), did
+        want[did % 4] = [n for n, _ in mem][:1]
+    # heads really differ per rotation slot
+    heads = {synth_webdataset_bytes(d, "x")[:3] for d in range(4)}
+    assert len(heads) == 4
+    # stdlib modules agree our compressed shards are their formats
+    assert bz2mod.decompress(synth_webdataset_bytes(2, "x"))[257:262] == b"ustar"
+    assert lzma.decompress(synth_webdataset_bytes(3, "x"))[257:262] == b"ustar"
+    # corruption quarantines (ValueError, not BZ2/LZMA errors)
+    import pytest
+
+    for did, pat in ((2, "bz2"), (3, "xz")):
+        b = bytearray(synth_webdataset_bytes(did, "x"))
+        b[12] ^= 0xFF
+        with pytest.raises(ValueError, match=pat):
+            list(tar_members(bytes(b)))
+    # truncation
+    with pytest.raises(ValueError, match="truncated xz"):
+        list(tar_members(synth_webdataset_bytes(3, "x")[:-8]))

@@ -1,0 +1,190 @@
+"""Arrow IPC ingestion — the zero-copy interchange format feature
+stores and dataframe tooling exchange (Feather v2 IS the Arrow file
+format). Unlike the byte-level walkers (warc/demux/avro), the decoder
+HERE is pyarrow itself — the reference implementation ships in this
+environment as Spark's own Arrow dependency, so hand-rolling the
+flatbuffers would add risk, not certification. What this module owns is
+the Spark-side contract: format detection (file magic ``ARROW1`` vs the
+stream format's encapsulated first message), the explode to the same
+driver-hashable long format operators/avro.py uses (one row per
+(record, field), canonical string values), schema scoping (flat
+primitive columns; nested/dictionary columns reject loudly), and the
+ONE-parse_error-row-per-file quarantine contract.
+
+The 100 TB shape: one mapInPandas pass, linear in buffer bytes; record
+batches stream through pyarrow without materializing the whole table
+when possible.
+
+Reference parity note: the reference pipeline has no Arrow path
+(SURVEY.md §2.1); training-data extension surface (§2.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ARROW_RECORDS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rec_idx", LongType(), True),
+        StructField("field", StringType(), True),
+        StructField("value_type", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+_TYPE_NAMES = {
+    "int8": "long",
+    "int16": "long",
+    "int32": "long",
+    "int64": "long",
+    "uint8": "long",
+    "uint16": "long",
+    "uint32": "long",
+    "uint64": "long",
+    "float": "double",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "binary": "bytes",
+    "large_binary": "bytes",
+}
+
+
+def arrow_ipc_rows(payload: bytes) -> Iterator[tuple[int, str, str, str | None]]:
+    """Walk one Arrow IPC buffer (file OR stream format): yields
+    (rec_idx, field, type, canonical_value). ValueError on corruption
+    or out-of-scope schemas."""
+    import pyarrow as pa
+
+    buf = pa.BufferReader(payload)
+    try:
+        if payload[:6] == b"ARROW1":
+            reader = pa.ipc.open_file(buf)
+            batches = [
+                reader.get_batch(i) for i in range(reader.num_record_batches)
+            ]
+        else:
+            sreader = pa.ipc.open_stream(buf)
+            batches = list(sreader)
+    except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
+        raise ValueError(f"corrupt Arrow IPC buffer: {e}") from None
+    rec_idx = 0
+    for batch in batches:
+        names = batch.schema.names
+        kinds = []
+        for f in batch.schema:
+            t = _TYPE_NAMES.get(str(f.type))
+            if t is None:
+                raise ValueError(
+                    f"Arrow column {f.name!r} type {f.type} out of scope "
+                    "(flat primitive columns only)"
+                )
+            kinds.append(t)
+        cols = [c.to_pylist() for c in batch.columns]
+        for r in range(batch.num_rows):
+            for name, kind, col in zip(names, kinds, cols):
+                v = col[r]
+                if v is None:
+                    yield rec_idx, name, "null", None
+                elif kind == "long":
+                    yield rec_idx, name, "long", str(int(v))
+                elif kind == "double":
+                    yield rec_idx, name, "double", repr(float(v))
+                elif kind == "boolean":
+                    yield rec_idx, name, "boolean", (
+                        "true" if v else "false"
+                    )
+                elif kind == "bytes":
+                    yield rec_idx, name, "bytes", bytes(v).hex()
+                else:
+                    yield rec_idx, name, "string", str(v)
+            rec_idx += 1
+
+
+def arrow_ipc_records(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> the generic long format; corrupt buffers
+    quarantine as ONE parse_error row."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    for ri, fld, t, v in arrow_ipc_rows(bytes(payload)):
+                        rows.append((mid, ri, fld, t, v, None))
+                except ValueError as e:
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ARROW_RECORDS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, ARROW_RECORDS_SCHEMA
+    )
+
+
+def synth_arrow_bytes(doc_id: int) -> bytes:
+    """Deterministic IPC buffer mirroring avro.synth_avro_bytes's value
+    laws (same closed form, different container): doc_id%3+1 records of
+    (id long, kind string, score double, flag bool, note nullable
+    string), written in TWO record batches when more than one record;
+    even docs STREAM format, odd docs FILE format (Feather v2)."""
+    import pyarrow as pa
+
+    n = doc_id % 3 + 1
+    ids = [doc_id * 10 + i for i in range(n)]
+    kinds = [f"k{i % 2}" for i in range(n)]
+    scores = [(doc_id * 2 + i) * 0.5 for i in range(n)]
+    flags = [i % 2 == 0 for i in range(n)]
+    notes = [None if i % 3 == 0 else f"n{i}" for i in range(n)]
+    table = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+            "flag": pa.array(flags, pa.bool_()),
+            "note": pa.array(notes, pa.string()),
+        }
+    )
+    batches = table.to_batches(max_chunksize=max(1, n - 1) if n > 1 else 1)
+    sink = pa.BufferOutputStream()
+    if doc_id % 2 == 0:
+        writer = pa.ipc.new_stream(sink, table.schema)
+    else:
+        writer = pa.ipc.new_file(sink, table.schema)
+    for b in batches:
+        writer.write_batch(b)
+    writer.close()
+    return sink.getvalue().to_pybytes()
+
+
+def synth_arrow_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of deterministic Arrow IPC buffers."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series([synth_arrow_bytes(int(d)) for d in doc_id])
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )

@@ -2479,8 +2479,8 @@ def sniff_media_type(payload: bytes) -> str:
     best. Pure prefix/structure checks over the first bytes, no
     decoding; 'unknown' (never an exception) for everything else.
     Types covered = exactly the walkers this repo ships: png jpeg pgm
-    ppm wav flac mp3 mp4 gzip pdf warc bmp gif tiff webp vtt ogg mkv
-    npy avro zip tar."""
+    ppm wav flac mp3 mp4 gzip bz2 xz pdf warc bmp gif tiff webp vtt
+    ogg mkv npy avro zip tar."""
     if len(payload) < 4:
         return "unknown"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -2503,6 +2503,10 @@ def sniff_media_type(payload: bytes) -> str:
         return "mp4"
     if payload[:2] == b"\x1f\x8b":
         return "gzip"
+    if payload[:3] == b"BZh" and payload[3:4].isdigit():
+        return "bz2"
+    if payload[:6] == b"\xfd7zXZ\x00":
+        return "xz"
     if payload[:5] == b"%PDF-":
         return "pdf"
     if payload[:5] == b"WARC/":

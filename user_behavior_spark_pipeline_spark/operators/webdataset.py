@@ -39,10 +39,13 @@ MAX_SHARD_BYTES = 1 << 30
 
 
 def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
-    """Walk a (possibly gzipped) ustar/tar payload, yielding
-    (member_name, bytes) for every regular file. A generator — a caller
-    salvages every member before a corruption point. Raises ValueError
-    at the corruption (bad magic, non-octal size, truncated data)."""
+    """Walk a (possibly gz/bz2/xz-compressed) ustar/tar payload,
+    yielding (member_name, bytes) for every regular file. A generator —
+    a caller salvages every member before a corruption point. Raises
+    ValueError at the corruption (bad magic, non-octal size, truncated
+    data). All three stdlib compressions are cap-guarded (zip-bomb
+    defense) and decompress incrementally so the cap triggers BEFORE a
+    hostile shard balloons in memory."""
     if payload[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=47)  # gzip or zlib wrapper
         try:
@@ -53,6 +56,30 @@ def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
             raise ValueError("shard inflates past cap (zip-bomb defense)")
         if not d.eof:
             raise ValueError("truncated gzip shard")
+    elif payload[:3] == b"BZh":
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        try:
+            payload = d.decompress(payload, MAX_SHARD_BYTES + 1)
+        except OSError as e:
+            raise ValueError(f"corrupt bz2 shard: {e}") from e
+        if len(payload) > MAX_SHARD_BYTES:
+            raise ValueError("shard inflates past cap (zip-bomb defense)")
+        if not d.eof:
+            raise ValueError("truncated bz2 shard")
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        d = lzma.LZMADecompressor()
+        try:
+            payload = d.decompress(payload, MAX_SHARD_BYTES + 1)
+        except lzma.LZMAError as e:
+            raise ValueError(f"corrupt xz shard: {e}") from e
+        if len(payload) > MAX_SHARD_BYTES:
+            raise ValueError("shard inflates past cap (zip-bomb defense)")
+        if not d.eof:
+            raise ValueError("truncated xz shard")
     pos = 0
     n = len(payload)
     while pos + 512 <= n:
@@ -352,7 +379,10 @@ def synth_webdataset_bytes(doc_id: int, text: str) -> bytes:
     per-sample suffix), ``<doc_id>_<i>.cls`` (label = (doc_id+i) % 10)
     and ``<doc_id>_<i>.meta.json`` (a fixed-shape record; its
     double-barreled extension certifies the first-dot key split).
-    Even doc_ids gzip the shard. Closed form mirrored by the oracle."""
+    Compression rotates by doc_id % 4: gzip / plain / bz2 / xz — the
+    member table is identical under all four, so the one oracle hash
+    certifies every transparency path. Closed form mirrored by the
+    oracle."""
     n = doc_id % 3 + 1
     out = bytearray()
     for i in range(n):
@@ -371,9 +401,18 @@ def synth_webdataset_bytes(doc_id: int, text: str) -> bytes:
             out += bytes((512 - len(data) % 512) % 512)
     out += bytes(1024)  # end-of-archive
     raw = bytes(out)
-    if doc_id % 2 == 0:
+    k = doc_id % 4
+    if k == 0:
         co = zlib.compressobj(9, zlib.DEFLATED, 31)
         raw = co.compress(raw) + co.flush()
+    elif k == 2:
+        import bz2
+
+        raw = bz2.compress(raw, 9)
+    elif k == 3:
+        import lzma
+
+        raw = lzma.compress(raw)
     return raw
 
 

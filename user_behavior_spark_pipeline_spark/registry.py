@@ -3640,6 +3640,29 @@ def x_avro_records(spark, sf_dir):
     ).drop("parse_error")
 
 
+@query("x_arrow_records", oracle=_AVRO_SQL)
+def x_arrow_records(spark, sf_dir):
+    """Arrow IPC ingestion (r11) — the interchange format feature
+    stores and dataframe tooling exchange (Feather v2 = the Arrow file
+    format): deterministic buffers carrying the SAME closed-form
+    records as the Avro fixture, under BOTH framings (stream format on
+    the even half, file format on the odd), multi-record-batch, read
+    through pyarrow (the reference implementation that ships as
+    Spark's own Arrow dependency — the module owns format detection,
+    the driver-hashable long-format explode, flat-primitive schema
+    scoping and the quarantine contract). Sharing the Avro oracle
+    makes the two container walks mutually certifying: one closed
+    form, two wire formats, one hash each."""
+    from pyspark.sql import functions as F
+
+    from .operators.arrow_ipc import arrow_ipc_records, synth_arrow_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return arrow_ipc_records(synth_arrow_media(docs)).filter(
+        F.col("parse_error").isNull()
+    ).drop("parse_error")
+
+
 @query("x_stream_avro", oracle=_AVRO_SQL)
 def x_stream_avro(spark, sf_dir):
     """Streaming Avro ingestion (r11): containers land as parquet
@@ -5185,7 +5208,7 @@ def x_multimodal_sniff(spark, sf_dir):
             elif k == 6:
                 out.append(synth_mp4_bytes(d, 2))
             elif k == 7:
-                out.append(synth_webdataset_bytes(2 * d + 1, "x"))
+                out.append(synth_webdataset_bytes(12 * d + 1, "x"))
             elif k == 8:
                 out.append(
                     gif_encode_indexed(
@@ -5223,7 +5246,7 @@ _MIXED_INGEST_SQL = (
     # derivable because each builder's output is closed-form —
     # png 8x8 pixels, pgm 2x2, warc 2 records, pdf 2 pages, flac
     # total_samples = 2*100+1, mp3 n_frames = 2%20+5, mp4 n_samples =
-    # 2%7+2, tar members = 3*((2*doc_id+1)%3+1), zip members =
+    # 2%7+2, tar members = 6 (shard id 12d+1: plain tar, 2 samples), zip members =
     # doc_id%3+1, avro records = doc_id%3+1, npy elements = doc_id%4+2.
     # Scope doc_id%3!=0 keeps both parities in every family (parity
     # flips codec/byte-order branches inside several builders).
@@ -5235,7 +5258,7 @@ _MIXED_INGEST_SQL = (
     "WHEN 11 THEN 'avro' ELSE 'npy' END AS media_type, "
     "CAST(CASE doc_id % 13 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
     "WHEN 3 THEN 2 WHEN 4 THEN 201 WHEN 5 THEN 7 WHEN 6 THEN 4 "
-    "WHEN 7 THEN 3 * ((2 * doc_id + 1) % 3 + 1) "
+    "WHEN 7 THEN 6 "
     "WHEN 8 THEN 20 WHEN 9 THEN 6 WHEN 10 THEN doc_id % 3 + 1 "
     "WHEN 11 THEN doc_id % 3 + 1 ELSE doc_id % 4 + 2 END AS BIGINT) "
     "AS n_units "
@@ -5304,7 +5327,7 @@ def x_corpus_mixed_ingest(spark, sf_dir):
             elif k == 6:
                 out.append(synth_mp4_bytes(d, 2))
             elif k == 7:
-                out.append(synth_webdataset_bytes(2 * d + 1, "x"))
+                out.append(synth_webdataset_bytes(12 * d + 1, "x"))
             elif k == 8:
                 out.append(
                     gif_encode_indexed(
