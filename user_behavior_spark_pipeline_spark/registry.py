@@ -7502,6 +7502,12 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "npy_values",
             "avro_records",
             "ogg_audio_metadata",
+            "mkv_tracks",
+            "_wav_decode",
+            "image_dimensions",
+            "jpeg_encode_lossless",
+            "arrow_ipc_records",
+            "tar_members",
         }
     ),
     sql_tokens=frozenset(),
