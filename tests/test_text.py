@@ -151,3 +151,37 @@ def test_unigram_nll_hand_computed(spark):
     assert out[2]["nll_micro_sum"] == nll_y
     # rarer token => higher NLL (the quality-filter signal direction)
     assert out[2]["nll_micro_sum"] > nll_x
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule flips on a crafted document; the conjunction
+    passes only the clean long-form one."""
+    from user_behavior_spark_pipeline_spark.operators.text import (
+        gopher_quality,
+    )
+
+    good = ("the data and results that we have measured with care " * 8).strip()
+    docs = spark.createDataFrame(
+        [
+            (0, good),  # passes everything
+            (1, "short doc that ends here and now"),  # R1: < 50 words
+            (2, good + " " + " ".join(["#x"] * 60)),  # R3: symbol ratio
+            (3, "\n".join(["- item " + str(i) for i in range(5)])
+                + "\n" + good),  # bullets 5/6 lines < 90% -> passes R4
+            (4, "\n".join([good, "a line...", "more..."])),  # R5 trips
+            (5, ("0101 1100 1010 0111 " * 20).strip()),  # R6: no alpha
+            (6, ("lorem ipsum dolor sit amet " * 12).strip()),  # R7: no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert rows[0].passes_gopher
+    assert not rows[1].passes_gopher and rows[1].n_words < 50
+    assert not rows[2].passes_gopher and rows[2].symbol_ratio_x1000 > 100
+    assert rows[3].passes_gopher and 0 < rows[3].bullet_line_ratio_x1000 < 900
+    assert not rows[4].passes_gopher and rows[4].ellipsis_line_ratio_x1000 >= 300
+    assert not rows[5].passes_gopher and rows[5].alpha_word_ratio_x1000 < 800
+    assert not rows[6].passes_gopher and rows[6].n_stopwords_hit < 2
+    # plan stays native: no Python eval nodes
+    plan = gopher_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

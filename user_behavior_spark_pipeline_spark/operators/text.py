@@ -356,3 +356,97 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         *counts,
         F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher-paper document-quality rules (Rae et al.
+    2021, §A1.1 — the de-facto web-curation gate reused by MassiveText/
+    RefinedWeb/Dolma descendants), as ONE native-column projection:
+
+      R1  50 <= word count <= 100_000
+      R2  3 <= mean word length <= 10
+      R3  hash-or-ellipsis symbol ratio <= 0.1  (per word)
+      R4  < 90% of lines start with a bullet
+      R5  < 30% of lines end with an ellipsis
+      R6  >= 80% of words contain at least one alphabetic character
+      R7  at least 2 distinct stop words present
+
+    All signals are scaled integers (round once per row) so the DuckDB
+    twin compares exactly; `passes_gopher` is the conjunction. Zero
+    Python — split/filter/size/aggregate lambda columns, one scan,
+    fully codegen-able; at 100 TB this is a scan-side gate that feeds
+    partition-pruned writes, never a shuffle."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, TOKEN_SPLIT_RE), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = (
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("•"),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(lowered),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    out = documents.filter(text.isNotNull() & (n_words > 0)).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(char_sum * 100 / n_words).cast("long").alias(
+            "mean_word_len_x100"
+        ),
+        F.round((n_hash + n_ellipsis) * 1000 / n_words)
+        .cast("long")
+        .alias("symbol_ratio_x1000"),
+        F.round(bullet_lines * 1000 / n_lines).cast("long").alias(
+            "bullet_line_ratio_x1000"
+        ),
+        F.round(ellipsis_lines * 1000 / n_lines).cast("long").alias(
+            "ellipsis_line_ratio_x1000"
+        ),
+        F.round(alpha_words * 1000 / n_words).cast("long").alias(
+            "alpha_word_ratio_x1000"
+        ),
+        stop_hits.alias("n_stopwords_hit"),
+    )
+    return out.withColumn(
+        "passes_gopher",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len_x100") >= 300)
+        & (F.col("mean_word_len_x100") <= 1000)
+        & (F.col("symbol_ratio_x1000") <= 100)
+        & (F.col("bullet_line_ratio_x1000") < 900)
+        & (F.col("ellipsis_line_ratio_x1000") < 300)
+        & (F.col("alpha_word_ratio_x1000") >= 800)
+        & (F.col("n_stopwords_hit") >= 2),
+    )

@@ -1571,6 +1571,99 @@ def x_text_quality(spark, sf_dir):
     return quality_scores(_table(spark, sf_dir, "documents"))
 
 
+_GOPHER_SQL = (
+    # DuckDB twin of text.gopher_quality over DECORATED documents: the
+    # fixture text gets doc-varying hash tags, bullet lines and
+    # ellipsis tails appended in BOTH engines, so every rule's counter
+    # is non-zero somewhere in the corpus and the conjunction flips
+    # per document. All signals scaled-integer; rounding is the same
+    # ROUND-on-double convention every text oracle here uses.
+    "WITH t AS (SELECT doc_id, text || repeat(' #tag', doc_id % 4) || "
+    "CASE WHEN doc_id % 2 = 0 THEN ' and that have with the' "
+    "ELSE '' END || "
+    "CASE doc_id % 3 WHEN 0 THEN chr(10) || '- item a' || chr(10) || "
+    "'- item b' || chr(10) || 'plain tail' "
+    "WHEN 1 THEN chr(10) || 'end...' ELSE '' END AS t2 "
+    "FROM documents WHERE text IS NOT NULL), "
+    "w AS (SELECT doc_id, t2, "
+    "list_filter(regexp_split_to_array(t2, '\\s+'), x -> x <> '') "
+    "AS words, string_split(t2, chr(10)) AS lines FROM t), "
+    "s AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, "
+    "CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) "
+    "AS char_sum, "
+    "CAST(length(t2) - length(replace(t2, '#', '')) AS BIGINT) "
+    "AS n_hash, "
+    "CAST((length(t2) - length(replace(t2, '...', ''))) // 3 "
+    "AS BIGINT) AS n_ellipsis, "
+    "CAST(len(lines) AS BIGINT) AS n_lines, "
+    "CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' "
+    "OR l LIKE '•%')) AS BIGINT) AS bullet_lines, "
+    "CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) "
+    "AS ellipsis_lines, "
+    "CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "AS BIGINT) AS alpha_words, "
+    "CAST(len(list_intersect(list_distinct(list_transform(words, "
+    "x -> lower(x))), ['the','be','to','of','and','that','have'"
+    ",'with'])) AS BIGINT) AS stop_hits FROM w WHERE len(words) > 0) "
+    "SELECT doc_id, n_words, "
+    "CAST(ROUND(char_sum * 100 / n_words) AS BIGINT) "
+    "AS mean_word_len_x100, "
+    "CAST(ROUND((n_hash + n_ellipsis) * 1000 / n_words) AS BIGINT) "
+    "AS symbol_ratio_x1000, "
+    "CAST(ROUND(bullet_lines * 1000 / n_lines) AS BIGINT) "
+    "AS bullet_line_ratio_x1000, "
+    "CAST(ROUND(ellipsis_lines * 1000 / n_lines) AS BIGINT) "
+    "AS ellipsis_line_ratio_x1000, "
+    "CAST(ROUND(alpha_words * 1000 / n_words) AS BIGINT) "
+    "AS alpha_word_ratio_x1000, "
+    "stop_hits AS n_stopwords_hit, "
+    "(n_words >= 50 AND n_words <= 100000 "
+    "AND ROUND(char_sum * 100 / n_words) >= 300 "
+    "AND ROUND(char_sum * 100 / n_words) <= 1000 "
+    "AND ROUND((n_hash + n_ellipsis) * 1000 / n_words) <= 100 "
+    "AND ROUND(bullet_lines * 1000 / n_lines) < 900 "
+    "AND ROUND(ellipsis_lines * 1000 / n_lines) < 300 "
+    "AND ROUND(alpha_words * 1000 / n_words) >= 800 "
+    "AND stop_hits >= 2) AS passes_gopher FROM s"
+)
+
+
+@query("x_text_gopher", oracle=_GOPHER_SQL)
+def x_text_gopher(spark, sf_dir):
+    """Gopher-rule document quality gate (r11) — the published
+    web-curation heuristics (word count band, mean word length band,
+    symbol ratio, bullet/ellipsis line ratios, alpha-word ratio,
+    stop-word floor) as one native-column projection
+    (text.gopher_quality): zero Python, one scan, codegen-able — the
+    100 TB posture is a scan-side gate. Inputs are DECORATED with
+    doc-varying hash tags / bullet lines / ellipsis tails in both
+    engines so every rule's counter varies and the conjunction flips
+    per document."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import gopher_quality
+
+    docs = _table(spark, sf_dir, "documents")
+    deco = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat(' #tag', doc_id % 4)"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" and that have with the"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n- item a\n- item b\nplain tail"),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("\nend..."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(deco)
+
+
 # deterministic PII suffix planted on doc_id < 20 IN BOTH ENGINES (the
 # generated corpus has no PII, which would verify only the no-op path):
 # one email (doc_id-dependent local part), one IPv4 (doc_id-dependent
@@ -7508,6 +7601,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "jpeg_encode_lossless",
             "arrow_ipc_records",
             "tar_members",
+            "gopher_quality",
         }
     ),
     sql_tokens=frozenset(),
