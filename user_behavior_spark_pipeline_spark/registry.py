@@ -1628,6 +1628,105 @@ _GOPHER_SQL = (
 )
 
 
+_CURATE_CRAWL_SQL = (
+    # end-to-end closed form: the WARC builder's page VISIBLE text is
+    # exactly 'doc <id> ' || text (x_warc_text's certified closed
+    # form), so the Gopher signals over the EXTRACTED text are
+    # SQL-derivable without mirroring any pipeline stage — WARC
+    # framing, gzip transparency, HTML strip/unescape, whitespace
+    # collapse and the quality gate all have to be right for one hash
+    "WITH t AS (SELECT doc_id, "
+    "TRIM(regexp_replace('doc ' || doc_id || ' ' || text || "
+    "CASE WHEN doc_id % 2 = 0 THEN ' and that have with the' "
+    "ELSE '' END, "
+    "'\\s+', ' ', 'g')) AS t2 FROM documents), "
+    "w AS (SELECT doc_id, t2, "
+    "list_filter(regexp_split_to_array(t2, '\\s+'), x -> x <> '') "
+    "AS words, string_split(t2, chr(10)) AS lines FROM t), "
+    "s AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, "
+    "CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) "
+    "AS char_sum, "
+    "CAST(length(t2) - length(replace(t2, '#', '')) AS BIGINT) "
+    "AS n_hash, "
+    "CAST((length(t2) - length(replace(t2, '...', ''))) // 3 "
+    "AS BIGINT) AS n_ellipsis, "
+    "CAST(len(lines) AS BIGINT) AS n_lines, "
+    "CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' "
+    "OR l LIKE '•%')) AS BIGINT) AS bullet_lines, "
+    "CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) "
+    "AS ellipsis_lines, "
+    "CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "AS BIGINT) AS alpha_words, "
+    "CAST(len(list_intersect(list_distinct(list_transform(words, "
+    "x -> lower(x))), ['the','be','to','of','and','that','have'"
+    ",'with'])) AS BIGINT) AS stop_hits FROM w WHERE len(words) > 0) "
+    "SELECT doc_id, n_words, "
+    "CAST(ROUND(char_sum * 100 / n_words) AS BIGINT) "
+    "AS mean_word_len_x100, "
+    "CAST(ROUND((n_hash + n_ellipsis) * 1000 / n_words) AS BIGINT) "
+    "AS symbol_ratio_x1000, "
+    "CAST(ROUND(bullet_lines * 1000 / n_lines) AS BIGINT) "
+    "AS bullet_line_ratio_x1000, "
+    "CAST(ROUND(ellipsis_lines * 1000 / n_lines) AS BIGINT) "
+    "AS ellipsis_line_ratio_x1000, "
+    "CAST(ROUND(alpha_words * 1000 / n_words) AS BIGINT) "
+    "AS alpha_word_ratio_x1000, "
+    "stop_hits AS n_stopwords_hit, "
+    "(n_words >= 50 AND n_words <= 100000 "
+    "AND ROUND(char_sum * 100 / n_words) >= 300 "
+    "AND ROUND(char_sum * 100 / n_words) <= 1000 "
+    "AND ROUND((n_hash + n_ellipsis) * 1000 / n_words) <= 100 "
+    "AND ROUND(bullet_lines * 1000 / n_lines) < 900 "
+    "AND ROUND(ellipsis_lines * 1000 / n_lines) < 300 "
+    "AND ROUND(alpha_words * 1000 / n_words) >= 800 "
+    "AND stop_hits >= 2) AS passes_gopher FROM s"
+)
+
+
+@query("x_curate_crawl", oracle=_CURATE_CRAWL_SQL)
+def x_curate_crawl(spark, sf_dir):
+    """Crawl-to-corpus capstone (r11): the Common-Crawl curation
+    pipeline COMPOSED end to end in one plan — real WARC bytes
+    (gzipped every third archive) -> record walk -> text/html response
+    filter -> JVM-native HTML visible-text extraction (script/style
+    removal, entity unescape, whitespace collapse) -> the Gopher
+    quality gate, all scan-side, zero Python past the walker. The
+    oracle states the ANSWER (Gopher signals over the builder's known
+    visible text), not the pipeline, so every stage must be right for
+    the hash to survive."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import gopher_quality
+    from .operators.warc import (
+        extract_html_text,
+        synth_warc_archives,
+        warc_records,
+    )
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" and that have with the"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    recs = warc_records(synth_warc_archives(docs, html=True))
+    pages = extract_html_text(
+        recs.filter(
+            "warc_type = 'response' AND content_type = 'text/html'"
+        )
+    )
+    return gopher_quality(
+        pages.select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("extracted_text").alias("text"),
+        )
+    )
+
+
 @query("x_text_gopher", oracle=_GOPHER_SQL)
 def x_text_gopher(spark, sf_dir):
     """Gopher-rule document quality gate (r11) — the published
@@ -4471,7 +4570,16 @@ def x_warc_text(spark, sf_dir):
         warc_records,
     )
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" and that have with the"),
+            ).otherwise(F.lit("")),
+        ),
+    )
     recs = warc_records(synth_warc_archives(docs, html=True))
     out = extract_html_text(
         recs.filter(
