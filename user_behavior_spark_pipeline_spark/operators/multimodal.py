@@ -2480,7 +2480,7 @@ def sniff_media_type(payload: bytes) -> str:
     decoding; 'unknown' (never an exception) for everything else.
     Types covered = exactly the walkers this repo ships: png jpeg pgm
     ppm wav flac mp3 mp4 gzip bz2 xz pdf warc bmp gif tiff webp vtt
-    ogg mkv npy avro zip tar."""
+    ogg mkv npy avro parquet arrow zip tar."""
     if len(payload) < 4:
         return "unknown"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -2529,6 +2529,10 @@ def sniff_media_type(payload: bytes) -> str:
         return "npy"
     if payload[:4] == b"Obj\x01":
         return "avro"
+    if payload[:4] == b"PAR1":
+        return "parquet"
+    if payload[:6] == b"ARROW1":
+        return "arrow"
     if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"  # incl. NPZ (a ZIP of NPY members)
     if len(payload) >= 263 and payload[257:262] == b"ustar":

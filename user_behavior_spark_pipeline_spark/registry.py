@@ -1628,6 +1628,75 @@ _GOPHER_SQL = (
 )
 
 
+_PROTO_SQL = (
+    # closed form from protowire.synth_proto_bytes: six top-level
+    # fields per message — varint, string (hex), fixed64, fixed32,
+    # multi-byte varint, embedded message (hex '08' + one byte = the
+    # inner field-1 varint) — one hash pins tag packing, all four wire
+    # types and the length framing
+    "SELECT doc_id AS media_id, f.field_num, f.wire_type, "
+    "CASE f.field_num "
+    "WHEN 1 THEN CAST(doc_id * 3 AS VARCHAR) "
+    "WHEN 2 THEN lower(hex(encode('doc ' || doc_id))) "
+    "WHEN 3 THEN CAST(doc_id * 7 AS VARCHAR) "
+    "WHEN 4 THEN CAST(doc_id % 1000 AS VARCHAR) "
+    "WHEN 5 THEN CAST(doc_id + 300 AS VARCHAR) "
+    "ELSE '080' || CAST(doc_id % 5 AS VARCHAR) END AS value "
+    "FROM documents CROSS JOIN (VALUES (1, 0), (2, 2), (3, 1), "
+    "(4, 5), (5, 0), (6, 2)) AS f(field_num, wire_type)"
+)
+
+
+@query("x_proto_fields", oracle=_PROTO_SQL)
+def x_proto_fields(spark, sf_dir):
+    """Protobuf wire-format inspection (r11) — the schema-less walk a
+    quarantine/inspection stage runs BEFORE a schema'd decode exists:
+    every top-level field of a message becomes (field_num, wire_type,
+    canonical value) from the public self-framing wire format (varint
+    / fixed64 / length-delimited / fixed32; deprecated groups reject).
+    The closed form pins tag packing and every wire type; pytest pins
+    the spec's own varint examples (150 -> 9601, the 08 96 01
+    message). Pure stdlib, one Arrow pass."""
+    from pyspark.sql import functions as F
+
+    from .operators.protowire import proto_fields, synth_proto_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return proto_fields(synth_proto_media(docs)).filter(
+        F.col("parse_error").isNull()
+    ).drop("parse_error")
+
+
+_PARQUET_FOOTER_SQL = (
+    # closed form from lake.synth_parquet_bytes: doc%5+1 rows in
+    # 2-row row groups, 3 columns, codec rotating by doc%3
+    "SELECT doc_id AS media_id, "
+    "CAST((doc_id % 5 + 2) // 2 AS INT) AS n_row_groups, "
+    "CAST(doc_id % 5 + 1 AS BIGINT) AS n_rows, "
+    "CAST(3 AS INT) AS n_columns, "
+    "CASE doc_id % 3 WHEN 0 THEN 'UNCOMPRESSED' WHEN 1 THEN 'SNAPPY' "
+    "ELSE 'GZIP' END AS codec "
+    "FROM documents"
+)
+
+
+@query("x_parquet_footer", oracle=_PARQUET_FOOTER_SQL)
+def x_parquet_footer(spark, sf_dir):
+    """Parquet footer probe (r11) — lake layout auditing at 100 TB
+    reads FOOTERS, not data: row-group counts/sizing, rows-per-file,
+    column counts and codec drift per file without touching a data
+    page (lake.parquet_footers, pyarrow-backed). Fixture files rotate
+    codec (UNCOMPRESSED/SNAPPY/GZIP) and row-group splits; pairs with
+    the layout.py compaction/z-order operators that fix what this
+    probe finds."""
+    from pyspark.sql import functions as F
+
+    from .operators.lake import parquet_footers, synth_parquet_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return parquet_footers(synth_parquet_media(docs)).drop("parse_error")
+
+
 _CURATE_CRAWL_SQL = (
     # end-to-end closed form: the WARC builder's page VISIBLE text is
     # exactly 'doc <id> ' || text (x_warc_text's certified closed
@@ -7710,6 +7779,9 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "arrow_ipc_records",
             "tar_members",
             "gopher_quality",
+            "proto_fields",
+            "parquet_footers",
+            "extract_html_text",
         }
     ),
     sql_tokens=frozenset(),
