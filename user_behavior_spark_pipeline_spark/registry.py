@@ -4639,16 +4639,7 @@ def x_warc_text(spark, sf_dir):
         warc_records,
     )
 
-    docs = _table(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.lit(" and that have with the"),
-            ).otherwise(F.lit("")),
-        ),
-    )
+    docs = _table(spark, sf_dir, "documents")
     recs = warc_records(synth_warc_archives(docs, html=True))
     out = extract_html_text(
         recs.filter(
