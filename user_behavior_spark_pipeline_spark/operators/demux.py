@@ -259,6 +259,10 @@ def _parse_tkhd(payload, start):
 
 
 def _u32_table(payload, p, n, width=4):
+    if n < 0 or p + n * width > len(payload):
+        raise ValueError(
+            f"ISO-BMFF table of {n} entries overruns payload"
+        )
     fmt = ">%d%s" % (n, "I" if width == 4 else "Q")
     return list(struct.unpack_from(fmt, payload, p))
 

@@ -838,10 +838,19 @@ def _jpeg_decode(payload: bytes) -> dict:
                 raise NotImplementedError(f"JPEG precision {prec}")
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
+            if width == 0 or height == 0:
+                raise ValueError("JPEG frame with zero dimension")
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append([cid, hv >> 4, hv & 15, tq])
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factors {h}x{v} out of range"
+                    )
+                comps.append([cid, h, v, tq])
+            if not comps:
+                raise ValueError("JPEG frame with no components")
             frame = (width, height, comps, prec)
         elif marker == 0xC3:  # SOF3 lossless: dedicated predictor path
             return _jpeg_lossless_decode(payload)
@@ -975,6 +984,11 @@ def _jpeg_decode(payload: bytes) -> dict:
                 blk = coeffs[cs][gy, gx]
                 if not progressive:
                     # sequential: DC + full AC in one pass
+                    if (0, dc_id) not in tables or (1, ac_id) not in tables:
+                        raise ValueError(
+                            f"JPEG scan references undefined Huffman "
+                            f"table (dc {dc_id} / ac {ac_id})"
+                        )
                     dc_lut = tables[(0, dc_id)]
                     ac_lut = tables[(1, ac_id)]
                     s = _jpeg_huff_decode(reader, dc_lut)
@@ -1080,6 +1094,8 @@ def _jpeg_decode(payload: bytes) -> dict:
     )
     out_planes = []
     for cid, ch, cv, ctq in comps:
+        if ctq not in qt:
+            raise ValueError(f"JPEG missing quant table {ctq}")
         zz = coeffs[cid] * qt[ctq]  # (nby, nbx, 64), zigzag order
         nby, nbx = zz.shape[:2]
         nat = np.zeros_like(zz, dtype=np.float64)
@@ -2587,7 +2603,31 @@ def decode_real(payload: bytes, kind: str) -> dict:
     still raise NotImplementedError — that residue is the documented
     seam (librosa/av), not missing plumbing;
     ``decode_features`` keeps the deterministic byte-histogram embedding
-    for the oracle-checked pipeline either way."""
+    for the oracle-checked pipeline either way.
+
+    Corruption contract: ANY structural damage surfaces as ValueError —
+    low-level parse failures (struct.error, zlib.error, IndexError,
+    OverflowError) are translated at this boundary so a corrupt payload
+    can never kill a task with an unexpected exception type
+    (fuzz-pinned in tests/test_walker_fuzz.py)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    try:
+        return _decode_real_inner(payload, kind)
+    except (
+        _struct.error,
+        _zlib.error,
+        IndexError,
+        KeyError,
+        OverflowError,
+    ) as e:
+        raise ValueError(
+            f"corrupt {kind} payload: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_real_inner(payload: bytes, kind: str) -> dict:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_decode(payload)
     if payload[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:

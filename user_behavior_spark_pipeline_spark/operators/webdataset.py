@@ -206,6 +206,8 @@ def zip_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
     eocd = payload.rfind(b"PK\x05\x06", max(0, len(payload) - 65557))
     if eocd < 0:
         raise ValueError("not a ZIP archive (no end-of-central-directory)")
+    if eocd + 20 > len(payload):
+        raise ValueError("ZIP end-of-central-directory truncated")
     n_entries, cd_size, cd_off = struct.unpack_from(
         "<HII", payload, eocd + 10
     )
