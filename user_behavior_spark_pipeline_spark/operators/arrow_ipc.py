@@ -15,6 +15,15 @@ The 100 TB shape: one mapInPandas pass, linear in buffer bytes; record
 batches stream through pyarrow without materializing the whole table
 when possible.
 
+UNTRUSTED-INPUT caveat (fuzz-established, tests/test_walker_fuzz.py):
+random junk and truncation reject cleanly, but a bit flip INSIDE a
+structurally-valid flatbuffer can throw std::length_error in Arrow's
+C++ which escapes the binding and ABORTS the worker process — and the
+IPC format carries no integrity checksums to detect it first. Feed
+this walker from checksummed storage (parquet landing files, as the
+streaming sources here do) or decode genuinely untrusted buffers in a
+sacrificial subprocess.
+
 Reference parity note: the reference pipeline has no Arrow path
 (SURVEY.md §2.1); training-data extension surface (§2.5).
 """

@@ -9,7 +9,12 @@ operators/layout.py (compaction / z-order), which fixes what this probe
 finds.
 
 Corruption (bad magic, torn footer) quarantines as ONE parse_error row
-— the standard walker contract.
+— the standard walker contract. Untrusted-input caveat (shared with
+operators/arrow_ipc.py, fuzz-established): junk/truncation reject
+cleanly, but adversarial bit rot inside valid Thrift/flatbuffer
+metadata can abort in Arrow's C++; Parquet footers DO carry enough
+redundancy that this is far rarer than for raw IPC, but the same
+checksummed-storage posture applies.
 
 Reference parity note: no lake-audit path in the reference (SURVEY.md
 §2.1); training-data extension surface (§2.5).
