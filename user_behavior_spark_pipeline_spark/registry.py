@@ -1697,6 +1697,37 @@ def x_parquet_footer(spark, sf_dir):
     return parquet_footers(synth_parquet_media(docs)).drop("parse_error")
 
 
+_DELTA_SQL = (
+    # closed form from deltalog.synth_delta_log_rows: replaying the
+    # commit history leaves exactly part-0-1 (101), part-0-2 (102) and
+    # part-V-0 (100+V) live, V = doc%3+1 — the oracle states the final
+    # STATE, so version ordering, last-action-wins and the add/remove
+    # semantics all have to be right for the hash
+    "SELECT doc_id AS table_id, p.path, CAST(p.size AS BIGINT) "
+    "AS size_bytes FROM documents, LATERAL (VALUES "
+    "('part-0-1', 101), ('part-0-2', 102), "
+    "('part-' || (doc_id % 3 + 1) || '-0', 100 + doc_id % 3 + 1)) "
+    "AS p(path, size)"
+)
+
+
+@query("x_delta_live_files", oracle=_DELTA_SQL)
+def x_delta_live_files(spark, sf_dir):
+    """Delta-style transaction-log replay (r11) — lakehouse state is
+    the REPLAY of a JSON commit log, not a directory listing: commit
+    files explode to actions with native from_json (zero Python
+    anywhere in the plan) and one max_by((action), (version, idx)) per
+    (table, path) reconstructs the live file set — the protocol's
+    last-action-wins rule as a single partial-aggregable aggregation,
+    O(actions) never O(data). The oracle states the final state per
+    the builder's closed-form history (adds, removes, re-adds across
+    doc%3+2 versions)."""
+    from .operators.deltalog import delta_live_files, synth_delta_logs
+
+    docs = _table(spark, sf_dir, "documents")
+    return delta_live_files(synth_delta_logs(docs))
+
+
 _CURATE_CRAWL_SQL = (
     # end-to-end closed form: the WARC builder's page VISIBLE text is
     # exactly 'doc <id> ' || text (x_warc_text's certified closed
@@ -7773,6 +7804,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "proto_fields",
             "parquet_footers",
             "extract_html_text",
+            "delta_live_files",
         }
     ),
     sql_tokens=frozenset(),
