@@ -2360,3 +2360,42 @@ def test_jpeg_lossless_sof3_full_grid():
         i = raw.index(b"\xff\xda")
         decode_real(raw[:i] + b"\xff\xdd\x00\x04\x00\x04" + raw[i:],
                     "image")
+
+
+def test_tiff_tiled_rasters():
+    """Tiled TIFF (TIFF6 §15): full-size edge tiles cropped into
+    place, every compression x predictor, non-divisible geometries."""
+    import random
+    import struct
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        _tiff_decode,
+        decode_real,
+        tiff_encode,
+    )
+
+    rng = random.Random(5)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            for ch in (1, 3):
+                for tile in ((4, 4), (5, 3), (16, 16), (7, 16)):
+                    w, h = 13, 11
+                    px = [rng.randrange(256) for _ in range(w * h * ch)]
+                    raw = tiff_encode(
+                        w, h, px, channels=ch,
+                        little_endian=(comp + pred) % 2 == 0,
+                        compression=comp, predictor=pred, tile=tile,
+                    )
+                    assert decode_real(raw, "image")["pixels"] == px, (
+                        comp, pred, ch, tile)
+    # zero tile dims / wrong tile count quarantine
+    raw = bytearray(tiff_encode(13, 11, [0] * 143, tile=(4, 4)))
+    i = raw.index(struct.pack("<HHI", 322, 3, 1))
+    struct.pack_into("<H", raw, i + 8, 0)
+    with pytest.raises(ValueError, match="tile dimensions"):
+        _tiff_decode(bytes(raw))
+    raw = bytearray(tiff_encode(13, 11, [0] * 143, tile=(4, 4)))
+    i = raw.index(struct.pack("<HHI", 323, 3, 1))
+    struct.pack_into("<H", raw, i + 8, 16)  # th=16 -> tile count wrong
+    with pytest.raises(ValueError, match="tile count"):
+        _tiff_decode(bytes(raw))

@@ -1772,12 +1772,13 @@ def _tiff_decode(payload: bytes) -> dict:
     """Pure-stdlib TIFF decode: baseline uncompressed (Compression=1),
     PackBits (32773) and LZW (5, with the optional horizontal
     predictor, tag 317=2) 8-bit grayscale (PhotometricInterpretation 1)
-    and RGB (2) rasters in strips, both byte orders — the
-    scanned-document corpus shapes (r11 baseline; compression added
-    later in r11). JPEG-in-TIFF, tiles, planar configuration 2 and
-    other depths reject loudly as out-of-scope variants (ValueError);
-    like BMP, TIFF here has no codec seam, only unsupported structure.
-    Output matches the PNG/PNM shape."""
+    and RGB (2) rasters in STRIPS or TILES (TIFF6 §15 — full-size edge
+    tiles cropped into place, the GeoTIFF/pyramid shape), both byte
+    orders — the scanned-document corpus shapes (r11). JPEG-in-TIFF,
+    planar configuration 2 and other depths reject loudly as
+    out-of-scope variants (ValueError); like BMP, TIFF here has no
+    codec seam, only unsupported structure. Output matches the PNG/PNM
+    shape."""
     import struct
 
     if payload[:2] == b"II":
@@ -1845,33 +1846,64 @@ def _tiff_decode(payload: bytes) -> dict:
             f"photometric={photometric} samples={samples} bits={bits} "
             f"planar={planar} predictor={predictor}"
         )
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip tables missing or inconsistent")
-    rps = one(278, height)
-    if rps <= 0:
-        raise ValueError("TIFF RowsPerStrip must be positive")
-    if len(offsets) != -(-height // rps):
-        raise ValueError("TIFF strip count disagrees with RowsPerStrip")
-    raster = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise ValueError("TIFF strip overruns payload")
-        rows = min(rps, height - i * rps)
-        expected = rows * width * samples
-        raw = payload[off : off + cnt]
+    def _segment(raw: bytes, seg_w: int, seg_rows: int) -> bytes:
+        expected = seg_rows * seg_w * samples
         if compression == 1:
             if len(raw) != expected:
-                raise ValueError("TIFF uncompressed strip size mismatch")
-            strip = raw
+                raise ValueError("TIFF uncompressed segment size mismatch")
+            seg = raw
         elif compression == 32773:
-            strip = _packbits_decode(raw, expected)
+            seg = _packbits_decode(raw, expected)
         else:
-            strip = _tiff_lzw_decode(raw, expected)
+            seg = _tiff_lzw_decode(raw, expected)
         if predictor == 2:
-            strip = _tiff_predictor_undo(strip, width, samples)
-        raster += strip
+            seg = _tiff_predictor_undo(seg, seg_w, samples)
+        return seg
+
+    if 322 in tags or 324 in tags:  # TILED raster (TIFF6 §15)
+        tw = one(322)
+        th = one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if tw <= 0 or th <= 0:
+            raise ValueError("TIFF tile dimensions must be positive")
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile tables missing or inconsistent")
+        across = -(-width // tw)
+        down = -(-height // th)
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count disagrees with geometry")
+        raster = bytearray(width * height * samples)
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF tile overruns payload")
+            # tiles are FULL tw x th even at the right/bottom edges
+            tile = _segment(payload[off : off + cnt], tw, th)
+            ty, tx = divmod(t, across)
+            rows = min(th, height - ty * th)
+            cols = min(tw, width - tx * tw)
+            for r in range(rows):
+                src = (r * tw) * samples
+                dst = ((ty * th + r) * width + tx * tw) * samples
+                raster[dst : dst + cols * samples] = tile[
+                    src : src + cols * samples
+                ]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip tables missing or inconsistent")
+        rps = one(278, height)
+        if rps <= 0:
+            raise ValueError("TIFF RowsPerStrip must be positive")
+        if len(offsets) != -(-height // rps):
+            raise ValueError("TIFF strip count disagrees with RowsPerStrip")
+        raster = bytearray()
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip overruns payload")
+            rows = min(rps, height - i * rps)
+            raster += _segment(payload[off : off + cnt], width, rows)
     if len(raster) != width * height * samples:
         raise ValueError("TIFF raster size mismatch")
     return {
@@ -1893,8 +1925,10 @@ def tiff_encode(
     rows_per_strip: int | None = None,
     compression: int = 1,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """TIFF writer (uncompressed / PackBits / LZW strips, optional
+    """TIFF writer (uncompressed / PackBits / LZW segments — STRIPS by
+    default, square-padded TILES with ``tile=(tw, th)`` — optional
     horizontal predictor, both byte orders) — the write-side twin of
     ``_tiff_decode`` for fixtures and dispatch certificates."""
     import struct
@@ -1904,19 +1938,46 @@ def tiff_encode(
     if predictor not in (1, 2):
         raise ValueError(f"tiff_encode: predictor {predictor}")
     bo = "<" if little_endian else ">"
-    rps = rows_per_strip or height
-    strips = []
-    for r0 in range(0, height, rps):
-        rows = min(rps, height - r0)
-        at = r0 * width * channels
-        strip = bytes(pixels[at : at + rows * width * channels])
+
+    def _compress(seg: bytes, seg_w: int) -> bytes:
         if predictor == 2:
-            strip = _tiff_predictor_apply(strip, width, channels)
+            seg = _tiff_predictor_apply(seg, seg_w, channels)
         if compression == 5:
-            strip = _tiff_lzw_encode(strip)
-        elif compression == 32773:
-            strip = _packbits_encode(strip)
-        strips.append(strip)
+            return _tiff_lzw_encode(seg)
+        if compression == 32773:
+            return _packbits_encode(seg)
+        return seg
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiff_encode: tile dims must be positive")
+        across = -(-width // tw)
+        down = -(-height // th)
+        for ty in range(down):
+            for tx in range(across):
+                block = bytearray(tw * th * channels)
+                rows = min(th, height - ty * th)
+                cols = min(tw, width - tx * tw)
+                for r in range(rows):
+                    src = ((ty * th + r) * width + tx * tw) * channels
+                    dst = (r * tw) * channels
+                    block[dst : dst + cols * channels] = bytes(
+                        pixels[src : src + cols * channels]
+                    )
+                strips.append(_compress(bytes(block), tw))
+        rps = None
+    else:
+        rps = rows_per_strip or height
+        for r0 in range(0, height, rps):
+            rows = min(rps, height - r0)
+            at = r0 * width * channels
+            strips.append(
+                _compress(
+                    bytes(pixels[at : at + rows * width * channels]), width
+                )
+            )
     header_end = 8
     entries = [
         (256, 3, 1, width),
@@ -1924,13 +1985,24 @@ def tiff_encode(
         (258, 3, 1, 8) if channels == 1 else (258, 3, 3, None),
         (259, 3, 1, compression),
         (262, 3, 1, 1 if channels == 1 else 2),
-        (273, 4, len(strips), None),
         (277, 3, 1, channels),
-        (278, 3, 1, rps),
-        (279, 4, len(strips), None),
     ]
+    if tile is None:
+        entries += [
+            (273, 4, len(strips), None),
+            (278, 3, 1, rps),
+            (279, 4, len(strips), None),
+        ]
     if predictor == 2:
         entries.append((317, 3, 1, 2))
+    if tile is not None:
+        entries += [
+            (322, 3, 1, tile[0]),
+            (323, 3, 1, tile[1]),
+            (324, 4, len(strips), None),
+            (325, 4, len(strips), None),
+        ]
+    entries.sort(key=lambda e: e[0])
     n = len(entries)
     ifd_at = header_end
     data_at = ifd_at + 2 + 12 * n + 4
@@ -1942,7 +2014,7 @@ def tiff_encode(
             at = data_at + len(tail)
             tail += struct.pack(bo + "HHH", 8, 8, 8)
             body += struct.pack(bo + "HHII", tag, vtype, count, at)
-        elif tag == 273:
+        elif tag in (273, 324):
             strip_offsets_pos = data_at + len(tail)
             if len(strips) == 1:
                 body += struct.pack(bo + "HHII", tag, vtype, 1, 0)
@@ -1952,7 +2024,7 @@ def tiff_encode(
                     bo + "HHII", tag, vtype, count, strip_offsets_pos
                 )
                 tail += bytes(4 * len(strips))
-        elif tag == 279:
+        elif tag in (279, 325):
             if len(strips) == 1:
                 body += struct.pack(
                     bo + "HHII", tag, vtype, 1, len(strips[0])
@@ -2271,12 +2343,13 @@ def wav_encode(
 
 def synth_tiff_variant_media(documents: DataFrame) -> DataFrame:
     """Per document, the SAME closed-form raster (pixel i =
-    (doc_id*31 + i*7) % 256, 16x16) under FOUR byte-different TIFF
-    encodings: media 4d = uncompressed gray LE, 4d+1 = PackBits gray
-    BE multi-strip (rows_per_strip=5), 4d+2 = LZW + horizontal
-    predictor gray LE (rows_per_strip=7), 4d+3 = LZW + predictor RGB
+    (doc_id*31 + i*7) % 256, 16x16) under FIVE byte-different TIFF
+    encodings: media 5d = uncompressed gray LE, 5d+1 = PackBits gray
+    BE multi-strip (rows_per_strip=5), 5d+2 = LZW + horizontal
+    predictor gray LE (rows_per_strip=7), 5d+3 = LZW + predictor RGB
     BE (channel-distinct pixels, so predictor channel mixing cannot
-    hide). The raster is SQL-derivable, so one oracle certifies
+    hide), 5d+4 = TILED 6x6 LZW + predictor (edge tiles padded — the
+    GeoTIFF/pyramid shape, r11). The raster is SQL-derivable, so one oracle certifies
     strip assembly, both codecs, the predictor and both byte orders."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -2286,11 +2359,21 @@ def synth_tiff_variant_media(documents: DataFrame) -> DataFrame:
         out = []
         for m in media_id:
             m = int(m)
-            d, v = m // 4, m % 4
+            d, v = m // 5, m % 5
             n = 768 if v == 3 else 256
             px = [(d * 31 + i * 7) % 256 for i in range(n)]
             if v == 0:
                 raw = tiff_encode(16, 16, px)
+            elif v == 4:
+                raw = tiff_encode(
+                    16,
+                    16,
+                    px,
+                    little_endian=d % 2 == 0,
+                    compression=5,
+                    predictor=2,
+                    tile=(6, 6),
+                )
             elif v == 1:
                 raw = tiff_encode(
                     16,
@@ -2326,7 +2409,7 @@ def synth_tiff_variant_media(documents: DataFrame) -> DataFrame:
     ids = documents.select(
         F.explode(
             F.array(
-                *[F.col("doc_id") * 4 + F.lit(i) for i in range(4)]
+                *[F.col("doc_id") * 5 + F.lit(i) for i in range(5)]
             )
         ).alias("media_id")
     )

@@ -5334,12 +5334,12 @@ _TIFF_DECODE_SQL = (
     # horizontal predictor or byte-order handling changes pixel_sum or
     # the order-sensitive pixel_dot and breaks the hash
     "WITH v AS (SELECT * FROM (VALUES (0, 256), (1, 256), (2, 256), "
-    "(3, 768)) AS t(v, n)), "
+    "(3, 768), (4, 256)) AS t(v, n)), "
     "px AS (SELECT d.doc_id, v.v, CAST(u.i AS BIGINT) AS i, "
     "(d.doc_id * 31 + u.i * 7) % 256 AS p "
     "FROM documents d CROSS JOIN v, UNNEST(range(v.n)) AS u(i) "
     "WHERE d.doc_id % 5 = 0) "
-    "SELECT CAST(doc_id * 4 + v AS BIGINT) AS media_id, "
+    "SELECT CAST(doc_id * 5 + v AS BIGINT) AS media_id, "
     "CAST(16 AS INT) AS width, "
     "CAST(CASE WHEN v = 3 THEN 3 ELSE 1 END AS INT) AS channels, "
     "CAST(SUM(p) AS BIGINT) AS pixel_sum, "
