@@ -2399,3 +2399,37 @@ def test_tiff_tiled_rasters():
     struct.pack_into("<H", raw, i + 8, 16)  # th=16 -> tile count wrong
     with pytest.raises(ValueError, match="tile count"):
         _tiff_decode(bytes(raw))
+
+
+def test_png_metadata_chunks():
+    """tEXt/zTXt/iTXt/tIME/eXIf walk with CRC verification; the pixel
+    decoder reads the same file through the extra chunks."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        decode_real,
+        png_metadata,
+        synth_png_meta_bytes,
+    )
+
+    for did, text in ((0, "hello"), (1, "ünïcode ★"), (7, "日本語")):
+        rows = png_metadata(synth_png_meta_bytes(did, text))
+        d = {(s, k): v for s, k, v in rows}
+        assert d[("text", "Title")] == f"doc {did}"
+        assert d[("ztxt", "Comment")] == f"comment {did % 100}"
+        assert d[("itxt", "Description")] == text
+        assert d[("time", "modified")] == (
+            f"2020-01-{did % 28 + 1:02d}T12:30:45")
+        assert d[("exif", "orientation")] == str(did % 8 + 1)
+        assert d[("exif", "make")] == f"maker{did % 3}"
+        assert decode_real(synth_png_meta_bytes(did, text), "image")[
+            "pixels"] == [did % 256] * 16
+    # CRC flip quarantines; a plain PNG yields no metadata rows
+    raw = bytearray(synth_png_meta_bytes(2, "zz"))
+    i = raw.find(b"tEXt") + 6
+    raw[i] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_metadata(bytes(raw))
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        png_encode_gray,
+    )
+
+    assert png_metadata(png_encode_gray(2, 2, [0] * 4)) == []

@@ -1183,6 +1183,15 @@ def jpeg_exif(payload: bytes) -> dict:
         pos += 2 + seglen
     if tiff is None:
         return {}
+    return exif_tiff_parse(tiff)
+
+
+def exif_tiff_parse(tiff: bytes) -> dict:
+    """Parse a raw EXIF TIFF block (the bytes after the JPEG APP1
+    ``Exif\x00\x00`` preamble, or a PNG eXIf chunk body verbatim):
+    IFD0 + linked Exif IFD, both byte orders, bounds-checked."""
+    import struct
+
     if len(tiff) < 8:
         raise ValueError("EXIF TIFF header truncated")
     if tiff[:2] == b"II":
@@ -1240,12 +1249,14 @@ def jpeg_exif(payload: bytes) -> dict:
     return out
 
 
-def exif_app1_segment(fields: dict, little_endian: bool = True) -> bytes:
-    """Build a spec-form APP1/EXIF segment for the given fields (the
+def exif_tiff_bytes(fields: dict, little_endian: bool = True) -> bytes:
+    """Build a raw EXIF TIFF block for the given fields (the
     write-side twin for fixtures and the oracle query; supports both
     byte orders so the reader's endianness handling is certified).
     ``fields`` maps the _EXIF_TAGS names; pixel_width/pixel_height go
-    into a linked Exif IFD, the rest into IFD0."""
+    into a linked Exif IFD, the rest into IFD0. JPEG wraps this in
+    APP1 (``exif_app1_segment``); PNG carries it verbatim in an eXIf
+    chunk."""
     import struct
 
     bo = "<" if little_endian else ">"
@@ -1310,7 +1321,14 @@ def exif_app1_segment(fields: dict, little_endian: bool = True) -> bytes:
         + tail0
         + sub
     )
-    body = b"Exif\x00\x00" + tiff
+    return tiff
+
+
+def exif_app1_segment(fields: dict, little_endian: bool = True) -> bytes:
+    """Spec-form JPEG APP1/EXIF segment wrapping ``exif_tiff_bytes``."""
+    import struct
+
+    body = b"Exif\x00\x00" + exif_tiff_bytes(fields, little_endian)
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
 
 
@@ -2339,6 +2357,180 @@ def wav_encode(
     if len(data) & 1:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def png_metadata(payload: bytes) -> list[tuple[str, str, str]]:
+    """Ancillary-chunk metadata of one PNG: (source, key, value) rows
+    from tEXt (latin-1), zTXt (deflated latin-1), iTXt (UTF-8,
+    optionally deflated; language/translated-key folded into the key
+    row set), tIME (ISO-8601), and eXIf (raw TIFF block through
+    ``exif_tiff_parse`` — one EXIF reader for JPEG and PNG). Chunk
+    CRCs are VERIFIED (the PNG spec's own integrity net — bit rot is
+    detected here, unlike Arrow IPC). Structural corruption raises
+    ValueError."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    out: list[tuple[str, str, str]] = []
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > n:
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"tEXt":
+            key, _, val = data.partition(b"\x00")
+            out.append(("text", key.decode("latin-1"),
+                        val.decode("latin-1")))
+        elif ctype == b"zTXt":
+            key, _, rest = data.partition(b"\x00")
+            if len(rest) < 1 or rest[0] != 0:
+                raise ValueError("zTXt with unknown compression method")
+            try:
+                val = zlib.decompress(rest[1:])
+            except zlib.error as e:
+                raise ValueError(f"corrupt zTXt stream: {e}") from e
+            out.append(("ztxt", key.decode("latin-1"),
+                        val.decode("latin-1")))
+        elif ctype == b"iTXt":
+            key, _, rest = data.partition(b"\x00")
+            if len(rest) < 2:
+                raise ValueError("iTXt header truncated")
+            compressed = rest[0] == 1
+            lang, _, rest2 = rest[2:].partition(b"\x00")
+            _transkey, _, text = rest2.partition(b"\x00")
+            if compressed:
+                try:
+                    text = zlib.decompress(text)
+                except zlib.error as e:
+                    raise ValueError(f"corrupt iTXt stream: {e}") from e
+            out.append(("itxt", key.decode("latin-1"),
+                        text.decode("utf-8", "replace")))
+        elif ctype == b"tIME":
+            if length != 7:
+                raise ValueError("tIME chunk must be 7 bytes")
+            y, mo, d, h, mi, sec = struct.unpack_from(">HBBBBB", data, 0)
+            out.append(
+                ("time", "modified",
+                 f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{sec:02d}")
+            )
+        elif ctype == b"eXIf":
+            for k, v in sorted(exif_tiff_parse(data).items()):
+                out.append(("exif", k, str(v)))
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    return out
+
+
+def png_text_rows(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per metadata entry; corrupt PNGs
+    quarantine as ONE parse_error row."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("source", StringType(), True),
+            StructField("key", StringType(), True),
+            StructField("value", StringType(), True),
+            StructField("parse_error", StringType(), True),
+        ]
+    )
+
+    def _walk(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    for src, k, v in png_metadata(bytes(payload)):
+                        rows.append((mid, src, k, v, None))
+                except ValueError as e:
+                    rows.append((mid, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_walk, schema)
+
+
+def synth_png_meta_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic metadata-rich PNG: a 4x4 gray raster plus tEXt
+    Title='doc <id>', zTXt Comment='comment <id%100>'
+    (deflated, latin-1-safe), iTXt Description=<text> in UTF-8
+    (deflated on odd doc_ids, language 'en'), tIME pinned to 2020-01-(doc%28+1), and an eXIf chunk
+    (orientation doc%8+1, make 'maker<doc%3>'; little-endian on the
+    even half) — spliced before IEND with correct CRCs."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    base = png_encode_gray(4, 4, [doc_id % 256] * 16)
+    iend_at = base.rindex(b"IEND") - 4
+    extra = bytearray()
+    extra += chunk(b"tEXt", b"Title\x00" + f"doc {doc_id}".encode("latin-1"))
+    extra += chunk(
+        b"zTXt",
+        b"Comment\x00\x00"
+        + zlib.compress(f"comment {doc_id % 100}".encode("latin-1"), 9),
+    )
+    body = text.encode("utf-8")
+    if doc_id % 2 == 1:
+        itxt = b"Description\x00\x01\x00en\x00\x00" + zlib.compress(body, 9)
+    else:
+        itxt = b"Description\x00\x00\x00en\x00\x00" + body
+    extra += chunk(b"iTXt", itxt)
+    extra += chunk(
+        b"tIME",
+        struct.pack(">HBBBBB", 2020, 1, doc_id % 28 + 1, 12, 30, 45),
+    )
+    extra += chunk(
+        b"eXIf",
+        exif_tiff_bytes(
+            {
+                "orientation": doc_id % 8 + 1,
+                "make": f"maker{doc_id % 3}",
+            },
+            little_endian=doc_id % 2 == 0,
+        ),
+    )
+    return base[:iend_at] + bytes(extra) + base[iend_at:]
+
+
+def synth_png_meta_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of metadata-rich PNGs, executor-side."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_png_meta_bytes(int(d), str(t))
+                for d, t in zip(doc_id, text)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "text").alias("payload"),
+    )
 
 
 def synth_tiff_variant_media(documents: DataFrame) -> DataFrame:

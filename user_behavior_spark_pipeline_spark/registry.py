@@ -4271,6 +4271,44 @@ def x_multimodal_jpeg_lossless(spark, sf_dir):
     return media.mapInPandas(_dec, schema)
 
 
+_PNG_META_SQL = (
+    # closed form from multimodal.synth_png_meta_bytes: six metadata
+    # rows per document across all five ancillary-chunk families;
+    # chunk CRCs verified in the walker so a bit flip anywhere breaks
+    # the row, not just the value
+    "SELECT doc_id AS media_id, m.source, m.key, "
+    "CASE m.key WHEN 'Title' THEN 'doc ' || doc_id "
+    "WHEN 'Comment' THEN 'comment ' || (doc_id % 100) "
+    "WHEN 'Description' THEN text "
+    "WHEN 'modified' THEN '2020-01-' || "
+    "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:30:45' "
+    "WHEN 'make' THEN 'maker' || (doc_id % 3) "
+    "ELSE CAST(doc_id % 8 + 1 AS VARCHAR) END AS value "
+    "FROM documents, LATERAL (VALUES "
+    "('text', 'Title'), ('ztxt', 'Comment'), "
+    "('itxt', 'Description'), ('time', 'modified'), "
+    "('exif', 'make'), ('exif', 'orientation')) AS m(source, key)"
+)
+
+
+@query("x_png_metadata", oracle=_PNG_META_SQL)
+def x_png_metadata(spark, sf_dir):
+    """PNG ancillary-chunk metadata (r11): tEXt / zTXt (deflated) /
+    iTXt (UTF-8, deflated on the odd half, language tags) / tIME /
+    eXIf — the LAST image-metadata surface after JPEG APP1: one EXIF
+    TIFF reader serves both containers (multimodal.exif_tiff_parse).
+    Chunk CRCs are VERIFIED per the PNG spec, so this walker detects
+    the bit rot Arrow IPC cannot. Unicode text rides iTXt end to end;
+    the closed form pins all five chunk families and both EXIF byte
+    orders (rotating with parity)."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import png_text_rows, synth_png_meta_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return png_text_rows(synth_png_meta_media(docs)).drop("parse_error")
+
+
 _DIMS_SQL = (
     # closed form: doc_id % 8 rotates containers, dims derived from
     # doc_id (JPEG fixed 16x8 — the DC builder's block grid)
@@ -7805,6 +7843,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "parquet_footers",
             "extract_html_text",
             "delta_live_files",
+            "png_text_rows",
         }
     ),
     sql_tokens=frozenset(),
