@@ -950,3 +950,58 @@ def test_id3v22_three_byte_frames():
     }
     with pytest.raises(ValueError, match="overruns"):
         id3v2_text_frames(tag[:-4])
+
+
+def test_m3u8_media_and_master_closed_form():
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        m3u8_parse,
+        synth_m3u8_bytes,
+    )
+
+    for did in range(8):
+        d = m3u8_parse(synth_m3u8_bytes(did))
+        if did % 2 == 0:
+            n = did % 4 + 2
+            assert d["kind"] == "media" and len(d["segments"]) == n
+            assert d["segments"][0] == (f"seg-{did}-0.ts", 1500)
+            assert d["total_duration_ms"] == sum(
+                (i + 1) * 1500 for i in range(n))
+            assert d["ended"] and d["media_sequence"] == did % 5
+            assert d["target_duration"] == 6
+        else:
+            n = did % 3 + 1
+            assert d["kind"] == "master" and len(d["variants"]) == n
+            assert d["variants"][0] == (
+                "v0/index.m3u8", (did % 7 + 1) * 100000, 640, 360)
+
+
+def test_m3u8_rejections_and_attr_corners():
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        m3u8_parse,
+    )
+
+    with pytest.raises(ValueError, match="EXTM3U"):
+        m3u8_parse(b"nope")
+    with pytest.raises(ValueError, match="duration"):
+        m3u8_parse(b"#EXTM3U\n#EXTINF:abc,\nx.ts\n")
+    with pytest.raises(ValueError, match="without EXTINF"):
+        m3u8_parse(b"#EXTM3U\nseg.ts\n")
+    with pytest.raises(ValueError, match="dangling"):
+        m3u8_parse(b"#EXTM3U\n#EXTINF:1.0,\n")
+    with pytest.raises(ValueError, match="BANDWIDTH"):
+        m3u8_parse(b'#EXTM3U\n#EXT-X-STREAM-INF:RESOLUTION=1x1\nv\n')
+    with pytest.raises(ValueError, match="mixes"):
+        m3u8_parse(
+            b"#EXTM3U\n#EXTINF:1.0,\na.ts\n"
+            b"#EXT-X-STREAM-INF:BANDWIDTH=1\nv\n"
+        )
+    # quoted attr with comma inside; fractional ms exactness
+    d = m3u8_parse(
+        b'#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=5,CODECS="a,b",'
+        b"RESOLUTION=10x20\nv\n"
+    )
+    assert d["variants"] == [("v", 5, 10, 20)]
+    d = m3u8_parse(b"#EXTM3U\n#EXTINF:0.1,\na.ts\n#EXTINF:10,\nb.ts\n")
+    assert d["segments"] == [("a.ts", 100), ("b.ts", 10000)]

@@ -2433,3 +2433,26 @@ def test_png_metadata_chunks():
     )
 
     assert png_metadata(png_encode_gray(2, 2, [0] * 4)) == []
+
+
+def test_ico_dimension_probe():
+    """ICO: largest-directory-entry dims, the 0-means-256 convention,
+    truncation rejection."""
+    import struct
+
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        image_dimensions,
+        synth_ico_bytes,
+    )
+
+    for did in (0, 5, 77, 199):
+        d = image_dimensions(synth_ico_bytes(did))
+        assert d == {"format": "ico", "width": did % 200 + 30,
+                     "height": did % 150 + 40}
+    # 0 means 256
+    ico = b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+    ico += bytes([0, 0, 0, 0]) + struct.pack("<HHII", 1, 32, 10, 22)
+    ico += bytes(10)
+    assert image_dimensions(ico)["width"] == 256
+    with pytest.raises(ValueError, match="ICO"):
+        image_dimensions(b"\x00\x00\x01\x00\x05\x00")

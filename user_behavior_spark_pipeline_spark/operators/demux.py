@@ -1893,3 +1893,218 @@ def synth_ogg_media(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         _build("doc_id", "n_chars").alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLS (M3U8) playlists: the manifest layer of segmented streaming video
+# ---------------------------------------------------------------------------
+
+
+def m3u8_parse(payload: bytes) -> dict:
+    """Parse one HLS playlist (RFC 8216): MASTER playlists
+    (#EXT-X-STREAM-INF variants with BANDWIDTH/RESOLUTION) and MEDIA
+    playlists (#EXTINF segment durations + URIs, target duration,
+    media sequence, ENDLIST). Durations land as exact milliseconds
+    (decimal string math — no float drift). A crawled video corpus
+    needs this layer to map manifests to segment fetch plans the same
+    way mp4_keyframe_plan maps byte ranges. ValueError on structural
+    corruption (missing #EXTM3U, EXTINF without a URI, bad attribute
+    syntax)."""
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"M3U8 is not UTF-8: {e}") from None
+    lines = [l.strip() for l in text.splitlines()]
+    lines = [l for l in lines if l != ""]
+    if not lines or lines[0] != "#EXTM3U":
+        raise ValueError("not an M3U8 playlist (missing #EXTM3U)")
+
+    def _attrs(s: str) -> dict[str, str]:
+        # attribute-list: KEY=value pairs, values possibly quoted,
+        # commas inside quotes preserved
+        out: dict[str, str] = {}
+        i = 0
+        while i < len(s):
+            eq = s.find("=", i)
+            if eq < 0:
+                raise ValueError(f"bad M3U8 attribute list at {s[i:]!r}")
+            key = s[i:eq].strip()
+            if s[eq + 1 : eq + 2] == '"':
+                end = s.find('"', eq + 2)
+                if end < 0:
+                    raise ValueError("unterminated quoted M3U8 attribute")
+                out[key] = s[eq + 2 : end]
+                i = end + 1
+                if s[i : i + 1] == ",":
+                    i += 1
+            else:
+                end = s.find(",", eq)
+                if end < 0:
+                    end = len(s)
+                out[key] = s[eq + 1 : end]
+                i = end + 1
+        return out
+
+    def _ms(dur: str) -> int:
+        # exact decimal-seconds -> ms (no float), e.g. '1.5' -> 1500
+        dur = dur.strip()
+        if not dur or any(c not in "0123456789." for c in dur):
+            raise ValueError(f"bad EXTINF duration {dur!r}")
+        whole, _, frac = dur.partition(".")
+        frac = (frac + "000")[:3]
+        return int(whole or "0") * 1000 + int(frac or "0")
+
+    segments: list[tuple[str, int]] = []
+    variants: list[tuple[str, int, int | None, int | None]] = []
+    target = None
+    seq = 0
+    ended = False
+    pending_inf: int | None = None
+    pending_var: dict | None = None
+    for line in lines[1:]:
+        if line.startswith("#EXTINF:"):
+            body = line[len("#EXTINF:") :]
+            dur = body.split(",", 1)[0]
+            pending_inf = _ms(dur)
+        elif line.startswith("#EXT-X-STREAM-INF:"):
+            pending_var = _attrs(line[len("#EXT-X-STREAM-INF:") :])
+        elif line.startswith("#EXT-X-TARGETDURATION:"):
+            target = int(line.split(":", 1)[1])
+        elif line.startswith("#EXT-X-MEDIA-SEQUENCE:"):
+            seq = int(line.split(":", 1)[1])
+        elif line == "#EXT-X-ENDLIST":
+            ended = True
+        elif line.startswith("#"):
+            continue  # unknown tags/comments are skipped per spec
+        else:  # a URI line closes a pending EXTINF or STREAM-INF
+            if pending_var is not None:
+                bw = pending_var.get("BANDWIDTH")
+                if bw is None or not bw.isdigit():
+                    raise ValueError("STREAM-INF without BANDWIDTH")
+                w = h = None
+                res = pending_var.get("RESOLUTION")
+                if res:
+                    wx, _, hx = res.partition("x")
+                    if not wx.isdigit() or not hx.isdigit():
+                        raise ValueError(f"bad RESOLUTION {res!r}")
+                    w, h = int(wx), int(hx)
+                variants.append((line, int(bw), w, h))
+                pending_var = None
+            elif pending_inf is not None:
+                segments.append((line, pending_inf))
+                pending_inf = None
+            else:
+                raise ValueError(
+                    f"M3U8 URI {line!r} without EXTINF/STREAM-INF"
+                )
+    if pending_inf is not None or pending_var is not None:
+        raise ValueError("M3U8 dangling EXTINF/STREAM-INF at EOF")
+    if segments and variants:
+        raise ValueError("M3U8 mixes media segments and variants")
+    return {
+        "kind": "master" if variants else "media",
+        "segments": segments,
+        "variants": variants,
+        "target_duration": target,
+        "media_sequence": seq,
+        "ended": ended,
+        "total_duration_ms": sum(d for _u, d in segments),
+    }
+
+
+HLS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("entry_idx", IntegerType(), True),
+        StructField("uri", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("bandwidth", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def hls_playlists(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per segment (media playlists) or
+    variant (master playlists); corruption quarantines."""
+
+    def _walk(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    d = m3u8_parse(bytes(payload))
+                    if d["kind"] == "media":
+                        for i, (uri, ms) in enumerate(d["segments"]):
+                            rows.append(
+                                (mid, "media", i, uri, ms, None, None,
+                                 None, None)
+                            )
+                    else:
+                        for i, (uri, bw, w, h) in enumerate(d["variants"]):
+                            rows.append(
+                                (mid, "master", i, uri, None, bw, w, h,
+                                 None)
+                            )
+                except ValueError as e:
+                    rows.append(
+                        (mid,) + (None,) * 7 + (str(e),)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HLS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, HLS_SCHEMA
+    )
+
+
+def synth_m3u8_bytes(doc_id: int) -> bytes:
+    """Deterministic playlist: even doc_ids are MEDIA playlists with
+    doc%4+2 segments (segment i: seg-<doc>-<i>.ts, duration
+    (i+1)*1500 ms written as decimal seconds), target duration 6,
+    ENDLIST; odd doc_ids are MASTER playlists with doc%3+1 variants
+    (variant i: v<i>/index.m3u8, BANDWIDTH=(doc%7+1+i)*100000,
+    RESOLUTION=(640+i*640)x(360+i*360), quoted CODECS attr with a
+    comma inside to stress the attribute parser)."""
+    lines = ["#EXTM3U"]
+    if doc_id % 2 == 0:
+        lines.append("#EXT-X-TARGETDURATION:6")
+        lines.append(f"#EXT-X-MEDIA-SEQUENCE:{doc_id % 5}")
+        for i in range(doc_id % 4 + 2):
+            ms = (i + 1) * 1500
+            lines.append(f"#EXTINF:{ms // 1000}.{ms % 1000:03d},seg {i}")
+            lines.append(f"seg-{doc_id}-{i}.ts")
+        lines.append("#EXT-X-ENDLIST")
+    else:
+        for i in range(doc_id % 3 + 1):
+            bw = (doc_id % 7 + 1 + i) * 100000
+            res = f"{640 + i * 640}x{360 + i * 360}"
+            lines.append(
+                "#EXT-X-STREAM-INF:BANDWIDTH=%d,RESOLUTION=%s,"
+                'CODECS="avc1.640028,mp4a.40.2"' % (bw, res)
+            )
+            lines.append(f"v{i}/index.m3u8")
+    return ("\n".join(lines) + "\n").encode()
+
+
+def synth_m3u8_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of deterministic HLS playlists."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series([synth_m3u8_bytes(int(d)) for d in doc_id])
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )

@@ -2155,6 +2155,18 @@ def image_dimensions(payload: bytes) -> dict:
                 return {"format": "jpeg", "width": w, "height": h}
             pos += 2 + seglen
         raise ValueError("JPEG without a SOF marker")
+    if payload[:4] == b"\x00\x00\x01\x00" and n >= 6:
+        # ICO: report the LARGEST directory entry (0 means 256)
+        (cnt,) = struct.unpack_from("<H", payload, 4)
+        if cnt == 0 or 6 + 16 * cnt > n:
+            raise ValueError("ICO directory truncated or empty")
+        best = (0, 0)
+        for i in range(cnt):
+            w = payload[6 + 16 * i] or 256
+            h = payload[7 + 16 * i] or 256
+            if w * h > best[0] * best[1]:
+                best = (w, h)
+        return {"format": "ico", "width": best[0], "height": best[1]}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         chunk = payload[12:16]
         if chunk == b"VP8X":
@@ -2215,6 +2227,24 @@ def synth_webp_bytes(
     else:
         raise ValueError(f"synth_webp_bytes: variant {variant}")
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def synth_ico_bytes(doc_id: int) -> bytes:
+    """Header-only ICO fixture: two directory entries — 16x16 and the
+    LARGER (doc%200+30) x (doc%150+40) — with stub image data (the
+    probe reads only the directory)."""
+    import struct
+
+    w, h = doc_id % 200 + 30, doc_id % 150 + 40
+    out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", 2))
+    data_at = 6 + 16 * 2
+    out += bytes([16, 16, 0, 0]) + struct.pack(
+        "<HHII", 1, 32, 64, data_at
+    )
+    out += bytes([w & 0xFF if w < 256 else 0, h & 0xFF if h < 256 else 0,
+                  0, 0]) + struct.pack("<HHII", 1, 32, 64, data_at + 64)
+    out += bytes(128)
+    return bytes(out)
 
 
 def _wav_decode(payload: bytes) -> dict:

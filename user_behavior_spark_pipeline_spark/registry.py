@@ -4271,6 +4271,47 @@ def x_multimodal_jpeg_lossless(spark, sf_dir):
     return media.mapInPandas(_dec, schema)
 
 
+_HLS_SQL = (
+    # closed form from demux.synth_m3u8_bytes: even docs media
+    # playlists (doc%4+2 segments at (i+1)*1500 ms), odd docs master
+    # playlists (doc%3+1 variants with closed-form bandwidth and
+    # resolution; a quoted CODECS attr with an embedded comma
+    # stresses the attribute parser)
+    "WITH med AS (SELECT doc_id, CAST(u.i AS INT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 4 + 2)) AS u(i) "
+    "WHERE doc_id % 2 = 0), "
+    "mas AS (SELECT doc_id, CAST(u.i AS INT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i) "
+    "WHERE doc_id % 2 = 1) "
+    "SELECT doc_id AS media_id, 'media' AS kind, i AS entry_idx, "
+    "'seg-' || doc_id || '-' || i || '.ts' AS uri, "
+    "CAST((i + 1) * 1500 AS BIGINT) AS duration_ms, "
+    "CAST(NULL AS BIGINT) AS bandwidth, CAST(NULL AS INT) AS width, "
+    "CAST(NULL AS INT) AS height FROM med "
+    "UNION ALL SELECT doc_id, 'master', i, 'v' || i || '/index.m3u8', "
+    "CAST(NULL AS BIGINT), "
+    "CAST((doc_id % 7 + 1 + i) * 100000 AS BIGINT), "
+    "CAST(640 + i * 640 AS INT), CAST(360 + i * 360 AS INT) FROM mas"
+)
+
+
+@query("x_demux_hls", oracle=_HLS_SQL)
+def x_demux_hls(spark, sf_dir):
+    """HLS (M3U8, RFC 8216) playlist parse (r11) — the manifest layer
+    of segmented streaming video, the companion to the MP4/fMP4 demux:
+    media playlists explode to per-segment rows with EXACT millisecond
+    durations (decimal string math, no float drift), master playlists
+    to per-variant rows (BANDWIDTH/RESOLUTION, quoted attribute lists
+    with embedded commas). Corruption (missing header, bad duration,
+    dangling EXTINF, URI without a tag) quarantines."""
+    from pyspark.sql import functions as F
+
+    from .operators.demux import hls_playlists, synth_m3u8_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return hls_playlists(synth_m3u8_media(docs)).drop("parse_error")
+
+
 _PNG_META_SQL = (
     # closed form from multimodal.synth_png_meta_bytes: six metadata
     # rows per document across all five ancillary-chunk families;
@@ -4313,16 +4354,18 @@ _DIMS_SQL = (
     # closed form: doc_id % 8 rotates containers, dims derived from
     # doc_id (JPEG fixed 16x8 — the DC builder's block grid)
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "
+    "CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "
     "WHEN 2 THEN 'bmp' WHEN 3 THEN 'tiff' WHEN 4 THEN 'jpeg' "
-    "ELSE 'webp' END AS format, "
-    "CAST(CASE doc_id % 8 WHEN 4 THEN 16 "
+    "WHEN 8 THEN 'ico' ELSE 'webp' END AS format, "
+    "CAST(CASE doc_id % 9 WHEN 4 THEN 16 "
     "WHEN 5 THEN doc_id % 1000 + 1 WHEN 6 THEN doc_id % 1000 + 1 "
-    "WHEN 7 THEN doc_id % 1000 + 1 ELSE doc_id % 7 + 1 END AS INT) "
+    "WHEN 7 THEN doc_id % 1000 + 1 WHEN 8 THEN doc_id % 200 + 30 "
+    "ELSE doc_id % 7 + 1 END AS INT) "
     "AS width, "
-    "CAST(CASE doc_id % 8 WHEN 4 THEN 8 "
+    "CAST(CASE doc_id % 9 WHEN 4 THEN 8 "
     "WHEN 5 THEN doc_id % 800 + 1 WHEN 6 THEN doc_id % 800 + 1 "
-    "WHEN 7 THEN doc_id % 800 + 1 ELSE doc_id % 5 + 1 END AS INT) "
+    "WHEN 7 THEN doc_id % 800 + 1 WHEN 8 THEN doc_id % 150 + 40 "
+    "ELSE doc_id % 5 + 1 END AS INT) "
     "AS height "
     "FROM documents"
 )
@@ -4337,7 +4380,8 @@ def x_multimodal_dims(spark, sf_dir):
     forms (VP8X extended, VP8 lossy frame tag + sync code, VP8L
     lossless signature — dims without touching the VP8 bitstream,
     which stays the documented codec seam). Containers rotate by
-    doc_id%8 with closed-form dimensions; progressive JPEG on the odd
+    doc_id%9 (ICO included — largest-directory-entry dims) with
+    closed-form dimensions; progressive JPEG on the odd
     JPEG half so the marker walk (not the decoder) is what's
     certified."""
     from pyspark.sql import functions as F
@@ -4357,6 +4401,7 @@ def x_multimodal_dims(spark, sf_dir):
         image_dimensions,
         jpeg_encode_gray_dc,
         png_encode_gray,
+        synth_ico_bytes,
         synth_webp_bytes,
         tiff_encode,
     )
@@ -4367,7 +4412,7 @@ def x_multimodal_dims(spark, sf_dir):
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 8
+            k = d % 9
             w, h = d % 7 + 1, d % 5 + 1
             if k == 0:
                 out.append(png_encode_gray(w, h, [d % 256] * (w * h)))
@@ -4391,6 +4436,8 @@ def x_multimodal_dims(spark, sf_dir):
                         16, 8, [d % 128, 0], progressive=d % 2 == 1
                     )
                 )
+            elif k == 8:
+                out.append(synth_ico_bytes(d))
             else:
                 bw, bh = d % 1000 + 1, d % 800 + 1
                 out.append(
@@ -7844,6 +7891,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "extract_html_text",
             "delta_live_files",
             "png_text_rows",
+            "hls_playlists",
+            "image_dimensions",
         }
     ),
     sql_tokens=frozenset(),
