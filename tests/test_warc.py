@@ -713,3 +713,64 @@ def test_sitemap_parse_edge_cases(spark):
     (bad,) = [r for r in rows if r.sitemap_id == 2]
     assert len(ok) == 1 % 6 + 1 and all(r.parse_error is None for r in ok)
     assert bad.parse_error is not None
+
+
+def test_feed_parse_rss_atom_closed_form():
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        feed_parse,
+        synth_feed_bytes,
+    )
+
+    for did in range(8):
+        d = feed_parse(synth_feed_bytes(did))
+        if did % 2 == 0:
+            n = did % 4 + 1
+            assert d["kind"] == "rss" and len(d["entries"]) == n
+            t, link, pub, guid = d["entries"][0]
+            assert t == f"story {did}/0"  # CDATA unwrapped
+            assert link == f"https://ex.invalid/{did}/0"
+            assert guid == f"g-{did}-0"
+            if n > 1:  # entity decoded
+                assert d["entries"][1][0] == f"story {did}&1"
+        else:
+            n = did % 3 + 1
+            assert d["kind"] == "atom" and len(d["entries"]) == n
+            t, link, upd, eid = d["entries"][0]
+            assert t == f"post {did}.0"
+            assert link == f"https://ex.invalid/a/{did}/0"  # href attr
+            assert eid == f"urn:e-{did}-0"
+
+
+def test_feed_rejections_and_salvage():
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        feed_parse,
+        synth_feed_bytes,
+    )
+
+    with pytest.raises(ValueError, match="not a feed"):
+        feed_parse(b"<html>nope</html>")
+    with pytest.raises(ValueError, match="gzip"):
+        feed_parse(b"\x1f\x8b\x08\x00garbage")
+    # truncation salvages complete entries (the scan-parser posture)
+    raw = synth_feed_bytes(4)  # rss, not gzipped (4%3 != 0)
+    cut = raw[: raw.rindex(b"<item")]
+    d = feed_parse(cut)
+    assert d["kind"] == "rss" and len(d["entries"]) == 4 % 4 + 1 - 1
+
+
+def test_feed_operator_quarantines(spark):
+    from user_behavior_spark_pipeline_spark.operators.warc import (
+        feed_entries,
+        synth_feed_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    rows = feed_entries(synth_feed_media(docs)).collect()
+    assert all(r.parse_error is None for r in rows)
+    broken = spark.createDataFrame(
+        [(9, b"<html>x</html>")], "feed_id long, payload binary"
+    )
+    (r,) = feed_entries(broken).collect()
+    assert r.parse_error is not None

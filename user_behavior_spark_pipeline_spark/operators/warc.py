@@ -1080,3 +1080,180 @@ def split_http_response(
         .withColumn("http_content_type", ctype)
         .withColumn("http_payload", payload)
     )
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feed ingestion: the third crawl-seeding source
+# ---------------------------------------------------------------------------
+
+
+def feed_parse(payload: bytes) -> dict:
+    """Parse a syndication feed — RSS 2.0 (``<channel><item>`` with
+    title/link/pubDate/guid) or Atom (``<feed><entry>`` with title,
+    ``<link href=...>``, updated, id). Same SCAN-parser posture as
+    ``sitemap_parse``: feeds are machine-generated and untrusted, a
+    regex walk has no entity-expansion surface and salvages entries
+    from truncated files. Gzip-transparent. CDATA-wrapped titles
+    unwrap; entities decode with the exact-inverse table. Raises
+    ValueError when no feed structure exists."""
+    if payload[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)
+        try:
+            payload = d.decompress(payload, MAX_INFLATED_BYTES + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip feed: {e}") from e
+        if len(payload) > MAX_INFLATED_BYTES:
+            raise ValueError("feed inflates past cap")
+    text = payload.decode("utf-8", "replace")
+    import re as _re
+
+    def _field(body: str, tag: str) -> str | None:
+        m = _re.search(rf"<{tag}\b[^>]*>(.*?)</{tag}>", body, _re.S)
+        if m is None:
+            return None
+        v = m.group(1).strip()
+        cd = _re.match(r"<!\[CDATA\[(.*)\]\]>$", v, _re.S)
+        if cd:
+            return cd.group(1)
+        return _xml_unescape(v)
+
+    entries = []
+    if "<feed" in text:
+        kind = "atom"
+        for block in _re.finditer(r"<entry\b[^>]*>(.*?)</entry>", text, _re.S):
+            body = block.group(1)
+            href = _re.search(r'<link\b[^>]*href="([^"]*)"', body)
+            entries.append(
+                (
+                    _field(body, "title"),
+                    None if href is None else _xml_unescape(href.group(1)),
+                    _field(body, "updated"),
+                    _field(body, "id"),
+                )
+            )
+    elif "<rss" in text or "<channel" in text:
+        kind = "rss"
+        for block in _re.finditer(r"<item\b[^>]*>(.*?)</item>", text, _re.S):
+            body = block.group(1)
+            entries.append(
+                (
+                    _field(body, "title"),
+                    _field(body, "link"),
+                    _field(body, "pubDate"),
+                    _field(body, "guid"),
+                )
+            )
+    else:
+        raise ValueError("not a feed (no rss/feed root)")
+    return {"kind": kind, "entries": entries}
+
+
+FEED_SCHEMA = StructType(
+    [
+        StructField("feed_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("entry_idx", IntegerType(), True),
+        StructField("title", StringType(), True),
+        StructField("link", StringType(), True),
+        StructField("published", StringType(), True),
+        StructField("guid", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def feed_entries(media: DataFrame) -> DataFrame:
+    """Explode (feed_id, payload) feeds into one row per entry — the
+    crawl-seeding step for news/blog discovery, completing the
+    robots/sitemap/feed trio. Quarantine on structural corruption."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for fid, payload in zip(batch["feed_id"], batch["payload"]):
+                try:
+                    d = feed_parse(bytes(payload))
+                    for i, (title, link, pub, guid) in enumerate(
+                        d["entries"]
+                    ):
+                        rows.append(
+                            (int(fid), d["kind"], i, title, link, pub,
+                             guid, None)
+                        )
+                    if not d["entries"]:
+                        rows.append(
+                            (int(fid), d["kind"], None, None, None,
+                             None, None, None)
+                        )
+                except ValueError as e:
+                    rows.append(
+                        (int(fid),) + (None,) * 6 + (str(e),)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEED_SCHEMA.fields]
+            )
+
+    return media.select("feed_id", "payload").mapInPandas(
+        _walk, FEED_SCHEMA
+    )
+
+
+def synth_feed_bytes(doc_id: int) -> bytes:
+    """Deterministic feed: even doc_ids RSS 2.0 (doc%4+1 items, CDATA
+    title on item 0, entity-escaped on the rest), odd Atom (doc%3+1
+    entries with href links). Every third feed gzips. Closed form
+    mirrored by the oracle."""
+    if doc_id % 2 == 0:
+        items = []
+        for i in range(doc_id % 4 + 1):
+            title = (
+                f"<![CDATA[story {doc_id}/{i}]]>"
+                if i == 0
+                else f"story {doc_id}&amp;{i}"
+            )
+            items.append(
+                f"<item><title>{title}</title>"
+                f"<link>https://ex.invalid/{doc_id}/{i}</link>"
+                f"<pubDate>Mon, 0{i % 7 + 1} Jan 2024 00:00:00 GMT</pubDate>"
+                f"<guid>g-{doc_id}-{i}</guid></item>"
+            )
+        xml = (
+            '<?xml version="1.0"?><rss version="2.0"><channel>'
+            "<title>feed</title>" + "".join(items) + "</channel></rss>"
+        )
+    else:
+        entries = []
+        for i in range(doc_id % 3 + 1):
+            entries.append(
+                f"<entry><title>post {doc_id}.{i}</title>"
+                f'<link rel="alternate" href="https://ex.invalid/a/{doc_id}/{i}"/>'
+                f"<updated>2024-02-0{i % 9 + 1}T00:00:00Z</updated>"
+                f"<id>urn:e-{doc_id}-{i}</id></entry>"
+            )
+        xml = (
+            '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+            "<title>feed</title>" + "".join(entries) + "</feed>"
+        )
+    raw = xml.encode()
+    if doc_id % 3 == 0:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        raw = co.compress(raw) + co.flush()
+    return raw
+
+
+def synth_feed_media(documents: DataFrame) -> DataFrame:
+    """(feed_id, payload) of deterministic feeds, executor-side."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series([synth_feed_bytes(int(d)) for d in doc_id])
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("feed_id"),
+        _build("doc_id").alias("payload"),
+    )

@@ -4271,6 +4271,48 @@ def x_multimodal_jpeg_lossless(spark, sf_dir):
     return media.mapInPandas(_dec, schema)
 
 
+_FEED_SQL = (
+    # closed form from warc.synth_feed_bytes: even docs RSS (doc%4+1
+    # items; item 0's title CDATA-wrapped, the rest entity-escaped —
+    # both must decode to the same plain form), odd docs Atom (doc%3+1
+    # entries, href link attributes); every third feed gzipped
+    "WITH r AS (SELECT doc_id, CAST(u.i AS INT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 4 + 1)) AS u(i) "
+    "WHERE doc_id % 2 = 0), "
+    "a AS (SELECT doc_id, CAST(u.i AS INT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i) "
+    "WHERE doc_id % 2 = 1) "
+    "SELECT doc_id AS feed_id, 'rss' AS kind, i AS entry_idx, "
+    "CASE WHEN i = 0 THEN 'story ' || doc_id || '/0' "
+    "ELSE 'story ' || doc_id || '&' || i END AS title, "
+    "'https://ex.invalid/' || doc_id || '/' || i AS link, "
+    "'Mon, 0' || (i % 7 + 1) || ' Jan 2024 00:00:00 GMT' AS published, "
+    "'g-' || doc_id || '-' || i AS guid FROM r "
+    "UNION ALL SELECT doc_id, 'atom', i, "
+    "'post ' || doc_id || '.' || i, "
+    "'https://ex.invalid/a/' || doc_id || '/' || i, "
+    "'2024-02-0' || (i % 9 + 1) || 'T00:00:00Z', "
+    "'urn:e-' || doc_id || '-' || i FROM a"
+)
+
+
+@query("x_warc_feeds", oracle=_FEED_SQL)
+def x_warc_feeds(spark, sf_dir):
+    """RSS/Atom feed ingestion (r11) — the third crawl-seeding source
+    alongside robots.txt and sitemaps (news/blog discovery): RSS 2.0
+    item tables and Atom entry tables through one scan parser (CDATA
+    titles unwrap, entities decode with the exact-inverse table, Atom
+    links come from href attributes, gzip transparent). The closed
+    form pins both dialects and both title encodings; corruption
+    quarantines."""
+    from pyspark.sql import functions as F
+
+    from .operators.warc import feed_entries, synth_feed_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return feed_entries(synth_feed_media(docs)).drop("parse_error")
+
+
 _HLS_SQL = (
     # closed form from demux.synth_m3u8_bytes: even docs media
     # playlists (doc%4+2 segments at (i+1)*1500 ms), odd docs master
@@ -7893,6 +7935,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "png_text_rows",
             "hls_playlists",
             "image_dimensions",
+            "feed_entries",
         }
     ),
     sql_tokens=frozenset(),
