@@ -751,8 +751,11 @@ def test_feed_rejections_and_salvage():
 
     with pytest.raises(ValueError, match="not a feed"):
         feed_parse(b"<html>nope</html>")
-    with pytest.raises(ValueError, match="gzip"):
-        feed_parse(b"\x1f\x8b\x08\x00garbage")
+    # bit-flipped real gzip stream -> zlib error surfaces as ValueError
+    gz = bytearray(synth_feed_bytes(0))  # 0%3==0: gzipped
+    gz[15] ^= 0xFF
+    with pytest.raises(ValueError, match="gzip|not a feed"):
+        feed_parse(bytes(gz))
     # truncation salvages complete entries (the scan-parser posture)
     raw = synth_feed_bytes(4)  # rss, not gzipped (4%3 != 0)
     cut = raw[: raw.rindex(b"<item")]
