@@ -5562,11 +5562,14 @@ _SNIFF_SQL = (
     # walks, built by the repo's own synth builders (tiny payloads);
     # the sniffer must route each to its walker's type
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "CASE doc_id % 17 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
     "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
     "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' WHEN 7 THEN 'tar' "
     "WHEN 8 THEN 'gif' WHEN 9 THEN 'bmp' WHEN 10 THEN 'zip' "
-    "WHEN 11 THEN 'avro' ELSE 'npy' END AS media_type "
+    "WHEN 11 THEN 'avro' WHEN 12 THEN 'npy' "
+    "WHEN 13 THEN 'webp' WHEN 14 THEN 'ogg' WHEN 15 THEN 'mkv' "
+    "ELSE 'xz' END "
+    "AS media_type "
     "FROM documents"
 )
 
@@ -5578,7 +5581,8 @@ def x_multimodal_sniff(spark, sf_dir):
     arrive with lying or missing extensions. Each document synthesizes
     one payload of a rotating container family using the repo's OWN
     builders (PNG, PGM, WARC, PDF, FLAC, ID3-MP3, MP4, tar, GIF, BMP,
-    ZIP, Avro, NPY), and
+    ZIP, Avro, NPY, WebP, Ogg, Matroska, xz-tar — 17, a prime so
+    every family sees both doc parities), and
     multimodal.media_type_column must route every one correctly —
     prefix checks only, no decode, 'unknown' never an exception."""
     from pyspark.sql import functions as F
@@ -5595,10 +5599,13 @@ def x_multimodal_sniff(spark, sf_dir):
             synth_flac_bytes,
             synth_id3_mp3_bytes,
             synth_mp4_bytes,
+            synth_ogg_bytes,
         )
+        from .operators.mkv import synth_mkv_bytes
         from .operators.multimodal import (
             bmp_encode_rgb24,
             gif_encode_indexed,
+            synth_webp_bytes,
         )
         from .operators.pdf import synth_pdf_bytes
         from .operators.tensors import npy_encode
@@ -5611,7 +5618,7 @@ def x_multimodal_sniff(spark, sf_dir):
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 13
+            k = d % 17
             if k == 0:
                 out.append(png_encode_gray(8, 8, [d % 256] * 64))
             elif k == 1:
@@ -5640,7 +5647,7 @@ def x_multimodal_sniff(spark, sf_dir):
                 out.append(synth_zip_bytes(d, "x"))
             elif k == 11:
                 out.append(synth_avro_bytes(d))
-            else:
+            elif k == 12:
                 n = d % 4 + 2
                 out.append(
                     npy_encode(
@@ -5649,6 +5656,18 @@ def x_multimodal_sniff(spark, sf_dir):
                         "<f4" if d % 2 == 0 else ">i8",
                     )
                 )
+            elif k == 13:
+                out.append(
+                    synth_webp_bytes(d % 50 + 2, d % 40 + 2, "vp8l")
+                )
+            elif k == 14:
+                out.append(synth_ogg_bytes(d, 2))
+            elif k == 15:
+                out.append(synth_mkv_bytes(d))
+            else:
+                # xz-compressed tar shard: sniffs as 'xz'; the tar
+                # walker is transparent to it (4d+3 % 4 == 3 -> xz)
+                out.append(synth_webdataset_bytes(4 * d + 3, "x"))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -5670,16 +5689,23 @@ _MIXED_INGEST_SQL = (
     # Scope doc_id%3!=0 keeps both parities in every family (parity
     # flips codec/byte-order branches inside several builders).
     "SELECT doc_id AS media_id, "
-    "CASE doc_id % 13 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
+    "CASE doc_id % 17 WHEN 0 THEN 'png' WHEN 1 THEN 'pgm' "
     "WHEN 2 THEN 'warc' WHEN 3 THEN 'pdf' WHEN 4 THEN 'flac' "
     "WHEN 5 THEN 'mp3' WHEN 6 THEN 'mp4' WHEN 7 THEN 'tar' "
     "WHEN 8 THEN 'gif' WHEN 9 THEN 'bmp' WHEN 10 THEN 'zip' "
-    "WHEN 11 THEN 'avro' ELSE 'npy' END AS media_type, "
-    "CAST(CASE doc_id % 13 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
+    "WHEN 11 THEN 'avro' WHEN 12 THEN 'npy' "
+    "WHEN 13 THEN 'webp' WHEN 14 THEN 'ogg' WHEN 15 THEN 'mkv' "
+    "ELSE 'xz' END "
+    "AS media_type, "
+    "CAST(CASE doc_id % 17 WHEN 0 THEN 64 WHEN 1 THEN 4 WHEN 2 THEN 2 "
     "WHEN 3 THEN 2 WHEN 4 THEN 201 WHEN 5 THEN 7 WHEN 6 THEN 4 "
     "WHEN 7 THEN 6 "
     "WHEN 8 THEN 20 WHEN 9 THEN 6 WHEN 10 THEN doc_id % 3 + 1 "
-    "WHEN 11 THEN doc_id % 3 + 1 ELSE doc_id % 4 + 2 END AS BIGINT) "
+    "WHEN 11 THEN doc_id % 3 + 1 WHEN 12 THEN doc_id % 4 + 2 "
+    "WHEN 13 THEN (doc_id % 50 + 2) * (doc_id % 40 + 2) "
+    "WHEN 14 THEN CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END "
+    "WHEN 15 THEN 6 * (doc_id % 2 + 1) "
+    "ELSE 3 * (doc_id % 3 + 1) END AS BIGINT) "
     "AS n_units "
     "FROM documents WHERE doc_id % 3 != 0"
 )
@@ -5692,7 +5718,9 @@ def x_corpus_mixed_ingest(spark, sf_dir):
     family by magic bytes and routes it to the matching parser (PNG
     pixel decode, PNM, WARC record walk, PDF page extraction, FLAC
     STREAMINFO, MP3 frame walk, MP4 sample demux, tar/zip member
-    walks, Avro record walk, NPY element decode — 13 families),
+    walks incl. xz transparency, Avro record walk, NPY element decode,
+    WebP dimension probe, Ogg packet walk, Matroska block walk — 17
+    families, a prime so every family sees both doc parities),
     emitting a per-document unit count whose closed form is the
     conjunction of every builder's closed form. This is the engine's
     'crawl bucket with lying extensions' shape end-to-end. (Scoped to
@@ -5713,7 +5741,9 @@ def x_corpus_mixed_ingest(spark, sf_dir):
             synth_flac_bytes,
             synth_id3_mp3_bytes,
             synth_mp4_bytes,
+            synth_ogg_bytes,
         )
+        from .operators.mkv import synth_mkv_bytes
         from .operators.pdf import synth_pdf_bytes
         from .operators.tensors import npy_encode
         from .operators.warc import synth_warc_bytes
@@ -5725,12 +5755,13 @@ def x_corpus_mixed_ingest(spark, sf_dir):
         from .operators.multimodal import (
             bmp_encode_rgb24,
             gif_encode_indexed,
+            synth_webp_bytes,
         )
 
         out = []
         for d in doc_id:
             d = int(d)
-            k = d % 13
+            k = d % 17
             if k == 0:
                 out.append(png_encode_gray(8, 8, [d % 256] * 64))
             elif k == 1:
@@ -5759,7 +5790,7 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                 out.append(synth_zip_bytes(d, "x"))
             elif k == 11:
                 out.append(synth_avro_bytes(d))
-            else:
+            elif k == 12:
                 n = d % 4 + 2
                 out.append(
                     npy_encode(
@@ -5768,6 +5799,18 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                         "<f4" if d % 2 == 0 else ">i8",
                     )
                 )
+            elif k == 13:
+                out.append(
+                    synth_webp_bytes(d % 50 + 2, d % 40 + 2, "vp8l")
+                )
+            elif k == 14:
+                out.append(synth_ogg_bytes(d, 2))
+            elif k == 15:
+                out.append(synth_mkv_bytes(d))
+            else:
+                # xz-compressed tar shard: sniffs as 'xz'; the tar
+                # walker is transparent to it (4d+3 % 4 == 3 -> xz)
+                out.append(synth_webdataset_bytes(4 * d + 3, "x"))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -5788,8 +5831,18 @@ def x_corpus_mixed_ingest(spark, sf_dir):
         import pandas as pd
 
         from .operators.avro import avro_container_records
-        from .operators.demux import flac_parse, mp3_parse, mp4_demux
-        from .operators.multimodal import decode_real, sniff_media_type
+        from .operators.demux import (
+            flac_parse,
+            mp3_parse,
+            mp4_demux,
+            ogg_parse,
+        )
+        from .operators.mkv import mkv_demux
+        from .operators.multimodal import (
+            decode_real,
+            image_dimensions,
+            sniff_media_type,
+        )
         from .operators.pdf import pdf_text_extract
         from .operators.tensors import npy_decode
         from .operators.warc import warc_parse
@@ -5825,6 +5878,18 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                     )
                 elif t == "npy":
                     n = len(npy_decode(raw)["values"])
+                elif t == "webp":
+                    dd = image_dimensions(raw)
+                    n = dd["width"] * dd["height"]
+                elif t == "ogg":
+                    n = ogg_parse(raw)["n_packets"]
+                elif t == "mkv":
+                    n = sum(
+                        tr["n_blocks"] for tr in mkv_demux(raw)["tracks"]
+                    )
+                elif t in ("xz", "bz2", "gzip"):
+                    # compressed tar shard: transparent member walk
+                    n = sum(1 for _ in tar_members(raw))
                 else:
                     n = -1
                 rows.append((int(media_id), t, n))
