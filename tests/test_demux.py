@@ -473,10 +473,10 @@ def test_mp3_audio_metadata_quarantine(spark):
 
 
 def test_mp4_sample_ranges_quarantines_struct_error(spark):
-    """A corrupted stbl entry count makes struct.unpack_from read past
-    the buffer and raise struct.error — NOT a ValueError — which must
-    still quarantine, never kill the task (r10 advisor, reproduced at
-    stsz/stts/stco offsets)."""
+    """A corrupted stbl entry count used to make struct.unpack_from
+    read past the buffer and raise struct.error (r10 advisor); the
+    bounds-checked table reader now raises ValueError at the ROOT
+    (fuzz fix), and the operator still quarantines either way."""
     from user_behavior_spark_pipeline_spark.operators.demux import (
         mp4_sample_ranges,
         synth_mp4_bytes,
@@ -490,8 +490,9 @@ def test_mp4_sample_ranges_quarantines_struct_error(spark):
         i = good.index(tag)
         bad = bytearray(good)
         bad[i + off : i + off + 4] = struct.pack(">I", 0x7FFFFFFF)
-        # sanity: the corruption really raises struct.error, not ValueError
-        with pytest.raises(struct.error):
+        # the raw walker now rejects with ValueError (bounds check),
+        # never struct.error
+        with pytest.raises(ValueError, match="overruns"):
             mp4_demux(bytes(bad))
         rows_in.append((mid, bytes(bad)))
     media = spark.createDataFrame(rows_in, "media_id long, payload binary")
@@ -1005,3 +1006,34 @@ def test_m3u8_rejections_and_attr_corners():
     assert d["variants"] == [("v", 5, 10, 20)]
     d = m3u8_parse(b"#EXTM3U\n#EXTINF:0.1,\na.ts\n#EXTINF:10,\nb.ts\n")
     assert d["segments"] == [("a.ts", 100), ("b.ts", 10000)]
+
+
+def test_ass_dialect_parse_corners():
+    """ASS: override tags strip, backslash escapes normalize, commas in
+    Text survive the field split, centisecond times are exact."""
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        subtitle_cues_parse,
+    )
+
+    ass = (
+        "[Script Info]\nTitle: t\n\n[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+        "MarginV, Effect, Text\n"
+        "Dialogue: 0,0:00:01.25,0:00:03.75,Default,,0,0,0,,"
+        "{\\pos(1,2)}Hello, world\\Nsecond, line\n"
+    ).encode()
+    (c,) = subtitle_cues_parse(ass)
+    assert c["start_ms"] == 1250 and c["end_ms"] == 3750
+    assert c["text"] == "Hello, world second, line"
+    # reversed range and missing Format quarantine
+    bad = ass.replace(b"0:00:03.75", b"0:00:00.25")
+    with pytest.raises(ValueError, match="ends before"):
+        subtitle_cues_parse(bad)
+    nofmt = (
+        "[Script Info]\n\n[Events]\n"
+        "Dialogue: 0,0:00:01.00,0:00:02.00,D,,0,0,0,,x\n"
+    ).encode()
+    with pytest.raises(ValueError, match="Format"):
+        subtitle_cues_parse(nofmt)

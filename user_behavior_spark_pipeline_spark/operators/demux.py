@@ -1001,9 +1001,18 @@ def subtitle_cues_parse(payload: bytes) -> list[dict]:
     blocks and cue settings after the arrow are skipped; optional cue
     identifiers tolerated); otherwise SRT (numeric index lines).
     Raises ValueError on structural corruption — a reversed time range,
-    a block with no arrow line — so the walker can quarantine."""
+    a block with no arrow line — so the walker can quarantine.
+
+    ASS/SSA (Advanced SubStation) detects on a ``[Script Info]``
+    section: the ``[Events]`` Format line defines the field order,
+    Dialogue lines split on commas up to the Text field (which may
+    itself contain commas), times are H:MM:SS.cc centiseconds, and
+    override tags ``{\\...}`` plus ``\\N``/``\\h`` escapes normalize
+    away — the same cue shape as SRT/VTT comes out."""
     text = payload.decode("utf-8-sig", errors="replace")
     lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    if any(ln.strip().lower() == "[script info]" for ln in lines[:8]):
+        return _ass_cues_parse(lines)
     is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
     if is_vtt:
         lines = lines[1:]
@@ -1052,6 +1061,71 @@ def subtitle_cues_parse(payload: bytes) -> list[dict]:
     return cues
 
 
+def _ass_time_ms(tok: str) -> int:
+    """H:MM:SS.cc (centiseconds) -> ms; ValueError on malformed."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+):(\d{2}):(\d{2})[.:](\d{2})", tok.strip())
+    if m is None:
+        raise ValueError(f"bad ASS time {tok!r}")
+    h, mi, s, cs = (int(g) for g in m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1000 + cs * 10
+
+
+def _ass_cues_parse(lines: list[str]) -> list[dict]:
+    """ASS/SSA Events section -> the common cue shape."""
+    import re as _re
+
+    in_events = False
+    fields: list[str] | None = None
+    cues: list[dict] = []
+    for ln in lines:
+        stripped = ln.strip()
+        if stripped.startswith("["):
+            in_events = stripped.lower() == "[events]"
+            continue
+        if not in_events or not stripped:
+            continue
+        key, _, rest = stripped.partition(":")
+        key = key.strip().lower()
+        if key == "format":
+            fields = [f.strip().lower() for f in rest.split(",")]
+        elif key == "dialogue":
+            if fields is None or "text" not in fields or "start" not in fields:
+                raise ValueError(
+                    "ASS Dialogue before a Format line with Start/Text"
+                )
+            vals = rest.strip().split(",", len(fields) - 1)
+            if len(vals) < len(fields):
+                raise ValueError(f"ASS Dialogue with too few fields: {rest!r}")
+            row = dict(zip(fields, vals))
+            start = _ass_time_ms(row["start"])
+            end = _ass_time_ms(row["end"])
+            if end < start:
+                raise ValueError(
+                    f"ASS cue ends before it starts: {rest!r}"
+                )
+            body = _re.sub(r"\{[^}]*\}", "", row["text"])
+            body = (
+                body.replace("\\N", " ")
+                .replace("\\n", " ")
+                .replace("\\h", " ")
+                .strip()
+            )
+            body = _re.sub(r"\s+", " ", body)
+            cues.append(
+                {
+                    "cue_idx": len(cues),
+                    "start_ms": start,
+                    "end_ms": end,
+                    "text": body,
+                }
+            )
+    if not cues:
+        raise ValueError("no subtitle cues in payload")
+    return cues
+
+
 SUBTITLE_CUE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1078,11 +1152,13 @@ def subtitle_cues(media: DataFrame) -> DataFrame:
             rows = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 raw = bytes(payload)
-                fmt = (
-                    "vtt"
-                    if raw.lstrip(b"\xef\xbb\xbf").startswith(b"WEBVTT")
-                    else "srt"
-                )
+                head = raw.lstrip(b"\xef\xbb\xbf")
+                if head.startswith(b"WEBVTT"):
+                    fmt = "vtt"
+                elif b"[Script Info]" in head[:512]:
+                    fmt = "ass"
+                else:
+                    fmt = "srt"
                 try:
                     for c in subtitle_cues_parse(raw):
                         rows.append(
@@ -1110,14 +1186,36 @@ def subtitle_cues(media: DataFrame) -> DataFrame:
 
 
 def synth_subtitle_bytes(doc_id: int, n_chars: int) -> bytes:
-    """Deterministic subtitle file: even doc_id -> SRT (CRLF, comma
-    times), odd -> WebVTT (header, dot times, a NOTE block, cue ids,
-    settings after the arrow). Closed form (oracle-mirrored):
+    """Deterministic subtitle file rotating THREE dialects: doc_id%3
+    == 0 -> SRT (CRLF, comma times), 1 -> WebVTT (header, dot times, a
+    NOTE block, cue ids, settings after the arrow), 2 -> ASS (Script
+    Info + Events sections, centisecond times, an override tag and a
+    backslash-N escape the parser must strip, commas inside the Text field).
+    Closed form (oracle-mirrored):
       n_cues     = n_chars % 5 + 2
       start_ms   = 2000*i,  end_ms = 2000*i + 1500
       text       = 'cue <doc_id> <i>'
     """
     n = n_chars % 5 + 2
+    if doc_id % 3 == 2:
+        out = [
+            "[Script Info]\nTitle: synth\n\n[Events]\n"
+            "Format: Layer, Start, End, Style, Name, MarginL, "
+            "MarginR, MarginV, Effect, Text\n"
+        ]
+        for i in range(n):
+            start = 2000 * i
+            end = start + 1500
+            def cs(ms):
+                h, rem = divmod(ms, 3600_000)
+                m, rem = divmod(rem, 60_000)
+                sec, ms2 = divmod(rem, 1000)
+                return f"{h}:{m:02d}:{sec:02d}.{ms2 // 10:02d}"
+            out.append(
+                f"Dialogue: 0,{cs(start)},{cs(end)},Default,,0,0,0,,"
+                f"{{\\i1}}cue{{\\i0}}\\N{doc_id} {i}\n"
+            )
+        return "".join(out).encode()
 
     def ts(ms: int, sep: str) -> str:
         h, rem = divmod(ms, 3600_000)
@@ -1125,7 +1223,7 @@ def synth_subtitle_bytes(doc_id: int, n_chars: int) -> bytes:
         s, ms = divmod(rem, 1000)
         return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
 
-    if doc_id % 2 == 0:
+    if doc_id % 3 == 0:
         out = []
         for i in range(n):
             out.append(

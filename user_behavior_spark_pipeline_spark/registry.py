@@ -4556,14 +4556,17 @@ def x_pdf_modern(spark, sf_dir):
 
 _SUBTITLE_SQL = (
     # closed form from demux.synth_subtitle_bytes: n_chars%5+2 cues at
-    # 2s spacing, 1.5s long, deterministic text; even docs SRT (CRLF,
-    # comma times), odd WebVTT (NOTE block, cue ids, settings) — the
-    # same cue table must come out of both syntaxes
+    # 2s spacing, 1.5s long, deterministic text; doc%3 rotates SRT
+    # (CRLF, comma times) / WebVTT (NOTE block, cue ids, settings) /
+    # ASS (Events Format line, centisecond times, override tags and a
+    # backslash-N escape the parser strips, commas in Text) — the same
+    # cue table must come out of all three syntaxes
     "WITH v AS (SELECT doc_id, n_chars % 5 + 2 AS n FROM documents), "
     "c AS (SELECT doc_id, CAST(u.i AS INT) AS cue_idx FROM v, "
     "UNNEST(range(n)) AS u(i)) "
     "SELECT doc_id AS media_id, "
-    "CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format, "
+    "CASE doc_id % 3 WHEN 0 THEN 'srt' WHEN 1 THEN 'vtt' "
+    "ELSE 'ass' END AS format, "
     "cue_idx, CAST(2000 * cue_idx AS BIGINT) AS start_ms, "
     "CAST(2000 * cue_idx + 1500 AS BIGINT) AS end_ms, "
     "'cue ' || doc_id || ' ' || cue_idx AS text FROM c"
