@@ -175,3 +175,36 @@ def test_tar_members_bz2_xz_transparency():
     # truncation
     with pytest.raises(ValueError, match="truncated xz"):
         list(tar_members(synth_webdataset_bytes(3, "x")[:-8]))
+
+
+def test_tar_pax_and_gnu_long_names():
+    """>100-char member names via PAX 'path' records and GNU 'L'
+    longname members — cross-checked against stdlib tarfile writers in
+    BOTH formats; malformed PAX records quarantine."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        tar_members,
+    )
+
+    long_name = "dir/" + "x" * 140 + "/sample.0001.txt"
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            for nm, data in ((long_name, b"hello"), ("short.txt", b"world")):
+                info = tarfile.TarInfo(nm)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        mem = list(tar_members(buf.getvalue()))
+        assert mem == [(long_name, b"hello"), ("short.txt", b"world")]
+    hdr = bytearray(512)
+    hdr[0:4] = b"pax\x00"
+    hdr[124:136] = b"00000000010 "
+    hdr[156:157] = b"x"
+    hdr[257:263] = b"ustar\x00"
+    body = b"garbage\n" + bytes(504)
+    with pytest.raises(ValueError, match="PAX record"):
+        list(tar_members(bytes(hdr) + body + bytes(1024)))

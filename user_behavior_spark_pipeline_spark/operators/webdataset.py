@@ -10,7 +10,8 @@ grouping members into samples is then a plain groupBy(sample_key) that
 never crosses shard boundaries (keys are shard-local by construction, so
 with shard_id in the key the aggregation has no skew and AQE coalesces).
 The tar walk is pure 512-byte ustar header framing (name / octal size /
-typeflag / prefix), gzip-transparent via stdlib zlib, and corruption
+typeflag / prefix, PAX 'path' records and GNU 'L' longnames for the
+>100-char keys deep shard trees produce), gz/bz2/xz-transparent, and corruption
 QUARANTINES (one ``parse_error`` row per bad shard, good prefix members
 kept) — the same walker contract as operators/warc.py.
 
@@ -82,6 +83,7 @@ def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
             raise ValueError("truncated xz shard")
     pos = 0
     n = len(payload)
+    pending_name: str | None = None  # from PAX 'path' or GNU 'L'
     while pos + 512 <= n:
         hdr = payload[pos : pos + 512]
         if hdr == b"\x00" * 512:  # end-of-archive marker
@@ -102,9 +104,39 @@ def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
         data_end = pos + 512 + size
         if data_end > n:
             raise ValueError(f"tar member {name!r} overruns shard")
-        if typeflag in (b"0", b"\x00"):
-            yield name, payload[pos + 512 : data_end]
-        # directories / links / pax headers: skipped, their data too
+        data = payload[pos + 512 : data_end]
+        if typeflag == b"L":  # GNU longname: applies to the NEXT member
+            pending_name = data.split(b"\x00", 1)[0].decode(
+                "utf-8", "replace"
+            )
+        elif typeflag == b"x":  # PAX extended header: "len key=val\n"
+            at = 0
+            while at < len(data):
+                sp = data.find(b" ", at)
+                if sp < 0:
+                    raise ValueError("malformed PAX record (no length)")
+                try:
+                    rec_len = int(data[at:sp])
+                except ValueError:
+                    raise ValueError(
+                        "malformed PAX record length"
+                    ) from None
+                rec = data[at : at + rec_len]
+                if rec_len <= 0 or not rec.endswith(b"\n"):
+                    raise ValueError("malformed PAX record framing")
+                key, _, val = rec[sp - at + 1 : -1].partition(b"=")
+                if key == b"path":
+                    pending_name = val.decode("utf-8", "replace")
+                at += rec_len
+        elif typeflag in (b"0", b"\x00"):
+            if pending_name is not None:
+                name = pending_name
+                pending_name = None
+            yield name, data
+        else:
+            # directories / links / other special members: skipped
+            # (a pending long name still applies to the next file)
+            pass
         pos += 512 + ((size + 511) // 512) * 512
 
 
