@@ -2456,3 +2456,35 @@ def test_ico_dimension_probe():
     assert image_dimensions(ico)["width"] == 256
     with pytest.raises(ValueError, match="ICO"):
         image_dimensions(b"\x00\x00\x01\x00\x05\x00")
+
+
+def test_audio_quality_signals(spark):
+    """Clip counting at both rails, float-format normalization, exact
+    integer sums, quarantine."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        audio_quality,
+        wav_encode,
+    )
+
+    rows_in = [
+        (0, wav_encode([0, 100, -100, 32767, -32768], 8000, 1, "pcm16")),
+        (1, wav_encode([0.0, 1.0, -1.0, 0.5], 8000, 1, "float32")),
+        (2, wav_encode([0, 255, 128], 8000, 1, "pcm8")),  # 8-bit rails
+    ]
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {r.media_id: r for r in audio_quality(media).collect()}
+    r = out[0]
+    assert (r.n_samples, r.clip_count) == (5, 2)  # both rails clip
+    assert r.abs_sum == 0 + 100 + 100 + 32767 + 32768
+    assert r.square_sum == 100**2 * 2 + 32767**2 + 32768**2
+    r = out[1]  # floats normalize to the 16-bit scale
+    assert (r.n_samples, r.clip_count) == (4, 2)
+    assert r.abs_sum == 0 + 32767 + 32767 + 16384
+    r = out[2]  # unsigned 8-bit recenters; 0 -> -128 and 255 -> 127 clip
+    assert (r.n_samples, r.clip_count) == (3, 2)
+    broken = spark.createDataFrame(
+        [(9, b"RIFF\x00\x00\x00\x00WAVEjunk")],
+        "media_id long, payload binary",
+    )
+    (r,) = audio_quality(broken).collect()
+    assert r.parse_error is not None

@@ -2229,6 +2229,72 @@ def synth_webp_bytes(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
 
 
+def audio_quality(media: DataFrame) -> DataFrame:
+    """Audio curation signals over REALLY-decoded WAV samples — the
+    audio analog of the Gopher text gate: per file, sample count,
+    duration, CLIP count (samples at the integer rails or |x| >= 1.0
+    in float formats), sum of absolute amplitudes and EXACT sum of
+    squares (integers end to end, so the oracle needs no float
+    tolerance; RMS/dBFS are one division away downstream). Silence
+    and clipping are the two cheap gates an audio corpus applies
+    before any model sees a waveform. Corruption quarantines."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("clip_count", LongType(), True),
+            StructField("abs_sum", LongType(), True),
+            StructField("square_sum", LongType(), True),
+            StructField("parse_error", StringType(), True),
+        ]
+    )
+
+    def _walk(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    d = _wav_decode(bytes(payload))
+                    samples = d["samples"]
+                    width = d["sample_width"]
+                    if isinstance(samples[0] if samples else 0, float):
+                        ints = [int(round(s * 32767)) for s in samples]
+                        rail = 32767
+                    elif width == 1:
+                        ints = [s - 128 for s in samples]  # unsigned 8-bit
+                        rail = 127
+                    else:
+                        ints = samples
+                        rail = (1 << (8 * width - 1)) - 1
+                    n = len(ints)
+                    rate = d["sample_rate"]
+                    frames = n // max(1, d["n_channels"])
+                    rows.append(
+                        (
+                            mid,
+                            rate,
+                            n,
+                            frames * 1000 // rate if rate else None,
+                            sum(1 for v in ints if abs(v) >= rail),
+                            sum(abs(v) for v in ints),
+                            sum(v * v for v in ints),
+                            None,
+                        )
+                    )
+                except ValueError as e:
+                    rows.append((mid,) + (None,) * 6 + (str(e),))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_walk, schema)
+
+
 def synth_ico_bytes(doc_id: int) -> bytes:
     """Header-only ICO fixture: two directory entries — 16x16 and the
     LARGER (doc%200+30) x (doc%150+40) — with stub image data (the

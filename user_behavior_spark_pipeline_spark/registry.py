@@ -4354,6 +4354,65 @@ def x_demux_hls(spark, sf_dir):
     return hls_playlists(synth_m3u8_media(docs)).drop("parse_error")
 
 
+_AUDIO_Q_SQL = (
+    # closed form: PCM16 mono at 16 kHz, n = doc%6+8 samples, every
+    # fifth sample pinned to the +32767 rail (clipping), the rest
+    # ((doc*13 + j*7) % 200 - 100) * 300; integer abs/square sums are
+    # exact in both engines — no float tolerance anywhere
+    "WITH s AS (SELECT doc_id, CAST(u.j AS BIGINT) AS j, "
+    "CASE WHEN u.j % 5 = 0 THEN 32767 "
+    "ELSE ((doc_id * 13 + u.j * 7) % 200 - 100) * 300 END AS v "
+    "FROM documents, UNNEST(range(doc_id % 6 + 8)) AS u(j)) "
+    "SELECT doc_id AS media_id, CAST(16000 AS INT) AS sample_rate, "
+    "CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "CAST(COUNT(*) * 1000 // 16000 AS BIGINT) AS duration_ms, "
+    "CAST(SUM(CASE WHEN abs(v) >= 32767 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS clip_count, "
+    "CAST(SUM(abs(v)) AS BIGINT) AS abs_sum, "
+    "CAST(SUM(v * v) AS BIGINT) AS square_sum "
+    "FROM s GROUP BY doc_id"
+)
+
+
+@query("x_audio_quality", oracle=_AUDIO_Q_SQL)
+def x_audio_quality(spark, sf_dir):
+    """Audio curation gate (r11) — the waveform analog of the Gopher
+    text gate: clip counting at the integer rails, exact integer
+    absolute/square amplitude sums (RMS/dBFS one division away) and
+    duration over REALLY-decoded WAV samples (the manual RIFF walk).
+    Every fifth fixture sample is pinned to the +32767 rail so the
+    clip counter genuinely counts; all sums are integers end to end so
+    the oracle is exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import audio_quality, wav_encode
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            vals = [
+                32767
+                if j % 5 == 0
+                else ((d * 13 + j * 7) % 200 - 100) * 300
+                for j in range(d % 6 + 8)
+            ]
+            out.append(wav_encode(vals, 16000, 1, "pcm16"))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+    return audio_quality(media).drop("parse_error")
+
+
 _PNG_META_SQL = (
     # closed form from multimodal.synth_png_meta_bytes: six metadata
     # rows per document across all five ancillary-chunk families;
@@ -8004,6 +8063,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "hls_playlists",
             "image_dimensions",
             "feed_entries",
+            "audio_quality",
         }
     ),
     sql_tokens=frozenset(),
