@@ -2488,3 +2488,33 @@ def test_audio_quality_signals(spark):
     )
     (r,) = audio_quality(broken).collect()
     assert r.parse_error is not None
+
+
+def test_image_stats_gate(spark):
+    """Blank detection (zero variance), glyph detection (tiny distinct
+    count), exact sums, quarantine."""
+    from user_behavior_spark_pipeline_spark.operators.multimodal import (
+        bmp_encode_rgb24,
+        image_stats,
+        png_encode_gray,
+    )
+
+    rows_in = [
+        (0, png_encode_gray(2, 2, [10, 20, 30, 40])),
+        (1, bmp_encode_rgb24(2, 1, [7] * 6)),  # blank
+        (2, png_encode_gray(3, 1, [0, 255, 0])),  # glyph-like: 2 values
+    ]
+    media = spark.createDataFrame(rows_in, "media_id long, payload binary")
+    out = {r.media_id: r for r in image_stats(media).collect()}
+    r = out[0]
+    assert (r.n_pixels, r.px_sum, r.px_sq_sum) == (4, 100, 3000)
+    assert (r.px_min, r.px_max, r.n_distinct) == (10, 40, 4)
+    r = out[1]
+    assert r.n_distinct == 1 and r.px_min == r.px_max == 7
+    assert r.px_sq_sum * r.n_pixels == r.px_sum**2  # zero variance
+    assert out[2].n_distinct == 2
+    broken = spark.createDataFrame(
+        [(9, b"\x89PNG\r\n\x1a\n torn")], "media_id long, payload binary"
+    )
+    (r,) = image_stats(broken).collect()
+    assert r.parse_error is not None

@@ -2295,6 +2295,60 @@ def audio_quality(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_walk, schema)
 
 
+def image_stats(media: DataFrame) -> DataFrame:
+    """Pixel-statistics gate over REALLY-decoded images (any container
+    decode_real reads): pixel count, EXACT integer sum and
+    sum-of-squares (variance = one division away — a zero-variance
+    image is a blank, the cheapest junk-image gate), min/max, and the
+    distinct-value count (a 2-3-value image is a rendered glyph or
+    test card, not a photo). The image analog of x_audio_quality;
+    corruption quarantines."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_pixels", LongType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("px_sq_sum", LongType(), True),
+            StructField("px_min", IntegerType(), True),
+            StructField("px_max", IntegerType(), True),
+            StructField("n_distinct", IntegerType(), True),
+            StructField("parse_error", StringType(), True),
+        ]
+    )
+
+    def _walk(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    d = decode_real(bytes(payload), "image")
+                    px = d["pixels"]
+                    if not px:
+                        raise ValueError("image with no pixels")
+                    rows.append(
+                        (
+                            mid,
+                            len(px),
+                            sum(px),
+                            sum(v * v for v in px),
+                            min(px),
+                            max(px),
+                            len(set(px)),
+                            None,
+                        )
+                    )
+                except ValueError as e:
+                    rows.append((mid,) + (None,) * 6 + (str(e),))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_walk, schema)
+
+
 def synth_ico_bytes(doc_id: int) -> bytes:
     """Header-only ICO fixture: two directory entries — 16x16 and the
     LARGER (doc%200+30) x (doc%150+40) — with stub image data (the

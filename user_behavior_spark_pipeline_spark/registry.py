@@ -4354,6 +4354,69 @@ def x_demux_hls(spark, sf_dir):
     return hls_playlists(synth_m3u8_media(docs)).drop("parse_error")
 
 
+_IMG_STATS_SQL = (
+    # closed form: even docs a 4x4 arithmetic-raster gray PNG
+    # (p_i = (d*31+i*7)%256), odd docs a BLANK 3x2 RGB BMP (every
+    # channel d%256 — the zero-variance junk-image case the gate
+    # exists to catch: distinct=1, min=max)
+    "WITH e AS (SELECT d.doc_id, (d.doc_id * 31 + u.i * 7) % 256 AS p "
+    "FROM documents d, UNNEST(range(16)) AS u(i) WHERE doc_id % 2 = 0) "
+    "SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_pixels, "
+    "CAST(SUM(p) AS BIGINT) AS px_sum, "
+    "CAST(SUM(p * p) AS BIGINT) AS px_sq_sum, "
+    "CAST(MIN(p) AS INT) AS px_min, CAST(MAX(p) AS INT) AS px_max, "
+    "CAST(COUNT(DISTINCT p) AS INT) AS n_distinct "
+    "FROM e GROUP BY doc_id "
+    "UNION ALL SELECT doc_id, 18, 18 * (doc_id % 256), "
+    "18 * (doc_id % 256) * (doc_id % 256), "
+    "CAST(doc_id % 256 AS INT), CAST(doc_id % 256 AS INT), 1 "
+    "FROM documents WHERE doc_id % 2 = 1"
+)
+
+
+@query("x_image_stats", oracle=_IMG_STATS_SQL)
+def x_image_stats(spark, sf_dir):
+    """Image-statistics gate (r11) — the pixel analog of the audio
+    gate: exact integer sum/sum-of-squares (variance one division
+    away; zero variance = blank), min/max and distinct-value count
+    (2-3 values = rendered glyph, not a photo) over really-decoded
+    pixels. The odd fixture half is deliberately BLANK (flat RGB BMP)
+    so the degenerate case the gate exists for is driver-certified."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.multimodal import (
+        bmp_encode_rgb24,
+        image_stats,
+        png_encode_gray,
+    )
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            if d % 2 == 0:
+                out.append(
+                    png_encode_gray(
+                        4, 4, [(d * 31 + i * 7) % 256 for i in range(16)]
+                    )
+                )
+            else:
+                out.append(bmp_encode_rgb24(3, 2, [d % 256] * 18))
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+    return image_stats(media).drop("parse_error")
+
+
 _AUDIO_Q_SQL = (
     # closed form: PCM16 mono at 16 kHz, n = doc%6+8 samples, every
     # fifth sample pinned to the +32767 rail (clipping), the rest
@@ -8064,6 +8127,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "image_dimensions",
             "feed_entries",
             "audio_quality",
+            "image_stats",
         }
     ),
     sql_tokens=frozenset(),
