@@ -1091,9 +1091,11 @@ def _ass_cues_parse(lines: list[str]) -> list[dict]:
         if key == "format":
             fields = [f.strip().lower() for f in rest.split(",")]
         elif key == "dialogue":
-            if fields is None or "text" not in fields or "start" not in fields:
+            if fields is None or not {"text", "start", "end"} <= set(
+                fields
+            ):
                 raise ValueError(
-                    "ASS Dialogue before a Format line with Start/Text"
+                    "ASS Dialogue before a Format line with Start/End/Text"
                 )
             vals = rest.strip().split(",", len(fields) - 1)
             if len(vals) < len(fields):
