@@ -1037,3 +1037,38 @@ def test_ass_dialect_parse_corners():
     ).encode()
     with pytest.raises(ValueError, match="Format"):
         subtitle_cues_parse(nofmt)
+
+
+def test_mp4_edit_lists():
+    """elst: empty-edit delays (movie timescale), media_time trims
+    (media timescale), v1 64-bit entries, splice fix-up correctness,
+    and index invariance."""
+    import struct
+
+    from user_behavior_spark_pipeline_spark.operators.demux import (
+        _box,
+        _full,
+        _splice_into_trak,
+        mp4_demux,
+        synth_mp4_bytes,
+        synth_mp4_elst_bytes,
+    )
+
+    for did in range(8):
+        d = mp4_demux(synth_mp4_elst_bytes(did, 5))
+        (t,) = d["tracks"]
+        assert t["edit_delay_ms"] == (did % 5 + 1) * 100
+        assert t["media_start_ms"] == (did % 7) * 40
+        p = mp4_demux(synth_mp4_bytes(did, 5))["tracks"][0]
+        assert t["sizes"] == p["sizes"] and t["offsets"] == p["offsets"]
+        assert p["edit_delay_ms"] is None
+    # version-1 (64-bit) entries parse identically
+    body = struct.pack(">I", 2)
+    body += struct.pack(">Qq", 250, -1) + struct.pack(">HH", 1, 0)
+    body += struct.pack(">Qq", 400, 120) + struct.pack(">HH", 1, 0)
+    v1 = _box(b"edts", _full(b"elst", 1, body))
+    spliced = _splice_into_trak(synth_mp4_bytes(3, 5), v1)
+    (t,) = mp4_demux(spliced)["tracks"]
+    assert t["edit_delay_ms"] == 250 and t["media_start_ms"] == 120
+    # splicing into trak keeps the whole container walkable
+    assert len(mp4_demux(spliced)["tracks"]) == 1

@@ -502,9 +502,32 @@ def mp4_demux(payload: bytes) -> dict:
                 mdhd_ts = None
                 mdhd_dur = 0
                 stbl = None
+                elst_entries = None
                 for ttype, tb, te in _iter_boxes(payload, mb, me):
                     if ttype == b"tkhd":
                         track_id = _parse_tkhd(payload, tb)
+                    elif ttype == b"edts":
+                        for etype, eb, _ee in _iter_boxes(payload, tb, te):
+                            if etype == b"elst":
+                                v, _f, ep = _full_box(payload, eb)
+                                (cnt,) = struct.unpack_from(
+                                    ">I", payload, ep
+                                )
+                                ep += 4
+                                elst_entries = []
+                                for _ in range(cnt):
+                                    if v == 1:
+                                        dur, mt = struct.unpack_from(
+                                            ">Qq", payload, ep
+                                        )
+                                        ep += 16
+                                    else:
+                                        dur, mt = struct.unpack_from(
+                                            ">Ii", payload, ep
+                                        )
+                                        ep += 8
+                                    ep += 4  # media_rate fixed-point
+                                    elst_entries.append((dur, mt))
                     elif ttype == b"mdia":
                         for dtype, db, de in _iter_boxes(payload, tb, te):
                             if dtype == b"mdhd":
@@ -521,17 +544,42 @@ def mp4_demux(payload: bytes) -> dict:
                                         stbl = _parse_stbl(payload, b2, e2)
                 if stbl is None or mdhd_ts is None:
                     raise ValueError("trak without stbl/mdhd")
+                edit_delay = None
+                media_start = None
+                if elst_entries is not None:
+                    edit_delay = 0
+                    for dur, mt in elst_entries:
+                        if mt == -1:  # empty edit: movie-timescale delay
+                            edit_delay += dur
+                        elif media_start is None:
+                            media_start = mt  # media-timescale trim
                 tracks.append(
                     {
                         "track_id": track_id,
                         "handler": handler,
                         "timescale": mdhd_ts,
                         "duration_us": mdhd_dur * 1_000_000 // mdhd_ts,
+                        "elst_raw": (edit_delay, media_start)
+                        if elst_entries is not None
+                        else None,
                         **stbl,
                     }
                 )
     if timescale is None:
         raise ValueError("no moov/mvhd found")
+    for t in tracks:
+        raw = t.pop("elst_raw", None)
+        if raw is None:
+            t["edit_delay_ms"] = None
+            t["media_start_ms"] = None
+        else:
+            delay, mstart = raw
+            t["edit_delay_ms"] = delay * 1000 // timescale
+            t["media_start_ms"] = (
+                None
+                if mstart is None
+                else mstart * 1000 // t["timescale"]
+            )
     # movie FRAGMENTS (fMP4 / DASH / CMAF — the shape streaming video
     # actually lands in): walk top-level moof boxes with their header
     # offsets (base-data-offset defaults anchor at the moof box itself)
@@ -2208,3 +2256,49 @@ def synth_m3u8_media(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         _build("doc_id").alias("payload"),
     )
+
+
+def _splice_into_trak(mp4: bytes, extra: bytes) -> bytes:
+    """Insert ``extra`` (a complete box) into the FIRST trak right
+    after its tkhd, fixing the trak and moov sizes — the fixture tool
+    that derives edit-list variants from the certified plain builder
+    without duplicating it."""
+    out = bytearray(mp4)
+    for btype, b, e in _iter_boxes(mp4, 0, len(mp4)):
+        if btype != b"moov":
+            continue
+        moov_hdr = b - 8
+        for mtype, mb, me in _iter_boxes(mp4, b, e):
+            if mtype != b"trak":
+                continue
+            trak_hdr = mb - 8
+            for ttype, tb, te in _iter_boxes(mp4, mb, me):
+                if ttype == b"tkhd":
+                    at = te  # insert right after tkhd
+                    out[at:at] = extra
+                    for hdr_at in (moov_hdr, trak_hdr):
+                        (sz,) = struct.unpack_from(">I", out, hdr_at)
+                        struct.pack_into(
+                            ">I", out, hdr_at, sz + len(extra)
+                        )
+                    return bytes(out)
+    raise ValueError("no trak/tkhd to splice into")
+
+
+def synth_mp4_elst_bytes(doc_id: int, n_chars: int) -> bytes:
+    """The certified plain MP4 with an EDIT LIST spliced in: an empty
+    edit of (doc%5+1)*100 movie-timescale units (a presentation delay)
+    followed by a media_time trim of (doc%7)*40 media units. Closed
+    form: edit_delay_ms = (doc%5+1)*100, media_start_ms = (doc%7)*40
+    (both timescales are 1000 in the builder); the sample table is
+    IDENTICAL to synth_mp4_bytes — edit lists change presentation, not
+    the index."""
+    base = synth_mp4_bytes(doc_id, n_chars)
+    delay = (doc_id % 5 + 1) * 100
+    trim = (doc_id % 7) * 40
+    body = struct.pack(">I", 2)
+    body += struct.pack(">Ii", delay, -1) + struct.pack(">HH", 1, 0)
+    body += struct.pack(">Ii", 40 * (n_chars % 7 + 2), trim)
+    body += struct.pack(">HH", 1, 0)
+    elst = _full(b"elst", 0, body)
+    return _splice_into_trak(base, _box(b"edts", elst))

@@ -3990,6 +3990,93 @@ def x_stream_avro(spark, sf_dir):
     )
 
 
+_ELST_SQL = (
+    # closed form from demux.synth_mp4_elst_bytes: the certified plain
+    # container with an edit list spliced in — empty-edit delay
+    # (doc%5+1)*100 ms + media_time trim (doc%7)*40 ms; the sample
+    # count must be UNCHANGED (edit lists move presentation, never the
+    # index)
+    "SELECT doc_id AS media_id, "
+    "CAST((doc_id % 5 + 1) * 100 AS BIGINT) AS edit_delay_ms, "
+    "CAST((doc_id % 7) * 40 AS BIGINT) AS media_start_ms, "
+    "CAST(n_chars % 7 + 2 AS BIGINT) AS n_samples "
+    "FROM documents"
+)
+
+
+@query("x_demux_elst", oracle=_ELST_SQL)
+def x_demux_elst(spark, sf_dir):
+    """MP4 edit lists (r11) — the presentation-timing correction every
+    real player applies and naive samplers miss: elst empty edits
+    (presentation delay in MOVIE timescale) and media_time trims (in
+    MEDIA timescale), parsed per track with version 0/1 entry widths.
+    The fixture splices an edts box into the certified plain container
+    (box-size fix-up utility), so the oracle also pins that the sample
+    INDEX is untouched — edit lists move presentation, never bytes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.demux import mp4_demux, synth_mp4_elst_bytes
+
+    def _build_fn(doc_id, n_chars):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_mp4_elst_bytes(int(d), int(n))
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id", "n_chars").alias("payload"),
+    )
+
+    def _dec(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                (t,) = mp4_demux(bytes(payload))["tracks"]
+                rows.append(
+                    (
+                        int(media_id),
+                        t["edit_delay_ms"],
+                        t["media_start_ms"],
+                        len(t["sizes"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "edit_delay_ms",
+                    "media_start_ms",
+                    "n_samples",
+                ],
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("edit_delay_ms", LongType(), True),
+            StructField("media_start_ms", LongType(), True),
+            StructField("n_samples", LongType(), False),
+        ]
+    )
+    return media.mapInPandas(_dec, schema)
+
+
 _OGG_SQL = (
     # closed form from demux.synth_ogg_bytes: even docs Vorbis (rate
     # 8000*(doc%4+1), channels doc%3+1, 3 header packets), odd Opus
@@ -8128,6 +8215,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "feed_entries",
             "audio_quality",
             "image_stats",
+            "synth_mp4_elst_bytes",
         }
     ),
     sql_tokens=frozenset(),
