@@ -544,6 +544,8 @@ def mp4_demux(payload: bytes) -> dict:
                                         stbl = _parse_stbl(payload, b2, e2)
                 if stbl is None or mdhd_ts is None:
                     raise ValueError("trak without stbl/mdhd")
+                if mdhd_ts <= 0:
+                    raise ValueError("mdhd timescale must be positive")
                 edit_delay = None
                 media_start = None
                 if elst_entries is not None:
@@ -567,6 +569,8 @@ def mp4_demux(payload: bytes) -> dict:
                 )
     if timescale is None:
         raise ValueError("no moov/mvhd found")
+    if timescale <= 0:
+        raise ValueError("mvhd timescale must be positive")
     for t in tracks:
         raw = t.pop("elst_raw", None)
         if raw is None:
