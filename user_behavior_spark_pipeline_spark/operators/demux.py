@@ -297,6 +297,14 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
             if uniform_size == 0:
                 sizes = _u32_table(payload, p + 8, n)
             else:
+                # uniform-size path: n is NOT backed by table bytes, so
+                # a corrupt count would allocate unbounded lists (a
+                # fuzz-found multi-minute stall). 2^26 samples ≈ a 31 h
+                # 60 fps track — far past any real container.
+                if n > (1 << 26):
+                    raise ValueError(
+                        f"stsz sample count {n} past sanity cap"
+                    )
                 sizes = [uniform_size] * n
         elif btype == b"stsc":
             _, _, p = _full_box(payload, b)
@@ -323,6 +331,13 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
         last = (
             stsc[k + 1][0] - 1 if k + 1 < len(stsc) else len(chunk_offsets)
         )
+        if last > len(chunk_offsets):
+            # a later entry's first_chunk is a raw u32 — corrupt values
+            # would size the expansion below (fuzz-found stall)
+            raise ValueError(
+                f"stsc first_chunk {last + 1} past chunk count "
+                f"{len(chunk_offsets)}"
+            )
         if first < 1 or first > last + 1:
             raise ValueError(f"stsc first_chunk {first} out of order")
         per_chunk.extend([spc] * (last - first + 1))
