@@ -91,13 +91,26 @@ def test_avro_corruption_quarantine_shapes():
     b[-1] ^= 0xFF
     with pytest.raises(ValueError, match="sync marker"):
         list(avro_container_records(bytes(b)))
-    # bit flip inside a deflate block
-    b = bytearray(synth_avro_bytes(3))
+    # bit flip inside a deflate block (doc 1: codec rotation %4 -> deflate)
+    b = bytearray(synth_avro_bytes(1))
     b[len(b) - 20] ^= 0xFF
-    with pytest.raises(ValueError, match="deflate|sync"):
+    with pytest.raises(ValueError, match="deflate|sync|varint|overruns"):
+        list(avro_container_records(bytes(b)))
+    # bit flip inside a zstd block (doc 2 -> zstandard)
+    b = bytearray(synth_avro_bytes(2))
+    b[len(b) - 20] ^= 0xFF
+    # zstd frames carry no content checksum, so the flip may decode to
+    # wrong bytes and surface structurally in the record walk instead —
+    # either way it is a ValueError quarantine, never an escape
+    with pytest.raises(ValueError, match="Avro|zstd"):
+        list(avro_container_records(bytes(b)))
+    # snappy CRC catches a flip that snappy itself decodes (doc 3 -> snappy)
+    b = bytearray(synth_avro_bytes(3))
+    b[len(b) - 18] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|Avro|snappy"):
         list(avro_container_records(bytes(b)))
     # unsupported codec rejects loudly
-    raw = synth_avro_bytes(2).replace(b"\x08null", b"\x0csnappy")
+    raw = synth_avro_bytes(0).replace(b"\x08null", b"\x08xxxx")
     with pytest.raises(ValueError, match="codec"):
         list(avro_container_records(raw))
     # nested schema rejects as out of scope

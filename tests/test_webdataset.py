@@ -20,10 +20,16 @@ from user_behavior_spark_pipeline_spark.operators.webdataset import (
 
 def test_tar_walk_matches_stdlib_tarfile():
     """The hand-rolled ustar walker agrees byte-for-byte with the
-    stdlib tarfile module over the synth shards (plain and gzipped)."""
-    for d, t in ((0, "hello"), (1, "wörld"), (5, "x" * 600), (4, "")):
+    stdlib tarfile module over the synth shards, across the full
+    gzip/plain/bz2/xz/zstd rotation (doc_id % 5)."""
+    from user_behavior_spark_pipeline_spark.operators.compress import (
+        decompress_transparent,
+    )
+
+    for d, t in ((0, "hello"), (1, "wörld"), (2, "b"), (3, "c"),
+                 (4, ""), (5, "x" * 600)):
         raw = synth_webdataset_bytes(d, t)
-        plain = zlib.decompress(raw, 47) if d % 2 == 0 else raw
+        plain = decompress_transparent(raw, 1 << 30)
         tf = tarfile.open(fileobj=io.BytesIO(plain))
         ref = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
         assert dict(tar_members(raw)) == ref, d
@@ -141,33 +147,38 @@ def test_zip_corruption_and_encryption_quarantine(spark):
     assert {r.archive_id for r in ok} == {1} and errs == {2, 3}
 
 
-def test_tar_members_bz2_xz_transparency():
-    """Shard compression rotates gzip/plain/bz2/xz by doc_id%4 — the
-    same member table must come out of all four, and bz2/xz corruption
-    quarantines like gzip's."""
+def test_tar_members_bz2_xz_zstd_transparency():
+    """Shard compression rotates gzip/plain/bz2/xz/zstd by doc_id%5 —
+    the same member table must come out of all five, and bz2/xz/zstd
+    corruption quarantines like gzip's."""
     import bz2 as bz2mod
     import lzma
 
+    from user_behavior_spark_pipeline_spark.operators.compress import (
+        ZSTD_MAGIC,
+        zstd_decompress,
+    )
     from user_behavior_spark_pipeline_spark.operators.webdataset import (
         synth_webdataset_bytes,
         tar_members,
     )
 
-    want = {}
-    for did in (1, 4, 5, 6, 7):  # covers plain, gzip, bz2, xz
+    for did in (1, 2, 3, 4, 5):  # covers plain, bz2, xz, zstd, gzip
         mem = list(tar_members(synth_webdataset_bytes(did, "hello")))
         assert len(mem) == 3 * (did % 3 + 1), did
-        want[did % 4] = [n for n, _ in mem][:1]
     # heads really differ per rotation slot
-    heads = {synth_webdataset_bytes(d, "x")[:3] for d in range(4)}
-    assert len(heads) == 4
-    # stdlib modules agree our compressed shards are their formats
+    heads = {synth_webdataset_bytes(d, "x")[:3] for d in range(5)}
+    assert len(heads) == 5
+    # stdlib/pyarrow agree our compressed shards are their formats
     assert bz2mod.decompress(synth_webdataset_bytes(2, "x"))[257:262] == b"ustar"
     assert lzma.decompress(synth_webdataset_bytes(3, "x"))[257:262] == b"ustar"
-    # corruption quarantines (ValueError, not BZ2/LZMA errors)
+    z = synth_webdataset_bytes(4, "x")
+    assert z[:4] == ZSTD_MAGIC
+    assert zstd_decompress(z, 1 << 30)[257:262] == b"ustar"
+    # corruption quarantines (ValueError, not BZ2/LZMA/Arrow errors)
     import pytest
 
-    for did, pat in ((2, "bz2"), (3, "xz")):
+    for did, pat in ((2, "bz2"), (3, "xz"), (4, "zstd")):
         b = bytearray(synth_webdataset_bytes(did, "x"))
         b[12] ^= 0xFF
         with pytest.raises(ValueError, match=pat):
@@ -175,6 +186,8 @@ def test_tar_members_bz2_xz_transparency():
     # truncation
     with pytest.raises(ValueError, match="truncated xz"):
         list(tar_members(synth_webdataset_bytes(3, "x")[:-8]))
+    with pytest.raises(ValueError, match="zstd"):
+        list(tar_members(synth_webdataset_bytes(4, "x")[:-8]))
 
 
 def test_tar_pax_and_gnu_long_names():

@@ -5,12 +5,16 @@ format §"Object Container Files").
 Scope: container files (magic ``Obj\\x01``) whose writer schema is a
 RECORD of primitive fields — long/int/string/double/float/boolean/
 bytes/null — or two-branch ``["null", <prim>]`` unions (the nullable
-column idiom); codecs ``null`` and ``deflate`` (raw DEFLATE, stdlib
-zlib). Multi-block files are walked block by block with the 16-byte
-sync marker VERIFIED between blocks, so a torn or spliced file cannot
-silently misalign. Nested records/arrays/maps/enums/fixed and the
-snappy/zstandard codecs reject loudly (ValueError -> quarantine): this
-walker is pure stdlib by design.
+column idiom); codecs ``null``, ``deflate`` (raw DEFLATE, stdlib
+zlib), ``zstandard`` (one zstd frame per block) and ``snappy`` (raw
+snappy block + the spec's 4-byte big-endian CRC32 of the UNCOMPRESSED
+data, verified) — the four codecs real event-log containers use.
+zstd/snappy decode through pyarrow's first-party bindings, cap-guarded
+(operators/compress.py). Multi-block files are walked block by block
+with the 16-byte sync marker VERIFIED between blocks, so a torn or
+spliced file cannot silently misalign. Nested records/arrays/maps/
+enums/fixed reject loudly (ValueError -> quarantine): the record
+decode itself is pure stdlib by design.
 
 Output is the generic long format — one row per (record, field) with
 the value rendered as a canonical string (decimal ints, repr floats,
@@ -19,7 +23,8 @@ per-schema configuration and every cell stays driver-hashable; a typed
 projection is one pivot away in SQL.
 
 No Avro library exists in this environment, so certification is
-byte-level: the test suite pins the zigzag-varint laws and a hand-built
+byte-level (pyarrow supplies only the zstd/snappy CODECS, not any Avro
+framing): the test suite pins the zigzag-varint laws and a hand-built
 container against spec arithmetic, and the builder/walker pair is
 closed-form-certified against DuckDB in the driver slot
 (x_avro_records).
@@ -41,6 +46,13 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .compress import (
+    snappy_compress,
+    snappy_decompress,
+    zstd_compress,
+    zstd_decompress,
+)
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -50,6 +62,8 @@ from pyspark.sql.types import (
 )
 
 _MAGIC = b"Obj\x01"
+#: Same zip-bomb posture as the shard walkers — per decompressed block.
+MAX_BLOCK_BYTES = 1 << 30
 _PRIMITIVES = {
     "long",
     "int",
@@ -195,8 +209,11 @@ def avro_container_records(
         raise ValueError("Avro container missing avro.schema")
     fields = _parse_schema(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode("latin-1")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"Avro codec {codec!r} unsupported (null/deflate)")
+    if codec not in ("null", "deflate", "zstandard", "snappy"):
+        raise ValueError(
+            f"Avro codec {codec!r} unsupported "
+            "(null/deflate/zstandard/snappy)"
+        )
     sync = payload[pos : pos + 16]
     if len(sync) != 16:
         raise ValueError("Avro sync marker truncated")
@@ -217,6 +234,20 @@ def avro_container_records(
                 block = zlib.decompress(block, -15)
             except zlib.error as e:
                 raise ValueError(f"corrupt Avro deflate block: {e}") from e
+        elif codec == "zstandard":
+            block = zstd_decompress(block, MAX_BLOCK_BYTES, "Avro block")
+        elif codec == "snappy":
+            # spec: snappy-compressed data followed by the 4-byte
+            # big-endian CRC32 of the UNCOMPRESSED data (the integrity
+            # check snappy itself lacks)
+            if len(block) < 4:
+                raise ValueError("Avro snappy block too short for CRC")
+            want_crc = struct.unpack(">I", block[-4:])[0]
+            block = snappy_decompress(
+                block[:-4], MAX_BLOCK_BYTES, "Avro block"
+            )
+            if zlib.crc32(block) & 0xFFFFFFFF != want_crc:
+                raise ValueError("Avro snappy block CRC mismatch")
         at = 0
         for _ in range(n_recs):
             for name, typ in fields:
@@ -302,10 +333,12 @@ def synth_avro_bytes(doc_id: int) -> bytes:
     """Deterministic container for the closed-form oracle: doc_id%3+1
     records of schema Event(id long, kind string, score double, flag
     boolean, note null|string), split into blocks of at most 2 records,
-    deflate-coded on the odd half. Record i: id = doc_id*10+i, kind =
+    codec rotating by doc_id % 4: null / deflate / zstandard / snappy
+    (one record table under all four — the oracle hash certifies every
+    codec path including the snappy CRC). Record i: id = doc_id*10+i, kind =
     'k<i%2>', score = (doc_id*2+i)*0.5 (exactly representable), flag =
     i%2==0, note = null when i%3==0 else 'n<i>'."""
-    deflate = doc_id % 2 == 1
+    codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
     recs = []
     for i in range(doc_id % 3 + 1):
         body = bytearray()
@@ -324,7 +357,7 @@ def synth_avro_bytes(doc_id: int) -> bytes:
     out = bytearray(_MAGIC)
     meta = [
         (b"avro.schema", _SYNTH_SCHEMA),
-        (b"avro.codec", b"deflate" if deflate else b"null"),
+        (b"avro.codec", codec.encode()),
     ]
     out += zigzag_encode(len(meta))
     for k, v in meta:
@@ -335,9 +368,14 @@ def synth_avro_bytes(doc_id: int) -> bytes:
     for b0 in range(0, len(recs), 2):
         chunk = recs[b0 : b0 + 2]
         blob = b"".join(chunk)
-        if deflate:
+        if codec == "deflate":
             c = zlib.compressobj(9, zlib.DEFLATED, -15)
             blob = c.compress(blob) + c.flush()
+        elif codec == "zstandard":
+            blob = zstd_compress(blob)
+        elif codec == "snappy":
+            crc = struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF)
+            blob = snappy_compress(blob) + crc
         out += zigzag_encode(len(chunk))
         out += zigzag_encode(len(blob))
         out += blob

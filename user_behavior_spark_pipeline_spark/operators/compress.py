@@ -1,0 +1,151 @@
+"""Cap-guarded decompression shared by the byte-level walkers — one
+place for the zip-bomb posture (decompress INCREMENTALLY so the cap
+triggers before a hostile payload balloons in memory) and the
+quarantine contract (every corruption surfaces as ValueError, never
+zlib.error / OSError / a C++ abort).
+
+Codecs: gzip / bz2 / xz from the stdlib; **zstd** and **snappy** via
+pyarrow's first-party bindings (stdlib 3.11 has neither; pyarrow ships
+as Spark's own Arrow dependency, so this adds no new install). zstd
+decompresses through ``pa.CompressedInputStream`` in bounded chunks —
+the streaming API is what makes the cap enforceable mid-frame. snappy
+has no streaming decoder in pyarrow, but the raw snappy block format
+leads with a varint of the UNCOMPRESSED length — parsed here first and
+checked against the cap, so the one-shot decompress is already
+bomb-bounded before it runs.
+
+Reference parity note: no compression handling in the reference
+(SURVEY.md §2.1); training-data extension surface (§2.5) — modern
+corpora ship as ``.jsonl.zst`` / ``.tar.zst`` shards (zstd replaced
+gzip as the de-facto corpus codec) and Avro containers use
+snappy/zstandard codecs in the wild.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+#: zstd frame magic (little-endian 0xFD2FB528) — RFC 8878 §3.1.1.
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def zstd_decompress(data: bytes, cap: int, what: str = "payload") -> bytes:
+    """Decompress one zstd frame sequence, cap-guarded. Streaming reads
+    in 1 MiB chunks so a hostile high-ratio frame trips the cap instead
+    of materializing; corruption and truncation both surface as
+    pyarrow IO errors and map to ValueError (the quarantine contract)."""
+    import pyarrow as pa
+
+    chunks: list[bytes] = []
+    total = 0
+    overflow = False
+    try:
+        st = pa.CompressedInputStream(pa.BufferReader(data), "zstd")
+        while True:
+            chunk = st.read(1 << 20)
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > cap:
+                overflow = True
+                break
+            chunks.append(chunk)
+    except (OSError, ValueError) as e:
+        # ArrowIOError (corrupt/truncated frame) is OSError; ArrowInvalid
+        # is ValueError — both normalize with context
+        raise ValueError(f"corrupt zstd {what}: {e}") from None
+    if overflow:
+        raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
+    return b"".join(chunks)
+
+
+def _snappy_uncompressed_len(data: bytes, what: str) -> int:
+    """The raw snappy block format's leading varint = uncompressed
+    length (google/snappy format_description.txt) — the hook that makes
+    one-shot snappy bomb-boundable."""
+    shift = 0
+    acc = 0
+    for pos in range(min(len(data), 5)):
+        b = data[pos]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc
+        shift += 7
+    raise ValueError(f"corrupt snappy {what}: bad length preamble")
+
+
+def snappy_decompress(data: bytes, cap: int, what: str = "payload") -> bytes:
+    """Decompress one raw snappy block, cap-guarded via the format's own
+    length preamble BEFORE the one-shot decode runs."""
+    import pyarrow as pa
+
+    n = _snappy_uncompressed_len(data, what)
+    if n > cap:
+        raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
+    try:
+        return pa.Codec("snappy").decompress(
+            data, decompressed_size=n, asbytes=True
+        )
+    except (OSError, ValueError) as e:
+        raise ValueError(f"corrupt snappy {what}: {e}") from None
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """One zstd frame (fixture builders; pyarrow's default level)."""
+    import pyarrow as pa
+
+    return pa.Codec("zstd").compress(data, asbytes=True)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """One raw snappy block (fixture builders)."""
+    import pyarrow as pa
+
+    return pa.Codec("snappy").compress(data, asbytes=True)
+
+
+def decompress_transparent(
+    payload: bytes, cap: int, what: str = "payload"
+) -> bytes:
+    """Magic-sniffed transparent decompression: gzip / bz2 / xz / zstd
+    payloads inflate (incrementally, cap-guarded); anything else passes
+    through untouched. ValueError on corruption, truncation, or a
+    payload inflating past ``cap`` — the shared front door for the tar
+    shard walker and the ``.jsonl.{gz,zst}`` corpus readers."""
+    if payload[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)  # gzip or zlib wrapper
+        try:
+            payload = d.decompress(payload, cap + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip {what}: {e}") from e
+        if len(payload) > cap:
+            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
+        if not d.eof:
+            raise ValueError(f"truncated gzip {what}")
+    elif payload[:3] == b"BZh":
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        try:
+            payload = d.decompress(payload, cap + 1)
+        except OSError as e:
+            raise ValueError(f"corrupt bz2 {what}: {e}") from e
+        if len(payload) > cap:
+            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
+        if not d.eof:
+            raise ValueError(f"truncated bz2 {what}")
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        d = lzma.LZMADecompressor()
+        try:
+            payload = d.decompress(payload, cap + 1)
+        except lzma.LZMAError as e:
+            raise ValueError(f"corrupt xz {what}: {e}") from e
+        if len(payload) > cap:
+            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
+        if not d.eof:
+            raise ValueError(f"truncated xz {what}")
+    elif payload[:4] == ZSTD_MAGIC:
+        payload = zstd_decompress(payload, cap, what)
+    return payload

@@ -11,9 +11,15 @@ never crosses shard boundaries (keys are shard-local by construction, so
 with shard_id in the key the aggregation has no skew and AQE coalesces).
 The tar walk is pure 512-byte ustar header framing (name / octal size /
 typeflag / prefix, PAX 'path' records and GNU 'L' longnames for the
->100-char keys deep shard trees produce), gz/bz2/xz-transparent, and corruption
+>100-char keys deep shard trees produce), gz/bz2/xz/zstd-transparent
+(zstd — the ``.tar.zst`` shards modern corpora actually ship — via
+operators/compress.py's cap-guarded streaming decode), and corruption
 QUARANTINES (one ``parse_error`` row per bad shard, good prefix members
 kept) — the same walker contract as operators/warc.py.
+
+The same transparency front door serves the ``.jsonl.{gz,zst}`` corpus
+shard reader (jsonl_shard_lines): decompress + line-split in one Arrow
+pass, JSON parsing stays JVM-side (from_json) in the caller.
 
 Reference parity note: no counterpart in the reference (SURVEY.md §2.1);
 training-data extension surface (SURVEY.md §2.5).
@@ -23,6 +29,8 @@ from __future__ import annotations
 
 import zlib
 from collections.abc import Iterator
+
+from .compress import decompress_transparent, zstd_compress
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,47 +48,15 @@ MAX_SHARD_BYTES = 1 << 30
 
 
 def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
-    """Walk a (possibly gz/bz2/xz-compressed) ustar/tar payload,
+    """Walk a (possibly gz/bz2/xz/zstd-compressed) ustar/tar payload,
     yielding (member_name, bytes) for every regular file. A generator —
     a caller salvages every member before a corruption point. Raises
     ValueError at the corruption (bad magic, non-octal size, truncated
-    data). All three stdlib compressions are cap-guarded (zip-bomb
-    defense) and decompress incrementally so the cap triggers BEFORE a
-    hostile shard balloons in memory."""
-    if payload[:2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=47)  # gzip or zlib wrapper
-        try:
-            payload = d.decompress(payload, MAX_SHARD_BYTES + 1)
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip shard: {e}") from e
-        if len(payload) > MAX_SHARD_BYTES:
-            raise ValueError("shard inflates past cap (zip-bomb defense)")
-        if not d.eof:
-            raise ValueError("truncated gzip shard")
-    elif payload[:3] == b"BZh":
-        import bz2
-
-        d = bz2.BZ2Decompressor()
-        try:
-            payload = d.decompress(payload, MAX_SHARD_BYTES + 1)
-        except OSError as e:
-            raise ValueError(f"corrupt bz2 shard: {e}") from e
-        if len(payload) > MAX_SHARD_BYTES:
-            raise ValueError("shard inflates past cap (zip-bomb defense)")
-        if not d.eof:
-            raise ValueError("truncated bz2 shard")
-    elif payload[:6] == b"\xfd7zXZ\x00":
-        import lzma
-
-        d = lzma.LZMADecompressor()
-        try:
-            payload = d.decompress(payload, MAX_SHARD_BYTES + 1)
-        except lzma.LZMAError as e:
-            raise ValueError(f"corrupt xz shard: {e}") from e
-        if len(payload) > MAX_SHARD_BYTES:
-            raise ValueError("shard inflates past cap (zip-bomb defense)")
-        if not d.eof:
-            raise ValueError("truncated xz shard")
+    data). All four compressions are cap-guarded (zip-bomb defense) and
+    decompress incrementally so the cap triggers BEFORE a hostile shard
+    balloons in memory (operators/compress.py owns the codec dispatch —
+    zstd via pyarrow's streaming decoder, the rest stdlib)."""
+    payload = decompress_transparent(payload, MAX_SHARD_BYTES, "shard")
     pos = 0
     n = len(payload)
     pending_name: str | None = None  # from PAX 'path' or GNU 'L'
@@ -413,10 +389,10 @@ def synth_webdataset_bytes(doc_id: int, text: str) -> bytes:
     per-sample suffix), ``<doc_id>_<i>.cls`` (label = (doc_id+i) % 10)
     and ``<doc_id>_<i>.meta.json`` (a fixed-shape record; its
     double-barreled extension certifies the first-dot key split).
-    Compression rotates by doc_id % 4: gzip / plain / bz2 / xz — the
-    member table is identical under all four, so the one oracle hash
-    certifies every transparency path. Closed form mirrored by the
-    oracle."""
+    Compression rotates by doc_id % 5: gzip / plain / bz2 / xz / zstd
+    (the ``.tar.zst`` family modern corpora ship) — the member table is
+    identical under all five, so the one oracle hash certifies every
+    transparency path. Closed form mirrored by the oracle."""
     n = doc_id % 3 + 1
     out = bytearray()
     for i in range(n):
@@ -435,7 +411,7 @@ def synth_webdataset_bytes(doc_id: int, text: str) -> bytes:
             out += bytes((512 - len(data) % 512) % 512)
     out += bytes(1024)  # end-of-archive
     raw = bytes(out)
-    k = doc_id % 4
+    k = doc_id % 5
     if k == 0:
         co = zlib.compressobj(9, zlib.DEFLATED, 31)
         raw = co.compress(raw) + co.flush()
@@ -447,6 +423,8 @@ def synth_webdataset_bytes(doc_id: int, text: str) -> bytes:
         import lzma
 
         raw = lzma.compress(raw)
+    elif k == 4:
+        raw = zstd_compress(raw)
     return raw
 
 
@@ -460,6 +438,121 @@ def synth_webdataset_shards(documents: DataFrame) -> DataFrame:
         return pd.Series(
             [
                 synth_webdataset_bytes(int(d), str(t))
+                for d, t in zip(doc_id, text)
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("shard_id"),
+        _build("doc_id", "text").alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# .jsonl.{zst,gz} corpus shards — the TEXT-corpus sibling of tar shards
+# (RedPajama/Dolma/FineWeb ship exactly this layout: one compressed
+# JSON-lines file per shard, zstd having replaced gzip as the corpus
+# codec)
+# ---------------------------------------------------------------------------
+
+JSONL_LINE_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType(), False),
+        StructField("line_idx", LongType(), True),
+        StructField("line", StringType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def jsonl_shard_lines(shards: DataFrame) -> DataFrame:
+    """Explode (shard_id, payload) compressed-JSONL shards into one row
+    per non-empty line: (shard_id, line_idx, line). The Arrow pass owns
+    ONLY what the JVM can't — transparent gz/zstd/bz2/xz decompression
+    (cap-guarded, operators/compress.py) and the UTF-8 decode; JSON
+    parsing stays JVM-side via from_json in the caller, so schema
+    projection and predicate pushdown over the parsed fields run in
+    codegen. Corruption (bad frame, cap overrun, invalid UTF-8)
+    quarantines as ONE parse_error row per shard — the walker
+    contract."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for shard_id, payload in zip(batch["shard_id"], batch["payload"]):
+                sid = int(shard_id)
+                err = None
+                try:
+                    raw = decompress_transparent(
+                        bytes(payload), MAX_SHARD_BYTES, "jsonl shard"
+                    )
+                    try:
+                        text = raw.decode("utf-8")
+                    except UnicodeDecodeError as e:
+                        raise ValueError(
+                            f"jsonl shard is not UTF-8: {e}"
+                        ) from None
+                    count = 0
+                    for idx, line in enumerate(text.split("\n")):
+                        if not line.strip():
+                            continue
+                        rows.append((sid, idx, line, None))
+                        count += 1
+                    if count == 0:
+                        err = "no lines in jsonl shard"
+                except ValueError as e:
+                    err = str(e)
+                if err is not None:
+                    rows.append((sid, None, None, err))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JSONL_LINE_SCHEMA.fields]
+            )
+
+    return shards.select("shard_id", "payload").mapInPandas(
+        _walk, JSONL_LINE_SCHEMA
+    )
+
+
+def synth_jsonl_shard_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic JSONL shard: doc_id%3+1 records
+    ``{"doc": <doc_id>, "i": <i>, "text": "<text> #<i>"}`` one per
+    line; compression rotates by doc_id % 3: plain / gzip / zstd — the
+    record table is identical under all three, so one oracle hash
+    certifies the transparency paths AND the JSON escape round-trip
+    (non-ASCII text rides through ensure_ascii=False). Closed form
+    mirrored by the oracle."""
+    import json
+
+    lines = [
+        json.dumps(
+            {"doc": doc_id, "i": i, "text": f"{text} #{i}"},
+            ensure_ascii=False,
+        )
+        for i in range(doc_id % 3 + 1)
+    ]
+    raw = ("\n".join(lines) + "\n").encode("utf-8")
+    k = doc_id % 3
+    if k == 1:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        raw = co.compress(raw) + co.flush()
+    elif k == 2:
+        raw = zstd_compress(raw)
+    return raw
+
+
+def synth_jsonl_shards(documents: DataFrame) -> DataFrame:
+    """(shard_id, payload) of deterministic compressed-JSONL shards."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_jsonl_shard_bytes(int(d), str(t))
                 for d, t in zip(doc_id, text)
             ]
         )

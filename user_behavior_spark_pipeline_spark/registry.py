@@ -3813,6 +3813,52 @@ def x_webdataset_samples(spark, sf_dir):
     )
 
 
+_JSONL_SQL = (
+    # closed form from webdataset.synth_jsonl_shard_bytes: doc_id%3+1
+    # JSON records per shard, compression rotating plain/gzip/zstd by
+    # doc_id%3 — the record table is codec-invariant, so one hash
+    # certifies zstd transparency (the .jsonl.zst corpus layout), the
+    # cap-guarded decode AND the JSON escape round-trip of non-ASCII
+    # document text
+    "SELECT doc_id AS shard_id, CAST(u.i AS BIGINT) AS line_idx, "
+    "doc_id AS doc, CAST(u.i AS BIGINT) AS i, "
+    "text || ' #' || u.i AS rec_text "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)"
+)
+
+
+@query("x_jsonl_shards", oracle=_JSONL_SQL)
+def x_jsonl_shards(spark, sf_dir):
+    """Compressed-JSONL corpus ingest (r12) — the text-corpus shard
+    layout modern pretraining sets actually ship (RedPajama / Dolma /
+    FineWeb: one ``.jsonl.zst`` per shard; zstd replaced gzip as the
+    corpus codec). The Arrow pass owns only decompression + line split
+    (webdataset.jsonl_shard_lines, cap-guarded via
+    operators/compress.py); JSON field extraction runs JVM-side with
+    from_json so projection/pushdown over parsed fields stay in
+    codegen. Fixture rotates plain/gzip/zstd by doc_id%3 under one
+    codec-invariant closed form."""
+    from pyspark.sql import functions as F
+
+    from .operators.webdataset import (
+        jsonl_shard_lines,
+        synth_jsonl_shards,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    lines = jsonl_shard_lines(synth_jsonl_shards(docs))
+    parsed = lines.filter(F.col("parse_error").isNull()).withColumn(
+        "j", F.from_json("line", "doc bigint, i bigint, text string")
+    )
+    return parsed.select(
+        "shard_id",
+        "line_idx",
+        F.col("j.doc").alias("doc"),
+        F.col("j.i").alias("i"),
+        F.col("j.text").alias("rec_text"),
+    )
+
+
 _PDF_TEXT_SQL = (
     # closed form from pdf.synth_pdf_bytes: page 1 shows 'doc <id>' as
     # a literal string, page 2 the document text as a BOM'd UTF-16BE
