@@ -21,8 +21,13 @@ structurally-valid flatbuffer can throw std::length_error in Arrow's
 C++ which escapes the binding and ABORTS the worker process — and the
 IPC format carries no integrity checksums to detect it first. Feed
 this walker from checksummed storage (parquet landing files, as the
-streaming sources here do) or decode genuinely untrusted buffers in a
-sacrificial subprocess.
+streaming sources here do) — or pass ``decode_untrusted=True`` to
+``arrow_ipc_records``: each buffer then parses inside a SACRIFICIAL
+SUBPROCESS (one long-lived child per task, respawned on death), so an
+Arrow C++ abort becomes one parse_error row instead of a dead
+executor — the walker-quarantine contract finally holds for this
+format too. The guarded path costs a JSON hop per buffer; it is the
+untrusted-perimeter lane, not the default.
 
 Reference parity note: the reference pipeline has no Arrow path
 (SURVEY.md §2.1); training-data extension surface (§2.5).
@@ -123,25 +128,182 @@ def arrow_ipc_rows(payload: bytes) -> Iterator[tuple[int, str, str, str | None]]
             rec_idx += 1
 
 
-def arrow_ipc_records(media: DataFrame) -> DataFrame:
+#: Child source for the sacrificial decoder: a length-framed
+#: stdin/stdout loop around arrow_ipc_rows. Plain -c source (no pickle,
+#: no temp files); the repo root rides in argv so the child imports the
+#: same module tree the executor runs.
+_CHILD_SRC = """\
+import json, struct, sys
+sys.path.insert(0, sys.argv[1])
+from user_behavior_spark_pipeline_spark.operators.arrow_ipc import (
+    arrow_ipc_rows,
+)
+inp, out = sys.stdin.buffer, sys.stdout.buffer
+while True:
+    hdr = inp.read(8)
+    if len(hdr) < 8:
+        break
+    n = struct.unpack("<q", hdr)[0]
+    data = inp.read(n)
+    if len(data) < n:
+        break
+    try:
+        resp = json.dumps({"rows": list(arrow_ipc_rows(data))})
+    except (ValueError, NotImplementedError) as e:
+        resp = json.dumps({"err": str(e)})
+    blob = resp.encode()
+    out.write(struct.pack("<q", len(blob)))
+    out.write(blob)
+    out.flush()
+"""
+
+#: What a contained worker death quarantines as — a FIXED string so
+#: downstream gates (and closed-form oracles) can key on it without
+#: depending on which C++ error aborted the child.
+ABORT_QUARANTINE = "Arrow IPC decode aborted the sacrificial worker (contained)"
+TIMEOUT_QUARANTINE = "Arrow IPC decode timed out in the sacrificial worker"
+
+
+class SacrificialDecoder:
+    """Parse Arrow IPC buffers in a short-lived child process so a C++
+    abort (std::length_error from a bit-flipped flatbuffer — see module
+    docstring) kills the CHILD, not the Spark python worker. One child
+    serves many buffers (spawn cost amortizes); it is respawned after a
+    death, so one poisoned buffer quarantines alone and its neighbors
+    still decode."""
+
+    def __init__(self, timeout_s: float = 30.0) -> None:
+        self._proc = None
+        self._timeout_s = timeout_s
+
+    def _spawn(self) -> None:
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        self._proc = subprocess.Popen(
+            [sys.executable, "-c", _CHILD_SRC, root],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def _kill(self) -> None:
+        if self._proc is not None:
+            try:
+                self._proc.kill()
+                self._proc.wait(timeout=5)
+            except Exception:
+                pass
+            self._proc = None
+
+    def _read_exact(self, n: int) -> bytes | None:
+        """Read n bytes from the child with a deadline — an adversarial
+        buffer that WEDGES the parser (rather than aborting it) must
+        also quarantine, not hang the task."""
+        import select
+        import time
+
+        out = b""
+        deadline = time.monotonic() + self._timeout_s
+        fd = self._proc.stdout.fileno()
+        import os as _os
+
+        while len(out) < n:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                return None
+            ready, _, _ = select.select([fd], [], [], min(left, 1.0))
+            if not ready:
+                continue
+            chunk = _os.read(fd, n - len(out))
+            if not chunk:  # EOF: child died
+                return None
+            out += chunk
+        return out
+
+    def decode(
+        self, payload: bytes
+    ) -> tuple[list[tuple] | None, str | None]:
+        """One buffer -> (rows, None) | (None, parse_error). Never
+        raises; never lets a child death escape."""
+        import json
+        import struct
+
+        if self._proc is None or self._proc.poll() is not None:
+            self._spawn()
+        try:
+            self._proc.stdin.write(struct.pack("<q", len(payload)))
+            self._proc.stdin.write(payload)
+            self._proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            self._kill()
+            return None, ABORT_QUARANTINE
+        hdr = self._read_exact(8)
+        if hdr is None:
+            died = self._proc.poll() is not None
+            self._kill()
+            return None, (
+                ABORT_QUARANTINE if died else TIMEOUT_QUARANTINE
+            )
+        body = self._read_exact(struct.unpack("<q", hdr)[0])
+        if body is None:
+            self._kill()
+            return None, ABORT_QUARANTINE
+        resp = json.loads(body)
+        if "err" in resp:
+            return None, resp["err"]
+        return [tuple(r) for r in resp["rows"]], None
+
+    def close(self) -> None:
+        self._kill()
+
+
+def arrow_ipc_records(
+    media: DataFrame, decode_untrusted: bool = False
+) -> DataFrame:
     """(media_id, payload) -> the generic long format; corrupt buffers
-    quarantine as ONE parse_error row."""
+    quarantine as ONE parse_error row. ``decode_untrusted=True`` routes
+    every parse through :class:`SacrificialDecoder` so even an Arrow
+    C++ abort quarantines instead of killing the task — required when
+    the buffers do not come from checksummed storage."""
 
     def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        for batch in batches:
-            rows = []
-            for media_id, payload in zip(batch["media_id"], batch["payload"]):
-                mid = int(media_id)
-                try:
-                    for ri, fld, t, v in arrow_ipc_rows(bytes(payload)):
-                        rows.append((mid, ri, fld, t, v, None))
-                except ValueError as e:
-                    rows.append((mid, None, None, None, None, str(e)))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in ARROW_RECORDS_SCHEMA.fields]
-            )
+        decoder = SacrificialDecoder() if decode_untrusted else None
+        try:
+            for batch in batches:
+                rows = []
+                for media_id, payload in zip(
+                    batch["media_id"], batch["payload"]
+                ):
+                    mid = int(media_id)
+                    if decoder is not None:
+                        got, err = decoder.decode(bytes(payload))
+                        if err is not None:
+                            rows.append((mid, None, None, None, None, err))
+                        else:
+                            rows.extend(
+                                (mid, ri, fld, t, v, None)
+                                for ri, fld, t, v in got
+                            )
+                        continue
+                    try:
+                        for ri, fld, t, v in arrow_ipc_rows(bytes(payload)):
+                            rows.append((mid, ri, fld, t, v, None))
+                    except ValueError as e:
+                        rows.append((mid, None, None, None, None, str(e)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in ARROW_RECORDS_SCHEMA.fields],
+                )
+        finally:
+            if decoder is not None:
+                decoder.close()
 
     return media.select("media_id", "payload").mapInPandas(
         _walk, ARROW_RECORDS_SCHEMA

@@ -4001,6 +4001,87 @@ def x_arrow_records(spark, sf_dir):
     ).drop("parse_error")
 
 
+_ARROW_UNTRUSTED_SQL = (
+    # the Avro/Arrow closed form for the surviving docs + one
+    # 'quarantined' row per corrupted doc (doc_id%7==0: head AND tail
+    # smashed, so BOTH IPC framings fail deterministically) — the hash
+    # certifies that the sacrificial-subprocess path decodes valid
+    # buffers byte-identically to the trusted path and quarantines
+    # every poisoned one without killing the task
+    "WITH r AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i) "
+    "WHERE doc_id % 7 <> 0), "
+    "f AS ("
+    "SELECT doc_id, i, 'id' AS field, 'long' AS value_type, "
+    "CAST(doc_id * 10 + i AS VARCHAR) AS value FROM r "
+    "UNION ALL SELECT doc_id, i, 'kind', 'string', 'k' || (i % 2) FROM r "
+    "UNION ALL SELECT doc_id, i, 'score', 'double', "
+    "CAST(CAST((doc_id * 2 + i) * 0.5 AS DOUBLE) AS VARCHAR) FROM r "
+    "UNION ALL SELECT doc_id, i, 'flag', 'boolean', "
+    "CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END FROM r "
+    "UNION ALL SELECT doc_id, i, 'note', "
+    "CASE WHEN i % 3 = 0 THEN 'null' ELSE 'string' END, "
+    "CASE WHEN i % 3 = 0 THEN NULL ELSE 'n' || i END FROM r) "
+    "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value, "
+    "'ok' AS status FROM f "
+    "UNION ALL SELECT doc_id AS media_id, CAST(NULL AS BIGINT), "
+    "NULL, NULL, NULL, 'quarantined' FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+@query("x_arrow_untrusted", oracle=_ARROW_UNTRUSTED_SQL)
+def x_arrow_untrusted(spark, sf_dir):
+    """Untrusted Arrow IPC ingestion (r12 — VERDICT r11 #3): the
+    guarded lane for buffers NOT from checksummed storage. Every
+    buffer parses inside a sacrificial subprocess
+    (arrow_ipc.SacrificialDecoder — one long-lived child per task,
+    respawned on death, deadline-guarded), so the pyarrow C++ abort a
+    bit-flipped flatbuffer can cause becomes one parse_error row
+    instead of a dead executor; pytest certifies real reproduced
+    aborts contain (tests/test_arrow_ipc.py). Fixture: the Avro-twin
+    buffers with every 7th doc's framing smashed head+tail (both IPC
+    formats fail deterministically); valid docs must hash-match the
+    trusted path's closed form, poisoned docs quarantine id-for-id."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .operators.arrow_ipc import arrow_ipc_records, synth_arrow_bytes
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            raw = synth_arrow_bytes(d)
+            if d % 7 == 0:
+                b = bytearray(raw)
+                b[8:16] = b"\xff" * 8
+                b[-16:] = b"\xff" * 16
+                raw = bytes(b)
+            out.append(raw)
+        return pd.Series(out)
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    docs = _table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+    recs = arrow_ipc_records(media, decode_untrusted=True)
+    return recs.select(
+        "media_id",
+        "rec_idx",
+        "field",
+        "value_type",
+        "value",
+        F.when(F.col("parse_error").isNotNull(), F.lit("quarantined"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 @query("x_stream_avro", oracle=_AVRO_SQL)
 def x_stream_avro(spark, sf_dir):
     """Streaming Avro ingestion (r11): containers land as parquet
@@ -5892,7 +5973,10 @@ def x_multimodal_sniff(spark, sf_dir):
             elif k == 6:
                 out.append(synth_mp4_bytes(d, 2))
             elif k == 7:
-                out.append(synth_webdataset_bytes(12 * d + 1, "x"))
+                # plain tar shard: 15d+1 ≡ 1 (mod 5) -> plain under
+                # the gzip/plain/bz2/xz/zstd rotation, ≡ 1 (mod 3) ->
+                # 2 samples = 6 members
+                out.append(synth_webdataset_bytes(15 * d + 1, "x"))
             elif k == 8:
                 out.append(
                     gif_encode_indexed(
@@ -5924,8 +6008,10 @@ def x_multimodal_sniff(spark, sf_dir):
                 out.append(synth_mkv_bytes(d))
             else:
                 # xz-compressed tar shard: sniffs as 'xz'; the tar
-                # walker is transparent to it (4d+3 % 4 == 3 -> xz)
-                out.append(synth_webdataset_bytes(4 * d + 3, "x"))
+                # walker is transparent to it (10d+3 ≡ 3 (mod 5) -> xz
+                # under the five-way rotation; ≡ d (mod 3) keeps the
+                # member count keyed on doc_id)
+                out.append(synth_webdataset_bytes(10 * d + 3, "x"))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
@@ -6035,7 +6121,10 @@ def x_corpus_mixed_ingest(spark, sf_dir):
             elif k == 6:
                 out.append(synth_mp4_bytes(d, 2))
             elif k == 7:
-                out.append(synth_webdataset_bytes(12 * d + 1, "x"))
+                # plain tar shard: 15d+1 ≡ 1 (mod 5) -> plain under
+                # the gzip/plain/bz2/xz/zstd rotation, ≡ 1 (mod 3) ->
+                # 2 samples = 6 members
+                out.append(synth_webdataset_bytes(15 * d + 1, "x"))
             elif k == 8:
                 out.append(
                     gif_encode_indexed(
@@ -6067,8 +6156,10 @@ def x_corpus_mixed_ingest(spark, sf_dir):
                 out.append(synth_mkv_bytes(d))
             else:
                 # xz-compressed tar shard: sniffs as 'xz'; the tar
-                # walker is transparent to it (4d+3 % 4 == 3 -> xz)
-                out.append(synth_webdataset_bytes(4 * d + 3, "x"))
+                # walker is transparent to it (10d+3 ≡ 3 (mod 5) -> xz
+                # under the five-way rotation; ≡ d (mod 3) keeps the
+                # member count keyed on doc_id)
+                out.append(synth_webdataset_bytes(10 * d + 3, "x"))
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
