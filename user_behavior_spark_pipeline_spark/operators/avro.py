@@ -13,8 +13,8 @@ zstd/snappy decode through pyarrow's first-party bindings, cap-guarded
 (operators/compress.py). Multi-block files are walked block by block
 with the 16-byte sync marker VERIFIED between blocks, so a torn or
 spliced file cannot silently misalign. Nested records/arrays/maps/
-enums/fixed reject loudly (ValueError -> quarantine): the record
-decode itself is pure stdlib by design.
+arrays/maps/enums/fixed reject loudly (ValueError -> quarantine):
+the record decode itself is pure stdlib by design.
 
 Output is the generic long format — one row per (record, field) with
 the value rendered as a canonical string (decimal ints, repr floats,
@@ -117,13 +117,22 @@ def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
 
 def _parse_schema(raw: bytes) -> list[tuple[str, object]]:
     """Writer schema -> [(field_name, type)] where type is a primitive
-    name or ('union_null', prim) for ["null", prim] (either order)."""
+    name, ('union_null', prim_branch_idx, prim) for ["null", prim]
+    (either order), or ('record', subfields) for a nested record —
+    recursion depth-capped so a hostile schema cannot stack-overflow
+    the worker."""
     try:
         sch = json.loads(raw.decode("utf-8"))
     except (UnicodeDecodeError, json.JSONDecodeError) as e:
         raise ValueError(f"bad Avro schema JSON: {e}") from None
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise ValueError("Avro schema is not a record (out of scope)")
+    return _parse_fields(sch, depth=0)
+
+
+def _parse_fields(sch: dict, depth: int) -> list[tuple[str, object]]:
+    if depth > 16:
+        raise ValueError("Avro schema nests deeper than 16 (out of scope)")
     fields = sch.get("fields")
     if not isinstance(fields, list) or not fields:
         raise ValueError("Avro record schema has no fields")
@@ -134,6 +143,8 @@ def _parse_schema(raw: bytes) -> list[tuple[str, object]]:
             raise ValueError("Avro field without a name")
         if isinstance(typ, str) and typ in _PRIMITIVES:
             out.append((name, typ))
+        elif isinstance(typ, dict) and typ.get("type") == "record":
+            out.append((name, ("record", _parse_fields(typ, depth + 1))))
         elif (
             isinstance(typ, list)
             and len(typ) == 2
@@ -145,7 +156,7 @@ def _parse_schema(raw: bytes) -> list[tuple[str, object]]:
         else:
             raise ValueError(
                 f"Avro field {name!r} type {typ!r} out of scope "
-                "(primitives and [null, prim] unions only)"
+                "(primitives, [null, prim] unions and nested records only)"
             )
     return out
 
@@ -181,6 +192,38 @@ def _decode_value(
     if typ == "null":
         return None, pos
     raise ValueError(f"Avro type {typ} unsupported")
+
+
+def _decode_record(
+    fields: list[tuple[str, object]],
+    data: bytes,
+    at: int,
+    prefix: str,
+    out: list[tuple[str, str, str | None]],
+) -> int:
+    """Decode one record body (Avro binary nests by pure concatenation —
+    no tags), flattening nested records to dotted field names. Returns
+    the next read position."""
+    for name, typ in fields:
+        q = prefix + name
+        if isinstance(typ, tuple) and typ[0] == "record":
+            at = _decode_record(typ[1], data, at, q + ".", out)
+        elif isinstance(typ, tuple):  # ("union_null", prim_branch, prim)
+            branch, at = zigzag_decode(data, at)
+            _tag, prim_at, prim = typ
+            if branch == prim_at:
+                v, at = _decode_value(data, at, prim)
+                out.append((q, prim, v))
+            elif branch == 1 - prim_at:
+                out.append((q, "null", None))
+            else:
+                raise ValueError(
+                    f"Avro union branch {branch} out of range"
+                )
+        else:
+            v, at = _decode_value(data, at, typ)
+            out.append((q, typ, v))
+    return at
 
 
 def avro_container_records(
@@ -250,22 +293,9 @@ def avro_container_records(
                 raise ValueError("Avro snappy block CRC mismatch")
         at = 0
         for _ in range(n_recs):
-            for name, typ in fields:
-                if isinstance(typ, tuple):  # ("union_null", null_at, prim)
-                    branch, at = zigzag_decode(block, at)
-                    _tag, prim_at, prim = typ
-                    if branch == prim_at:
-                        v, at = _decode_value(block, at, prim)
-                        t = prim
-                    elif branch == 1 - prim_at:
-                        v, t = None, "null"
-                    else:
-                        raise ValueError(
-                            f"Avro union branch {branch} out of range"
-                        )
-                else:
-                    v, at = _decode_value(block, at, typ)
-                    t = typ
+            cells: list[tuple[str, str, str | None]] = []
+            at = _decode_record(fields, block, at, "", cells)
+            for name, t, v in cells:
                 yield rec_idx, name, t, v
             rec_idx += 1
         if at != len(block):
@@ -354,9 +384,24 @@ def synth_avro_bytes(doc_id: int) -> bytes:
             body += zigzag_encode(1) + zigzag_encode(len(note)) + note
         recs.append(bytes(body))
     sync = bytes((doc_id * 7 + k * 13) % 256 for k in range(16))
+    return build_avro_container(_SYNTH_SCHEMA, recs, sync, codec)
+
+
+def build_avro_container(
+    schema: bytes,
+    recs: list[bytes],
+    sync: bytes,
+    codec: str = "null",
+    block_records: int = 2,
+) -> bytes:
+    """Assemble a spec-correct object container from pre-encoded record
+    bodies: metadata map (avro.schema + avro.codec), 16-byte sync
+    marker, records split into blocks of ``block_records`` with the
+    codec applied per block. The shared framing path for the synth
+    fixture AND the Iceberg manifest builders (operators/iceberg.py)."""
     out = bytearray(_MAGIC)
     meta = [
-        (b"avro.schema", _SYNTH_SCHEMA),
+        (b"avro.schema", schema),
         (b"avro.codec", codec.encode()),
     ]
     out += zigzag_encode(len(meta))
@@ -365,8 +410,8 @@ def synth_avro_bytes(doc_id: int) -> bytes:
         out += zigzag_encode(len(v)) + v
     out += zigzag_encode(0)
     out += sync
-    for b0 in range(0, len(recs), 2):
-        chunk = recs[b0 : b0 + 2]
+    for b0 in range(0, len(recs), block_records):
+        chunk = recs[b0 : b0 + block_records]
         blob = b"".join(chunk)
         if codec == "deflate":
             c = zlib.compressobj(9, zlib.DEFLATED, -15)

@@ -1728,6 +1728,55 @@ def x_delta_live_files(spark, sf_dir):
     return delta_live_files(synth_delta_logs(docs))
 
 
+_ICEBERG_SQL = (
+    # closed form from iceberg.synth_iceberg_rows/_file_numbers: the
+    # current snapshot (V = doc%3+1) leaves part-j-0 (j=0..V) and
+    # part-V-1 live; record_count = doc + j*3 + sub + 5, size =
+    # (doc%97 + j*2 + sub)*16 + 64. The oracle states the FINAL state,
+    # so snapshot selection via current-snapshot-id, the manifest-list
+    # indirection, EXISTING carry-forward and DELETED filtering (the
+    # rewrite of part-(k-1)-1 every snapshot) all have to be right for
+    # the hash — across all four container codecs
+    "WITH live AS ("
+    "SELECT doc_id, 'part-' || u.j || '-0' AS file_path, "
+    "doc_id + u.j * 3 + 5 AS record_count, "
+    "(doc_id % 97 + u.j * 2) * 16 + 64 AS file_size "
+    "FROM documents, UNNEST(range(doc_id % 3 + 2)) AS u(j) "
+    "UNION ALL "
+    "SELECT doc_id, 'part-' || (doc_id % 3 + 1) || '-1', "
+    "doc_id + (doc_id % 3 + 1) * 3 + 6, "
+    "(doc_id % 97 + (doc_id % 3 + 1) * 2 + 1) * 16 + 64 "
+    "FROM documents) "
+    "SELECT doc_id AS table_id, file_path, "
+    "CAST(record_count AS BIGINT) AS record_count, "
+    "CAST(file_size AS BIGINT) AS file_size_in_bytes FROM live"
+)
+
+
+@query("x_iceberg_live_files", oracle=_ICEBERG_SQL)
+def x_iceberg_live_files(spark, sf_dir):
+    """Iceberg-style manifest replay (r12 — VERDICT r11 #4): the
+    second lakehouse metadata topology after x_delta_live_files.
+    Table metadata JSON (from_json, JVM-side) names the current
+    snapshot; its manifest LIST (Avro) names the manifests (Avro,
+    nested data_file records flattened to dotted fields by the
+    operators/avro.py walker); live files = reachable entries with
+    status != DELETED. Fixture: doc%3+1 snapshots of adds + rewrites
+    (every snapshot deletes its predecessor's -1 file), manifest codec
+    rotating null/deflate/zstandard/snappy. O(manifest entries), never
+    O(data) — metadata-only joins and one pivot aggregation."""
+    from .operators.iceberg import (
+        iceberg_live_files,
+        synth_iceberg_manifests,
+        synth_iceberg_metadata,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return iceberg_live_files(
+        synth_iceberg_metadata(docs), synth_iceberg_manifests(docs)
+    )
+
+
 _CURATE_CRAWL_SQL = (
     # end-to-end closed form: the WARC builder's page VISIBLE text is
     # exactly 'doc <id> ' || text (x_warc_text's certified closed
