@@ -364,3 +364,86 @@ def test_snapshot_diff_null_text_and_all_states(spark):
         6: "changed",
         7: "changed",
     }
+
+
+# ---------------------------------------------------------------------------
+# BPE token accounting (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_token_count_known_words(spark):
+    """Hand-derived counts under the shipped merge table: multi-step
+    chains (t+h -> th+e; i+n -> in+g) must apply in rank order."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("the",), ("thing",), ("and",), ("x",), ("",), ("rethe",)],
+        "text string",
+    )
+    got = dict(
+        df.select(
+            "text", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    )
+    # the: t h e -> th e -> the            = 1
+    # thing: t h i n g -> th in g -> th ing = 2  (th+i never merges)
+    # and: a n d -> an d -> and            = 1
+    # x: 1; empty: 0
+    # rethe: r e t h e -> re th e -> re the = 2
+    assert got == {"the": 1, "thing": 2, "and": 1, "x": 1, "": 0,
+                   "rethe": 2}
+
+
+def test_bpe_merge_order_is_load_bearing(spark):
+    """Reversing the merge table changes counts on chain words — the
+    property that makes the generated oracle a real certification of
+    rank order, not just of character coverage."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        BPE_MERGES,
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame([("the thing",)], "text string")
+    fwd, rev = df.select(
+        bpe_token_count(F.col("text")).alias("a"),
+        bpe_token_count(
+            F.col("text"), tuple(reversed(BPE_MERGES))
+        ).alias("b"),
+    ).collect()[0]
+    # fwd: the(1) + space(1) + th ing(2) = 4; reversed loses the
+    # th+e / in+g chains (their prerequisites apply too late)
+    assert fwd == 4
+    assert rev > fwd
+
+
+def test_pack_spans_bpe_drops_zero_token_docs(spark):
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        bpe_token_count,
+        pack_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "the and"), (2, "s1", ""), (3, "s1", "ou st")],
+        "doc_id long, source string, text string",
+    )
+    rows = pack_spans(
+        docs, 4, "source", token_count=bpe_token_count(F.col("text"))
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # zero tokens -> no span rows
+    # doc1: the(1) space(1) and(1) = 3 tokens -> pack 0, not split
+    (r1,) = by_doc[1]
+    assert (r1.pack_id, r1.n_tok, r1.is_split) == (0, 3, False)
+    # doc3: ou(1) space(1) st(1) = 3 tokens at offset 3 -> packs 0+1
+    assert {(r.pack_id, r.n_tok) for r in by_doc[3]} == {(0, 1), (1, 2)}
+    assert all(r.is_split for r in by_doc[3])

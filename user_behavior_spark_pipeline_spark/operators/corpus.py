@@ -1,6 +1,6 @@
 """Corpus-preparation operators a training-data pipeline needs between
 curation and the trainer: benchmark-contamination detection, document
-chunking, and GPT-style sequence packing.
+chunking, GPT-style sequence packing, and BPE token accounting.
 
 These extend the reference's query surface (it stops at event analytics —
 README.md:588-817) with the ops that turn a deduplicated corpus into model
@@ -167,8 +167,68 @@ def chunk_documents(
     )
 
 
+#: Deterministic merge ranks for the scan-side BPE tokenizer — a
+#: broadcast vocabulary in the truest sense: the merges are LITERALS in
+#: the plan, shipped inside the serialized expressions, no join, no UDF.
+#: Multi-step chains (t+h -> th+e, i+n -> in+g) make rank ORDER
+#: load-bearing: applying the list out of order produces different
+#: token counts, which the oracle hash would catch.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("in", "g"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "u"),
+    ("r", "e"),
+    ("o", "n"),
+    ("s", "t"),
+    ("a", "t"),
+)
+
+#: symbol terminator for the BPE stream (U+001F unit separator) — every
+#: symbol is FOLLOWED by it, so "count tokens" is two length() calls.
+BPE_SEP = "\u001f"
+
+
+def bpe_symbol_stream(col, merges: tuple[tuple[str, str], ...] = BPE_MERGES):
+    """The document as a BPE symbol stream: every character becomes a
+    ``<char><US>`` symbol, then each merge (a, b) rewrites
+    ``a<US>b<US> -> ab<US>`` with a plain left-to-right non-overlapping
+    replace — the classic merge-table representation, applied in rank
+    order, one pass per rank (the deterministic inference-time variant;
+    a full priority-queue BPE re-scans for lower ranks after each
+    merge — documented simplification, identical on the common case
+    and exactly mirrored by the DuckDB twin).
+
+    Entirely codegen: one regexp_replace + |merges| literal replaces,
+    zero Python, zero shuffles — the 100 TB tokenize-while-you-scan
+    shape. Both engines' replace() scans left-to-right non-overlapping,
+    so the twin is semantic, not approximate."""
+    s = F.regexp_replace(col, r"([\s\S])", "$1" + BPE_SEP)
+    for a, b in merges:
+        s = F.replace(
+            s, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)
+        )
+    return s
+
+
+def bpe_token_count(col, merges: tuple[tuple[str, str], ...] = BPE_MERGES):
+    """Exact BPE token count = number of symbol terminators left in the
+    merged stream (length difference, no split/array materialization)."""
+    s = bpe_symbol_stream(col, merges)
+    return (
+        F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))
+    ).cast("long")
+
+
 def pack_spans(
-    documents: DataFrame, window_tokens: int = 128, shard_col: str = "source"
+    documents: DataFrame,
+    window_tokens: int = 128,
+    shard_col: str = "source",
+    token_count=None,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate each shard's documents in
     doc_id order and split the token stream into fixed ``window_tokens``
@@ -184,8 +244,19 @@ def pack_spans(
 
     Columns: shard, doc_id, pack_id, n_tok (tokens of this doc in this
     pack), is_split.
+
+    ``token_count``: an optional Column giving each document's token
+    count — pass :func:`bpe_token_count` for tokenizer-aware packing
+    (x_corpus_pack_bpe); default is whitespace words. Zero-token docs
+    are dropped AFTER the cumulative offset (they contribute nothing to
+    any pack and an empty pack range would otherwise emit a descending
+    sequence).
     """
-    n_tok = F.size(F.split(F.col("text"), "\\s+")).cast("long")
+    n_tok = (
+        token_count
+        if token_count is not None
+        else F.size(F.split(F.col("text"), "\\s+")).cast("long")
+    )
     # NULL text contributes no tokens to any pack — excluded explicitly
     # (null-size semantics are config-dependent; see chunk_documents)
     documents = documents.filter(F.col("text").isNotNull())
@@ -203,6 +274,7 @@ def pack_spans(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ) - F.col("n")).alias("s"),
     )
+    spans = spans.filter(F.col("n") > 0)
     e = F.col("s") + F.col("n")
     W = F.lit(window_tokens)
     packs = F.sequence(

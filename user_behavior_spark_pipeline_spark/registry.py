@@ -7778,6 +7778,62 @@ def x_corpus_pack(spark, sf_dir):
     return pack_spans(_table(spark, sf_dir, "documents"), 128, "source")
 
 
+def _bpe_count_sql() -> str:
+    """DuckDB twin of corpus.bpe_token_count, generated from the SAME
+    merge table so the two engines cannot drift: char->symbol stream
+    via one regexp_replace, then each merge as a literal replace in
+    rank order, count = terminators remaining."""
+    from .operators.corpus import BPE_MERGES
+
+    expr = r"regexp_replace(text, '([\s\S])', '\1' || chr(31), 'g')"
+    for a, b in BPE_MERGES:
+        expr = (
+            "replace(" + expr + ", '" + a + "' || chr(31) || '" + b
+            + "' || chr(31), '" + a + b + "' || chr(31))"
+        )
+    return expr
+
+
+_PACK_BPE_SQL = (
+    "WITH t AS (SELECT source, doc_id, "
+    "CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n "
+    "FROM (SELECT source, doc_id, " + _bpe_count_sql() + " AS s "
+    "FROM documents)), "
+    "c AS (SELECT source, doc_id, n, "
+    "CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS s "
+    "FROM t) "
+    "SELECT source AS shard, doc_id, CAST(p AS BIGINT) AS pack_id, "
+    "CAST(least(s + n, (p+1)*128) - greatest(s, p*128) AS BIGINT) AS n_tok, "
+    "(s < p*128 OR s + n > (p+1)*128) AS is_split "
+    "FROM c, UNNEST(generate_series(CAST(s // 128 AS BIGINT), "
+    "CAST((s + n - 1) // 128 AS BIGINT))) AS u(p) WHERE n > 0"
+)
+
+
+@query("x_corpus_pack_bpe", oracle=_PACK_BPE_SQL)
+def x_corpus_pack_bpe(spark, sf_dir):
+    """Tokenizer-aware sequence packing (r12 — VERDICT r11 #5): packs
+    count BPE tokens, not whitespace words. The tokenizer is a
+    broadcast-vocab greedy BPE applied SCAN-SIDE as pure codegen
+    expressions (corpus.bpe_token_count: one regexp_replace builds the
+    symbol stream, twelve literal replaces apply the merge table in
+    rank order — multi-step chains t+h->the, i+n->ing make order
+    load-bearing — zero Python, zero shuffles beyond the same
+    per-shard cumsum x_corpus_pack pays). The DuckDB twin is GENERATED
+    from the same merge table, so engine drift breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus import bpe_token_count, pack_spans
+
+    return pack_spans(
+        _table(spark, sf_dir, "documents"),
+        128,
+        "source",
+        token_count=bpe_token_count(F.col("text")),
+    )
+
+
 @query(
     "x_corpus_repetition",
     oracle=(
