@@ -77,6 +77,9 @@ def _walkers():
          lambda d: multimodal.png_encode_gray(4, 4, [d % 256] * 16)),
         ("tar", lambda b: list(webdataset.tar_members(b)),
          lambda d: webdataset.synth_webdataset_bytes(d, "text")),
+        ("jsonl", lambda b: webdataset.decompress_transparent(
+            b, 1 << 20, "jsonl shard").decode("utf-8", "replace"),
+         lambda d: webdataset.synth_jsonl_shard_bytes(d, "text")),
         ("zip", lambda b: list(webdataset.zip_members(b)),
          lambda d: webdataset.synth_zip_bytes(d, "text")),
         ("npy", lambda b: tensors.npy_decode(b),

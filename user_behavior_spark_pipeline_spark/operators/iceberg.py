@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..materialize import materialize
 from .avro import avro_container_records, build_avro_container, zigzag_encode
 
 #: table metadata JSON — Iceberg's dashed key names, verbatim.
@@ -130,13 +131,21 @@ def iceberg_live_files(
             "table_id", F.col("s.`manifest-list`").alias("list_name")
         )
     )
-    longs = avro_rows_keyed(files).filter(F.col("parse_error").isNull())
+    # the long table feeds BOTH the manifest-list join and the entry
+    # pivot — without pinning it, the whole Avro walk (and in the
+    # certified query, the fixture synthesis above it) runs twice.
+    # Metadata-scale rows: the materialization is KBs per table.
+    longs = materialize(
+        avro_rows_keyed(files).filter(F.col("parse_error").isNull())
+    )
     # manifest-list rows: which manifests the current snapshot reaches
     reachable = (
         longs.filter(F.col("field") == "manifest_path")
         .select("table_id", "file_name", F.col("value").alias("manifest"))
         .join(
-            current,
+            # one row per table: always broadcast — the manifest-list
+            # long rows never shuffle for this join
+            F.broadcast(current),
             (F.col("file_name") == F.col("list_name"))
             & (longs["table_id"] == current["table_id"]),
         )
@@ -174,7 +183,9 @@ def iceberg_live_files(
         )
     )
     live = ents.join(
-        reachable,
+        # a few manifests per table: broadcast, so the (bigger) entry
+        # table is filtered map-side instead of shuffling twice
+        F.broadcast(reachable),
         (ents["file_name"] == reachable["manifest"])
         & (ents["table_id"] == reachable["table_id"]),
     ).filter(F.col("status") != "2")
@@ -254,7 +265,9 @@ def _file_numbers(doc_id: int, j: int, sub: int) -> tuple[int, int]:
     )
 
 
-def synth_iceberg_rows(doc_id: int) -> tuple[str, list[tuple[str, bytes]]]:
+def synth_iceberg_rows(
+    doc_id: int, with_files: bool = True
+) -> tuple[str, list[tuple[str, bytes]]]:
     """One table's full metadata tree: (metadata_json, [(file_name,
     avro_bytes), ...]). Snapshot k (0..V, V = doc_id%3+1) ADDs
     part-k-0 and part-k-1 and (k>0) DELETEs part-(k-1)-1 — a rewrite —
@@ -263,7 +276,11 @@ def synth_iceberg_rows(doc_id: int) -> tuple[str, list[tuple[str, bytes]]]:
     other snapshot (or ignoring DELETED status) breaks the hash. Live
     closed form: part-j-0 for j in 0..V plus part-V-1. Manifest codec
     rotates doc_id%4 through null/deflate/zstandard/snappy — the
-    Iceberg path re-certifies every container codec."""
+    Iceberg path re-certifies every container codec.
+
+    ``with_files=False`` skips the Avro byte assembly (the metadata
+    JSON needs only names) — the metadata builder would otherwise pay
+    the full container-build cost per doc just to discard it."""
     V = doc_id % 3 + 1
     codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
     sync = bytes((doc_id * 11 + k * 17) % 256 for k in range(16))
@@ -278,9 +295,13 @@ def synth_iceberg_rows(doc_id: int) -> tuple[str, list[tuple[str, bytes]]]:
             recs.append(
                 _entry_body(1, snap_id, f"part-{k}-{sub}", nrec, size)
             )
-        files.append(
-            (new_name, build_avro_container(_ENTRY_SCHEMA, recs, sync, codec))
-        )
+        if with_files:
+            files.append(
+                (
+                    new_name,
+                    build_avro_container(_ENTRY_SCHEMA, recs, sync, codec),
+                )
+            )
         names = [new_name]
         if k > 0:
             carry_name = f"m-{doc_id}-{k}-carry.avro"
@@ -294,28 +315,32 @@ def synth_iceberg_rows(doc_id: int) -> tuple[str, list[tuple[str, bytes]]]:
             recs.append(
                 _entry_body(2, snap_id, f"part-{k - 1}-1", nrec, size)
             )
-            files.append(
-                (
-                    carry_name,
-                    build_avro_container(_ENTRY_SCHEMA, recs, sync, codec),
+            if with_files:
+                files.append(
+                    (
+                        carry_name,
+                        build_avro_container(
+                            _ENTRY_SCHEMA, recs, sync, codec
+                        ),
+                    )
                 )
-            )
             names.append(carry_name)
         list_name = f"ml-{doc_id}-{k}.avro"
-        files.append(
-            (
-                list_name,
-                build_avro_container(
-                    _LIST_SCHEMA,
-                    [
-                        _enc_str(nm) + zigzag_encode(snap_id)
-                        for nm in names
-                    ],
-                    sync,
-                    codec,
-                ),
+        if with_files:
+            files.append(
+                (
+                    list_name,
+                    build_avro_container(
+                        _LIST_SCHEMA,
+                        [
+                            _enc_str(nm) + zigzag_encode(snap_id)
+                            for nm in names
+                        ],
+                        sync,
+                        codec,
+                    ),
+                )
             )
-        )
         snapshots.append(
             {"snapshot-id": snap_id, "manifest-list": list_name}
         )
@@ -337,7 +362,10 @@ def synth_iceberg_metadata(documents: DataFrame) -> DataFrame:
         import pandas as pd
 
         return pd.Series(
-            [synth_iceberg_rows(int(d))[0] for d in doc_id]
+            [
+                synth_iceberg_rows(int(d), with_files=False)[0]
+                for d in doc_id
+            ]
         )
 
     _build = pandas_udf(_build_fn, StringType(), PandasUDFType.SCALAR)

@@ -8406,62 +8406,45 @@ def _derive_touched(
 
 
 _TOUCHED_THIS_ROUND = _derive_touched(
-    # r11 changed operator functions: gzip-corruption quarantine kind
-    # (zlib.error normalization + member-at-a-time salvage in warc_iter,
-    # synth_corrupt_warc_archives %5), struct.error quarantine in the
-    # mp4/mp3 walkers, the Hamming band refactor + hot-band report twin,
-    # and the third (palette/Adam7) container in the image-dedup synth
+    # r12 changed operator functions: the compress.py seam (zstd/snappy
+    # cap-guarded codecs) behind the tar walker + its %5 fixture
+    # rotation, the Avro walker's nested-record decode + zstandard/
+    # snappy codecs + %4 fixture rotation + extracted container
+    # builder, the Arrow IPC sacrificial-subprocess lane, the corpus
+    # BPE token accounting + pack_spans token_count param, and the new
+    # jsonl/iceberg walkers (their queries are never-checked anyway —
+    # seeds included so SHARED consumers re-earn too)
     seed_fns=frozenset(
         {
-            "warc_iter",
-            "warc_parse",
-            "warc_records",
-            "synth_corrupt_warc_archives",
-            "mp4_sample_ranges",
-            "mp3_audio_metadata",
-            "image_near_dup_pairs",
-            "image_near_dup_pairs_hamming",
-            "synth_image_pair_media",
-            "decode_real",
-            "synth_warc_bytes",
-            "warc_digest_verify",
-            "mp4_demux",
-            "subtitle_cues",
-            "audio_tags",
-            "image_exif",
-            "pdf_text",
-            "webdataset_members",
-            "robots_url_filter",
-            "sniff_media_type",
-            "zip_entries",
-            "sitemap_entries",
-            "synth_tiff_variant_media",
-            "tiff_encode",
-            "npy_values",
-            "avro_records",
-            "ogg_audio_metadata",
-            "mkv_tracks",
-            "_wav_decode",
-            "image_dimensions",
-            "jpeg_encode_lossless",
-            "arrow_ipc_records",
             "tar_members",
-            "gopher_quality",
-            "proto_fields",
-            "parquet_footers",
-            "extract_html_text",
-            "delta_live_files",
-            "png_text_rows",
-            "hls_playlists",
-            "image_dimensions",
-            "feed_entries",
-            "audio_quality",
-            "image_stats",
-            "synth_mp4_elst_bytes",
+            "synth_webdataset_bytes",
+            "decompress_transparent",
+            "zstd_decompress",
+            "snappy_decompress",
+            "zstd_compress",
+            "snappy_compress",
+            "jsonl_shard_lines",
+            "synth_jsonl_shard_bytes",
+            "synth_jsonl_shards",
+            "avro_container_records",
+            "synth_avro_bytes",
+            "build_avro_container",
+            "arrow_ipc_records",
+            "pack_spans",
+            "bpe_token_count",
+            "bpe_symbol_stream",
+            "iceberg_live_files",
+            "avro_rows_keyed",
+            "synth_iceberg_rows",
+            "synth_iceberg_metadata",
+            "synth_iceberg_manifests",
         }
     ),
     sql_tokens=frozenset(),
-    extra=frozenset(),
+    # inline-registry fixture edits with no operator seam: the sniff /
+    # mixed-ingest shard-id congruences moved to the %5 rotation
+    # (15d+1 plain, 10d+3 xz) — their r11 greens predate the change
+    extra=frozenset({"x_multimodal_sniff", "x_corpus_mixed_ingest"}),
 )
 
 
