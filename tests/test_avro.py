@@ -154,3 +154,57 @@ def test_avro_records_operator_and_quarantine(spark):
     )
     (r,) = avro_records(broken).collect()
     assert r.parse_error is not None
+
+
+def test_avro_logical_types_render_canonically():
+    """Logical annotations (r12): every renderer law on a hand-built
+    container, including a NEGATIVE two's-complement decimal (the
+    fixture rotation only emits positives) and the unknown-annotation
+    fallback."""
+    import json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        _min_signed_bytes,
+        build_avro_container,
+        synth_avro_logical_bytes,
+        zigzag_encode,
+    )
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "neg",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 9,
+                        "scale": 3,
+                    },
+                },
+                {
+                    "name": "mystery",
+                    "type": {"type": "long", "logicalType": "not-a-thing"},
+                },
+            ],
+        }
+    ).encode()
+    dec = _min_signed_bytes(-7)
+    body = zigzag_encode(len(dec)) + dec + zigzag_encode(42)
+    buf = build_avro_container(schema, [body], bytes(range(16)))
+    rows = list(avro_container_records(buf))
+    assert rows == [
+        (0, "neg", "decimal", "-0.007"),
+        (0, "mystery", "long", "42"),
+    ]
+    # minimal two's complement: -7 is ONE byte, 128 needs two
+    assert _min_signed_bytes(-7) == b"\xf9"
+    assert _min_signed_bytes(128) == b"\x00\x80"
+    # the fixture parses under every codec slot
+    for d in range(8):
+        rows = list(avro_container_records(synth_avro_logical_bytes(d)))
+        assert len(rows) == 6 * (d % 3 + 1), d
+        got = {(ri, f): (t, v) for ri, f, t, v in rows}
+        assert got[(0, "raw")] == ("long", str(d * 3))

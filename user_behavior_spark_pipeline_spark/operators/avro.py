@@ -146,6 +146,24 @@ def _parse_fields(sch: dict, depth: int) -> list[tuple[str, object]]:
         elif isinstance(typ, dict) and typ.get("type") == "record":
             out.append((name, ("record", _parse_fields(typ, depth + 1))))
         elif (
+            isinstance(typ, dict)
+            and typ.get("type") in _PRIMITIVES
+        ):
+            # annotated primitive: {"type": "long", "logicalType": ...}
+            # (also covers the plain {"type": "long"} spelling with no
+            # annotation, which the spec allows)
+            out.append(
+                (
+                    name,
+                    (
+                        "logical",
+                        typ["type"],
+                        typ.get("logicalType"),
+                        typ.get("scale", 0),
+                    ),
+                )
+            )
+        elif (
             isinstance(typ, list)
             and len(typ) == 2
             and "null" in typ
@@ -194,6 +212,62 @@ def _decode_value(
     raise ValueError(f"Avro type {typ} unsupported")
 
 
+def _render_logical(
+    v: str | None, prim: str, logical: str | None, scale: int
+) -> tuple[str | None, str]:
+    """Canonical string for an annotated primitive. Unknown/absent
+    annotations fall back to the raw primitive rendering (spec
+    §Logical Types: readers unaware of an annotation use the
+    underlying type). Exact integer arithmetic throughout — a decimal
+    never round-trips through a float."""
+    import datetime
+
+    if v is None or logical is None:
+        return v, prim
+    if logical == "timestamp-micros" and prim == "long":
+        us = int(v)
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+        return f"{dt:%Y-%m-%d %H:%M:%S}.{us % 1_000_000:06d}", logical
+    if logical == "timestamp-millis" and prim == "long":
+        ms = int(v)
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            milliseconds=ms
+        )
+        return f"{dt:%Y-%m-%d %H:%M:%S}.{ms % 1_000:03d}", logical
+    if logical == "date" and prim == "int":
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        return d.isoformat(), logical
+    if logical == "time-millis" and prim == "int":
+        ms = int(v)
+        return (
+            f"{ms // 3_600_000:02d}:{ms // 60_000 % 60:02d}:"
+            f"{ms // 1_000 % 60:02d}.{ms % 1_000:03d}"
+        ), logical
+    if logical == "time-micros" and prim == "long":
+        us = int(v)
+        return (
+            f"{us // 3_600_000_000:02d}:{us // 60_000_000 % 60:02d}:"
+            f"{us // 1_000_000 % 60:02d}.{us % 1_000_000:06d}"
+        ), logical
+    if logical == "decimal" and prim == "bytes":
+        # two's-complement big-endian unscaled integer (spec) — v is
+        # the hex rendering from _decode_value
+        raw = bytes.fromhex(v)
+        if not raw:
+            raise ValueError("Avro decimal with empty unscaled bytes")
+        n = int.from_bytes(raw, "big", signed=True)
+        sign = "-" if n < 0 else ""
+        digits = str(abs(n)).rjust(scale + 1, "0")
+        if scale:
+            digits = digits[:-scale] + "." + digits[-scale:]
+        return sign + digits, logical
+    if logical == "uuid" and prim == "string":
+        return v, logical
+    return v, prim  # unknown annotation: raw primitive
+
+
 def _decode_record(
     fields: list[tuple[str, object]],
     data: bytes,
@@ -208,6 +282,11 @@ def _decode_record(
         q = prefix + name
         if isinstance(typ, tuple) and typ[0] == "record":
             at = _decode_record(typ[1], data, at, q + ".", out)
+        elif isinstance(typ, tuple) and typ[0] == "logical":
+            _tag, prim, logical, scale = typ
+            v, at = _decode_value(data, at, prim)
+            lv, lt = _render_logical(v, prim, logical, scale)
+            out.append((q, lt, lv))
         elif isinstance(typ, tuple):  # ("union_null", prim_branch, prim)
             branch, at = zigzag_decode(data, at)
             _tag, prim_at, prim = typ
@@ -436,6 +515,94 @@ def synth_avro_media(documents: DataFrame) -> DataFrame:
         import pandas as pd
 
         return pd.Series([synth_avro_bytes(int(d)) for d in doc_id])
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+
+
+_LOGICAL_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "LogEvent",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "amount",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 2,
+                },
+            },
+            {
+                "name": "tod",
+                "type": {"type": "int", "logicalType": "time-millis"},
+            },
+            {
+                "name": "rid",
+                "type": {"type": "string", "logicalType": "uuid"},
+            },
+            {
+                "name": "raw",
+                "type": {"type": "long", "logicalType": "custom-unknown"},
+            },
+        ],
+    }
+).encode()
+
+
+def _min_signed_bytes(n: int) -> bytes:
+    """Minimal two's-complement big-endian encoding (the spec's decimal
+    unscaled representation)."""
+    return n.to_bytes((n.bit_length() + 8) // 8, "big", signed=True)
+
+
+def synth_avro_logical_bytes(doc_id: int) -> bytes:
+    """Deterministic container exercising every supported logical type
+    plus an UNKNOWN annotation (must fall back to raw long — spec
+    §Logical Types). doc_id%3+1 records; record i:
+    ts = (doc*86400 + i*3600 + doc%997) s as timestamp-micros,
+    day = (doc*7+i) % 20000, amount = unscaled doc*37+i*11 at scale 2,
+    tod = (doc*61+i) % 86400000 ms, rid = a fixed-shape uuid string,
+    raw = doc*3+i under logicalType custom-unknown. Codec rotates %4
+    like the base fixture."""
+    codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
+    recs = []
+    for i in range(doc_id % 3 + 1):
+        body = bytearray()
+        body += zigzag_encode(
+            (doc_id * 86_400 + i * 3_600 + doc_id % 997) * 1_000_000
+        )
+        body += zigzag_encode((doc_id * 7 + i) % 20_000)
+        dec = _min_signed_bytes(doc_id * 37 + i * 11)
+        body += zigzag_encode(len(dec)) + dec
+        body += zigzag_encode((doc_id * 61 + i) % 86_400_000)
+        rid = f"00000000-0000-4000-8000-{doc_id * 10 + i:012d}".encode()
+        body += zigzag_encode(len(rid)) + rid
+        body += zigzag_encode(doc_id * 3 + i)
+        recs.append(bytes(body))
+    sync = bytes((doc_id * 5 + k * 19) % 256 for k in range(16))
+    return build_avro_container(_LOGICAL_SCHEMA, recs, sync, codec)
+
+
+def synth_avro_logical_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of logical-type containers."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [synth_avro_logical_bytes(int(d)) for d in doc_id]
+        )
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
     return documents.select(

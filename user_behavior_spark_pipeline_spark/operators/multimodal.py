@@ -854,12 +854,22 @@ def _jpeg_decode(payload: bytes) -> dict:
             frame = (width, height, comps, prec)
         elif marker == 0xC3:  # SOF3 lossless: dedicated predictor path
             return _jpeg_lossless_decode(payload)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA, 0xCB):
+            # named distinctly so a deployment can COUNT this seam's
+            # real-world hit rate from quarantine reasons (COVERAGE.md
+            # decision memo: permanent seam — no independent reference
+            # implementation exists here to certify a QM-coder against)
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02X}: only sequential, "
-                "progressive and lossless Huffman (SOF0/1/2/3) are in "
-                "the seam's scope"
+                f"JPEG SOF marker 0x{marker:02X}: arithmetic-coded "
+                "JPEG is a documented permanent seam (patent-era "
+                "rarity; dims still probe via image_dimensions)"
+            )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X}: hierarchical JPEG "
+                "is out of the seam's scope (vanishingly rare); only "
+                "sequential, progressive and lossless Huffman "
+                "(SOF0/1/2/3) decode"
             )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0

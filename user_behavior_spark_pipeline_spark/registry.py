@@ -3908,6 +3908,51 @@ def x_jsonl_shards(spark, sf_dir):
     )
 
 
+@query("x_stream_jsonl", oracle=_JSONL_SQL)
+def x_stream_jsonl(spark, sf_dir):
+    """Streaming compressed-JSONL ingestion (r12): shards land as
+    parquet files and a file stream drains them through the SAME
+    jsonl_shard_lines walker batch uses (availableNow,
+    multi-micro-batch, checkpointed parquet sink); the sink read back
+    plus JVM-side from_json must match the BATCH closed form exactly —
+    the FIFTH batch≡stream format certificate alongside
+    x_stream_warc/x_stream_demux/x_stream_webdataset/x_stream_avro,
+    and the streaming shape of the .jsonl.zst corpus layout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.webdataset import synth_jsonl_shards
+    from .streaming.jobs import jsonl_ingest_stream, jsonl_stream_source
+
+    docs = _table(spark, sf_dir, "documents")
+    src_dir = tempfile.mkdtemp(prefix="ubsp_jsonl_src_")
+    out = tempfile.mkdtemp(prefix="ubsp_jsonl_out_")
+    ckpt = tempfile.mkdtemp(prefix="ubsp_jsonl_ckpt_")
+    synth_jsonl_shards(docs).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    q = jsonl_ingest_stream(
+        jsonl_stream_source(spark, src_dir, max_files_per_trigger=2),
+        out,
+        ckpt,
+    )
+    q.awaitTermination()
+    lines = spark.read.parquet(out).filter(
+        F.col("parse_error").isNull()
+    )
+    parsed = lines.withColumn(
+        "j", F.from_json("line", "doc bigint, i bigint, text string")
+    )
+    return parsed.select(
+        "shard_id",
+        "line_idx",
+        F.col("j.doc").alias("doc"),
+        F.col("j.i").alias("i"),
+        F.col("j.text").alias("rec_text"),
+    )
+
+
 _PDF_TEXT_SQL = (
     # closed form from pdf.synth_pdf_bytes: page 1 shows 'doc <id>' as
     # a literal string, page 2 the document text as a BOM'd UTF-16BE
@@ -4129,6 +4174,62 @@ def x_arrow_untrusted(spark, sf_dir):
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+_AVRO_LOGICAL_SQL = (
+    # closed form from avro.synth_avro_logical_bytes: every supported
+    # logical annotation rendered canonically (ISO timestamp/date/time
+    # strings via DuckDB's own temporal arithmetic, exact decimal via
+    # integer printf) plus the spec's unknown-annotation fallback
+    # (custom-unknown -> raw long) — one hash pins the annotation
+    # parse, every renderer and the fallback rule, across all four
+    # container codecs
+    "WITH r AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)), "
+    "f AS ("
+    "SELECT doc_id, i, 'ts' AS field, 'timestamp-micros' AS value_type, "
+    "strftime(make_timestamp((doc_id * 86400 + i * 3600 + doc_id % 997) "
+    "* 1000000), '%Y-%m-%d %H:%M:%S.%f') AS value FROM r "
+    "UNION ALL SELECT doc_id, i, 'day', 'date', "
+    "strftime(DATE '1970-01-01' + INTERVAL ((doc_id * 7 + i) % 20000) "
+    "DAY, '%Y-%m-%d') FROM r "
+    "UNION ALL SELECT doc_id, i, 'amount', 'decimal', "
+    "printf('%d.%02d', (doc_id * 37 + i * 11) // 100, "
+    "(doc_id * 37 + i * 11) % 100) FROM r "
+    "UNION ALL SELECT doc_id, i, 'tod', 'time-millis', "
+    "printf('%02d:%02d:%02d.%03d', "
+    "((doc_id * 61 + i) % 86400000) // 3600000, "
+    "((doc_id * 61 + i) % 86400000) // 60000 % 60, "
+    "((doc_id * 61 + i) % 86400000) // 1000 % 60, "
+    "((doc_id * 61 + i) % 86400000) % 1000) FROM r "
+    "UNION ALL SELECT doc_id, i, 'rid', 'uuid', "
+    "printf('00000000-0000-4000-8000-%012d', doc_id * 10 + i) FROM r "
+    "UNION ALL SELECT doc_id, i, 'raw', 'long', "
+    "CAST(doc_id * 3 + i AS VARCHAR) FROM r) "
+    "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value "
+    "FROM f"
+)
+
+
+@query("x_avro_logical", oracle=_AVRO_LOGICAL_SQL)
+def x_avro_logical(spark, sf_dir):
+    """Avro logical types (r12) — the annotations real Kafka/Schema
+    Registry event logs carry on their primitives: timestamp-micros,
+    date, decimal(bytes: two's-complement unscaled integer, exact
+    string rendering — never a float), time-millis, uuid, and the
+    spec's unknown-annotation fallback (a reader that doesn't know an
+    annotation uses the raw primitive). The oracle recomputes every
+    rendering through DuckDB's OWN temporal/printf machinery, so the
+    two engines' calendar arithmetic certifies each other; codec
+    rotates %4 as in the base fixture."""
+    from pyspark.sql import functions as F
+
+    from .operators.avro import avro_records, synth_avro_logical_media
+
+    docs = _table(spark, sf_dir, "documents")
+    return avro_records(synth_avro_logical_media(docs)).filter(
+        F.col("parse_error").isNull()
+    ).drop("parse_error")
 
 
 @query("x_stream_avro", oracle=_AVRO_SQL)
@@ -8433,6 +8534,10 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "pack_spans",
             "bpe_token_count",
             "bpe_symbol_stream",
+            "_render_logical",
+            "synth_avro_logical_bytes",
+            "jsonl_ingest_stream",
+            "jsonl_stream_source",
             "iceberg_live_files",
             "avro_rows_keyed",
             "synth_iceberg_rows",

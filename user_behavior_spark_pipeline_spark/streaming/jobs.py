@@ -207,6 +207,43 @@ def webdataset_ingest_stream(
     )
 
 
+def jsonl_stream_source(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming compressed-JSONL landing source: parquet files of
+    (shard_id, payload) .jsonl.{gz,zst} blobs — same bounded-batch
+    posture as the WARC/media/WebDataset/Avro sources."""
+    reader = spark.readStream.schema("shard_id long, payload binary")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.parquet(source_dir)
+
+
+def jsonl_ingest_stream(
+    shard_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Stream compressed-JSONL shards through the BATCH line walker
+    (webdataset.jsonl_shard_lines — stateless mapInPandas; the
+    identical operator serves both modes, x_stream_jsonl certifies
+    batch≡stream) into a checkpointed parquet sink; corruption
+    quarantines in-stream."""
+    from ..operators.webdataset import jsonl_shard_lines
+
+    return (
+        jsonl_shard_lines(shard_stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def avro_stream_source(
     spark: SparkSession,
     source_dir: str,
