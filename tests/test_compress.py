@@ -1,0 +1,74 @@
+"""operators/compress.py: cap guards, codec roundtrips, quarantine
+fuzz for the zstd/snappy helpers (the stdlib branches are fuzzed via
+the tar family in test_walker_fuzz)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.compress import (
+    ZSTD_MAGIC,
+    decompress_transparent,
+    snappy_compress,
+    snappy_decompress,
+    zstd_compress,
+    zstd_decompress,
+)
+
+
+def test_roundtrips_and_magics():
+    data = b"corpus shard content \xc3\xa9 " * 400
+    z = zstd_compress(data)
+    assert z[:4] == ZSTD_MAGIC
+    assert zstd_decompress(z, 1 << 20) == data
+    s = snappy_compress(data)
+    assert snappy_decompress(s, 1 << 20) == data
+    # transparent front door routes by magic and passes raw through
+    assert decompress_transparent(z, 1 << 20) == data
+    assert decompress_transparent(b"raw bytes", 1 << 20) == b"raw bytes"
+
+
+def test_caps_trigger_before_materialization():
+    bomb_src = b"\x00" * 1_000_000
+    for comp, decomp in (
+        (zstd_compress, zstd_decompress),
+        (snappy_compress, snappy_decompress),
+    ):
+        blob = comp(bomb_src)
+        assert len(blob) < 50_000  # it really is a bomb (snappy ~21:1)
+        with pytest.raises(ValueError, match="zip-bomb"):
+            decomp(blob, 100_000)
+        # exactly at the cap passes
+        assert len(decomp(blob, 1_000_000)) == 1_000_000
+
+
+def test_corruption_fuzz_never_escapes():
+    """Bit flips, truncations and junk over both codecs: every failure
+    is ValueError (the walker-quarantine contract), never an OSError /
+    pyarrow type / worker death."""
+    data = b"hello world " * 300
+    rng = random.Random(7)
+    for comp, decomp in (
+        (zstd_compress, zstd_decompress),
+        (snappy_compress, snappy_decompress),
+    ):
+        blob = bytearray(comp(data))
+        for t in range(600):
+            k = t % 3
+            if k == 0:
+                b = bytearray(blob)
+                i = rng.randrange(len(b))
+                b[i] ^= 1 + rng.randrange(255)
+                d = bytes(b)
+            elif k == 1:
+                d = bytes(blob[: rng.randrange(len(blob))])
+            else:
+                d = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(60))
+                )
+            try:
+                decomp(d, 1 << 20)
+            except ValueError:
+                pass  # quarantine

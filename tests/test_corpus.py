@@ -447,3 +447,61 @@ def test_pack_spans_bpe_drops_zero_token_docs(spark):
     # doc3: ou(1) space(1) st(1) = 3 tokens at offset 3 -> packs 0+1
     assert {(r.pack_id, r.n_tok) for r in by_doc[3]} == {(0, 1), (1, 2)}
     assert all(r.is_split for r in by_doc[3])
+
+
+def test_bpe_matches_independent_reference(spark):
+    """Property check: the codegen replace-chain equals a NAIVE
+    list-based implementation of the same semantics (apply each merge
+    rank once, left-to-right non-overlapping) over adversarial strings
+    — merge-generated symbols, overlapping runs, unicode, separators
+    in odd places."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        BPE_MERGES,
+        bpe_token_count,
+    )
+
+    def reference(text: str) -> int:
+        syms = list(text)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cases = [
+        "the thing and the other thing",
+        "ththththe",            # overlapping t-h runs
+        "aaanand",              # an+d chains off a merged an
+        "in in ing inging",
+        "ererer",               # repeated e-r pairs
+        "",                     # empty
+        "þe þing",              # unicode
+        "t h e",                # separated chars never merge
+        "xxantxx",              # a+n inside a word, then a+t blocked
+        "st" * 50,              # long repeated pair
+    ]
+    import random
+
+    rng = random.Random(99)
+    alpha = "theinganderoust "
+    cases += [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = {
+        r.text: r.n
+        for r in df.select(
+            "text", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == reference(c), repr(c)

@@ -19,7 +19,8 @@ def test_footer_closed_form_and_sizes():
         n = did % 5 + 1
         assert d["n_rows"] == n and d["n_columns"] == 3
         assert d["n_row_groups"] == -(-n // 2)
-        assert d["codec"] == ["UNCOMPRESSED", "SNAPPY", "GZIP"][did % 3]
+        assert d["codec"] == ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD",
+                              "LZ4"][did % 5]
         assert d["compressed_bytes"] > 0
         assert d["uncompressed_bytes"] >= 0
 

@@ -188,9 +188,15 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("a", "t"),
 )
 
-#: symbol terminator for the BPE stream (U+001F unit separator) — every
-#: symbol is FOLLOWED by it, so "count tokens" is two length() calls.
-BPE_SEP = "\u001f"
+#: symbol delimiters for the BPE stream: every symbol is WRAPPED as
+#: ``<US><sym><RS>`` (U+001F unit separator / U+001E record separator).
+#: Both markers are load-bearing: with only a terminator, a merge
+#: pattern ``e<sep>r<sep>`` false-matches after any symbol ENDING in
+#: "e" ("the"+"r" would fuse to "ther" — caught by the independent-
+#: reference property test); the start marker pins matches to symbol
+#: boundaries. "Count tokens" stays two length() calls (count of RS).
+BPE_SOS = "\u001f"
+BPE_EOS = "\u001e"
 
 
 def bpe_symbol_stream(col, merges: tuple[tuple[str, str], ...] = BPE_MERGES):
@@ -206,21 +212,25 @@ def bpe_symbol_stream(col, merges: tuple[tuple[str, str], ...] = BPE_MERGES):
     Entirely codegen: one regexp_replace + |merges| literal replaces,
     zero Python, zero shuffles — the 100 TB tokenize-while-you-scan
     shape. Both engines' replace() scans left-to-right non-overlapping,
-    so the twin is semantic, not approximate."""
-    s = F.regexp_replace(col, r"([\s\S])", "$1" + BPE_SEP)
+    so the twin is semantic, not approximate; equality with a naive
+    symbol-list reference implementation is pytest-pinned over
+    adversarial strings (test_corpus)."""
+    s = F.regexp_replace(col, r"([\s\S])", BPE_SOS + "$1" + BPE_EOS)
     for a, b in merges:
         s = F.replace(
-            s, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)
+            s,
+            F.lit(BPE_SOS + a + BPE_EOS + BPE_SOS + b + BPE_EOS),
+            F.lit(BPE_SOS + a + b + BPE_EOS),
         )
     return s
 
 
 def bpe_token_count(col, merges: tuple[tuple[str, str], ...] = BPE_MERGES):
-    """Exact BPE token count = number of symbol terminators left in the
+    """Exact BPE token count = number of symbol end-markers left in the
     merged stream (length difference, no split/array materialization)."""
     s = bpe_symbol_stream(col, merges)
     return (
-        F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))
+        F.length(s) - F.length(F.replace(s, F.lit(BPE_EOS), F.lit("")))
     ).cast("long")
 
 

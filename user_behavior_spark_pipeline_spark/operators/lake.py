@@ -120,7 +120,9 @@ def parquet_footers(media: DataFrame) -> DataFrame:
 def synth_parquet_bytes(doc_id: int) -> bytes:
     """Deterministic Parquet file: doc_id%5+1 rows of 3 columns,
     row_group_size=2 (so n_row_groups = ceil(n/2)), codec rotating
-    NONE/SNAPPY/GZIP by doc_id%3."""
+    NONE/SNAPPY/GZIP/ZSTD/LZ4 by doc_id%5 (r12: the codecs a modern
+    lake actually mixes — codec drift across all five is exactly what
+    the footer audit exists to catch)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -132,7 +134,7 @@ def synth_parquet_bytes(doc_id: int) -> bytes:
             "c": pa.array([float(i) for i in range(n)], pa.float64()),
         }
     )
-    codec = ["NONE", "SNAPPY", "GZIP"][doc_id % 3]
+    codec = ["NONE", "SNAPPY", "GZIP", "ZSTD", "LZ4"][doc_id % 5]
     sink = pa.BufferOutputStream()
     pq.write_table(table, sink, row_group_size=2, compression=codec)
     return sink.getvalue().to_pybytes()

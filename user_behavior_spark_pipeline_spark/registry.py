@@ -1669,13 +1669,14 @@ def x_proto_fields(spark, sf_dir):
 
 _PARQUET_FOOTER_SQL = (
     # closed form from lake.synth_parquet_bytes: doc%5+1 rows in
-    # 2-row row groups, 3 columns, codec rotating by doc%3
+    # 2-row row groups, 3 columns, codec rotating by doc%5 (r12: ZSTD
+    # and LZ4 joined the rotation — the codecs a modern lake mixes)
     "SELECT doc_id AS media_id, "
     "CAST((doc_id % 5 + 2) // 2 AS INT) AS n_row_groups, "
     "CAST(doc_id % 5 + 1 AS BIGINT) AS n_rows, "
     "CAST(3 AS INT) AS n_columns, "
-    "CASE doc_id % 3 WHEN 0 THEN 'UNCOMPRESSED' WHEN 1 THEN 'SNAPPY' "
-    "ELSE 'GZIP' END AS codec "
+    "CASE doc_id % 5 WHEN 0 THEN 'UNCOMPRESSED' WHEN 1 THEN 'SNAPPY' "
+    "WHEN 2 THEN 'GZIP' WHEN 3 THEN 'ZSTD' ELSE 'LZ4' END AS codec "
     "FROM documents"
 )
 
@@ -7881,23 +7882,29 @@ def x_corpus_pack(spark, sf_dir):
 
 def _bpe_count_sql() -> str:
     """DuckDB twin of corpus.bpe_token_count, generated from the SAME
-    merge table so the two engines cannot drift: char->symbol stream
-    via one regexp_replace, then each merge as a literal replace in
-    rank order, count = terminators remaining."""
+    merge table so the two engines cannot drift: char -> bracketed
+    symbol stream (chr(31) start marker + chr(30) end marker — both
+    load-bearing, see corpus.BPE_SOS) via one regexp_replace, then each
+    merge as a literal replace in rank order; count = end markers
+    remaining."""
     from .operators.corpus import BPE_MERGES
 
-    expr = r"regexp_replace(text, '([\s\S])', '\1' || chr(31), 'g')"
+    expr = (
+        "regexp_replace(text, '([" + chr(92) + "s" + chr(92) + "S])', "
+        "chr(31) || '" + chr(92) + "1' || chr(30), 'g')"
+    )
     for a, b in BPE_MERGES:
         expr = (
-            "replace(" + expr + ", '" + a + "' || chr(31) || '" + b
-            + "' || chr(31), '" + a + b + "' || chr(31))"
+            "replace(" + expr + ", chr(31) || '" + a + "' || chr(30) || "
+            "chr(31) || '" + b + "' || chr(30), chr(31) || '" + a + b
+            + "' || chr(30))"
         )
     return expr
 
 
 _PACK_BPE_SQL = (
     "WITH t AS (SELECT source, doc_id, "
-    "CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n "
+    "CAST(length(s) - length(replace(s, chr(30), '')) AS BIGINT) AS n "
     "FROM (SELECT source, doc_id, " + _bpe_count_sql() + " AS s "
     "FROM documents)), "
     "c AS (SELECT source, doc_id, n, "
@@ -8534,6 +8541,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "pack_spans",
             "bpe_token_count",
             "bpe_symbol_stream",
+            "synth_parquet_bytes",
+            "parquet_footer",
             "_render_logical",
             "synth_avro_logical_bytes",
             "jsonl_ingest_stream",
