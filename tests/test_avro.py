@@ -113,10 +113,11 @@ def test_avro_corruption_quarantine_shapes():
     raw = synth_avro_bytes(0).replace(b"\x08null", b"\x08xxxx")
     with pytest.raises(ValueError, match="codec"):
         list(avro_container_records(raw))
-    # nested schema rejects as out of scope
+    # enums stay out of scope (arrays/maps decode since r12)
     nested = (
         b'{"type":"record","name":"T","fields":'
-        b'[{"name":"a","type":{"type":"array","items":"long"}}]}'
+        b'[{"name":"a","type":{"type":"enum","name":"E",'
+        b'"symbols":["X"]}}]}'
     )
     good = synth_avro_bytes(0)
     with pytest.raises(ValueError, match="bad magic|not an Avro"):
@@ -208,3 +209,77 @@ def test_avro_logical_types_render_canonically():
         assert len(rows) == 6 * (d % 3 + 1), d
         got = {(ri, f): (t, v) for ri, f, t, v in rows}
         assert got[(0, "raw")] == ("long", str(d * 3))
+
+
+def test_avro_arrays_maps_block_framing():
+    """Collections (r12): multi-block arrays (incl. the spec's
+    NEGATIVE-count-with-byte-size form), maps, array-of-record items
+    and empty arrays, on a hand-built container; plus the hostile
+    count guard."""
+    import json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        build_avro_container,
+        synth_avro_collections_bytes,
+        zigzag_encode,
+    )
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+                {"name": "attrs", "type": {"type": "map", "values": "long"}},
+                {"name": "empty", "type": {"type": "array", "items": "long"}},
+            ],
+        }
+    ).encode()
+
+    def s(x):
+        b = x.encode()
+        return zigzag_encode(len(b)) + b
+
+    body = bytearray()
+    body += zigzag_encode(1) + s("t0")          # block 1: one item
+    rest = s("t1") + s("t2")
+    body += zigzag_encode(-2)                    # block 2: negative count
+    body += zigzag_encode(len(rest)) + rest      # ... with byte size
+    body += zigzag_encode(0)                     # array terminator
+    body += zigzag_encode(2) + s("a") + zigzag_encode(10)
+    body += s("b") + zigzag_encode(20) + zigzag_encode(0)
+    body += zigzag_encode(0)                     # empty array
+    buf = build_avro_container(schema, [bytes(body)], bytes(range(16)))
+    rows = list(avro_container_records(buf))
+    assert rows == [
+        (0, "tags[0]", "string", "t0"),
+        (0, "tags[1]", "string", "t1"),
+        (0, "tags[2]", "string", "t2"),
+        (0, "attrs[a]", "long", "10"),
+        (0, "attrs[b]", "long", "20"),
+    ]
+    # hostile count: a million-item claim over 2 remaining bytes
+    evil = zigzag_encode(1_000_000) + b"\x00\x00"
+    buf = build_avro_container(
+        json.dumps(
+            {
+                "type": "record",
+                "name": "T",
+                "fields": [
+                    {"name": "a", "type": {"type": "array", "items": "long"}}
+                ],
+            }
+        ).encode(),
+        [evil],
+        bytes(16),
+    )
+    with pytest.raises(ValueError, match="overruns"):
+        list(avro_container_records(buf))
+    # driver fixture parses under every codec slot with the closed-form
+    # cell count: 1 + (i%3+1) + 2 + 4 per record
+    for d in range(8):
+        rows = list(
+            avro_container_records(synth_avro_collections_bytes(d))
+        )
+        want = sum(7 + i % 3 + 1 for i in range(d % 3 + 1))
+        assert len(rows) == want, d

@@ -141,42 +141,45 @@ def _parse_fields(sch: dict, depth: int) -> list[tuple[str, object]]:
         name, typ = f.get("name"), f.get("type")
         if not isinstance(name, str):
             raise ValueError("Avro field without a name")
-        if isinstance(typ, str) and typ in _PRIMITIVES:
-            out.append((name, typ))
-        elif isinstance(typ, dict) and typ.get("type") == "record":
-            out.append((name, ("record", _parse_fields(typ, depth + 1))))
-        elif (
-            isinstance(typ, dict)
-            and typ.get("type") in _PRIMITIVES
-        ):
-            # annotated primitive: {"type": "long", "logicalType": ...}
-            # (also covers the plain {"type": "long"} spelling with no
-            # annotation, which the spec allows)
-            out.append(
-                (
-                    name,
-                    (
-                        "logical",
-                        typ["type"],
-                        typ.get("logicalType"),
-                        typ.get("scale", 0),
-                    ),
-                )
-            )
-        elif (
-            isinstance(typ, list)
-            and len(typ) == 2
-            and "null" in typ
-            and any(t in _PRIMITIVES - {"null"} for t in typ)
-        ):
-            prim = typ[1] if typ[0] == "null" else typ[0]
-            out.append((name, ("union_null", typ.index(prim), prim)))
-        else:
-            raise ValueError(
-                f"Avro field {name!r} type {typ!r} out of scope "
-                "(primitives, [null, prim] unions and nested records only)"
-            )
+        out.append((name, _parse_type(name, typ, depth)))
     return out
+
+
+def _parse_type(name: str, typ, depth: int):
+    """One field/item/value type -> the walker's internal type token."""
+    if depth > 16:
+        raise ValueError("Avro schema nests deeper than 16 (out of scope)")
+    if isinstance(typ, str) and typ in _PRIMITIVES:
+        return typ
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        return ("record", _parse_fields(typ, depth + 1))
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        return ("array", _parse_type(name, typ.get("items"), depth + 1))
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        return ("map", _parse_type(name, typ.get("values"), depth + 1))
+    if isinstance(typ, dict) and typ.get("type") in _PRIMITIVES:
+        # annotated primitive: {"type": "long", "logicalType": ...}
+        # (also covers the plain {"type": "long"} spelling with no
+        # annotation, which the spec allows)
+        return (
+            "logical",
+            typ["type"],
+            typ.get("logicalType"),
+            typ.get("scale", 0),
+        )
+    if (
+        isinstance(typ, list)
+        and len(typ) == 2
+        and "null" in typ
+        and any(t in _PRIMITIVES - {"null"} for t in typ)
+    ):
+        prim = typ[1] if typ[0] == "null" else typ[0]
+        return ("union_null", typ.index(prim), prim)
+    raise ValueError(
+        f"Avro field {name!r} type {typ!r} out of scope "
+        "(primitives, [null, prim] unions, nested records, arrays and "
+        "maps only)"
+    )
 
 
 def _decode_value(
@@ -279,29 +282,81 @@ def _decode_record(
     no tags), flattening nested records to dotted field names. Returns
     the next read position."""
     for name, typ in fields:
-        q = prefix + name
-        if isinstance(typ, tuple) and typ[0] == "record":
-            at = _decode_record(typ[1], data, at, q + ".", out)
-        elif isinstance(typ, tuple) and typ[0] == "logical":
-            _tag, prim, logical, scale = typ
+        at = _decode_typed(typ, data, at, prefix + name, out)
+    return at
+
+
+def _decode_collection(data: bytes, at: int, item_fn) -> int:
+    """The spec's array/map block framing: (count, items...)* 0; a
+    NEGATIVE count means abs(count) items preceded by a byte size (a
+    skip hint — this walker decodes anyway). Each count is guarded
+    against the remaining bytes (>= 1 byte per item) so a hostile
+    count cannot spin the loop. ``item_fn(data, at) -> at`` decodes
+    one item. Returns the position after the terminating 0 block."""
+    while True:
+        count, at = zigzag_decode(data, at)
+        if count == 0:
+            return at
+        if count < 0:
+            _size, at = zigzag_decode(data, at)
+            count = -count
+        if count > len(data) - at:
+            raise ValueError("Avro collection count overruns data")
+        for _ in range(count):
+            at = item_fn(data, at)
+
+
+def _decode_typed(
+    typ,
+    data: bytes,
+    at: int,
+    q: str,
+    out: list[tuple[str, str, str | None]],
+) -> int:
+    """One typed value at position ``at`` under long-format name ``q``."""
+    if isinstance(typ, tuple) and typ[0] == "record":
+        return _decode_record(typ[1], data, at, q + ".", out)
+    if isinstance(typ, tuple) and typ[0] == "logical":
+        _tag, prim, logical, scale = typ
+        v, at = _decode_value(data, at, prim)
+        lv, lt = _render_logical(v, prim, logical, scale)
+        out.append((q, lt, lv))
+        return at
+    if isinstance(typ, tuple) and typ[0] == "array":
+        # an empty array leaves no cells — emptiness is visible as the
+        # absence of q[...] rows (documented; fixtures avoid relying
+        # on it for hashes)
+        idx = 0
+
+        def _item(d, a, _t=typ[1]):
+            nonlocal idx
+            a = _decode_typed(_t, d, a, f"{q}[{idx}]", out)
+            idx += 1
+            return a
+
+        return _decode_collection(data, at, _item)
+    if isinstance(typ, tuple) and typ[0] == "map":
+        def _entry(d, a, _t=typ[1]):
+            key, a = _read_bytes(d, a)
+            return _decode_typed(
+                _t, d, a, f"{q}[{key.decode('utf-8')}]", out
+            )
+
+        return _decode_collection(data, at, _entry)
+    if isinstance(typ, tuple):  # ("union_null", prim_branch, prim)
+
+        branch, at = zigzag_decode(data, at)
+        _tag, prim_at, prim = typ
+        if branch == prim_at:
             v, at = _decode_value(data, at, prim)
-            lv, lt = _render_logical(v, prim, logical, scale)
-            out.append((q, lt, lv))
-        elif isinstance(typ, tuple):  # ("union_null", prim_branch, prim)
-            branch, at = zigzag_decode(data, at)
-            _tag, prim_at, prim = typ
-            if branch == prim_at:
-                v, at = _decode_value(data, at, prim)
-                out.append((q, prim, v))
-            elif branch == 1 - prim_at:
-                out.append((q, "null", None))
-            else:
-                raise ValueError(
-                    f"Avro union branch {branch} out of range"
-                )
+            out.append((q, prim, v))
+        elif branch == 1 - prim_at:
+            out.append((q, "null", None))
         else:
-            v, at = _decode_value(data, at, typ)
-            out.append((q, typ, v))
+            raise ValueError(f"Avro union branch {branch} out of range")
+        return at
+    v, at = _decode_value(data, at, typ)
+    out.append((q, typ, v))
     return at
 
 
@@ -602,6 +657,90 @@ def synth_avro_logical_media(documents: DataFrame) -> DataFrame:
 
         return pd.Series(
             [synth_avro_logical_bytes(int(d)) for d in doc_id]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )
+
+
+_COLLECTIONS_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "events",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "ev",
+                        "fields": [
+                            {"name": "k", "type": "string"},
+                            {"name": "v", "type": "long"},
+                        ],
+                    },
+                },
+            },
+        ],
+    }
+).encode()
+
+
+def _enc_str_coll(x: str) -> bytes:
+    b = x.encode()
+    return zigzag_encode(len(b)) + b
+
+
+def synth_avro_collections_bytes(doc_id: int) -> bytes:
+    """Deterministic container exercising array/map block framing:
+    doc_id%3+1 records; record i carries n = doc*10+i, tags =
+    ['t0'..'t<i%3>'] written as TWO blocks when longer than one (the
+    second in the spec's NEGATIVE-count-with-byte-size form, so the
+    skip-hint framing is driver-certified), attrs = {a: doc+i,
+    b: 2*doc+i}, events = two (k, v) records. Codec rotates %4."""
+    codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
+    recs = []
+    for i in range(doc_id % 3 + 1):
+        body = bytearray()
+        body += zigzag_encode(doc_id * 10 + i)
+        tags = [f"t{j}" for j in range(i % 3 + 1)]
+        if len(tags) == 1:
+            body += zigzag_encode(1) + _enc_str_coll(tags[0])
+        else:
+            body += zigzag_encode(1) + _enc_str_coll(tags[0])
+            rest = b"".join(_enc_str_coll(t) for t in tags[1:])
+            body += zigzag_encode(-(len(tags) - 1))
+            body += zigzag_encode(len(rest)) + rest
+        body += zigzag_encode(0)
+        body += zigzag_encode(2)
+        body += _enc_str_coll("a") + zigzag_encode(doc_id + i)
+        body += _enc_str_coll("b") + zigzag_encode(2 * doc_id + i)
+        body += zigzag_encode(0)
+        body += zigzag_encode(2)
+        for j in range(2):
+            body += _enc_str_coll(f"k{j}") + zigzag_encode(doc_id + i + j)
+        body += zigzag_encode(0)
+        recs.append(bytes(body))
+    sync = bytes((doc_id * 3 + k * 23) % 256 for k in range(16))
+    return build_avro_container(_COLLECTIONS_SCHEMA, recs, sync, codec)
+
+
+def synth_avro_collections_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of array/map containers."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [synth_avro_collections_bytes(int(d)) for d in doc_id]
         )
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)

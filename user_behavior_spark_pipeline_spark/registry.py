@@ -4233,6 +4233,53 @@ def x_avro_logical(spark, sf_dir):
     ).drop("parse_error")
 
 
+_AVRO_COLLECTIONS_SQL = (
+    # closed form from avro.synth_avro_collections_bytes: arrays (two
+    # blocks, the second in the spec's negative-count form), maps and
+    # array-of-record cells under their indexed long-format names —
+    # one hash pins the whole block framing plus the naming scheme
+    "WITH r AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)), "
+    "f AS ("
+    "SELECT doc_id, i, 'n' AS field, 'long' AS value_type, "
+    "CAST(doc_id * 10 + i AS VARCHAR) AS value FROM r "
+    "UNION ALL SELECT doc_id, i, 'tags[' || t.j || ']', 'string', "
+    "'t' || t.j FROM r, UNNEST(range(i % 3 + 1)) AS t(j) "
+    "UNION ALL SELECT doc_id, i, 'attrs[a]', 'long', "
+    "CAST(doc_id + i AS VARCHAR) FROM r "
+    "UNION ALL SELECT doc_id, i, 'attrs[b]', 'long', "
+    "CAST(2 * doc_id + i AS VARCHAR) FROM r "
+    "UNION ALL SELECT doc_id, i, 'events[' || e.j || '].k', 'string', "
+    "'k' || e.j FROM r, UNNEST(range(2)) AS e(j) "
+    "UNION ALL SELECT doc_id, i, 'events[' || e.j || '].v', 'long', "
+    "CAST(doc_id + i + e.j AS VARCHAR) FROM r, UNNEST(range(2)) AS e(j)) "
+    "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value "
+    "FROM f"
+)
+
+
+@query("x_avro_collections", oracle=_AVRO_COLLECTIONS_SQL)
+def x_avro_collections(spark, sf_dir):
+    """Avro arrays + maps (r12) — the collection shapes real event
+    records carry (tag lists, attribute maps, arrays of sub-records):
+    the spec's block framing decodes with hostile-count guards
+    (negative skip-hint blocks included, driver-certified by the
+    fixture's two-block arrays) to indexed long-format names
+    (tags[0], attrs[key], events[1].v), so collection cells stay
+    driver-hashable with zero per-schema config; codec rotates %4."""
+    from pyspark.sql import functions as F
+
+    from .operators.avro import (
+        avro_records,
+        synth_avro_collections_media,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return avro_records(synth_avro_collections_media(docs)).filter(
+        F.col("parse_error").isNull()
+    ).drop("parse_error")
+
+
 @query("x_stream_avro", oracle=_AVRO_SQL)
 def x_stream_avro(spark, sf_dir):
     """Streaming Avro ingestion (r11): containers land as parquet
@@ -8545,6 +8592,9 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "parquet_footer",
             "_render_logical",
             "synth_avro_logical_bytes",
+            "synth_avro_collections_bytes",
+            "_decode_typed",
+            "_decode_collection",
             "jsonl_ingest_stream",
             "jsonl_stream_source",
             "iceberg_live_files",
