@@ -72,3 +72,44 @@ def test_corruption_fuzz_never_escapes():
                 decomp(d, 1 << 20)
             except ValueError:
                 pass  # quarantine
+
+
+def test_multi_member_concatenations_inflate_fully():
+    """pigz/bgzip-style member concatenation (r12 catch: the
+    single-object form returned ONLY the first member — silent
+    truncation): all four codecs inflate fully; trailing garbage and
+    cross-member cap overruns quarantine."""
+    import bz2
+    import lzma
+    import zlib
+
+    def gz(x):
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return co.compress(x) + co.flush()
+
+    assert decompress_transparent(gz(b"a ") + gz(b"b"), 1 << 20) == b"a b"
+    assert (
+        decompress_transparent(bz2.compress(b"x") + bz2.compress(b"y"), 1 << 20)
+        == b"xy"
+    )
+    assert (
+        decompress_transparent(
+            lzma.compress(b"p") + lzma.compress(b"q"), 1 << 20
+        )
+        == b"pq"
+    )
+    assert (
+        decompress_transparent(
+            zstd_compress(b"m") + zstd_compress(b"n"), 1 << 20
+        )
+        == b"mn"
+    )
+    with pytest.raises(ValueError, match="trailing garbage"):
+        decompress_transparent(gz(b"a") + b"not gzip", 1 << 20)
+    with pytest.raises(ValueError, match="zip-bomb"):
+        decompress_transparent(gz(b"x" * 600) + gz(b"y" * 600), 1000)
+    # exactly at the cap across members passes
+    assert (
+        len(decompress_transparent(gz(b"x" * 600) + gz(b"y" * 400), 1000))
+        == 1000
+    )

@@ -221,3 +221,31 @@ def test_tar_pax_and_gnu_long_names():
     body = b"garbage\n" + bytes(504)
     with pytest.raises(ValueError, match="PAX record"):
         list(tar_members(bytes(hdr) + body + bytes(1024)))
+
+
+def test_jsonl_walker_bom_crlf_and_multi_member(spark):
+    """The r12 framing hazards end-to-end: BOM+CRLF (k=0), two-member
+    gzip (k=1), two-frame zstd (k=2) all yield the same record table;
+    a BOM'd CRLF line parses clean through from_json."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        jsonl_shard_lines,
+        synth_jsonl_shard_bytes,
+    )
+
+    shards = spark.createDataFrame(
+        [(d, synth_jsonl_shard_bytes(d, "t")) for d in (3, 4, 5)],
+        "shard_id long, payload binary",
+    )
+    lines = jsonl_shard_lines(shards)
+    assert lines.filter(F.col("parse_error").isNotNull()).count() == 0
+    parsed = lines.withColumn(
+        "j", F.from_json("line", "doc bigint, i bigint, text string")
+    )
+    rows = parsed.select("shard_id", "j.doc", "j.i").collect()
+    assert all(r.doc == r.shard_id for r in rows)  # BOM/CR never leak
+    got = {}
+    for r in rows:
+        got.setdefault(r.shard_id, set()).add(r.i)
+    assert got == {3: {0}, 4: {0, 1}, 5: {0, 1, 2}}

@@ -104,48 +104,71 @@ def snappy_compress(data: bytes) -> bytes:
     return pa.Codec("snappy").compress(data, asbytes=True)
 
 
+def _multi_member(payload: bytes, cap: int, what: str, codec: str,
+                  magic: bytes, new_decomp, errors) -> bytes:
+    """Decompress a CONCATENATION of members/streams (what pigz, bgzip,
+    pbzip2 and multi-stream xz actually emit): each stdlib decompressor
+    object stops at its member's end with the remainder in
+    ``unused_data`` — the single-object form silently DROPPED every
+    member after the first (caught r12: a two-member .gz inflated to
+    only its first member's bytes — silent truncation, the exact
+    failure mode the quarantine contract exists to prevent). The cap
+    applies to the TOTAL across members."""
+    out = []
+    total = 0
+    rest = payload
+    while True:
+        d = new_decomp()
+        try:
+            chunk = d.decompress(rest, cap + 1 - total)
+        except errors as e:
+            raise ValueError(f"corrupt {codec} {what}: {e}") from e
+        total += len(chunk)
+        if total > cap:
+            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
+        out.append(chunk)
+        if not d.eof:
+            raise ValueError(f"truncated {codec} {what}")
+        rest = d.unused_data
+        if not rest:
+            return b"".join(out)
+        if not rest.startswith(magic):
+            raise ValueError(
+                f"trailing garbage after {codec} {what} member"
+            )
+
+
 def decompress_transparent(
     payload: bytes, cap: int, what: str = "payload"
 ) -> bytes:
     """Magic-sniffed transparent decompression: gzip / bz2 / xz / zstd
     payloads inflate (incrementally, cap-guarded); anything else passes
-    through untouched. ValueError on corruption, truncation, or a
-    payload inflating past ``cap`` — the shared front door for the tar
-    shard walker and the ``.jsonl.{gz,zst}`` corpus readers."""
+    through untouched. Multi-member/multi-frame concatenations (pigz,
+    bgzip, pbzip2, multi-stream xz, multi-frame zstd) inflate FULLY —
+    never just the first member. ValueError on corruption, truncation,
+    trailing garbage, or a payload inflating past ``cap`` — the shared
+    front door for the tar shard walker and the ``.jsonl.{gz,zst}``
+    corpus readers."""
     if payload[:2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=47)  # gzip or zlib wrapper
-        try:
-            payload = d.decompress(payload, cap + 1)
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip {what}: {e}") from e
-        if len(payload) > cap:
-            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
-        if not d.eof:
-            raise ValueError(f"truncated gzip {what}")
+        payload = _multi_member(
+            payload, cap, what, "gzip", b"\x1f\x8b",
+            lambda: zlib.decompressobj(wbits=47), (zlib.error,),
+        )
     elif payload[:3] == b"BZh":
         import bz2
 
-        d = bz2.BZ2Decompressor()
-        try:
-            payload = d.decompress(payload, cap + 1)
-        except OSError as e:
-            raise ValueError(f"corrupt bz2 {what}: {e}") from e
-        if len(payload) > cap:
-            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
-        if not d.eof:
-            raise ValueError(f"truncated bz2 {what}")
+        payload = _multi_member(
+            payload, cap, what, "bz2", b"BZh",
+            bz2.BZ2Decompressor, (OSError,),
+        )
     elif payload[:6] == b"\xfd7zXZ\x00":
         import lzma
 
-        d = lzma.LZMADecompressor()
-        try:
-            payload = d.decompress(payload, cap + 1)
-        except lzma.LZMAError as e:
-            raise ValueError(f"corrupt xz {what}: {e}") from e
-        if len(payload) > cap:
-            raise ValueError(f"{what} inflates past cap (zip-bomb defense)")
-        if not d.eof:
-            raise ValueError(f"truncated xz {what}")
+        payload = _multi_member(
+            payload, cap, what, "xz", b"\xfd7zXZ\x00",
+            lzma.LZMADecompressor, (lzma.LZMAError,),
+        )
     elif payload[:4] == ZSTD_MAGIC:
+        # pyarrow's streaming decoder reads concatenated frames natively
         payload = zstd_decompress(payload, cap, what)
     return payload

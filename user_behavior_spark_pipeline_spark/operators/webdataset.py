@@ -495,8 +495,17 @@ def jsonl_shard_lines(shards: DataFrame) -> DataFrame:
                         raise ValueError(
                             f"jsonl shard is not UTF-8: {e}"
                         ) from None
+                    # the two byte-level artifacts real-world jsonl
+                    # actually carries: a UTF-8 BOM on the first line
+                    # (Windows tooling) and CRLF endings — both are
+                    # framing, never content (raw control chars are
+                    # illegal inside JSON strings), so strip them here
+                    # rather than letting from_json see them
+                    if text.startswith("\ufeff"):
+                        text = text[1:]
                     count = 0
                     for idx, line in enumerate(text.split("\n")):
+                        line = line.rstrip("\r")
                         if not line.strip():
                             continue
                         rows.append((sid, idx, line, None))
@@ -519,11 +528,14 @@ def jsonl_shard_lines(shards: DataFrame) -> DataFrame:
 def synth_jsonl_shard_bytes(doc_id: int, text: str) -> bytes:
     """Deterministic JSONL shard: doc_id%3+1 records
     ``{"doc": <doc_id>, "i": <i>, "text": "<text> #<i>"}`` one per
-    line; compression rotates by doc_id % 3: plain / gzip / zstd — the
-    record table is identical under all three, so one oracle hash
-    certifies the transparency paths AND the JSON escape round-trip
-    (non-ASCII text rides through ensure_ascii=False). Closed form
-    mirrored by the oracle."""
+    line; the rotation by doc_id % 3 stacks the real-world framing
+    hazards onto one invariant record table: k=0 plain with a UTF-8
+    BOM and CRLF line endings (Windows tooling), k=1 gzip in TWO
+    members (the pigz/bgzip concatenation the single-object
+    decompressor silently truncated — caught r12), k=2 zstd in TWO
+    frames. One oracle hash certifies transparency, multi-member
+    inflation, BOM/CRLF stripping AND the JSON escape round-trip
+    (non-ASCII text rides through ensure_ascii=False)."""
     import json
 
     lines = [
@@ -533,14 +545,21 @@ def synth_jsonl_shard_bytes(doc_id: int, text: str) -> bytes:
         )
         for i in range(doc_id % 3 + 1)
     ]
-    raw = ("\n".join(lines) + "\n").encode("utf-8")
     k = doc_id % 3
+    if k == 0:
+        return (
+            "\ufeff" + "\r\n".join(lines) + "\r\n"
+        ).encode("utf-8")
+    half = (len(lines) + 1) // 2
+    a = ("\n".join(lines[:half]) + "\n").encode("utf-8")
+    b = ("\n".join(lines[half:]) + "\n").encode("utf-8") if lines[half:] else b""
     if k == 1:
-        co = zlib.compressobj(9, zlib.DEFLATED, 31)
-        raw = co.compress(raw) + co.flush()
-    elif k == 2:
-        raw = zstd_compress(raw)
-    return raw
+        def gz(x):
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)
+            return co.compress(x) + co.flush()
+
+        return gz(a) + (gz(b) if b else b"")
+    return zstd_compress(a) + (zstd_compress(b) if b else b"")
 
 
 def synth_jsonl_shards(documents: DataFrame) -> DataFrame:
