@@ -23,6 +23,13 @@ import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 #: action schema for from_json — the fields replay needs; unknown
 #: action types (protocol/commitInfo/txn) parse to all-null structs and
@@ -67,15 +74,13 @@ def delta_log_actions(logs: DataFrame) -> DataFrame:
     )
 
 
-def delta_live_files(logs: DataFrame) -> DataFrame:
-    """Replay the log: the LIVE file set after the latest version.
-    One max_by((action, size), (version, action_idx)) per (table,
-    path) — the protocol's last-action-wins rule as a single
-    partial-aggregable aggregation."""
-    acts = delta_log_actions(logs).filter(
+def _replay(acts: DataFrame) -> DataFrame:
+    """The protocol's last-action-wins rule as ONE partial-aggregable
+    max_by per (table, path) — shared by the JSON-only and the
+    checkpoint+tail read paths."""
+    last = acts.filter(
         F.col("action").isin("add", "remove")
-    )
-    last = acts.groupBy("table_id", "path").agg(
+    ).groupBy("table_id", "path").agg(
         F.max_by(
             F.struct("action", "size_bytes"),
             F.struct("version", "action_idx"),
@@ -86,6 +91,106 @@ def delta_live_files(logs: DataFrame) -> DataFrame:
         "path",
         F.col("last.size_bytes").alias("size_bytes"),
     )
+
+
+def delta_live_files(logs: DataFrame) -> DataFrame:
+    """Replay the log: the LIVE file set after the latest version."""
+    return _replay(delta_log_actions(logs))
+
+
+CHECKPOINT_ACTIONS_SCHEMA = StructType(
+    [
+        StructField("table_id", LongType(), False),
+        StructField("version", IntegerType(), True),
+        StructField("action_idx", IntegerType(), True),
+        StructField("action", StringType(), True),
+        StructField("path", StringType(), True),
+        StructField("size_bytes", LongType(), True),
+        StructField("parse_error", StringType(), True),
+    ]
+)
+
+
+def checkpoint_actions(checkpoints: DataFrame) -> DataFrame:
+    """(table_id, version, payload PARQUET bytes) checkpoint files ->
+    the same action rows delta_log_actions emits, via one pyarrow pass
+    (metadata-scale; corruption quarantines as ONE parse_error row)."""
+
+    def _walk(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cols = [f.name for f in CHECKPOINT_ACTIONS_SCHEMA.fields]
+        for batch in batches:
+            rows = []
+            for tid, ver, payload in zip(
+                batch["table_id"], batch["version"], batch["payload"]
+            ):
+                t, v = int(tid), int(ver)
+                try:
+                    tbl = pq.read_table(io.BytesIO(bytes(payload)))
+                    recs = tbl.to_pylist()
+                except Exception as e:  # pyarrow raises several types
+                    rows.append(
+                        (t, None, None, None, None, None, str(e)[:200])
+                    )
+                    continue
+                for idx, r in enumerate(recs):
+                    add, rem = r.get("add"), r.get("remove")
+                    if add and add.get("path") is not None:
+                        rows.append(
+                            (t, v, idx, "add", add["path"],
+                             add.get("size"), None)
+                        )
+                    elif rem and rem.get("path") is not None:
+                        rows.append(
+                            (t, v, idx, "remove", rem["path"], None, None)
+                        )
+                    elif (r.get("metaData") or {}).get("id") is not None:
+                        rows.append(
+                            (t, v, idx, "metaData", None, None, None)
+                        )
+                    else:
+                        rows.append(
+                            (t, v, idx, "corrupt", None, None, None)
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return checkpoints.select(
+        "table_id", "version", "payload"
+    ).mapInPandas(_walk, CHECKPOINT_ACTIONS_SCHEMA)
+
+
+def delta_live_files_from_checkpoint(
+    last_checkpoint: DataFrame,
+    checkpoints: DataFrame,
+    tail_logs: DataFrame,
+) -> DataFrame:
+    """The production bootstrap: ``_last_checkpoint`` (JSON pointer,
+    parsed JVM-side) selects WHICH checkpoint to load — the fixture
+    plants a stale one, so pointer selection is hash-load-bearing —
+    then only JSON commits past it replay on top through the shared
+    max_by. O(state + tail), never O(history)."""
+    ptr = last_checkpoint.select(
+        "table_id",
+        F.from_json("payload", "version int").alias("j"),
+    ).select("table_id", F.col("j.version").alias("ckpt_version"))
+    ck = (
+        checkpoint_actions(checkpoints)
+        .filter(F.col("parse_error").isNull())
+        .drop("parse_error")
+        .join(F.broadcast(ptr), "table_id")
+        .filter(F.col("version") == F.col("ckpt_version"))
+    )
+    tail = delta_log_actions(tail_logs).join(
+        F.broadcast(ptr), "table_id"
+    ).filter(F.col("version") > F.col("ckpt_version"))
+    acts = ck.drop("ckpt_version").unionByName(
+        tail.drop("ckpt_version")
+    )
+    return _replay(acts)
 
 
 def synth_delta_log_rows(doc_id: int) -> list[tuple[int, int, str]]:
@@ -175,3 +280,156 @@ def synth_delta_logs(documents: DataFrame) -> DataFrame:
         .select("table_id", F.col("c.version").alias("version"),
                 F.col("c.payload").alias("payload"))
     )
+
+
+def _state_after(doc_id: int, upto: int) -> tuple[dict, set]:
+    """Replay the synthetic history through version ``upto`` in plain
+    Python: (live {path: size}, tombstones {path}) — the checkpoint's
+    content by definition."""
+    live: dict[str, int] = {}
+    tombs: set[str] = set()
+    for _tid, v, payload in synth_delta_log_rows(doc_id):
+        if v > upto:
+            continue
+        for line in payload.splitlines():
+            a = json.loads(line)
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]["size"]
+                tombs.discard(a["add"]["path"])
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+                tombs.add(a["remove"]["path"])
+    return live, tombs
+
+
+def synth_delta_checkpoint_bytes(doc_id: int, upto: int) -> bytes:
+    """One checkpoint PARQUET: the complete state after ``upto`` as
+    action rows (metaData + live adds + remove tombstones) in the
+    protocol's nested-struct layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    live, tombs = _state_after(doc_id, upto)
+    adds, rems, metas = [], [], []
+    metas.append({"id": f"tbl-{doc_id}", "name": f"t{doc_id}"})
+    adds.extend(
+        {"path": p, "size": s, "dataChange": False}
+        for p, s in sorted(live.items())
+    )
+    rems.extend({"path": p, "dataChange": False} for p in sorted(tombs))
+    n = len(metas) + len(adds) + len(rems)
+    add_col = [None] * len(metas) + adds + [None] * len(rems)
+    rem_col = [None] * (len(metas) + len(adds)) + rems
+    meta_col = metas + [None] * (len(adds) + len(rems))
+    add_t = pa.struct(
+        [("path", pa.string()), ("size", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+    rem_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
+    meta_t = pa.struct([("id", pa.string()), ("name", pa.string())])
+    tbl = pa.table(
+        {
+            "add": pa.array(add_col, add_t),
+            "remove": pa.array(rem_col, rem_t),
+            "metaData": pa.array(meta_col, meta_t),
+        }
+    )
+    assert tbl.num_rows == n
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink)
+    return sink.getvalue().to_pybytes()
+
+
+def synth_delta_checkpoint_fixture(documents: DataFrame):
+    """(last_checkpoint_df, checkpoints_df, tail_logs_df) for the
+    production-bootstrap read path. V = doc%3+1; the pointer names
+    version C = V-1; a STALE checkpoint at C-1 also ships when V >= 2
+    (loading it + the tail resurrects part-(V-2)-0 — hash-caught);
+    JSON commits BEFORE C are withheld (log cleanup), so ignoring the
+    checkpoint is also hash-caught."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ck_elem = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    log_elem = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("payload", StringType()),
+        ]
+    )
+
+    def _ptr_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                json.dumps({"version": int(d) % 3, "size": 1})
+                for d in doc_id
+            ]
+        )
+
+    def _cks_fn(doc_id):
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            c = d % 3  # V - 1
+            cks = [(c, synth_delta_checkpoint_bytes(d, c))]
+            if c >= 1:
+                cks.append((c - 1, synth_delta_checkpoint_bytes(d, c - 1)))
+            out.append(cks)
+        return pd.Series(out)
+
+    def _tail_fn(doc_id):
+        import pandas as pd
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            c = d % 3
+            out.append(
+                [
+                    (v, p)
+                    for _t, v, p in synth_delta_log_rows(d)
+                    if v > c
+                ]
+            )
+        return pd.Series(out)
+
+    _ptr = pandas_udf(_ptr_fn, StringType(), PandasUDFType.SCALAR)
+    _cks = pandas_udf(_cks_fn, ArrayType(ck_elem), PandasUDFType.SCALAR)
+    _tail = pandas_udf(_tail_fn, ArrayType(log_elem), PandasUDFType.SCALAR)
+    ptr_df = documents.select(
+        F.col("doc_id").alias("table_id"),
+        _ptr("doc_id").alias("payload"),
+    )
+    ck_df = documents.select(
+        F.col("doc_id").alias("table_id"),
+        F.explode(_cks("doc_id")).alias("c"),
+    ).select(
+        "table_id",
+        F.col("c.version").alias("version"),
+        F.col("c.payload").alias("payload"),
+    )
+    tail_df = documents.select(
+        F.col("doc_id").alias("table_id"),
+        F.explode(_tail("doc_id")).alias("c"),
+    ).select(
+        "table_id",
+        F.col("c.version").alias("version"),
+        F.col("c.payload").alias("payload"),
+    )
+    return ptr_df, ck_df, tail_df

@@ -1778,6 +1778,35 @@ def x_iceberg_live_files(spark, sf_dir):
     )
 
 
+@query(
+    "x_delta_checkpoint",
+    oracle=_DELTA_SQL.replace(
+        "FROM documents,",
+        "FROM (SELECT * FROM documents WHERE doc_id % 5 = 0),",
+    ),
+)
+def x_delta_checkpoint(spark, sf_dir):
+    """Delta checkpoint bootstrap (r12) — how real readers load state
+    after log cleanup: ``_last_checkpoint`` (JSON, parsed JVM-side)
+    names version C; the checkpoint PARQUET at C carries the replayed
+    state as action rows (live adds + remove tombstones, parsed in one
+    pyarrow pass); only JSON commits AFTER C replay on top through the
+    SAME max_by as x_delta_live_files. The fixture withholds the
+    pre-C JSON commits (so ignoring the checkpoint breaks the hash)
+    AND plants a STALE checkpoint at C-1 (so pointer selection breaks
+    it too); the oracle is x_delta_live_files' closed form — two read
+    paths, one final state, mutually certifying. O(state + tail).
+    (Scoped doc_id%5==0, the per-table-closed-form policy.)"""
+    from .operators.deltalog import (
+        delta_live_files_from_checkpoint,
+        synth_delta_checkpoint_fixture,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    ptr, cks, tail = synth_delta_checkpoint_fixture(docs)
+    return delta_live_files_from_checkpoint(ptr, cks, tail)
+
+
 _CURATE_CRAWL_SQL = (
     # end-to-end closed form: the WARC builder's page VISIBLE text is
     # exactly 'doc <id> ' || text (x_warc_text's certified closed
@@ -8589,6 +8618,10 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "bpe_token_count",
             "bpe_symbol_stream",
             "synth_parquet_bytes",
+            "delta_live_files",
+            "_replay",
+            "checkpoint_actions",
+            "synth_delta_checkpoint_bytes",
             "parquet_footer",
             "_render_logical",
             "synth_avro_logical_bytes",
