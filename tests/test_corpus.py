@@ -505,3 +505,46 @@ def test_bpe_matches_independent_reference(spark):
     }
     for c in cases:
         assert got[c] == reference(c), repr(c)
+
+
+def test_chunk_bpe_reconstruction_and_overlap(spark):
+    """stride == chunk -> chunks exactly tile the original characters
+    (the tokenizer loses nothing); stride < chunk -> consecutive
+    chunks overlap by (chunk - stride) tokens."""
+    from user_behavior_spark_pipeline_spark.operators.corpus import (
+        chunk_documents_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the thing and the other stuff here"), (2, "")],
+        "doc_id long, text string",
+    )
+    tiles = chunk_documents_bpe(df, 3, 3).collect()
+    assert {r.doc_id for r in tiles} == {1}  # empty text yields nothing
+    txt = "".join(
+        r.chunk_text
+        for r in sorted(tiles, key=lambda r: r.chunk_index)
+    )
+    assert txt == "the thing and the other stuff here"
+    over = sorted(
+        chunk_documents_bpe(df, 4, 3).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # overlap law: each chunk k starts at token k*stride, so chunk k+1
+    # is a SUFFIX-EXTENSION of chunk k shifted by stride tokens — the
+    # last (chunk - stride) tokens of chunk k are the first of k+1;
+    # in characters: chunk_text[k] ends with the prefix of
+    # chunk_text[k+1] that covers those shared tokens. Verify via the
+    # tiling run: tiles[k].chunk_text is exactly tokens [3k, 3k+3), so
+    # over[k].chunk_text == tiles-prefix concatenation shifted.
+    tiled = {
+        r.chunk_index: r.chunk_text
+        for r in sorted(tiles, key=lambda r: r.chunk_index)
+    }
+    for r in over:
+        assert r.n_tokens <= 4
+        # an overlapping chunk starts where its tile starts
+        assert r.chunk_text.startswith(tiled[r.chunk_index][:1])
+        assert r.chunk_text.startswith(
+            tiled[r.chunk_index]
+        ) or r.n_tokens < 4

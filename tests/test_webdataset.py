@@ -249,3 +249,51 @@ def test_jsonl_walker_bom_crlf_and_multi_member(spark):
     for r in rows:
         got.setdefault(r.shard_id, set()).add(r.i)
     assert got == {3: {0}, 4: {0, 1}, 5: {0, 1, 2}}
+
+
+def test_tar_base256_and_pax_size_records():
+    """>8 GiB member spellings at fixture scale: a GNU base-256 size
+    field (bit 7 set, big-endian binary) and a PAX 'size' override
+    both govern the member's data region; malformed PAX sizes
+    quarantine."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from user_behavior_spark_pipeline_spark.operators.webdataset import (
+        _tar_header,
+        tar_members,
+    )
+
+    h = bytearray(_tar_header("b256.txt", 5))
+    h[124:136] = bytes([0x80] + [0] * 10 + [5])
+    h[148:156] = b" " * 8
+    h[148:156] = ("%06o" % sum(h)).encode() + b"\x00 "
+    buf = bytes(h) + b"hello" + bytes(512 - 5) + bytes(1024)
+    assert dict(tar_members(buf)) == {"b256.txt": b"hello"}
+
+    bio = io.BytesIO()
+    with tarfile.open(
+        fileobj=bio, mode="w", format=tarfile.PAX_FORMAT
+    ) as tf:
+        ti = tarfile.TarInfo("p.txt")
+        ti.size = 3
+        ti.pax_headers = {"size": "3"}
+        tf.addfile(ti, io.BytesIO(b"xxx"))
+    assert dict(tar_members(bio.getvalue()))["p.txt"] == b"xxx"
+
+    # malformed PAX size: non-numeric and negative both quarantine
+    for bad in (b"nope", b"-5"):
+        rec = b"size=" + bad + b"\n"
+        rec = (b"%d " % (len(rec) + len(b"%d " % 30))) + rec
+        pax = _tar_header("pax", len(rec))
+        pax = pax[:156] + b"x" + pax[157:]
+        # rebuild checksum after the typeflag edit
+        pb = bytearray(pax)
+        pb[148:156] = b" " * 8
+        pb[148:156] = ("%06o" % sum(pb)).encode() + b"\x00 "
+        data = rec + bytes((512 - len(rec) % 512) % 512)
+        follow = _tar_header("f.txt", 1) + b"y" + bytes(511)
+        with pytest.raises(ValueError, match="PAX size"):
+            list(tar_members(bytes(pb) + data + follow + bytes(1024)))

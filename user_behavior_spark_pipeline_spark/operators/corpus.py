@@ -234,6 +234,48 @@ def bpe_token_count(col, merges: tuple[tuple[str, str], ...] = BPE_MERGES):
     ).cast("long")
 
 
+def chunk_documents_bpe(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """Tokenizer-aware chunking: windows of BPE TOKENS, not whitespace
+    words — what an embedding/retrieval stage actually wants when its
+    encoder has a token budget. The merged symbol stream splits into a
+    bound token array (start markers stripped per element), then the
+    same sequence+slice+explode shape as chunk_documents; chunk_text is
+    the VERBATIM concatenation of its symbols, so chunks exactly
+    partition (with stride overlap) the original character stream —
+    the property that makes the closed-form twin possible and proves
+    the tokenizer loses no characters. Zero shuffles, pure codegen."""
+    s = bpe_symbol_stream(F.col("text"), merges)
+    raw = F.split(s, BPE_EOS)
+    toks = F.transform(
+        F.slice(raw, 1, F.size(raw) - 1),  # drop the trailing empty
+        lambda x: x.substr(F.lit(2), F.length(x)),  # strip the SOS mark
+    )
+    tokenized = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id", toks.alias("_t"))
+    t = F.col("_t")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+        lambda i: F.struct(
+            ((i - 1) / stride).cast("long").alias("chunk_index"),
+            F.array_join(F.slice(t, i, chunk_tokens), "").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), F.size(t) - i + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return tokenized.select("doc_id", F.explode(chunks).alias("_c")).select(
+        "doc_id", "_c.chunk_index", "_c.chunk_text", "_c.n_tokens"
+    )
+
+
 def pack_spans(
     documents: DataFrame,
     window_tokens: int = 128,

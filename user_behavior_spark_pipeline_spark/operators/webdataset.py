@@ -60,6 +60,7 @@ def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
     pos = 0
     n = len(payload)
     pending_name: str | None = None  # from PAX 'path' or GNU 'L'
+    pending_size: int | None = None  # from a PAX 'size' record
     while pos + 512 <= n:
         hdr = payload[pos : pos + 512]
         if hdr == b"\x00" * 512:  # end-of-archive marker
@@ -68,11 +69,21 @@ def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
         magic = hdr[257:263]
         if magic not in (b"ustar\x00", b"ustar ", b"\x00" * 6):
             raise ValueError(f"bad tar magic at member {name!r}")
-        raw_size = hdr[124:136].split(b"\x00", 1)[0].strip()
-        try:
-            size = int(raw_size or b"0", 8)
-        except ValueError:
-            raise ValueError(f"bad tar size field for {name!r}") from None
+        if hdr[124] & 0x80:
+            # GNU base-256 size (members > 8 GiB overflow the 11-digit
+            # octal field; star/GNU tar set bit 7 and store big-endian
+            # binary in the remaining bytes)
+            size = int.from_bytes(hdr[124:136], "big") - (0x80 << 88)
+            if size < 0:
+                raise ValueError(f"bad base-256 tar size for {name!r}")
+        else:
+            raw_size = hdr[124:136].split(b"\x00", 1)[0].strip()
+            try:
+                size = int(raw_size or b"0", 8)
+            except ValueError:
+                raise ValueError(
+                    f"bad tar size field for {name!r}"
+                ) from None
         typeflag = hdr[156:157]
         prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
         if prefix:
@@ -103,11 +114,32 @@ def tar_members(payload: bytes) -> Iterator[tuple[str, bytes]]:
                 key, _, val = rec[sp - at + 1 : -1].partition(b"=")
                 if key == b"path":
                     pending_name = val.decode("utf-8", "replace")
+                elif key == b"size":
+                    # PAX size override (the other >8 GiB spelling)
+                    try:
+                        pending_size = int(val)
+                    except ValueError:
+                        raise ValueError(
+                            "malformed PAX size record"
+                        ) from None
+                    if pending_size < 0:
+                        raise ValueError("negative PAX size record")
                 at += rec_len
         elif typeflag in (b"0", b"\x00"):
             if pending_name is not None:
                 name = pending_name
                 pending_name = None
+            if pending_size is not None:
+                # the header's octal field is a placeholder when a PAX
+                # size record governs — re-slice with the real size
+                size = pending_size
+                pending_size = None
+                data_end = pos + 512 + size
+                if data_end > n:
+                    raise ValueError(
+                        f"tar member {name!r} overruns shard"
+                    )
+                data = payload[pos + 512 : data_end]
             yield name, data
         else:
             # directories / links / other special members: skipped

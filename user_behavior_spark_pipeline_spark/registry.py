@@ -8018,6 +8018,37 @@ def x_corpus_pack_bpe(spark, sf_dir):
     )
 
 
+_CHUNKS_BPE_SQL = (
+    "WITH s AS (SELECT doc_id, " + _bpe_count_sql() + " AS s "
+    "FROM documents), "
+    "tk AS (SELECT doc_id, list_transform(string_split(s, chr(30)), "
+    "x -> x[2:]) AS t0 FROM s), "
+    "t AS (SELECT doc_id, t0[1:len(t0)-1] AS t FROM tk "
+    "WHERE len(t0) > 1), "
+    "chunks AS (SELECT doc_id, CAST((i-1)//48 AS BIGINT) AS chunk_index, "
+    "array_to_string(t[i : i+63], '') AS chunk_text, "
+    "CAST(least(64, len(t)-i+1) AS BIGINT) AS n_tokens "
+    "FROM t, UNNEST(generate_series(1, len(t), 48)) AS u(i)) "
+    "SELECT * FROM chunks"
+)
+
+
+@query("x_corpus_chunks_bpe", oracle=_CHUNKS_BPE_SQL)
+def x_corpus_chunks_bpe(spark, sf_dir):
+    """Tokenizer-aware chunking (r12): 64-BPE-token windows, stride 48
+    — the reshape an embedding stage with a token budget actually
+    needs. chunk_text is the VERBATIM concatenation of the window's
+    symbols, so chunks exactly tile the original character stream
+    (stride==chunk reconstruction is pytest-pinned): the hash certifies
+    that the scan-side tokenizer loses no characters AND agrees with
+    DuckDB's independently-computed symbol array. Zero shuffles."""
+    from .operators.corpus import chunk_documents_bpe
+
+    return chunk_documents_bpe(
+        _table(spark, sf_dir, "documents"), 64, 48
+    )
+
+
 @query(
     "x_corpus_repetition",
     oracle=(
@@ -8616,6 +8647,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "arrow_ipc_records",
             "pack_spans",
             "bpe_token_count",
+            "chunk_documents_bpe",
             "bpe_symbol_stream",
             "synth_parquet_bytes",
             "delta_live_files",
