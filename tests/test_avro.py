@@ -113,11 +113,11 @@ def test_avro_corruption_quarantine_shapes():
     raw = synth_avro_bytes(0).replace(b"\x08null", b"\x08xxxx")
     with pytest.raises(ValueError, match="codec"):
         list(avro_container_records(raw))
-    # enums stay out of scope (arrays/maps decode since r12)
+    # non-null unions stay out of scope (arrays/maps/enums/fixed
+    # decode since r12)
     nested = (
         b'{"type":"record","name":"T","fields":'
-        b'[{"name":"a","type":{"type":"enum","name":"E",'
-        b'"symbols":["X"]}}]}'
+        b'[{"name":"a","type":["string","long"]}]}'
     )
     good = synth_avro_bytes(0)
     with pytest.raises(ValueError, match="bad magic|not an Avro"):
@@ -276,10 +276,39 @@ def test_avro_arrays_maps_block_framing():
     with pytest.raises(ValueError, match="overruns"):
         list(avro_container_records(buf))
     # driver fixture parses under every codec slot with the closed-form
-    # cell count: 1 + (i%3+1) + 2 + 4 per record
+    # cell count: 1 + (i%3+1) + 2 + 4 + enum + fixed per record
     for d in range(8):
         rows = list(
             avro_container_records(synth_avro_collections_bytes(d))
         )
-        want = sum(7 + i % 3 + 1 for i in range(d % 3 + 1))
+        want = sum(9 + i % 3 + 1 for i in range(d % 3 + 1))
         assert len(rows) == want, d
+    # enum index out of range quarantines
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        build_avro_container as _bac,
+        zigzag_encode as _zz,
+    )
+
+    eschema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "e",
+                    "type": {
+                        "type": "enum",
+                        "name": "E",
+                        "symbols": ["A", "B"],
+                    },
+                }
+            ],
+        }
+    ).encode()
+    ebuf = _bac(eschema, [_zz(7)], bytes(16))
+    with pytest.raises(ValueError, match="enum index"):
+        list(avro_container_records(ebuf))
+    good = _bac(eschema, [_zz(1)], bytes(16))
+    assert list(avro_container_records(good)) == [(0, "e", "enum", "B")]

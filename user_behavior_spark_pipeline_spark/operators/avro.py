@@ -157,6 +157,22 @@ def _parse_type(name: str, typ, depth: int):
         return ("array", _parse_type(name, typ.get("items"), depth + 1))
     if isinstance(typ, dict) and typ.get("type") == "map":
         return ("map", _parse_type(name, typ.get("values"), depth + 1))
+    if isinstance(typ, dict) and typ.get("type") == "enum":
+        symbols = typ.get("symbols")
+        if (
+            not isinstance(symbols, list)
+            or not symbols
+            or not all(isinstance(s, str) for s in symbols)
+        ):
+            raise ValueError(
+                f"Avro enum {name!r} without a valid symbols list"
+            )
+        return ("enum", tuple(symbols))
+    if isinstance(typ, dict) and typ.get("type") == "fixed":
+        size = typ.get("size")
+        if not isinstance(size, int) or size < 0:
+            raise ValueError(f"Avro fixed {name!r} without a valid size")
+        return ("fixed", size)
     if isinstance(typ, dict) and typ.get("type") in _PRIMITIVES:
         # annotated primitive: {"type": "long", "logicalType": ...}
         # (also covers the plain {"type": "long"} spelling with no
@@ -343,6 +359,21 @@ def _decode_typed(
             )
 
         return _decode_collection(data, at, _entry)
+    if isinstance(typ, tuple) and typ[0] == "enum":
+        idx, at = zigzag_decode(data, at)
+        symbols = typ[1]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(
+                f"Avro enum index {idx} out of range (0..{len(symbols) - 1})"
+            )
+        out.append((q, "enum", symbols[idx]))
+        return at
+    if isinstance(typ, tuple) and typ[0] == "fixed":
+        size = typ[1]
+        if at + size > len(data):
+            raise ValueError("Avro fixed value overruns data")
+        out.append((q, "fixed", data[at : at + size].hex()))
+        return at + size
     if isinstance(typ, tuple):  # ("union_null", prim_branch, prim)
 
         branch, at = zigzag_decode(data, at)
@@ -688,6 +719,18 @@ _COLLECTIONS_SCHEMA = json.dumps(
                     },
                 },
             },
+            {
+                "name": "state",
+                "type": {
+                    "type": "enum",
+                    "name": "State",
+                    "symbols": ["NEW", "OPEN", "DONE"],
+                },
+            },
+            {
+                "name": "digest",
+                "type": {"type": "fixed", "name": "D4", "size": 4},
+            },
         ],
     }
 ).encode()
@@ -704,7 +747,9 @@ def synth_avro_collections_bytes(doc_id: int) -> bytes:
     ['t0'..'t<i%3>'] written as TWO blocks when longer than one (the
     second in the spec's NEGATIVE-count-with-byte-size form, so the
     skip-hint framing is driver-certified), attrs = {a: doc+i,
-    b: 2*doc+i}, events = two (k, v) records. Codec rotates %4."""
+    b: 2*doc+i}, events = two (k, v) records, state = enum symbol
+    (doc+i)%3 of [NEW, OPEN, DONE], digest = fixed(4) bytes
+    (doc+i+k)%256. Codec rotates %4."""
     codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
     recs = []
     for i in range(doc_id % 3 + 1):
@@ -727,6 +772,10 @@ def synth_avro_collections_bytes(doc_id: int) -> bytes:
         for j in range(2):
             body += _enc_str_coll(f"k{j}") + zigzag_encode(doc_id + i + j)
         body += zigzag_encode(0)
+        body += zigzag_encode((doc_id + i) % 3)  # enum index
+        body += bytes(
+            (doc_id + i + k) % 256 for k in range(4)
+        )  # fixed(4)
         recs.append(bytes(body))
     sync = bytes((doc_id * 3 + k * 23) % 256 for k in range(16))
     return build_avro_container(_COLLECTIONS_SCHEMA, recs, sync, codec)

@@ -4281,7 +4281,14 @@ _AVRO_COLLECTIONS_SQL = (
     "UNION ALL SELECT doc_id, i, 'events[' || e.j || '].k', 'string', "
     "'k' || e.j FROM r, UNNEST(range(2)) AS e(j) "
     "UNION ALL SELECT doc_id, i, 'events[' || e.j || '].v', 'long', "
-    "CAST(doc_id + i + e.j AS VARCHAR) FROM r, UNNEST(range(2)) AS e(j)) "
+    "CAST(doc_id + i + e.j AS VARCHAR) FROM r, UNNEST(range(2)) AS e(j) "
+    "UNION ALL SELECT doc_id, i, 'state', 'enum', "
+    "CASE (doc_id + i) % 3 WHEN 0 THEN 'NEW' WHEN 1 THEN 'OPEN' "
+    "ELSE 'DONE' END FROM r "
+    "UNION ALL SELECT doc_id, i, 'digest', 'fixed', "
+    "printf('%02x%02x%02x%02x', (doc_id + i) % 256, "
+    "(doc_id + i + 1) % 256, (doc_id + i + 2) % 256, "
+    "(doc_id + i + 3) % 256) FROM r) "
     "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value "
     "FROM f"
 )
@@ -4295,7 +4302,10 @@ def x_avro_collections(spark, sf_dir):
     (negative skip-hint blocks included, driver-certified by the
     fixture's two-block arrays) to indexed long-format names
     (tags[0], attrs[key], events[1].v), so collection cells stay
-    driver-hashable with zero per-schema config; codec rotates %4."""
+    driver-hashable with zero per-schema config; plus ENUM (symbol
+    string, index bounds-checked) and FIXED (hex of exactly size
+    bytes) — the scope seam narrows to non-null unions only; codec
+    rotates %4."""
     from pyspark.sql import functions as F
 
     from .operators.avro import (
