@@ -113,11 +113,11 @@ def test_avro_corruption_quarantine_shapes():
     raw = synth_avro_bytes(0).replace(b"\x08null", b"\x08xxxx")
     with pytest.raises(ValueError, match="codec"):
         list(avro_container_records(raw))
-    # non-null unions stay out of scope (arrays/maps/enums/fixed
-    # decode since r12)
+    # unknown type names are the only remaining rejection (the r12
+    # walker covers the spec's whole type system)
     nested = (
         b'{"type":"record","name":"T","fields":'
-        b'[{"name":"a","type":["string","long"]}]}'
+        b'[{"name":"a","type":"banana"}]}'
     )
     good = synth_avro_bytes(0)
     with pytest.raises(ValueError, match="bad magic|not an Avro"):
@@ -276,12 +276,12 @@ def test_avro_arrays_maps_block_framing():
     with pytest.raises(ValueError, match="overruns"):
         list(avro_container_records(buf))
     # driver fixture parses under every codec slot with the closed-form
-    # cell count: 1 + (i%3+1) + 2 + 4 + enum + fixed per record
+    # cell count: 1 + (i%3+1) + 2 + 4 + enum + fixed + union per record
     for d in range(8):
         rows = list(
             avro_container_records(synth_avro_collections_bytes(d))
         )
-        want = sum(9 + i % 3 + 1 for i in range(d % 3 + 1))
+        want = sum(10 + i % 3 + 1 for i in range(d % 3 + 1))
         assert len(rows) == want, d
     # enum index out of range quarantines
     import json as _json

@@ -191,10 +191,17 @@ def _parse_type(name: str, typ, depth: int):
     ):
         prim = typ[1] if typ[0] == "null" else typ[0]
         return ("union_null", typ.index(prim), prim)
+    if isinstance(typ, list) and len(typ) >= 2:
+        # general union: the branch varint selects a member type
+        return (
+            "union",
+            tuple(
+                _parse_type(f"{name}|{k}", t, depth + 1)
+                for k, t in enumerate(typ)
+            ),
+        )
     raise ValueError(
-        f"Avro field {name!r} type {typ!r} out of scope "
-        "(primitives, [null, prim] unions, nested records, arrays and "
-        "maps only)"
+        f"Avro field {name!r} type {typ!r} out of scope"
     )
 
 
@@ -374,6 +381,15 @@ def _decode_typed(
             raise ValueError("Avro fixed value overruns data")
         out.append((q, "fixed", data[at : at + size].hex()))
         return at + size
+    if isinstance(typ, tuple) and typ[0] == "union":
+        branch, at = zigzag_decode(data, at)
+        members = typ[1]
+        if not 0 <= branch < len(members):
+            raise ValueError(
+                f"Avro union branch {branch} out of range "
+                f"(0..{len(members) - 1})"
+            )
+        return _decode_typed(members[branch], data, at, q, out)
     if isinstance(typ, tuple):  # ("union_null", prim_branch, prim)
 
         branch, at = zigzag_decode(data, at)
@@ -731,6 +747,7 @@ _COLLECTIONS_SCHEMA = json.dumps(
                 "name": "digest",
                 "type": {"type": "fixed", "name": "D4", "size": 4},
             },
+            {"name": "extra", "type": ["null", "long", "string"]},
         ],
     }
 ).encode()
@@ -749,7 +766,8 @@ def synth_avro_collections_bytes(doc_id: int) -> bytes:
     skip-hint framing is driver-certified), attrs = {a: doc+i,
     b: 2*doc+i}, events = two (k, v) records, state = enum symbol
     (doc+i)%3 of [NEW, OPEN, DONE], digest = fixed(4) bytes
-    (doc+i+k)%256. Codec rotates %4."""
+    (doc+i+k)%256, extra = 3-way union [null, long, string] taking
+    branch (doc+i)%3 (null / doc*5+i / 's<i>'). Codec rotates %4."""
     codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
     recs = []
     for i in range(doc_id % 3 + 1):
@@ -776,6 +794,12 @@ def synth_avro_collections_bytes(doc_id: int) -> bytes:
         body += bytes(
             (doc_id + i + k) % 256 for k in range(4)
         )  # fixed(4)
+        ub = (doc_id + i) % 3  # 3-way union branch
+        body += zigzag_encode(ub)
+        if ub == 1:
+            body += zigzag_encode(doc_id * 5 + i)
+        elif ub == 2:
+            body += _enc_str_coll(f"s{i}")
         recs.append(bytes(body))
     sync = bytes((doc_id * 3 + k * 23) % 256 for k in range(16))
     return build_avro_container(_COLLECTIONS_SCHEMA, recs, sync, codec)

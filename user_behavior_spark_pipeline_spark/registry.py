@@ -4288,7 +4288,13 @@ _AVRO_COLLECTIONS_SQL = (
     "UNION ALL SELECT doc_id, i, 'digest', 'fixed', "
     "printf('%02x%02x%02x%02x', (doc_id + i) % 256, "
     "(doc_id + i + 1) % 256, (doc_id + i + 2) % 256, "
-    "(doc_id + i + 3) % 256) FROM r) "
+    "(doc_id + i + 3) % 256) FROM r "
+    "UNION ALL SELECT doc_id, i, 'extra', "
+    "CASE (doc_id + i) % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'long' "
+    "ELSE 'string' END, "
+    "CASE (doc_id + i) % 3 WHEN 0 THEN NULL "
+    "WHEN 1 THEN CAST(doc_id * 5 + i AS VARCHAR) "
+    "ELSE 's' || i END FROM r) "
     "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value "
     "FROM f"
 )
@@ -4303,8 +4309,9 @@ def x_avro_collections(spark, sf_dir):
     fixture's two-block arrays) to indexed long-format names
     (tags[0], attrs[key], events[1].v), so collection cells stay
     driver-hashable with zero per-schema config; plus ENUM (symbol
-    string, index bounds-checked) and FIXED (hex of exactly size
-    bytes) — the scope seam narrows to non-null unions only; codec
+    string, index bounds-checked), FIXED (hex of exactly size bytes)
+    and a GENERAL 3-way union taking a different branch per record —
+    the walker now covers the spec's entire type system; codec
     rotates %4."""
     from pyspark.sql import functions as F
 
