@@ -312,3 +312,120 @@ def test_avro_arrays_maps_block_framing():
         list(avro_container_records(ebuf))
     good = _bac(eschema, [_zz(1)], bytes(16))
     assert list(avro_container_records(good)) == [(0, "e", "enum", "B")]
+
+
+def test_nullable_complex_union_decodes_not_crashes():
+    # ADVICE r12 (high): ["null", <complex>] — the most common
+    # nullable-complex idiom — used to TypeError ('unhashable type:
+    # dict') in _parse_type's primitive-membership probe, escaping the
+    # ValueError-only quarantine. It must fall through to the general
+    # union path and DECODE.
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        build_avro_container,
+    )
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "sub",
+                    "type": [
+                        "null",
+                        {
+                            "type": "record",
+                            "name": "Sub",
+                            "fields": [{"name": "a", "type": "long"}],
+                        },
+                    ],
+                }
+            ],
+        }
+    ).encode()
+    recs = [
+        zigzag_encode(0),  # branch 0: null
+        zigzag_encode(1) + zigzag_encode(42),  # branch 1: Sub{a=42}
+    ]
+    buf = build_avro_container(schema, recs, bytes(16))
+    rows = list(avro_container_records(buf))
+    assert rows == [
+        (0, "sub", "null", None),
+        (1, "sub.a", "long", "42"),
+    ]
+    # nullable array goes the same way
+    schema2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "xs",
+                    "type": ["null", {"type": "array", "items": "int"}],
+                }
+            ],
+        }
+    ).encode()
+    rec = (
+        zigzag_encode(1)  # branch 1: the array
+        + zigzag_encode(2)
+        + zigzag_encode(5)
+        + zigzag_encode(6)
+        + zigzag_encode(0)
+    )
+    rows = list(avro_container_records(build_avro_container(schema2, [rec], bytes(16))))
+    assert rows == [(0, "xs[0]", "int", "5"), (0, "xs[1]", "int", "6")]
+
+
+def test_hostile_logical_values_quarantine_as_value_error():
+    # ADVICE r12 (medium): out-of-range temporal values and non-int
+    # decimal scale must raise ValueError (-> quarantine row), never
+    # OverflowError/TypeError (-> dead task).
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        _parse_schema,
+        _render_logical,
+        build_avro_container,
+    )
+
+    for logical, prim in (
+        ("timestamp-micros", "long"),
+        ("timestamp-millis", "long"),
+        ("date", "int"),
+    ):
+        with pytest.raises(ValueError, match="out of range"):
+            _render_logical(str(10**18 * 400), prim, logical, 0)
+    # hostile decimal scale shapes reject at schema-parse time
+    for bad_scale in ('"9"', "-1", "null", "true"):
+        schema = (
+            b'{"type":"record","name":"T","fields":[{"name":"d","type":'
+            b'{"type":"bytes","logicalType":"decimal","precision":9,'
+            b'"scale":' + bad_scale.encode() + b"}}]}"
+        )
+        with pytest.raises(ValueError, match="scale"):
+            _parse_schema(schema)
+    # end-to-end: a container with an out-of-range timestamp becomes ONE
+    # parse_error row via the walker contract, not a crash
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "ts",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                    },
+                }
+            ],
+        }
+    ).encode()
+    buf = build_avro_container(
+        schema, [zigzag_encode(10**18 * 400)], bytes(16)
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        list(avro_container_records(buf))

@@ -115,19 +115,25 @@ def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
     return data[pos : pos + n], pos + n
 
 
-def _parse_schema(raw: bytes) -> list[tuple[str, object]]:
-    """Writer schema -> [(field_name, type)] where type is a primitive
-    name, ('union_null', prim_branch_idx, prim) for ["null", prim]
-    (either order), or ('record', subfields) for a nested record —
-    recursion depth-capped so a hostile schema cannot stack-overflow
-    the worker."""
+def _load_record_schema(raw: bytes) -> dict:
+    """Schema bytes -> the JSON record dict (shared by the plain parse
+    and the reader-resolution path)."""
     try:
         sch = json.loads(raw.decode("utf-8"))
     except (UnicodeDecodeError, json.JSONDecodeError) as e:
         raise ValueError(f"bad Avro schema JSON: {e}") from None
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise ValueError("Avro schema is not a record (out of scope)")
-    return _parse_fields(sch, depth=0)
+    return sch
+
+
+def _parse_schema(raw: bytes) -> list[tuple[str, object]]:
+    """Writer schema -> [(field_name, type)] where type is a primitive
+    name, ('union_null', prim_branch_idx, prim) for ["null", prim]
+    (either order), or ('record', subfields) for a nested record —
+    recursion depth-capped so a hostile schema cannot stack-overflow
+    the worker."""
+    return _parse_fields(_load_record_schema(raw), depth=0)
 
 
 def _parse_fields(sch: dict, depth: int) -> list[tuple[str, object]]:
@@ -177,17 +183,26 @@ def _parse_type(name: str, typ, depth: int):
         # annotated primitive: {"type": "long", "logicalType": ...}
         # (also covers the plain {"type": "long"} spelling with no
         # annotation, which the spec allows)
+        scale = typ.get("scale", 0)
+        if not isinstance(scale, int) or isinstance(scale, bool) or scale < 0:
+            # a hostile decimal schema with scale: "9"/-1/null would
+            # otherwise TypeError past the walkers' ValueError quarantine
+            raise ValueError(
+                f"Avro field {name!r} decimal scale {scale!r} invalid"
+            )
         return (
             "logical",
             typ["type"],
             typ.get("logicalType"),
-            typ.get("scale", 0),
+            scale,
         )
     if (
         isinstance(typ, list)
         and len(typ) == 2
         and "null" in typ
-        and any(t in _PRIMITIVES - {"null"} for t in typ)
+        and any(
+            isinstance(t, str) and t in _PRIMITIVES - {"null"} for t in typ
+        )
     ):
         prim = typ[1] if typ[0] == "null" else typ[0]
         return ("union_null", typ.index(prim), prim)
@@ -250,21 +265,26 @@ def _render_logical(
 
     if v is None or logical is None:
         return v, prim
-    if logical == "timestamp-micros" and prim == "long":
-        us = int(v)
-        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
-            microseconds=us
-        )
-        return f"{dt:%Y-%m-%d %H:%M:%S}.{us % 1_000_000:06d}", logical
-    if logical == "timestamp-millis" and prim == "long":
-        ms = int(v)
-        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
-            milliseconds=ms
-        )
-        return f"{dt:%Y-%m-%d %H:%M:%S}.{ms % 1_000:03d}", logical
-    if logical == "date" and prim == "int":
-        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
-        return d.isoformat(), logical
+    try:
+        if logical == "timestamp-micros" and prim == "long":
+            us = int(v)
+            dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=us
+            )
+            return f"{dt:%Y-%m-%d %H:%M:%S}.{us % 1_000_000:06d}", logical
+        if logical == "timestamp-millis" and prim == "long":
+            ms = int(v)
+            dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                milliseconds=ms
+            )
+            return f"{dt:%Y-%m-%d %H:%M:%S}.{ms % 1_000:03d}", logical
+        if logical == "date" and prim == "int":
+            d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+            return d.isoformat(), logical
+    except (OverflowError, OSError) as e:
+        # a hostile/extreme epoch value past datetime's year-9999 range
+        # must quarantine (ValueError), not kill the task
+        raise ValueError(f"Avro {logical} value {v} out of range: {e}") from e
     if logical == "time-millis" and prim == "int":
         ms = int(v)
         return (
@@ -407,12 +427,417 @@ def _decode_typed(
     return at
 
 
+# ---------------------------------------------------------------------
+# Schema resolution (reader schema != writer schema) — the spec's
+# §Schema Resolution rules, the thing every long-lived Kafka/event-log
+# corpus needs because producers upgrade their schemas mid-stream.
+# Supported: field match by name or READER-declared field alias,
+# writer-only fields decoded-and-skipped, reader-only fields filled
+# from their JSON defaults, numeric promotion (int->long/float/double,
+# long->float/double, float->double), string<->bytes promotion, enum
+# symbol re-match with reader-default fallback (spec 1.9+), recursive
+# resolution through records/arrays/maps/unions. Out of scope
+# (ValueError, documented): writer-side aliases, record-NAME matching
+# (field names carry the contract here), logical-type rendering of
+# default values. Resolution failures are schema-shaped, so they raise
+# at PLAN time where possible; data-dependent failures (irreconcilable
+# union branch actually chosen, enum symbol absent with no default)
+# raise ValueError at decode time -> the walker quarantine.
+# ---------------------------------------------------------------------
+
+#: writer primitive -> reader primitives it may promote to (spec table)
+_PROMOTIONS: dict[str, tuple[str, ...]] = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+
+
+def _json_type_name(t) -> str | None:
+    if isinstance(t, str):
+        return t
+    if isinstance(t, dict):
+        n = t.get("type")
+        return n if isinstance(n, str) else None
+    if isinstance(t, list):
+        return "union"
+    return None
+
+
+def _promote_value(v: str | None, wprim: str, rprim: str) -> str | None:
+    """Re-render a decoded writer primitive under the reader type.
+    Exact where the spec is exact: int->float narrows through a real
+    float32 round-trip, never silently keeps 64-bit precision."""
+    if v is None or wprim == rprim:
+        return v
+    if wprim in ("int", "long") and rprim == "long":
+        return v
+    if wprim in ("int", "long") and rprim == "double":
+        return repr(float(int(v)))
+    if wprim in ("int", "long") and rprim == "float":
+        return repr(struct.unpack("<f", struct.pack("<f", float(int(v))))[0])
+    if wprim == "float" and rprim == "double":
+        return v  # float decode already renders the f32 as its double repr
+    if wprim == "string" and rprim == "bytes":
+        return v.encode("utf-8").hex()
+    if wprim == "bytes" and rprim == "string":
+        try:
+            return bytes.fromhex(v).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(
+                f"bytes->string promotion of non-UTF-8 value: {e}"
+            ) from e
+    raise ValueError(f"no promotion {wprim} -> {rprim}")
+
+
+def _prim_name_and_logical(t) -> tuple[str, str | None, int]:
+    """A primitive or annotated-primitive JSON node -> (prim, logical,
+    scale). scale validated like _parse_type."""
+    if isinstance(t, str):
+        return t, None, 0
+    scale = t.get("scale", 0)
+    if not isinstance(scale, int) or isinstance(scale, bool) or scale < 0:
+        raise ValueError(f"Avro decimal scale {scale!r} invalid")
+    return t["type"], t.get("logicalType"), scale
+
+
+def _resolve_type(name: str, w, r, depth: int):
+    """(writer JSON node, reader JSON node) -> resolved decode token.
+    Tokens: ('rprim', wprim, rprim, rlogical, rscale), ('rrecord',
+    actions), ('rarray', item), ('rmap', values), ('renum', wsymbols,
+    rsymbols_set, rdefault), ('rfixed', size), ('runion', members —
+    None marks an irreconcilable writer branch that errors only if
+    chosen)."""
+    if depth > 16:
+        raise ValueError("Avro schema nests deeper than 16 (out of scope)")
+    wn, rn = _json_type_name(w), _json_type_name(r)
+    if wn == "union":
+        members = []
+        for k, wm in enumerate(w):
+            try:
+                members.append(_resolve_type(f"{name}|{k}", wm, r, depth + 1))
+            except ValueError:
+                members.append(None)
+        if all(m is None for m in members):
+            raise ValueError(
+                f"Avro field {name!r}: no writer union branch resolves"
+            )
+        return ("runion", tuple(members))
+    if rn == "union":
+        # writer non-union vs reader union: first matching reader branch
+        for k, rm in enumerate(r):
+            try:
+                return _resolve_type(f"{name}|{k}", w, rm, depth + 1)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"Avro field {name!r}: writer type matches no reader branch"
+        )
+    if wn == "record" and rn == "record":
+        return ("rrecord", _resolve_record(w, r, depth + 1))
+    if wn == "array" and rn == "array":
+        return (
+            "rarray",
+            _resolve_type(name, w.get("items"), r.get("items"), depth + 1),
+        )
+    if wn == "map" and rn == "map":
+        return (
+            "rmap",
+            _resolve_type(name, w.get("values"), r.get("values"), depth + 1),
+        )
+    if wn == "enum" and rn == "enum":
+        wsyms, rsyms = w.get("symbols"), r.get("symbols")
+        for syms in (wsyms, rsyms):
+            if (
+                not isinstance(syms, list)
+                or not syms
+                or not all(isinstance(s, str) for s in syms)
+            ):
+                raise ValueError(f"Avro enum {name!r} invalid symbols")
+        rdefault = r.get("default")
+        if rdefault is not None and rdefault not in rsyms:
+            raise ValueError(
+                f"Avro enum {name!r} default {rdefault!r} not a symbol"
+            )
+        return ("renum", tuple(wsyms), frozenset(rsyms), rdefault)
+    if wn == "fixed" and rn == "fixed":
+        wsize, rsize = w.get("size"), r.get("size")
+        if wsize != rsize or not isinstance(wsize, int) or wsize < 0:
+            raise ValueError(
+                f"Avro fixed {name!r} size mismatch {wsize!r} vs {rsize!r}"
+            )
+        return ("rfixed", wsize)
+    if wn in _PRIMITIVES and rn in _PRIMITIVES:
+        wprim, _wlog, _wsc = _prim_name_and_logical(w)
+        rprim, rlog, rscale = _prim_name_and_logical(r)
+        if wprim != rprim and rprim not in _PROMOTIONS.get(wprim, ()):
+            raise ValueError(
+                f"Avro field {name!r}: {wprim} does not resolve to {rprim}"
+            )
+        return ("rprim", wprim, rprim, rlog, rscale)
+    raise ValueError(
+        f"Avro field {name!r}: writer {wn!r} does not resolve to "
+        f"reader {rn!r}"
+    )
+
+
+def _resolve_record(w: dict, r: dict, depth: int) -> list[tuple]:
+    """Two record JSON dicts -> an action list the resolved decoder
+    runs in WRITER order (the wire order): ('skip', writer_token),
+    ('emit', reader_name, resolved_token), then trailing ('default',
+    reader_name, cells) for reader-only fields in reader order."""
+    if depth > 16:
+        raise ValueError("Avro schema nests deeper than 16 (out of scope)")
+    wfields, rfields = w.get("fields"), r.get("fields")
+    for fs in (wfields, rfields):
+        if not isinstance(fs, list) or not fs:
+            raise ValueError("Avro record schema has no fields")
+    by_name: dict[str, dict] = {}
+    for rf in rfields:
+        rname = rf.get("name")
+        if not isinstance(rname, str):
+            raise ValueError("Avro reader field without a name")
+        by_name[rname] = rf
+        aliases = rf.get("aliases", [])
+        if not isinstance(aliases, list) or not all(
+            isinstance(a, str) for a in aliases
+        ):
+            raise ValueError(f"Avro reader field {rname!r} aliases invalid")
+        for al in aliases:
+            by_name.setdefault(al, rf)
+    actions: list[tuple] = []
+    matched: set[str] = set()
+    for wf in wfields:
+        wname, wtyp = wf.get("name"), wf.get("type")
+        if not isinstance(wname, str):
+            raise ValueError("Avro writer field without a name")
+        rf = by_name.get(wname)
+        if rf is None or rf["name"] in matched:
+            actions.append(("skip", _parse_type(wname, wtyp, depth)))
+        else:
+            matched.add(rf["name"])
+            actions.append(
+                (
+                    "emit",
+                    rf["name"],
+                    _resolve_type(wname, wtyp, rf["type"], depth),
+                )
+            )
+    for rf in rfields:
+        if rf["name"] in matched:
+            continue
+        if "default" not in rf:
+            raise ValueError(
+                f"Avro reader field {rf['name']!r} has no writer match "
+                "and no default"
+            )
+        actions.append(
+            (
+                "default",
+                rf["name"],
+                _default_cells(rf["name"], rf["type"], rf["default"], depth),
+            )
+        )
+    return actions
+
+
+def _default_cells(
+    name: str, rtyp, dflt, depth: int
+) -> list[tuple[str, str, str | None]]:
+    """Render a reader-field JSON default as (suffix, type, value)
+    cells in the walker's canonical long format. Scope: primitives,
+    enums, null, union defaults (first-branch typed, per spec), empty
+    array/map, and nested records (recursing into subfield values /
+    their own defaults). Logical-type rendering of defaults is out of
+    scope (raw primitive rendering, documented)."""
+    if depth > 16:
+        raise ValueError("Avro schema nests deeper than 16 (out of scope)")
+    tn = _json_type_name(rtyp)
+    if tn == "union":
+        if not isinstance(rtyp, list) or not rtyp:
+            raise ValueError(f"Avro field {name!r} empty union")
+        return _default_cells(name, rtyp[0], dflt, depth + 1)
+    if tn == "null":
+        if dflt is not None:
+            raise ValueError(f"Avro field {name!r} null default {dflt!r}")
+        return [("", "null", None)]
+    if tn in ("int", "long"):
+        if not isinstance(dflt, int) or isinstance(dflt, bool):
+            raise ValueError(f"Avro field {name!r} bad int default {dflt!r}")
+        return [("", tn, str(dflt))]
+    if tn in ("float", "double"):
+        if not isinstance(dflt, (int, float)) or isinstance(dflt, bool):
+            raise ValueError(
+                f"Avro field {name!r} bad float default {dflt!r}"
+            )
+        v = float(dflt)
+        if tn == "float":
+            v = struct.unpack("<f", struct.pack("<f", v))[0]
+        return [("", tn, repr(v))]
+    if tn == "boolean":
+        if not isinstance(dflt, bool):
+            raise ValueError(f"Avro field {name!r} bad bool default {dflt!r}")
+        return [("", tn, "true" if dflt else "false")]
+    if tn == "string":
+        if not isinstance(dflt, str):
+            raise ValueError(f"Avro field {name!r} bad str default {dflt!r}")
+        return [("", tn, dflt)]
+    if tn == "bytes":
+        # spec: bytes defaults are JSON strings of codepoints <= 255
+        if not isinstance(dflt, str):
+            raise ValueError(
+                f"Avro field {name!r} bad bytes default {dflt!r}"
+            )
+        try:
+            return [("", tn, dflt.encode("latin-1").hex())]
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                f"Avro field {name!r} bytes default not latin-1: {e}"
+            ) from e
+    if tn == "enum":
+        syms = rtyp.get("symbols") if isinstance(rtyp, dict) else None
+        if not isinstance(syms, list) or dflt not in syms:
+            raise ValueError(
+                f"Avro field {name!r} enum default {dflt!r} not a symbol"
+            )
+        return [("", "enum", dflt)]
+    if tn in ("array", "map"):
+        empty = [] if tn == "array" else {}
+        if dflt != empty:
+            raise ValueError(
+                f"Avro field {name!r}: only empty {tn} defaults supported"
+            )
+        return []
+    if tn == "record":
+        fields = rtyp.get("fields")
+        if not isinstance(fields, list) or not isinstance(dflt, dict):
+            raise ValueError(
+                f"Avro field {name!r} bad record default {dflt!r}"
+            )
+        out: list[tuple[str, str, str | None]] = []
+        for f in fields:
+            fname = f.get("name")
+            if fname in dflt:
+                sub = _default_cells(fname, f.get("type"), dflt[fname], depth + 1)
+            elif "default" in f:
+                sub = _default_cells(
+                    fname, f.get("type"), f["default"], depth + 1
+                )
+            else:
+                raise ValueError(
+                    f"Avro record default missing field {fname!r}"
+                )
+            out.extend((f".{fname}{suf}", t, v) for suf, t, v in sub)
+        return out
+    raise ValueError(f"Avro field {name!r} default for {tn!r} out of scope")
+
+
+def _decode_resolved_record(
+    actions: list[tuple],
+    data: bytes,
+    at: int,
+    prefix: str,
+    out: list[tuple[str, str, str | None]],
+) -> int:
+    for act in actions:
+        if act[0] == "skip":
+            scratch: list = []
+            at = _decode_typed(act[1], data, at, "_", scratch)
+        elif act[0] == "emit":
+            at = _decode_resolved(act[2], data, at, prefix + act[1], out)
+        else:  # default — constant cells, nothing on the wire
+            out.extend(
+                (prefix + act[1] + suf, t, v) for suf, t, v in act[2]
+            )
+    return at
+
+
+def _decode_resolved(
+    tok, data: bytes, at: int, q: str, out: list
+) -> int:
+    kind = tok[0]
+    if kind == "rprim":
+        _k, wprim, rprim, rlog, rscale = tok
+        v, at = _decode_value(data, at, wprim)
+        v = _promote_value(v, wprim, rprim)
+        lv, lt = _render_logical(v, rprim, rlog, rscale)
+        out.append((q, "null" if lv is None and lt == rprim else lt, lv))
+        return at
+    if kind == "rrecord":
+        return _decode_resolved_record(tok[1], data, at, q + ".", out)
+    if kind == "rarray":
+        idx = 0
+
+        def _item(d, a, _t=tok[1]):
+            nonlocal idx
+            a = _decode_resolved(_t, d, a, f"{q}[{idx}]", out)
+            idx += 1
+            return a
+
+        return _decode_collection(data, at, _item)
+    if kind == "rmap":
+        def _entry(d, a, _t=tok[1]):
+            key, a = _read_bytes(d, a)
+            return _decode_resolved(
+                _t, d, a, f"{q}[{key.decode('utf-8')}]", out
+            )
+
+        return _decode_collection(data, at, _entry)
+    if kind == "renum":
+        idx, at = zigzag_decode(data, at)
+        wsyms, rset, rdefault = tok[1], tok[2], tok[3]
+        if not 0 <= idx < len(wsyms):
+            raise ValueError(
+                f"Avro enum index {idx} out of range (0..{len(wsyms) - 1})"
+            )
+        sym = wsyms[idx]
+        if sym in rset:
+            out.append((q, "enum", sym))
+        elif rdefault is not None:
+            out.append((q, "enum", rdefault))
+        else:
+            raise ValueError(
+                f"Avro enum symbol {sym!r} unknown to reader (no default)"
+            )
+        return at
+    if kind == "rfixed":
+        size = tok[1]
+        if at + size > len(data):
+            raise ValueError("Avro fixed value overruns data")
+        out.append((q, "fixed", data[at : at + size].hex()))
+        return at + size
+    if kind == "runion":
+        branch, at = zigzag_decode(data, at)
+        members = tok[1]
+        if not 0 <= branch < len(members):
+            raise ValueError(
+                f"Avro union branch {branch} out of range "
+                f"(0..{len(members) - 1})"
+            )
+        if members[branch] is None:
+            raise ValueError(
+                f"Avro union branch {branch} irreconcilable with reader"
+            )
+        return _decode_resolved(members[branch], data, at, q, out)
+    raise ValueError(f"Avro resolved token {kind!r} unknown")
+
+
 def avro_container_records(
     payload: bytes,
+    reader_schema: bytes | None = None,
 ) -> Iterator[tuple[int, str, str, str | None]]:
     """Walk one container file: yields (rec_idx, field, type, value)
     with values canonically stringified. Structural corruption raises
-    ValueError."""
+    ValueError. With ``reader_schema`` set, records decode under the
+    spec's schema-resolution rules (§Schema Resolution): writer fields
+    matched to reader fields by name or reader-declared alias,
+    unmatched writer fields decoded-and-skipped, unmatched reader
+    fields filled from their defaults (ValueError without one),
+    numeric/string-bytes promotions applied, enum symbols re-matched
+    with reader-default fallback — irreconcilable schemas ValueError
+    (quarantine), never mis-decode."""
     if payload[:4] != _MAGIC:
         raise ValueError("not an Avro container (bad magic)")
     pos = 4
@@ -431,7 +856,22 @@ def avro_container_records(
             meta[k.decode("utf-8", "replace")] = v
     if "avro.schema" not in meta:
         raise ValueError("Avro container missing avro.schema")
-    fields = _parse_schema(meta["avro.schema"])
+    if reader_schema is None:
+        fields = _parse_schema(meta["avro.schema"])
+
+        def _decode_one(blk: bytes, at: int, cells: list) -> int:
+            return _decode_record(fields, blk, at, "", cells)
+
+    else:
+        actions = _resolve_record(
+            _load_record_schema(meta["avro.schema"]),
+            _load_record_schema(reader_schema),
+            depth=0,
+        )
+
+        def _decode_one(blk: bytes, at: int, cells: list) -> int:
+            return _decode_resolved_record(actions, blk, at, "", cells)
+
     codec = meta.get("avro.codec", b"null").decode("latin-1")
     if codec not in ("null", "deflate", "zstandard", "snappy"):
         raise ValueError(
@@ -475,7 +915,7 @@ def avro_container_records(
         at = 0
         for _ in range(n_recs):
             cells: list[tuple[str, str, str | None]] = []
-            at = _decode_record(fields, block, at, "", cells)
+            at = _decode_one(block, at, cells)
             for name, t, v in cells:
                 yield rec_idx, name, t, v
             rec_idx += 1
