@@ -429,3 +429,158 @@ def test_hostile_logical_values_quarantine_as_value_error():
     )
     with pytest.raises(ValueError, match="out of range"):
         list(avro_container_records(buf))
+
+
+def test_schema_resolution_laws():
+    """Spec §Schema Resolution: promotions, alias match, skip,
+    defaults, enum fallback — the unit laws under the x_avro_evolution
+    driver hash."""
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        EVOLUTION_READER_SCHEMA,
+        _promote_value,
+        build_avro_container,
+        synth_avro_evolution_bytes,
+    )
+
+    # promotion value laws
+    assert _promote_value("5", "int", "long") == "5"
+    assert _promote_value("5", "int", "double") == "5.0"
+    assert _promote_value("5", "long", "float") == "5.0"
+    # int->float narrows through a real float32: 2**24+1 is NOT exact
+    assert _promote_value(str(2**24 + 1), "int", "float") == "16777216.0"
+    assert _promote_value("abc".encode().hex(), "bytes", "string") == "abc"
+    assert _promote_value("abc", "string", "bytes") == "616263"
+    with pytest.raises(ValueError, match="non-UTF-8"):
+        _promote_value(b"\xff\xfe".hex(), "bytes", "string")
+    with pytest.raises(ValueError, match="no promotion"):
+        _promote_value("1.5", "double", "float")
+
+    # both writer generations resolve to identical reader-shaped cells
+    for d in (0, 1, 2, 3, 4, 5, 6, 7):
+        rows = list(
+            avro_container_records(
+                synth_avro_evolution_bytes(d),
+                reader_schema=EVOLUTION_READER_SCHEMA,
+            )
+        )
+        n = d % 3 + 1
+        assert len(rows) == 6 * n
+        per0 = [r for r in rows if r[0] == 0]
+        assert [r[1] for r in per0] == [
+            "id", "temp", "title", "state", "note", "added",
+        ]
+        assert ("0", "added", "long", "7")[1:] == per0[-1][1:]
+
+    # reader field with no writer match and no default -> ValueError
+    reader = _json.loads(EVOLUTION_READER_SCHEMA)
+    reader["fields"].append({"name": "nodefault", "type": "string"})
+    with pytest.raises(ValueError, match="no default"):
+        list(
+            avro_container_records(
+                synth_avro_evolution_bytes(0),
+                reader_schema=_json.dumps(reader).encode(),
+            )
+        )
+
+    # irreconcilable primitive (writer string field -> reader long)
+    reader = _json.loads(EVOLUTION_READER_SCHEMA)
+    reader["fields"][2] = {
+        "name": "title", "type": "long", "aliases": ["name"],
+    }
+    with pytest.raises(ValueError, match="does not resolve"):
+        list(
+            avro_container_records(
+                synth_avro_evolution_bytes(0),
+                reader_schema=_json.dumps(reader).encode(),
+            )
+        )
+
+    # enum symbol unknown to a reader WITHOUT a default -> decode-time
+    # ValueError (quarantine), only when that symbol actually occurs
+    wschema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "enum", "name": "E", "symbols": ["A", "B"],
+                    },
+                }
+            ],
+        }
+    ).encode()
+    rschema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "enum", "name": "E", "symbols": ["A"],
+                    },
+                }
+            ],
+        }
+    ).encode()
+    ok = build_avro_container(wschema, [zigzag_encode(0)], bytes(16))
+    assert list(
+        avro_container_records(ok, reader_schema=rschema)
+    ) == [(0, "s", "enum", "A")]
+    bad = build_avro_container(wschema, [zigzag_encode(1)], bytes(16))
+    with pytest.raises(ValueError, match="unknown to reader"):
+        list(avro_container_records(bad, reader_schema=rschema))
+
+    # writer union branch irreconcilable with reader: errors only when
+    # CHOSEN (spec: resolution of the other branches still works)
+    wschema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [{"name": "u", "type": ["long", "string"]}],
+        }
+    ).encode()
+    rschema = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [{"name": "u", "type": "long"}],
+        }
+    ).encode()
+    ok = build_avro_container(
+        wschema, [zigzag_encode(0) + zigzag_encode(9)], bytes(16)
+    )
+    assert list(
+        avro_container_records(ok, reader_schema=rschema)
+    ) == [(0, "u", "long", "9")]
+    bad = build_avro_container(
+        wschema,
+        [zigzag_encode(1) + zigzag_encode(2) + b"hi"],
+        bytes(16),
+    )
+    with pytest.raises(ValueError, match="irreconcilable"):
+        list(avro_container_records(bad, reader_schema=rschema))
+
+
+def test_avro_resolved_records_operator_quarantine(spark):
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        EVOLUTION_READER_SCHEMA,
+        avro_resolved_records,
+        synth_avro_evolution_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = avro_resolved_records(
+        synth_avro_evolution_media(docs), EVOLUTION_READER_SCHEMA
+    ).collect()
+    assert all(r.parse_error is None for r in rows)
+    assert len(rows) == sum(6 * (d % 3 + 1) for d in range(6))
+    broken = spark.createDataFrame(
+        [(9, b"Obj\x01\x00" + bytes(16))], "media_id long, payload binary"
+    )
+    (r,) = avro_resolved_records(broken, EVOLUTION_READER_SCHEMA).collect()
+    assert r.parse_error is not None

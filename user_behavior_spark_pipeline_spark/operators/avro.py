@@ -1261,3 +1261,174 @@ def synth_avro_collections_media(documents: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         _build("doc_id").alias("payload"),
     )
+
+
+def avro_resolved_records(
+    media: DataFrame, reader_schema: bytes
+) -> DataFrame:
+    """(media_id, payload) -> the generic long format, decoded under the
+    spec's schema-resolution rules against ``reader_schema`` (see
+    avro_container_records). The reader schema is a plan-time constant
+    captured by the closure — at 100 TB it ships once per task inside
+    the serialized function, and the resolution PLAN is built once per
+    container (schema parse cost is amortized over the container's
+    records, exactly like the plain walker). Corrupt or irreconcilable
+    containers quarantine as ONE parse_error row."""
+
+    def _walk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                mid = int(media_id)
+                try:
+                    for ri, fld, t, v in avro_container_records(
+                        bytes(payload), reader_schema=reader_schema
+                    ):
+                        rows.append((mid, ri, fld, t, v, None))
+                except ValueError as e:
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVRO_RECORDS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _walk, AVRO_RECORDS_SCHEMA
+    )
+
+
+# --- evolution fixture: two writer generations, one reader ----------
+
+_EVOLUTION_WRITER_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "EventV1",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "temp", "type": "float"},
+            {"name": "name", "type": "string"},
+            {"name": "legacy", "type": "string"},
+            {
+                "name": "state",
+                "type": {"type": "enum", "name": "S1", "symbols": ["A", "B"]},
+            },
+        ],
+    }
+).encode()
+
+_EVOLUTION_WRITER_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "EventV2",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "temp", "type": "double"},
+            {"name": "title", "type": "string"},
+            {
+                "name": "state",
+                "type": {
+                    "type": "enum",
+                    "name": "S2",
+                    "symbols": ["A", "B", "C", "D"],
+                },
+            },
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+).encode()
+
+#: The reader every downstream consumer upgrades to: int->long and
+#: float->double promotions, 'name' renamed to 'title' via a reader
+#: alias, writer-only 'legacy' dropped, enum symbol 'D' (new in v2,
+#: unknown to the reader) -> reader default 'C', 'note' defaulting to
+#: null for v1 data, and a brand-new 'added' field defaulting to 7.
+EVOLUTION_READER_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "temp", "type": "double"},
+            {"name": "title", "type": "string", "aliases": ["name"]},
+            {
+                "name": "state",
+                "type": {
+                    "type": "enum",
+                    "name": "S",
+                    "symbols": ["A", "B", "C"],
+                },
+                "default": "C",
+            },
+            {"name": "note", "type": ["null", "string"], "default": None},
+            {"name": "added", "type": "long", "default": 7},
+        ],
+    }
+).encode()
+# NOTE: the enum reader-default lives on the enum TYPE per spec 1.9+;
+# this fixture also sets the field-level default for the missing-field
+# case symmetry, but only the type-level one drives symbol fallback.
+_READER_STATE_DEFAULT_FIX = json.loads(EVOLUTION_READER_SCHEMA)
+_READER_STATE_DEFAULT_FIX["fields"][3]["type"]["default"] = "C"
+del _READER_STATE_DEFAULT_FIX["fields"][3]["default"]
+EVOLUTION_READER_SCHEMA = json.dumps(_READER_STATE_DEFAULT_FIX).encode()
+
+
+def synth_avro_evolution_bytes(doc_id: int) -> bytes:
+    """Deterministic container pair for schema resolution: EVEN docs
+    write generation v1 (id int, temp float, name string, legacy
+    string, state enum{A,B}), ODD docs v2 (id long, temp double, title
+    string, state enum{A,B,C,D}, note null|string). doc_id%3+1 records;
+    record i: id = doc*10+i, temp = (doc+i)*0.25 (exactly f4-
+    representable, so the float->double promotion renders identically),
+    title/name = 't<i>', legacy = 'x<i>' (v1 only, reader-skipped),
+    state = symbols[(doc+i)%2] for v1 / [(doc+i)%4] for v2 (index 3 =
+    'D' resolves to the reader default 'C'), note (v2 only) = null when
+    i%2==0 else 'n<i>'. Codec rotates %4 like the sibling fixtures."""
+    codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
+    v1 = doc_id % 2 == 0
+    recs = []
+    for i in range(doc_id % 3 + 1):
+        body = bytearray()
+        body += zigzag_encode(doc_id * 10 + i)
+        temp = (doc_id + i) * 0.25
+        body += struct.pack("<f" if v1 else "<d", temp)
+        title = f"t{i}".encode()
+        body += zigzag_encode(len(title)) + title
+        if v1:
+            legacy = f"x{i}".encode()
+            body += zigzag_encode(len(legacy)) + legacy
+            body += zigzag_encode((doc_id + i) % 2)
+        else:
+            body += zigzag_encode((doc_id + i) % 4)
+            if i % 2 == 0:
+                body += zigzag_encode(0)  # note branch 0: null
+            else:
+                note = f"n{i}".encode()
+                body += zigzag_encode(1) + zigzag_encode(len(note)) + note
+        recs.append(bytes(body))
+    sync = bytes((doc_id * 11 + k * 17) % 256 for k in range(16))
+    return build_avro_container(
+        _EVOLUTION_WRITER_V1 if v1 else _EVOLUTION_WRITER_V2,
+        recs,
+        sync,
+        codec,
+    )
+
+
+def synth_avro_evolution_media(documents: DataFrame) -> DataFrame:
+    """(media_id, payload) of mixed-generation Avro containers."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [synth_avro_evolution_bytes(int(d)) for d in doc_id]
+        )
+
+    _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        _build("doc_id").alias("payload"),
+    )

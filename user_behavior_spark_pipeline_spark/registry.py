@@ -4326,6 +4326,67 @@ def x_avro_collections(spark, sf_dir):
     ).drop("parse_error")
 
 
+_AVRO_EVOLUTION_SQL = (
+    # closed form from avro.synth_avro_evolution_bytes resolved against
+    # avro.EVOLUTION_READER_SCHEMA: even docs wrote generation v1
+    # (int/float/name/legacy/enum{A,B}), odd docs v2 (long/double/
+    # title/enum{A,B,C,D}/nullable note); the reader sees ONE schema —
+    # promotions applied, 'name' matched via reader alias, 'legacy'
+    # skipped, enum 'D' -> reader default 'C', 'note' defaulting null
+    # for v1, new 'added' defaulting 7. One hash pins the spec's whole
+    # resolution table.
+    "WITH r AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i "
+    "FROM documents, UNNEST(range(doc_id % 3 + 1)) AS u(i)), "
+    "f AS ("
+    "SELECT doc_id, i, 'id' AS field, 'long' AS value_type, "
+    "CAST(doc_id * 10 + i AS VARCHAR) AS value FROM r "
+    "UNION ALL SELECT doc_id, i, 'temp', 'double', "
+    "CAST(CAST((doc_id + i) * 0.25 AS DOUBLE) AS VARCHAR) FROM r "
+    "UNION ALL SELECT doc_id, i, 'title', 'string', 't' || i FROM r "
+    "UNION ALL SELECT doc_id, i, 'state', 'enum', "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "(CASE WHEN (doc_id + i) % 2 = 0 THEN 'A' ELSE 'B' END) "
+    "ELSE (CASE (doc_id + i) % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'B' "
+    "ELSE 'C' END) END FROM r "
+    "UNION ALL SELECT doc_id, i, 'note', "
+    "CASE WHEN doc_id % 2 = 0 OR i % 2 = 0 THEN 'null' "
+    "ELSE 'string' END, "
+    "CASE WHEN doc_id % 2 = 0 OR i % 2 = 0 THEN NULL "
+    "ELSE 'n' || i END FROM r "
+    "UNION ALL SELECT doc_id, i, 'added', 'long', '7' FROM r) "
+    "SELECT doc_id AS media_id, i AS rec_idx, field, value_type, value "
+    "FROM f"
+)
+
+
+@query("x_avro_evolution", oracle=_AVRO_EVOLUTION_SQL)
+def x_avro_evolution(spark, sf_dir):
+    """Avro schema resolution (r13) — reader schema != writer schema,
+    the rule set every long-lived Kafka/event-log corpus needs because
+    producers upgrade mid-stream (spec §Schema Resolution): the fixture
+    mixes two writer generations in one table and ONE reader schema
+    decodes both through avro.avro_resolved_records. Driver-certified
+    in a single hash: int->long and float->double promotion, field
+    rename via reader alias, writer-only field skip, reader-only field
+    defaults (null-union and long), and enum symbol fallback to the
+    reader's type-level default. Irreconcilable schemas and
+    data-dependent resolution failures (unknown enum symbol with no
+    default, irreconcilable union branch actually chosen) quarantine
+    as parse_error rows — pytest pins the rejection shapes."""
+    from pyspark.sql import functions as F
+
+    from .operators.avro import (
+        EVOLUTION_READER_SCHEMA,
+        avro_resolved_records,
+        synth_avro_evolution_media,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return avro_resolved_records(
+        synth_avro_evolution_media(docs), EVOLUTION_READER_SCHEMA
+    ).filter(F.col("parse_error").isNull()).drop("parse_error")
+
+
 @query("x_stream_avro", oracle=_AVRO_SQL)
 def x_stream_avro(spark, sf_dir):
     """Streaming Avro ingestion (r11): containers land as parquet
