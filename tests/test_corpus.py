@@ -548,3 +548,159 @@ def test_chunk_bpe_reconstruction_and_overlap(spark):
         assert r.chunk_text.startswith(
             tiled[r.chunk_index]
         ) or r.n_tokens < 4
+
+
+# Arrow-lane BPE with a real-size merge table (r13)
+
+
+def _load_bpe_generator():
+    """Import tools/gen_bpe_vocab.py (the offline naive-reference
+    generator) by path."""
+    import importlib.util
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "gen_bpe_vocab.py",
+    )
+    spec = importlib.util.spec_from_file_location("gen_bpe_vocab", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bpe_vocab_generator_is_pinned():
+    """The committed vocab module must be exactly what the generator
+    produces: re-train a 64-merge prefix (cheap) and re-derive two
+    template tokenizations through the NAIVE reference."""
+    from user_behavior_spark_pipeline_spark.operators.bpe import (
+        BPE_MERGES_1K,
+        BPE_TEMPLATES,
+        TEMPLATE_TOKENS,
+    )
+
+    gen = _load_bpe_generator()
+    pool = gen.build_word_pool()
+    assert gen.train_merges(pool, 64) == list(BPE_MERGES_1K[:64])
+    assert gen.build_templates(pool) == list(BPE_TEMPLATES)
+    assert len(BPE_MERGES_1K) >= 1000
+    for k in (0, 17):
+        assert (
+            tuple(gen.naive_bpe_text(BPE_TEMPLATES[k], list(BPE_MERGES_1K)))
+            == TEMPLATE_TOKENS[k]
+        )
+
+
+def test_bpe_kernel_matches_naive_reference():
+    """Kernel (greedy lowest-rank-first with cache) == naive reference
+    (rescan-from-rank-0) on every template plus adversarial strings —
+    the independence certificate behind the driver oracles' embedded
+    token arrays."""
+    from user_behavior_spark_pipeline_spark.operators.bpe import (
+        BPE_MERGES_1K,
+        BPE_TEMPLATES,
+        _ranks,
+        bpe_encode_text,
+    )
+
+    gen = _load_bpe_generator()
+    ranks = _ranks(BPE_MERGES_1K)
+    merges = list(BPE_MERGES_1K)
+    cache: dict = {}
+    cases = list(BPE_TEMPLATES) + [
+        "",
+        " ",
+        "\t\n  ",
+        "a",
+        "zzzz",
+        "ototot",
+        "gotohufo" * 7,
+        "123 9 x7y",
+        "  double  spaces  ",
+        BPE_TEMPLATES[3] + "\n" + BPE_TEMPLATES[9],
+        BPE_MERGES_1K[500][0] + BPE_MERGES_1K[500][1],
+        # right-to-left hazard: a suffix that only merges if the
+        # kernel respects rank order over position order
+        BPE_MERGES_1K[0][0] * 3 + BPE_MERGES_1K[0][1] * 3,
+    ]
+    # deterministic pseudo-random strings over the pool alphabet
+    g = gen._lcg(99)
+    alpha = "abcdefghiklmnoprstuvw "
+    for _ in range(40):
+        n = next(g) % 60
+        cases.append("".join(alpha[next(g) % len(alpha)] for _ in range(n)))
+    for s in cases:
+        got = bpe_encode_text(s, ranks, cache)
+        want = gen.naive_bpe_text(s, merges)
+        assert got == want, (s, got, want)
+        assert "".join(got) == s  # verbatim reconstruction, always
+
+
+def test_bpe_closed_form_assumptions_hold():
+    """The oracles' closed form needs: no merge touches a digit or
+    whitespace (doc_id digits stay single-char tokens; whitespace runs
+    are atomic by pre-tokenization, never merged)."""
+    from user_behavior_spark_pipeline_spark.operators.bpe import (
+        BPE_MERGES_1K,
+    )
+
+    for a, b in BPE_MERGES_1K:
+        assert not any(c.isdigit() or c.isspace() for c in a + b)
+
+
+def test_bpe_arrow_operators_and_synth_text(spark):
+    """The Arrow-lane column ops agree with the kernel run locally,
+    synth_bpe_text matches its documented Python construction, and
+    chunks tile the character stream."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.bpe import (
+        BPE_MERGES_1K,
+        BPE_TEMPLATES,
+        TEMPLATE_TOKENS,
+        _ranks,
+        bpe_encode_text,
+        bpe_token_count_arrow,
+        chunk_documents_bpe_arrow,
+        synth_bpe_text,
+    )
+
+    ranks = _ranks(BPE_MERGES_1K)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    ).withColumn("text", synth_bpe_text(F.col("doc_id")))
+    rows = docs.withColumn(
+        "n", bpe_token_count_arrow(F.col("text"))
+    ).collect()
+    for r in rows:
+        d = r.doc_id
+        want_text = " ".join(
+            [BPE_TEMPLATES[d % 32]] * (d % 3 + 1)
+        ) + f" {d}"
+        assert r.text == want_text, d
+        base = len(TEMPLATE_TOKENS[d % 32])
+        assert r.n == (d % 3 + 1) * (base + 1) + len(str(d)), d
+        assert r.n == len(bpe_encode_text(r.text, ranks)), d
+    # null text -> null count (pack_spans filters it upstream)
+    nulls = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    (nr,) = nulls.withColumn(
+        "n", bpe_token_count_arrow(F.col("text"))
+    ).collect()
+    assert nr.n is None
+    # chunks tile the character stream verbatim at stride == chunk
+    tiles = chunk_documents_bpe_arrow(docs, 16, 16).collect()
+    by_doc: dict[int, list] = {}
+    for t in tiles:
+        by_doc.setdefault(t.doc_id, []).append(t)
+    for d, ts in by_doc.items():
+        ts.sort(key=lambda t: t.chunk_index)
+        joined = "".join(t.chunk_text for t in ts)
+        assert joined == " ".join(
+            [BPE_TEMPLATES[d % 32]] * (d % 3 + 1)
+        ) + f" {d}", d
+        assert sum(t.n_tokens for t in ts) == len(
+            bpe_encode_text(joined, ranks)
+        )
