@@ -172,3 +172,127 @@ def test_corrupt_manifest_quarantines_not_kills(spark):
     }
     # the new-manifest files survive; the carry-forward ones are gone
     assert live == {"part-2-0", "part-2-1"}
+
+
+# ---------------------------------------------------------------------------
+# v2 merge-on-read (row-level deletes)
+# ---------------------------------------------------------------------------
+
+
+def _v2_expected(doc_id: int) -> set:
+    from user_behavior_spark_pipeline_spark.operators.iceberg import (
+        _v2_row_value,
+    )
+
+    n = doc_id % 3 + 4
+    out = set()
+    for i in range(n):
+        if i % 3 != 0:
+            rid, v = _v2_row_value(doc_id, 0, i)
+            out.add((doc_id, f"d-{doc_id}-0", rid, str(v)))
+    for i in range(n):
+        if i % 4 != 1:
+            rid, v = _v2_row_value(doc_id, 1, i)
+            out.add((doc_id, f"d-{doc_id}-1", rid, str(v)))
+    return out
+
+
+def test_live_rows_merge_on_read_closed_form(spark):
+    """Both delete kinds apply, the planted overlap is idempotent, and
+    all four codec slots decode (docs 0..3)."""
+    from user_behavior_spark_pipeline_spark.operators.iceberg import (
+        iceberg_live_rows,
+        synth_iceberg_v2_manifests,
+        synth_iceberg_v2_metadata,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(4)], "doc_id long")
+    got = {
+        (r.table_id, r.file_path, r.id, r.v)
+        for r in iceberg_live_rows(
+            synth_iceberg_v2_metadata(docs), synth_iceberg_v2_manifests(docs)
+        ).collect()
+    }
+    assert got == set().union(*(_v2_expected(d) for d in range(4)))
+
+
+def test_live_rows_stale_delete_is_load_bearing(spark):
+    """Reading snapshot 0 (where the stale position-delete file is
+    ADDED) must empty d-{doc}-1 — proving the current path's survival
+    of file 1 certifies DELETED-status delete files are ignored."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.iceberg import (
+        iceberg_live_rows,
+        synth_iceberg_v2_manifests,
+        synth_iceberg_v2_metadata,
+    )
+
+    docs = spark.createDataFrame([(2,)], "doc_id long")
+    meta_df = synth_iceberg_v2_metadata(docs)
+    files_df = synth_iceberg_v2_manifests(docs)
+    current = {
+        (r.file_path, r.id)
+        for r in iceberg_live_rows(meta_df, files_df).collect()
+    }
+    assert {f for f, _ in current} == {"d-2-0", "d-2-1"}
+    rolled = meta_df.withColumn(
+        "payload",
+        F.regexp_replace(
+            "payload",
+            '"current-snapshot-id": 201',
+            '"current-snapshot-id": 200',
+        ),
+    )
+    early = {
+        (r.file_path, r.id)
+        for r in iceberg_live_rows(rolled, files_df).collect()
+    }
+    # snap0: no pd/ed yet, but the stale delete (ADDED there) names
+    # every row of d-2-1 — file 1 vanishes, file 0 is FULL
+    assert {f for f, _ in early} == {"d-2-0"}
+    assert len(early) == 2 % 3 + 4
+
+
+def test_live_rows_corrupt_delete_file_quarantines(spark):
+    """A corrupt position-delete payload quarantines (parse_error row);
+    its deletes stop applying but data rows survive — quarantine, not
+    silent wrong answers and not task death."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.iceberg import (
+        avro_rows_keyed,
+        iceberg_live_rows,
+        synth_iceberg_v2_manifests,
+        synth_iceberg_v2_metadata,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    meta_df = synth_iceberg_v2_metadata(docs)
+    files_df = synth_iceberg_v2_manifests(docs)
+    broken = files_df.withColumn(
+        "payload",
+        F.when(
+            F.col("file_name") == "pd-1", F.lit(b"Obj\x01 garbage")
+        ).otherwise(F.col("payload")),
+    )
+    errs = (
+        avro_rows_keyed(broken)
+        .filter(F.col("parse_error").isNotNull())
+        .collect()
+    )
+    assert {r.file_name for r in errs} == {"pd-1"}
+    got = {
+        (r.file_path, r.id)
+        for r in iceberg_live_rows(meta_df, broken).collect()
+    }
+    # equality deletes still apply (i%4==1 of file 1 gone, and the
+    # overlap id 1000 — in the eq file too — still falls); position
+    # deletes don't (file 0 keeps its other i%3==0 rows)
+    n = 1 % 3 + 4
+    assert {i for f, i in got if f == "d-1-0"} == {
+        1000 + i for i in range(1, n)
+    }
+    assert {i for f, i in got if f == "d-1-1"} == {
+        1100 + i for i in range(n) if i % 4 != 1
+    }

@@ -104,18 +104,18 @@ def avro_rows_keyed(files: DataFrame) -> DataFrame:
     )
 
 
-def iceberg_live_files(
+def _resolve_reachable_entries(
     metadata: DataFrame, files: DataFrame
-) -> DataFrame:
-    """Resolve each table's CURRENT snapshot through the two Avro
-    levels: metadata JSON -> current snapshot's manifest list ->
-    manifests -> data-file entries with status != 2 (DELETED). Emits
-    (table_id, file_path, record_count, file_size_in_bytes).
-
-    Plan shape: one from_json + explode for snapshot selection, one
-    pivot aggregation per manifest entry (groupBy (table, file, rec) —
-    partial-aggregable, keys unique by construction), two
-    metadata-scale joins. Nothing here ever touches a data file."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared snapshot resolution for the metadata (live_files) and
+    merge-on-read (live_rows) paths: returns (longs, entries) where
+    ``longs`` is the materialized long table of EVERY Avro file's rows
+    and ``entries`` is the wide manifest-entry table restricted to
+    manifests the CURRENT snapshot reaches (columns table_id,
+    file_name, rec_idx, status, content, file_path, record_count,
+    file_size). ``content`` follows the v2 spec (0 data / 1 position
+    deletes / 2 equality deletes) and coalesces to '0' for v1
+    manifests that don't carry the field."""
     meta = metadata.select(
         "table_id",
         F.from_json("payload", ICEBERG_META_SCHEMA).alias("j"),
@@ -131,10 +131,11 @@ def iceberg_live_files(
             "table_id", F.col("s.`manifest-list`").alias("list_name")
         )
     )
-    # the long table feeds BOTH the manifest-list join and the entry
-    # pivot — without pinning it, the whole Avro walk (and in the
-    # certified query, the fixture synthesis above it) runs twice.
-    # Metadata-scale rows: the materialization is KBs per table.
+    # the long table feeds the manifest-list join, the entry pivot AND
+    # (in the merge-on-read path) the content-row pivots — without
+    # pinning it, the whole Avro walk (and in the certified query, the
+    # fixture synthesis above it) runs once per consumer.
+    # Metadata+fixture-scale rows: the materialization is KBs per table.
     longs = materialize(
         avro_rows_keyed(files).filter(F.col("parse_error").isNull())
     )
@@ -155,6 +156,7 @@ def iceberg_live_files(
     ents = (
         longs.filter(F.col("field").isin(
             "status",
+            "data_file.content",
             "data_file.file_path",
             "data_file.record_count",
             "data_file.file_size_in_bytes",
@@ -163,6 +165,15 @@ def iceberg_live_files(
         .agg(
             F.max(F.when(F.col("field") == "status", F.col("value")))
             .alias("status"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("field") == "data_file.content",
+                        F.col("value"),
+                    )
+                ),
+                F.lit("0"),
+            ).alias("content"),
             F.max(
                 F.when(
                     F.col("field") == "data_file.file_path", F.col("value")
@@ -182,18 +193,155 @@ def iceberg_live_files(
             ).alias("file_size"),
         )
     )
-    live = ents.join(
-        # a few manifests per table: broadcast, so the (bigger) entry
-        # table is filtered map-side instead of shuffling twice
-        F.broadcast(reachable),
-        (ents["file_name"] == reachable["manifest"])
-        & (ents["table_id"] == reachable["table_id"]),
-    ).filter(F.col("status") != "2")
-    return live.select(
-        ents["table_id"].alias("table_id"),
+    entries = (
+        ents.join(
+            # a few manifests per table: broadcast, so the (bigger)
+            # entry table is filtered map-side instead of shuffling
+            F.broadcast(reachable),
+            (ents["file_name"] == reachable["manifest"])
+            & (ents["table_id"] == reachable["table_id"]),
+        )
+        .select(
+            ents["table_id"].alias("table_id"),
+            "file_name",
+            "rec_idx",
+            "status",
+            "content",
+            "file_path",
+            "record_count",
+            "file_size",
+        )
+    )
+    return longs, entries
+
+
+def iceberg_live_files(
+    metadata: DataFrame, files: DataFrame
+) -> DataFrame:
+    """Resolve each table's CURRENT snapshot through the two Avro
+    levels: metadata JSON -> current snapshot's manifest list ->
+    manifests -> data-file entries with status != 2 (DELETED). Emits
+    (table_id, file_path, record_count, file_size_in_bytes).
+
+    Plan shape: one from_json + explode for snapshot selection, one
+    pivot aggregation per manifest entry (groupBy (table, file, rec) —
+    partial-aggregable, keys unique by construction), two
+    metadata-scale joins. Nothing here ever touches a data file.
+    v2 delete-file entries (content != 0) are excluded — they remove
+    ROWS, not files; the merge-on-read read path is
+    :func:`iceberg_live_rows`."""
+    _longs, entries = _resolve_reachable_entries(metadata, files)
+    return (
+        entries.filter(
+            (F.col("status") != "2") & (F.col("content") == "0")
+        )
+        .select(
+            "table_id",
+            "file_path",
+            F.col("record_count").cast("long").alias("record_count"),
+            F.col("file_size").cast("long").alias("file_size_in_bytes"),
+        )
+    )
+
+
+def iceberg_live_rows(
+    metadata: DataFrame, files: DataFrame
+) -> DataFrame:
+    """The v2 MERGE-ON-READ read path (spec: format version 2, row-level
+    deletes): surviving rows of the current snapshot = rows of
+    reachable live DATA files (status != 2, content 0), minus rows
+    named by reachable POSITION delete files (content 1 — rows of
+    (file_path, pos), pos = the row ordinal the walker already assigns
+    as rec_idx), minus rows whose key matches a reachable EQUALITY
+    delete file's values (content 2 — rows of id values). A delete
+    file that is itself DELETED (status 2) must NOT apply — the
+    fixture plants exactly that trap. Emits (table_id, file_path, id,
+    v).
+
+    Scale shape: data rows stream through the scan once; the delete
+    sets are metadata-scale and broadcast into two ANTI joins — at
+    100 TB this is Iceberg's own intended read topology (delete files
+    are kept small by compaction; a giant delete set would first be
+    compacted away by table maintenance, not streamed into a shuffle
+    here). The fixture's data files are Avro so the certified
+    container walker supplies the row contents; a parquet data file
+    changes the scan, not the delete algebra."""
+    longs, entries = _resolve_reachable_entries(metadata, files)
+    live = entries.filter(F.col("status") != "2")
+    data_files = live.filter(F.col("content") == "0").select(
+        "table_id", "file_path"
+    )
+    pos_files = live.filter(F.col("content") == "1").select(
+        "table_id", F.col("file_path").alias("del_file")
+    )
+    eq_files = live.filter(F.col("content") == "2").select(
+        "table_id", F.col("file_path").alias("del_file")
+    )
+
+    def _content_rows(fields: list[str]) -> DataFrame:
+        aggs = [
+            F.max(F.when(F.col("field") == f, F.col("value"))).alias(f)
+            for f in fields
+        ]
+        return (
+            longs.filter(F.col("field").isin(*fields))
+            .groupBy("table_id", "file_name", "rec_idx")
+            .agg(*aggs)
+        )
+
+    # data rows: (table_id, file, ordinal, id, v) restricted to live
+    # data files — the file set is metadata-scale, broadcast
+    data = _content_rows(["id", "v"])
+    rows = data.join(
+        F.broadcast(data_files),
+        (data["file_name"] == data_files["file_path"])
+        & (data["table_id"] == data_files["table_id"]),
+    ).select(
+        data["table_id"].alias("table_id"),
         "file_path",
-        F.col("record_count").cast("long").alias("record_count"),
-        F.col("file_size").cast("long").alias("file_size_in_bytes"),
+        F.col("rec_idx").alias("pos"),
+        "id",
+        "v",
+    )
+    # position deletes: content rows of reachable content=1 files
+    pos_rows_all = _content_rows(["file_path", "pos"])
+    pos_del = pos_rows_all.join(
+        F.broadcast(pos_files),
+        (pos_rows_all["file_name"] == pos_files["del_file"])
+        & (pos_rows_all["table_id"] == pos_files["table_id"]),
+    ).select(
+        pos_rows_all["table_id"].alias("table_id"),
+        F.col("file_path").alias("target_file"),
+        F.col("pos").cast("long").alias("del_pos"),
+    )
+    # equality deletes: id values of reachable content=2 files
+    eq_rows_all = _content_rows(["id"])
+    eq_del = eq_rows_all.join(
+        F.broadcast(eq_files),
+        (eq_rows_all["file_name"] == eq_files["del_file"])
+        & (eq_rows_all["table_id"] == eq_files["table_id"]),
+    ).select(
+        eq_rows_all["table_id"].alias("table_id"),
+        F.col("id").alias("del_id"),
+    )
+    surviving = rows.join(
+        F.broadcast(pos_del),
+        (rows["table_id"] == pos_del["table_id"])
+        & (rows["file_path"] == pos_del["target_file"])
+        & (rows["pos"] == pos_del["del_pos"]),
+        "left_anti",
+    )
+    surviving = surviving.join(
+        F.broadcast(eq_del),
+        (surviving["table_id"] == eq_del["table_id"])
+        & (surviving["id"] == eq_del["del_id"]),
+        "left_anti",
+    )
+    return surviving.select(
+        "table_id",
+        "file_path",
+        F.col("id").cast("long").alias("id"),
+        "v",
     )
 
 
@@ -392,6 +540,307 @@ def synth_iceberg_manifests(documents: DataFrame) -> DataFrame:
 
         return pd.Series(
             [synth_iceberg_rows(int(d))[1] for d in doc_id]
+        )
+
+    _build = pandas_udf(_build_fn, ArrayType(elem), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("table_id"),
+        F.explode(_build("doc_id")).alias("c"),
+    ).select(
+        "table_id",
+        F.col("c.file_name").alias("file_name"),
+        F.col("c.payload").alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v2 merge-on-read fixture: row-level deletes + a planted stale-delete
+# trap (format version 2, spec §Row-level deletes)
+# ---------------------------------------------------------------------------
+
+#: v2 manifest entry: data_file gains ``content`` (0 data / 1 position
+#: deletes / 2 equality deletes) — the field the read path dispatches on.
+_ENTRY2_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": "long"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+).encode()
+
+_DATA_ROW_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "long"},
+        ],
+    }
+).encode()
+
+#: position delete file schema, spec-named fields (spec: file_path +
+#: pos identify the deleted row by ordinal within its data file).
+_POS_DELETE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "pos_delete",
+        "fields": [
+            {"name": "file_path", "type": "string"},
+            {"name": "pos", "type": "long"},
+        ],
+    }
+).encode()
+
+_EQ_DELETE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "eq_delete",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+).encode()
+
+
+def _entry2_body(
+    status: int, snap: int, content: int, path: str, nrec: int, size: int
+) -> bytes:
+    return (
+        zigzag_encode(status)
+        + zigzag_encode(snap)
+        + zigzag_encode(content)
+        + _enc_str(path)
+        + _enc_str("AVRO")
+        + zigzag_encode(nrec)
+        + zigzag_encode(size)
+    )
+
+
+def _v2_row_value(doc_id: int, sub: int, i: int) -> tuple[int, int]:
+    """Closed-form (id, v) for row i of data file d-{doc}-{sub} —
+    mirrored verbatim by the x_iceberg_live_rows oracle SQL."""
+    return doc_id * 1000 + sub * 100 + i, (doc_id + 7 * i + 13 * sub) % 23
+
+
+def synth_iceberg_v2_rows(
+    doc_id: int, with_files: bool = True
+) -> tuple[str, list[tuple[str, bytes]]]:
+    """One v2 table's full tree: data files WITH row contents plus both
+    row-level delete kinds. N = doc%3+4 rows per data file (d-{doc}-0,
+    d-{doc}-1). History:
+
+    - snapshot 0 ADDs both data files AND a position-delete file
+      ``pd-{doc}-stale`` that names EVERY row of d-{doc}-1;
+    - snapshot 1 (CURRENT) carries the data files EXISTING, marks the
+      stale delete file DELETED (the trap: a removed delete file must
+      stop applying — honouring it empties d-{doc}-1), and ADDs the
+      real deletes: ``pd-{doc}`` (positions i%3==0 of d-{doc}-0) and
+      ``ed-{doc}`` (equality ids: d-{doc}-1 rows with i%4==1, plus the
+      id of d-{doc}-0 row 0 — already position-deleted, so the delete
+      algebra must be idempotent, not subtractive counting).
+
+    Surviving closed form: d-{doc}-0 rows with i%3!=0 and d-{doc}-1
+    rows with i%4!=1. Container codec rotates doc%4 through
+    null/deflate/zstandard/snappy like the v1 fixture."""
+    n = doc_id % 3 + 4
+    codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
+    sync = bytes((doc_id * 7 + k * 29) % 256 for k in range(16))
+    files: list[tuple[str, bytes]] = []
+    data_names = [f"d-{doc_id}-{sub}" for sub in (0, 1)]
+    pos_name, stale_name, eq_name = (
+        f"pd-{doc_id}",
+        f"pd-{doc_id}-stale",
+        f"ed-{doc_id}",
+    )
+    if with_files:
+        for sub in (0, 1):
+            recs = []
+            for i in range(n):
+                rid, v = _v2_row_value(doc_id, sub, i)
+                recs.append(zigzag_encode(rid) + zigzag_encode(v))
+            files.append(
+                (
+                    data_names[sub],
+                    build_avro_container(_DATA_ROW_SCHEMA, recs, sync, codec),
+                )
+            )
+        files.append(
+            (
+                pos_name,
+                build_avro_container(
+                    _POS_DELETE_SCHEMA,
+                    [
+                        _enc_str(data_names[0]) + zigzag_encode(i)
+                        for i in range(n)
+                        if i % 3 == 0
+                    ],
+                    sync,
+                    codec,
+                ),
+            )
+        )
+        files.append(
+            (
+                stale_name,
+                build_avro_container(
+                    _POS_DELETE_SCHEMA,
+                    [
+                        _enc_str(data_names[1]) + zigzag_encode(i)
+                        for i in range(n)
+                    ],
+                    sync,
+                    codec,
+                ),
+            )
+        )
+        eq_ids = [
+            _v2_row_value(doc_id, 1, i)[0] for i in range(n) if i % 4 == 1
+        ] + [_v2_row_value(doc_id, 0, 0)[0]]
+        files.append(
+            (
+                eq_name,
+                build_avro_container(
+                    _EQ_DELETE_SCHEMA,
+                    [zigzag_encode(rid) for rid in eq_ids],
+                    sync,
+                    codec,
+                ),
+            )
+        )
+    snap0, snap1 = doc_id * 100, doc_id * 100 + 1
+    m0 = f"m2-{doc_id}-0"
+    m1_carry, m1_new = f"m2-{doc_id}-1-carry", f"m2-{doc_id}-1-new"
+    if with_files:
+        ent = _entry2_body
+        files.append(
+            (
+                m0,
+                build_avro_container(
+                    _ENTRY2_SCHEMA,
+                    [
+                        ent(1, snap0, 0, data_names[0], n, n * 16),
+                        ent(1, snap0, 0, data_names[1], n, n * 16),
+                        ent(1, snap0, 1, stale_name, n, n * 8),
+                    ],
+                    sync,
+                    codec,
+                ),
+            )
+        )
+        files.append(
+            (
+                m1_carry,
+                build_avro_container(
+                    _ENTRY2_SCHEMA,
+                    [
+                        ent(0, snap1, 0, data_names[0], n, n * 16),
+                        ent(0, snap1, 0, data_names[1], n, n * 16),
+                        ent(2, snap1, 1, stale_name, n, n * 8),
+                    ],
+                    sync,
+                    codec,
+                ),
+            )
+        )
+        files.append(
+            (
+                m1_new,
+                build_avro_container(
+                    _ENTRY2_SCHEMA,
+                    [
+                        ent(1, snap1, 1, pos_name, n, n * 8),
+                        ent(1, snap1, 2, eq_name, n, n * 8),
+                    ],
+                    sync,
+                    codec,
+                ),
+            )
+        )
+        for list_name, names, snap in (
+            (f"ml2-{doc_id}-0", [m0], snap0),
+            (f"ml2-{doc_id}-1", [m1_carry, m1_new], snap1),
+        ):
+            files.append(
+                (
+                    list_name,
+                    build_avro_container(
+                        _LIST_SCHEMA,
+                        [
+                            _enc_str(nm) + zigzag_encode(snap)
+                            for nm in names
+                        ],
+                        sync,
+                        codec,
+                    ),
+                )
+            )
+    meta = json.dumps(
+        {
+            "format-version": 2,
+            "current-snapshot-id": snap1,
+            "snapshots": [
+                {"snapshot-id": snap0, "manifest-list": f"ml2-{doc_id}-0"},
+                {"snapshot-id": snap1, "manifest-list": f"ml2-{doc_id}-1"},
+            ],
+        }
+    )
+    return meta, files
+
+
+def synth_iceberg_v2_metadata(documents: DataFrame) -> DataFrame:
+    """(table_id, payload JSON string) per document-table, v2 tree."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                synth_iceberg_v2_rows(int(d), with_files=False)[0]
+                for d in doc_id
+            ]
+        )
+
+    _build = pandas_udf(_build_fn, StringType(), PandasUDFType.SCALAR)
+    return documents.select(
+        F.col("doc_id").alias("table_id"),
+        _build("doc_id").alias("payload"),
+    )
+
+
+def synth_iceberg_v2_manifests(documents: DataFrame) -> DataFrame:
+    """(table_id, file_name, payload) — every Avro file of every v2
+    table (manifest lists, manifests, data files, delete files)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    elem = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def _build_fn(doc_id):
+        import pandas as pd
+
+        return pd.Series(
+            [synth_iceberg_v2_rows(int(d))[1] for d in doc_id]
         )
 
     _build = pandas_udf(_build_fn, ArrayType(elem), PandasUDFType.SCALAR)

@@ -1807,6 +1807,59 @@ def x_delta_checkpoint(spark, sf_dir):
     return delta_live_files_from_checkpoint(ptr, cks, tail)
 
 
+_ICEBERG_V2_SQL = (
+    # closed form from iceberg.synth_iceberg_v2_rows/_v2_row_value:
+    # surviving rows = d-{doc}-0 rows with i%3!=0 (position deletes
+    # name i%3==0) and d-{doc}-1 rows with i%4!=1 (equality deletes
+    # name those ids). The oracle states the FINAL row set, so snapshot
+    # selection, content-kind dispatch (0/1/2), the position join on
+    # (file, ordinal), the equality join on id, idempotence under the
+    # planted overlap AND the stale-delete trap (a DELETED-status
+    # delete file that names every row of d-{doc}-1 — honouring it
+    # empties the file) all have to be right for the hash
+    "WITH t AS (SELECT doc_id, doc_id % 3 + 4 AS n FROM documents "
+    "WHERE doc_id % 5 = 1), "
+    "surv AS ("
+    "SELECT doc_id, 0 AS sub, u.i AS i FROM t, "
+    "UNNEST(range(n)) AS u(i) WHERE u.i % 3 <> 0 "
+    "UNION ALL "
+    "SELECT doc_id, 1 AS sub, u.i AS i FROM t, "
+    "UNNEST(range(n)) AS u(i) WHERE u.i % 4 <> 1) "
+    "SELECT doc_id AS table_id, "
+    "'d-' || doc_id || '-' || sub AS file_path, "
+    "CAST(doc_id * 1000 + sub * 100 + i AS BIGINT) AS id, "
+    "CAST((doc_id + 7 * i + 13 * sub) % 23 AS VARCHAR) AS v "
+    "FROM surv"
+)
+
+
+@query("x_iceberg_live_rows", oracle=_ICEBERG_V2_SQL)
+def x_iceberg_live_rows(spark, sf_dir):
+    """Iceberg v2 MERGE-ON-READ (r13 — VERDICT r12 missing #3): the
+    row-level-delete read path modern writers (Flink/Spark
+    merge-on-read) actually emit. Surviving rows of the current
+    snapshot = rows of reachable live data files (content=0), minus
+    rows named by POSITION delete files (content=1: (file_path, pos)
+    ordinals), minus rows matching EQUALITY delete files (content=2:
+    id values) — two broadcast ANTI joins over metadata-scale delete
+    sets, data rows streaming through the scan once. The fixture
+    plants a stale-delete trap (a position-delete file marked DELETED
+    in the current snapshot that names every row of d-{doc}-1) and an
+    idempotence overlap (an equality delete naming an already
+    position-deleted row). Codec rotates doc%4 through all four.
+    (Scoped doc_id%5==1, the per-table-closed-form policy.)"""
+    from .operators.iceberg import (
+        iceberg_live_rows,
+        synth_iceberg_v2_manifests,
+        synth_iceberg_v2_metadata,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 1")
+    return iceberg_live_rows(
+        synth_iceberg_v2_metadata(docs), synth_iceberg_v2_manifests(docs)
+    )
+
+
 _CURATE_CRAWL_SQL = (
     # end-to-end closed form: the WARC builder's page VISIBLE text is
     # exactly 'doc <id> ' || text (x_warc_text's certified closed
@@ -8723,59 +8776,35 @@ def _derive_touched(
 
 
 _TOUCHED_THIS_ROUND = _derive_touched(
-    # r12 changed operator functions: the compress.py seam (zstd/snappy
-    # cap-guarded codecs) behind the tar walker + its %5 fixture
-    # rotation, the Avro walker's nested-record decode + zstandard/
-    # snappy codecs + %4 fixture rotation + extracted container
-    # builder, the Arrow IPC sacrificial-subprocess lane, the corpus
-    # BPE token accounting + pack_spans token_count param, and the new
-    # jsonl/iceberg walkers (their queries are never-checked anyway —
-    # seeds included so SHARED consumers re-earn too)
+    # r13 changed operator functions: the Avro decode seam (ADVICE r12
+    # quarantine fixes in _parse_type/_render_logical — every walker
+    # consumer re-earns) + the new schema-resolution path, the
+    # real-vocabulary Arrow-lane BPE kernel the two corpus BPE queries
+    # were re-pointed at, and the Iceberg snapshot-resolution refactor
+    # shared by live_files and the new v2 merge-on-read path
     seed_fns=frozenset(
         {
-            "tar_members",
-            "synth_webdataset_bytes",
-            "decompress_transparent",
-            "zstd_decompress",
-            "snappy_decompress",
-            "zstd_compress",
-            "snappy_compress",
-            "jsonl_shard_lines",
-            "synth_jsonl_shard_bytes",
-            "synth_jsonl_shards",
-            "avro_container_records",
-            "synth_avro_bytes",
-            "build_avro_container",
-            "arrow_ipc_records",
-            "pack_spans",
-            "bpe_token_count",
-            "chunk_documents_bpe",
-            "bpe_symbol_stream",
-            "synth_parquet_bytes",
-            "delta_live_files",
-            "_replay",
-            "checkpoint_actions",
-            "synth_delta_checkpoint_bytes",
-            "parquet_footer",
+            "_parse_type",
             "_render_logical",
-            "synth_avro_logical_bytes",
-            "synth_avro_collections_bytes",
-            "_decode_typed",
-            "_decode_collection",
-            "jsonl_ingest_stream",
-            "jsonl_stream_source",
+            "avro_resolved_records",
+            "synth_avro_evolution_bytes",
+            "synth_avro_evolution_media",
+            "bpe_encode_word",
+            "bpe_encode_text",
+            "bpe_token_count_arrow",
+            "bpe_tokens_arrow",
+            "synth_bpe_text",
+            "chunk_documents_bpe_arrow",
+            "_resolve_reachable_entries",
             "iceberg_live_files",
-            "avro_rows_keyed",
-            "synth_iceberg_rows",
-            "synth_iceberg_metadata",
-            "synth_iceberg_manifests",
+            "iceberg_live_rows",
+            "synth_iceberg_v2_rows",
+            "synth_iceberg_v2_metadata",
+            "synth_iceberg_v2_manifests",
         }
     ),
     sql_tokens=frozenset(),
-    # inline-registry fixture edits with no operator seam: the sniff /
-    # mixed-ingest shard-id congruences moved to the %5 rotation
-    # (15d+1 plain, 10d+3 xz) — their r11 greens predate the change
-    extra=frozenset({"x_multimodal_sniff", "x_corpus_mixed_ingest"}),
+    extra=frozenset(),
 )
 
 
