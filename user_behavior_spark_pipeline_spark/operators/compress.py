@@ -90,6 +90,127 @@ def snappy_decompress(data: bytes, cap: int, what: str = "payload") -> bytes:
         raise ValueError(f"corrupt snappy {what}: {e}") from None
 
 
+#: snappy FRAMING format stream identifier (google/snappy
+#: framing_format.txt §4.1): chunk type 0xff, 3-byte LE length 6,
+#: payload "sNaPpY" — the magic hadoop/dataflow ``.sz`` files lead with.
+SNAPPY_FRAME_MAGIC = b"\xff\x06\x00\x00sNaPpY"
+
+_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the framing format's checksum; not in the
+    stdlib (zlib.crc32 is CRC-32/ISO-HDLC), so table-driven here."""
+    if not _CRC32C_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ _CRC32C_POLY if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask_crc32c(crc: int) -> int:
+    """The format's CRC mask (§3): rotate right 15, add a constant —
+    defends against CRCs of CRCs."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def snappy_framed_decompress(
+    data: bytes, cap: int, what: str = "payload"
+) -> bytes:
+    """Decompress a snappy FRAMING-format stream (.sz —
+    framing_format.txt): stream identifier, then compressed (0x00) /
+    uncompressed (0x01) data chunks with masked CRC-32C of the
+    uncompressed bytes, skippable chunks (0x80-0xfe) skipped, reserved
+    unskippable chunks (0x02-0x7f) and CRC mismatches -> ValueError.
+    Chunk-at-a-time, so the cap triggers between 64 KiB chunks, never
+    after a hostile whole-stream materialization."""
+    if not data.startswith(SNAPPY_FRAME_MAGIC):
+        raise ValueError(f"corrupt snappy-framed {what}: bad stream id")
+    out: list[bytes] = []
+    total = 0
+    pos = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError(
+                f"truncated snappy-framed {what}: chunk header at {pos}"
+            )
+        ctype = data[pos]
+        clen = int.from_bytes(data[pos + 1 : pos + 4], "little")
+        body = data[pos + 4 : pos + 4 + clen]
+        if len(body) != clen:
+            raise ValueError(
+                f"truncated snappy-framed {what}: chunk body at {pos}"
+            )
+        pos += 4 + clen
+        if ctype == 0xFF:
+            if body != b"sNaPpY":
+                raise ValueError(
+                    f"corrupt snappy-framed {what}: bad stream id body"
+                )
+            continue
+        if 0x80 <= ctype <= 0xFE:
+            continue  # skippable, by definition
+        if ctype in (0x00, 0x01):
+            if clen < 4:
+                raise ValueError(
+                    f"corrupt snappy-framed {what}: chunk shorter than CRC"
+                )
+            want_crc = int.from_bytes(body[:4], "little")
+            payload = body[4:]
+            if ctype == 0x00:
+                chunk = snappy_decompress(
+                    payload, min(cap + 1 - total, 1 << 17), what
+                )
+            else:
+                chunk = payload
+            if len(chunk) > 65536:
+                raise ValueError(
+                    f"corrupt snappy-framed {what}: chunk exceeds 64 KiB"
+                )
+            if _mask_crc32c(_crc32c(chunk)) != want_crc:
+                raise ValueError(
+                    f"corrupt snappy-framed {what}: CRC-32C mismatch"
+                )
+            total += len(chunk)
+            if total > cap:
+                raise ValueError(
+                    f"{what} inflates past cap (zip-bomb defense)"
+                )
+            out.append(chunk)
+            continue
+        raise ValueError(
+            f"corrupt snappy-framed {what}: reserved unskippable "
+            f"chunk 0x{ctype:02x}"
+        )
+    return b"".join(out)
+
+
+def snappy_framed_compress(data: bytes) -> bytes:
+    """Emit a .sz stream (fixture builders): 64 KiB chunks, each as a
+    COMPRESSED chunk unless snappy doesn't shrink it (then uncompressed
+    — the spec's own recommendation), so both data chunk types occur
+    naturally."""
+    out = bytearray(SNAPPY_FRAME_MAGIC)
+    for i in range(0, len(data), 65536):
+        chunk = data[i : i + 65536]
+        crc = _mask_crc32c(_crc32c(chunk)).to_bytes(4, "little")
+        comp = snappy_compress(chunk)
+        if len(comp) < len(chunk):
+            body = crc + comp
+            ctype = 0x00
+        else:
+            body = crc + chunk
+            ctype = 0x01
+        out += bytes((ctype,)) + len(body).to_bytes(3, "little") + body
+    return bytes(out)
+
+
 def zstd_compress(data: bytes) -> bytes:
     """One zstd frame (fixture builders; pyarrow's default level)."""
     import pyarrow as pa
@@ -171,4 +292,6 @@ def decompress_transparent(
     elif payload[:4] == ZSTD_MAGIC:
         # pyarrow's streaming decoder reads concatenated frames natively
         payload = zstd_decompress(payload, cap, what)
+    elif payload[: len(SNAPPY_FRAME_MAGIC)] == SNAPPY_FRAME_MAGIC:
+        payload = snappy_framed_decompress(payload, cap, what)
     return payload

@@ -30,7 +30,11 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
-from .compress import decompress_transparent, zstd_compress
+from .compress import (
+    decompress_transparent,
+    snappy_framed_compress,
+    zstd_compress,
+)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -560,12 +564,13 @@ def jsonl_shard_lines(shards: DataFrame) -> DataFrame:
 def synth_jsonl_shard_bytes(doc_id: int, text: str) -> bytes:
     """Deterministic JSONL shard: doc_id%3+1 records
     ``{"doc": <doc_id>, "i": <i>, "text": "<text> #<i>"}`` one per
-    line; the rotation by doc_id % 3 stacks the real-world framing
+    line; the rotation by doc_id % 4 stacks the real-world framing
     hazards onto one invariant record table: k=0 plain with a UTF-8
     BOM and CRLF line endings (Windows tooling), k=1 gzip in TWO
     members (the pigz/bgzip concatenation the single-object
     decompressor silently truncated — caught r12), k=2 zstd in TWO
-    frames. One oracle hash certifies transparency, multi-member
+    frames, k=3 snappy framing (.sz, r13) in TWO streams with a
+    planted skippable chunk. One oracle hash certifies transparency, multi-member
     inflation, BOM/CRLF stripping AND the JSON escape round-trip
     (non-ASCII text rides through ensure_ascii=False)."""
     import json
@@ -577,7 +582,7 @@ def synth_jsonl_shard_bytes(doc_id: int, text: str) -> bytes:
         )
         for i in range(doc_id % 3 + 1)
     ]
-    k = doc_id % 3
+    k = doc_id % 4
     if k == 0:
         return (
             "\ufeff" + "\r\n".join(lines) + "\r\n"
@@ -591,7 +596,15 @@ def synth_jsonl_shard_bytes(doc_id: int, text: str) -> bytes:
             return co.compress(x) + co.flush()
 
         return gz(a) + (gz(b) if b else b"")
-    return zstd_compress(a) + (zstd_compress(b) if b else b"")
+    if k == 2:
+        return zstd_compress(a) + (zstd_compress(b) if b else b"")
+    # k=3: snappy FRAMING (.sz) in TWO concatenated streams with a
+    # skippable chunk planted mid-stream \u2014 the hadoop/dataflow shard
+    # shape; skipping the skippable and reading past the second stream
+    # identifier are both load-bearing for the invariant oracle
+    sz_a = bytearray(snappy_framed_compress(a))
+    sz_a += b"\xfe\x05\x00\x00decoy"  # skippable chunk, must vanish
+    return bytes(sz_a) + (snappy_framed_compress(b) if b else b"")
 
 
 def synth_jsonl_shards(documents: DataFrame) -> DataFrame:

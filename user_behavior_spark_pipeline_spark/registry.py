@@ -8854,6 +8854,10 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "bpe_tokens_arrow",
             "synth_bpe_text",
             "chunk_documents_bpe_arrow",
+            "snappy_framed_decompress",
+            "snappy_framed_compress",
+            "_crc32c",
+            "synth_jsonl_shard_bytes",
             "_resolve_reachable_entries",
             "delta_live_row_stats",
             "synth_delta_dv_log_rows",
