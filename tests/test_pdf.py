@@ -45,7 +45,10 @@ def test_pdf_roundtrip_closed_form():
 
 
 def test_pdf_rejects_corrupt_and_encrypted():
-    good = synth_pdf_bytes(2, "text here")  # even: FlateDecode
+    # doc 6: even = FlateDecode, %3==0 = PLAINTEXT (the r13 encryption
+    # rotation gives doc%3==1 RC4 and doc%3==2 AESV2, handled — these
+    # rejection paths need the clear slot)
+    good = synth_pdf_bytes(6, "text here")
     # bit-flip inside the compressed stream -> ValueError, not zlib.error
     i = good.index(b"stream\n") + 10
     bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
@@ -53,14 +56,15 @@ def test_pdf_rejects_corrupt_and_encrypted():
         pdf_text_extract(bad)
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_text_extract(b"%!PS adobe postscript")
-    # /Encrypt in the LIVE trailer (the one the last startxref reaches)
+    # /Encrypt pointing at a missing object in the LIVE trailer (the
+    # one the last startxref reaches): named quarantine, no text
     enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
     with pytest.raises(ValueError, match="encrypted"):
         pdf_text_extract(enc)
     # a dangling appended trailer is NOT the live trailer; the xref
     # path correctly ignores it and still extracts
     dangling = good + b"trailer\n<< /Encrypt 9 0 R /Root 1 0 R >>\n%%EOF\n"
-    assert pdf_text_extract(dangling)["text"] == "doc 2 text here"
+    assert pdf_text_extract(dangling)["text"] == "doc 6 text here"
     # no xref AND no recoverable body: the xref error propagates
     with pytest.raises(ValueError, match="no text|startxref"):
         pdf_text_extract(b"%PDF-1.4\nnothing here\n%%EOF")

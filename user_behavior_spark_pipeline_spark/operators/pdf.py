@@ -103,9 +103,11 @@ def _pdf_literal_string(data: bytes, pos: int) -> tuple[str, int]:
 
 
 def _pdf_hex_string(data: bytes, pos: int) -> tuple[str, int]:
-    """Decode a ``<...>`` hex string at the opening angle; UTF-16BE
-    with BOM decodes as such, anything else as latin-1 (WinAnsi
-    approximation)."""
+    """Decode a ``<...>`` hex string at the opening angle — BYTE
+    FAITHFUL (latin-1, like the literal-string parser): /O //U
+    encryption values are random binary that must survive parsing;
+    UTF-16BE interpretation is a DISPLAY concern and happens in
+    pdf_content_text via _bom_decode."""
     end = data.find(b">", pos)
     if end < 0:
         raise ValueError("unterminated PDF hex string")
@@ -116,9 +118,16 @@ def _pdf_hex_string(data: bytes, pos: int) -> tuple[str, int]:
         raw = bytes.fromhex(hx.decode("ascii"))
     except ValueError:
         raise ValueError("bad PDF hex string") from None
-    if raw[:2] == b"\xfe\xff":
-        return raw[2:].decode("utf-16-be", "replace"), end + 1
     return raw.decode("latin-1"), end + 1
+
+
+def _bom_decode(s: str) -> str:
+    """Spec §7.9.2: a text string leading with the UTF-16BE BOM is
+    UTF-16BE regardless of its spelling (hex or literal); anything
+    else reads as the latin-1/WinAnsi approximation it parsed as."""
+    if s[:2] == "\xfe\xff":
+        return s[2:].encode("latin-1").decode("utf-16-be", "replace")
+    return s
 
 
 def pdf_content_text(data: bytes) -> str:
@@ -136,7 +145,7 @@ def pdf_content_text(data: bytes) -> str:
         if b == 0x28:  # (
             s, pos = _pdf_literal_string(data, pos)
             if in_text:
-                pending.append(s)
+                pending.append(_bom_decode(s))
             continue
         if b == 0x3C:  # < — hex string (<< dict start is handled below)
             if data[pos : pos + 2] == b"<<":
@@ -144,7 +153,7 @@ def pdf_content_text(data: bytes) -> str:
                 continue
             s, pos = _pdf_hex_string(data, pos)
             if in_text:
-                pending.append(s)
+                pending.append(_bom_decode(s))
             continue
         if data[pos : pos + 2] == b"BT" and (
             pos + 2 == n or not data[pos + 2 : pos + 3].isalpha()
@@ -338,6 +347,7 @@ class _PdfDoc:
         self.trailer: dict[str, object] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple[list[int], list[int], bytes]] = {}
+        self._crypt = None
         m = None
         for m in re.finditer(rb"startxref\s+(\d+)", payload):
             pass
@@ -345,7 +355,20 @@ class _PdfDoc:
             raise ValueError("PDF has no startxref")
         self._read_xref_chain(int(m.group(1)))
         if "Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF (no text without the key)")
+            # standard security handler, EMPTY user password (the
+            # owner-locked corpus case); unsupported handlers/versions
+            # and real user passwords ValueError with a named reason —
+            # the quarantine path this branch used to take wholesale
+            from .pdfcrypt import StandardDecryptor
+
+            enc = self.resolve(self.trailer["Encrypt"])
+            if not isinstance(enc, dict):
+                raise ValueError("encrypted PDF: /Encrypt is not a dict")
+            ids = self.trailer.get("ID")
+            id0 = b""
+            if isinstance(ids, list) and ids and isinstance(ids[0], str):
+                id0 = ids[0].encode("latin-1")
+            self._crypt = StandardDecryptor(enc, id0)
 
     # -- xref ----------------------------------------------------------
     def _read_xref_chain(self, start: int) -> None:
@@ -400,7 +423,7 @@ class _PdfDoc:
                     pos += 1
 
     def _read_xref_stream(self, pos: int) -> dict:
-        dic, raw = self._parse_stream_obj_at(pos)
+        dic, raw, _num, _gen = self._parse_stream_obj_at(pos)
         if dic.get("Type") != "XRef":
             raise ValueError("startxref does not point at xref data")
         data = self._decode_stream(dic, raw)
@@ -443,13 +466,18 @@ class _PdfDoc:
         return dic
 
     # -- objects -------------------------------------------------------
-    def _parse_stream_obj_at(self, pos: int) -> tuple[dict, bytes]:
+    def _parse_stream_obj_at(
+        self, pos: int
+    ) -> tuple[dict, bytes, int, int]:
         """Parse ``N G obj <<dict>> stream`` at a byte offset and slice
-        the raw (still encoded) stream data."""
+        the raw (still encoded, still encrypted) stream data; returns
+        (dict, raw, num, gen) — the header ids feed the per-object
+        decryption key."""
         data = self.payload
-        m = re.match(rb"\s*\d+\s+\d+\s+obj\b", data[pos : pos + 48])
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj\b", data[pos : pos + 48])
         if not m:
             raise ValueError("xref offset does not hit an object header")
+        num, gen = int(m.group(1)), int(m.group(2))
         dic, p = _pdf_parse_obj(data, pos + m.end())
         if not isinstance(dic, dict):
             raise ValueError("stream object without a dict")
@@ -467,7 +495,17 @@ class _PdfDoc:
         raw = data[p : p + length]
         if len(raw) != length:
             raise ValueError("stream data truncated")
-        return dic, raw
+        return dic, raw, num, gen
+
+    def _maybe_decrypt(
+        self, dic: dict, raw: bytes, num: int, gen: int
+    ) -> bytes:
+        """Decrypt a stream's raw bytes when the file is encrypted —
+        BEFORE filters, per spec. Xref streams are never encrypted
+        (they must be readable to find /Encrypt in the first place)."""
+        if self._crypt is None or dic.get("Type") == "XRef":
+            return raw
+        return self._crypt.decrypt_stream(num, gen, raw)
 
     def _decode_stream(self, dic: dict, raw: bytes) -> bytes:
         filt = self.resolve(dic.get("Filter"))
@@ -527,7 +565,8 @@ class _PdfDoc:
             if isinstance(obj, dict):
                 q = _pdf_skip_ws(data, p)
                 if data.startswith(b"stream", q):
-                    dic, raw = self._parse_stream_obj_at(pos)
+                    dic, raw, snum, sgen = self._parse_stream_obj_at(pos)
+                    raw = self._maybe_decrypt(dic, raw, snum, sgen)
                     obj = ("stream", dic, raw)
         else:
             stm_num, idx = ent[1], ent[2]
@@ -546,9 +585,10 @@ class _PdfDoc:
         ent = self.xref.get(num)
         if ent is None or ent[0] != "in":
             raise ValueError(f"ObjStm {num} is missing or nested")
-        dic, raw = self._parse_stream_obj_at(ent[1])
+        dic, raw, snum, sgen = self._parse_stream_obj_at(ent[1])
         if dic.get("Type") != "ObjStm":
             raise ValueError(f"object {num} is not an ObjStm")
+        raw = self._maybe_decrypt(dic, raw, snum, sgen)
         data = self._decode_stream(dic, raw)
         n = self.resolve(dic.get("N"))
         first = self.resolve(dic.get("First"))
@@ -741,23 +781,60 @@ def _pdf_escape(text: str) -> bytes:
     ).encode("latin-1")
 
 
+def _enc_dict_bytes(enc: dict) -> bytes:
+    """Serialize a build_encryption() dict to PDF syntax (binary values
+    as hex strings — byte-faithful both ways)."""
+
+    def hx(v: bytes) -> bytes:
+        return b"<" + v.hex().encode() + b">"
+
+    parts = [b"<< /Filter /Standard"]
+    for k in ("V", "R", "Length", "P"):
+        parts.append(b"/%s %d" % (k.encode(), enc[k]))
+    for k in ("O", "U", "OE", "UE", "Perms"):
+        if k in enc:
+            parts.append(b"/%s " % k.encode() + hx(enc[k]))
+    if "CF" in enc:
+        cfm = enc["CF"]["StdCF"]["CFM"].encode()
+        parts.append(
+            b"/CF << /StdCF << /CFM /" + cfm
+            + b" /AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    parts.append(b">>")
+    return b" ".join(parts)
+
+
 def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
     """Deterministic two-page classic-layout PDF: page 1 shows
     ``doc <doc_id>`` as a literal string, page 2 shows the document
     text as a BOM'd UTF-16BE hex string (any unicode survives). Even
     doc_ids FlateDecode-compress their content streams, odd leave them
-    raw. Closed form (oracle-mirrored):
+    raw; doc%3 rotates ENCRYPTION (r13): 0 plaintext, 1 RC4 128-bit
+    (V2/R3), 2 AES-128 (V4/R4 /AESV2) — owner-locked, empty user
+    password, streams encrypted after filtering per spec. Closed form
+    (oracle-mirrored, encryption-invariant):
       n_pages = 2,   extracted = 'doc <doc_id> ' || text
     Proper xref + trailer so real viewers open the fixtures too."""
+    from .pdfcrypt import build_encryption
+
     c1 = b"BT /F1 12 Tf 72 720 Td (" + _pdf_escape(f"doc {doc_id}") + b") Tj ET"
     hx = b"\xfe\xff" + text.encode("utf-16-be")
     c2 = b"BT /F1 12 Tf 72 720 Td <" + hx.hex().encode() + b"> Tj ET"
+
+    kind = (None, "rc4", "aesv2")[doc_id % 3]
+    crypt = None
+    if kind is not None:
+        enc, id0, crypt = build_encryption(kind, doc_id)
 
     def content_obj(num: int, data: bytes) -> bytes:
         filt = b""
         if doc_id % 2 == 0:
             data = zlib.compress(data, 9)
             filt = b" /Filter /FlateDecode"
+        if crypt is not None:
+            # file bytes = Encrypt(Filter(content)); readers undo in
+            # reverse: decrypt, then unfilter
+            data = crypt.encrypt_stream(num, 0, data)
         return (
             b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (num, len(data), filt)
             + data
@@ -776,6 +853,11 @@ def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
         b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"
         b"endobj\n",
     ]
+    trailer_extra = b""
+    if crypt is not None:
+        objs.append(b"8 0 obj\n" + _enc_dict_bytes(enc) + b"\nendobj\n")
+        idhex = b"<" + id0.hex().encode() + b">"
+        trailer_extra = b" /Encrypt 8 0 R /ID [" + idhex + idhex + b"]"
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for o in objs:
@@ -787,8 +869,8 @@ def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
     for off in offsets:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, trailer_extra, xref_at)
     )
     return bytes(out)
 
@@ -804,9 +886,20 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
     (oracle-mirrored):
       n_pages = 3,  extracted = concat_ws(' ', 'doc <id>', text, 'tail <id>')
     (empty page texts are skipped by the joiner)
+    doc%3==1 files are ENCRYPTED with AES-256 (V5/R6 /AESV3, r13) —
+    owner-locked, empty user password — so content streams AND the
+    object stream holding the page tree are ciphertext on disk while
+    the xref stream stays clear, per spec.
     Any drift in xref-stream field decoding, predictor undo, ObjStm
-    offset walk, reference resolution, page-tree ordering or multi-part
-    content concatenation changes the extracted text."""
+    offset walk, reference resolution, page-tree ordering, multi-part
+    content concatenation or the R6 key derivation changes the
+    extracted text."""
+    from .pdfcrypt import build_encryption
+
+    kind = "aesv3" if doc_id % 3 == 1 else None
+    crypt = None
+    if kind is not None:
+        enc, id0, crypt = build_encryption(kind, doc_id)
 
     def hexstr(s: str) -> bytes:
         return b"<" + (b"\xfe\xff" + s.encode("utf-16-be")).hex().encode() + b">"
@@ -837,6 +930,8 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
     objstm_body = header + b" " + b"".join(packed.values())
     first = len(header) + 1
     objstm_data = zlib.compress(objstm_body, 9)
+    if crypt is not None:
+        objstm_data = crypt.encrypt_stream(6, 0, objstm_data)
     objstm = (
         b"6 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
         b"/Filter /FlateDecode >>\nstream\n"
@@ -850,6 +945,8 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
         if doc_id % 2 == 0:
             data = zlib.compress(data, 9)
             filt = b" /Filter /FlateDecode"
+        if crypt is not None:
+            data = crypt.encrypt_stream(num, 0, data)
         return (
             b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (num, len(data), filt)
             + data
@@ -870,7 +967,17 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
         offsets[num] = len(out)
         out += body
 
+    trailer_extra = b""
+    if crypt is not None:
+        # the Encrypt dict rides OUTSIDE the object stream (spec: it
+        # must be reachable before any decryption), clear, as obj 12
+        offsets[12] = len(out)
+        out += b"12 0 obj\n" + _enc_dict_bytes(enc) + b"\nendobj\n"
+        idhex = b"<" + id0.hex().encode() + b">"
+        trailer_extra = b" /Encrypt 12 0 R /ID [" + idhex + idhex + b"]"
+
     xref_at = len(out)
+    size = 13 if crypt is not None else 12
     entries = [(0, 0, 65535)]  # obj 0: free
     for num in range(1, 6):
         entries.append((2, 6, num - 1))  # packed in ObjStm 6, index
@@ -878,6 +985,8 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
     for num in (7, 8, 9, 10):
         entries.append((1, offsets[num], 0))
     entries.append((1, xref_at, 0))  # obj 11: the xref stream itself
+    if crypt is not None:
+        entries.append((1, offsets[12], 0))
     rows = b"".join(
         bytes([t]) + f2.to_bytes(3, "big") + bytes([f3 & 0xFF])
         for t, f2, f3 in entries
@@ -897,9 +1006,9 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
         parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
     xref_data = zlib.compress(rows, 9)
     out += (
-        b"11 0 obj\n<< /Type /XRef /Size 12 /W [1 3 1] /Root 1 0 R "
+        b"11 0 obj\n<< /Type /XRef /Size %d /W [1 3 1] /Root 1 0 R%s "
         b"/Length %d /Filter /FlateDecode%s >>\nstream\n"
-        % (len(xref_data), parms)
+        % (size, trailer_extra, len(xref_data), parms)
         + xref_data
         + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
     )

@@ -8854,6 +8854,13 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "bpe_tokens_arrow",
             "synth_bpe_text",
             "chunk_documents_bpe_arrow",
+            "synth_pdf_bytes",
+            "synth_pdf_modern_bytes",
+            "pdf_text_extract",
+            "_pdf_hex_string",
+            "_bom_decode",
+            "build_encryption",
+            "_hash_2b",
             "snappy_framed_decompress",
             "snappy_framed_compress",
             "_crc32c",
