@@ -194,6 +194,12 @@ def _v2_expected(doc_id: int) -> set:
         if i % 4 != 1:
             rid, v = _v2_row_value(doc_id, 1, i)
             out.add((doc_id, f"d-{doc_id}-1", rid, str(v)))
+    # d-{doc}-2 was added in the equality delete's own commit: the
+    # strictly-older sequence rule keeps ALL its rows (incl. row 1,
+    # which the delete names)
+    for i in range(doc_id % 2 + 3):
+        rid, v = _v2_row_value(doc_id, 2, i)
+        out.add((doc_id, f"d-{doc_id}-2", rid, str(v)))
     return out
 
 
@@ -235,7 +241,15 @@ def test_live_rows_stale_delete_is_load_bearing(spark):
         (r.file_path, r.id)
         for r in iceberg_live_rows(meta_df, files_df).collect()
     }
-    assert {f for f, _ in current} == {"d-2-0", "d-2-1"}
+    assert {f for f, _ in current} == {"d-2-0", "d-2-1", "d-2-2"}
+    # the same-sequence trap: ed-2 NAMES d-2-2 row 1's id, but the
+    # file was added in the delete's own commit (seq 2 vs seq 2) —
+    # the strictly-older rule keeps it; >= would kill it here
+    from user_behavior_spark_pipeline_spark.operators.iceberg import (
+        _v2_row_value,
+    )
+
+    assert ("d-2-2", _v2_row_value(2, 2, 1)[0]) in current
     rolled = meta_df.withColumn(
         "payload",
         F.regexp_replace(

@@ -156,6 +156,7 @@ def _resolve_reachable_entries(
     ents = (
         longs.filter(F.col("field").isin(
             "status",
+            "sequence_number",
             "data_file.content",
             "data_file.file_path",
             "data_file.record_count",
@@ -165,6 +166,17 @@ def _resolve_reachable_entries(
         .agg(
             F.max(F.when(F.col("field") == "status", F.col("value")))
             .alias("status"),
+            # v2 entry-level data sequence number; v1 manifests (and
+            # the v1 fixture) don't carry it — 0 keeps their semantics
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("field") == "sequence_number",
+                        F.col("value"),
+                    )
+                ),
+                F.lit("0"),
+            ).cast("long").alias("seq"),
             F.coalesce(
                 F.max(
                     F.when(
@@ -206,6 +218,7 @@ def _resolve_reachable_entries(
             "file_name",
             "rec_idx",
             "status",
+            "seq",
             "content",
             "file_path",
             "record_count",
@@ -269,13 +282,17 @@ def iceberg_live_rows(
     longs, entries = _resolve_reachable_entries(metadata, files)
     live = entries.filter(F.col("status") != "2")
     data_files = live.filter(F.col("content") == "0").select(
-        "table_id", "file_path"
+        "table_id", "file_path", F.col("seq").alias("seq_d")
     )
     pos_files = live.filter(F.col("content") == "1").select(
-        "table_id", F.col("file_path").alias("del_file")
+        "table_id",
+        F.col("file_path").alias("del_file"),
+        F.col("seq").alias("seq_del"),
     )
     eq_files = live.filter(F.col("content") == "2").select(
-        "table_id", F.col("file_path").alias("del_file")
+        "table_id",
+        F.col("file_path").alias("del_file"),
+        F.col("seq").alias("seq_del"),
     )
 
     def _content_rows(fields: list[str]) -> DataFrame:
@@ -299,6 +316,7 @@ def iceberg_live_rows(
     ).select(
         data["table_id"].alias("table_id"),
         "file_path",
+        "seq_d",
         F.col("rec_idx").alias("pos"),
         "id",
         "v",
@@ -313,6 +331,7 @@ def iceberg_live_rows(
         pos_rows_all["table_id"].alias("table_id"),
         F.col("file_path").alias("target_file"),
         F.col("pos").cast("long").alias("del_pos"),
+        "seq_del",
     )
     # equality deletes: id values of reachable content=2 files
     eq_rows_all = _content_rows(["id"])
@@ -323,18 +342,25 @@ def iceberg_live_rows(
     ).select(
         eq_rows_all["table_id"].alias("table_id"),
         F.col("id").alias("del_id"),
+        "seq_del",
     )
+    # sequence scoping (spec §Scan Planning): a position delete applies
+    # to data files with seq <= its own; an equality delete only to
+    # STRICTLY older data files — rows added in the same commit as the
+    # equality delete must survive (the d-{doc}-2 trap)
     surviving = rows.join(
         F.broadcast(pos_del),
         (rows["table_id"] == pos_del["table_id"])
         & (rows["file_path"] == pos_del["target_file"])
-        & (rows["pos"] == pos_del["del_pos"]),
+        & (rows["pos"] == pos_del["del_pos"])
+        & (pos_del["seq_del"] >= rows["seq_d"]),
         "left_anti",
     )
     surviving = surviving.join(
         F.broadcast(eq_del),
         (surviving["table_id"] == eq_del["table_id"])
-        & (surviving["id"] == eq_del["del_id"]),
+        & (surviving["id"] == eq_del["del_id"])
+        & (eq_del["seq_del"] > surviving["seq_d"]),
         "left_anti",
     )
     return surviving.select(
@@ -567,6 +593,7 @@ _ENTRY2_SCHEMA = json.dumps(
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
             {
                 "name": "data_file",
                 "type": {
@@ -619,11 +646,18 @@ _EQ_DELETE_SCHEMA = json.dumps(
 
 
 def _entry2_body(
-    status: int, snap: int, content: int, path: str, nrec: int, size: int
+    status: int,
+    snap: int,
+    seq: int,
+    content: int,
+    path: str,
+    nrec: int,
+    size: int,
 ) -> bytes:
     return (
         zigzag_encode(status)
         + zigzag_encode(snap)
+        + zigzag_encode(seq)
         + zigzag_encode(content)
         + _enc_str(path)
         + _enc_str("AVRO")
@@ -647,31 +681,38 @@ def synth_iceberg_v2_rows(
 
     - snapshot 0 ADDs both data files AND a position-delete file
       ``pd-{doc}-stale`` that names EVERY row of d-{doc}-1;
-    - snapshot 1 (CURRENT) carries the data files EXISTING, marks the
-      stale delete file DELETED (the trap: a removed delete file must
-      stop applying — honouring it empties d-{doc}-1), and ADDs the
-      real deletes: ``pd-{doc}`` (positions i%3==0 of d-{doc}-0) and
-      ``ed-{doc}`` (equality ids: d-{doc}-1 rows with i%4==1, plus the
-      id of d-{doc}-0 row 0 — already position-deleted, so the delete
-      algebra must be idempotent, not subtractive counting).
+    - snapshot 1 (CURRENT) carries the data files EXISTING (sequence
+      number 1 preserved), marks the stale delete file DELETED (the
+      trap: a removed delete file must stop applying — honouring it
+      empties d-{doc}-1), and ADDs at sequence number 2: a THIRD data
+      file ``d-{doc}-2`` (n2 = doc%2+3 rows), the real deletes
+      ``pd-{doc}`` (positions i%3==0 of d-{doc}-0) and ``ed-{doc}``
+      (equality ids: d-{doc}-1 rows with i%4==1, the id of d-{doc}-0
+      row 0 — already position-deleted, so the delete algebra must be
+      idempotent — AND the id of d-{doc}-2 row 1, which was added in
+      the SAME commit: the spec scopes equality deletes to STRICTLY
+      older sequence numbers, so that row must SURVIVE).
 
-    Surviving closed form: d-{doc}-0 rows with i%3!=0 and d-{doc}-1
-    rows with i%4!=1. Container codec rotates doc%4 through
-    null/deflate/zstandard/snappy like the v1 fixture."""
+    Surviving closed form: d-{doc}-0 rows with i%3!=0, d-{doc}-1 rows
+    with i%4!=1, and ALL of d-{doc}-2. Container codec rotates doc%4
+    through null/deflate/zstandard/snappy like the v1 fixture.
+    (Sequence numbers are written explicitly per entry; the spec's
+    null-means-inherit-from-manifest shortcut is a documented seam.)"""
     n = doc_id % 3 + 4
+    n2 = doc_id % 2 + 3
     codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
     sync = bytes((doc_id * 7 + k * 29) % 256 for k in range(16))
     files: list[tuple[str, bytes]] = []
-    data_names = [f"d-{doc_id}-{sub}" for sub in (0, 1)]
+    data_names = [f"d-{doc_id}-{sub}" for sub in (0, 1, 2)]
     pos_name, stale_name, eq_name = (
         f"pd-{doc_id}",
         f"pd-{doc_id}-stale",
         f"ed-{doc_id}",
     )
     if with_files:
-        for sub in (0, 1):
+        for sub, rows_n in ((0, n), (1, n), (2, n2)):
             recs = []
-            for i in range(n):
+            for i in range(rows_n):
                 rid, v = _v2_row_value(doc_id, sub, i)
                 recs.append(zigzag_encode(rid) + zigzag_encode(v))
             files.append(
@@ -709,9 +750,12 @@ def synth_iceberg_v2_rows(
                 ),
             )
         )
-        eq_ids = [
-            _v2_row_value(doc_id, 1, i)[0] for i in range(n) if i % 4 == 1
-        ] + [_v2_row_value(doc_id, 0, 0)[0]]
+        eq_ids = (
+            [_v2_row_value(doc_id, 1, i)[0] for i in range(n) if i % 4 == 1]
+            + [_v2_row_value(doc_id, 0, 0)[0]]
+            # same-sequence trap: named but must survive (strict >)
+            + [_v2_row_value(doc_id, 2, 1)[0]]
+        )
         files.append(
             (
                 eq_name,
@@ -734,9 +778,9 @@ def synth_iceberg_v2_rows(
                 build_avro_container(
                     _ENTRY2_SCHEMA,
                     [
-                        ent(1, snap0, 0, data_names[0], n, n * 16),
-                        ent(1, snap0, 0, data_names[1], n, n * 16),
-                        ent(1, snap0, 1, stale_name, n, n * 8),
+                        ent(1, snap0, 1, 0, data_names[0], n, n * 16),
+                        ent(1, snap0, 1, 0, data_names[1], n, n * 16),
+                        ent(1, snap0, 1, 1, stale_name, n, n * 8),
                     ],
                     sync,
                     codec,
@@ -749,9 +793,12 @@ def synth_iceberg_v2_rows(
                 build_avro_container(
                     _ENTRY2_SCHEMA,
                     [
-                        ent(0, snap1, 0, data_names[0], n, n * 16),
-                        ent(0, snap1, 0, data_names[1], n, n * 16),
-                        ent(2, snap1, 1, stale_name, n, n * 8),
+                        # EXISTING entries keep their ORIGINAL sequence
+                        # number — losing it would let the seq-scoped
+                        # equality join misfire
+                        ent(0, snap1, 1, 0, data_names[0], n, n * 16),
+                        ent(0, snap1, 1, 0, data_names[1], n, n * 16),
+                        ent(2, snap1, 1, 1, stale_name, n, n * 8),
                     ],
                     sync,
                     codec,
@@ -764,8 +811,9 @@ def synth_iceberg_v2_rows(
                 build_avro_container(
                     _ENTRY2_SCHEMA,
                     [
-                        ent(1, snap1, 1, pos_name, n, n * 8),
-                        ent(1, snap1, 2, eq_name, n, n * 8),
+                        ent(1, snap1, 2, 0, data_names[2], n2, n2 * 16),
+                        ent(1, snap1, 2, 1, pos_name, n, n * 8),
+                        ent(1, snap1, 2, 2, eq_name, n, n * 8),
                     ],
                     sync,
                     codec,

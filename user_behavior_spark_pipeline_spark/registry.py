@@ -1876,14 +1876,21 @@ _ICEBERG_V2_SQL = (
     # planted overlap AND the stale-delete trap (a DELETED-status
     # delete file that names every row of d-{doc}-1 — honouring it
     # empties the file) all have to be right for the hash
-    "WITH t AS (SELECT doc_id, doc_id % 3 + 4 AS n FROM documents "
+    "WITH t AS (SELECT doc_id, doc_id % 3 + 4 AS n, "
+    "doc_id % 2 + 3 AS n2 FROM documents "
     "WHERE doc_id % 5 = 1), "
     "surv AS ("
     "SELECT doc_id, 0 AS sub, u.i AS i FROM t, "
     "UNNEST(range(n)) AS u(i) WHERE u.i % 3 <> 0 "
     "UNION ALL "
     "SELECT doc_id, 1 AS sub, u.i AS i FROM t, "
-    "UNNEST(range(n)) AS u(i) WHERE u.i % 4 <> 1) "
+    "UNNEST(range(n)) AS u(i) WHERE u.i % 4 <> 1 "
+    "UNION ALL "
+    # d-{doc}-2 was ADDED in the same commit as the equality delete
+    # that names its row 1 — the spec's strictly-older sequence rule
+    # means EVERY row survives; a >= implementation loses row 1
+    "SELECT doc_id, 2 AS sub, u.i AS i FROM t, "
+    "UNNEST(range(n2)) AS u(i)) "
     "SELECT doc_id AS table_id, "
     "'d-' || doc_id || '-' || sub AS file_path, "
     "CAST(doc_id * 1000 + sub * 100 + i AS BIGINT) AS id, "
@@ -1901,12 +1908,16 @@ def x_iceberg_live_rows(spark, sf_dir):
     rows named by POSITION delete files (content=1: (file_path, pos)
     ordinals), minus rows matching EQUALITY delete files (content=2:
     id values) — two broadcast ANTI joins over metadata-scale delete
-    sets, data rows streaming through the scan once. The fixture
-    plants a stale-delete trap (a position-delete file marked DELETED
-    in the current snapshot that names every row of d-{doc}-1) and an
+    sets, data rows streaming through the scan once, SEQUENCE-SCOPED
+    per spec (position deletes apply to data seq <= theirs, equality
+    deletes to STRICTLY older sequence numbers). The fixture plants a
+    stale-delete trap (a position-delete file marked DELETED in the
+    current snapshot that names every row of d-{doc}-1), an
     idempotence overlap (an equality delete naming an already
-    position-deleted row). Codec rotates doc%4 through all four.
-    (Scoped doc_id%5==1, the per-table-closed-form policy.)"""
+    position-deleted row), and a same-sequence trap (d-{doc}-2,
+    added in the equality delete's own commit, has a named id that
+    must SURVIVE the strict rule). Codec rotates doc%4 through all
+    four. (Scoped doc_id%5==1, the per-table-closed-form policy.)"""
     from .operators.iceberg import (
         iceberg_live_rows,
         synth_iceberg_v2_manifests,
