@@ -260,3 +260,25 @@ def test_missing_sidecar_quarantines(spark):
         ).collect()
     }
     assert ("part-1", -1) in got
+
+
+def test_p_storage_resolves_by_literal_path(spark):
+    """Odd tables reference their sidecar via storageType 'p' (the
+    literal path, no uuid derivation) — doc 7 and 17 are the 'p' rows
+    of the closed-form test above; this pins the dispatch explicitly."""
+    docs = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    logs = synth_delta_dv_logs(docs)
+    kinds = {
+        r.table_id: r.payload.count('"storageType": "p"')
+        for r in logs.filter("version = 3").collect()
+    }
+    assert kinds == {7: 1, 12: 0}  # odd -> 'p', even -> 'u'
+    got = {
+        (r.table_id, r.path, r.n_live)
+        for r in delta_live_row_stats(
+            logs, synth_delta_dv_files(docs)
+        ).collect()
+    }
+    for d in (7, 12):
+        n1 = _dv_dims(d)[1]
+        assert (d, "part-1", n1 - n1 // 2) in got

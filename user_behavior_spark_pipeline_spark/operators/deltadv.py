@@ -223,9 +223,11 @@ def delta_live_row_stats(
 
     keyed = with_dv.withColumn(
         "dv_file",
-        F.when(F.col("dv_storage") == "u", _sidecar("dv_ref")).otherwise(
-            F.lit(None).cast("string")
-        ),
+        F.when(F.col("dv_storage") == "u", _sidecar("dv_ref"))
+        # 'p': pathOrInlineDv IS the sidecar path, no derivation (and
+        # no Python) — the registry keys sidecars by that path
+        .when(F.col("dv_storage") == "p", F.col("dv_ref"))
+        .otherwise(F.lit(None).cast("string")),
     )
     reg = dv_files.select(
         F.col("table_id").alias("f_table_id"),
@@ -412,10 +414,25 @@ def synth_delta_dv_log_rows(doc_id: int) -> list[tuple[int, str]]:
             _add(
                 "part-1",
                 n1,
+                # storage rotation: even tables reference the sidecar
+                # the spec's 'u' way (prefix + z85 uuid -> derived
+                # deletion_vector_<uuid>.bin), odd tables the 'p' way
+                # (pathOrInlineDv IS the path) — same file, same
+                # offset, one oracle
                 {
                     "storageType": "u",
                     "pathOrInlineDv": "ab"
                     + z85_encode(_dv_uuid(doc_id).bytes),
+                    "offset": offsets[1],
+                    "sizeInBytes": len(dv_b),
+                    "cardinality": n1 // 2,
+                }
+                if doc_id % 2 == 0
+                else {
+                    "storageType": "p",
+                    "pathOrInlineDv": (
+                        f"deletion_vector_{_dv_uuid(doc_id)}.bin"
+                    ),
                     "offset": offsets[1],
                     "sizeInBytes": len(dv_b),
                     "cardinality": n1 // 2,
