@@ -166,9 +166,67 @@ def test_pdf_modern_corruption_quarantines():
     trunc = good[: good.rindex(b"endstream")]
     with pytest.raises(ValueError):
         pdf_text_extract(trunc)
-    # classic file with a smashed startxref offset still extracts
-    classic = bytearray(synth_pdf_bytes(5, "still here"))
+    # classic file with a smashed startxref offset still extracts —
+    # doc 6 is the plain slot (the r13 rotations make doc 5 AESV2 +
+    # CID, where salvage correctly cannot apply without the xref)
+    classic = bytearray(synth_pdf_bytes(6, "still here"))
     at = classic.rindex(b"startxref")
     classic[at + 10 : at + 11] = b"9"
     out = pdf_text_extract(bytes(classic))
-    assert out["text"] == "doc 5 still here"
+    assert out["text"] == "doc 6 still here"
+
+
+def test_cid_tounicode_extraction_and_omission():
+    """r13 CID rotation: odd docs show page 2 through Type0/Identity-H
+    with a shifted ToUnicode map (bfchar space + bfrange) — on-disk
+    bytes are NOT the text — and page 1 carries a mapless Type0 show
+    that must be OMITTED, never read as latin-1."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        parse_tounicode_cmap,
+    )
+
+    for d in (1, 3, 5, 7):  # plain, plain, AESV2, RC4 — all CID
+        t = f"Çid tëxt {d}"
+        out = pdf_text_extract(synth_pdf_bytes(d, t))
+        assert out == {"n_pages": 2, "text": f"doc {d} {t}"}, d
+    raw = synth_pdf_bytes(3, "visible words")
+    assert b"visible words" not in raw
+    # mapless-font 'A' (<0041>) did NOT leak into the text above
+    # bfrange ARRAY destination form
+    m = parse_tounicode_cmap(
+        b"1 beginbfrange <0005> <0007> [<0058> <0059> <005a>] endbfrange"
+    )
+    assert (m[5], m[6], m[7]) == ("X", "Y", "Z")
+    # malformed cmaps quarantine
+    with pytest.raises(ValueError, match="bfrange"):
+        parse_tounicode_cmap(b"1 beginbfrange <0005> endbfrange")
+    with pytest.raises(ValueError, match="length mismatch"):
+        parse_tounicode_cmap(
+            b"1 beginbfrange <0005> <0007> [<0058>] endbfrange"
+        )
+
+
+def test_cid_font_maps_and_inherited_resources():
+    """page_fonts: the ToUnicode map parses (bfchar space exception
+    included), mapless Type0 fonts map to None (omit), and /Resources
+    inherits up the /Parent chain (spec §7.7.3.4) — exercised by
+    moving page 2's Resources onto the /Pages ancestor in the live
+    object cache."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import _PdfDoc
+
+    doc = _PdfDoc(synth_pdf_bytes(1, "parented"))
+    page2 = doc.pages()[1]
+    fonts = doc.page_fonts(page2)
+    assert "FC" in fonts and fonts["FC"] is not None
+    assert fonts["FC"][3] == " "  # the bfchar space exception
+    page1 = doc.pages()[0]
+    f1 = doc.page_fonts(page1)
+    assert f1.get("FX", "absent") is None  # mapless Type0 -> omit
+    # inheritance: strip the page's own Resources, graft them onto the
+    # /Pages node the page's /Parent references — page_fonts must
+    # still find the font
+    res = page2.pop("Resources")
+    pages_node = doc.resolve(doc.resolve(doc.trailer["Root"])["Pages"])
+    pages_node["Resources"] = res
+    inherited = doc.page_fonts(page2)
+    assert "FC" in inherited and inherited["FC"][3] == " "

@@ -10,12 +10,18 @@ per spec. Files whose xref is damaged fall back to a framing scan over
 intact body bytes (salvage, file order). Content streams raw or
 FlateDecode (stdlib zlib); text shown via Tj / TJ / ' / " operators
 with literal or hex strings (UTF-16BE with BOM, else Latin-1/WinAnsi
-approximated as latin-1). NOT handled (documented seam, quarantine or
-partial output, never a dead task): encrypted files, non-Flate filters
-(DCT/JBIG2/LZW/ASCII85), CID/Type0 composite fonts with custom CMaps
-(their bytes are font-indexed, not character codes — extracting them
-without the CMap would produce mojibake, so text in such fonts is
-OMITTED rather than garbled), and image-only scans (no OCR).
+approximated as latin-1). r13 additions: ENCRYPTED files with an empty
+user password decrypt through the standard security handler
+(operators/pdfcrypt.py — RC4 V2/R3, AESV2 V4/R4, AESV3 V5/R6), and
+CID/Type0 text extracts through the font's /ToUnicode CMap (bfchar +
+bfrange, incrementing and array destinations, /Resources inherited up
+the /Parent chain); a Type0 font WITHOUT a usable map still OMITS its
+text — glyph indexes read as characters would be silent mojibake.
+NOT handled (documented seam, quarantine or partial output, never a
+dead task): password-protected files (non-empty user password),
+non-Flate filters (DCT/JBIG2/LZW/ASCII85), CID text whose only
+mapping is an external/predefined CMap (no /ToUnicode), and
+image-only scans (no OCR).
 
 The 100 TB shape: one mapInPandas pass, linear in PDF bytes,
 embarrassingly parallel per document; structural corruption routes to a
@@ -29,6 +35,7 @@ extension surface (SURVEY.md §2.5).
 
 from __future__ import annotations
 
+import functools
 import re
 import zlib
 from collections.abc import Iterator
@@ -130,22 +137,123 @@ def _bom_decode(s: str) -> str:
     return s
 
 
-def pdf_content_text(data: bytes) -> str:
+_CMAP_TOK_RE = re.compile(rb"<[0-9A-Fa-f]+>|\[|\]")
+
+
+def _cmap_hex(tok: bytes, what: str) -> bytes:
+    h = tok[1:-1]
+    if len(h) % 2:
+        raise ValueError(f"odd hex length in ToUnicode {what}")
+    return bytes.fromhex(h.decode("ascii"))
+
+
+@functools.lru_cache(maxsize=64)
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (spec §9.10.3) to {CID code ->
+    unicode string}: beginbfchar pairs, beginbfrange triples with
+    either an incrementing destination (big-endian increment over the
+    whole destination, the standard reader behaviour) or a bracketed
+    destination array. Structural nonsense raises ValueError — the
+    document quarantines rather than emitting silently-wrong text.
+    Cached per distinct bytes: corpora reuse a handful of font
+    programs across millions of documents (callers must not mutate
+    the returned dict)."""
+    out: dict[int, str] = {}
+
+    def dst_str(raw: bytes) -> str:
+        return raw.decode("utf-16-be", "replace")
+
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _CMAP_TOK_RE.findall(sec)
+        if len(toks) % 2 or any(t in (b"[", b"]") for t in toks):
+            raise ValueError("malformed ToUnicode bfchar section")
+        for i in range(0, len(toks), 2):
+            src = int.from_bytes(_cmap_hex(toks[i], "bfchar"), "big")
+            out[src] = dst_str(_cmap_hex(toks[i + 1], "bfchar"))
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = _CMAP_TOK_RE.findall(sec)
+        i = 0
+        while i < len(toks):
+            if i + 2 >= len(toks) or b"[" in (toks[i], toks[i + 1]):
+                raise ValueError("malformed ToUnicode bfrange section")
+            lo = int.from_bytes(_cmap_hex(toks[i], "bfrange"), "big")
+            hi = int.from_bytes(_cmap_hex(toks[i + 1], "bfrange"), "big")
+            if hi < lo or hi - lo > 0x10000:
+                raise ValueError("ToUnicode bfrange bounds out of order")
+            if toks[i + 2] == b"[":
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j] != b"]":
+                    out[code] = dst_str(_cmap_hex(toks[j], "bfrange"))
+                    code += 1
+                    j += 1
+                if j >= len(toks) or code != hi + 1:
+                    raise ValueError(
+                        "ToUnicode bfrange array length mismatch"
+                    )
+                i = j + 1
+            else:
+                raw = _cmap_hex(toks[i + 2], "bfrange")
+                base = int.from_bytes(raw, "big")
+                for k in range(hi - lo + 1):
+                    out[lo + k] = dst_str(
+                        (base + k).to_bytes(len(raw), "big")
+                    )
+                i += 3
+    return out
+
+
+def _decode_cid(s: str, cmap: dict[int, str] | None) -> str:
+    """Show-text bytes of a Type0/Identity-H font: 2-byte big-endian
+    CIDs through the ToUnicode map. A Type0 font WITHOUT a usable map
+    contributes NOTHING — its bytes are glyph indexes, and decoding
+    them as characters would emit silent mojibake (the documented
+    omission contract)."""
+    if cmap is None:
+        return ""
+    b = s.encode("latin-1", "replace")
+    return "".join(
+        cmap.get((b[i] << 8) | b[i + 1], "")
+        for i in range(0, len(b) - 1, 2)
+    )
+
+
+def pdf_content_text(data: bytes, fonts: dict | None = None) -> str:
     """Visible text of one decoded content stream: string objects are
     collected and flushed at each text-showing operator (Tj, ', ", TJ —
     the TJ array's kerning numbers are skipped by construction since
-    only strings are collected). Text outside BT/ET is ignored."""
+    only strings are collected). Text outside BT/ET is ignored.
+
+    ``fonts`` (r13) maps resource names of Type0/CID fonts to their
+    parsed ToUnicode dict (or None when the font has no usable map):
+    the Tf operator switches the current font, CID strings decode
+    2-byte codes through the map, and mapless CID text is OMITTED —
+    never emitted as mojibake. Simple fonts (absent from ``fonts``)
+    keep the latin-1/UTF-16BE path."""
     out: list[str] = []
     pending: list[str] = []
     pos = 0
     n = len(data)
     in_text = False
+    last_name: str | None = None
+    cur_cid: tuple | None = None  # (cmap-or-None,) when Type0 active
+
+    def _show(s: str) -> str:
+        if cur_cid is not None:
+            return _decode_cid(s, cur_cid[0])
+        return _bom_decode(s)
+
     while pos < n:
         b = data[pos]
         if b == 0x28:  # (
             s, pos = _pdf_literal_string(data, pos)
             if in_text:
-                pending.append(_bom_decode(s))
+                pending.append(_show(s))
+            continue
+        if b == 0x2F:  # /name — remember for the Tf operator
+            m = _NAME_RE.match(data, pos)
+            last_name = m.group(1).decode("latin-1")
+            pos = m.end()
             continue
         if b == 0x3C:  # < — hex string (<< dict start is handled below)
             if data[pos : pos + 2] == b"<<":
@@ -153,7 +261,16 @@ def pdf_content_text(data: bytes) -> str:
                 continue
             s, pos = _pdf_hex_string(data, pos)
             if in_text:
-                pending.append(_bom_decode(s))
+                pending.append(_show(s))
+            continue
+        if data[pos : pos + 2] == b"Tf" and (
+            pos + 2 == n or not data[pos + 2 : pos + 3].isalpha()
+        ):
+            if fonts and last_name in fonts:
+                cur_cid = (fonts[last_name],)
+            else:
+                cur_cid = None
+            pos += 2
             continue
         if data[pos : pos + 2] == b"BT" and (
             pos + 2 == n or not data[pos + 2 : pos + 3].isalpha()
@@ -638,6 +755,43 @@ class _PdfDoc:
             raise ValueError("PDF page tree has no pages")
         return out
 
+    def page_fonts(self, page: dict) -> dict:
+        """Type0/CID fonts visible to a page: resource name ->
+        parsed ToUnicode dict (None = no usable map, text OMITTED).
+        /Resources inherits up the /Parent chain per spec §7.7.3.4;
+        simple fonts are left out (they keep the default decode)."""
+        node: object = page
+        res = None
+        for _ in range(64):
+            if not isinstance(node, dict):
+                break
+            res = self.resolve(node.get("Resources"))
+            if isinstance(res, dict):
+                break
+            node = self.resolve(node.get("Parent"))
+        if not isinstance(res, dict):
+            return {}
+        fd = self.resolve(res.get("Font"))
+        if not isinstance(fd, dict):
+            return {}
+        out: dict = {}
+        for name, ref in fd.items():
+            font = self.resolve(ref)
+            if not isinstance(font, dict) or font.get("Subtype") != "Type0":
+                continue
+            tu = self.resolve(font.get("ToUnicode"))
+            if (
+                isinstance(tu, tuple)
+                and len(tu) == 3
+                and tu[0] == "stream"
+            ):
+                out[name] = parse_tounicode_cmap(
+                    self._decode_stream(tu[1], tu[2])
+                )
+            else:
+                out[name] = None  # CID text without a map: omit
+        return out
+
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("Contents"))
         if contents is None:
@@ -667,7 +821,9 @@ def _pdf_extract_via_xref(payload: bytes) -> dict:
     texts = []
     pages = doc.pages()
     for page in pages:
-        texts.append(pdf_content_text(doc.page_content(page)))
+        texts.append(
+            pdf_content_text(doc.page_content(page), doc.page_fonts(page))
+        )
     return {
         "n_pages": len(pages),
         "text": " ".join(t for t in texts if t),
@@ -826,6 +982,29 @@ def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
     if kind is not None:
         enc, id0, crypt = build_encryption(kind, doc_id)
 
+    # odd docs (r13): page 2 renders through a Type0/Identity-H font —
+    # CIDs are ord(ch)+7 (space via a bfchar exception at <0003>), so
+    # the on-disk bytes are NOT the text and only a reader that walks
+    # /Resources -> /ToUnicode and applies bfchar AND bfrange recovers
+    # the oracle's closed form; page 1 gains a mapless Type0 show
+    # (<0041> under /FX) that must be OMITTED, not read as 'A'.
+    cid = doc_id % 2 == 1 and all(
+        c == " " or 7 <= ord(c) + 7 <= 0x3006 for c in text
+    )
+    if cid:
+        codes = b"".join(
+            (3 if c == " " else ord(c) + 7).to_bytes(2, "big")
+            for c in text
+        )
+        c2 = b"BT /FC 12 Tf <" + codes.hex().encode() + b"> Tj ET"
+        c1 += b" BT /FX 12 Tf <0041> Tj ET"
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"1 beginbfchar\n<0003> <0020>\nendbfchar\n"
+        b"1 beginbfrange\n<0007> <3006> <0000>\nendbfrange\n"
+        b"endcmap\nend\n"
+    )
+
     def content_obj(num: int, data: bytes) -> bytes:
         filt = b""
         if doc_id % 2 == 0:
@@ -841,23 +1020,44 @@ def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
             + b"\nendstream\nendobj\n"
         )
 
+    f1, f2 = b"/F1 7 0 R", b"/F1 7 0 R"
+    if cid:
+        f1 += b" /FX 9 0 R"
+        f2 += b" /FC 8 0 R"
     objs = [
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
         b"2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n",
         b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 5 0 R /Resources << /Font << /F1 7 0 R >> >> >>\nendobj\n",
+        b"/Contents 5 0 R /Resources << /Font << " + f1
+        + b" >> >> >>\nendobj\n",
         b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 6 0 R /Resources << /Font << /F1 7 0 R >> >> >>\nendobj\n",
+        b"/Contents 6 0 R /Resources << /Font << " + f2
+        + b" >> >> >>\nendobj\n",
         content_obj(5, c1),
         content_obj(6, c2),
         b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"
         b"endobj\n",
     ]
+    if cid:
+        objs.append(
+            b"8 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /Identity-H /ToUnicode 10 0 R >>\nendobj\n"
+        )
+        objs.append(
+            b"9 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Glyphy "
+            b"/Encoding /Identity-H >>\nendobj\n"
+        )
+        objs.append(content_obj(10, cmap))
     trailer_extra = b""
     if crypt is not None:
-        objs.append(b"8 0 obj\n" + _enc_dict_bytes(enc) + b"\nendobj\n")
+        enc_num = 11 if cid else 8
+        objs.append(
+            b"%d 0 obj\n" % enc_num + _enc_dict_bytes(enc) + b"\nendobj\n"
+        )
         idhex = b"<" + id0.hex().encode() + b">"
-        trailer_extra = b" /Encrypt 8 0 R /ID [" + idhex + idhex + b"]"
+        trailer_extra = (
+            b" /Encrypt %d 0 R /ID [" % enc_num + idhex + idhex + b"]"
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for o in objs:
