@@ -475,8 +475,13 @@ class _PdfDoc:
             # standard security handler, EMPTY user password (the
             # owner-locked corpus case); unsupported handlers/versions
             # and real user passwords ValueError with a named reason —
-            # the quarantine path this branch used to take wholesale
-            from .pdfcrypt import StandardDecryptor
+            # the quarantine path this branch used to take wholesale.
+            # The derived key caches per DISTINCT credentials: corpora
+            # repeat credentials rarely, but re-reading the same file's
+            # streams must not re-pay the 51-round/20-pass derivation.
+            import json as _json
+
+            from .pdfcrypt import cached_decryptor
 
             enc = self.resolve(self.trailer["Encrypt"])
             if not isinstance(enc, dict):
@@ -485,7 +490,13 @@ class _PdfDoc:
             id0 = b""
             if isinstance(ids, list) and ids and isinstance(ids[0], str):
                 id0 = ids[0].encode("latin-1")
-            self._crypt = StandardDecryptor(enc, id0)
+            try:
+                enc_json = _json.dumps(enc, sort_keys=True)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "encrypted PDF: /Encrypt dict not serializable"
+                ) from None
+            self._crypt = cached_decryptor(enc_json, id0)
 
     # -- xref ----------------------------------------------------------
     def _read_xref_chain(self, start: int) -> None:

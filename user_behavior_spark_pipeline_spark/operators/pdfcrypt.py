@@ -22,6 +22,7 @@ reason. Public-key (PKCS#7) security handlers are out of scope.
 from __future__ import annotations
 
 import hashlib
+import json
 import struct
 
 # ---------------------------------------------------------------------------
@@ -490,22 +491,34 @@ def _aesv3_materials(p: int) -> tuple[bytes, bytes, bytes, bytes, bytes]:
     return o, oe, u, ue, perms
 
 
+@functools.lru_cache(maxsize=16)
+def _r34_materials(kind: str, p: int) -> tuple[bytes, bytes, bytes]:
+    """Fixture-wide constant R3/R4 credentials (O, U, id0) — same
+    rationale as _aesv3_materials: the per-file key DERIVATION (51
+    MD5 rounds + the 20-pass RC4 chains) is the format's deliberate
+    per-credential cost; per-doc credentials would pay it per document
+    for zero extra certification, while per-OBJECT keys still differ
+    per stream. Cached per worker."""
+    id0 = hashlib.md5(b"fixture-id0").digest()
+    owner_pw = b"fixture-owner"
+    n = 16
+    r = 3 if kind == "rc4" else 4
+    o = _o_value_r3(owner_pw, b"", n)
+    key = _file_key_r34(b"", o, p, id0, n, r)
+    u = _u_value_r3(key, id0) + b"\x00" * 16
+    return o, u, id0
+
+
 def build_encryption(kind: str, doc_id: int, p: int = -4) -> tuple[dict, bytes, "StandardDecryptor"]:
     """(encrypt dict (python values), id0 bytes, ready decryptor) for
     fixture PDFs. ``kind``: 'rc4' = V2/R3 128-bit, 'aesv2' = V4/R4,
     'aesv3' = V5/R6. Owner password is non-empty (deterministic), user
-    password EMPTY — the owner-locked shape."""
-    id0 = hashlib.md5(b"id" + str(doc_id).encode()).digest()
-    owner_pw = (
-        b"fixture-owner" if kind == "aesv3"
-        else b"owner-" + str(doc_id).encode()
-    )
+    password EMPTY — the owner-locked shape. Credentials are
+    fixture-wide constants (see _r34_materials/_aesv3_materials);
+    per-object stream keys still vary."""
     if kind in ("rc4", "aesv2"):
-        n = 16
         r = 3 if kind == "rc4" else 4
-        o = _o_value_r3(owner_pw, b"", n)
-        key = _file_key_r34(b"", o, p, id0, n, r)
-        u = _u_value_r3(key, id0) + b"\x00" * 16
+        o, u, id0 = _r34_materials(kind, p)
         enc: dict = {
             "Filter": "Standard",
             "V": 2 if kind == "rc4" else 4,
@@ -521,6 +534,7 @@ def build_encryption(kind: str, doc_id: int, p: int = -4) -> tuple[dict, bytes, 
             enc["StrF"] = "StdCF"
     elif kind == "aesv3":
         o, oe, u, ue, perms = _aesv3_materials(p)
+        id0 = hashlib.md5(b"fixture-id0").digest()  # unused by V5 crypto
         enc = {
             "Filter": "Standard",
             "V": 5,
@@ -542,4 +556,17 @@ def build_encryption(kind: str, doc_id: int, p: int = -4) -> tuple[dict, bytes, 
         k: (v.decode("latin-1") if isinstance(v, bytes) else v)
         for k, v in enc.items()
     }
-    return enc, id0, StandardDecryptor(dec_dict, id0)
+    return enc, id0, cached_decryptor(
+        json.dumps(dec_dict, sort_keys=True), id0
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def cached_decryptor(enc_json: str, id0: bytes) -> "StandardDecryptor":
+    """Decryptor per DISTINCT credentials: the handler's key
+    derivation (51 MD5 rounds + 20-pass RC4 chains, or the R6
+    64-round hash) is per-credential work, not per-document work —
+    same /Encrypt dict and /ID always derive the same key, so readers
+    cache it (enc_json = the dict JSON-serialized with sorted keys).
+    The decryptor is immutable after construction."""
+    return StandardDecryptor(json.loads(enc_json), id0)

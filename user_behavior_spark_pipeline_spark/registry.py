@@ -4128,7 +4128,14 @@ def x_pdf_text(spark, sf_dir):
     (quarantine or omission, never mojibake — operators/pdf.py)."""
     from .operators.pdf import pdf_text, synth_pdf_media
 
-    docs = _table(spark, sf_dir, "documents")
+    # repartition BEFORE the CPU-heavy build+decrypt: the documents
+    # table is one parquet row group, so without this every synth/
+    # crypto cycle serializes onto one task (r13 — at 100 TB the PDFs
+    # arrive as a many-file binary scan, already parallel; this is the
+    # fixture's stand-in for that)
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdf_text(synth_pdf_media(docs)).drop("parse_error")
 
 
@@ -5314,7 +5321,10 @@ def x_pdf_modern(spark, sf_dir):
     non-Flate filters, CID fonts)."""
     from .operators.pdf import pdf_text, synth_pdf_modern_media
 
-    docs = _table(spark, sf_dir, "documents")
+    # same one-row-group parallelism fix as x_pdf_text (r13)
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdf_text(synth_pdf_modern_media(docs)).drop("parse_error")
 
 
