@@ -1694,7 +1694,11 @@ def x_parquet_footer(spark, sf_dir):
 
     from .operators.lake import parquet_footers, synth_parquet_media
 
-    docs = _table(spark, sf_dir, "documents")
+    # one-row-group parallelism fix (r13, cf. x_pdf_text): the
+    # per-doc fixture synthesis is the CPU cost here
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return parquet_footers(synth_parquet_media(docs)).drop("parse_error")
 
 
@@ -1772,7 +1776,11 @@ def x_iceberg_live_files(spark, sf_dir):
         synth_iceberg_metadata,
     )
 
-    docs = _table(spark, sf_dir, "documents")
+    # one-row-group parallelism fix (r13, cf. x_pdf_text): the
+    # per-doc fixture synthesis is the CPU cost here
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return iceberg_live_files(
         synth_iceberg_metadata(docs), synth_iceberg_manifests(docs)
     )
@@ -1802,7 +1810,12 @@ def x_delta_checkpoint(spark, sf_dir):
         synth_delta_checkpoint_fixture,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    # one-row-group parallelism fix (r13, cf. x_pdf_text)
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ptr, cks, tail = synth_delta_checkpoint_fixture(docs)
     return delta_live_files_from_checkpoint(ptr, cks, tail)
 
@@ -1860,7 +1873,12 @@ def x_delta_deletion_vectors(spark, sf_dir):
         synth_delta_dv_logs,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 2")
+    # one-row-group parallelism fix (r13, cf. x_pdf_text)
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 2")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return delta_live_row_stats(
         synth_delta_dv_logs(docs), synth_delta_dv_files(docs)
     )
@@ -1924,7 +1942,12 @@ def x_iceberg_live_rows(spark, sf_dir):
         synth_iceberg_v2_metadata,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 1")
+    # one-row-group parallelism fix (r13, cf. x_pdf_text)
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 1")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return iceberg_live_rows(
         synth_iceberg_v2_metadata(docs), synth_iceberg_v2_manifests(docs)
     )
@@ -8903,7 +8926,9 @@ _TOUCHED_THIS_ROUND = _derive_touched(
         }
     ),
     sql_tokens=frozenset(),
-    extra=frozenset(),
+    # repartition-before-synth parallelism fix touched these two
+    # queries with no seeded operator-function change
+    extra=frozenset({"x_parquet_footer", "x_delta_checkpoint"}),
 )
 
 
