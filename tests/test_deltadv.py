@@ -282,3 +282,28 @@ def test_p_storage_resolves_by_literal_path(spark):
     for d in (7, 12):
         n1 = _dv_dims(d)[1]
         assert (d, "part-1", n1 - n1 // 2) in got
+
+
+def test_stats_less_add_surfaces_sentinel(spark):
+    """A live add whose stats lack numRecords cannot be row-accounted:
+    it must surface as the -1 sentinel row, not vanish silently."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    logs = synth_delta_dv_logs(docs).withColumn(
+        "payload",
+        F.regexp_replace(
+            "payload",
+            r'"stats": "\{\\"numRecords\\": 15\}"',
+            '"stats": "{}"',
+        ),
+    )
+    got = {
+        (r.path, r.dv_card, r.n_live, r.pos_sum)
+        for r in delta_live_row_stats(
+            logs, synth_delta_dv_files(docs)
+        ).collect()
+    }
+    # doc 7: n3 = 12 + 7%4 = 15 -> part-3's stats were emptied
+    assert ("part-3", -1, -1, -1) in got
+    assert len([p for p, *_ in got if p == "part-3"]) == 1

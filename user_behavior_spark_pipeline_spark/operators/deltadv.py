@@ -332,7 +332,23 @@ def delta_live_row_stats(
         F.lit(-1).cast("long").alias("n_live"),
         F.lit(-1).cast("long").alias("pos_sum"),
     )
-    return ok.unionByName(sentinel)
+    # a live add WITHOUT parseable stats.numRecords cannot be
+    # row-accounted — surface it with the sentinel rather than letting
+    # it vanish from the certificate (silent drops are the failure
+    # mode this operator exists to prevent)
+    no_stats = (
+        live.filter(F.col("num_records").isNull())
+        .select(
+            "table_id",
+            "path",
+            F.lit(-1).cast("long").alias("dv_card"),
+            F.lit(-1).cast("long").alias("n_live"),
+            F.lit(-1).cast("long").alias("pos_sum"),
+        )
+        # a file can be BOTH stats-less and dv-broken: one sentinel row
+        .join(F.broadcast(bad), ["table_id", "path"], "left_anti")
+    )
+    return ok.unionByName(sentinel).unionByName(no_stats)
 
 
 # ---------------------------------------------------------------------------
