@@ -230,3 +230,66 @@ def test_cid_font_maps_and_inherited_resources():
     pages_node["Resources"] = res
     inherited = doc.page_fonts(page2)
     assert "FC" in inherited and inherited["FC"][3] == " "
+
+
+def test_stream_filters_golden_and_dispatch():
+    """r13 classic-era filters: LZW pinned by the spec's own worked
+    example (§7.4.4.2, decimal values), ASCII85/Hex/RunLength against
+    hand-written vectors, and the /Filter ARRAY decode order through a
+    real two-filter document."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        ascii85_decode,
+        ascii85_encode,
+        asciihex_decode,
+        lzw_decode,
+        lzw_encode,
+        runlength_decode,
+        synth_pdf_modern_bytes,
+    )
+
+    enc = bytes.fromhex("800B6050220C0C8501")
+    dec = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    assert lzw_decode(enc) == dec
+    assert lzw_encode(dec) == enc
+    # EarlyChange=0 round trip (the non-default the parm selects)
+    big = b"xy" * 4000
+    assert lzw_decode(lzw_encode(big, early=0), early=0) == big
+    assert ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert ascii85_decode(b"87cUR~>") == b"Hell"
+    assert ascii85_decode(ascii85_encode(b"\x00\x00\x00\x00ok")) == (
+        b"\x00\x00\x00\x00ok"
+    )
+    assert asciihex_decode(b"48 65 6C 6C 6F >") == b"Hello"
+    assert asciihex_decode(b"486>") == b"H`"  # odd digit pads 0
+    assert (
+        runlength_decode(bytes([2]) + b"abc" + bytes([254]) + b"x\x80")
+        == b"abcxxx"
+    )
+    with pytest.raises(ValueError, match="not literal"):
+        lzw_decode(b"\xff\xff\xff")  # first 9-bit code is 511
+    with pytest.raises(ValueError, match="EOD"):
+        lzw_decode(b"\x00\x00")  # literal then bits run out
+    with pytest.raises(ValueError, match="truncated"):
+        runlength_decode(bytes([5, 1]))
+    with pytest.raises(ValueError, match="out of range"):
+        ascii85_decode(b"\x01~>")
+    # doc 1 (modern) uses the [/ASCII85Decode /FlateDecode] chain —
+    # already covered by the rotation roundtrip below, but pin the
+    # bytes shape: the stream body is pure ASCII
+    raw = synth_pdf_modern_bytes(6, "chained")  # 6%5==1 -> the chain
+    assert b"[/ASCII85Decode /FlateDecode]" in raw
+
+
+def test_modern_filter_rotation_roundtrip():
+    """All five filter slots extract the same closed form — the
+    /Filter machinery is oracle-load-bearing, not decorative."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        synth_pdf_modern_bytes,
+    )
+
+    for d in range(10):  # two full filter cycles, both parities
+        t = f"rotation {d}"
+        out = pdf_text_extract(synth_pdf_modern_bytes(d, t))
+        half = len(t) // 2
+        assert out["n_pages"] == 3
+        assert out["text"] == f"doc {d} {t[:half]}{t[half:]} tail {d}", d

@@ -7,8 +7,10 @@ layout (xref STREAMS with /W field widths + PNG predictors, object
 streams /Type /ObjStm, /Prev incremental-update chains) — and emits
 pages in PAGE-TREE order with multi-part /Contents arrays concatenated
 per spec. Files whose xref is damaged fall back to a framing scan over
-intact body bytes (salvage, file order). Content streams raw or
-FlateDecode (stdlib zlib); text shown via Tj / TJ / ' / " operators
+intact body bytes (salvage, file order). Content streams decode through Flate
+(stdlib zlib), LZW (§7.4.4, EarlyChange honoured), ASCII85, ASCIIHex
+and RunLength filters including multi-filter /Filter arrays (r13);
+text shown via Tj / TJ / ' / " operators
 with literal or hex strings (UTF-16BE with BOM, else Latin-1/WinAnsi
 approximated as latin-1). r13 additions: ENCRYPTED files with an empty
 user password decrypt through the standard security handler
@@ -19,9 +21,10 @@ the /Parent chain); a Type0 font WITHOUT a usable map still OMITS its
 text — glyph indexes read as characters would be silent mojibake.
 NOT handled (documented seam, quarantine or partial output, never a
 dead task): password-protected files (non-empty user password),
-non-Flate filters (DCT/JBIG2/LZW/ASCII85), CID text whose only
-mapping is an external/predefined CMap (no /ToUnicode), and
-image-only scans (no OCR).
+image codec filters (DCTDecode/JPXDecode/JBIG2Decode/CCITTFax — they
+carry pixels, not text), CID text whose only mapping is an
+external/predefined CMap (no /ToUnicode), and image-only scans
+(no OCR).
 
 The 100 TB shape: one mapInPandas pass, linear in PDF bytes,
 embarrassingly parallel per document; structural corruption routes to a
@@ -302,6 +305,217 @@ def pdf_content_text(data: bytes, fonts: dict | None = None) -> str:
             continue
         pos += 1
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Stream filters beyond Flate (ISO 32000-1 §7.4): the classic-era
+# codecs old corpora actually carry. Each raises ValueError on
+# malformed input — the quarantine class.
+# ---------------------------------------------------------------------------
+
+
+def asciihex_decode(data: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, an odd final
+    digit implies a trailing 0."""
+    end = data.find(b">")
+    hx = re.sub(rb"\s", b"", data[:end] if end >= 0 else data)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (UnicodeDecodeError, ValueError):
+        raise ValueError("bad ASCIIHexDecode data") from None
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3: 5 chars ('!'..'u', value-33 base 85) -> 4 bytes; 'z' is
+    four zero bytes (only between groups); '~>' is EOD; a partial
+    final group of n chars pads with 'u' and yields n-1 bytes."""
+    end = data.find(b"~>")
+    body = re.sub(rb"\s", b"", data[:end] if end >= 0 else data)
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:
+            raise ValueError(f"ASCII85 char {ch:#x} out of range")
+        group.append(ch - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 dangling single char")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise ValueError("ASCII85 final group overflows 32 bits")
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        group = bytearray(5)
+        for j in range(4, -1, -1):
+            group[j] = v % 85 + 33
+            v //= 85
+        out += group[: 5 - pad] if pad else (b"z" if chunk == b"\x00\x00\x00\x00" else group)
+    return bytes(out) + b"~>"
+
+
+def runlength_decode(data: bytes) -> bytes:
+    """§7.4.5: length byte 0-127 copies the next L+1 bytes, 129-255
+    repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        l = data[pos]
+        pos += 1
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            chunk = data[pos : pos + l + 1]
+            if len(chunk) != l + 1:
+                raise ValueError("RunLength literal run truncated")
+            out += chunk
+            pos += l + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("RunLength repeat run truncated")
+            out += bytes([data[pos]]) * (257 - l)
+            pos += 1
+    raise ValueError("RunLength stream missing EOD")
+
+
+def runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 128
+                and not (j + 1 < len(data) and data[j + 1] == data[j])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out) + b"\x80"
+
+
+def lzw_decode(data: bytes, early: int = 1, cap: int = 1 << 26) -> bytes:
+    """§7.4.4: MSB-first LZW, 9-bit codes growing to 12, 256 = clear,
+    257 = EOD; code width grows when the next free slot reaches
+    2^width - EarlyChange (default 1). Pinned by the spec's own worked
+    example in tests/test_pdf.py. NOTE: distinct from the GIF LZW in
+    operators/multimodal.py (LSB-first, variable root width)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    width = 9
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError(f"LZW first code {code} not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) >= 4096:
+                    raise ValueError("LZW table overflow without clear")
+            out += entry
+            if len(out) > cap:
+                raise ValueError("LZW output exceeds cap (bomb defense)")
+            prev = entry
+            # §7.4.4.2: with EarlyChange (default 1) the width grows as
+            # the 511th/1023rd/2047th entry is added — one code early.
+            # The decoder's table lags the encoder's by the one entry
+            # it only learns from the NEXT code, hence the extra +1.
+            if len(table) + early + 1 >= (1 << width) and width < 12:
+                width += 1
+    raise ValueError("LZW stream missing EOD")
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Fixture-side §7.4.4 encoder (clear at start, EOD at end)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for ch_i in data:
+        ch = bytes([ch_i])
+        if w + ch in table:
+            w = w + ch
+            continue
+        bits.append((table[w], width))
+        table[w + ch] = next_code
+        next_code += 1
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4095:
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = ch
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    for code, cw in bits:
+        bitbuf = (bitbuf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 _PDF_WS = b"\x00\t\n\x0c\r "
@@ -646,14 +860,30 @@ class _PdfDoc:
             else parms if isinstance(parms, list) else [parms]
         )
         for i, f in enumerate(filters):
-            if f != "FlateDecode":
-                raise ValueError(f"unsupported PDF stream filter {f}")
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error as e:
-                raise ValueError(f"corrupt FlateDecode stream: {e}") from e
             pp = self.resolve(parms_list[i]) if i < len(parms_list) else None
-            if isinstance(pp, dict):
+            if not isinstance(pp, dict):
+                pp = {}
+            if f == "FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"corrupt FlateDecode stream: {e}"
+                    ) from e
+            elif f == "LZWDecode":
+                early = self.resolve(pp.get("EarlyChange", 1))
+                raw = lzw_decode(
+                    raw, early=1 if early in (None, 1) else 0
+                )
+            elif f == "ASCIIHexDecode":
+                raw = asciihex_decode(raw)
+            elif f == "ASCII85Decode":
+                raw = ascii85_decode(raw)
+            elif f == "RunLengthDecode":
+                raw = runlength_decode(raw)
+            else:
+                raise ValueError(f"unsupported PDF stream filter {f}")
+            if f in ("FlateDecode", "LZWDecode"):
                 pred = self.resolve(pp.get("Predictor", 1))
                 if pred and pred >= 10:
                     columns = self.resolve(pp.get("Columns", 1))
@@ -1092,7 +1322,9 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
     (/Type /ObjStm), the cross-reference is an XREF STREAM (/Type
     /XRef, W=[1 3 1], type-2 entries for the packed objects; even
     doc_ids PNG-Up-predict the xref data, /Predictor 12), content
-    streams are written in SCRAMBLED file order, and the middle page
+    streams are written in SCRAMBLED file order with the stream FILTER
+    rotating doc%5 through Flate / [ASCII85+Flate] / LZW / RunLength /
+    ASCIIHex (r13), and the middle page
     shows its text through a TWO-PART /Contents array. Closed form
     (oracle-mirrored):
       n_pages = 3,  extracted = concat_ws(' ', 'doc <id>', text, 'tail <id>')
@@ -1152,10 +1384,26 @@ def synth_pdf_modern_bytes(doc_id: int, text: str) -> bytes:
     )
 
     def content_obj(num: int, data: bytes) -> bytes:
-        filt = b""
-        if doc_id % 2 == 0:
+        # r13: content-stream FILTER rotation by doc%5 — the classic-era
+        # codecs old corpora carry (§7.4), incl. a two-filter chain
+        # whose /Filter array order is load-bearing; encryption (when
+        # on) wraps the FILTERED bytes, so readers must decrypt first
+        k = doc_id % 5
+        if k == 0:
             data = zlib.compress(data, 9)
             filt = b" /Filter /FlateDecode"
+        elif k == 1:
+            data = ascii85_encode(zlib.compress(data, 9))
+            filt = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif k == 2:
+            data = lzw_encode(data)
+            filt = b" /Filter /LZWDecode"
+        elif k == 3:
+            data = runlength_encode(data)
+            filt = b" /Filter /RunLengthDecode"
+        else:
+            data = data.hex().encode() + b">"
+            filt = b" /Filter /ASCIIHexDecode"
         if crypt is not None:
             data = crypt.encrypt_stream(num, 0, data)
         return (

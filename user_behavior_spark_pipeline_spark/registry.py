@@ -8899,6 +8899,10 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "synth_bpe_text",
             "chunk_documents_bpe_arrow",
             "synth_pdf_bytes",
+            "lzw_decode",
+            "ascii85_decode",
+            "asciihex_decode",
+            "runlength_decode",
             "synth_pdf_modern_bytes",
             "pdf_text_extract",
             "_pdf_hex_string",
