@@ -265,6 +265,14 @@ def test_stream_filters_golden_and_dispatch():
         runlength_decode(bytes([2]) + b"abc" + bytes([254]) + b"x\x80")
         == b"abcxxx"
     )
+    # tail-boundary regression (testdata doc 102): the decoder appends
+    # a table entry for the FINAL data code that the encoder never
+    # assigns — when that append crosses 2^width - EarlyChange, the
+    # EOD code width must still agree
+    import random as _r
+    _base = bytes(_r.Random(9).randrange(6) for _ in range(700))
+    for _n in range(480, 520):
+        assert lzw_decode(lzw_encode(_base[:_n])) == _base[:_n], _n
     with pytest.raises(ValueError, match="not literal"):
         lzw_decode(b"\xff\xff\xff")  # first 9-bit code is 511
     with pytest.raises(ValueError, match="EOD"):

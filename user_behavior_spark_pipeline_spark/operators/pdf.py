@@ -503,6 +503,14 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         w = ch
     if w:
         bits.append((table[w], width))
+        # the DECODER will append a table entry upon reading this final
+        # code (it cannot know EOD follows) — the encoder's width
+        # accounting must track the decoder's table, or the EOD code
+        # desyncs exactly when that append crosses 2^width - early
+        # (caught by testdata doc 102's 795-byte stream)
+        next_code += 1
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
     bits.append((257, width))
     out = bytearray()
     bitbuf = 0
