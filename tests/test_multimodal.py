@@ -2079,6 +2079,10 @@ def _independent_tiff_lzw_encode(data: bytes) -> bytes:
             width = 9
     if omega:
         bits.append(format(table[omega], f"0{width}b"))
+        # the reader learns one more entry from this final code; if that
+        # lands its table on 2^w - 1 it switches width before EOI
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
     bits.append(format(257, f"0{width}b"))
     s = "".join(bits)
     s += "0" * ((8 - len(s) % 8) % 8)

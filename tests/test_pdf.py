@@ -301,3 +301,90 @@ def test_modern_filter_rotation_roundtrip():
         half = len(t) // 2
         assert out["n_pages"] == 3
         assert out["text"] == f"doc {d} {t[:half]}{t[half:]} tail {d}", d
+
+
+def _independent_pdf_lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """An INDEPENDENT §7.4.4 LZW writer for cross-checking the package
+    codec (same pattern as test_multimodal's TIFF twin): bit-string
+    based, the early change expressed as the mainstream readers state
+    it — 'the code width grows as soon as the table holds
+    2^w - EarlyChange entries', where the writer's table leads the
+    reader's by exactly one entry."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    bits: list[str] = [format(256, "09b")]
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        bits.append(format(table[w], f"0{width}b"))
+        table[w + c] = nxt
+        nxt += 1
+        # reader's table is nxt - 1 entries after it processes this code
+        if nxt - 1 + early >= (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4095:
+            bits.append(format(256, f"0{width}b"))
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = c
+    if w:
+        bits.append(format(table[w], f"0{width}b"))
+        # the reader appends one final entry on this code
+        if nxt + early >= (1 << width) and width < 12:
+            width += 1
+    bits.append(format(257, f"0{width}b"))
+    s = "".join(bits)
+    s += "0" * ((8 - len(s) % 8) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_lzw_cross_implementation_width_boundaries():
+    """ADVICE r13 (high): the width growth point must match mainstream
+    readers/writers (pdfminer, pdf.js, qpdf) — grow when the reader's
+    table holds 511/1023/2047 entries, NOT one code earlier. Pinned by
+    an independent writer (byte-identity both ways across every width
+    boundary and a table clear) plus a fixed externally-generated
+    vector's digest, so a future 'self-consistent' shift cannot pass."""
+    import hashlib
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.pdf import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    # fixed external vector: 2600 LCG bytes, near-incompressible, so
+    # the stream crosses 511, 1023 AND 2047 entries. The digest was
+    # computed from the independent writer's output and pins the exact
+    # bytes of BOTH implementations.
+    s = 12345
+    buf = bytearray()
+    for _ in range(2600):
+        s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+        buf.append((s >> 16) & 0xFF)
+    data = bytes(buf)
+    ind = _independent_pdf_lzw_encode(data)
+    ours = lzw_encode(data)
+    assert ours == ind
+    assert (
+        hashlib.sha256(ours).hexdigest()
+        == "63eb16b6d270bd212c0237d703315dd79f8946bc9f50cc1717a460c8d9f02a03"
+    )
+    assert lzw_decode(ind) == data
+    # randomized lengths hugging each boundary, both entropy regimes
+    rng = random.Random(7)
+    for n in (250, 253, 254, 255, 258, 500, 765, 770, 1500, 1790, 2100):
+        hi = bytes(rng.randrange(256) for _ in range(n))
+        lo = bytes(rng.randrange(4) for _ in range(4 * n))
+        for d in (hi, lo):
+            assert lzw_decode(_independent_pdf_lzw_encode(d)) == d, n
+            assert _independent_pdf_lzw_encode(d) == lzw_encode(d), n
+    # EarlyChange=0 agrees too
+    d = bytes(rng.randrange(256) for _ in range(600))
+    assert _independent_pdf_lzw_encode(d, early=0) == lzw_encode(d, early=0)
+    assert lzw_decode(_independent_pdf_lzw_encode(d, early=0), early=0) == d

@@ -177,3 +177,43 @@ def test_corrupt_ciphertext_quarantines_not_garbles(spark):
     assert len(rows) == 1
     assert rows[0].parse_error is not None
     assert rows[0].text is None
+
+def test_v4_encrypt_metadata_false_file_key():
+    """ADVICE r13: Algorithm 2 step f — R4 with /EncryptMetadata false
+    appends 0xFFFFFFFF to the MD5 input. A document built that way must
+    validate /U and round-trip streams; the same credentials WITHOUT
+    the flag must fail the /U check (proving the step is load-bearing,
+    not a no-op)."""
+    import hashlib
+
+    from user_behavior_spark_pipeline_spark.operators.pdfcrypt import (
+        _file_key_r34,
+        _o_value_r3,
+        _u_value_r3,
+    )
+
+    id0 = hashlib.md5(b"em-false-id0").digest()
+    p = -4
+    o = _o_value_r3(b"owner", b"", 16)
+    key = _file_key_r34(b"", o, p, id0, 16, 4, encrypt_metadata=False)
+    u = _u_value_r3(key, id0) + b"\x00" * 16
+    enc = {
+        "Filter": "Standard",
+        "V": 4,
+        "R": 4,
+        "Length": 128,
+        "P": p,
+        "O": o,
+        "U": u,
+        "CF": {"StdCF": {"CFM": "AESV2"}},
+        "StmF": "StdCF",
+        "EncryptMetadata": False,
+    }
+    dec = StandardDecryptor(enc, id0)
+    blob = b"metadata-unencrypted document body" * 3
+    assert dec.decrypt_stream(7, 0, dec.encrypt_stream(7, 0, blob)) == blob
+    # without the step the derived key differs -> /U mismatch
+    enc_wrong = dict(enc)
+    enc_wrong["EncryptMetadata"] = True
+    with pytest.raises(ValueError, match="user password"):
+        StandardDecryptor(enc_wrong, id0)

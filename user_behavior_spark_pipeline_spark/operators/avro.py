@@ -526,12 +526,20 @@ def _resolve_type(name: str, w, r, depth: int):
             )
         return ("runion", tuple(members))
     if rn == "union":
-        # writer non-union vs reader union: first matching reader branch
-        for k, rm in enumerate(r):
-            try:
-                return _resolve_type(f"{name}|{k}", w, rm, depth + 1)
-            except ValueError:
-                continue
+        # writer non-union vs reader union: the reference resolution
+        # (Java ResolvingGrammarGenerator.bestBranch) prefers the
+        # reader branch whose TYPE exactly matches the writer's before
+        # falling back to the first branch that resolves via promotion
+        # — writer int against reader ["double","int"] must decode as
+        # int, not double
+        for exact in (True, False):
+            for k, rm in enumerate(r):
+                if (_json_type_name(rm) == wn) != exact:
+                    continue
+                try:
+                    return _resolve_type(f"{name}|{k}", w, rm, depth + 1)
+                except ValueError:
+                    continue
         raise ValueError(
             f"Avro field {name!r}: writer type matches no reader branch"
         )

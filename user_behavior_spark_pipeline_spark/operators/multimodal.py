@@ -1757,6 +1757,14 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
             width = 9
     if omega:
         _emit(table[omega], width)
+        # the decoder appends one more entry upon reading this final
+        # code (it cannot know EOI follows); if that append lands the
+        # table on (1<<w)-1 the decoder grows BEFORE reading EOI, so
+        # EOI must be emitted at the grown width (same desync class as
+        # the pdf.py lzw_encode tail fix, caught by a 254-byte
+        # incompressible strip)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     _emit(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -2906,6 +2914,13 @@ def gif_encode_indexed(
         run = bytes([v])
     if run:
         emit(table[run], cwidth)
+        # a strict reader appends one entry on this final code; if that
+        # lands its table on 2^w it switches width before reading EOI
+        # (same desync class as the TIFF/PDF encoder tails — our own
+        # decoder stops at n_pixels and never reads EOI, so only
+        # cross-decoder parity catches it)
+        if next_code == (1 << cwidth) and cwidth < 12:
+            cwidth += 1
     emit(eoi, cwidth)
     if nbits:
         out_bits.append(acc & 0xFF)

@@ -461,19 +461,20 @@ def lzw_decode(data: bytes, early: int = 1, cap: int = 1 << 26) -> bytes:
                 entry = prev + prev[:1]  # the KwKwK case
             else:
                 raise ValueError(f"LZW code {code} beyond table")
-            if prev is not None:
+            if prev is not None and len(table) < 4096:
+                # a full table stops learning until the next clear code
+                # (the deferred-clear shape some writers emit) — it is
+                # not an error while the bomb-defense cap holds
                 table.append(prev + entry[:1])
-                if len(table) >= 4096:
-                    raise ValueError("LZW table overflow without clear")
             out += entry
             if len(out) > cap:
                 raise ValueError("LZW output exceeds cap (bomb defense)")
             prev = entry
-            # §7.4.4.2: with EarlyChange (default 1) the width grows as
-            # the 511th/1023rd/2047th entry is added — one code early.
-            # The decoder's table lags the encoder's by the one entry
-            # it only learns from the NEXT code, hence the extra +1.
-            if len(table) + early + 1 >= (1 << width) and width < 12:
+            # §7.4.4.2: with EarlyChange (default 1) the width grows
+            # one code early — when the table holds 511/1023/2047
+            # entries (mainstream readers/writers: pdfminer, pdf.js,
+            # qpdf), i.e. as soon as len + early reaches 2^width.
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     raise ValueError("LZW stream missing EOD")
 
@@ -493,7 +494,11 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         bits.append((table[w], width))
         table[w + ch] = next_code
         next_code += 1
-        if next_code + early >= (1 << width) and width < 12:
+        # the decoder's table lags the encoder's next_code by exactly
+        # one (it only learns an entry from the NEXT code), so its
+        # early-change growth at len+early == 2^width corresponds to
+        # next_code + early == 2^width + 1 here — strictly greater
+        if next_code + early > (1 << width) and width < 12:
             width += 1
         if next_code >= 4095:
             bits.append((256, width))
@@ -509,7 +514,7 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         # desyncs exactly when that append crosses 2^width - early
         # (caught by testdata doc 102's 795-byte stream)
         next_code += 1
-        if next_code + early >= (1 << width) and width < 12:
+        if next_code + early > (1 << width) and width < 12:
             width += 1
     bits.append((257, width))
     out = bytearray()

@@ -293,12 +293,20 @@ def _pad_pw(pw: bytes) -> bytes:
 
 
 def _file_key_r34(
-    user_pw: bytes, o: bytes, p: int, id0: bytes, n: int, r: int
+    user_pw: bytes,
+    o: bytes,
+    p: int,
+    id0: bytes,
+    n: int,
+    r: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the RC4-era file key."""
-    h = hashlib.md5(
-        _pad_pw(user_pw) + o[:32] + struct.pack("<i", p) + id0
-    ).digest()
+    """Algorithm 2: the RC4-era file key. Step f: for R4+ with
+    /EncryptMetadata false the MD5 input gains 4 bytes of 0xFF."""
+    md5_in = _pad_pw(user_pw) + o[:32] + struct.pack("<i", p) + id0
+    if r >= 4 and not encrypt_metadata:
+        md5_in += b"\xff\xff\xff\xff"
+    h = hashlib.md5(md5_in).digest()
     key = h[:n]
     if r >= 3:
         for _ in range(50):
@@ -395,7 +403,10 @@ class StandardDecryptor:
                     f"encrypted PDF: unsupported crypt filter {cfm!r}"
                 )
             n = int(encrypt.get("Length", 128)) // 8
-            self.key = _file_key_r34(b"", o, p, id0, n, r)
+            em = encrypt.get("EncryptMetadata", True)
+            self.key = _file_key_r34(
+                b"", o, p, id0, n, r, encrypt_metadata=bool(em)
+            )
             self.n = n
             if _u_value_r3(self.key, id0) != u[:16]:
                 raise ValueError(
