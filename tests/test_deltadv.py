@@ -147,7 +147,7 @@ def test_sidecar_name_roundtrip():
 def _expected(doc_ids):
     exp = set()
     for d in doc_ids:
-        n0, n1, n3 = _dv_dims(d)
+        n0, n1, n3, n5 = _dv_dims(d)
         exp.add((d, "part-0", (n0 + 1) // 2, n0 // 2, (n0 // 2) ** 2))
         k = n1 // 2
         exp.add(
@@ -155,6 +155,10 @@ def _expected(doc_ids):
              n1 * (n1 - 1) // 2 - 5 * k - k * (k - 1) // 2)
         )
         exp.add((d, "part-3", 0, n3, n3 * (n3 - 1) // 2))
+        # the zero-live edges (ADVICE r13): a legal empty file and a
+        # DV that deletes every row both certify n_live = 0 explicitly
+        exp.add((d, "part-4", 0, 0, 0))
+        exp.add((d, "part-5", n5, 0, 0))
     return exp
 
 
@@ -196,8 +200,9 @@ def test_superseded_dv_must_not_apply(spark):
 
 def test_decoy_offset_is_load_bearing(spark):
     """Pointing part-1's descriptor at the decoy blob (offset 1) must
-    change the result — the decoy deletes every row, so part-1 drops
-    out of the certificate entirely."""
+    change the result — the decoy deletes every row, so part-1's
+    certificate becomes n_live = 0 (reported explicitly since the
+    ADVICE r13 zero-live fix, not silently dropped)."""
     from pyspark.sql import functions as F
 
     docs = spark.createDataFrame([(7,)], "doc_id long")
@@ -215,13 +220,15 @@ def test_decoy_offset_is_load_bearing(spark):
             f'"sizeInBytes": {decoy_size}, "cardinality": {n1}',
         ),
     )
-    paths = {
-        r.path
+    got = {
+        r.path: (r.dv_card, r.n_live, r.pos_sum)
         for r in delta_live_row_stats(
             logs, synth_delta_dv_files(docs)
         ).collect()
     }
-    assert paths == {"part-0", "part-3"}
+    assert got["part-1"] == (n1, 0, 0)
+    # the right-offset run-range DV would have left n1 - n1//2 rows
+    assert _expected((7,)) != got
 
 
 def test_corrupt_sidecar_quarantines_with_sentinel(spark):
@@ -244,7 +251,7 @@ def test_corrupt_sidecar_quarantines_with_sentinel(spark):
             synth_delta_dv_logs(docs), files
         ).collect()
     }
-    n0, _n1, n3 = _dv_dims(12)
+    n0, _n1, n3, _n5 = _dv_dims(12)
     assert ("part-1", -1, -1, -1) in got
     assert ("part-0", (n0 + 1) // 2, n0 // 2, (n0 // 2) ** 2) in got
     assert ("part-3", 0, n3, n3 * (n3 - 1) // 2) in got

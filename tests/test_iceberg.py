@@ -310,3 +310,54 @@ def test_live_rows_corrupt_delete_file_quarantines(spark):
     assert {i for f, i in got if f == "d-1-1"} == {
         1100 + i for i in range(n) if i % 4 != 1
     }
+
+
+def test_sequence_number_inheritance_matches_explicit(spark):
+    """Spec §Sequence Number Inheritance (r14 — VERDICT r13 #1): the
+    default fixture writes ADDED entries with NULL sequence numbers
+    (the real-writer shape) inheriting from the manifest list; the
+    explicit_seq twin writes the r13 all-explicit shape. The two must
+    resolve to the SAME surviving rows — and the resolver must carry
+    the inherited values (2 for the current snapshot's new manifest),
+    not the legacy 0 that would un-scope the position deletes."""
+    from user_behavior_spark_pipeline_spark.operators.iceberg import (
+        _resolve_reachable_entries,
+        iceberg_live_rows,
+        synth_iceberg_v2_rows,
+    )
+
+    def _frames(explicit):
+        metas, files = [], []
+        for d in (1, 6, 11):  # three codec slots
+            meta, fs = synth_iceberg_v2_rows(d, explicit_seq=explicit)
+            metas.append((d, meta))
+            files.extend((d, nm, payload) for nm, payload in fs)
+        return (
+            spark.createDataFrame(metas, "table_id long, payload string"),
+            spark.createDataFrame(
+                files, "table_id long, file_name string, payload binary"
+            ),
+        )
+
+    m_inh, f_inh = _frames(False)
+    m_exp, f_exp = _frames(True)
+    rows_inh = {
+        tuple(r)
+        for r in iceberg_live_rows(m_inh, f_inh).collect()
+    }
+    rows_exp = {
+        tuple(r)
+        for r in iceberg_live_rows(m_exp, f_exp).collect()
+    }
+    assert rows_inh == rows_exp and rows_inh
+    # the wiring, not just the outcome: the carry manifest's
+    # EXISTING/DELETED entries keep their explicit original seq 1
+    # (inheritance must NOT overwrite them with the list's 2), and the
+    # new manifest's null-seq ADDs all inherit the list's 2 — never
+    # the legacy 0
+    _longs, entries = _resolve_reachable_entries(m_inh, f_inh)
+    seqs = {
+        (r.file_name.rsplit("-", 1)[-1], r.seq)
+        for r in entries.collect()
+    }
+    assert seqs == {("carry", 1), ("new", 2)}

@@ -165,8 +165,11 @@ def delta_live_row_stats(
     (table_id, path, dv_card, n_live, pos_sum) where pos_sum is the
     sum of surviving row ordinals — a one-position error anywhere
     moves it. Files without a DV pass through arithmetically
-    (n_live = numRecords). DV decode failures emit the -1 sentinel
-    triple (see module docstring).
+    (n_live = numRecords). Files with NO surviving rows — numRecords
+    = 0 (a legal empty file) or a DV that deletes everything — report
+    n_live = 0 explicitly rather than vanishing from the certificate.
+    DV decode failures emit the -1 sentinel triple (see module
+    docstring).
 
     Plan: one max_by replay aggregation, one broadcast join to the
     sidecar registry, ONE Arrow pass for bitmap decode, then a
@@ -299,31 +302,53 @@ def delta_live_row_stats(
         "table_id", "path", "pos"
     )
 
-    # the data-scan stand-in: ordinals 0..numRecords-1 per live file
+    # the data-scan stand-in: ordinals 0..numRecords-1 per live file.
+    # The explode is GATED on num_records > 0 — an unguarded
+    # sequence(0, -1) is a DESCENDING [0, -1] in Spark, which would
+    # emit two phantom ordinals for a legal empty file (ADVICE r13).
     rows = live.select(
         "table_id",
         "path",
-        "dv_card",
         F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("num_records") - 1)
+            F.when(
+                F.col("num_records") > 0,
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("num_records") - 1
+                ),
+            )
         ).alias("pos"),
     )
     surviving = rows.join(
         F.broadcast(positions), ["table_id", "path", "pos"], "left_anti"
     )
-    stats = surviving.groupBy("table_id", "path").agg(
-        F.coalesce(F.first("dv_card"), F.lit(0)).alias("dv_card"),
+    agg = surviving.groupBy("table_id", "path").agg(
         F.count("*").alias("n_live"),
         F.sum("pos").alias("pos_sum"),
+    )
+    # fold the aggregates back onto the LIVE file set: a file whose DV
+    # deletes every row (and an empty file) has no surviving rows, so
+    # the groupBy alone would silently drop it from the certificate —
+    # the exact failure mode this operator exists to prevent (ADVICE
+    # r13). The left join + coalesce reports them as n_live = 0.
+    stats = (
+        live.filter(F.col("num_records").isNotNull())
+        .select(
+            "table_id",
+            "path",
+            F.coalesce(F.col("dv_card"), F.lit(0))
+            .cast("long")
+            .alias("dv_card"),
+        )
+        .join(F.broadcast(agg), ["table_id", "path"], "left")
     )
     ok = stats.join(
         F.broadcast(bad), ["table_id", "path"], "left_anti"
     ).select(
         "table_id",
         "path",
-        F.coalesce(F.col("dv_card"), F.lit(0)).alias("dv_card"),
-        "n_live",
-        "pos_sum",
+        "dv_card",
+        F.coalesce(F.col("n_live"), F.lit(0)).cast("long").alias("n_live"),
+        F.coalesce(F.col("pos_sum"), F.lit(0)).cast("long").alias("pos_sum"),
     )
     sentinel = bad.select(
         "table_id",
@@ -357,13 +382,14 @@ def delta_live_row_stats(
 # ---------------------------------------------------------------------------
 
 
-def _dv_dims(doc_id: int) -> tuple[int, int, int]:
-    """(n0, n1, n3) row counts — mirrored by the oracle. doc%25==2
+def _dv_dims(doc_id: int) -> tuple[int, int, int, int]:
+    """(n0, n1, n3, n5) row counts — mirrored by the oracle. doc%25==2
     inflates part-0 to 8200 rows so its evens-DV (cardinality 4100)
     forces a BITMAP container; everyone else's evens fit an ARRAY
-    container, and part-1's contiguous range is a RUN container."""
+    container, and part-1's contiguous range is a RUN container. n5 is
+    part-5, whose DV deletes EVERY row (the all-deleted edge)."""
     n0 = 8200 if doc_id % 25 == 2 else 40 + doc_id % 7
-    return n0, 30 + doc_id % 9, 12 + doc_id % 4
+    return n0, 30 + doc_id % 9, 12 + doc_id % 4, 6 + doc_id % 3
 
 
 def _dv_uuid(doc_id: int) -> _uuid.UUID:
@@ -388,11 +414,15 @@ def synth_delta_dv_log_rows(doc_id: int) -> list[tuple[int, str]]:
     on part-0 deleting multiples of 3 (SUPERSEDED — union with v3's
     breaks the hash); v3 re-adds part-0 with the CURRENT inline DV
     (evens), part-1 with a sidecar 'u' DV (the run range
-    [5, 5+n1//2)), and part-3 with no DV."""
-    n0, n1, n3 = _dv_dims(doc_id)
+    [5, 5+n1//2)), part-3 with no DV, part-4 with numRecords = 0 (a
+    legal empty file — must certify n_live = 0, not phantom rows),
+    and part-5 with an inline DV deleting EVERY row (must certify
+    n_live = 0, not vanish)."""
+    n0, n1, n3, n5 = _dv_dims(doc_id)
     dv_a = build_roaring_array([i for i in range(n0) if i % 3 == 0])
     dv_a2 = build_roaring_array([i for i in range(n0) if i % 2 == 0])
     dv_b = build_roaring_array(list(range(5, 5 + n1 // 2)))
+    dv_all5 = build_roaring_array(list(range(n5)))
     _file, offsets = build_dv_file(
         [build_roaring_array(list(range(n1))), dv_b]
     )
@@ -455,6 +485,17 @@ def synth_delta_dv_log_rows(doc_id: int) -> list[tuple[int, str]]:
                 },
             ),
             _add("part-3", n3),
+            _add("part-4", 0),
+            _add(
+                "part-5",
+                n5,
+                {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(dv_all5),
+                    "sizeInBytes": len(dv_all5),
+                    "cardinality": n5,
+                },
+            ),
         ]
     )
     return [(0, v0), (1, v1), (2, v2), (3, v3)]
@@ -509,7 +550,7 @@ def synth_delta_dv_files(documents: DataFrame) -> DataFrame:
         out = []
         for d in doc_id:
             d = int(d)
-            _n0, n1, _n3 = _dv_dims(d)
+            _n0, n1, _n3, _n5 = _dv_dims(d)
             dv_b = build_roaring_array(list(range(5, 5 + n1 // 2)))
             payload, _offs = build_dv_file(
                 [build_roaring_array(list(range(n1))), dv_b]

@@ -115,7 +115,19 @@ def _resolve_reachable_entries(
     file_name, rec_idx, status, content, file_path, record_count,
     file_size). ``content`` follows the v2 spec (0 data / 1 position
     deletes / 2 equality deletes) and coalesces to '0' for v1
-    manifests that don't carry the field."""
+    manifests that don't carry the field.
+
+    Sequence numbers follow the spec's §Sequence Number Inheritance
+    (r14 — VERDICT r13 #1): an entry with a NULL sequence_number and
+    status ADDED (1) inherits the manifest's own sequence number from
+    its manifest-list entry — the NORMAL case real writers emit for
+    entries added in the manifest's own snapshot. Explicit entry
+    sequence numbers always win (EXISTING/DELETED entries must carry
+    them per spec); v1 manifests (no sequence numbers anywhere)
+    coalesce to 0, preserving their semantics. Residual (documented):
+    a spec-INVALID v2 entry — null seq with non-ADDED status — also
+    falls to 0, the conservative every-delete-applies reading; real
+    writers cannot emit that shape."""
     meta = metadata.select(
         "table_id",
         F.from_json("payload", ICEBERG_META_SCHEMA).alias("j"),
@@ -139,18 +151,39 @@ def _resolve_reachable_entries(
     longs = materialize(
         avro_rows_keyed(files).filter(F.col("parse_error").isNull())
     )
-    # manifest-list rows: which manifests the current snapshot reaches
+    # manifest-list rows: which manifests the current snapshot reaches,
+    # pivoted to carry the per-manifest sequence_number alongside the
+    # path (v2 lists; null for v1 lists that don't write one). Rows
+    # from manifest ENTRY files fall out via manifest IS NULL + the
+    # join to current.
+    list_rows = (
+        longs.filter(
+            F.col("field").isin("manifest_path", "sequence_number")
+        )
+        .groupBy("table_id", "file_name", "rec_idx")
+        .agg(
+            F.max(
+                F.when(F.col("field") == "manifest_path", F.col("value"))
+            ).alias("manifest"),
+            F.max(
+                F.when(F.col("field") == "sequence_number", F.col("value"))
+            ).alias("list_seq"),
+        )
+        .filter(F.col("manifest").isNotNull())
+    )
     reachable = (
-        longs.filter(F.col("field") == "manifest_path")
-        .select("table_id", "file_name", F.col("value").alias("manifest"))
-        .join(
+        list_rows.join(
             # one row per table: always broadcast — the manifest-list
             # long rows never shuffle for this join
             F.broadcast(current),
-            (F.col("file_name") == F.col("list_name"))
-            & (longs["table_id"] == current["table_id"]),
+            (list_rows["file_name"] == current["list_name"])
+            & (list_rows["table_id"] == current["table_id"]),
         )
-        .select(longs["table_id"].alias("table_id"), "manifest")
+        .select(
+            list_rows["table_id"].alias("table_id"),
+            "manifest",
+            "list_seq",
+        )
     )
     # manifest entries, pivoted wide from the long format
     ents = (
@@ -166,17 +199,15 @@ def _resolve_reachable_entries(
         .agg(
             F.max(F.when(F.col("field") == "status", F.col("value")))
             .alias("status"),
-            # v2 entry-level data sequence number; v1 manifests (and
-            # the v1 fixture) don't carry it — 0 keeps their semantics
-            F.coalesce(
-                F.max(
-                    F.when(
-                        F.col("field") == "sequence_number",
-                        F.col("value"),
-                    )
-                ),
-                F.lit("0"),
-            ).cast("long").alias("seq"),
+            # v2 entry-level data sequence number, kept NULLABLE here:
+            # null resolves via inheritance (ADDED) or the v1 zero at
+            # the entries join below
+            F.max(
+                F.when(
+                    F.col("field") == "sequence_number",
+                    F.col("value"),
+                )
+            ).alias("seq_entry"),
             F.coalesce(
                 F.max(
                     F.when(
@@ -218,7 +249,14 @@ def _resolve_reachable_entries(
             "file_name",
             "rec_idx",
             "status",
-            "seq",
+            # §Sequence Number Inheritance: explicit wins; null+ADDED
+            # inherits the manifest-list entry's sequence number; v1
+            # (both null) keeps the legacy 0
+            F.coalesce(
+                ents["seq_entry"],
+                F.when(ents["status"] == "1", reachable["list_seq"]),
+                F.lit("0"),
+            ).cast("long").alias("seq"),
             "content",
             "file_path",
             "record_count",
@@ -410,6 +448,20 @@ _LIST_SCHEMA = json.dumps(
     }
 ).encode()
 
+#: v2 manifest list: gains the per-manifest ``sequence_number`` that
+#: null-seq ADDED entries inherit (spec §Sequence Number Inheritance)
+_LIST2_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+).encode()
+
 
 def _enc_str(s: str) -> bytes:
     b = s.encode()
@@ -593,7 +645,8 @@ _ENTRY2_SCHEMA = json.dumps(
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": "long"},
-            {"name": "sequence_number", "type": "long"},
+            # nullable per spec: null = inherit from the manifest list
+            {"name": "sequence_number", "type": ["null", "long"]},
             {
                 "name": "data_file",
                 "type": {
@@ -648,16 +701,24 @@ _EQ_DELETE_SCHEMA = json.dumps(
 def _entry2_body(
     status: int,
     snap: int,
-    seq: int,
+    seq: int | None,
     content: int,
     path: str,
     nrec: int,
     size: int,
 ) -> bytes:
+    """``seq`` None writes union branch 0 (null) — the
+    inherit-from-manifest-list shape real writers emit for entries
+    added in the manifest's own snapshot."""
+    seq_enc = (
+        zigzag_encode(0)
+        if seq is None
+        else zigzag_encode(1) + zigzag_encode(seq)
+    )
     return (
         zigzag_encode(status)
         + zigzag_encode(snap)
-        + zigzag_encode(seq)
+        + seq_enc
         + zigzag_encode(content)
         + _enc_str(path)
         + _enc_str("AVRO")
@@ -673,7 +734,7 @@ def _v2_row_value(doc_id: int, sub: int, i: int) -> tuple[int, int]:
 
 
 def synth_iceberg_v2_rows(
-    doc_id: int, with_files: bool = True
+    doc_id: int, with_files: bool = True, explicit_seq: bool = False
 ) -> tuple[str, list[tuple[str, bytes]]]:
     """One v2 table's full tree: data files WITH row contents plus both
     row-level delete kinds. N = doc%3+4 rows per data file (d-{doc}-0,
@@ -696,8 +757,16 @@ def synth_iceberg_v2_rows(
     Surviving closed form: d-{doc}-0 rows with i%3!=0, d-{doc}-1 rows
     with i%4!=1, and ALL of d-{doc}-2. Container codec rotates doc%4
     through null/deflate/zstandard/snappy like the v1 fixture.
-    (Sequence numbers are written explicitly per entry; the spec's
-    null-means-inherit-from-manifest shortcut is a documented seam.)"""
+
+    Sequence numbers follow what real writers emit (r14 — the r13
+    'explicit everywhere' seam closed): ADDED entries carry NULL and
+    INHERIT the manifest-list entry's sequence_number (m0 -> 1,
+    m2-{doc}-1-new -> 2), EXISTING/DELETED entries keep their explicit
+    original numbers per spec. Broken inheritance un-scopes the
+    position deletes (pd's inherited seq 2 vs d-0/1's explicit 1), so
+    the closed form breaks — inheritance is hash-load-bearing.
+    ``explicit_seq=True`` writes the r13 all-explicit shape instead;
+    the two MUST resolve identically (pinned in test_iceberg)."""
     n = doc_id % 3 + 4
     n2 = doc_id % 2 + 3
     codec = ("null", "deflate", "zstandard", "snappy")[doc_id % 4]
@@ -772,15 +841,19 @@ def synth_iceberg_v2_rows(
     m1_carry, m1_new = f"m2-{doc_id}-1-carry", f"m2-{doc_id}-1-new"
     if with_files:
         ent = _entry2_body
+        # ADDED entries: null -> inherit from the manifest list (the
+        # real-writer shape); explicit_seq=True pins equivalence
+        s1 = 1 if explicit_seq else None
+        s2 = 2 if explicit_seq else None
         files.append(
             (
                 m0,
                 build_avro_container(
                     _ENTRY2_SCHEMA,
                     [
-                        ent(1, snap0, 1, 0, data_names[0], n, n * 16),
-                        ent(1, snap0, 1, 0, data_names[1], n, n * 16),
-                        ent(1, snap0, 1, 1, stale_name, n, n * 8),
+                        ent(1, snap0, s1, 0, data_names[0], n, n * 16),
+                        ent(1, snap0, s1, 0, data_names[1], n, n * 16),
+                        ent(1, snap0, s1, 1, stale_name, n, n * 8),
                     ],
                     sync,
                     codec,
@@ -811,27 +884,37 @@ def synth_iceberg_v2_rows(
                 build_avro_container(
                     _ENTRY2_SCHEMA,
                     [
-                        ent(1, snap1, 2, 0, data_names[2], n2, n2 * 16),
-                        ent(1, snap1, 2, 1, pos_name, n, n * 8),
-                        ent(1, snap1, 2, 2, eq_name, n, n * 8),
+                        ent(1, snap1, s2, 0, data_names[2], n2, n2 * 16),
+                        ent(1, snap1, s2, 1, pos_name, n, n * 8),
+                        ent(1, snap1, s2, 2, eq_name, n, n * 8),
                     ],
                     sync,
                     codec,
                 ),
             )
         )
-        for list_name, names, snap in (
-            (f"ml2-{doc_id}-0", [m0], snap0),
-            (f"ml2-{doc_id}-1", [m1_carry, m1_new], snap1),
+        # v2 manifest lists carry the per-manifest sequence number the
+        # null-seq ADDED entries inherit; the carry manifest was
+        # WRITTEN at seq 2 but its EXISTING/DELETED entries keep their
+        # explicit originals, so inheriting into them would be wrong —
+        # which is exactly why the spec scopes inheritance to ADDED
+        for list_name, entries_ in (
+            (f"ml2-{doc_id}-0", [(m0, snap0, 1)]),
+            (
+                f"ml2-{doc_id}-1",
+                [(m1_carry, snap1, 2), (m1_new, snap1, 2)],
+            ),
         ):
             files.append(
                 (
                     list_name,
                     build_avro_container(
-                        _LIST_SCHEMA,
+                        _LIST2_SCHEMA,
                         [
-                            _enc_str(nm) + zigzag_encode(snap)
-                            for nm in names
+                            _enc_str(nm)
+                            + zigzag_encode(snap)
+                            + zigzag_encode(lseq)
+                            for nm, snap, lseq in entries_
                         ],
                         sync,
                         codec,

@@ -1833,7 +1833,8 @@ _DELTA_DV_SQL = (
     # have to be right for the hash
     "WITH t AS (SELECT doc_id, "
     "CASE WHEN doc_id % 25 = 2 THEN 8200 ELSE 40 + doc_id % 7 END AS n0, "
-    "30 + doc_id % 9 AS n1, 12 + doc_id % 4 AS n3 "
+    "30 + doc_id % 9 AS n1, 12 + doc_id % 4 AS n3, "
+    "6 + doc_id % 3 AS n5 "
     "FROM documents WHERE doc_id % 5 = 2) "
     "SELECT doc_id AS table_id, 'part-0' AS path, "
     "CAST((n0 + 1) // 2 AS BIGINT) AS dv_card, "
@@ -1846,7 +1847,17 @@ _DELTA_DV_SQL = (
     "- (n1 // 2) * (n1 // 2 - 1) // 2 AS BIGINT) FROM t "
     "UNION ALL "
     "SELECT doc_id, 'part-3', CAST(0 AS BIGINT), CAST(n3 AS BIGINT), "
-    "CAST(n3 * (n3 - 1) // 2 AS BIGINT) FROM t"
+    "CAST(n3 * (n3 - 1) // 2 AS BIGINT) FROM t "
+    # r14 zero-live edges (ADVICE r13): a numRecords=0 empty file and
+    # an everything-deleted DV both certify n_live = 0 EXPLICITLY —
+    # phantom sequence(0,-1) ordinals or a silent groupBy drop each
+    # break this hash
+    "UNION ALL "
+    "SELECT doc_id, 'part-4', CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+    "CAST(0 AS BIGINT) FROM t "
+    "UNION ALL "
+    "SELECT doc_id, 'part-5', CAST(n5 AS BIGINT), CAST(0 AS BIGINT), "
+    "CAST(0 AS BIGINT) FROM t"
 )
 
 
@@ -1865,7 +1876,11 @@ def x_delta_deletion_vectors(spark, sf_dir):
     certified per file as (n_live, pos_sum of ordinals); data rows
     synthesized JVM-side from add.stats.numRecords — the parquet scan
     stand-in. Positions broadcast into one anti join; delete sets are
-    metadata-scale, exactly Delta's own 100 TB topology.
+    metadata-scale, exactly Delta's own 100 TB topology. r14 edges
+    (ADVICE r13): part-4 (numRecords = 0, a legal empty file) and
+    part-5 (a DV deleting every row) certify n_live = 0 EXPLICITLY —
+    phantom descending-sequence ordinals or a silent groupBy drop
+    each break the hash.
     (Scoped doc_id%5==2, the per-table-closed-form policy.)"""
     from .operators.deltadv import (
         delta_live_row_stats,
