@@ -1,0 +1,151 @@
+"""Byte-level BPE (operators/bpe_bytes): the GPT-2 byte mapping,
+pre-tokenizer scanner laws, the vocab.json/merges.txt loader, and
+kernel == naive-reference equivalence over the committed artifacts."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from user_behavior_spark_pipeline_spark.operators.bpe_bytes import (
+    encode_text_ids,
+    gpt2_bytes_to_unicode,
+    gpt2_pretokenize,
+    load_gpt2_tokenizer,
+)
+
+
+def test_bytes_to_unicode_bijection():
+    """256 distinct printable non-space symbols; printable latin-1
+    bytes map to themselves ('A' -> 'A'), space to 'Ġ' (U+0120 =
+    0x20 + 0x100), newline to 'Ċ'."""
+    b2u = gpt2_bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord("A")] == "A" and b2u[ord("!")] == "!"
+    assert b2u[0x20] == "Ġ" and b2u[0x0A] == "Ċ"
+    assert not any(c.isspace() for c in b2u.values())
+
+
+def test_pretokenize_matches_published_regex_semantics():
+    """The scanner IS the published regex: contractions split, a
+    single leading space attaches to the following word/number/other
+    run, interior whitespace runs keep their last space for the next
+    token, trailing whitespace stays whole — and concatenation always
+    reconstructs the text."""
+    cases = {
+        "Hello world": ["Hello", " world"],
+        "it's we'll they've I'd": [
+            "it", "'s", " we", "'ll", " they", "'ve", " I", "'d",
+        ],
+        "a  b": ["a", " ", " b"],
+        "a   b": ["a", "  ", " b"],
+        "tab\tword": ["tab", "\t", "word"],
+        "x\n y": ["x", "\n", " y"],
+        "num 1234 mix42": ["num", " 1234", " mix", "42"],
+        "wait... what?!": ["wait", "...", " what", "?!"],
+        " 'quoted'": [" '", "quoted", "'"],
+        "end ": ["end", " "],
+        "end  ": ["end", "  "],
+        "": [],
+        "   ": ["   "],
+        "émigré naïve": ["émigré", " naïve"],
+        "中文 词": ["中文", " 词"],
+    }
+    for text, want in cases.items():
+        got = gpt2_pretokenize(text)
+        assert got == want, (text, got)
+        assert "".join(got) == text
+    # partition law on adversarial soup
+    import random
+
+    rng = random.Random(11)
+    soup = "ab 'cd\t\n's'll x9 «»é中 _#!."
+    for _ in range(300):
+        s = "".join(rng.choice(soup) for _ in range(rng.randrange(40)))
+        assert "".join(gpt2_pretokenize(s)) == s
+
+
+def test_loader_format_laws():
+    """merges.txt: optional header, one space-separated pair per line,
+    rank = order; merge results must exist in the vocab; malformed
+    lines and duplicates quarantine."""
+    b2u = gpt2_bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    vocab["ab"] = 256
+    vocab["abc"] = 257
+    vj = json.dumps(vocab)
+    ranks, v = load_gpt2_tokenizer(
+        vj, "#version: 0.2\na b\nab c\n\n"
+    )
+    assert ranks == {("a", "b"): 0, ("ab", "c"): 1}
+    assert v["ab"] == 256
+    with pytest.raises(ValueError, match="malformed"):
+        load_gpt2_tokenizer(vj, "a b c\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        load_gpt2_tokenizer(vj, "a b\na b\n")
+    with pytest.raises(ValueError, match="missing from vocab"):
+        load_gpt2_tokenizer(vj, "x y\n")
+    with pytest.raises(ValueError, match="token->id"):
+        load_gpt2_tokenizer("[1,2]", "a b\n")
+    # encode through the tiny table: 'ab' merges; ' abc' is ONE
+    # pretoken (the space attaches) whose symbols Ġ,a,b,c merge to
+    # Ġ,abc via ranks 0 then 1 -> ids [Ġ=32, abc=257]
+    assert encode_text_ids("ab abc", ranks, v) == [256, 32, 257]
+
+
+def test_committed_artifacts_and_kernel_naive_equivalence():
+    """The committed GPT2_VOCAB_JSON/GPT2_MERGES_TXT load; the kernel
+    reproduces the naive-reference TEMPLATE_BYTE_STATS for every
+    template in both positions (text start / after space), including
+    the 28/32 multi-byte-UTF-8 templates; the digit-suffix law holds
+    (ids of ' 1234' are 32 then 48+digit)."""
+    from user_behavior_spark_pipeline_spark.operators.bpe_vocab import (
+        BPE_BYTE_TEMPLATES,
+        GPT2_MERGES_TXT,
+        GPT2_VOCAB_JSON,
+        TEMPLATE_BYTE_STATS,
+    )
+
+    ranks, vocab = load_gpt2_tokenizer(GPT2_VOCAB_JSON, GPT2_MERGES_TXT)
+    assert len(BPE_BYTE_TEMPLATES) == 32 == len(TEMPLATE_BYTE_STATS)
+    assert sum(
+        any(ord(c) > 127 for c in t) for t in BPE_BYTE_TEMPLATES
+    ) >= 20
+    cache: dict = {}
+    for t, (hc, hs, hf, cc, cs) in zip(
+        BPE_BYTE_TEMPLATES, TEMPLATE_BYTE_STATS
+    ):
+        head = encode_text_ids(t, ranks, vocab, cache)
+        cont = encode_text_ids(" " + t, ranks, vocab, cache)
+        assert (len(head), sum(head), head[0]) == (hc, hs, hf), t
+        assert (len(cont), sum(cont)) == (cc, cs), t
+    ids = encode_text_ids(" 1234", ranks, vocab)
+    assert ids == [0x20, 49, 50, 51, 52]
+    # no digit or space-digit merges in the trained table (the law the
+    # oracle's ascii() arithmetic rests on)
+    assert not any(
+        any(ch.isdigit() for ch in a + b) for a, b in ranks
+    )
+
+
+def test_repeat_concatenation_law_matches_query_closed_form():
+    """tokens(tpl repeated R joined ' ' + ' ' + digits) ==
+    head + cont*(R-1) + [Ġ] + digit ids — the exact closed form the
+    x_corpus_bpe_bytelevel oracle states."""
+    from user_behavior_spark_pipeline_spark.operators.bpe_vocab import (
+        BPE_BYTE_TEMPLATES,
+        GPT2_MERGES_TXT,
+        GPT2_VOCAB_JSON,
+    )
+
+    ranks, vocab = load_gpt2_tokenizer(GPT2_VOCAB_JSON, GPT2_MERGES_TXT)
+    for d in (0, 5, 33, 64, 907):
+        t = BPE_BYTE_TEMPLATES[d % 32]
+        r = d % 3 + 1
+        text = " ".join([t] * r) + " " + str(d)
+        whole = encode_text_ids(text, ranks, vocab)
+        head = encode_text_ids(t, ranks, vocab)
+        cont = encode_text_ids(" " + t, ranks, vocab)
+        digits = [0x20] + [ord(c) for c in str(d)]
+        assert whole == head + cont * (r - 1) + digits, d

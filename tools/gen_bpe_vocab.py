@@ -141,6 +141,131 @@ def naive_bpe_text(text: str, merges: list[tuple[str, str]]) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Byte-level (GPT-2 family) artifacts — r14. Everything below is the
+# INDEPENDENT reference path for operators/bpe_bytes.py: its own byte
+# mapping, its own regex pre-tokenizer (the package uses a unicodedata
+# scanner — two mechanisms, one contract), and the transparent naive
+# merge loop. The committed vocab.json/merges.txt strings are the ONLY
+# form the kernel loads, so the on-disk-format loader is load-bearing
+# for every byte-level driver hash.
+# ---------------------------------------------------------------------------
+
+N_BYTE_MERGES = 900
+
+#: deterministic accent substitution — every 5th pool word becomes
+#: multi-byte UTF-8 so byte-level merges on continuation bytes are
+#: hash-load-bearing (28/32 templates end up containing non-ASCII)
+_ACCENTS = {"a": "á", "e": "é", "i": "í",
+            "o": "ö", "u": "ü"}
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte<->unicode bijection: printable latin-1
+    bytes map to themselves, the rest to U+0100+n in scan order."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+#: the published GPT-2 pre-tokenizer, expressed with stdlib-re class
+#: approximations ([^\W\d_] for \p{L}, \d for \p{N}) — exact on the
+#: fixture alphabet (letters, accents, ASCII digits, space/newline);
+#: the package scanner is category-exact for arbitrary input
+_GPT2_RX_APPROX = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+
+
+def build_byte_pool() -> dict[str, int]:
+    """The char-level pool with every 5th word accent-substituted."""
+    import re as _re  # noqa: F401  (documented approximation above)
+
+    pool = build_word_pool()
+    out: dict[str, int] = {}
+    for idx, (w, f) in enumerate(sorted(pool.items())):
+        if idx % 5 == 2:
+            w = "".join(_ACCENTS.get(c, c) for c in w)
+        out[w] = out.get(w, 0) + f
+    return out
+
+
+def _map_word(s: str, b2u: dict[int, str]) -> str:
+    return "".join(b2u[b] for b in s.encode("utf-8"))
+
+
+def byte_training_words(pool: dict[str, int]) -> dict[str, int]:
+    """GPT-2-style training pretokens: each word in its after-a-space
+    form (4x weight — words mostly follow spaces) and bare form."""
+    b2u = gpt2_bytes_to_unicode()
+    words: dict[str, int] = {}
+    for w, f in pool.items():
+        sp = _map_word(" " + w, b2u)
+        words[sp] = words.get(sp, 0) + 4 * f
+        bare = _map_word(w, b2u)
+        words[bare] = words.get(bare, 0) + f
+    return words
+
+
+def naive_byte_encode_ids(
+    text: str, merges: list[tuple[str, str]], vocab: dict[str, int]
+) -> list[int]:
+    """Naive byte-level reference: regex pre-tokenize, byte-map, run
+    the SAME transparent rescan-from-rank-0 loop, look up ids."""
+    import re as _re
+
+    b2u = gpt2_bytes_to_unicode()
+    ids: list[int] = []
+    for pt in _re.findall(_GPT2_RX_APPROX, text):
+        for tok in naive_bpe_word(_map_word(pt, b2u), merges):
+            ids.append(vocab[tok])
+    return ids
+
+
+def build_byte_templates(pool: dict[str, int]) -> list[str]:
+    """32 deterministic sentences over the BYTE pool vocabulary (same
+    construction as build_templates, different seed stream)."""
+    words = sorted(pool, key=lambda w: (-pool[w], w))
+    m = len(words)
+    templates: list[str] = []
+    for k in range(N_TEMPLATES):
+        g = _lcg(k * 48611 + 3)
+        n = 12 + k % 5
+        templates.append(
+            " ".join(
+                words[(next(g) % m) * (next(g) % m) // m] for _ in range(n)
+            )
+        )
+    return templates
+
+
+def render_gpt2_files(
+    merges: list[tuple[str, str]]
+) -> tuple[str, str]:
+    """(vocab.json, merges.txt) in the published on-disk format: ids =
+    byte value for the 256 base symbols, 256+rank for merged tokens."""
+    import json as _json
+
+    b2u = gpt2_bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    for r, (a, b) in enumerate(merges):
+        vocab[a + b] = 256 + r
+    merges_txt = "#version: 0.2\n" + "".join(
+        f"{a} {b}\n" for a, b in merges
+    )
+    return _json.dumps(vocab, ensure_ascii=True, sort_keys=False), merges_txt
+
+
 def build_templates(pool: dict[str, int]) -> list[str]:
     """32 deterministic sentences over the pool vocabulary, frequency-
     biased word choice so the trained merges bite."""
@@ -164,6 +289,23 @@ def main() -> None:
     assert len(merges) >= 1000, f"only {len(merges)} merges trainable"
     templates = build_templates(pool)
     tokens = [naive_bpe_text(t, merges) for t in templates]
+
+    # byte-level artifacts (r14)
+    bpool = build_byte_pool()
+    bmerges = train_merges(byte_training_words(bpool), N_BYTE_MERGES)
+    assert len(bmerges) >= 800, f"only {len(bmerges)} byte merges"
+    btemplates = build_byte_templates(bpool)
+    vocab_json, merges_txt = render_gpt2_files(bmerges)
+    import json as _json
+
+    bvocab = _json.loads(vocab_json)
+    byte_stats = []
+    for t in btemplates:
+        head = naive_byte_encode_ids(t, bmerges, bvocab)
+        cont = naive_byte_encode_ids(" " + t, bmerges, bvocab)
+        byte_stats.append(
+            (len(head), sum(head), head[0], len(cont), sum(cont))
+        )
 
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -196,6 +338,27 @@ def main() -> None:
         f.write("TEMPLATE_TOKENS: tuple[tuple[str, ...], ...] = (\n")
         for toks in tokens:
             f.write(f"    {tuple(toks)!r},\n")
+        f.write(")\n\n")
+        f.write(
+            "# --- byte-level (GPT-2 family) artifacts, r14: the\n"
+            "# committed vocab.json/merges.txt ON-DISK-FORMAT strings\n"
+            "# (operators/bpe_bytes.py loads the kernel table from\n"
+            "# these, so the loader is driver-hash-load-bearing), the\n"
+            "# byte-pool templates, and their NAIVE-reference id stats\n"
+            "# (head_count, head_id_sum, head_first_id, cont_count,\n"
+            "# cont_id_sum) for template-at-text-start vs after-space.\n"
+        )
+        f.write(f"GPT2_VOCAB_JSON: str = {vocab_json!r}\n\n")
+        f.write(f"GPT2_MERGES_TXT: str = {merges_txt!r}\n\n")
+        f.write("BPE_BYTE_TEMPLATES: tuple[str, ...] = (\n")
+        for t in btemplates:
+            f.write(f"    {t!r},\n")
+        f.write(")\n\n")
+        f.write(
+            "TEMPLATE_BYTE_STATS: tuple[tuple[int, int, int, int, int], ...] = (\n"
+        )
+        for st in byte_stats:
+            f.write(f"    {st!r},\n")
         f.write(")\n")
     print(
         f"wrote {out_path}: {len(merges)} merges, "

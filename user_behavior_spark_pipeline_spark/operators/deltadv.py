@@ -204,7 +204,18 @@ def delta_live_row_stats(
         F.col("last.dv_size").alias("dv_size"),
         F.col("last.dv_card").alias("dv_card"),
     )
-    live = materialize(live)
+    # spread the replayed file set BEFORE materializing: AQE collapses
+    # the small replay aggregate to one partition, which would serialize
+    # the downstream Python bitmap decode AND the ordinal explode onto
+    # a single task (a real deployment's parquet scan brings its own
+    # parallelism; the stand-in must too)
+    live = materialize(
+        live.repartition(
+            logs.sparkSession.sparkContext.defaultParallelism,
+            "table_id",
+            "path",
+        )
+    )
     with_dv = live.filter(F.col("dv_storage").isNotNull())
 
     # sidecar join: derive deletion_vector_<uuid>.bin names for 'u'

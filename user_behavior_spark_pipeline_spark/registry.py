@@ -1770,20 +1770,12 @@ def x_iceberg_live_files(spark, sf_dir):
     (every snapshot deletes its predecessor's -1 file), manifest codec
     rotating null/deflate/zstandard/snappy. O(manifest entries), never
     O(data) — metadata-only joins and one pivot aggregation."""
-    from .operators.iceberg import (
-        iceberg_live_files,
-        synth_iceberg_manifests,
-        synth_iceberg_metadata,
-    )
+    from .operators.iceberg import iceberg_live_files
 
-    # one-row-group parallelism fix (r13, cf. x_pdf_text): the
-    # per-doc fixture synthesis is the CPU cost here
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return iceberg_live_files(
-        synth_iceberg_metadata(docs), synth_iceberg_manifests(docs)
-    )
+    # fixture staged once through the memoized layer (r14 — VERDICT
+    # r13 #3): bench prices the manifest replay, not the builder
+    metadata, files = _stage_iceberg_v1(spark, sf_dir)
+    return iceberg_live_files(metadata, files)
 
 
 @query(
@@ -1805,19 +1797,102 @@ def x_delta_checkpoint(spark, sf_dir):
     it too); the oracle is x_delta_live_files' closed form — two read
     paths, one final state, mutually certifying. O(state + tail).
     (Scoped doc_id%5==0, the per-table-closed-form policy.)"""
-    from .operators.deltalog import (
-        delta_live_files_from_checkpoint,
-        synth_delta_checkpoint_fixture,
+    from .operators.deltalog import delta_live_files_from_checkpoint
+
+    # fixture staged once through the memoized layer (r14 — VERDICT
+    # r13 #3): bench prices checkpoint bootstrap + tail replay
+    ptr, cks, tail = _stage_delta_checkpoint(spark, sf_dir)
+    return delta_live_files_from_checkpoint(ptr, cks, tail)
+
+
+def _stage_lake_frames(spark, sf_dir, name, build):
+    """Stage a lakehouse fixture's synthesized frames once per
+    (fixture, sf) through the memoized layer (VERDICT r13 #3 — the
+    r03 `_stage_catalog_table` move): ``build`` maps the docs slice
+    to {subdir: DataFrame}; staged parquet is read back on every
+    call, so BENCH (which pre-warms via prepare_staged) prices the
+    replay/walk under test, not the per-doc builder. Queries stay
+    self-sufficient — the first hit pays the synthesis."""
+    import os as _os
+    import tempfile
+
+    key = ("lake", name, sf_dir)
+    if key not in _STAGED_SOURCES:
+        base = tempfile.mkdtemp(prefix=f"ubsp_{name}_")
+        for sub, df in build().items():
+            df.write.mode("overwrite").parquet(_os.path.join(base, sub))
+        _STAGED_SOURCES[key] = base
+    base = _STAGED_SOURCES[key]
+    return lambda sub: spark.read.parquet(_os.path.join(base, sub))
+
+
+def _lake_docs(spark, sf_dir, mod: int | None):
+    docs = _table(spark, sf_dir, "documents")
+    if mod is not None:
+        docs = docs.filter(f"doc_id % 5 = {mod}")
+    # one-row-group parallelism fix (r13, cf. x_pdf_text): the per-doc
+    # synthesis is the CPU cost of the staging write
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _stage_delta_dv(spark, sf_dir):
+    from .operators.deltadv import synth_delta_dv_files, synth_delta_dv_logs
+
+    def build():
+        docs = _lake_docs(spark, sf_dir, 2)
+        return {
+            "logs": synth_delta_dv_logs(docs),
+            "files": synth_delta_dv_files(docs),
+        }
+
+    read = _stage_lake_frames(spark, sf_dir, "delta_dv", build)
+    return read("logs"), read("files")
+
+
+def _stage_iceberg_v1(spark, sf_dir):
+    from .operators.iceberg import (
+        synth_iceberg_manifests,
+        synth_iceberg_metadata,
     )
 
-    # one-row-group parallelism fix (r13, cf. x_pdf_text)
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .filter("doc_id % 5 = 0")
-        .repartition(spark.sparkContext.defaultParallelism)
+    def build():
+        docs = _lake_docs(spark, sf_dir, None)
+        return {
+            "metadata": synth_iceberg_metadata(docs),
+            "files": synth_iceberg_manifests(docs),
+        }
+
+    read = _stage_lake_frames(spark, sf_dir, "iceberg_v1", build)
+    return read("metadata"), read("files")
+
+
+def _stage_iceberg_v2(spark, sf_dir):
+    from .operators.iceberg import (
+        synth_iceberg_v2_manifests,
+        synth_iceberg_v2_metadata,
     )
-    ptr, cks, tail = synth_delta_checkpoint_fixture(docs)
-    return delta_live_files_from_checkpoint(ptr, cks, tail)
+
+    def build():
+        docs = _lake_docs(spark, sf_dir, 1)
+        return {
+            "metadata": synth_iceberg_v2_metadata(docs),
+            "files": synth_iceberg_v2_manifests(docs),
+        }
+
+    read = _stage_lake_frames(spark, sf_dir, "iceberg_v2", build)
+    return read("metadata"), read("files")
+
+
+def _stage_delta_checkpoint(spark, sf_dir):
+    from .operators.deltalog import synth_delta_checkpoint_fixture
+
+    def build():
+        docs = _lake_docs(spark, sf_dir, 0)
+        ptr, cks, tail = synth_delta_checkpoint_fixture(docs)
+        return {"ptr": ptr, "cks": cks, "tail": tail}
+
+    read = _stage_lake_frames(spark, sf_dir, "delta_ckpt", build)
+    return read("ptr"), read("cks"), read("tail")
 
 
 _DELTA_DV_SQL = (
@@ -1882,21 +1957,12 @@ def x_delta_deletion_vectors(spark, sf_dir):
     phantom descending-sequence ordinals or a silent groupBy drop
     each break the hash.
     (Scoped doc_id%5==2, the per-table-closed-form policy.)"""
-    from .operators.deltadv import (
-        delta_live_row_stats,
-        synth_delta_dv_files,
-        synth_delta_dv_logs,
-    )
+    from .operators.deltadv import delta_live_row_stats
 
-    # one-row-group parallelism fix (r13, cf. x_pdf_text)
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .filter("doc_id % 5 = 2")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    return delta_live_row_stats(
-        synth_delta_dv_logs(docs), synth_delta_dv_files(docs)
-    )
+    # fixture staged once through the memoized layer (r14 — VERDICT
+    # r13 #3): bench prices DV replay + decode, not roaring synthesis
+    logs, files = _stage_delta_dv(spark, sf_dir)
+    return delta_live_row_stats(logs, files)
 
 
 _ICEBERG_V2_SQL = (
@@ -1951,21 +2017,12 @@ def x_iceberg_live_rows(spark, sf_dir):
     added in the equality delete's own commit, has a named id that
     must SURVIVE the strict rule). Codec rotates doc%4 through all
     four. (Scoped doc_id%5==1, the per-table-closed-form policy.)"""
-    from .operators.iceberg import (
-        iceberg_live_rows,
-        synth_iceberg_v2_manifests,
-        synth_iceberg_v2_metadata,
-    )
+    from .operators.iceberg import iceberg_live_rows
 
-    # one-row-group parallelism fix (r13, cf. x_pdf_text)
-    docs = (
-        _table(spark, sf_dir, "documents")
-        .filter("doc_id % 5 = 1")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    return iceberg_live_rows(
-        synth_iceberg_v2_metadata(docs), synth_iceberg_v2_manifests(docs)
-    )
+    # fixture staged once through the memoized layer (r14 — VERDICT
+    # r13 #3): bench prices the merge-on-read algebra, not the builder
+    metadata, files = _stage_iceberg_v2(spark, sf_dir)
+    return iceberg_live_rows(metadata, files)
 
 
 _CURATE_CRAWL_SQL = (
@@ -8322,6 +8379,79 @@ def x_corpus_chunks_bpe(spark, sf_dir):
     return chunk_documents_bpe_arrow(docs, 64, 48)
 
 
+def _bpe_byte_stats_values() -> str:
+    """VALUES rows for the byte-level oracle, from the COMMITTED
+    naive-reference id statistics (operators/bpe_vocab.py, generated
+    offline by an INDEPENDENT implementation — its own byte mapping,
+    regex pre-tokenizer and quadratic merge loop): (k, head_count,
+    head_id_sum, head_first_id, cont_count, cont_id_sum) per template,
+    head = template at text start, cont = after a joining space."""
+    from .operators.bpe_vocab import TEMPLATE_BYTE_STATS
+
+    return ", ".join(
+        f"({k}, {hc}, {hs}, {hf}, {cc}, {cs})"
+        for k, (hc, hs, hf, cc, cs) in enumerate(TEMPLATE_BYTE_STATS)
+    )
+
+
+_BPE_BYTE_SQL = (
+    # closed form of bpe_bytes.synth_bpe_byte_text: the token-ID
+    # stream is head(k) + cont(k)*(R-1) + [id(Ġ)=32] + ascii digit
+    # ids (single-byte symbol ids EQUAL the byte value and the vocab
+    # has no digit merges), R = doc%3+1 — so count/sum/first are
+    # arithmetic over the committed naive-reference stats and
+    # ascii() of the doc_id digits
+    "WITH tt(k, hc, hs, hf, cc, cs) AS (VALUES "
+    + _bpe_byte_stats_values()
+    + "), t AS (SELECT doc_id, doc_id % 3 + 1 AS r, hc, hs, hf, cc, cs "
+    "FROM documents JOIN tt ON doc_id % 32 = tt.k) "
+    "SELECT doc_id, "
+    "CAST(hc + (r - 1) * cc + 1 + length(CAST(doc_id AS VARCHAR)) "
+    "AS BIGINT) AS n_tokens, "
+    "CAST(hs + (r - 1) * cs + 32 + list_sum(list_transform("
+    "string_split(CAST(doc_id AS VARCHAR), ''), x -> ascii(x))) "
+    "AS BIGINT) AS id_sum, "
+    "CAST(hf AS BIGINT) AS first_id FROM t"
+)
+
+
+@query("x_corpus_bpe_bytelevel", oracle=_BPE_BYTE_SQL)
+def x_corpus_bpe_bytelevel(spark, sf_dir):
+    """BYTE-level BPE with the GPT-2 pre-tokenizer and a real
+    tokenizer-file loader (r14 — VERDICT r13 #2, closing bpe.py's
+    named char-level design boundary): the kernel table is loaded
+    from the COMMITTED vocab.json/merges.txt on-disk-format strings
+    (operators/bpe_bytes.load_gpt2_tokenizer — a real GPT-2-family
+    tokenizer file runs on this path), text pre-tokenizes through the
+    published regex (category-exact scanner), each pretoken's UTF-8
+    bytes lift through the byte<->unicode bijection, and the SAME
+    greedy lowest-rank kernel merges them — one Arrow-batched Python
+    stage, (ranks, vocab) in the closure, id-array reductions (count/
+    sum/first) JVM-side. 28/32 fixture templates carry multi-byte
+    UTF-8, so continuation-byte merges are hash-load-bearing; the
+    oracle embeds id statistics generated by an independent naive
+    implementation, so loader+mapping+pretokenizer+kernel must ALL
+    agree for the hash."""
+    from pyspark.sql import functions as F
+
+    from .operators.bpe_bytes import bpe_byte_ids_arrow, synth_bpe_byte_text
+    from .operators.bpe_vocab import GPT2_MERGES_TXT, GPT2_VOCAB_JSON
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "text", synth_bpe_byte_text(F.col("doc_id"))
+    )
+    ids = bpe_byte_ids_arrow(F.col("text"), GPT2_VOCAB_JSON, GPT2_MERGES_TXT)
+    t = docs.select("doc_id", ids.alias("_ids"))
+    return t.select(
+        "doc_id",
+        F.size("_ids").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+        F.element_at("_ids", 1).alias("first_id"),
+    )
+
+
 @query(
     "x_corpus_repetition",
     oracle=(
@@ -9010,6 +9140,13 @@ def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
     _stage_format(spark, sf_dir, "orc")
     _stage_bucketed(spark, sf_dir)
     _stage_catalog_table(spark, sf_dir)
+    # lakehouse fixture trees (r14 — VERDICT r13 #3): synthesis is the
+    # dominant cost of these four queries' first hit; staging it here
+    # makes BENCH price the replay/walk under test
+    _stage_delta_dv(spark, sf_dir)
+    _stage_iceberg_v1(spark, sf_dir)
+    _stage_iceberg_v2(spark, sf_dir)
+    _stage_delta_checkpoint(spark, sf_dir)
     # warm-ups are optimizations, never prerequisites: a failure must not
     # abort the prepare pass (the real queries just pay their own first-hit)
     try:
