@@ -314,3 +314,58 @@ def test_stats_less_add_surfaces_sentinel(spark):
     # doc 7: n3 = 12 + 7%4 = 15 -> part-3's stats were emptied
     assert ("part-3", -1, -1, -1) in got
     assert len([p for p, *_ in got if p == "part-3"]) == 1
+
+
+def test_legacy_32bit_roaring_quarantines_by_name(spark):
+    """r14 (VERDICT r13 #5): a DV blob that is a bare 32-bit roaring
+    bitmap (the legacy pre-portable serialization) must quarantine
+    with a NAMED reason, not the generic magic error — and must not
+    be decoded by guesswork. Both cookie shapes (12346 array/bitmap,
+    12347 run-present) are detected; through the operator the file
+    surfaces as the -1 sentinel, never as silently un-deleted rows."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.roaring import (
+        _encode_rb32,
+        roaring_array_positions,
+        z85_encode,
+    )
+
+    bare_array = _encode_rb32([1, 2, 3])  # cookie 12346
+    bare_run = _encode_rb32(list(range(5, 90)))  # run container, 12347
+    import struct as _s
+
+    assert _s.unpack_from("<i", bare_array, 0)[0] == 12346
+    assert _s.unpack_from("<H", bare_run, 0)[0] == 12347
+    for blob in (bare_array, bare_run):
+        with pytest.raises(ValueError, match="legacy-32bit-roaring"):
+            roaring_array_positions(blob)
+    # operator-level: swap doc 7's part-0 inline DV for the legacy
+    # blob -> part-0 reports the sentinel triple
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    logs = synth_delta_dv_logs(docs)
+    n0 = _dv_dims(7)[0]
+    old = build_roaring_array([i for i in range(n0) if i % 2 == 0])
+    logs = logs.withColumn(
+        "payload",
+        F.replace(
+            F.col("payload"),
+            F.lit(z85_encode(old)),
+            F.lit(z85_encode(bare_array)),
+        ),
+    )
+    logs = logs.withColumn(
+        "payload",
+        F.replace(
+            F.col("payload"),
+            F.lit(f'"sizeInBytes": {len(old)}, "cardinality": {(n0 + 1) // 2}'),
+            F.lit(f'"sizeInBytes": {len(bare_array)}, "cardinality": 3'),
+        ),
+    )
+    got = {
+        r.path: (r.dv_card, r.n_live, r.pos_sum)
+        for r in delta_live_row_stats(
+            logs, synth_delta_dv_files(docs)
+        ).collect()
+    }
+    assert got["part-0"] == (-1, -1, -1)

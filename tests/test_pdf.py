@@ -388,3 +388,69 @@ def test_lzw_cross_implementation_width_boundaries():
     d = bytes(rng.randrange(256) for _ in range(600))
     assert _independent_pdf_lzw_encode(d, early=0) == lzw_encode(d, early=0)
     assert lzw_decode(_independent_pdf_lzw_encode(d, early=0), early=0) == d
+
+
+def _type0_predef_doc(enc_name: str, text: str) -> bytes:
+    """Minimal one-page classic PDF whose only font is a Type0 with a
+    PREDEFINED encoding CMap (no /ToUnicode) and whose show string is
+    the UTF-16BE code bytes — the real-writer shape for Uni*-UCS2-*/
+    Uni*-UTF16-* CJK fonts."""
+    hx = text.encode("utf-16-be").hex().encode()
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /FU 5 0 R >> >> >>\n"
+        b"endobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\nBT /FU 12 Tf <%s> Tj ET"
+        b"\nendstream\nendobj\n"
+        % (len(b"BT /FU 12 Tf <" + hx + b"> Tj ET"), hx),
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+        b"/Encoding /" + enc_name.encode() + b" >>\nendobj\n",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(out))
+        out += o
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def test_predefined_unicode_cmaps_extract_and_registry_quarantines():
+    """r14 (VERDICT r13 #6, scoped): Type0 fonts with predefined
+    Uni*-UCS2-*/Uni*-UTF16-* encodings extract by UTF-16BE
+    interpretation — those CMaps' CODE SPACE is Unicode, so no table
+    is needed for text (the table maps code->CID for glyphs only).
+    Other registry CMap names (here a Shift-JIS one) quarantine BY
+    NAME instead of silently omitting CJK text; Identity-H without a
+    map keeps the documented omission (glyph indexes, not codes);
+    malformed UTF-16 in a UCS2 string quarantines, never mojibake."""
+    out = pdf_text_extract(_type0_predef_doc("UniJIS-UCS2-H", "日本語 x"))
+    assert out == {"n_pages": 1, "text": "日本語 x"}
+    # UTF16 family allows surrogate pairs (non-BMP)
+    out = pdf_text_extract(_type0_predef_doc("UniKS-UTF16-V", "한글\U0001f600"))
+    assert out["text"] == "한글\U0001f600"
+    # the HW (half-width glyph) variant shares the Unicode code space
+    out = pdf_text_extract(_type0_predef_doc("UniJIS-UCS2-HW-H", "ｱｲ"))
+    assert out["text"] == "ｱｲ"
+    with pytest.raises(ValueError, match="90ms-RKSJ-H.*unsupported"):
+        pdf_text_extract(_type0_predef_doc("90ms-RKSJ-H", "ab"))
+    with pytest.raises(ValueError, match="GB-EUC-H.*unsupported"):
+        pdf_text_extract(_type0_predef_doc("GB-EUC-H", "ab"))
+    # Identity-H stays the omission contract (bytes are glyph ids)
+    out = pdf_text_extract(_type0_predef_doc("Identity-H", "zz"))
+    assert out == {"n_pages": 1, "text": ""}
+    # an unpaired high surrogate is not valid UTF-16BE -> quarantine
+    doc = _type0_predef_doc("UniGB-UTF16-H", "a")
+    bad = doc.replace("a".encode("utf-16-be").hex().encode(), b"d800")
+    with pytest.raises(ValueError, match="UTF-16BE"):
+        pdf_text_extract(bad)

@@ -206,15 +206,26 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return out
 
 
-def _decode_cid(s: str, cmap: dict[int, str] | None) -> str:
-    """Show-text bytes of a Type0/Identity-H font: 2-byte big-endian
-    CIDs through the ToUnicode map. A Type0 font WITHOUT a usable map
-    contributes NOTHING — its bytes are glyph indexes, and decoding
-    them as characters would emit silent mojibake (the documented
-    omission contract)."""
+def _decode_cid(s: str, cmap: dict[int, str] | str | None) -> str:
+    """Show-text bytes of a Type0 font. ``cmap`` is the parsed
+    /ToUnicode dict (2-byte big-endian codes through the map), the
+    sentinel ``"utf16be"`` for predefined Uni*-UCS2-*/Uni*-UTF16-*
+    encodings (r14 — their CODE SPACE is Unicode, so the show bytes
+    decode as UTF-16BE directly, surrogate pairs included), or None.
+    A Type0 font WITHOUT a usable map contributes NOTHING — its bytes
+    are glyph indexes, and decoding them as characters would emit
+    silent mojibake (the documented omission contract)."""
     if cmap is None:
         return ""
     b = s.encode("latin-1", "replace")
+    if cmap == "utf16be":
+        if len(b) % 2:
+            raise ValueError("UTF-16BE CID string has odd length")
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError as e:
+            # malformed surrogates must quarantine, never mojibake
+            raise ValueError(f"CID text is not valid UTF-16BE: {e}") from None
     return "".join(
         cmap.get((b[i] << 8) | b[i + 1], "")
         for i in range(0, len(b) - 1, 2)
@@ -533,6 +544,12 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
 
 _PDF_WS = b"\x00\t\n\x0c\r "
 _PDF_DELIM = b"()<>[]{}/%"
+
+#: predefined CMaps whose code space is Unicode (ISO 32000 Table 118's
+#: Uni<collection>-UCS2-<HW->H/V and Uni<collection>-UTF16-H/V
+#: families): show-string bytes ARE UTF-16BE text, no table needed
+#: for extraction (the table maps code->CID for glyph lookup only)
+_UNI_CMAP_RE = re.compile(r"Uni[A-Za-z0-9]+-(?:UCS2|UTF16)(?:-HW)?-[HV]")
 
 
 class _Ref:
@@ -1042,8 +1059,29 @@ class _PdfDoc:
                 out[name] = parse_tounicode_cmap(
                     self._decode_stream(tu[1], tu[2])
                 )
+                continue
+            # no /ToUnicode: dispatch on the encoding CMap (r14 —
+            # predefined registry CMaps, scoped). The Uni*-UCS2-* /
+            # Uni*-UTF16-* families' CODE SPACE is Unicode itself
+            # (the table maps code->CID for glyph lookup only), so
+            # text extraction needs no table: UTF-16BE sentinel.
+            # Identity-H/V show GLYPH indexes — the documented
+            # omission. Any OTHER registry name (GB-EUC-H,
+            # 90ms-RKSJ-H, ...) needs its published table to read the
+            # code bytes — quarantine BY NAME rather than silently
+            # dropping CJK text.
+            enc = self.resolve(font.get("Encoding"))
+            if isinstance(enc, str) and _UNI_CMAP_RE.fullmatch(enc):
+                out[name] = "utf16be"
+            elif enc in (None, "Identity-H", "Identity-V"):
+                out[name] = None  # glyph-indexed CID text: omit
+            elif isinstance(enc, str):
+                raise ValueError(
+                    f"predefined CMap {enc!r} unsupported (registry "
+                    "table not shipped)"
+                )
             else:
-                out[name] = None  # CID text without a map: omit
+                out[name] = None  # embedded CMap stream: omit
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -1099,7 +1137,16 @@ def pdf_text_extract(payload: bytes) -> dict:
     try:
         return _pdf_extract_via_xref(payload)
     except ValueError as xref_err:
-        if "encrypted PDF" in str(xref_err):
+        # salvage exists for DAMAGED framing — semantic quarantines
+        # (ciphertext, unreadable predefined CMaps, malformed UTF-16
+        # CID text) must propagate: the framing scan would "succeed"
+        # by emitting exactly the mojibake these errors refuse
+        msg = str(xref_err)
+        if (
+            "encrypted PDF" in msg
+            or "predefined CMap" in msg
+            or "UTF-16BE" in msg
+        ):
             raise
         try:
             return _pdf_extract_by_framing(payload)

@@ -183,6 +183,21 @@ def roaring_array_positions(data: bytes, cap: int = 1 << 22) -> list[int]:
     _need(data, 0, 12, "array header")
     magic, n_bitmaps = struct.unpack_from("<iQ", data, 0)
     if magic != ROARING_ARRAY_MAGIC:
+        # name the one known-other shape before the generic reject: a
+        # blob that OPENS with a 32-bit roaring cookie is the legacy
+        # pre-portable serialization some older writers emitted — a
+        # named quarantine tells the operator report what was hit
+        # (decode deliberately NOT attempted: the public Delta spec
+        # defines only the portable framing, and guessing at key
+        # widths risks silently wrong delete sets)
+        if (
+            magic == _SERIAL_COOKIE_NO_RUN
+            or (magic & 0xFFFF) == _SERIAL_COOKIE_RUN
+        ):
+            raise ValueError(
+                "legacy-32bit-roaring serialization (bare 32-bit "
+                f"cookie {magic}) is not the portable format"
+            )
         raise ValueError(f"roaring array magic {magic} != expected")
     if n_bitmaps > 1 << 32:
         raise ValueError(f"roaring array bitmap count {n_bitmaps} hostile")

@@ -9024,60 +9024,50 @@ def _derive_touched(
 
 
 _TOUCHED_THIS_ROUND = _derive_touched(
-    # r13 changed operator functions: the Avro decode seam (ADVICE r12
-    # quarantine fixes in _parse_type/_render_logical — every walker
-    # consumer re-earns) + the new schema-resolution path, the
-    # real-vocabulary Arrow-lane BPE kernel the two corpus BPE queries
-    # were re-pointed at, and the Iceberg snapshot-resolution refactor
-    # shared by live_files and the new v2 merge-on-read path
+    # r14 changed operator functions: the LZW width-growth interop fix
+    # (ADVICE high — pdf codec + the TIFF/GIF encoder tails), the R4
+    # EncryptMetadata key-derivation step, the Avro exact-match-first
+    # union resolution, the Delta DV zero-live accounting + fixture
+    # edges + live-set repartition, the Iceberg sequence-number
+    # inheritance (resolver + v2 fixture), the legacy-32bit roaring
+    # named quarantine, the predefined-CMap dispatch (+ the salvage
+    # gating in pdf_text_extract), and the new byte-level BPE module
     seed_fns=frozenset(
         {
-            "_parse_type",
-            "_render_logical",
-            "avro_resolved_records",
-            "synth_avro_evolution_bytes",
-            "synth_avro_evolution_media",
-            "bpe_encode_word",
-            "bpe_encode_text",
-            "bpe_token_count_arrow",
-            "bpe_tokens_arrow",
-            "synth_bpe_text",
-            "chunk_documents_bpe_arrow",
-            "synth_pdf_bytes",
             "lzw_decode",
-            "ascii85_decode",
-            "asciihex_decode",
-            "runlength_decode",
-            "synth_pdf_modern_bytes",
-            "pdf_text_extract",
-            "_pdf_hex_string",
-            "_bom_decode",
-            "build_encryption",
-            "_hash_2b",
-            "snappy_framed_decompress",
-            "snappy_framed_compress",
-            "_crc32c",
-            "synth_jsonl_shard_bytes",
-            "_resolve_reachable_entries",
+            "lzw_encode",
+            "_tiff_lzw_encode",
+            "gif_encode_indexed",
+            "_file_key_r34",
+            "_resolve_type",
             "delta_live_row_stats",
+            "_dv_dims",
             "synth_delta_dv_log_rows",
-            "synth_delta_dv_logs",
-            "synth_delta_dv_files",
             "roaring_array_positions",
-            "build_roaring_array",
-            "build_dv_file",
-            "dv_blob_at",
-            "iceberg_live_files",
-            "iceberg_live_rows",
+            "_resolve_reachable_entries",
+            "_entry2_body",
             "synth_iceberg_v2_rows",
-            "synth_iceberg_v2_metadata",
-            "synth_iceberg_v2_manifests",
+            "pdf_text_extract",
+            "_decode_cid",
+            "gpt2_bytes_to_unicode",
+            "gpt2_pretokenize",
+            "load_gpt2_tokenizer",
+            "encode_text_ids",
+            "bpe_byte_ids_arrow",
+            "synth_bpe_byte_text",
         }
     ),
     sql_tokens=frozenset(),
-    # repartition-before-synth parallelism fix touched these two
-    # queries with no seeded operator-function change
-    extra=frozenset({"x_parquet_footer", "x_delta_checkpoint"}),
+    # queries re-pointed at the staged-fixture layer (registry-side
+    # change, no operator-function seam) — the lakehouse four
+    extra=frozenset(
+        {
+            "x_delta_checkpoint",
+            "x_delta_deletion_vectors",
+            "x_iceberg_live_files",
+            "x_iceberg_live_rows",
+        }
+    ),
 )
 
 
