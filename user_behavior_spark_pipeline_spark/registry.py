@@ -2094,23 +2094,11 @@ def x_curate_crawl(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from .operators.text import gopher_quality
-    from .operators.warc import (
-        extract_html_text,
-        synth_warc_archives,
-        warc_records,
-    )
+    from .operators.warc import extract_html_text, warc_records
 
-    docs = _table(spark, sf_dir, "documents").withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.lit(" and that have with the"),
-            ).otherwise(F.lit("")),
-        ),
-    )
-    recs = warc_records(synth_warc_archives(docs, html=True))
+    # staged archives (r14): the suffixed-docs HTML build is fixture;
+    # walk -> strip -> gate all run per read
+    recs = warc_records(_stage_warc(spark, sf_dir, "crawl"))
     pages = extract_html_text(
         recs.filter(
             "warc_type = 'response' AND content_type = 'text/html'"
@@ -3946,6 +3934,102 @@ _WDS_MEMBERS_SQL = (
 )
 
 
+def _stage_warc(spark, sf_dir, variant: str):
+    """Staged WARC fixture (r14): one staged tree per builder variant
+    — 'plain' (x_warc_records/x_warc_digest), 'html' (x_warc_text),
+    'http' (x_warc_http), 'crawl' (x_curate_crawl's suffixed docs),
+    'corrupt' (x_stream_warc's source; returns the 4-file DIR for the
+    file stream). Archive build is fixture; the walker (and gzip
+    transparency, HTTP split, digest recompute...) runs per read."""
+    import os as _os
+
+    def build():
+        from pyspark.sql import functions as F
+
+        from .operators.warc import (
+            synth_corrupt_warc_archives,
+            synth_warc_archives,
+        )
+
+        docs = _lake_docs(spark, sf_dir, None)
+        if variant == "crawl":
+            docs = docs.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("doc_id") % 2 == 0,
+                        F.lit(" and that have with the"),
+                    ).otherwise(F.lit("")),
+                ),
+            )
+            return {"archives": synth_warc_archives(docs, html=True)}
+        if variant == "corrupt":
+            return {
+                "archives": synth_corrupt_warc_archives(docs).repartition(4)
+            }
+        kw = {"plain": {}, "html": {"html": True},
+              "http": {"http_envelope": True}}[variant]
+        return {"archives": synth_warc_archives(docs, **kw)}
+
+    read = _stage_lake_frames(spark, sf_dir, f"warc_{variant}", build)
+    if variant == "corrupt":
+        base = _STAGED_SOURCES[("lake", f"warc_{variant}", sf_dir)]
+        return _os.path.join(base, "archives")
+    return read("archives")
+
+
+def _stage_pdf_media(spark, sf_dir, modern: bool):
+    """Staged PDF fixture (r14): the per-doc build+encrypt cycle is
+    fixture work; the certified operator — xref/ObjStm walk, stream
+    decode, DECRYPTION, text assembly — still runs in full on every
+    read of the staged bytes."""
+    name = "pdf_modern" if modern else "pdf_classic"
+
+    def build():
+        from .operators.pdf import synth_pdf_media, synth_pdf_modern_media
+
+        synth = synth_pdf_modern_media if modern else synth_pdf_media
+        return {"media": synth(_lake_docs(spark, sf_dir, None))}
+
+    return _stage_lake_frames(spark, sf_dir, name, build)("media")
+
+
+def _stage_tiff_media(spark, sf_dir):
+    """Staged TIFF variant fixture for x_multimodal_tiff (r14): the
+    five-encoding build is fixture work; the decode pass is the
+    certified operator."""
+    from .operators.multimodal import synth_tiff_variant_media
+
+    def build():
+        return {
+            "media": synth_tiff_variant_media(_lake_docs(spark, sf_dir, 0))
+        }
+
+    return _stage_lake_frames(spark, sf_dir, "tiff_media", build)("media")
+
+
+def _stage_wds_shards(spark, sf_dir):
+    """Staged WebDataset shard fixture, shared by the three wds
+    queries (r14 — same honesty move as the lakehouse staging: the
+    tar/gzip BUILD is fixture, the walker is the operator). Returns
+    (32-partition DataFrame for the batch walkers, 4-file directory
+    path for the stream twin — few files keeps its maxFilesPerTrigger
+    multi-micro-batch shape meaningful)."""
+    import os as _os
+
+    from .operators.webdataset import synth_webdataset_shards
+
+    def build():
+        docs = _lake_docs(spark, sf_dir, None)
+        shards = synth_webdataset_shards(docs)
+        return {"shards": shards, "shards_stream": shards.repartition(4)}
+
+    read = _stage_lake_frames(spark, sf_dir, "wds_shards", build)
+    base = _STAGED_SOURCES[("lake", "wds_shards", sf_dir)]
+    return read("shards"), _os.path.join(base, "shards_stream")
+
+
 @query("x_webdataset_members", oracle=_WDS_MEMBERS_SQL)
 def x_webdataset_members(spark, sf_dir):
     """WebDataset shard ingestion (r11) — the tar-shard format
@@ -3956,13 +4040,10 @@ def x_webdataset_members(spark, sf_dir):
     member payloads."""
     from pyspark.sql import functions as F
 
-    from .operators.webdataset import (
-        synth_webdataset_shards,
-        webdataset_members,
-    )
+    from .operators.webdataset import webdataset_members
 
-    docs = _table(spark, sf_dir, "documents")
-    m = webdataset_members(synth_webdataset_shards(docs))
+    shards, _src = _stage_wds_shards(spark, sf_dir)
+    m = webdataset_members(shards)
     return m.filter(F.col("parse_error").isNull()).select(
         "shard_id",
         "sample_key",
@@ -4037,19 +4118,17 @@ def x_stream_webdataset(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from .operators.webdataset import synth_webdataset_shards
     from .streaming.jobs import (
         webdataset_ingest_stream,
         webdataset_stream_source,
     )
 
-    docs = _table(spark, sf_dir, "documents")
-    src = tempfile.mkdtemp(prefix="ubsp_wds_src_")
+    # staged 4-file shard source (r14); sink + checkpoint stay FRESH
+    # per run — reusing a checkpoint would replay nothing and read a
+    # cached sink, which is not running the stream
+    _shards, src = _stage_wds_shards(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="ubsp_wds_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_wds_ckpt_")
-    synth_webdataset_shards(docs).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
     q = webdataset_ingest_stream(
         webdataset_stream_source(spark, src, max_files_per_trigger=2),
         out,
@@ -4092,15 +4171,12 @@ def x_webdataset_samples(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from .operators.webdataset import (
-        synth_webdataset_shards,
         webdataset_members,
         webdataset_samples,
     )
 
-    docs = _table(spark, sf_dir, "documents")
-    agg = webdataset_samples(
-        webdataset_members(synth_webdataset_shards(docs))
-    )
+    shards, _src = _stage_wds_shards(spark, sf_dir)
+    agg = webdataset_samples(webdataset_members(shards))
     return agg.select(
         "shard_id",
         "sample_key",
@@ -4221,17 +4297,14 @@ def x_pdf_text(spark, sf_dir):
     count, stream decode and exact text round-trip including non-Latin
     scripts. Encrypted/ObjStm/CID-font PDFs are the documented seam
     (quarantine or omission, never mojibake — operators/pdf.py)."""
-    from .operators.pdf import pdf_text, synth_pdf_media
+    from .operators.pdf import pdf_text
 
-    # repartition BEFORE the CPU-heavy build+decrypt: the documents
-    # table is one parquet row group, so without this every synth/
-    # crypto cycle serializes onto one task (r13 — at 100 TB the PDFs
-    # arrive as a many-file binary scan, already parallel; this is the
-    # fixture's stand-in for that)
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # staged PDF bytes (r14; subsumes the r13 repartition fix): at
+    # 100 TB the PDFs arrive as a many-file binary scan — the staged
+    # parquet is that stand-in; walk + decrypt still run per read
+    return pdf_text(_stage_pdf_media(spark, sf_dir, modern=False)).drop(
+        "parse_error"
     )
-    return pdf_text(synth_pdf_media(docs)).drop("parse_error")
 
 
 _NPY_SQL = (
@@ -5414,13 +5487,12 @@ def x_pdf_modern(spark, sf_dir):
     offset walking, predictor undo and spec-correct content
     concatenation; pdf.py documents the remaining seam (encryption,
     non-Flate filters, CID fonts)."""
-    from .operators.pdf import pdf_text, synth_pdf_modern_media
+    from .operators.pdf import pdf_text
 
-    # same one-row-group parallelism fix as x_pdf_text (r13)
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # staged PDF bytes (r14), cf. x_pdf_text
+    return pdf_text(_stage_pdf_media(spark, sf_dir, modern=True)).drop(
+        "parse_error"
     )
-    return pdf_text(synth_pdf_modern_media(docs)).drop("parse_error")
 
 
 _SUBTITLE_SQL = (
@@ -5623,10 +5695,9 @@ def x_warc_records(spark, sf_dir):
     framing, header normalization and gzip transparency through real
     archive bytes. Spec fixtures (folding, embedded CRLF CRLF bodies,
     corruption rejection) are pinned in tests/test_warc.py."""
-    from .operators.warc import synth_warc_archives, warc_records
+    from .operators.warc import warc_records
 
-    docs = _table(spark, sf_dir, "documents")
-    recs = warc_records(synth_warc_archives(docs))
+    recs = warc_records(_stage_warc(spark, sf_dir, "plain"))
     from pyspark.sql import functions as F
 
     return recs.select(
@@ -5663,14 +5734,9 @@ def x_warc_text(spark, sf_dir):
     extractor inverts the escaping and drops exactly the non-content
     subtrees, through real (and every third archive, gzipped) WARC
     bytes."""
-    from .operators.warc import (
-        extract_html_text,
-        synth_warc_archives,
-        warc_records,
-    )
+    from .operators.warc import extract_html_text, warc_records
 
-    docs = _table(spark, sf_dir, "documents")
-    recs = warc_records(synth_warc_archives(docs, html=True))
+    recs = warc_records(_stage_warc(spark, sf_dir, "html"))
     out = extract_html_text(
         recs.filter(
             "warc_type = 'response' AND content_type = 'text/html'"
@@ -5712,12 +5778,10 @@ def x_warc_http(spark, sf_dir):
     from .operators.warc import (
         extract_html_text,
         split_http_response,
-        synth_warc_archives,
         warc_records,
     )
 
-    docs = _table(spark, sf_dir, "documents")
-    recs = warc_records(synth_warc_archives(docs, http_envelope=True))
+    recs = warc_records(_stage_warc(spark, sf_dir, "http"))
     resp = split_http_response(
         recs.filter(
             "warc_type = 'response' AND "
@@ -5988,16 +6052,13 @@ def x_warc_digest(spark, sf_dir):
     SHA-1 JVM-side and compares — the closed form pins which records
     have digests, which verify, and which are flagged. The digest-less
     warcinfo records certify the NULL path."""
-    from .operators.warc import (
-        synth_warc_archives,
-        warc_digest_verify,
-        warc_records,
-    )
+    from .operators.warc import warc_digest_verify, warc_records
 
     from pyspark.sql import functions as F
 
-    docs = _table(spark, sf_dir, "documents")
-    checked = warc_digest_verify(warc_records(synth_warc_archives(docs)))
+    checked = warc_digest_verify(
+        warc_records(_stage_warc(spark, sf_dir, "plain"))
+    )
     # NULL-free status string: the driver's row sort stringifies cells,
     # and a NULL boolean renders differently in pandas ("None") vs
     # DuckDB ("nan"), destabilizing the order within an archive
@@ -6028,19 +6089,16 @@ def x_stream_warc(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from .operators.warc import synth_corrupt_warc_archives
     from .streaming.jobs import (
         warc_archive_stream_source,
         warc_ingest_stream,
     )
 
-    docs = _table(spark, sf_dir, "documents")
-    src = tempfile.mkdtemp(prefix="ubsp_warc_src_")
+    # staged 4-file corrupt-archive source (r14); sink + checkpoint
+    # stay fresh per run so the stream really drains every time
+    src = _stage_warc(spark, sf_dir, "corrupt")
     out = tempfile.mkdtemp(prefix="ubsp_warc_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_warc_ckpt_")
-    synth_corrupt_warc_archives(docs).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
     q = warc_ingest_stream(
         warc_archive_stream_source(spark, src, max_files_per_trigger=2),
         out,
@@ -6369,10 +6427,11 @@ def x_multimodal_tiff(spark, sf_dir):
         StructType,
     )
 
-    from .operators.multimodal import decode_real, synth_tiff_variant_media
+    from .operators.multimodal import decode_real
 
-    docs = _table(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
-    media = synth_tiff_variant_media(docs)
+    # staged TIFF variants (r14): the five-encoding BUILD is fixture;
+    # the certified operator is the decode pass below
+    media = _stage_tiff_media(spark, sf_dir)
 
     def _dec(batches):
         import pandas as pd
@@ -9059,13 +9118,27 @@ _TOUCHED_THIS_ROUND = _derive_touched(
     ),
     sql_tokens=frozenset(),
     # queries re-pointed at the staged-fixture layer (registry-side
-    # change, no operator-function seam) — the lakehouse four
+    # change, no operator-function seam): the lakehouse four, the
+    # webdataset three, the TIFF certificate, the two PDF walks and
+    # the WARC five
     extra=frozenset(
         {
             "x_delta_checkpoint",
             "x_delta_deletion_vectors",
             "x_iceberg_live_files",
             "x_iceberg_live_rows",
+            "x_webdataset_members",
+            "x_webdataset_samples",
+            "x_stream_webdataset",
+            "x_multimodal_tiff",
+            "x_pdf_text",
+            "x_pdf_modern",
+            "x_warc_records",
+            "x_warc_text",
+            "x_warc_http",
+            "x_warc_digest",
+            "x_curate_crawl",
+            "x_stream_warc",
         }
     ),
 )
@@ -9089,18 +9162,39 @@ def _rotated(keys):
     checked_oracle = [k for k in checked if k in ORACLES]
     checked_rows_only = [k for k in checked if k not in ORACLES]
     green = [k for k in keys if status.get(k, (None, 0))[0] == "green"]
-    # Within the green tail, lead with queries whose IMPLEMENTATION or
-    # ORACLE changed this round — their historical green predates the
-    # change, so a re-check slot re-earns it; untouched greens queue
-    # behind (their status can't move). Update per round.
-    touched = [k for k in green if k in _TOUCHED_THIS_ROUND]
-    # Untouched greens: STALEST vintage first (VERDICT r05 #5) — a green
-    # earned in r02 predates the materialization seam, shared caches and
-    # every later refactor, so its driver re-confirmation is worth more
-    # than re-checking last round's; stable on registration order within
-    # a vintage.
+    # Within the green tail (r14 refinement): the ANCIENT cohort — all
+    # greens at the single OLDEST outstanding vintage — goes first, so
+    # a standing drain criterion ("nothing older than rN", VERDICT r11
+    # #/r13 #4) cannot be starved by a touched-heavy round; the
+    # builder's own two-scale sweep certifies touched queries locally
+    # the round they change, so deferring a RECENT-vintage touched
+    # green one round loses less than leaving a 6-round-stale green
+    # unconfirmed another round.
+    oldest = min((status[k][1] for k in green), default=None)
+    ancient = [k for k in green if status[k][1] == oldest]
+    # Then queries whose IMPLEMENTATION or ORACLE changed this round —
+    # their historical green predates the change, so a re-check slot
+    # re-earns it; STALEST vintage first, so any window overflow
+    # defers the most recently certified. Update per round.
+    touched = sorted(
+        (
+            k
+            for k in green
+            if k in _TOUCHED_THIS_ROUND and k not in set(ancient)
+        ),
+        key=lambda k: status[k][1],
+    )
+    # Remaining untouched greens: STALEST vintage first (VERDICT r05
+    # #5) — a green earned in r02 predates the materialization seam,
+    # shared caches and every later refactor, so its driver
+    # re-confirmation is worth more than re-checking last round's;
+    # stable on registration order within a vintage.
     untouched = sorted(
-        (k for k in green if k not in _TOUCHED_THIS_ROUND),
+        (
+            k
+            for k in green
+            if k not in _TOUCHED_THIS_ROUND and k not in set(ancient)
+        ),
         key=lambda k: status[k][1],
     )
     return (
@@ -9108,6 +9202,7 @@ def _rotated(keys):
         + checked_oracle
         + never_rows_only
         + checked_rows_only
+        + ancient
         + touched
         + untouched
     )
@@ -9137,6 +9232,12 @@ def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
     _stage_iceberg_v1(spark, sf_dir)
     _stage_iceberg_v2(spark, sf_dir)
     _stage_delta_checkpoint(spark, sf_dir)
+    _stage_wds_shards(spark, sf_dir)
+    _stage_tiff_media(spark, sf_dir)
+    _stage_pdf_media(spark, sf_dir, modern=False)
+    _stage_pdf_media(spark, sf_dir, modern=True)
+    for variant in ("plain", "html", "http", "crawl", "corrupt"):
+        _stage_warc(spark, sf_dir, variant)
     # warm-ups are optimizations, never prerequisites: a failure must not
     # abort the prepare pass (the real queries just pay their own first-hit)
     try:
