@@ -667,3 +667,51 @@ def test_union_resolution_prefers_exact_match():
     assert list(avro_container_records(ce, reader_schema=re_)) == [
         (0, "e", "enum", "B")
     ]
+
+
+def test_union_exact_match_uses_full_name_for_named_types():
+    """review r14: a reader union of two same-kind named types must
+    resolve the writer against the branch with the SAME FULL NAME
+    (Java bestBranch), not the first structurally-resolvable one."""
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        build_avro_container,
+    )
+
+    w = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "e",
+                    "type": {
+                        "type": "enum", "name": "E2", "symbols": ["A", "B"],
+                    },
+                }
+            ],
+        }
+    ).encode()
+    r = _json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {
+                    "name": "e",
+                    "type": [
+                        {"type": "enum", "name": "E1",
+                         "symbols": ["X", "Y"]},
+                        {"type": "enum", "name": "E2",
+                         "symbols": ["A", "B"]},
+                    ],
+                }
+            ],
+        }
+    ).encode()
+    c = build_avro_container(w, [zigzag_encode(1)], bytes(16))
+    # name-matched branch E2 wins: writer symbol index 1 = 'B'
+    assert list(avro_container_records(c, reader_schema=r)) == [
+        (0, "e", "enum", "B")
+    ]

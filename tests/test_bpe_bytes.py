@@ -149,3 +149,19 @@ def test_repeat_concatenation_law_matches_query_closed_form():
         cont = encode_text_ids(" " + t, ranks, vocab)
         digits = [0x20] + [ord(c) for c in str(d)]
         assert whole == head + cont * (r - 1) + digits, d
+
+
+def test_loader_hash_symbol_merges_not_dropped():
+    """review r14: '#' is a real vocab symbol — merges whose first
+    token starts with '#' ('# #', '## #') must load; ONLY the
+    '#version' header is skipped."""
+    b2u = gpt2_bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    vocab["##"] = 256
+    vocab["###"] = 257
+    ranks, _v = load_gpt2_tokenizer(
+        json.dumps(vocab), "#version: 0.2\n# #\n## #\n"
+    )
+    assert ranks == {("#", "#"): 0, ("##", "#"): 1}
+    ids = encode_text_ids("###", ranks, _v)
+    assert ids == [257]

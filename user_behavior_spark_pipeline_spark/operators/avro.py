@@ -528,13 +528,26 @@ def _resolve_type(name: str, w, r, depth: int):
     if rn == "union":
         # writer non-union vs reader union: the reference resolution
         # (Java ResolvingGrammarGenerator.bestBranch) prefers the
-        # reader branch whose TYPE exactly matches the writer's before
-        # falling back to the first branch that resolves via promotion
-        # — writer int against reader ["double","int"] must decode as
-        # int, not double
+        # reader branch that exactly matches the writer — for named
+        # types (record/enum/fixed) that means the FULL NAME, not just
+        # the kind, so a union of two enums picks the same-named one
+        # (review r14); for primitives the type keyword. Promotions
+        # only as the fallback pass — writer int against reader
+        # ["double","int"] must decode as int, not double.
+        def _exact_match(rm) -> bool:
+            if _json_type_name(rm) != wn:
+                return False
+            if wn in ("record", "enum", "fixed"):
+                return (
+                    isinstance(w, dict)
+                    and isinstance(rm, dict)
+                    and w.get("name") == rm.get("name")
+                )
+            return True
+
         for exact in (True, False):
             for k, rm in enumerate(r):
-                if (_json_type_name(rm) == wn) != exact:
+                if _exact_match(rm) != exact:
                     continue
                 try:
                     return _resolve_type(f"{name}|{k}", w, rm, depth + 1)

@@ -220,12 +220,16 @@ def _decode_cid(s: str, cmap: dict[int, str] | str | None) -> str:
     b = s.encode("latin-1", "replace")
     if cmap == "utf16be":
         if len(b) % 2:
-            raise ValueError("UTF-16BE CID string has odd length")
+            raise PdfSemanticQuarantine(
+                "UTF-16BE CID string has odd length"
+            )
         try:
             return b.decode("utf-16-be")
         except UnicodeDecodeError as e:
             # malformed surrogates must quarantine, never mojibake
-            raise ValueError(f"CID text is not valid UTF-16BE: {e}") from None
+            raise PdfSemanticQuarantine(
+                f"CID text is not valid UTF-16BE: {e}"
+            ) from None
     return "".join(
         cmap.get((b[i] << 8) | b[i + 1], "")
         for i in range(0, len(b) - 1, 2)
@@ -544,6 +548,16 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
 
 _PDF_WS = b"\x00\t\n\x0c\r "
 _PDF_DELIM = b"()<>[]{}/%"
+
+class PdfSemanticQuarantine(ValueError):
+    """A quarantine whose MEANING must survive the salvage fallback:
+    the file's framing may be perfectly intact, but its content cannot
+    be read faithfully (an unreadable predefined CMap, malformed
+    UTF-16 CID text) — re-extracting via the framing scan would emit
+    exactly the mojibake the quarantine refuses. Typed, so the
+    extract-path gate does not depend on message substrings
+    (review r14)."""
+
 
 #: predefined CMaps whose code space is Unicode (ISO 32000 Table 118's
 #: Uni<collection>-UCS2-<HW->H/V and Uni<collection>-UTF16-H/V
@@ -1076,7 +1090,7 @@ class _PdfDoc:
             elif enc in (None, "Identity-H", "Identity-V"):
                 out[name] = None  # glyph-indexed CID text: omit
             elif isinstance(enc, str):
-                raise ValueError(
+                raise PdfSemanticQuarantine(
                     f"predefined CMap {enc!r} unsupported (registry "
                     "table not shipped)"
                 )
@@ -1138,14 +1152,11 @@ def pdf_text_extract(payload: bytes) -> dict:
         return _pdf_extract_via_xref(payload)
     except ValueError as xref_err:
         # salvage exists for DAMAGED framing — semantic quarantines
-        # (ciphertext, unreadable predefined CMaps, malformed UTF-16
-        # CID text) must propagate: the framing scan would "succeed"
-        # by emitting exactly the mojibake these errors refuse
-        msg = str(xref_err)
-        if (
-            "encrypted PDF" in msg
-            or "predefined CMap" in msg
-            or "UTF-16BE" in msg
+        # (ciphertext, and the TYPED PdfSemanticQuarantine class) must
+        # propagate: the framing scan would "succeed" by emitting
+        # exactly the mojibake these errors refuse
+        if isinstance(xref_err, PdfSemanticQuarantine) or (
+            "encrypted PDF" in str(xref_err)
         ):
             raise
         try:

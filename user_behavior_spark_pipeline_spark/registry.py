@@ -4017,17 +4017,31 @@ def _stage_wds_shards(spark, sf_dir):
     path for the stream twin — few files keeps its maxFilesPerTrigger
     multi-micro-batch shape meaningful)."""
     import os as _os
+    import tempfile
 
     from .operators.webdataset import synth_webdataset_shards
 
-    def build():
+    key = ("lake", "wds_shards", sf_dir)
+    if key not in _STAGED_SOURCES:
+        base = tempfile.mkdtemp(prefix="ubsp_wds_shards_")
         docs = _lake_docs(spark, sf_dir, None)
-        shards = synth_webdataset_shards(docs)
-        return {"shards": shards, "shards_stream": shards.repartition(4)}
-
-    read = _stage_lake_frames(spark, sf_dir, "wds_shards", build)
-    base = _STAGED_SOURCES[("lake", "wds_shards", sf_dir)]
-    return read("shards"), _os.path.join(base, "shards_stream")
+        synth_webdataset_shards(docs).write.mode("overwrite").parquet(
+            _os.path.join(base, "shards")
+        )
+        # derive the 4-file stream copy from the STAGED bytes — a
+        # second write from the synthesis lineage would run the whole
+        # tar/gzip build twice (review r14)
+        spark.read.parquet(_os.path.join(base, "shards")).repartition(
+            4
+        ).write.mode("overwrite").parquet(
+            _os.path.join(base, "shards_stream")
+        )
+        _STAGED_SOURCES[key] = base
+    base = _STAGED_SOURCES[key]
+    return (
+        spark.read.parquet(_os.path.join(base, "shards")),
+        _os.path.join(base, "shards_stream"),
+    )
 
 
 @query("x_webdataset_members", oracle=_WDS_MEMBERS_SQL)
@@ -9172,6 +9186,7 @@ def _rotated(keys):
     # unconfirmed another round.
     oldest = min((status[k][1] for k in green), default=None)
     ancient = [k for k in green if status[k][1] == oldest]
+    ancient_set = set(ancient)
     # Then queries whose IMPLEMENTATION or ORACLE changed this round —
     # their historical green predates the change, so a re-check slot
     # re-earns it; STALEST vintage first, so any window overflow
@@ -9180,7 +9195,7 @@ def _rotated(keys):
         (
             k
             for k in green
-            if k in _TOUCHED_THIS_ROUND and k not in set(ancient)
+            if k in _TOUCHED_THIS_ROUND and k not in ancient_set
         ),
         key=lambda k: status[k][1],
     )
@@ -9193,7 +9208,7 @@ def _rotated(keys):
         (
             k
             for k in green
-            if k not in _TOUCHED_THIS_ROUND and k not in set(ancient)
+            if k not in _TOUCHED_THIS_ROUND and k not in ancient_set
         ),
         key=lambda k: status[k][1],
     )
