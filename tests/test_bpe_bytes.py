@@ -165,3 +165,64 @@ def test_loader_hash_symbol_merges_not_dropped():
     assert ranks == {("#", "#"): 0, ("##", "#"): 1}
     ids = encode_text_ids("###", ranks, _v)
     assert ids == [257]
+
+
+def test_pretokenize_differential_vs_published_pattern():
+    """Exact differential against the PUBLISHED GPT-2 pattern compiled
+    with the `regex` module's real \\p{L}/\\p{N} classes (env-gated:
+    the module happens to be available here; the in-repo scanner is
+    stdlib-only by design). 5k random strings over an alphabet chosen
+    to stress every divergence channel: Nl (Ⅻ), No (½), Mn-combining,
+    underscore, NBSP, contraction soup, CJK, emoji, digits."""
+    regex = pytest.importorskip("regex")
+
+    pat = regex.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+        r"|\s+(?!\S)|\s+"
+    )
+    import random
+
+    rng = random.Random(99)
+    alpha = (
+        "ab c'd\t\n 's'll x9 Ⅻ½ é中 _#!. ́😀 'venum12"
+    )
+    bad = []
+    for _ in range(5000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 48)))
+        ours = gpt2_pretokenize(s)
+        theirs = pat.findall(s)
+        if ours != theirs:
+            bad.append((s, ours, theirs))
+    assert not bad, bad[:3]
+
+
+def test_loader_hostile_inputs_only_valueerror():
+    """Walker-fuzz discipline for the tokenizer-file loader: random
+    mutations of a valid (vocab.json, merges.txt) pair either load or
+    raise ValueError — never any other exception class (the
+    quarantine contract every byte walker in this repo honors)."""
+    import random
+
+    from user_behavior_spark_pipeline_spark.operators.bpe_vocab import (
+        GPT2_MERGES_TXT,
+        GPT2_VOCAB_JSON,
+    )
+
+    rng = random.Random(4)
+    for trial in range(300):
+        vj = list(GPT2_VOCAB_JSON[:4000])
+        mt = list(GPT2_MERGES_TXT[:4000])
+        victim = vj if trial % 2 else mt
+        for _ in range(rng.randrange(1, 6)):
+            i = rng.randrange(len(victim))
+            op = rng.randrange(3)
+            if op == 0:
+                victim[i] = chr(rng.randrange(32, 127))
+            elif op == 1:
+                del victim[i]
+            else:
+                victim.insert(i, chr(rng.randrange(32, 127)))
+        try:
+            load_gpt2_tokenizer("".join(vj), "".join(mt))
+        except ValueError:
+            pass  # the quarantine class — always acceptable
