@@ -454,3 +454,64 @@ def test_predefined_unicode_cmaps_extract_and_registry_quarantines():
     bad = doc.replace("a".encode("utf-16-be").hex().encode(), b"d800")
     with pytest.raises(ValueError, match="UTF-16BE"):
         pdf_text_extract(bad)
+
+
+def _type0_embedded_cmap_doc(base: str | None, text: str) -> bytes:
+    """One-page PDF whose Type0 font's /Encoding is an EMBEDDED CMap
+    stream — a thin wrapper `usecmap`-ing ``base`` (None = a
+    self-contained map with no base)."""
+    body = b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+    if base is not None:
+        body += b"/" + base.encode() + b" usecmap\n"
+    body += (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"endcmap\nend\n"
+    )
+    hx = text.encode("utf-16-be").hex().encode()
+    content = b"BT /FU 12 Tf <" + hx + b"> Tj ET"
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /FU 5 0 R >> >> >>\n"
+        b"endobj\n",
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content),
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+        b"/Encoding 6 0 R >>\nendobj\n",
+        b"6 0 obj\n<< /Length %d /CMapName /Wrapped >>\nstream\n%s"
+        b"\nendstream\nendobj\n" % (len(body), body),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(out))
+        out += o
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_at,
+    )
+    return bytes(out)
+
+
+def test_embedded_cmap_usecmap_resolution():
+    """r14: an embedded encoding CMap resolves through its usecmap
+    base — a wrapper over a Uni* CMap extracts (the base's code space
+    is Unicode), a wrapper over another registry CMap quarantines BY
+    NAME, an Identity wrapper and a self-contained map keep the
+    documented omission."""
+    out = pdf_text_extract(
+        _type0_embedded_cmap_doc("UniGB-UCS2-H", "汉字 ok")
+    )
+    assert out == {"n_pages": 1, "text": "汉字 ok"}
+    with pytest.raises(ValueError, match="Add-RKSJ-H.*registry"):
+        pdf_text_extract(_type0_embedded_cmap_doc("Add-RKSJ-H", "x"))
+    out = pdf_text_extract(_type0_embedded_cmap_doc("Identity-H", "zz"))
+    assert out == {"n_pages": 1, "text": ""}
+    out = pdf_text_extract(_type0_embedded_cmap_doc(None, "zz"))
+    assert out == {"n_pages": 1, "text": ""}

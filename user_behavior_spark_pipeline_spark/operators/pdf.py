@@ -565,6 +565,10 @@ class PdfSemanticQuarantine(ValueError):
 #: for extraction (the table maps code->CID for glyph lookup only)
 _UNI_CMAP_RE = re.compile(r"Uni[A-Za-z0-9]+-(?:UCS2|UTF16)(?:-HW)?-[HV]")
 
+#: ``/BaseName usecmap`` inside an embedded encoding CMap stream —
+#: the wrapper-over-predefined shape (ISO 32000 §9.7.5.3)
+_USECMAP_RE = re.compile(rb"/([A-Za-z0-9\-]+)\s+usecmap\b")
+
 
 class _Ref:
     """An indirect reference ``num gen R`` (gen ignored — incremental
@@ -1094,9 +1098,41 @@ class _PdfDoc:
                     f"predefined CMap {enc!r} unsupported (registry "
                     "table not shipped)"
                 )
+            elif (
+                isinstance(enc, tuple)
+                and len(enc) == 3
+                and enc[0] == "stream"
+            ):
+                # embedded encoding CMap (r14): resolve through its
+                # ``usecmap`` base — real writers embed thin wrappers
+                # over a predefined CMap (ISO 32000 §9.7.5.3). The
+                # wrapper's own cidrange edits remap code->CID (glyph
+                # choice), not code->character, so the BASE's code
+                # space still governs text: Uni* base -> UTF-16BE,
+                # Identity/no base -> omission, other registry base ->
+                # the same named quarantine as the direct reference.
+                out[name] = self._embedded_cmap_mode(
+                    self._decode_stream(enc[1], enc[2])
+                )
             else:
-                out[name] = None  # embedded CMap stream: omit
+                out[name] = None  # unrecognized /Encoding shape: omit
         return out
+
+    @staticmethod
+    def _embedded_cmap_mode(data: bytes) -> str | None:
+        m = _USECMAP_RE.search(data)
+        if m is None:
+            return None  # self-contained code->CID map: codes are not
+            # characters, the documented omission
+        base = m.group(1).decode("latin-1")
+        if _UNI_CMAP_RE.fullmatch(base):
+            return "utf16be"
+        if base in ("Identity-H", "Identity-V"):
+            return None
+        raise PdfSemanticQuarantine(
+            f"embedded CMap uses unsupported base {base!r} (registry "
+            "table not shipped)"
+        )
 
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("Contents"))
