@@ -715,3 +715,46 @@ def test_union_exact_match_uses_full_name_for_named_types():
     assert list(avro_container_records(c, reader_schema=r)) == [
         (0, "e", "enum", "B")
     ]
+
+
+def test_union_exact_match_compares_namespaced_full_names():
+    """review r14: union exact-match must compare FULL names — two
+    same-kind branches with equal short names in different namespaces
+    resolve to the namespace-equal one, and an inline-fullname writer
+    matches a name+namespace reader branch."""
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        build_avro_container,
+    )
+
+    def rec(enum_schema):
+        return _json.dumps(
+            {
+                "type": "record",
+                "name": "T",
+                "fields": [{"name": "e", "type": enum_schema}],
+            }
+        ).encode()
+
+    reader = rec(
+        [
+            {"type": "enum", "name": "E", "namespace": "ns1",
+             "symbols": ["X", "Y"]},
+            {"type": "enum", "name": "E", "namespace": "ns2",
+             "symbols": ["A", "B"]},
+        ]
+    )
+    # writer declares ns2.E via name+namespace: must pick branch 2
+    w = rec({"type": "enum", "name": "E", "namespace": "ns2",
+             "symbols": ["A", "B"]})
+    c = build_avro_container(w, [zigzag_encode(1)], bytes(16))
+    assert list(avro_container_records(c, reader_schema=reader)) == [
+        (0, "e", "enum", "B")
+    ]
+    # writer declares the same type via an inline dotted fullname
+    w = rec({"type": "enum", "name": "ns2.E", "symbols": ["A", "B"]})
+    c = build_avro_container(w, [zigzag_encode(0)], bytes(16))
+    assert list(avro_container_records(c, reader_schema=reader)) == [
+        (0, "e", "enum", "A")
+    ]

@@ -226,3 +226,19 @@ def test_loader_hostile_inputs_only_valueerror():
             load_gpt2_tokenizer("".join(vj), "".join(mt))
         except ValueError:
             pass  # the quarantine class — always acceptable
+
+
+def test_version_header_only_skipped_on_line_zero():
+    """review r14: '#version' is only a header on line 0 — a later
+    merge whose FIRST token is the literal symbol run '#version' is a
+    real merge and must load, not silently drop."""
+    b2u = gpt2_bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    vocab["#version"] = 256
+    vocab["#versionx"] = 257
+    vj = json.dumps(vocab)
+    # no header: a line-0 merge that HAPPENS to start with '#versio'
+    # pieces is still... line 0 '#version'-prefixed IS skipped (the
+    # documented header heuristic), so put the header first
+    ranks, _ = load_gpt2_tokenizer(vj, "#version: 0.2\n#version x\n")
+    assert ranks == {("#version", "x"): 0}

@@ -515,3 +515,33 @@ def test_embedded_cmap_usecmap_resolution():
     assert out == {"n_pages": 1, "text": ""}
     out = pdf_text_extract(_type0_embedded_cmap_doc(None, "zz"))
     assert out == {"n_pages": 1, "text": ""}
+
+
+def test_embedded_cmap_usecmap_ignores_comments_and_strings():
+    """review r14: a '/Name usecmap' token inside a %-comment or a
+    (...) string literal is data, not the wrapper's base reference —
+    the dispatch must see only operator context."""
+    from user_behavior_spark_pipeline_spark.operators.pdf import _PdfDoc
+
+    # comment-only mention: self-contained map -> documented omission
+    body = (
+        b"%%  /UniGB-UCS2-H usecmap (historical note)\n"
+        b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\nendcmap\n"
+    )
+    assert _PdfDoc._embedded_cmap_mode(body) is None
+    # string-literal mention (would otherwise quarantine by name)
+    body = (
+        b"begincmap\n(/Add-RKSJ-H usecmap) pop\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"endcmap\n"
+    )
+    assert _PdfDoc._embedded_cmap_mode(body) is None
+    # a REAL operator after a commented one still wins
+    body = (
+        b"% /Add-RKSJ-H usecmap\n/UniJIS-UCS2-H usecmap\nbegincmap\n"
+    )
+    assert _PdfDoc._embedded_cmap_mode(body) == "utf16be"
+    # nested/escaped string contents stay inert
+    body = b"( nested (\\) /UniKS-UTF16-H usecmap) ) pop\nbegincmap\n"
+    assert _PdfDoc._embedded_cmap_mode(body) is None

@@ -534,15 +534,30 @@ def _resolve_type(name: str, w, r, depth: int):
         # (review r14); for primitives the type keyword. Promotions
         # only as the fallback pass — writer int against reader
         # ["double","int"] must decode as int, not double.
+        def _fullname(s) -> str | None:
+            # Avro fullname: a dotted ``name`` IS the fullname; else
+            # prepend the schema's own ``namespace``. Enclosing-scope
+            # namespace inheritance (a nested record inheriting its
+            # container's namespace) is out of scope here, matching
+            # the alias/record-name note above (review r14).
+            if not isinstance(s, dict):
+                return None
+            nm = s.get("name")
+            if not isinstance(nm, str):
+                return None
+            if "." in nm or not s.get("namespace"):
+                return nm
+            return f"{s['namespace']}.{nm}"
+
         def _exact_match(rm) -> bool:
             if _json_type_name(rm) != wn:
                 return False
             if wn in ("record", "enum", "fixed"):
-                return (
-                    isinstance(w, dict)
-                    and isinstance(rm, dict)
-                    and w.get("name") == rm.get("name")
-                )
+                # Java bestBranch matches FULL names — two same-kind
+                # branches whose short names collide across namespaces
+                # must resolve to the namespace-equal one
+                wf, rf = _fullname(w), _fullname(rm)
+                return wf is not None and wf == rf
             return True
 
         for exact in (True, False):

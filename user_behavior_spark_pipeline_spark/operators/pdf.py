@@ -570,6 +570,39 @@ _UNI_CMAP_RE = re.compile(r"Uni[A-Za-z0-9]+-(?:UCS2|UTF16)(?:-HW)?-[HV]")
 _USECMAP_RE = re.compile(rb"/([A-Za-z0-9\-]+)\s+usecmap\b")
 
 
+def _strip_ps_comments_and_strings(data: bytes) -> bytes:
+    """Blank out %-comments (run to EOL) and ``(...)`` string literals
+    (nested parens, ``\\``-escapes) from a PostScript/CMap stream so a
+    token search only sees operator context. Bytes are replaced with
+    spaces, preserving offsets."""
+    out = bytearray(data)
+    n = len(data)
+    i = 0
+    depth = 0  # (...) string nesting
+    while i < n:
+        c = data[i]
+        if depth:
+            if c == 0x5C and i + 1 < n:  # backslash escape
+                out[i] = out[i + 1] = 0x20
+                i += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+            out[i] = 0x20
+        elif c == 0x28:  # string start
+            depth = 1
+            out[i] = 0x20
+        elif c == 0x25:  # % comment to EOL
+            while i < n and data[i] not in (0x0A, 0x0D):
+                out[i] = 0x20
+                i += 1
+            continue
+        i += 1
+    return bytes(out)
+
+
 class _Ref:
     """An indirect reference ``num gen R`` (gen ignored — incremental
     updates resolve through the xref, which already picks the live
@@ -1120,7 +1153,10 @@ class _PdfDoc:
 
     @staticmethod
     def _embedded_cmap_mode(data: bytes) -> str | None:
-        m = _USECMAP_RE.search(data)
+        # anchor the usecmap search to OPERATOR context: a
+        # '/Name usecmap' inside a %-comment or a (...) string literal
+        # is data, not the wrapper's base reference (review r14)
+        m = _USECMAP_RE.search(_strip_ps_comments_and_strings(data))
         if m is None:
             return None  # self-contained code->CID map: codes are not
             # characters, the documented omission
