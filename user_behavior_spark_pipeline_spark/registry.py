@@ -1805,22 +1805,50 @@ def x_delta_checkpoint(spark, sf_dir):
     return delta_live_files_from_checkpoint(ptr, cks, tail)
 
 
+#: Bump whenever any synth_* fixture builder's OUTPUT changes — the
+#: staged trees below are keyed on this, so a stale on-disk tree from
+#: an older builder can never be served to a newer operator.
+_LAKE_STAGE_EPOCH = "r15a"
+
+
 def _stage_lake_frames(spark, sf_dir, name, build):
-    """Stage a lakehouse fixture's synthesized frames once per
+    """Stage a lakehouse/format fixture's synthesized frames once per
     (fixture, sf) through the memoized layer (VERDICT r13 #3 — the
     r03 `_stage_catalog_table` move): ``build`` maps the docs slice
     to {subdir: DataFrame}; staged parquet is read back on every
     call, so BENCH (which pre-warms via prepare_staged) prices the
     replay/walk under test, not the per-doc builder. Queries stay
-    self-sufficient — the first hit pays the synthesis."""
+    self-sufficient — the first hit pays the synthesis.
+
+    The on-disk location is DETERMINISTIC (sha1 of fixture name +
+    sf_dir + ``_LAKE_STAGE_EPOCH``) and published atomically via
+    rename, so a prepare pass in another process — or an earlier
+    session on the same machine — is reused instead of re-paying the
+    synthesis, and repeated sessions converge on one tree per fixture
+    instead of leaking a new mkdtemp each run (review r14)."""
+    import hashlib as _hashlib
     import os as _os
+    import shutil as _shutil
     import tempfile
 
     key = ("lake", name, sf_dir)
     if key not in _STAGED_SOURCES:
-        base = tempfile.mkdtemp(prefix=f"ubsp_{name}_")
-        for sub, df in build().items():
-            df.write.mode("overwrite").parquet(_os.path.join(base, sub))
+        tag = _hashlib.sha1(
+            repr((name, _os.path.abspath(sf_dir), _LAKE_STAGE_EPOCH)).encode()
+        ).hexdigest()[:12]
+        base = _os.path.join(tempfile.gettempdir(), f"ubsp_stage_{name}_{tag}")
+        marker = _os.path.join(base, "_STAGED")
+        if not _os.path.exists(marker):
+            tmp = tempfile.mkdtemp(prefix=f"ubsp_{name}_")
+            for sub, df in build().items():
+                df.write.mode("overwrite").parquet(_os.path.join(tmp, sub))
+            with open(_os.path.join(tmp, "_STAGED"), "w") as fh:
+                fh.write(_LAKE_STAGE_EPOCH)
+            try:
+                _os.rename(tmp, base)
+            except OSError:
+                # another process published first — use its tree
+                _shutil.rmtree(tmp, ignore_errors=True)
         _STAGED_SOURCES[key] = base
     base = _STAGED_SOURCES[key]
     return lambda sub: spark.read.parquet(_os.path.join(base, sub))
@@ -8452,6 +8480,69 @@ def x_corpus_chunks_bpe(spark, sf_dir):
     return chunk_documents_bpe_arrow(docs, 64, 48)
 
 
+_TRAINER_SHARDS_SQL = (
+    # closed form of the trainer-handoff roundtrip: codepoint tokens,
+    # per-shard doc_id-order concat, fixed 128-token samples — the
+    # per-sample count AND id-sum certify the written bytes through
+    # the tar/npz walkers (operators/trainer_export.py)
+    "WITH docs AS (SELECT source AS shard, doc_id, text FROM documents "
+    "WHERE text IS NOT NULL AND length(text) > 0), "
+    "lens AS (SELECT shard, doc_id, text, length(text) AS n, "
+    "sum(length(text)) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - length(text) AS s "
+    "FROM docs), "
+    "chars AS (SELECT shard, s + i - 1 AS gpos, "
+    "unicode(substr(text, CAST(i AS INT), 1)) AS cp "
+    "FROM lens, UNNEST(generate_series(1, n)) AS u(i)) "
+    "SELECT shard, CAST(gpos // 128 AS BIGINT) AS sample_id, "
+    "count(*) AS n_tok, CAST(sum(cp) AS BIGINT) AS tok_sum "
+    "FROM chars GROUP BY 1, 2"
+)
+
+
+@query("x_trainer_shards_tar", oracle=_TRAINER_SHARDS_SQL)
+def x_trainer_shards_tar(spark, sf_dir):
+    """Trainer-handoff WRITE side, WebDataset flavor (r15 — closes the
+    VERDICT r14 "all readers, no writer" seam): pack each source's
+    documents into 128-codepoint-token sequences, MATERIALIZE them as
+    tar shards (.tokens.npy int32 + .meta.json per sample, 64 samples
+    per file), then read the written bytes back through the repo's own
+    certified walkers (tar_members + npy_decode) and emit per-sample
+    (n_tok, tok_sum) — the oracle recomputes both from the raw text,
+    so the hash certifies the writer's packing math AND its bytes.
+    Scale shape: one cumsum shuffle assigns offsets; docs explode to
+    the files they overlap, so each applyInPandas builder holds ≤ one
+    file of tokens (module docstring)."""
+    from .operators.trainer_export import (
+        packed_sample_stats,
+        write_packed_shards,
+    )
+
+    shards = write_packed_shards(
+        _table(spark, sf_dir, "documents"), 128, 64, fmt="tar"
+    )
+    return packed_sample_stats(shards, fmt="tar")
+
+
+@query("x_trainer_shards_npz", oracle=_TRAINER_SHARDS_SQL)
+def x_trainer_shards_npz(spark, sf_dir):
+    """Trainer-handoff WRITE side, stacked-NPZ flavor (r15): the same
+    packing law materialized as [n_samples x 128] zero-padded int32
+    matrices + true-length and sample-id vectors in a deterministic
+    ZIP, read back through zip_members + npy_decode with the padding
+    verified zero beyond each row's length. Same oracle as the tar
+    flavor — one closed form certifies both containers."""
+    from .operators.trainer_export import (
+        packed_sample_stats,
+        write_packed_shards,
+    )
+
+    shards = write_packed_shards(
+        _table(spark, sf_dir, "documents"), 128, 64, fmt="npz"
+    )
+    return packed_sample_stats(shards, fmt="npz")
+
+
 def _bpe_byte_stats_values() -> str:
     """VALUES rows for the byte-level oracle, from the COMMITTED
     naive-reference id statistics (operators/bpe_vocab.py, generated
@@ -9097,46 +9188,29 @@ def _derive_touched(
 
 
 _TOUCHED_THIS_ROUND = _derive_touched(
-    # r14 changed operator functions: the LZW width-growth interop fix
-    # (ADVICE high — pdf codec + the TIFF/GIF encoder tails), the R4
-    # EncryptMetadata key-derivation step, the Avro exact-match-first
-    # union resolution, the Delta DV zero-live accounting + fixture
-    # edges + live-set repartition, the Iceberg sequence-number
-    # inheritance (resolver + v2 fixture), the legacy-32bit roaring
-    # named quarantine, the predefined-CMap dispatch (+ the salvage
-    # gating in pdf_text_extract), and the new byte-level BPE module
+    # r15 changed operator functions: the ADVICE r14 four (merges.txt
+    # line-0-only header skip, Avro union FULLNAME exact match, the
+    # usecmap comment/string-context anchor, the deterministic staged
+    # fixture trees) and the new trainer-handoff writer module
     seed_fns=frozenset(
         {
-            "lzw_decode",
-            "lzw_encode",
-            "_tiff_lzw_encode",
-            "gif_encode_indexed",
-            "_file_key_r34",
-            "_resolve_type",
-            "delta_live_row_stats",
-            "_dv_dims",
-            "synth_delta_dv_log_rows",
-            "roaring_array_positions",
-            "_resolve_reachable_entries",
-            "_entry2_body",
-            "synth_iceberg_v2_rows",
-            "pdf_text_extract",
-            "_decode_cid",
-            "gpt2_bytes_to_unicode",
-            "gpt2_pretokenize",
             "load_gpt2_tokenizer",
-            "encode_text_ids",
-            "bpe_byte_ids_arrow",
-            "synth_bpe_byte_text",
+            "_resolve_type",
+            "_embedded_cmap_mode",
+            "_strip_ps_comments_and_strings",
+            "write_packed_shards",
+            "packed_sample_stats",
+            "_tar_shard_bytes",
+            "_npz_shard_bytes",
         }
     ),
     sql_tokens=frozenset(),
-    # queries re-pointed at the staged-fixture layer (registry-side
-    # change, no operator-function seam): the lakehouse four, the
-    # webdataset three, the TIFF certificate, the two PDF walks and
-    # the WARC five
+    # every query reading a _stage_lake_frames tree (the staging layer
+    # switched to deterministic on-disk keys — registry-side change)
     extra=frozenset(
         {
+            "x_trainer_shards_tar",
+            "x_trainer_shards_npz",
             "x_delta_checkpoint",
             "x_delta_deletion_vectors",
             "x_iceberg_live_files",
