@@ -242,3 +242,44 @@ def test_version_header_only_skipped_on_line_zero():
     # documented header heuristic), so put the header first
     ranks, _ = load_gpt2_tokenizer(vj, "#version: 0.2\n#version x\n")
     assert ranks == {("#version", "x"): 0}
+
+
+def test_scaled_tokenizer_50k_axis():
+    """r15: the 50k-merge table loads through the standard file-format
+    path, its extension merges can never fire on UTF-8 input (chain
+    seeds start with invalid-UTF-8 bytes), so encodings are IDENTICAL
+    to the committed table — which is what keeps the closed-form
+    oracle valid for x_corpus_bpe_50k — and chain tokens have real
+    depth (up to ~26 bytes)."""
+    from user_behavior_spark_pipeline_spark.operators.bpe_bytes import (
+        encode_text_ids,
+        gen_scaled_tokenizer,
+    )
+    from user_behavior_spark_pipeline_spark.operators.bpe_vocab import (
+        BPE_BYTE_TEMPLATES,
+        GPT2_MERGES_TXT,
+        GPT2_VOCAB_JSON,
+    )
+
+    vj, mt = gen_scaled_tokenizer(50_000)
+    r50, v50 = load_gpt2_tokenizer(vj, mt)
+    r9, v9 = load_gpt2_tokenizer(GPT2_VOCAB_JSON, GPT2_MERGES_TXT)
+    assert len(r50) == 50_000 and len(v50) == 50_256
+    # committed table is a PREFIX: same ranks, same ids
+    assert all(r50[p] == rk for p, rk in r9.items())
+    assert all(v50[t] == i for t, i in v9.items())
+    for k, tpl in enumerate(BPE_BYTE_TEMPLATES):
+        for text in (tpl + " 1234", " " + tpl, tpl + " " + tpl + " 77"):
+            assert encode_text_ids(text, r9, v9) == encode_text_ids(
+                text, r50, v50
+            ), k
+    # extension tokens start with bytes that cannot occur in UTF-8
+    b2u = gpt2_bytes_to_unicode()
+    bad_syms = {b2u[b] for b in [0xC0, 0xC1, *range(0xF5, 0x100)]}
+    ext = [t for t in v50 if t not in v9]
+    assert len(ext) == 49_100
+    assert all(t[0] in bad_syms for t in ext)
+    assert max(len(t) for t in ext) >= 25  # real token depth
+    # deterministic regeneration (lru_cache aside, the construction is)
+    gen_scaled_tokenizer.cache_clear()
+    assert gen_scaled_tokenizer(50_000) == (vj, mt)

@@ -8616,6 +8616,45 @@ def x_corpus_bpe_bytelevel(spark, sf_dir):
     )
 
 
+@query("x_corpus_bpe_50k", oracle=_BPE_BYTE_SQL)
+def x_corpus_bpe_50k(spark, sf_dir):
+    """Byte-level BPE at PRODUCTION vocabulary scale (r15 — VERDICT
+    r14: the 50k-merge throughput axis): the same fixture text and
+    Arrow-lane kernel as x_corpus_bpe_bytelevel, but the closure
+    table is a 50,000-merge / 50,256-token tokenizer-file pair
+    (bpe_bytes.gen_scaled_tokenizer — the committed corpus-trained
+    table extended by deterministic invalid-UTF-8-seeded merge chains
+    that can never fire on UTF-8 input, loaded through the standard
+    load_gpt2_tokenizer path). The kernel's merge loop is pair-dict
+    lookups, so cost must be table-size-independent — BENCH_ comparing
+    this query to the 900-merge twin measures exactly that axis, and
+    the closed-form oracle (encodings provably identical under both
+    tables; test_bpe_bytes) keeps the 50k run hash-certified, not just
+    timed."""
+    from pyspark.sql import functions as F
+
+    from .operators.bpe_bytes import (
+        bpe_byte_ids_arrow,
+        gen_scaled_tokenizer,
+        synth_bpe_byte_text,
+    )
+
+    vj, mt = gen_scaled_tokenizer(50_000)
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "text", synth_bpe_byte_text(F.col("doc_id"))
+    )
+    ids = bpe_byte_ids_arrow(F.col("text"), vj, mt)
+    t = docs.select("doc_id", ids.alias("_ids"))
+    return t.select(
+        "doc_id",
+        F.size("_ids").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+        F.element_at("_ids", 1).alias("first_id"),
+    )
+
+
 @query(
     "x_corpus_repetition",
     oracle=(
@@ -9195,6 +9234,7 @@ _TOUCHED_THIS_ROUND = _derive_touched(
     seed_fns=frozenset(
         {
             "load_gpt2_tokenizer",
+            "gen_scaled_tokenizer",
             "_resolve_type",
             "_embedded_cmap_mode",
             "_strip_ps_comments_and_strings",
