@@ -3799,6 +3799,69 @@ def x_multimodal_frames(spark, sf_dir):
     return sample_frames(synth_media(_table(spark, sf_dir, "documents")))
 
 
+_H264_SQL = (
+    # closed form of operators/h264.py's fixture (k = doc_id % 24):
+    # 4 fixed NALs (SPS with §7.4.2.1.1 crop arithmetic, PPS, the
+    # emulation-prevention-trap SEI, the IDR) + k%4+1 P/B/I slices.
+    # Every value derives from the PARAMETER formulas, never from
+    # re-running the parser.
+    "WITH d AS (SELECT doc_id, doc_id % 24 AS k, "
+    "CASE WHEN doc_id % 24 % 7 = 0 THEN 2 ELSE 1 END AS fu "
+    "FROM documents), "
+    "fixed AS ("
+    "SELECT doc_id, 0 AS nal_idx, 7 AS nal_type, 'sps' AS nal_name, "
+    "3 AS ref_idc, "
+    "CASE WHEN k%3=0 THEN 100 WHEN k%2=1 THEN 77 ELSE 66 END AS profile_idc, "
+    "30 + k%21 AS level_idc, 16*(40 + k%8) - 2*(k%5) AS width, "
+    "16*fu*(20 + k%6) - 2*fu*((k%5)//2) AS height, "
+    "NULL AS slice_type, NULL AS frame_num, NULL AS idr_pic_id FROM d "
+    "UNION ALL SELECT doc_id, 1, 8, 'pps', 3, NULL, NULL, NULL, NULL, "
+    "NULL, NULL, NULL FROM d "
+    "UNION ALL SELECT doc_id, 2, 6, 'sei', 0, NULL, NULL, NULL, NULL, "
+    "NULL, NULL, NULL FROM d "
+    "UNION ALL SELECT doc_id, 3, 5, 'idr_slice', 3, NULL, NULL, NULL, "
+    "NULL, 'I', 0, k FROM d), "
+    "slices AS (SELECT doc_id, 3 + i AS nal_idx, 1 AS nal_type, "
+    "'slice' AS nal_name, CASE WHEN i%3=1 THEN 0 ELSE 3 END AS ref_idc, "
+    "NULL AS profile_idc, NULL AS level_idc, NULL AS width, "
+    "NULL AS height, (['P','B','I'])[i%3 + 1] AS slice_type, "
+    "i AS frame_num, NULL AS idr_pic_id "
+    "FROM d, UNNEST(generate_series(1, k%4 + 1)) AS u(i)) "
+    "SELECT doc_id, CAST(nal_idx AS BIGINT) AS nal_idx, "
+    "CAST(nal_type AS BIGINT) AS nal_type, nal_name, "
+    "CAST(ref_idc AS BIGINT) AS ref_idc, "
+    "CAST(profile_idc AS BIGINT) AS profile_idc, "
+    "CAST(level_idc AS BIGINT) AS level_idc, "
+    "CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, "
+    "CAST(slice_type AS VARCHAR) AS slice_type, "
+    "CAST(frame_num AS BIGINT) AS frame_num, "
+    "CAST(idr_pic_id AS BIGINT) AS idr_pic_id, "
+    "CAST(NULL AS VARCHAR) AS parse_error "
+    "FROM (SELECT * FROM fixed UNION ALL SELECT * FROM slices)"
+)
+
+
+@query("x_h264_nals", oracle=_H264_SQL)
+def x_h264_nals(spark, sf_dir):
+    """H.264 bitstream structure (r15 — the named codec-seam thread):
+    NAL walking over BOTH framings (even docs Annex-B start codes,
+    odd docs avcC + length-prefixed samples), emulation-prevention
+    removal, and exp-Golomb SPS/PPS/slice-header decode — profile/
+    level, display dimensions through the spec's crop-unit arithmetic
+    (incl. interlaced k%7==0 docs and high-profile scaling-list
+    walks), slice types, frame numbers, idr_pic_id. The fixture's SEI
+    embeds LITERAL start-code prefixes, so a wrong EP pass splits
+    phantom NALs and breaks the hash. One Arrow-batched Python stage,
+    linear in stream bytes; repartitioned off the single-row-group
+    scan so per-doc work parallelizes (r13 precedent)."""
+    from .operators.h264 import h264_nal_table, synth_h264_media
+
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return h264_nal_table(synth_h264_media(docs))
+
+
 @query(
     "x_multimodal_decode_q",
     oracle=(
@@ -9240,6 +9303,9 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "_strip_ps_comments_and_strings",
             "write_packed_shards",
             "packed_sample_stats",
+            "h264_nal_table",
+            "synth_h264_media",
+            "h264_nal_rows",
             "_tar_shard_bytes",
             "_npz_shard_bytes",
         }
