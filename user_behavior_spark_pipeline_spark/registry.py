@@ -3799,6 +3799,46 @@ def x_multimodal_frames(spark, sf_dir):
     return sample_frames(synth_media(_table(spark, sf_dir, "documents")))
 
 
+_FLAC_SQL = (
+    # closed form of operators/flac.py's fixture waveform (k = doc%16,
+    # 512 samples/channel): decode is LOSSLESS, so the certificate is
+    # the waveform arithmetic itself — never the decoder re-run
+    "WITH d AS (SELECT doc_id, doc_id % 16 AS k FROM documents), "
+    "pcm AS (SELECT doc_id, k, "
+    "CASE WHEN k%5=0 THEN k-8 ELSE ((t*(3+k)+k) % 201) - 100 END AS l, "
+    "((t*(7+k)) % 181) - 90 AS r "
+    "FROM d, UNNEST(generate_series(0, 511)) AS u(t)) "
+    "SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate, "
+    "CAST(count(*) AS BIGINT) AS n_samples, "
+    "CAST(sum(l) AS BIGINT) AS ch0_sum, CAST(sum(r) AS BIGINT) AS ch1_sum, "
+    "CAST(sum(abs(l) + abs(r)) AS BIGINT) AS abs_sum, "
+    "CAST(sum(l*l + r*r) AS BIGINT) AS square_sum, "
+    "CAST(NULL AS VARCHAR) AS parse_error "
+    "FROM pcm GROUP BY doc_id"
+)
+
+
+@query("x_flac_pcm", oracle=_FLAC_SQL)
+def x_flac_pcm(spark, sf_dir):
+    """FLAC frames -> bit-exact PCM (r15 — the lossless half of the
+    audio codec seam): full decode of the subset real encoders emit —
+    CRC-8/CRC-16-verified frame walk, constant/verbatim/fixed-order/
+    quantized-LPC subframes, Rice residuals with partition orders,
+    and exact left/side, right/side, mid/side stereo reconstruction.
+    The fixture rotates every one of those paths by doc_id %% 16, and
+    because FLAC is lossless the oracle certifies DECODED SAMPLE
+    VALUES against the waveform's closed form (sums, |x| sums, sums
+    of squares — integer-exact, the audio_quality certificate shape).
+    One Arrow-batched Python stage, linear in payload bytes,
+    repartitioned off the single-row-group scan (r13 precedent)."""
+    from .operators.flac import flac_audio_stats, synth_flac_media
+
+    docs = _table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return flac_audio_stats(synth_flac_media(docs))
+
+
 _H264_SQL = (
     # closed form of operators/h264.py's fixture (k = doc_id % 24):
     # 4 fixed NALs (SPS with §7.4.2.1.1 crop arithmetic, PPS, the
@@ -9306,6 +9346,9 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "h264_nal_table",
             "synth_h264_media",
             "h264_nal_rows",
+            "flac_audio_stats",
+            "synth_flac_media",
+            "flac_decode",
             "_tar_shard_bytes",
             "_npz_shard_bytes",
         }
