@@ -298,3 +298,41 @@ def test_reservoir_property_two_phase_equals_naive_on_random_groups(spark):
         )
 
     run()
+
+
+def test_temperature_mixture_integer_rate_law(spark):
+    """rate_s = 1000*isqrt(n_s) // sum isqrt(n_t), survivors follow
+    the md5-bucket law — verified against plain-Python recomputation;
+    empty-survivor strata keep zero rows rather than disappearing."""
+    import hashlib
+    import math
+
+    from user_behavior_spark_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr("doc_id", "CAST(doc_id % 7 AS STRING) AS stratum")
+    got = {
+        r["stratum"]: r
+        for r in temperature_mixture(docs, stratum_col="stratum").collect()
+    }
+    rows = docs.collect()
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["stratum"]] = counts.get(r["stratum"], 0) + 1
+    tot = sum(math.isqrt(n) for n in counts.values())
+    for s, n in counts.items():
+        rate = 1000 * math.isqrt(n) // tot
+        assert got[s]["n_docs"] == n and got[s]["rate_per_mille"] == rate
+        surv = [
+            r["doc_id"]
+            for r in rows
+            if r["stratum"] == s
+            and int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            % 1000
+            < rate
+        ]
+        assert got[s]["n_sampled"] == len(surv)
+        assert got[s]["sampled_id_sum"] == sum(surv)

@@ -169,3 +169,33 @@ def test_bad_format_rejected(spark):
         write_packed_shards(docs, fmt="zip")
     with pytest.raises(ValueError, match="unknown trainer shard format"):
         packed_sample_stats(docs, fmt="zip")
+
+
+def test_epoch_shuffle_permutation_laws(spark):
+    """Each (epoch, shard) gets a bijective 0..n-1 position; the
+    permutation differs across epochs; repartitioning does not change
+    any position (key-addressed determinism)."""
+    from user_behavior_spark_pipeline_spark.operators.trainer_export import (
+        epoch_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = epoch_shuffle(docs).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r["epoch"], r["shard"]), []).append(
+            (r["pos"], r["doc_id"])
+        )
+    for (epoch, shard), pairs in by_key.items():
+        poss = sorted(p for p, _ in pairs)
+        assert poss == list(range(len(pairs))), (epoch, shard)
+    # epoch 1 and 2 order the same shard differently (overwhelmingly)
+    e1 = {(r["shard"], r["doc_id"]): r["pos"] for r in out if r["epoch"] == 1}
+    e2 = {(r["shard"], r["doc_id"]): r["pos"] for r in out if r["epoch"] == 2}
+    assert e1.keys() == e2.keys()
+    assert any(e1[k] != e2[k] for k in e1)
+    # partitioning-independence
+    out2 = epoch_shuffle(docs.repartition(7)).collect()
+    assert {(r["epoch"], r["shard"], r["doc_id"], r["pos"]) for r in out} == {
+        (r["epoch"], r["shard"], r["doc_id"], r["pos"]) for r in out2
+    }

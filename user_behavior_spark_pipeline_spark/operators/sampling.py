@@ -29,6 +29,74 @@ def hash_bucket(col, num_buckets: int = 100):
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture weights COMPUTED FROM the corpus (the
+    multilingual-LLM sampling law p_s ∝ n_s^α, here α = 1/2): per-
+    stratum rates derive from observed counts instead of a hand-tuned
+    table (mixture_sample's input), flattening head strata and
+    up-weighting the tail. Survivors follow the same key-addressed
+    md5-bucket law, so the reproducibility contract holds.
+
+    Exactness: rates use ⌊√n⌋ INTEGER arithmetic end to end —
+    rate_s = 1000·⌊√n_s⌋ // Σ_t ⌊√n_t⌋ — and IEEE sqrt is correctly
+    rounded, so floor(sqrt(n)) is engine-portable for every n < 2^52
+    (any real per-stratum count). No float ever reaches a comparison.
+
+    Scale shape: one partial-aggregable count per stratum (metadata-
+    sized), the rate table broadcast back onto the scan, the survivor
+    filter scan-side, and one final per-stratum aggregation. Returns
+    (stratum, n_docs, rate_per_mille, n_sampled, sampled_id_sum).
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    rates = counts.withColumn("_fs", fs).crossJoin(
+        F.broadcast(
+            counts.select(
+                F.sum(F.floor(F.sqrt(F.col("n_docs"))).cast("long")).alias(
+                    "_tot"
+                )
+            )
+        )
+    ).select(
+        "stratum",
+        "n_docs",
+        # `div` is Spark SQL's INTEGER division — a float `/` could
+        # round 49.999.. up and disagree with the oracle's `//`
+        F.expr("(1000 * _fs) div _tot").cast("long").alias(
+            "rate_per_mille"
+        ),
+    )
+    sampled = (
+        df.select(
+            F.col(stratum_col).alias("stratum"), F.col(id_col).alias("_id")
+        )
+        .join(F.broadcast(rates), "stratum")
+        .filter(hash_bucket(F.col("_id"), 1000) < F.col("rate_per_mille"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("_id").alias("sampled_id_sum"),
+        )
+    )
+    return (
+        rates.join(sampled, "stratum", "left")
+        .na.fill({"n_sampled": 0, "sampled_id_sum": 0})
+        .select(
+            "stratum",
+            "n_docs",
+            "rate_per_mille",
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.col("sampled_id_sum").cast("long").alias("sampled_id_sum"),
+        )
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str = "doc_id", test_pct: int = 20
 ) -> DataFrame:

@@ -230,6 +230,50 @@ def write_packed_shards(
     )
 
 
+def epoch_shuffle(
+    samples: DataFrame,
+    epochs: tuple[int, ...] = (1, 2),
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch shuffle ORDER for trainer handoff:
+    every epoch e assigns each sample the position
+    row_number() over (shard, ORDER BY md5(e || ':' || id), id) - 1 —
+    a fresh, reproducible permutation per epoch with no RNG state, no
+    materialized copies, and no cross-engine drift (md5 is md5
+    everywhere; the id tiebreak removes any collision ambiguity).
+
+    Scale shape: one window per (epoch, shard) — the sort is
+    shard-local, so it parallelizes across shards and never needs a
+    global order (the pack_spans partitioning philosophy). A trainer
+    reads samples in ``pos`` order per shard; epochs differ because
+    the hash input differs.
+
+    Columns: epoch, shard, <id_col>, pos.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    epoch_df = samples.sparkSession.createDataFrame(
+        [(int(e),) for e in epochs], "epoch long"
+    )
+    keyed = samples.select(
+        F.col(shard_col).alias("shard"), F.col(id_col)
+    ).crossJoin(F.broadcast(epoch_df))
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("epoch").cast("string"), F.col(id_col).cast("string")
+        )
+    )
+    w = W.partitionBy("epoch", "shard").orderBy(h, F.col(id_col))
+    return keyed.select(
+        "epoch",
+        "shard",
+        id_col,
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
 def packed_sample_stats(shards: DataFrame, fmt: str = "tar") -> DataFrame:
     """Read trainer shards BACK through the certified walkers and emit
     one row per sample: (shard, sample_id, n_tok, tok_sum) — the

@@ -8603,6 +8603,76 @@ _TRAINER_SHARDS_SQL = (
 )
 
 
+_MIX_TEMPERATURE_SQL = (
+    # ⌊√n⌋ integer temperature rates over a deliberately SKEWED
+    # derived stratum (sqrt-width buckets of doc_id%100: sizes
+    # 1,3,5,...,19 per hundred), then the md5-bucket survivor law
+    "WITH d AS (SELECT doc_id, CAST(FLOOR(SQRT(doc_id % 100)) AS BIGINT) "
+    "AS stratum FROM documents), "
+    "c AS (SELECT stratum, count(*) AS n_docs FROM d GROUP BY 1), "
+    "r AS (SELECT stratum, n_docs, CAST((1000 * CAST(FLOOR(SQRT(n_docs)) "
+    "AS BIGINT)) // (SELECT SUM(CAST(FLOOR(SQRT(n_docs)) AS BIGINT)) "
+    "FROM c) AS BIGINT) AS rate_per_mille FROM c), "
+    "s AS (SELECT d.stratum, count(*) AS n_sampled, "
+    "CAST(sum(d.doc_id) AS BIGINT) AS sampled_id_sum "
+    "FROM d JOIN r USING (stratum) "
+    "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 1000 < r.rate_per_mille GROUP BY 1) "
+    "SELECT CAST(r.stratum AS VARCHAR) AS stratum, r.n_docs, "
+    "r.rate_per_mille, CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS "
+    "n_sampled, CAST(COALESCE(s.sampled_id_sum, 0) AS BIGINT) AS "
+    "sampled_id_sum FROM r LEFT JOIN s USING (stratum)"
+)
+
+
+@query("x_trainer_mix_temperature", oracle=_MIX_TEMPERATURE_SQL)
+def x_trainer_mix_temperature(spark, sf_dir):
+    """Temperature mixture weights FROM the corpus (r15): the
+    multilingual-LLM sampling law p_s ∝ n_s^(1/2) with ⌊√n⌋ integer
+    arithmetic end to end (floor of a correctly-rounded IEEE sqrt is
+    engine-exact below 2^52, and Spark's `div` keeps the rate integer
+    — a float `/` could disagree with the oracle's `//` by one), the
+    survivor set key-addressed through the same md5-bucket law as
+    mixture_sample. The derived stratum (sqrt-width buckets of
+    doc_id%100) is deliberately skewed so flattening is
+    hash-load-bearing. One metadata-sized count shuffle, rates
+    broadcast back, survivor filter scan-side."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import temperature_mixture
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.floor(F.sqrt(F.col("doc_id") % 100)).cast("long").cast("string"),
+    )
+    return temperature_mixture(docs, stratum_col="stratum")
+
+
+_EPOCH_SHUFFLE_SQL = (
+    "WITH e(epoch) AS (VALUES (1), (2)) "
+    "SELECT CAST(epoch AS BIGINT) AS epoch, source AS shard, doc_id, "
+    "CAST(row_number() OVER (PARTITION BY epoch, source "
+    "ORDER BY md5(CAST(epoch AS VARCHAR) || ':' || "
+    "CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos "
+    "FROM documents, e"
+)
+
+
+@query("x_trainer_epoch_shuffle", oracle=_EPOCH_SHUFFLE_SQL)
+def x_trainer_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch shuffle order (r15 trainer handoff):
+    each epoch permutes every shard's samples by md5(epoch ':' id) —
+    reproducible on any engine or partitioning with no RNG state and
+    no data movement (the trainer just reads in pos order). The sort
+    is SHARD-local (one window per epoch x shard), never global —
+    the same reason pack_spans refuses a single global ordering. Two
+    epochs in one result certify that the permutation really varies
+    with the epoch."""
+    from .operators.trainer_export import epoch_shuffle
+
+    return epoch_shuffle(_table(spark, sf_dir, "documents"))
+
+
 @query("x_trainer_shards_tar", oracle=_TRAINER_SHARDS_SQL)
 def x_trainer_shards_tar(spark, sf_dir):
     """Trainer-handoff WRITE side, WebDataset flavor (r15 — closes the
@@ -9349,6 +9419,8 @@ _TOUCHED_THIS_ROUND = _derive_touched(
             "flac_audio_stats",
             "synth_flac_media",
             "flac_decode",
+            "temperature_mixture",
+            "epoch_shuffle",
             "_tar_shard_bytes",
             "_npz_shard_bytes",
         }
