@@ -29,6 +29,33 @@ def hash_bucket(col, num_buckets: int = 100):
     )
 
 
+def temperature_rates(df: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """The rate table of :func:`temperature_mixture` alone —
+    (stratum, n_docs, rate_per_mille) — for callers that apply the
+    survivor law themselves (e.g. the trainer-pipeline capstone)."""
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    return counts.withColumn("_fs", fs).crossJoin(
+        F.broadcast(
+            counts.select(
+                F.sum(F.floor(F.sqrt(F.col("n_docs"))).cast("long")).alias(
+                    "_tot"
+                )
+            )
+        )
+    ).select(
+        "stratum",
+        "n_docs",
+        # `div` is Spark SQL's INTEGER division — a float `/` could
+        # round 49.999.. up and disagree with the oracle's `//`
+        F.expr("(1000 * _fs) div _tot").cast("long").alias(
+            "rate_per_mille"
+        ),
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     stratum_col: str = "source",
@@ -51,27 +78,7 @@ def temperature_mixture(
     filter scan-side, and one final per-stratum aggregation. Returns
     (stratum, n_docs, rate_per_mille, n_sampled, sampled_id_sum).
     """
-    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    fs = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
-    rates = counts.withColumn("_fs", fs).crossJoin(
-        F.broadcast(
-            counts.select(
-                F.sum(F.floor(F.sqrt(F.col("n_docs"))).cast("long")).alias(
-                    "_tot"
-                )
-            )
-        )
-    ).select(
-        "stratum",
-        "n_docs",
-        # `div` is Spark SQL's INTEGER division — a float `/` could
-        # round 49.999.. up and disagree with the oracle's `//`
-        F.expr("(1000 * _fs) div _tot").cast("long").alias(
-            "rate_per_mille"
-        ),
-    )
+    rates = temperature_rates(df, stratum_col)
     sampled = (
         df.select(
             F.col(stratum_col).alias("stratum"), F.col(id_col).alias("_id")

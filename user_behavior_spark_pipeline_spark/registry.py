@@ -8673,6 +8673,71 @@ def x_trainer_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(_table(spark, sf_dir, "documents"))
 
 
+_TRAINER_PIPELINE_SQL = (
+    # the capstone composes the two closed forms: the ⌊√n⌋-temperature
+    # survivor law selects the docs, then the packing law re-derives
+    # offsets over the SURVIVORS only — any drift in either stage
+    # (or in their order) breaks the per-sample hash
+    "WITH d AS (SELECT doc_id, source, text, "
+    "CAST(FLOOR(SQRT(doc_id % 100)) AS BIGINT) AS stratum "
+    "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+    "c AS (SELECT stratum, count(*) AS n_docs FROM d GROUP BY 1), "
+    "r AS (SELECT stratum, CAST((1000 * CAST(FLOOR(SQRT(n_docs)) AS "
+    "BIGINT)) // (SELECT SUM(CAST(FLOOR(SQRT(n_docs)) AS BIGINT)) FROM c) "
+    "AS BIGINT) AS rate FROM c), "
+    "surv AS (SELECT d.source AS shard, d.doc_id, d.text FROM d "
+    "JOIN r USING (stratum) WHERE "
+    "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 1000 < r.rate), "
+    "lens AS (SELECT shard, doc_id, text, length(text) AS n, "
+    "sum(length(text)) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - length(text) AS s "
+    "FROM surv), "
+    "chars AS (SELECT shard, s + i - 1 AS gpos, "
+    "unicode(substr(text, CAST(i AS INT), 1)) AS cp "
+    "FROM lens, UNNEST(generate_series(1, n)) AS u(i)) "
+    "SELECT shard, CAST(gpos // 128 AS BIGINT) AS sample_id, "
+    "count(*) AS n_tok, CAST(sum(cp) AS BIGINT) AS tok_sum "
+    "FROM chars GROUP BY 1, 2"
+)
+
+
+@query("x_trainer_pipeline", oracle=_TRAINER_PIPELINE_SQL)
+def x_trainer_pipeline(spark, sf_dir):
+    """Trainer-handoff CAPSTONE (r15): temperature mixture -> sequence
+    packing -> tar shard WRITE -> certified readback, one plan. The
+    ⌊√n⌋ rates derive from the skewed sqrt-width strata, survivors
+    follow the md5-bucket law, and the packed offsets are then
+    recomputed over the SURVIVING docs per source — so the oracle
+    certifies the composition (selection changes every downstream
+    sample boundary), not just the stages in isolation. Scale shape
+    is the sum of its parts: one metadata count agg + broadcast rate
+    join + scan-side filter, one cumsum shuffle, bounded-memory file
+    builders, one readback pass."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_bucket, temperature_rates
+    from .operators.trainer_export import (
+        packed_sample_stats,
+        write_packed_shards,
+    )
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL AND length(text) > 0")
+        .withColumn(
+            "stratum",
+            F.floor(F.sqrt(F.col("doc_id") % 100)).cast("long"),
+        )
+    )
+    rates = temperature_rates(docs, stratum_col="stratum")
+    surv = docs.join(F.broadcast(rates), "stratum").filter(
+        hash_bucket(F.col("doc_id"), 1000) < F.col("rate_per_mille")
+    )
+    shards = write_packed_shards(surv, 128, 64, fmt="tar")
+    return packed_sample_stats(shards, fmt="tar")
+
+
 @query("x_trainer_shards_tar", oracle=_TRAINER_SHARDS_SQL)
 def x_trainer_shards_tar(spark, sf_dir):
     """Trainer-handoff WRITE side, WebDataset flavor (r15 — closes the
