@@ -36,15 +36,16 @@ def temperature_rates(df: DataFrame, stratum_col: str = "source") -> DataFrame:
     counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    from pyspark.sql import Window as W
+
     fs = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
-    return counts.withColumn("_fs", fs).crossJoin(
-        F.broadcast(
-            counts.select(
-                F.sum(F.floor(F.sqrt(F.col("n_docs"))).cast("long")).alias(
-                    "_tot"
-                )
-            )
-        )
+    # the Σ⌊√n⌋ total attaches as an unpartitioned window sum over the
+    # (strata-sized) count table — one single-partition exchange of
+    # metadata rows instead of the crossJoin-against-one-row-aggregate
+    # shape, whose trivially-true join condition Catalyst folds back
+    # into the BroadcastNestedLoopJoin the plan lint forbids
+    return counts.withColumn("_fs", fs).withColumn(
+        "_tot", F.sum("_fs").over(W.partitionBy())
     ).select(
         "stratum",
         "n_docs",

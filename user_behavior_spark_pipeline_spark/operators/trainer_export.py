@@ -254,12 +254,16 @@ def epoch_shuffle(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    epoch_df = samples.sparkSession.createDataFrame(
-        [(int(e),) for e in epochs], "epoch long"
-    )
+    # fan each sample out to every epoch by exploding a literal epoch
+    # array in-row — no join at all (the crossJoin-against-a-literal-df
+    # form planned as the BroadcastNestedLoopJoin the plan lint
+    # forbids), and the generator runs scan-side with zero shuffle
     keyed = samples.select(
         F.col(shard_col).alias("shard"), F.col(id_col)
-    ).crossJoin(F.broadcast(epoch_df))
+    ).withColumn(
+        "epoch",
+        F.explode(F.array(*[F.lit(int(e)).cast("long") for e in epochs])),
+    )
     h = F.md5(
         F.concat_ws(
             ":", F.col("epoch").cast("string"), F.col(id_col).cast("string")
