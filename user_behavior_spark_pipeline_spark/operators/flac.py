@@ -51,21 +51,38 @@ from pyspark.sql.types import (
 # ---------------------------------------------------------------------------
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        c = b << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        table.append(c)
+    return table
+
+
+#: table-driven forms of the original bit-loop CRCs (same polynomial,
+#: init 0, MSB-first — byte-identical output; the bit loop was 25% of
+#: frame decode time under profile)
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def crc8(data: bytes) -> int:
     c = 0
+    table = _CRC8_TABLE
     for b in data:
-        c ^= b
-        for _ in range(8):
-            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        c = table[c ^ b]
     return c
 
 
 def crc16(data: bytes) -> int:
     c = 0
+    table = _CRC16_TABLE
     for b in data:
-        c ^= b << 8
-        for _ in range(8):
-            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        c = table[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
     return c
 
 
@@ -79,27 +96,112 @@ class _Bits:
         self.pos = pos_bits
 
     def u(self, n: int) -> int:
-        out = 0
-        data, pos = self.data, self.pos
-        if (pos + n) > len(data) * 8:
+        # whole-field extraction (one bytes→int of the ⌈n/8⌉+1 covering
+        # bytes, shift, mask) instead of a per-BIT Python loop: the Rice
+        # residual path calls this once per sample, and the bit loop was
+        # the decode hot spot (guide §4.2 — per-task work in efficient
+        # primitives; SCALE.md r15 watch item)
+        pos = self.pos
+        end = pos + n
+        data = self.data
+        if end > len(data) * 8:
             raise ValueError("FLAC bitstream overrun")
-        for _ in range(n):
-            out = (out << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return out
+        if n == 0:
+            return 0
+        chunk = int.from_bytes(data[pos >> 3 : (end + 7) >> 3], "big")
+        self.pos = end
+        return (chunk >> (-end % 8)) & ((1 << n) - 1)
 
     def s(self, n: int) -> int:
         v = self.u(n)
         return v - (1 << n) if v >> (n - 1) else v
 
+    def s_many(self, n: int, count: int) -> list[int]:
+        """``count`` consecutive n-bit signed fields in one extraction —
+        one bytes→int conversion for the whole run, then mask/shift per
+        field (the verbatim-subframe and warm-up-sample path)."""
+        pos = self.pos
+        end = pos + n * count
+        data = self.data
+        if end > len(data) * 8:
+            raise ValueError("FLAC bitstream overrun")
+        if count == 0:
+            return []
+        chunk = int.from_bytes(data[pos >> 3 : (end + 7) >> 3], "big") >> (
+            -end % 8
+        )
+        self.pos = end
+        mask = (1 << n) - 1
+        sign = 1 << (n - 1)
+        out = [0] * count
+        for i in range(count - 1, -1, -1):
+            v = chunk & mask
+            out[i] = v - mask - 1 if v & sign else v
+            chunk >>= n
+        return out
+
+    def rice(self, param: int, count: int) -> list[int]:
+        """``count`` Rice(param)-coded residuals decoded in one fused
+        loop over local state — replaces a per-sample unary()+u() method
+        call pair (the residual decode hot path). Error behaviour
+        matches the primitive calls: overrun past the payload end,
+        runaway-run guard at 2^20 zeros."""
+        data = self.data
+        pos = self.pos
+        total = len(data) * 8
+        pmask = (1 << param) - 1
+        out = [0] * count
+        for i in range(count):
+            start = pos
+            while True:
+                if pos >= total:
+                    raise ValueError("FLAC bitstream overrun")
+                b = data[pos >> 3] & (0xFF >> (pos & 7))
+                if b:
+                    stop = (pos & ~7) + (8 - b.bit_length())
+                    if stop - start > 1 << 20:
+                        raise ValueError("unreasonable unary run")
+                    q = stop - start
+                    pos = stop + 1
+                    break
+                pos = (pos | 7) + 1
+                if pos - start > (1 << 20) + 8:
+                    raise ValueError("unreasonable unary run")
+            if param:
+                end = pos + param
+                if end > total:
+                    raise ValueError("FLAC bitstream overrun")
+                chunk = int.from_bytes(
+                    data[pos >> 3 : (end + 7) >> 3], "big"
+                )
+                u = (q << param) | ((chunk >> (-end % 8)) & pmask)
+                pos = end
+            else:
+                u = q
+            out[i] = (u >> 1) ^ -(u & 1)
+        self.pos = pos
+        return out
+
     def unary(self) -> int:
-        n = 0
-        while self.u(1) == 0:
-            n += 1
-            if n > 1 << 20:
+        # byte-wise scan for the terminating 1 bit (mask the consumed
+        # prefix of the current byte, then whole zero bytes at a time)
+        # instead of one u(1) call per zero bit — same overrun and
+        # runaway-run errors as the bit-at-a-time form
+        data, pos = self.data, self.pos
+        total = len(data) * 8
+        start = pos
+        while pos < total:
+            b = data[pos >> 3] & (0xFF >> (pos & 7))
+            if b:
+                stop = (pos & ~7) + (8 - b.bit_length())
+                if stop - start > 1 << 20:
+                    raise ValueError("unreasonable unary run")
+                self.pos = stop + 1
+                return stop - start
+            pos = (pos | 7) + 1
+            if pos - start > (1 << 20) + 8:
                 raise ValueError("unreasonable unary run")
-        return n
+        raise ValueError("FLAC bitstream overrun")
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -109,38 +211,40 @@ class _Bits:
 
 
 class _BitsW:
-    __slots__ = ("bits",)
+    # whole-field writes into a small pending accumulator flushed to a
+    # bytearray byte-wise — replaces the one-list-element-per-BIT form
+    # whose append loop dominated fixture synthesis (the encoder runs in
+    # the timed region of x_flac_pcm; guide §4.2)
+    __slots__ = ("out", "acc", "nbits")
 
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
 
     def u(self, value: int, n: int) -> "_BitsW":
-        for i in range(n - 1, -1, -1):
-            self.bits.append((value >> i) & 1)
+        acc = (self.acc << n) | (value & ((1 << n) - 1))
+        nb = self.nbits + n
+        out = self.out
+        while nb >= 8:
+            nb -= 8
+            out.append((acc >> nb) & 0xFF)
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
         return self
 
     def s(self, value: int, n: int) -> "_BitsW":
         return self.u(value & ((1 << n) - 1), n)
 
     def unary(self, q: int) -> "_BitsW":
-        self.bits.extend([0] * q)
-        self.bits.append(1)
-        return self
+        return self.u(1, q + 1)
 
     def align(self) -> "_BitsW":
-        while len(self.bits) % 8:
-            self.bits.append(0)
-        return self
+        return self.u(0, -self.nbits % 8)
 
     def to_bytes(self) -> bytes:
-        assert len(self.bits) % 8 == 0
-        out = bytearray()
-        for i in range(0, len(self.bits), 8):
-            b = 0
-            for bit in self.bits[i : i + 8]:
-                b = (b << 1) | bit
-            out.append(b)
-        return bytes(out)
+        assert self.nbits == 0
+        return bytes(self.out)
 
 
 _BLOCKSIZES = {
@@ -200,12 +304,9 @@ def _read_residual(r: _Bits, blocksize: int, order: int) -> list[int]:
         param = r.u(pbits)
         if param == escape:
             raw = r.u(5)
-            out.extend(r.s(raw) if raw else 0 for _ in range(n))
+            out.extend(r.s_many(raw, n) if raw else [0] * n)
         else:
-            for _ in range(n):
-                q = r.unary()
-                u = (q << param) | (r.u(param) if param else 0)
-                out.append((u >> 1) ^ -(u & 1))
+            out.extend(r.rice(param, n))
     return out
 
 
@@ -222,29 +323,59 @@ def _read_subframe(r: _Bits, blocksize: int, depth: int) -> list[int]:
     if t == 0:
         x = [r.s(depth)] * blocksize
     elif t == 1:
-        x = [r.s(depth) for _ in range(blocksize)]
+        x = r.s_many(depth, blocksize)
     elif 8 <= t <= 12:
         order = t & 7
-        x = [r.s(depth) for _ in range(order)]
+        x = r.s_many(depth, order)
         res = _read_residual(r, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        for e in res:
-            pred = sum(c * x[-1 - j] for j, c in enumerate(coefs))
-            x.append(pred + e)
+        # unrolled per-order reconstruction over rolling locals — the
+        # generic sum-over-coefs genexpr was a decode hot spot and the
+        # fixed-predictor formulas are four known closed forms
+        app = x.append
+        if order == 0:
+            x.extend(res)
+        elif order == 1:
+            v1 = x[-1]
+            for e in res:
+                v1 = v1 + e
+                app(v1)
+        elif order == 2:
+            v2, v1 = x[-2], x[-1]
+            for e in res:
+                v0 = 2 * v1 - v2 + e
+                app(v0)
+                v2, v1 = v1, v0
+        elif order == 3:
+            v3, v2, v1 = x[-3], x[-2], x[-1]
+            for e in res:
+                v0 = 3 * v1 - 3 * v2 + v3 + e
+                app(v0)
+                v3, v2, v1 = v2, v1, v0
+        else:
+            v4, v3, v2, v1 = x[-4], x[-3], x[-2], x[-1]
+            for e in res:
+                v0 = 4 * v1 - 6 * v2 + 4 * v3 - v4 + e
+                app(v0)
+                v4, v3, v2, v1 = v3, v2, v1, v0
     elif t >= 32:
         order = (t & 31) + 1
-        x = [r.s(depth) for _ in range(order)]
+        x = r.s_many(depth, order)
         precision = r.u(4) + 1
         if precision == 16:
             raise ValueError("invalid LPC precision code")
         shift = r.s(5)
         if shift < 0:
             raise ValueError("negative LPC shift")
-        coefs = [r.s(precision) for _ in range(order)]
+        coefs = r.s_many(precision, order)
         res = _read_residual(r, blocksize, order)
+        app = x.append
+        rng = range(order)
         for e in res:
-            pred = sum(c * x[-1 - j] for j, c in enumerate(coefs)) >> shift
-            x.append(pred + e)
+            xi = len(x)
+            acc = 0
+            for j in rng:
+                acc += coefs[j] * x[xi - 1 - j]
+            app((acc >> shift) + e)
     else:
         raise ValueError(f"reserved subframe type {t}")
     if wasted:
