@@ -1661,8 +1661,8 @@ def x_proto_fields(spark, sf_dir):
 
     from .operators.protowire import proto_fields, synth_proto_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return proto_fields(synth_proto_media(docs)).filter(
+    media = _staged_media(spark, sf_dir, "proto_media", synth_proto_media)
+    return proto_fields(media).filter(
         F.col("parse_error").isNull()
     ).drop("parse_error")
 
@@ -1694,12 +1694,10 @@ def x_parquet_footer(spark, sf_dir):
 
     from .operators.lake import parquet_footers, synth_parquet_media
 
-    # one-row-group parallelism fix (r13, cf. x_pdf_text): the
-    # per-doc fixture synthesis is the CPU cost here
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    media = _staged_media(
+        spark, sf_dir, "parquet_media", synth_parquet_media
     )
-    return parquet_footers(synth_parquet_media(docs)).drop("parse_error")
+    return parquet_footers(media).drop("parse_error")
 
 
 _DELTA_SQL = (
@@ -1852,6 +1850,94 @@ def _stage_lake_frames(spark, sf_dir, name, build):
         _STAGED_SOURCES[key] = base
     base = _STAGED_SOURCES[key]
     return lambda sub: spark.read.parquet(_os.path.join(base, sub))
+
+
+def _staged_media(spark, sf_dir, name, synth):
+    """r15: the media-fixture application of the r14 staging seam —
+    synthesize the deterministic (media_id, payload) table once per
+    (fixture, sf) via the per-doc builder, stage it as parquet, and
+    read it back, so the timed region prices the WALKER under test
+    instead of re-running fixture synthesis every pass (VERDICT r13 #3
+    and its r14 generalization, extended to the media families).
+    ``synth`` maps the repartitioned docs slice to the media frame.
+    First hit pays the synthesis (queries stay self-sufficient);
+    prepare_staged pre-warms."""
+    read = _stage_lake_frames(
+        spark,
+        sf_dir,
+        name,
+        lambda: {"media": synth(_lake_docs(spark, sf_dir, None))},
+    )
+    return read("media")
+
+
+def _staged_media_dir(spark, sf_dir, name, synth, partitions: int = 4):
+    """Staged parquet SOURCE directory for the stream twins (r15):
+    same memoized tree as :func:`_staged_media`, but repartitioned to
+    the twin's maxFilesPerTrigger batching and returned as a path the
+    file stream reads. The stream execution itself (micro-batches,
+    checkpoint, sink) stays fresh per run — only the deterministic
+    source synthesis is staged (the r14 streaming-twin rule)."""
+    import os as _os
+
+    def build():
+        return {
+            "media": synth(_lake_docs(spark, sf_dir, None)).repartition(
+                partitions
+            )
+        }
+
+    _stage_lake_frames(spark, sf_dir, name, build)
+    return _os.path.join(_STAGED_SOURCES[("lake", name, sf_dir)], "media")
+
+
+def _stage_r15_media(spark, sf_dir) -> None:
+    """Pre-warm the r15-staged media fixtures (prepare_staged hook):
+    every deterministic per-doc format builder whose synthesis used to
+    run inside the timed region. The queries themselves stage lazily on
+    first use; this just front-loads the cost like the lakehouse/warc
+    staging above it."""
+    from .operators.arrow_ipc import synth_arrow_media
+    from .operators.avro import (
+        synth_avro_collections_media,
+        synth_avro_evolution_media,
+        synth_avro_logical_media,
+        synth_avro_media,
+    )
+    from .operators.demux import synth_corrupt_mp4_media, synth_ogg_media
+    from .operators.flac import synth_flac_media
+    from .operators.h264 import synth_h264_media
+    from .operators.lake import synth_parquet_media
+    from .operators.mkv import synth_mkv_media
+    from .operators.protowire import synth_proto_media
+    from .operators.tensors import synth_npz_media
+
+    for name, synth in (
+        ("proto_media", synth_proto_media),
+        ("parquet_media", synth_parquet_media),
+        ("ogg_media", synth_ogg_media),
+        ("mkv_media", synth_mkv_media),
+        ("arrow_media", synth_arrow_media),
+        ("npz_media", synth_npz_media),
+        ("avro_media", synth_avro_media),
+        ("avro_logical_media", synth_avro_logical_media),
+        ("avro_collections_media", synth_avro_collections_media),
+        ("avro_evolution_media", synth_avro_evolution_media),
+        ("flac_media", synth_flac_media),
+        ("h264_media", synth_h264_media),
+        ("corrupt_mp4_media", synth_corrupt_mp4_media),
+    ):
+        _staged_media(spark, sf_dir, name, synth)
+    from .operators.webdataset import synth_jsonl_shards
+
+    _staged_media_dir(spark, sf_dir, "avro_stream_src", synth_avro_media)
+    _staged_media_dir(spark, sf_dir, "jsonl_stream_src", synth_jsonl_shards)
+    _staged_media_dir(
+        spark, sf_dir, "demux_stream_src", synth_corrupt_mp4_media
+    )
+    # the arrow_untrusted fixture stages through its query body (the
+    # corrupting builder lives there); invoke it once to warm the tree
+    QUERIES["x_arrow_untrusted"](spark, sf_dir)
 
 
 def _lake_docs(spark, sf_dir, mod: int | None):
@@ -3833,10 +3919,8 @@ def x_flac_pcm(spark, sf_dir):
     repartitioned off the single-row-group scan (r13 precedent)."""
     from .operators.flac import flac_audio_stats, synth_flac_media
 
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return flac_audio_stats(synth_flac_media(docs))
+    media = _staged_media(spark, sf_dir, "flac_media", synth_flac_media)
+    return flac_audio_stats(media)
 
 
 _H264_SQL = (
@@ -3896,10 +3980,8 @@ def x_h264_nals(spark, sf_dir):
     scan so per-doc work parallelizes (r13 precedent)."""
     from .operators.h264 import h264_nal_table, synth_h264_media
 
-    docs = _table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return h264_nal_table(synth_h264_media(docs))
+    media = _staged_media(spark, sf_dir, "h264_media", synth_h264_media)
+    return h264_nal_table(media)
 
 
 @query(
@@ -4394,13 +4476,11 @@ def x_stream_jsonl(spark, sf_dir):
     from .operators.webdataset import synth_jsonl_shards
     from .streaming.jobs import jsonl_ingest_stream, jsonl_stream_source
 
-    docs = _table(spark, sf_dir, "documents")
-    src_dir = tempfile.mkdtemp(prefix="ubsp_jsonl_src_")
+    src_dir = _staged_media_dir(
+        spark, sf_dir, "jsonl_stream_src", synth_jsonl_shards
+    )
     out = tempfile.mkdtemp(prefix="ubsp_jsonl_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_jsonl_ckpt_")
-    synth_jsonl_shards(docs).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
     q = jsonl_ingest_stream(
         jsonl_stream_source(spark, src_dir, max_files_per_trigger=2),
         out,
@@ -4492,8 +4572,8 @@ def x_npy_values(spark, sf_dir):
 
     from .operators.tensors import npy_values, synth_npz_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return npy_values(synth_npz_media(docs)).filter(
+    media = _staged_media(spark, sf_dir, "npz_media", synth_npz_media)
+    return npy_values(media).filter(
         F.col("parse_error").isNull()
     ).drop("parse_error")
 
@@ -4539,8 +4619,8 @@ def x_avro_records(spark, sf_dir):
 
     from .operators.avro import avro_records, synth_avro_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return avro_records(synth_avro_media(docs)).filter(
+    media = _staged_media(spark, sf_dir, "avro_media", synth_avro_media)
+    return avro_records(media).filter(
         F.col("parse_error").isNull()
     ).drop("parse_error")
 
@@ -4562,8 +4642,8 @@ def x_arrow_records(spark, sf_dir):
 
     from .operators.arrow_ipc import arrow_ipc_records, synth_arrow_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return arrow_ipc_records(synth_arrow_media(docs)).filter(
+    media = _staged_media(spark, sf_dir, "arrow_media", synth_arrow_media)
+    return arrow_ipc_records(media).filter(
         F.col("parse_error").isNull()
     ).drop("parse_error")
 
@@ -4631,11 +4711,14 @@ def x_arrow_untrusted(spark, sf_dir):
         return pd.Series(out)
 
     _build = pandas_udf(_build_fn, BinaryType(), PandasUDFType.SCALAR)
-    docs = _table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        _build("doc_id").alias("payload"),
-    )
+
+    def _synth(docs):
+        return docs.select(
+            F.col("doc_id").alias("media_id"),
+            _build("doc_id").alias("payload"),
+        )
+
+    media = _staged_media(spark, sf_dir, "arrow_untrusted_media", _synth)
     recs = arrow_ipc_records(media, decode_untrusted=True)
     return recs.select(
         "media_id",
@@ -4699,8 +4782,10 @@ def x_avro_logical(spark, sf_dir):
 
     from .operators.avro import avro_records, synth_avro_logical_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return avro_records(synth_avro_logical_media(docs)).filter(
+    media = _staged_media(
+        spark, sf_dir, "avro_logical_media", synth_avro_logical_media
+    )
+    return avro_records(media).filter(
         F.col("parse_error").isNull()
     ).drop("parse_error")
 
@@ -4763,8 +4848,10 @@ def x_avro_collections(spark, sf_dir):
         synth_avro_collections_media,
     )
 
-    docs = _table(spark, sf_dir, "documents")
-    return avro_records(synth_avro_collections_media(docs)).filter(
+    media = _staged_media(
+        spark, sf_dir, "avro_collections_media", synth_avro_collections_media
+    )
+    return avro_records(media).filter(
         F.col("parse_error").isNull()
     ).drop("parse_error")
 
@@ -4824,9 +4911,11 @@ def x_avro_evolution(spark, sf_dir):
         synth_avro_evolution_media,
     )
 
-    docs = _table(spark, sf_dir, "documents")
+    media = _staged_media(
+        spark, sf_dir, "avro_evolution_media", synth_avro_evolution_media
+    )
     return avro_resolved_records(
-        synth_avro_evolution_media(docs), EVOLUTION_READER_SCHEMA
+        media, EVOLUTION_READER_SCHEMA
     ).filter(F.col("parse_error").isNull()).drop("parse_error")
 
 
@@ -4845,13 +4934,11 @@ def x_stream_avro(spark, sf_dir):
     from .operators.avro import synth_avro_media
     from .streaming.jobs import avro_ingest_stream, avro_stream_source
 
-    docs = _table(spark, sf_dir, "documents")
-    src = tempfile.mkdtemp(prefix="ubsp_avro_src_")
+    src = _staged_media_dir(
+        spark, sf_dir, "avro_stream_src", synth_avro_media
+    )
     out = tempfile.mkdtemp(prefix="ubsp_avro_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_avro_ckpt_")
-    synth_avro_media(docs).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
     q = avro_ingest_stream(
         avro_stream_source(spark, src, max_files_per_trigger=2),
         out,
@@ -4990,8 +5077,8 @@ def x_demux_ogg(spark, sf_dir):
 
     from .operators.demux import ogg_audio_metadata, synth_ogg_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return ogg_audio_metadata(synth_ogg_media(docs)).drop("parse_error")
+    media = _staged_media(spark, sf_dir, "ogg_media", synth_ogg_media)
+    return ogg_audio_metadata(media).drop("parse_error")
 
 
 _MKV_SQL = (
@@ -5034,8 +5121,8 @@ def x_demux_mkv(spark, sf_dir):
     byte-for-byte."""
     from .operators.mkv import mkv_tracks, synth_mkv_media
 
-    docs = _table(spark, sf_dir, "documents")
-    return mkv_tracks(synth_mkv_media(docs)).drop("parse_error")
+    media = _staged_media(spark, sf_dir, "mkv_media", synth_mkv_media)
+    return mkv_tracks(media).drop("parse_error")
 
 
 _WAV_SQL = (
@@ -6288,8 +6375,10 @@ def x_demux_quarantine(spark, sf_dir):
 
     from .operators.demux import mp4_sample_ranges, synth_corrupt_mp4_media
 
-    docs = _table(spark, sf_dir, "documents")
-    samples = mp4_sample_ranges(synth_corrupt_mp4_media(docs))
+    media = _staged_media(
+        spark, sf_dir, "corrupt_mp4_media", synth_corrupt_mp4_media
+    )
+    samples = mp4_sample_ranges(media)
     return samples.groupBy("media_id").agg(
         F.count(F.when(F.col("parse_error").isNull(), 1)).alias("n_samples"),
         F.regexp_extract(F.max("parse_error"), "^[^:]*", 0).alias(
@@ -6314,13 +6403,11 @@ def x_stream_demux(spark, sf_dir):
     from .operators.demux import synth_corrupt_mp4_media
     from .streaming.jobs import media_stream_source, mp4_ingest_stream
 
-    docs = _table(spark, sf_dir, "documents")
-    src = tempfile.mkdtemp(prefix="ubsp_demux_src_")
+    src = _staged_media_dir(
+        spark, sf_dir, "demux_stream_src", synth_corrupt_mp4_media
+    )
     out = tempfile.mkdtemp(prefix="ubsp_demux_out_")
     ckpt = tempfile.mkdtemp(prefix="ubsp_demux_ckpt_")
-    synth_corrupt_mp4_media(docs).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
     q = mp4_ingest_stream(
         media_stream_source(spark, src, max_files_per_trigger=2), out, ckpt
     )
@@ -9613,6 +9700,7 @@ def prepare_staged(spark: SparkSession, sf_dir: str) -> None:
     _stage_pdf_media(spark, sf_dir, modern=True)
     for variant in ("plain", "html", "http", "crawl", "corrupt"):
         _stage_warc(spark, sf_dir, variant)
+    _stage_r15_media(spark, sf_dir)
     # warm-ups are optimizations, never prerequisites: a failure must not
     # abort the prepare pass (the real queries just pay their own first-hit)
     try:
