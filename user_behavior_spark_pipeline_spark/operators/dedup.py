@@ -466,7 +466,7 @@ def dedup_report(
         .cast("long")
         .alias("jaccard_x1e6"),
     ).filter(F.col("jaccard_x1e6") >= int(jaccard_threshold * 1_000_000))
-    comp = dedup_components(jpairs)
+    comp = dedup_components(jpairs, pairs_materialized=True)
     # per-doc max containment: this doc as side 1 (÷ n1) and as side 2 (÷ n2)
     contained = (
         overlap.select(
@@ -1403,7 +1403,9 @@ def simhash_near_pairs(
 _LAST_COMPONENT_ROUNDS: int = 0
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame, max_iters: int = 64, pairs_materialized: bool = False
+) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, component) where
     component = min doc_id reachable through the pair graph — the step that
     turns pairwise matches into duplicate CLUSTERS (keep one row per
@@ -1432,8 +1434,14 @@ def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     global _LAST_COMPONENT_ROUNDS
     # materialize the (possibly expensive) pair pipeline ONCE — the union
     # below references it twice, and its final stage would recompute per
-    # branch otherwise
-    pairs = pairs.select("doc_id_1", "doc_id_2").transform(materialize)
+    # branch otherwise. Callers whose pair frame is ALREADY materialized
+    # (dedup_report: jpairs is a filter over the checkpointed overlap
+    # table) pass pairs_materialized=True to skip the redundant
+    # checkpoint job — the twice-referenced lineage is then a cheap
+    # filter/project over materialized data.
+    pairs = pairs.select("doc_id_1", "doc_id_2")
+    if not pairs_materialized:
+        pairs = materialize(pairs)
     edges = (
         pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
         .union(

@@ -58,7 +58,24 @@ def per_user_stats(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(_stats, PER_USER_SCHEMA)
+    # ship ONLY the two columns the kernel touches across the Python
+    # boundary — applyInPandas is opaque to column pruning, so an
+    # unselected events table would move every column (ts, the fat
+    # props string, ...) through Arrow for nothing (guide §4.1).
+    # The pruned shuffle is then tiny in BYTES while the stage cost is
+    # per-group Python invocations, so AQE's byte-based coalescing
+    # would collapse it to one partition and serialize every group onto
+    # a single worker (measured: 1 post-shuffle partition, 1.4x slower
+    # than the unpruned form). Pin the grouped exchange at cluster
+    # parallelism, keyed on the grouping column so no second exchange
+    # is planned — the deltadv.py repartition-before-Python pattern.
+    spark = events.sparkSession
+    return (
+        events.select("user_id", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_stats, PER_USER_SCHEMA)
+    )
 
 
 def per_user_stats_native(events: DataFrame) -> DataFrame:
