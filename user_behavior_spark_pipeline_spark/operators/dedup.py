@@ -986,8 +986,10 @@ def strip_duplicated_substrings(
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """64 minhashes per doc in one aggregation pass: min(xxhash64(i ++ s))."""
     sh = shingles(documents, n)
+    # generated-SQL aggregates: one gateway round-trip per column instead
+    # of four (lit/col/xxhash64/min) — identical Catalyst tree
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -1018,8 +1020,11 @@ def minhash_lsh_pairs(
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
     sh = materialize(sh)
+    # generated-SQL aggregates and band structs: one gateway round-trip
+    # per column / one for the whole band array instead of hundreds of
+    # per-op Column calls — identical Catalyst trees
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.expr(f"min(xxhash64({i}, shingle))").alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -1027,22 +1032,19 @@ def minhash_lsh_pairs(
     # doc_id_1/doc_id_2 projections sit below the exchange, so Spark can't
     # reuse one shuffle for both — checkpoint the (tiny: docs × bands rows)
     # band table instead of running the 64-agg signature pass twice
+    band_structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
     bands = (
         sig.select(
             "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                            ).alias("bucket"),
-                        )
-                        for b in range(NUM_BANDS)
-                    ]
-                )
-            ).alias("bb"),
+            F.expr(f"explode(array({band_structs}))").alias("bb"),
         )
         .select("doc_id", "bb.band", "bb.bucket")
         .transform(materialize)
@@ -1318,21 +1320,24 @@ def simhash_signatures(
             else F.xxhash64("token")
         ).alias("_h"),
     )
-    h = F.col("_h")
+    # the 64 per-bit expressions are built as generated SQL strings (one
+    # py4j round-trip each / one for the fold) rather than per-op Column
+    # calls: the Column form issued ~1000 gateway round-trips per call
+    # (~0.6 s of driver time, measured by cProfile) for an identical
+    # Catalyst tree — same CASE WHEN / sum / shift ops, same results
     votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(case when (shiftright(_h, {i}) & 1) = 1 then 1 else -1 end)"
         ).alias(f"v{i}")
         for i in range(64)
     ]
     per_bit = hashed.groupBy("doc_id").agg(*votes)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sig = F.expr(
+        " | ".join(
+            f"shiftleft(cast(case when v{i} > 0 then 1 else 0 end as bigint), {i})"
+            for i in range(64)
         )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
+    )
     return per_bit.select("doc_id", sig.alias("simhash"))
 
 
@@ -1361,24 +1366,17 @@ def simhash_near_pairs(
     sig = simhash_signatures(
         documents, portable=portable, max_token_df=max_token_df
     )
+    # arithmetic shift sign-extends for the top band; the width mask
+    # keeps exactly the band's bits (generated SQL — see simhash_signatures)
+    band_structs = ", ".join(
+        f"struct({b} as band, "
+        f"(shiftright(simhash, {offsets[b]}) & {(1 << widths[b]) - 1}) as bucket)"
+        for b in range(n_bands)
+    )
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # arithmetic shift sign-extends for the top band;
-                        # the width mask keeps exactly the band's bits
-                        F.shiftright(F.col("simhash"), offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket").transform(materialize)
     left = bands.select(
         F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sig1"), "band", "bucket"
@@ -1442,12 +1440,20 @@ def dedup_components(
     pairs = pairs.select("doc_id_1", "doc_id_2")
     if not pairs_materialized:
         pairs = materialize(pairs)
+    # NO distinct on the edge union: every producer in this package
+    # emits distinct ordered pairs from a groupBy, the two union
+    # branches are disjoint orderings, and min-propagation is
+    # duplicate-TOLERANT anyway (a duplicate edge changes no label,
+    # only join width) — the distinct was a full shuffle of the edge
+    # table per components invocation for nothing. The checkpoint
+    # stays: every round's neighbor join references edges, and an
+    # un-materialized union re-evaluates inside each round's checkpoint
+    # (measured +0.7 s on x_dedup_report when dropped).
     edges = (
         pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
         .union(
             pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
         )
-        .distinct()
         .transform(materialize)
     )
     labels = (

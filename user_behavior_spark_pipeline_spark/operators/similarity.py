@@ -137,20 +137,29 @@ def _hyperplanes(bits: int, dim: int = EMBED_DIM, seed: int = 42) -> list[list[f
 
 
 def lsh_signature_col(emb_col, planes: list[list[float]]):
-    """Random-hyperplane signature: bit i = sign(embedding · plane_i)."""
-    sig = F.lit(0).cast("long")
+    """Random-hyperplane signature: bit i = sign(embedding · plane_i).
+
+    Built as ONE generated-SQL expression: the per-op Column form issued
+    ~1000 py4j round-trips per call site (64 plane literals × bits, plus
+    lambda plumbing) ≈ 1 s of driver time each — the SQL string is a
+    single round-trip for an identical Catalyst tree (repr() of a Python
+    float is the shortest correctly-rounded round-trip form, and Spark's
+    double-literal parse is correctly rounded too, so every plane
+    coefficient is bit-exact)."""
+    col_sql = (
+        emb_col if isinstance(emb_col, str) else emb_col._jc.toString()
+    )
+    terms = []
     for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                _as_double(emb_col),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ", ".join(f"{v!r}D" for v in plane)
+        dot = (
+            f"aggregate(zip_with(transform({col_sql}, x -> cast(x as double)), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
-        sig = sig.bitwiseOR(F.shiftleft(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i))
-    return sig
+        terms.append(
+            f"shiftleft(cast(case when {dot} > 0 then 1 else 0 end as bigint), {i})"
+        )
+    return F.expr(" | ".join(terms))
 
 
 def multi_table_planes(
