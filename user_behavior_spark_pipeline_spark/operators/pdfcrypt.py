@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import struct
+from functools import lru_cache
 
 # ---------------------------------------------------------------------------
 # AES (FIPS-197): S-box generated from the spec definition
@@ -191,29 +192,108 @@ def _encrypt_block_i(x: int, w: list[list[int]]) -> int:
     return (o0 << 96) | (o1 << 64) | (o2 << 32) | o3
 
 
+#: inverse T-tables for the decrypt hot path (the FIPS-197 §5.3.5
+#: "equivalent inverse cipher"): D0[a] packs InvMixColumns of the
+#: InvSubBytes'd byte as a u32 column contribution; D1-D3 are byte
+#: rotations, exactly mirroring the _T0.._T3 encrypt tables. The old
+#: byte-wise inverse rounds (list comprehensions per round) were the
+#: single hottest kernel in the PDF decrypt profile.
+_D0 = [
+    (_M[14][_INV_SBOX[a]] << 24)
+    | (_M[9][_INV_SBOX[a]] << 16)
+    | (_M[13][_INV_SBOX[a]] << 8)
+    | _M[11][_INV_SBOX[a]]
+    for a in range(256)
+]
+_D1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _D0]
+_D2 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _D1]
+_D3 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in _D2]
+
+
+def _imc_word(k: int) -> int:
+    """InvMixColumns over one big-endian u32 key word (the equivalent
+    inverse cipher transforms the middle round keys once per key)."""
+    a, b, c, d = k >> 24, (k >> 16) & 0xFF, (k >> 8) & 0xFF, k & 0xFF
+    m9, m11, m13, m14 = _M[9], _M[11], _M[13], _M[14]
+    return (
+        ((m14[a] ^ m11[b] ^ m13[c] ^ m9[d]) << 24)
+        | ((m9[a] ^ m14[b] ^ m11[c] ^ m13[d]) << 16)
+        | ((m13[a] ^ m9[b] ^ m14[c] ^ m11[d]) << 8)
+        | (m11[a] ^ m13[b] ^ m9[c] ^ m14[d])
+    )
+
+
+def _dec_key_words(rks: list[list[int]]) -> list[list[int]]:
+    """Round keys for the equivalent inverse cipher: plain words for the
+    first/last AddRoundKey, InvMixColumns'd words for middle rounds."""
+    w = _rk_words(rks)
+    nr = len(w) - 1
+    return [w[0]] + [[_imc_word(k) for k in w[r]] for r in range(1, nr)] + [w[nr]]
+
+
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    nr = len(rks) - 1
-    s = [b ^ k for b, k in zip(block, rks[nr])]
-    for rnd in range(nr - 1, -1, -1):
-        # inverse ShiftRows then inverse SubBytes
-        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
-        s = [_INV_SBOX[b] for b in s]
-        s = [b ^ k for b, k in zip(s, rks[rnd])]
-        if rnd > 0:
-            t = []
-            for c in range(4):
-                col = s[4 * c : 4 * c + 4]
-                m9, m11, m13, m14 = _M[9], _M[11], _M[13], _M[14]
-                t.extend(
-                    [
-                        m14[col[0]] ^ m11[col[1]] ^ m13[col[2]] ^ m9[col[3]],
-                        m9[col[0]] ^ m14[col[1]] ^ m11[col[2]] ^ m13[col[3]],
-                        m13[col[0]] ^ m9[col[1]] ^ m14[col[2]] ^ m11[col[3]],
-                        m11[col[0]] ^ m13[col[1]] ^ m9[col[2]] ^ m14[col[3]],
-                    ]
-                )
-            s = t
-    return bytes(s)
+    """Byte-key-schedule entry point (kept for the FIPS-vector tests);
+    CBC loops pre-derive the word schedule once via _dec_key_words."""
+    return _decrypt_block_i(
+        int.from_bytes(block, "big"), _dec_key_words(rks)
+    ).to_bytes(16, "big")
+
+
+def _decrypt_block_i(x: int, dw: list[list[int]]) -> int:
+    nr = len(dw) - 1
+    c0 = (x >> 96) ^ dw[nr][0]
+    c1 = ((x >> 64) & 0xFFFFFFFF) ^ dw[nr][1]
+    c2 = ((x >> 32) & 0xFFFFFFFF) ^ dw[nr][2]
+    c3 = (x & 0xFFFFFFFF) ^ dw[nr][3]
+    d0, d1, d2, d3 = _D0, _D1, _D2, _D3
+    for rnd in range(nr - 1, 0, -1):
+        rk = dw[rnd]
+        n0 = (
+            d0[c0 >> 24] ^ d1[(c3 >> 16) & 0xFF]
+            ^ d2[(c2 >> 8) & 0xFF] ^ d3[c1 & 0xFF] ^ rk[0]
+        )
+        n1 = (
+            d0[c1 >> 24] ^ d1[(c0 >> 16) & 0xFF]
+            ^ d2[(c3 >> 8) & 0xFF] ^ d3[c2 & 0xFF] ^ rk[1]
+        )
+        n2 = (
+            d0[c2 >> 24] ^ d1[(c1 >> 16) & 0xFF]
+            ^ d2[(c0 >> 8) & 0xFF] ^ d3[c3 & 0xFF] ^ rk[2]
+        )
+        n3 = (
+            d0[c3 >> 24] ^ d1[(c2 >> 16) & 0xFF]
+            ^ d2[(c1 >> 8) & 0xFF] ^ d3[c0 & 0xFF] ^ rk[3]
+        )
+        c0, c1, c2, c3 = n0, n1, n2, n3
+    rk = dw[0]
+    s = _INV_SBOX
+    o0 = (
+        (s[c0 >> 24] << 24) | (s[(c3 >> 16) & 0xFF] << 16)
+        | (s[(c2 >> 8) & 0xFF] << 8) | s[c1 & 0xFF]
+    ) ^ rk[0]
+    o1 = (
+        (s[c1 >> 24] << 24) | (s[(c0 >> 16) & 0xFF] << 16)
+        | (s[(c3 >> 8) & 0xFF] << 8) | s[c2 & 0xFF]
+    ) ^ rk[1]
+    o2 = (
+        (s[c2 >> 24] << 24) | (s[(c1 >> 16) & 0xFF] << 16)
+        | (s[(c0 >> 8) & 0xFF] << 8) | s[c3 & 0xFF]
+    ) ^ rk[2]
+    o3 = (
+        (s[c3 >> 24] << 24) | (s[(c2 >> 16) & 0xFF] << 16)
+        | (s[(c1 >> 8) & 0xFF] << 8) | s[c0 & 0xFF]
+    ) ^ rk[3]
+    return (o0 << 96) | (o1 << 64) | (o2 << 32) | o3
+
+
+@lru_cache(maxsize=256)
+def _enc_key_words_cached(key: bytes) -> list[list[int]]:
+    return _rk_words(_expand_key(key))
+
+
+@lru_cache(maxsize=256)
+def _dec_key_words_cached(key: bytes) -> list[list[int]]:
+    return _dec_key_words(_expand_key(key))
 
 
 def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes, pad: bool) -> bytes:
@@ -222,7 +302,11 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes, pad: bool) -> bytes:
         data = data + bytes([n]) * n
     if len(data) % 16:
         raise ValueError("AES-CBC without padding needs 16-byte blocks")
-    w = _rk_words(_expand_key(key))
+    # key-schedule cache: AESV3 decrypts/encrypts every stream of a doc
+    # under the SAME file key (and hash_2b re-keys in a tight loop), so
+    # re-expanding per call was ~15% of the decrypt profile. bytes keys,
+    # bounded LRU — per-object R3/AESV2 keys just rotate through it.
+    w = _enc_key_words_cached(key)
     out = bytearray()
     prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
@@ -236,14 +320,12 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes, pad: bool) -> bytes:
 def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes, unpad: bool) -> bytes:
     if len(data) % 16 or (unpad and not data):
         raise ValueError("AES-CBC ciphertext not block-aligned")
-    rks = _expand_key(key)
+    dw = _dec_key_words_cached(key)
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(
-            x ^ y for x, y in zip(_decrypt_block(block, rks), prev)
-        )
+        block = int.from_bytes(data[i : i + 16], "big")
+        out += (_decrypt_block_i(block, dw) ^ prev).to_bytes(16, "big")
         prev = block
     if unpad:
         n = out[-1]
