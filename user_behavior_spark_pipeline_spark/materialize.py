@@ -170,7 +170,7 @@ def cache_shared_counted(df: DataFrame) -> tuple[DataFrame, int]:
 _KEYED_SHARED: dict[tuple, DataFrame] = {}
 
 
-def cache_shared_by_key(key, builder) -> DataFrame:
+def cache_shared_by_key(key, builder, spark=None) -> DataFrame:
     """SESSION-LIFETIME keyed share for small derived frames that several
     REGISTERED QUERIES recompute identically (VERDICT r05 #4: the three
     certified ANN queries each rebuilt the same exact-top-k baseline over
@@ -183,7 +183,19 @@ def cache_shared_by_key(key, builder) -> DataFrame:
     num_queries x k rows). The key is namespaced by the builder frame's
     Spark application id, so a cached frame from a stopped session can
     never be served to a new one; :func:`release_keyed` clears
-    explicitly."""
+    explicitly.
+
+    Pass ``spark`` (the live session) when available: the hit check then
+    runs BEFORE ``builder()``, so a warm hit skips plan construction
+    entirely — measured 0.3–0.6 s of py4j expression-building per hit
+    for the MEM-runs pipeline, paid on every warm sample without this.
+    Without ``spark`` the builder must run first to learn the
+    application id (the legacy path, semantics unchanged)."""
+    if spark is not None:
+        full_key = (spark.sparkContext.applicationId, key)
+        hit = _KEYED_SHARED.get(full_key)
+        if hit is not None:
+            return hit
     df = builder()
     full_key = (df.sparkSession.sparkContext.applicationId, key)
     hit = _KEYED_SHARED.get(full_key)

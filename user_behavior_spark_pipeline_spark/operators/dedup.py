@@ -441,32 +441,67 @@ def dedup_report(
         F.coalesce("n_exact_copies", F.lit(1)).alias("n_exact_copies"),
         F.coalesce("exact_rep", F.col("doc_id")).alias("exact_rep"),
     )
-    sh = shingles(documents, n)
-    if max_shingle_df is not None:
-        sh = cap_shingle_df(sh, max_shingle_df)
-    sh = materialize(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2"))
-    overlap = materialize(shared.join(s1, "doc_id_1").join(s2, "doc_id_2"))
-    jpairs = overlap.select(
-        "doc_id_1",
-        "doc_id_2",
-        F.round(
-            F.col("shared") * 1_000_000 / (F.col("n1") + F.col("n2") - F.col("shared"))
+
+    # The two expensive sub-pipelines are INDEPENDENT eager chains —
+    # (shingles → overlap → components) and (anchor runs) — but each is
+    # a sequence of blocking driver-side materializations, so running
+    # them back to back leaves the cluster idle through every job's
+    # scheduling tail. Submit the runs chain from a second driver
+    # thread so its jobs back-fill the shingle chain's stragglers
+    # (guide §2.6 "overlap independent jobs"); Spark's scheduler
+    # interleaves them, and both results are joined lazily below.
+    def _runs_chain() -> DataFrame:
+        r = maximal_duplicated_substrings(
+            documents,
+            n=substr_n,
+            max_anchor_df=max_anchor_df,
+            max_anchor_tf=max_anchor_tf,
+            share_key=share_key,
         )
-        .cast("long")
-        .alias("jaccard_x1e6"),
-    ).filter(F.col("jaccard_x1e6") >= int(jaccard_threshold * 1_000_000))
-    comp = dedup_components(jpairs, pairs_materialized=True)
+        if share_key is None:
+            r = materialize(r)
+        return r
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    runs_future = pool.submit(_runs_chain)
+    try:
+        sh = shingles(documents, n)
+        if max_shingle_df is not None:
+            sh = cap_shingle_df(sh, max_shingle_df)
+        sh = materialize(sh)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        s1 = sizes.select(
+            F.col("doc_id").alias("doc_id_1"), F.col("n_sh").alias("n1")
+        )
+        s2 = sizes.select(
+            F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2")
+        )
+        overlap = materialize(shared.join(s1, "doc_id_1").join(s2, "doc_id_2"))
+        jpairs = overlap.select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(
+                F.col("shared")
+                * 1_000_000
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
+            )
+            .cast("long")
+            .alias("jaccard_x1e6"),
+        ).filter(F.col("jaccard_x1e6") >= int(jaccard_threshold * 1_000_000))
+        comp = dedup_components(jpairs, pairs_materialized=True)
+        runs = runs_future.result()
+    finally:
+        pool.shutdown(wait=True)
     # per-doc max containment: this doc as side 1 (÷ n1) and as side 2 (÷ n2)
     contained = (
         overlap.select(
@@ -486,20 +521,9 @@ def dedup_report(
         .groupBy("doc_id")
         .agg(F.max("c").alias("max_contained_x1e6"))
     )
-    # runs feeds BOTH branches of the coverage union below — materialize
-    # once or the full anchor-join + window pipeline computes twice (the
-    # fan-out-recompute pathology, SCALE.md). Under share_key the keyed
-    # seam already persisted it — a second wrapper would just add a
-    # checkpoint write.
-    runs = maximal_duplicated_substrings(
-        documents,
-        n=substr_n,
-        max_anchor_df=max_anchor_df,
-        max_anchor_tf=max_anchor_tf,
-        share_key=share_key,
-    )
-    if share_key is None:
-        runs = materialize(runs)
+    # runs feeds BOTH branches of the coverage union below — materialized
+    # once inside _runs_chain (the fan-out-recompute pathology, SCALE.md);
+    # under share_key the keyed seam already persisted it.
     covered = (
         runs.select(
             F.col("doc_id_1").alias("doc_id"),
@@ -693,6 +717,7 @@ def maximal_duplicated_substrings(
                 max_anchor_df=max_anchor_df,
                 max_anchor_tf=max_anchor_tf,
             ),
+            spark=documents.sparkSession,
         )
     tokenized = _spread(documents).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")

@@ -913,6 +913,7 @@ def certified_ann_topk(
         exact = cache_shared_by_key(
             ("ann_exact_baseline", baseline_key, num_queries, k, planted_offset),
             _baseline,
+            spark=embeddings.sparkSession,
         )
     else:
         exact = _baseline()
