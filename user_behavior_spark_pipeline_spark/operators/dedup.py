@@ -1455,30 +1455,32 @@ def dedup_components(
     materialize (seam) each round to keep lineage flat — the standard
     large-graph pattern short of bringing in GraphFrames."""
     global _LAST_COMPONENT_ROUNDS
-    # materialize the (possibly expensive) pair pipeline ONCE — the union
-    # below references it twice, and its final stage would recompute per
-    # branch otherwise. Callers whose pair frame is ALREADY materialized
-    # (dedup_report: jpairs is a filter over the checkpointed overlap
-    # table) pass pairs_materialized=True to skip the redundant
-    # checkpoint job — the twice-referenced lineage is then a cheap
-    # filter/project over materialized data.
-    pairs = pairs.select("doc_id_1", "doc_id_2")
-    if not pairs_materialized:
-        pairs = materialize(pairs)
-    # NO distinct on the edge union: every producer in this package
-    # emits distinct ordered pairs from a groupBy, the two union
-    # branches are disjoint orderings, and min-propagation is
-    # duplicate-TOLERANT anyway (a duplicate edge changes no label,
-    # only join width) — the distinct was a full shuffle of the edge
-    # table per components invocation for nothing. The checkpoint
+    # Both edge orientations come from ONE explode over the pair rows —
+    # not a two-branch union. The union form referenced the (possibly
+    # expensive) pair pipeline twice, forcing a separate pairs
+    # checkpoint job before the edges checkpoint just to avoid computing
+    # the pair join twice; the in-row explode reads each pair row once,
+    # so the pairs checkpoint is gone and only the edges materialize
+    # remains (one blocking job instead of two per components call).
+    # ``pairs_materialized`` is kept for callers (dedup_report) whose
+    # pair frame is already checkpointed — the flag is now only a
+    # documentation of that fact; both paths build edges identically.
+    # NO distinct on the edges: every producer in this package emits
+    # distinct ordered pairs from a groupBy, the two orientations are
+    # disjoint, and min-propagation is duplicate-TOLERANT anyway (a
+    # duplicate edge changes no label, only join width). The checkpoint
     # stays: every round's neighbor join references edges, and an
-    # un-materialized union re-evaluates inside each round's checkpoint
-    # (measured +0.7 s on x_dedup_report when dropped).
+    # un-materialized edge table re-evaluates inside each round's
+    # checkpoint (measured +0.7 s on x_dedup_report when dropped).
+    pairs = pairs.select("doc_id_1", "doc_id_2")
     edges = (
-        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+        pairs.select(
+            F.expr(
+                "explode(array(struct(doc_id_1 as src, doc_id_2 as dst), "
+                "struct(doc_id_2 as src, doc_id_1 as dst))) as e"
+            )
         )
+        .select("e.src", "e.dst")
         .transform(materialize)
     )
     labels = (

@@ -28,7 +28,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..materialize import cache_shared, materialize
+from ..materialize import cache_shared, cache_shared_counted, materialize
 
 EMBED_DIM = 64
 
@@ -449,8 +449,10 @@ def _train_pq_codebooks(
 ):
     """FAISS-style PQ training: per-subspace k-means on a bounded
     driver-side sample (same constant-cost rationale as _train_centroids).
-    Returns an (m, k, d/m) ndarray of sub-codebooks over L2-normalized
-    vectors."""
+    Returns ``(books, rows)``: an (m, k, d/m) ndarray of sub-codebooks over
+    L2-normalized vectors, plus the collected sample rows (vec_id asc) so
+    callers needing a driver-side query matrix can reuse the sample
+    instead of running a second collect job (see _pq_scored)."""
     import numpy as np
 
     rows = (
@@ -480,7 +482,7 @@ def _train_pq_codebooks(
         books[j, : len(cent)] = cent
         if len(cent) < k:
             books[j, len(cent):] = cent[-1]
-    return books
+    return books, rows
 
 
 def pq_topk(
@@ -506,7 +508,7 @@ def pq_topk(
     exact re-ranking of the PQ top-R with true vectors is the standard
     production refinement (compose with brute_force_topk over the
     shortlist)."""
-    scored, _encoded, _qids = _pq_scored(
+    scored, _encoded, _qids, _n = _pq_scored(
         embeddings, num_queries=num_queries, m=m, n_codes=n_codes
     )
     return _rank_topk(scored, k)
@@ -527,12 +529,16 @@ def _pq_scored(
       |true − adc| = |Σ_j ⟨q_j, x_j − c_j⟩| ≤ Σ_j ‖q_j‖·res_j), eagerly
       checkpointed so scoring and any residual aggregate share one
       encode pass;
-    - qids: the query ids (driver-side ndarray).
+    - qids: the query ids (driver-side ndarray);
+    - n_corpus: the encoded row count (free — cache_shared's eager count).
     """
     import numpy as np
     import pandas as pd
 
-    books = _train_pq_codebooks(embeddings, m=m, k=n_codes)
+    _SAMPLE_CAP = 2048
+    books, sample = _train_pq_codebooks(
+        embeddings, m=m, k=n_codes, sample_cap=_SAMPLE_CAP
+    )
     sub = books.shape[2]
 
     def _encode(batches):
@@ -554,18 +560,29 @@ def _pq_scored(
                 }
             )
 
-    encoded = cache_shared(
+    encoded, n_corpus = cache_shared_counted(
         embeddings.select("vec_id", "embedding")
         .mapInPandas(
             _encode, "neighbor_id long, codes array<long>, res array<double>"
         )
     )
 
-    q_rows = (
-        embeddings.filter(F.col("vec_id") < num_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # query rows: reuse the codebook training sample when it provably
+    # contains every vec_id < num_queries row — the sample is the
+    # sample_cap SMALLEST vec_ids, so either it covers the whole corpus
+    # (len < cap) or every excluded row has vec_id >= the last included
+    # one, which is >= num_queries when the guard below holds. Saves one
+    # collect job per PQ build; the fallback collect is byte-identical.
+    if len(sample) < _SAMPLE_CAP or (
+        sample and sample[-1]["vec_id"] >= num_queries
+    ):
+        q_rows = [r for r in sample if r["vec_id"] < num_queries]
+    else:
+        q_rows = (
+            embeddings.filter(F.col("vec_id") < num_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -595,7 +612,7 @@ def _pq_scored(
     scored = encoded.select("neighbor_id", "codes").mapInPandas(
         _score, "query_id long, neighbor_id long, cosine double"
     )
-    return scored, encoded, qids
+    return scored, encoded, qids, n_corpus
 
 
 # last accepted shortlist width / certificate outcome — diagnostics for
@@ -656,7 +673,7 @@ def pq_rerank_topk(
     hash-verifies the whole PQ encode→ADC-score→shortlist→rerank
     pipeline as x_sim_pq_exhaustive (the same driver-checkable-identity
     trick as LSH probe-to-exhaustion and IVF nprobe=all)."""
-    scored, encoded, qids = _pq_scored(
+    scored, encoded, qids, n_corpus = _pq_scored(
         embeddings, num_queries=num_queries, m=m, n_codes=n_codes
     )
     tail_r: dict[str, float] = {}
@@ -680,46 +697,7 @@ def pq_rerank_topk(
             ).collect()[0]["e"]
         return float(tail_r["e"])
 
-    n_corpus = encoded.count()
     r_cap = min(max_shortlist, max(n_corpus - 1, 1))
-    # rank ALL ADC scores once and keep the top-r_cap per query
-    # materialized, each row carrying its PER-VECTOR certificate ceiling
-    # u(y) = adc(y) + ‖y − ŷ‖ (see the certificate check below): every
-    # widening is then a FILTER over this, not a new encode/score pass
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    resn = encoded.select(
-        "neighbor_id",
-        F.sqrt(
-            F.aggregate(
-                F.transform("res", lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("rnorm"),
-    )
-    ranked = (
-        scored.withColumn("adc_rank", F.row_number().over(w))
-        .filter(F.col("adc_rank") <= r_cap)
-        .join(resn, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("cosine").alias("adc"),
-            "adc_rank",
-            (
-                F.col("cosine") + F.lit(float(margin_factor)) * F.col("rnorm")
-            ).alias("u"),
-        )
-        .transform(materialize)
-    )
-    qs = embeddings.filter(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    truth = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
-    )
     global _LAST_PQ_SHORTLIST, _LAST_PQ_CERTIFIED
     r = min(shortlist, r_cap)
     # small-corpus shortcut: when the whole corpus is within a few
@@ -734,8 +712,64 @@ def pq_rerank_topk(
     # Large corpora keep the certificate ladder.
     if r_cap >= n_corpus - 1 and r_cap <= 8 * r:
         r = r_cap
+    # build the ranked/ceiling table ONLY when a certificate round or a
+    # top-r_cap truncation can actually read it: an exact start (r ==
+    # r_cap covering the corpus) returns after the first rescore with
+    # EVERY scored pair in the shortlist, so the ADC row_number window,
+    # the residual-norm join and their materialize job would be dead
+    # work computed and thrown away (guide §1.2). The pair set is
+    # identical either way — ranked.filter(adc_rank <= corpus) keeps
+    # every scored row.
+    exact_start = r >= r_cap and r_cap >= n_corpus - 1
+    if exact_start:
+        ranked = None
+    else:
+        # rank ALL ADC scores once and keep the top-r_cap per query
+        # materialized, each row carrying its PER-VECTOR certificate
+        # ceiling u(y) = adc(y) + ‖y − ŷ‖ (see the certificate check
+        # below): every widening is then a FILTER over this, not a new
+        # encode/score pass
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        resn = encoded.select(
+            "neighbor_id",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("res", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("rnorm"),
+        )
+        ranked = (
+            scored.withColumn("adc_rank", F.row_number().over(w))
+            .filter(F.col("adc_rank") <= r_cap)
+            .join(resn, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("cosine").alias("adc"),
+                "adc_rank",
+                (
+                    F.col("cosine")
+                    + F.lit(float(margin_factor)) * F.col("rnorm")
+                ).alias("u"),
+            )
+            .transform(materialize)
+        )
+    qs = embeddings.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e")
+    )
     while True:
-        short = ranked.filter(F.col("adc_rank") <= r)
+        short = (
+            scored
+            if ranked is None
+            else ranked.filter(F.col("adc_rank") <= r)
+        )
         # broadcast the (num_queries · shortlist)-row side so the
         # true-vector pass is a map-side hash join over one corpus scan —
         # the corpus never shuffles, keeping the "independent of corpus
