@@ -524,26 +524,46 @@ def dedup_report(
     # runs feeds BOTH branches of the coverage union below — materialized
     # once inside _runs_chain (the fan-out-recompute pathology, SCALE.md);
     # under share_key the keyed seam already persisted it.
-    covered = (
+    #
+    # Covered-token count = |union of the per-doc token intervals
+    # [start, start+n_tokens-1]| — computed as the classic interval
+    # sweep (sort by start per doc, each interval contributes the part
+    # past the running max end) instead of exploding every covered
+    # POSITION and distinct-counting it. Exact same integer (sorted by
+    # start, the earlier interval attaining the running max starts no
+    # later than this one, so [s, prev_max] is contiguously covered),
+    # but the plan drops the position explode (rows × run length), the
+    # (doc_id, pos) distinct shuffle AND the second groupBy shuffle for
+    # one window over interval rows — at corpus scale the explode
+    # multiplied the run table by average run LENGTH before shuffling.
+    ivals = runs.select(
+        F.col("doc_id_1").alias("doc_id"),
+        F.col("start_1").alias("s"),
+        (F.col("start_1") + F.col("n_tokens") - 1).alias("e"),
+    ).unionByName(
         runs.select(
-            F.col("doc_id_1").alias("doc_id"),
-            F.explode(
-                F.sequence(F.col("start_1"), F.col("start_1") + F.col("n_tokens") - 1)
-            ).alias("pos"),
+            F.col("doc_id_2").alias("doc_id"),
+            F.col("start_2").alias("s"),
+            (F.col("start_2") + F.col("n_tokens") - 1).alias("e"),
         )
-        .unionByName(
-            runs.select(
-                F.col("doc_id_2").alias("doc_id"),
-                F.explode(
-                    F.sequence(
-                        F.col("start_2"), F.col("start_2") + F.col("n_tokens") - 1
-                    )
-                ).alias("pos"),
-            )
-        )
-        .distinct()
+    )
+    wiv = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        ivals.withColumn("prev_e", F.max("e").over(wiv))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_verbatim_shared_tokens"))
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.col("e")
+                    - F.greatest(F.col("prev_e"), F.col("s") - F.lit(1)),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("n_verbatim_shared_tokens")
+        )
     )
     ntok = documents.select(
         "doc_id",

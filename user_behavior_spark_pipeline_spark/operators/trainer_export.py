@@ -225,6 +225,20 @@ def write_packed_shards(
             columns=[f.name for f in SHARD_SCHEMA.fields],
         )
 
+    # pin the grouped exchange on the FULL grouping key: without this the
+    # grouped map reuses the cumsum window's hashpartitioning(shard), so
+    # parallelism of the Python file builders — and of the downstream
+    # readback walker, which inherits this partitioning — is capped at
+    # the number of distinct SOURCES (plus hash collisions stacking two
+    # sources on one task), not the number of output files. Explicit-N
+    # keyed repartition spreads the (shard, file_id) groups over every
+    # core and blocks AQE from byte-coalescing a compute-bound Python
+    # stage (deltadv.py:213 / udf_surface pattern, guide §2.5).
+    files = files.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        "shard",
+        "file_id",
+    )
     return files.groupBy("shard", "file_id").applyInPandas(
         _build, SHARD_SCHEMA
     )
