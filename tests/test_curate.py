@@ -42,6 +42,26 @@ def test_curated_is_subset_of_input(docs, curated):
     assert orphans.count() == 0
 
 
+def test_quality_filter_matches_score_semijoin(docs):
+    """quality_filter (the in-row gate curate_corpus now applies) must keep
+    EXACTLY the rows the old score-then-semi-join form kept, for the same
+    thresholds — the r15 join-removal is a plan change, not a policy change."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.text import (
+        quality_filter,
+        quality_scores,
+    )
+
+    q = quality_scores(docs).filter(
+        (F.col("n_tokens") >= 20) & (F.col("alpha_ratio_x1000") >= 800)
+    )
+    old = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+    new = quality_filter(docs, 20, 800)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_jaccard_pair_properties_on_random_corpora(spark):
     """Property check (Hypothesis-seeded corpora, batched into one Spark
     pass per example set): for ANY small corpus, n-gram Jaccard pairs must

@@ -2,7 +2,7 @@
 for, composed entirely from this package's operators.
 
     quality filter  ->  exact dedup (keep first)  ->  near-dup removal
-    (text.quality_scores)   (dedup.exact)             (dedup.ngram pairs)
+    (text.quality_filter)   (dedup.exact)             (dedup.ngram pairs)
 
 Near-dup policy: greedy keep-first — among surviving docs, any doc that is
 the HIGHER doc_id of a Jaccard>=threshold pair is dropped. Deterministic,
@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import ngram_jaccard_pairs
-from .text import quality_scores
+from .text import quality_filter
 
 
 def curate_corpus(
@@ -46,11 +46,13 @@ def curate_corpus(
        docs that survived 1-2 (pairs are computed AFTER the earlier stages —
        a pair with an already-dropped doc must not kill its partner).
     """
-    q = quality_scores(documents).filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("alpha_ratio_x1000") >= min_alpha_x1000)
-    )
-    quality_docs = documents.join(q.select("doc_id"), "doc_id", "left_semi")
+    # quality gate as ONE in-row filter on the scan — the old form
+    # scored the corpus (a second documents scan) and semi-joined the
+    # surviving doc_ids back, paying a join for a predicate every row
+    # answers locally (guide §2.4: remove joins outright). Same rows:
+    # doc_id is unique and quality_filter applies quality_scores' own
+    # expressions (equivalence pinned by test_curate).
+    quality_docs = quality_filter(documents, min_tokens, min_alpha_x1000)
 
     # exact dedup as ONE groupBy pass: min doc_id per distinct text, with
     # text as the group key, so the output IS (doc_id, text) — no

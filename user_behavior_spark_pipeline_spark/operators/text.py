@@ -51,6 +51,32 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    documents: DataFrame, min_tokens: int, min_alpha_x1000: int
+) -> DataFrame:
+    """Row-local quality gate: keeps exactly the documents whose
+    :func:`quality_scores` row passes ``n_tokens >= min_tokens AND
+    alpha_ratio_x1000 >= min_alpha_x1000`` — but applied as ONE in-row
+    filter on the documents scan instead of scoring the corpus and
+    semi-joining it back (doc_id is unique, so the semi-join and the
+    filter keep the same rows; the join form scans the corpus twice
+    and pays a join for a predicate every row can answer locally).
+    The expressions are the same ones quality_scores emits, so the
+    two forms cannot drift (pinned by test)."""
+    n_tokens = F.size(tokens_col()).cast("long")
+    n_chars = F.length("text").cast("long")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("long")
+    return documents.filter(
+        F.col("text").isNotNull()
+        & (n_chars > 0)
+        & (n_tokens >= min_tokens)
+        & (
+            F.round(alpha * 1000 / n_chars).cast("long")
+            >= min_alpha_x1000
+        )
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Length/punctuation/stopword quality signals (scaled-integer outputs).
 
