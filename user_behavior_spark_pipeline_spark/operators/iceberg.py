@@ -318,69 +318,96 @@ def iceberg_live_rows(
     container walker supplies the row contents; a parquet data file
     changes the scan, not the delete algebra."""
     longs, entries = _resolve_reachable_entries(metadata, files)
-    live = entries.filter(F.col("status") != "2")
+    # the live entry table feeds THREE broadcast-built file lists below;
+    # un-pinned, every broadcast exchange re-runs the manifest pivot +
+    # reachability joins over the longs checkpoint (measured: 3× the
+    # entries subtree per query). Metadata-scale rows — pin once.
+    live = materialize(entries.filter(F.col("status") != "2"))
+    # every column here is freshly ALIASED: the live and content
+    # checkpoints both inherit their groupBy-key exprIds from the same
+    # longs lineage, so an un-renamed table_id/file_path on this side
+    # is attribute-identical to the content pivot's and the joins below
+    # fail ambiguous-self-join analysis
     data_files = live.filter(F.col("content") == "0").select(
-        "table_id", "file_path", F.col("seq").alias("seq_d")
+        F.col("table_id").alias("d_table_id"),
+        F.col("file_path").alias("d_file_path"),
+        F.col("seq").alias("seq_d"),
     )
     pos_files = live.filter(F.col("content") == "1").select(
-        "table_id",
+        F.col("table_id").alias("p_table_id"),
         F.col("file_path").alias("del_file"),
         F.col("seq").alias("seq_del"),
     )
     eq_files = live.filter(F.col("content") == "2").select(
-        "table_id",
-        F.col("file_path").alias("del_file"),
-        F.col("seq").alias("seq_del"),
+        F.col("table_id").alias("e_table_id"),
+        F.col("file_path").alias("eq_del_file"),
+        F.col("seq").alias("eq_seq_del"),
     )
 
-    def _content_rows(fields: list[str]) -> DataFrame:
-        aggs = [
-            F.max(F.when(F.col("field") == f, F.col("value"))).alias(f)
-            for f in fields
-        ]
-        return (
-            longs.filter(F.col("field").isin(*fields))
-            .groupBy("table_id", "file_name", "rec_idx")
-            .agg(*aggs)
+    # ONE fused pivot over the long table serves all three content
+    # consumers (r15 — the data/position/equality pivots ran three
+    # separate aggregations over the same longs checkpoint: 3 shuffles
+    # for 1 shuffle's information). Per-consumer ``_has_*`` flags keep
+    # the group sets EXACTLY what the per-field pivots produced (a
+    # group exists for a consumer iff some row carries one of ITS
+    # fields — a value-null field still counts, so a null-max test
+    # could not replicate this); the downstream file-list joins then
+    # restrict by file kind as before. Materialized: three consumers,
+    # metadata-scale rows.
+    fields = ["id", "v", "file_path", "pos"]
+    content = materialize(
+        longs.filter(F.col("field").isin(*fields))
+        .groupBy("table_id", "file_name", "rec_idx")
+        .agg(
+            *[
+                F.max(F.when(F.col("field") == f, F.col("value"))).alias(f)
+                for f in fields
+            ],
+            F.max(F.col("field").isin("id", "v")).alias("_has_data"),
+            F.max(F.col("field").isin("file_path", "pos")).alias(
+                "_has_pos"
+            ),
+            F.max(F.col("field") == "id").alias("_has_id"),
         )
+    )
 
     # data rows: (table_id, file, ordinal, id, v) restricted to live
     # data files — the file set is metadata-scale, broadcast
-    data = _content_rows(["id", "v"])
+    data = content.filter(F.col("_has_data"))
     rows = data.join(
         F.broadcast(data_files),
-        (data["file_name"] == data_files["file_path"])
-        & (data["table_id"] == data_files["table_id"]),
+        (data["file_name"] == data_files["d_file_path"])
+        & (data["table_id"] == data_files["d_table_id"]),
     ).select(
         data["table_id"].alias("table_id"),
-        "file_path",
+        F.col("d_file_path").alias("file_path"),
         "seq_d",
         F.col("rec_idx").alias("pos"),
         "id",
         "v",
     )
     # position deletes: content rows of reachable content=1 files
-    pos_rows_all = _content_rows(["file_path", "pos"])
+    pos_rows_all = content.filter(F.col("_has_pos"))
     pos_del = pos_rows_all.join(
         F.broadcast(pos_files),
         (pos_rows_all["file_name"] == pos_files["del_file"])
-        & (pos_rows_all["table_id"] == pos_files["table_id"]),
+        & (pos_rows_all["table_id"] == pos_files["p_table_id"]),
     ).select(
         pos_rows_all["table_id"].alias("table_id"),
-        F.col("file_path").alias("target_file"),
+        pos_rows_all["file_path"].alias("target_file"),
         F.col("pos").cast("long").alias("del_pos"),
         "seq_del",
     )
     # equality deletes: id values of reachable content=2 files
-    eq_rows_all = _content_rows(["id"])
+    eq_rows_all = content.filter(F.col("_has_id"))
     eq_del = eq_rows_all.join(
         F.broadcast(eq_files),
-        (eq_rows_all["file_name"] == eq_files["del_file"])
-        & (eq_rows_all["table_id"] == eq_files["table_id"]),
+        (eq_rows_all["file_name"] == eq_files["eq_del_file"])
+        & (eq_rows_all["table_id"] == eq_files["e_table_id"]),
     ).select(
         eq_rows_all["table_id"].alias("table_id"),
         F.col("id").alias("del_id"),
-        "seq_del",
+        F.col("eq_seq_del").alias("seq_del"),
     )
     # sequence scoping (spec §Scan Planning): a position delete applies
     # to data files with seq <= its own; an equality delete only to
