@@ -136,3 +136,38 @@ def test_ann_trio_shares_one_baseline(spark, sf_dir):
         QUERIES[q](spark, sf_dir).count()
     assert len(M._KEYED_SHARED) == 1
     M.release_keyed()
+
+
+def test_materialize_lazy_truncates_and_reuses_under_all_modes(spark):
+    """materialize_lazy: the caller's next action materializes the frame;
+    afterwards it behaves exactly like materialize's output — identical
+    rows on re-read (no recompute drift) and truncated lineage under the
+    checkpoint modes (the returned plan no longer references the input's
+    shuffle). Sequential-consumer contract only — fan-out seams keep
+    eager materialize (module docstring)."""
+    from pyspark.sql import functions as F
+
+    original = M.get_materialize_mode()
+    try:
+        for mode in M.MODES:
+            M.set_materialize_mode(mode)
+            base = (
+                spark.range(0, 1000)
+                .select((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+                .groupBy("k")
+                .agg(F.min("v").alias("m"))
+            )
+            lazy = M.materialize_lazy(base, iterative=True)
+            # one sequential action materializes it (the fused dispatch)
+            n = lazy.filter(F.col("m") % 2 == 0).count()
+            rows1 = sorted((r["k"], r["m"]) for r in lazy.collect())
+            rows2 = sorted((r["k"], r["m"]) for r in lazy.collect())
+            assert rows1 == rows2
+            assert n == len([r for r in rows1 if r[1] % 2 == 0])
+            # checkpoint modes truncate the logical plan to an RDD scan
+            if mode in ("local_checkpoint", "reliable_checkpoint"):
+                plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+                assert "Aggregate" not in plan, plan
+            M.release_shared()
+    finally:
+        M.set_materialize_mode(original)

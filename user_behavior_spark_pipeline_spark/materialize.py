@@ -145,6 +145,33 @@ def materialize(df: DataFrame, iterative: bool = False) -> DataFrame:
     return cached
 
 
+def materialize_lazy(df: DataFrame, iterative: bool = False) -> DataFrame:
+    """:func:`materialize` for STRICTLY SEQUENTIAL chains: mark the frame
+    for lineage-truncating materialization but let the CALLER'S next
+    action do the computing. The eager seam dispatches one blocking Spark
+    job for the checkpoint and the caller immediately dispatches a second
+    (a convergence count, a consumer build) over the just-materialized
+    rows; when the two are back to back on one driver thread, fusing them
+    halves the job dispatches — in iterative loops (components rounds)
+    that is one scheduling round-trip saved per iteration.
+
+    Contract: the caller must run ONE action (or strictly sequential
+    actions) over the returned frame before any fan-out — a lazy frame
+    first touched concurrently from two driver threads computes its
+    lineage in both, the exact pathology materialize()'s eagerness
+    exists to prevent (module docstring). Keep :func:`materialize` at
+    fan-out seams and thread boundaries."""
+    mode = _checked_mode()
+    if mode == "local_checkpoint":
+        return df.localCheckpoint(eager=False)
+    if mode == "reliable_checkpoint" or iterative:
+        _ensure_checkpoint_dir(df)
+        return df.checkpoint(eager=False)
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _register_cache(cached)
+    return cached
+
+
 def cache_shared(df: DataFrame) -> DataFrame:
     """Corpus-sized shared intermediate: persist WITH lineage + eager
     count, regardless of mode — a lost executor must recompute, never

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..materialize import cache_shared, cache_shared_counted, materialize
+from ..materialize import (
+    cache_shared,
+    cache_shared_counted,
+    materialize,
+    materialize_lazy,
+)
 
 NUM_HASHES = 64
 NUM_BANDS = 32  # 2 rows per band
@@ -1542,11 +1547,16 @@ def dedup_components(
             )
             # iterative=True: round N's plan references round N-1's —
             # persist mode must truncate lineage here or analysis cost
-            # grows exponentially with rounds (materialize.py docstring)
-            .transform(lambda d: materialize(d, iterative=True))
+            # grows exponentially with rounds (materialize.py docstring).
+            # LAZY: the convergence count right below is the round's one
+            # next action, so it materializes the checkpoint in the same
+            # job — one blocking dispatch per round instead of two
+            # (materialize_lazy contract: strictly sequential consumer)
+            .transform(lambda d: materialize_lazy(d, iterative=True))
         )
         # prev carried through the checkpoint so convergence is a cheap
-        # filter on materialized data, not a second join+job
+        # filter on materialized data, not a second join+job — and the
+        # count doubles as the lazy checkpoint's materializing action
         changed = updated.filter(F.col("component") < F.col("prev")).count()
         labels = updated.select("doc_id", "component")
         if changed == 0:
