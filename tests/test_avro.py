@@ -758,3 +758,45 @@ def test_union_exact_match_compares_namespaced_full_names():
     assert list(avro_container_records(c, reader_schema=reader)) == [
         (0, "e", "enum", "A")
     ]
+
+
+def test_union_inherited_namespace_writer_matches_short_name():
+    """round-15 review: a writer record/enum with an INHERITED (absent)
+    namespace must still exact-match the reader union branch sharing
+    its short name — requiring fullname equality shunted it into the
+    structural-fallback pass, which takes the first compatible branch
+    of ANY name (here the wrong enum)."""
+    import json as _json
+
+    from user_behavior_spark_pipeline_spark.operators.avro import (
+        build_avro_container,
+    )
+
+    def rec(enum_schema):
+        return _json.dumps(
+            {
+                "type": "record",
+                "name": "T",
+                "namespace": "a.b",
+                "fields": [{"name": "e", "type": enum_schema}],
+            }
+        ).encode()
+
+    # reader union: two structurally-compatible enums, explicit
+    # namespaces, DIFFERENT short names — first branch would win a
+    # structural fallback
+    reader = rec(
+        [
+            {"type": "enum", "name": "W", "namespace": "a.b",
+             "symbols": ["A", "B"]},
+            {"type": "enum", "name": "E", "namespace": "a.b",
+             "symbols": ["A", "B"]},
+        ]
+    )
+    # writer's enum E inherits namespace a.b (no explicit key): must
+    # pick the short-name-equal branch E, not the first branch W
+    w = rec({"type": "enum", "name": "E", "symbols": ["A", "B"]})
+    c = build_avro_container(w, [zigzag_encode(1)], bytes(16))
+    assert list(avro_container_records(c, reader_schema=reader)) == [
+        (0, "e", "enum", "B")
+    ]

@@ -63,7 +63,13 @@ def test_emulation_prevention_laws():
         b"\x00\x00\x03": b"\x00\x00\x03\x03",
         b"\x00\x00\x04": b"\x00\x00\x04",
         b"\x00\x01\x00\x00\x01": b"\x00\x01\x00\x00\x03\x01",
-        b"\x00\x00\x00\x00": b"\x00\x00\x03\x00\x00",
+        # end-of-data law (§7.4.1.1): an RBSP ending in 0x0000 (the
+        # cabac_zero_word shape) takes a FINAL 0x03 — the NAL's last
+        # byte may not be 0x00, and removal must strip a trailing
+        # 0x000003 with nothing after it (round-15 review finding:
+        # both directions previously required a following byte)
+        b"\x00\x00\x00\x00": b"\x00\x00\x03\x00\x00\x03",
+        b"\x01\x00\x00": b"\x01\x00\x00\x03",
     }
     for rbsp, ebsp in cases.items():
         assert rbsp_to_ebsp(rbsp) == ebsp, rbsp
@@ -71,6 +77,8 @@ def test_emulation_prevention_laws():
     # a 0x03 NOT preceded by 0x0000, or followed by >0x03, is data
     assert ebsp_to_rbsp(b"\x01\x03\x02") == b"\x01\x03\x02"
     assert ebsp_to_rbsp(b"\x00\x00\x03\x04") == b"\x00\x00\x03\x04"
+    # legacy illegal-but-seen form (EBSP ending 0x00): still inverts
+    assert ebsp_to_rbsp(b"\x00\x00\x03\x00\x00") == b"\x00\x00\x00\x00"
 
 
 def test_sei_trap_forces_emulation_prevention():

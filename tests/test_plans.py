@@ -776,3 +776,43 @@ def test_q20_nested_semi_joins_are_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+
+
+def test_staged_tree_key_tracks_source_data(spark, tmp_path):
+    """round-15 review: the staged-fixture on-disk tag must fingerprint
+    the SOURCE DATA (documents.parquet size+mtime), not just the path —
+    the driver regenerates testdata at the same path between rounds,
+    and a tree staged from the old table must never be served against
+    oracles recomputing from the new one."""
+    import os
+    import shutil
+    import time
+
+    from user_behavior_spark_pipeline_spark import registry as R
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                src / "documents.parquet")
+    sf_dir = str(src)
+
+    def build():
+        return {"t": spark.range(3).toDF("doc_id")}
+
+    key = ("lake", "keytest", sf_dir)
+    read1 = R._stage_lake_frames(spark, sf_dir, "keytest", build)
+    base1 = read1.base
+    # same data -> same tree, across a cleared process memo
+    R._STAGED_SOURCES.pop(key, None)
+    read2 = R._stage_lake_frames(spark, sf_dir, "keytest", build)
+    assert read2.base == base1
+    # regenerated source (newer mtime) -> DIFFERENT tree
+    now = time.time() + 2
+    os.utime(src / "documents.parquet", (now, now))
+    R._STAGED_SOURCES.pop(key, None)
+    read3 = R._stage_lake_frames(spark, sf_dir, "keytest", build)
+    assert read3.base != base1
+    assert read3("t").count() == 3
+    for b in {base1, read3.base}:
+        shutil.rmtree(b, ignore_errors=True)
+    R._STAGED_SOURCES.pop(key, None)

@@ -317,3 +317,32 @@ def test_pq_certificate_below_corpus_on_clustered_data(spark):
         f"certificate only accepted at {similarity._LAST_PQ_SHORTLIST} "
         f"of {n_corpus} — not 'well below corpus'"
     )
+
+
+def test_lsh_signature_col_column_and_string_paths_agree(spark):
+    """round-15 review: the generated-SQL fast path needs a column NAME;
+    a computed Column must take the per-op Column build — both forms
+    must produce identical signatures (same Catalyst semantics)."""
+    from pyspark.sql import functions as F
+
+    from user_behavior_spark_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature_col,
+    )
+
+    planes = _hyperplanes(8, dim=4)
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 2.0, 0.25]), (2, [-0.125, 3.0, -2.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = df.select(
+        "vec_id",
+        lsh_signature_col("embedding", planes).alias("s_str"),
+        lsh_signature_col(F.col("embedding"), planes).alias("s_col"),
+        # a COMPUTED column (the case the _jc-string splice broke)
+        lsh_signature_col(
+            F.transform("embedding", lambda x: x * F.lit(1.0)), planes
+        ).alias("s_expr"),
+    ).collect()
+    for r in got:
+        assert r["s_str"] == r["s_col"] == r["s_expr"], r

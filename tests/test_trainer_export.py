@@ -199,3 +199,26 @@ def test_epoch_shuffle_permutation_laws(spark):
     assert {(r["epoch"], r["shard"], r["doc_id"], r["pos"]) for r in out} == {
         (r["epoch"], r["shard"], r["doc_id"], r["pos"]) for r in out2
     }
+
+
+def test_tar_roundtrip_with_dotted_source_name(spark):
+    """A '.' inside the source (shard) name must not shear the member
+    key: member names are '{source}/{seq}.tokens.npy', and splitting on
+    the FIRST dot paired nothing — both lookup dicts stayed empty, the
+    unpaired-members guard passed vacuously, and the readback silently
+    emitted ZERO rows (round-15 review finding, reproduced)."""
+    docs = spark.createDataFrame(
+        [("web.en", 1, "ab cd"), ("web.en", 2, "ef"), ("plain", 3, "gh")],
+        "source string, doc_id long, text string",
+    )
+    shards = write_packed_shards(docs, 4, 8, fmt="tar")
+    rows = packed_sample_stats(shards, fmt="tar").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], 0)
+        by_shard[r["shard"]] += r["n_tok"]
+    assert by_shard.get("web.en", 0) > 0, rows
+    assert by_shard.get("plain", 0) > 0, rows
+    # token conservation per shard: every input char lands in a sample
+    assert by_shard["web.en"] == len("ab cd") + len("ef")
+    assert by_shard["plain"] == len("gh")

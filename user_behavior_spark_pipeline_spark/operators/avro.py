@@ -534,30 +534,46 @@ def _resolve_type(name: str, w, r, depth: int):
         # (review r14); for primitives the type keyword. Promotions
         # only as the fallback pass — writer int against reader
         # ["double","int"] must decode as int, not double.
-        def _fullname(s) -> str | None:
-            # Avro fullname: a dotted ``name`` IS the fullname; else
-            # prepend the schema's own ``namespace``. Enclosing-scope
-            # namespace inheritance (a nested record inheriting its
-            # container's namespace) is out of scope here, matching
-            # the alias/record-name note above (review r14).
+        def _names(s) -> tuple[str | None, str | None]:
+            # (fullname-or-None, shortname-or-None). A dotted ``name``
+            # IS the fullname; an explicit ``namespace`` prepends; a
+            # bare name with NO explicit namespace has an UNKNOWN
+            # fullname here (enclosing-scope inheritance isn't
+            # threaded through resolution — the documented scope
+            # limit), so it returns fullname=None and matches by
+            # short name below.
             if not isinstance(s, dict):
-                return None
+                return None, None
             nm = s.get("name")
             if not isinstance(nm, str):
-                return None
-            if "." in nm or not s.get("namespace"):
-                return nm
-            return f"{s['namespace']}.{nm}"
+                return None, None
+            if "." in nm:
+                return nm, nm.rsplit(".", 1)[1]
+            if s.get("namespace"):
+                return f"{s['namespace']}.{nm}", nm
+            return None, nm
 
         def _exact_match(rm) -> bool:
             if _json_type_name(rm) != wn:
                 return False
             if wn in ("record", "enum", "fixed"):
                 # Java bestBranch matches FULL names — two same-kind
-                # branches whose short names collide across namespaces
-                # must resolve to the namespace-equal one
-                wf, rf = _fullname(w), _fullname(rm)
-                return wf is not None and wf == rf
+                # branches whose short names collide across explicit
+                # namespaces must resolve to the namespace-equal one
+                # (review r14). When EITHER side's namespace is
+                # inherited (unknown here), fall back to the short
+                # name: requiring full equality would shunt an
+                # inherited-namespace writer past its true branch into
+                # the structural-fallback pass, which takes the first
+                # compatible branch of ANY name (round-15 review
+                # finding — a behavior regression, not just a gap).
+                wf, ws = _names(w)
+                rf, rs = _names(rm)
+                if ws is None or rs is None:
+                    return False
+                if wf is not None and rf is not None:
+                    return wf == rf
+                return ws == rs
             return True
 
         for exact in (True, False):

@@ -503,7 +503,9 @@ def dedup_report(
             .cast("long")
             .alias("jaccard_x1e6"),
         ).filter(F.col("jaccard_x1e6") >= int(jaccard_threshold * 1_000_000))
-        comp = dedup_components(jpairs, pairs_materialized=True)
+        # jpairs is a cheap filter over the checkpointed overlap table,
+        # so components' one-pass edge explode reads materialized data
+        comp = dedup_components(jpairs)
         runs = runs_future.result()
     finally:
         pool.shutdown(wait=True)
@@ -1451,9 +1453,7 @@ def simhash_near_pairs(
 _LAST_COMPONENT_ROUNDS: int = 0
 
 
-def dedup_components(
-    pairs: DataFrame, max_iters: int = 64, pairs_materialized: bool = False
-) -> DataFrame:
+def dedup_components(pairs: DataFrame, max_iters: int = 64) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, component) where
     component = min doc_id reachable through the pair graph — the step that
     turns pairwise matches into duplicate CLUSTERS (keep one row per
@@ -1487,9 +1487,6 @@ def dedup_components(
     # the pair join twice; the in-row explode reads each pair row once,
     # so the pairs checkpoint is gone and only the edges materialize
     # remains (one blocking job instead of two per components call).
-    # ``pairs_materialized`` is kept for callers (dedup_report) whose
-    # pair frame is already checkpointed — the flag is now only a
-    # documentation of that fact; both paths build edges identically.
     # NO distinct on the edges: every producer in this package emits
     # distinct ordered pairs from a groupBy, the two orientations are
     # disjoint, and min-propagation is duplicate-TOLERANT anyway (a

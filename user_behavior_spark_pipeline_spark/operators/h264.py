@@ -138,7 +138,10 @@ class _BitWriter:
 
 def rbsp_to_ebsp(rbsp: bytes) -> bytes:
     """Insert emulation_prevention_three_byte (§7.4.1): any 0x0000
-    followed by a byte <= 0x03 gets 0x03 interposed."""
+    followed by a byte <= 0x03 gets 0x03 interposed — INCLUDING at end
+    of data (§7.4.1.1: an RBSP ending in 0x0000, which cabac_zero_words
+    produce, gets a final 0x03 so the EBSP never ends with a start-code
+    prefix fragment; round-15 review finding)."""
     out = bytearray()
     zeros = 0
     for b in rbsp:
@@ -147,19 +150,23 @@ def rbsp_to_ebsp(rbsp: bytes) -> bytes:
             zeros = 0
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
+    if zeros >= 2:
+        out.append(3)
     return bytes(out)
 
 
 def ebsp_to_rbsp(ebsp: bytes) -> bytes:
-    """Remove emulation prevention: 0x000003 followed by 0x00-0x03
-    drops the 0x03."""
+    """Remove emulation prevention: 0x000003 followed by 0x00-0x03 —
+    or by nothing (a trailing 0x000003 is the §7.4.1.1 cabac_zero_word
+    escape; requiring a following byte kept the spurious 0x03 in the
+    RBSP tail; round-15 review finding) — drops the 0x03."""
     out = bytearray()
     zeros = 0
     i = 0
     n = len(ebsp)
     while i < n:
         b = ebsp[i]
-        if zeros >= 2 and b == 3 and i + 1 < n and ebsp[i + 1] <= 3:
+        if zeros >= 2 and b == 3 and (i + 1 >= n or ebsp[i + 1] <= 3):
             zeros = 0
             i += 1
             continue

@@ -145,21 +145,44 @@ def lsh_signature_col(emb_col, planes: list[list[float]]):
     single round-trip for an identical Catalyst tree (repr() of a Python
     float is the shortest correctly-rounded round-trip form, and Spark's
     double-literal parse is correctly rounded too, so every plane
-    coefficient is bit-exact)."""
-    col_sql = (
-        emb_col if isinstance(emb_col, str) else emb_col._jc.toString()
-    )
-    terms = []
+    coefficient is bit-exact).
+
+    The SQL fast path needs a COLUMN NAME to splice into the string;
+    any other Column (a computed expression, a Connect column with no
+    _jc) takes the equivalent per-op Column build below — same tree,
+    just the slower construction (round-15 review finding: the _jc
+    debug string of a non-trivial Column is not valid SQL)."""
+    if isinstance(emb_col, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = ", ".join(f"{v!r}D" for v in plane)
+            dot = (
+                f"aggregate(zip_with(transform({emb_col}, "
+                f"x -> cast(x as double)), "
+                f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"shiftleft(cast(case when {dot} > 0 then 1 else 0 end "
+                f"as bigint), {i})"
+            )
+        return F.expr(" | ".join(terms))
+    sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = ", ".join(f"{v!r}D" for v in plane)
-        dot = (
-            f"aggregate(zip_with(transform({col_sql}, x -> cast(x as double)), "
-            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        d = F.aggregate(
+            F.zip_with(
+                _as_double(emb_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        terms.append(
-            f"shiftleft(cast(case when {dot} > 0 then 1 else 0 end as bigint), {i})"
+        sig = sig.bitwiseOR(
+            F.shiftleft(
+                F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
+            )
         )
-    return F.expr(" | ".join(terms))
+    return sig
 
 
 def multi_table_planes(
@@ -244,12 +267,12 @@ def lsh_bucketed_topk(
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e"),
-        lsh_signature_col(F.col("embedding"), planes).alias("sig_e"),
+        lsh_signature_col("embedding", planes).alias("sig_e"),
     )
     q = embeddings.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        lsh_signature_col(F.col("embedding"), planes).alias("sig_q"),
+        lsh_signature_col("embedding", planes).alias("sig_q"),
     )
     candidates = (
         corpus.crossJoin(F.broadcast(q))

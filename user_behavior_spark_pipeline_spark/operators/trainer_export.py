@@ -319,12 +319,20 @@ def packed_sample_stats(shards: DataFrame, fmt: str = "tar") -> DataFrame:
                     metas: dict[str, dict] = {}
                     toks: dict[str, "np.ndarray"] = {}
                     for name, data in tar_members(payload):
-                        key, ext = name.split(".", 1)
-                        if ext == "tokens.npy":
+                        # the sample key is everything before the FIXED
+                        # member suffix. Never split on the first '.':
+                        # member names are '{source}/{seq}.tokens.npy'
+                        # and a dotted source name (e.g. 'web.en') would
+                        # shear the key mid-name, pair nothing, and pass
+                        # the emptiness-symmetric unpaired guard with
+                        # ZERO rows (round-15 review finding)
+                        if name.endswith(".tokens.npy"):
                             d = npy_decode(data)
-                            toks[key] = d["values"]
-                        elif ext == "meta.json":
-                            metas[key] = json.loads(data)
+                            toks[name[: -len(".tokens.npy")]] = d["values"]
+                        elif name.endswith(".meta.json"):
+                            metas[name[: -len(".meta.json")]] = json.loads(
+                                data
+                            )
                     if set(metas) != set(toks):
                         raise ValueError("tar shard: unpaired members")
                     for key, vals in toks.items():

@@ -1831,8 +1831,28 @@ def _stage_lake_frames(spark, sf_dir, name, build):
 
     key = ("lake", name, sf_dir)
     if key not in _STAGED_SOURCES:
+        # the tag must fingerprint the SOURCE DATA, not just the path:
+        # the driver regenerates testdata between rounds at the same
+        # path, and a tree staged from the old documents table would
+        # otherwise be served to queries whose oracles recompute from
+        # the new one (round-15 review finding). size + mtime_ns of
+        # documents.parquet — every build() here derives from it — is
+        # conservative in the safe direction (worst case one spurious
+        # re-synthesis after an identical-byte rewrite).
+        try:
+            st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+            src_print = (st.st_size, st.st_mtime_ns)
+        except OSError:
+            src_print = None
         tag = _hashlib.sha1(
-            repr((name, _os.path.abspath(sf_dir), _LAKE_STAGE_EPOCH)).encode()
+            repr(
+                (
+                    name,
+                    _os.path.abspath(sf_dir),
+                    _LAKE_STAGE_EPOCH,
+                    src_print,
+                )
+            ).encode()
         ).hexdigest()[:12]
         base = _os.path.join(tempfile.gettempdir(), f"ubsp_stage_{name}_{tag}")
         marker = _os.path.join(base, "_STAGED")
@@ -1849,7 +1869,15 @@ def _stage_lake_frames(spark, sf_dir, name, build):
                 _shutil.rmtree(tmp, ignore_errors=True)
         _STAGED_SOURCES[key] = base
     base = _STAGED_SOURCES[key]
-    return lambda sub: spark.read.parquet(_os.path.join(base, sub))
+
+    def read(sub):
+        return spark.read.parquet(_os.path.join(base, sub))
+
+    # the staged tree's root, for callers that need a PATH (stream-twin
+    # sources) — published here so they don't rebuild the private
+    # _STAGED_SOURCES key shape (round-15 review finding)
+    read.base = base
+    return read
 
 
 def _staged_media(spark, sf_dir, name, synth):
@@ -1887,8 +1915,8 @@ def _staged_media_dir(spark, sf_dir, name, synth, partitions: int = 4):
             )
         }
 
-    _stage_lake_frames(spark, sf_dir, name, build)
-    return _os.path.join(_STAGED_SOURCES[("lake", name, sf_dir)], "media")
+    read = _stage_lake_frames(spark, sf_dir, name, build)
+    return _os.path.join(read.base, "media")
 
 
 def _stage_r15_media(spark, sf_dir) -> None:
@@ -4187,8 +4215,7 @@ def _stage_warc(spark, sf_dir, variant: str):
 
     read = _stage_lake_frames(spark, sf_dir, f"warc_{variant}", build)
     if variant == "corrupt":
-        base = _STAGED_SOURCES[("lake", f"warc_{variant}", sf_dir)]
-        return _os.path.join(base, "archives")
+        return _os.path.join(read.base, "archives")
     return read("archives")
 
 
