@@ -29,7 +29,16 @@ sample counts are in BENCH_DETAIL.json.
 
 Each query is fully materialized through the noop datasource (no driver-side
 collect bottleneck, no disk write) — i.e. we time scan + compute + shuffle,
-which is what scales."""
+which is what scales.
+
+Measurement hygiene (round 16): every timed sample drains BOTH cache
+registries inside its window — ``release_shared()`` (per-query shared
+intermediates) and ``release_keyed()`` (the session-lifetime keyed shares:
+MEM-runs table, ANN exact baseline) — so every sample pays the cold build
+and no memoised intermediate keyed on the testdata path survives between
+timed runs (VERDICT r15 #1). The JSON line additionally echoes ``cpus``,
+``default_parallelism`` and two floor-calibration medians (additions only;
+the driver contract fields are unchanged)."""
 
 from __future__ import annotations
 
@@ -87,7 +96,10 @@ def main() -> None:
     # fixture setup is layout maintenance, not query work
     prepare_staged(spark, sf_dir)
 
-    from user_behavior_spark_pipeline_spark.materialize import release_shared
+    from user_behavior_spark_pipeline_spark.materialize import (
+        release_keyed,
+        release_shared,
+    )
 
     # x_dedup_embedding is the declared ORACLE-BASELINE-ONLY path (a
     # guarded driver-side collect no pipeline routes through —
@@ -127,6 +139,16 @@ def main() -> None:
         # query's caches is part of that query's cost, not its
         # successor's
         release_shared()
+        # drain the KEYED session-lifetime shares too (MEM-runs table,
+        # ANN exact baseline): without this, sample 1 computed the keyed
+        # intermediate and samples 2..N (and sibling queries sharing the
+        # key) timed warm hits — memoised results keyed on the testdata
+        # path surviving into timed samples, which the round rules treat
+        # as result caching across runs (VERDICT r15 #1, gaming flag).
+        # Every bench sample now pays the full cold build; the seam
+        # itself stays for production sessions, where cross-query reuse
+        # is the point.
+        release_keyed()
         samples[name].append(round(time.perf_counter() - t0, 3))
 
     # pass 1: every query gets its (mandatory) first sample
@@ -194,6 +216,17 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # additions-only JSON-line fields (VERDICT r15 #2 — make scaling
+    # observable): the core count + actual defaultParallelism so the
+    # driver's low-core probe can confirm the env var is honored, and
+    # two untouched floor-calibration medians so cross-round totals can
+    # be band-normalized (this box runs identical code up to 1.5x slower
+    # hour to hour — BENCH_NOTES).
+    floor = {
+        n: timings[n]
+        for n in ("ref_count", "ref_groupby_direction")
+        if n in timings
+    }
     print(
         json.dumps(
             {
@@ -205,6 +238,9 @@ def main() -> None:
                 "runs_max": runs_max,
                 "sf": sf,
                 "n_queries": len(timings),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "floor": floor,
                 "detail": "BENCH_DETAIL.json",
             }
         )
