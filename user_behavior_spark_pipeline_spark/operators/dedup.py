@@ -205,7 +205,18 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     ``transform`` over that bound column. Building grams by indexing into
     the raw ``split(...)`` expression instead re-evaluates the split per
     ``element_at`` (n accesses × ~|tokens| grams → quadratic re-tokenize;
-    measured 12× slower at sf0.1)."""
+    measured 12× slower at sf0.1).
+
+    Deduplication is IN-ROW (``array_distinct`` over the hashed gram
+    array before the explode), not a global ``.distinct()``: shingle
+    distinctness is per DOCUMENT and ``doc_id`` is a key (one row per
+    document at every call site), so the global distinct was a full
+    shuffle + hash-aggregate of the exploded shingle table that
+    deduplicated nothing across rows — and its (doc_id, shingle)
+    partitioning was reusable by NO consumer (the pair self-join
+    re-shuffles by shingle, the size/minhash aggregates by doc_id).
+    Removing it drops one full-corpus exchange from every shingle
+    consumer (guide §2.4), the duplicated_spans shape."""
     tokenized = _spread(documents).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
     )
@@ -222,11 +233,8 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         ),
         lambda g: g.isNotNull(),
     )
-    return (
-        tokenized.select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", F.xxhash64("gram").alias("shingle"))
-        .distinct()
-    )
+    hashed = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    return tokenized.select("doc_id", F.explode(hashed).alias("shingle"))
 
 
 def _pair_jaccard(sh: DataFrame, pairs_filter: DataFrame | None = None) -> DataFrame:
