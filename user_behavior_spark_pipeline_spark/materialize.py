@@ -197,7 +197,7 @@ def cache_shared_counted(df: DataFrame) -> tuple[DataFrame, int]:
 _KEYED_SHARED: dict[tuple, DataFrame] = {}
 
 
-def cache_shared_by_key(key, builder, spark=None) -> DataFrame:
+def cache_shared_by_key(key, builder, spark=None, eager=True) -> DataFrame:
     """SESSION-LIFETIME keyed share for small derived frames that several
     REGISTERED QUERIES recompute identically (VERDICT r05 #4: the three
     certified ANN queries each rebuilt the same exact-top-k baseline over
@@ -217,7 +217,16 @@ def cache_shared_by_key(key, builder, spark=None) -> DataFrame:
     entirely — measured 0.3–0.6 s of py4j expression-building per hit
     for the MEM-runs pipeline, paid on every warm sample without this.
     Without ``spark`` the builder must run first to learn the
-    application id (the legacy path, semantics unchanged)."""
+    application id (the legacy path, semantics unchanged).
+
+    ``eager=False`` registers the persist WITHOUT the eager count: the
+    caller's next action populates the cache as a side effect, saving one
+    blocking driver job per cold build. ONLY for frames whose first
+    consumer references them exactly once (the ANN certificate's exact
+    baseline feeds one join) — a lazily-persisted frame first touched by
+    two concurrent stages computes its lineage in both (the fan-out
+    pathology materialize()'s eagerness exists to prevent). Later
+    consumers via the same key read the by-then-populated cache."""
     if spark is not None:
         full_key = (spark.sparkContext.applicationId, key)
         hit = _KEYED_SHARED.get(full_key)
@@ -236,7 +245,8 @@ def cache_shared_by_key(key, builder, spark=None) -> DataFrame:
     for stale in [k for k in _KEYED_SHARED if k[0] != full_key[0]]:
         _KEYED_SHARED.pop(stale, None)
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
+    if eager:
+        cached.count()
     _KEYED_SHARED[full_key] = cached
     return cached
 
