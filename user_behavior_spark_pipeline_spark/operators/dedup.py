@@ -499,7 +499,16 @@ def dedup_report(
         s2 = sizes.select(
             F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n2")
         )
-        overlap = materialize(shared.join(s1, "doc_id_1").join(s2, "doc_id_2"))
+        # LAZY: overlap's consumers are strictly sequential on this
+        # thread — components' edges materialize (the next blocking
+        # action, which references overlap exactly once through jpairs)
+        # populates it, and the final plan's `contained` branch then
+        # reads the populated checkpoint. One blocking driver dispatch
+        # fewer per report (materialize_lazy contract; the concurrent
+        # runs chain never touches overlap).
+        overlap = materialize_lazy(
+            shared.join(s1, "doc_id_1").join(s2, "doc_id_2")
+        )
         jpairs = overlap.select(
             "doc_id_1",
             "doc_id_2",
@@ -677,6 +686,7 @@ def maximal_duplicated_substrings(
     max_anchor_df: int | None = None,
     max_anchor_tf: int | None = None,
     share_key: str | None = None,
+    share_eager: bool = True,
 ) -> DataFrame:
     """ARBITRARY-LENGTH verbatim-substring dedup: every maximal token run
     shared verbatim by a document pair, with its positions and length —
@@ -730,7 +740,12 @@ def maximal_duplicated_substrings(
     Passing a corpus identity string routes the result through
     materialize.cache_shared_by_key — computed once per session per
     (corpus, n, min_tokens, caps), the ANN-baseline pattern. None
-    (default) computes per call."""
+    (default) computes per call. ``share_eager=False`` skips the eager
+    count on a COLD build (the caller's own action populates the keyed
+    persist — one blocking job fewer); only for callers whose first plan
+    references the runs exactly once (substring: the output IS the runs;
+    strip: one interval groupBy). dedup_report references runs twice in
+    one plan (the coverage union) and must keep the eager default."""
     if min_tokens is None:
         min_tokens = n
     if share_key is not None:
@@ -753,6 +768,7 @@ def maximal_duplicated_substrings(
                 max_anchor_tf=max_anchor_tf,
             ),
             spark=documents.sparkSession,
+            eager=share_eager,
         )
     tokenized = _spread(documents).select(
         "doc_id", F.split(F.col("text"), "\\s+").alias("_toks")
@@ -777,12 +793,24 @@ def maximal_duplicated_substrings(
         )
     )
     hashed = anchors.withColumn("_h", F.xxhash64("anchor"))
-    # candidacy on the hash: column pruning drops anchor/pos from this
-    # branch, the distinct+count shuffle carries (long, long) pairs only
+    # candidacy on the hash, with the per-document dedup done IN-ROW
+    # (array_distinct over the hashed gram array — the shingles() shape):
+    # doc_id is a key, so the old global distinct over every (hash,
+    # doc_id) anchor row was a full shuffle that deduplicated only
+    # within-document repeats; the df count shuffle now carries one
+    # (long, partial count) per distinct in-doc hash after map-side agg
+    doc_hashes = tokenized.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(grams, lambda g: g.isNotNull()),
+                    lambda g: F.xxhash64(g),
+                )
+            )
+        ).alias("_h")
+    )
     hot = (
-        hashed.select("_h", "doc_id")
-        .distinct()
-        .groupBy("_h")
+        doc_hashes.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= 2)
         .select("_h")
@@ -973,13 +1001,17 @@ def strip_duplicated_substrings(
     occurrence and STRIPPED from every higher doc's occurrence, so the
     corpus retains exactly one copy of each long verbatim repeat.
 
-    Shape: runs → per-(higher-doc) strip positions (explode of the run's
-    position range — linear in the stripped token volume, which is
-    bounded by the corpus) → left-anti join against the corpus's
-    (doc_id, pos, token) explosion → per-doc ordered reassembly. Every
-    stage is one shuffle on doc_id or (doc_id, pos); nothing is
-    quadratic beyond the run discovery itself (see
-    maximal_duplicated_substrings for its caps).
+    Shape (round 16 — guide §2.3 "shuffle keys and metadata instead of
+    payloads" / §8): runs → per-(higher-doc) INTERVAL LIST (one groupBy
+    over run rows — the only shuffle, and it moves interval metadata,
+    never tokens) → joined doc-keyed to the corpus → the strip decision,
+    the removed count and the reassembly all happen IN-ROW over the
+    token array (an indexed transform + an ``exists`` over the doc's
+    intervals). The old form exploded every corpus token position,
+    shuffled the full (doc_id, pos, token) table through a join against
+    the exploded strip positions, then re-assembled the whole corpus
+    through a collect_list groupBy — three corpus-sized shuffles where
+    the decision data per doc is a handful of intervals.
 
     Output: (doc_id, n_tokens_before, n_tokens_removed, text_stripped)
     for every non-NULL-text document — docs with nothing stripped pass
@@ -996,50 +1028,49 @@ def strip_duplicated_substrings(
         max_anchor_df=max_anchor_df,
         max_anchor_tf=max_anchor_tf,
         share_key=share_key,
+        share_eager=False,  # single consumer: the interval groupBy below
     )
-    strip_pos = (
-        runs.select(
-            F.col("doc_id_2").alias("doc_id"),
-            F.explode(
-                F.sequence(
-                    F.col("start_2"),
-                    F.col("start_2") + F.col("n_tokens") - 1,
-                )
-            ).alias("pos"),
-        )
-        .distinct()
-        .withColumn("_strip", F.lit(True))
+    ivals = runs.groupBy(F.col("doc_id_2").alias("doc_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_2").alias("s"),
+                (F.col("start_2") + F.col("n_tokens") - 1).alias("e"),
+            )
+        ).alias("_iv")
     )
-    positions = (
-        _spread(documents)
+    toks = (
+        _spread(documents.filter(F.col("text").isNotNull()))
         .select("doc_id", F.split(F.col("text"), "\\s+").alias("_toks"))
-        .select("doc_id", F.posexplode("_toks").alias("pos0", "token"))
-        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+        .join(ivals, "doc_id", "left")
     )
-    marked = positions.join(strip_pos, ["doc_id", "pos"], "left")
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens_before"),
-            F.count("_strip").alias("n_tokens_removed"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_strip").isNull(),
-                                F.struct(F.col("pos"), F.col("token")),
-                            )
-                        )
-                    ),
-                    lambda s: s.getField("token"),
-                ),
-            ).alias("text_stripped"),
-        )
-        .select(
-            "doc_id", "n_tokens_before", "n_tokens_removed", "text_stripped"
-        )
+    # 1-based positions, matching the run convention; a position is
+    # stripped iff ANY interval covers it (overlapping runs count once —
+    # same as the old explode+distinct). coalesce guards the no-runs
+    # docs, whose _iv is NULL after the left join.
+    indexed = F.transform(
+        F.col("_toks"),
+        lambda x, i: F.struct(x.alias("t"), (i + 1).alias("p")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("_iv"),
+                lambda iv: (s.getField("p") >= iv.getField("s"))
+                & (s.getField("p") <= iv.getField("e")),
+            ),
+            F.lit(False),
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens_before"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s.getField("t"))
+        ).alias("text_stripped"),
     )
 
 

@@ -2526,6 +2526,7 @@ def x_dedup_substring(spark, sf_dir):
     return maximal_duplicated_substrings(
         _table(spark, sf_dir, "documents"), n=5,
         share_key=f"{sf_dir}:documents",
+        share_eager=False,  # the runs ARE the output — single consumer
     )
 
 
