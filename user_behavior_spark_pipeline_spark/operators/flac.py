@@ -89,11 +89,12 @@ def crc16(data: bytes) -> int:
 class _Bits:
     """MSB-first reader with FLAC's unary (zeros then a one)."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_np")
 
     def __init__(self, data: bytes, pos_bits: int = 0) -> None:
         self.data = data
         self.pos = pos_bits
+        self._np = None  # lazy (bits, ones) numpy views for rice()
 
     def u(self, n: int) -> int:
         # whole-field extraction (one bytes→int of the ⌈n/8⌉+1 covering
@@ -141,11 +142,73 @@ class _Bits:
         return out
 
     def rice(self, param: int, count: int) -> list[int]:
-        """``count`` Rice(param)-coded residuals decoded in one fused
-        loop over local state — replaces a per-sample unary()+u() method
-        call pair (the residual decode hot path). Error behaviour
-        matches the primitive calls: overrun past the payload end,
-        runaway-run guard at 2^20 zeros."""
+        """``count`` Rice(param)-coded residuals. Large partitions take
+        the VECTORIZED path (guide §4.2 / SCALE.md r15 WATCH row): one
+        np.unpackbits of the payload (cached per reader), the unary
+        terminators found as a pointer-doubled successor walk over the
+        one-bit index array (each terminator is the first 1-bit at
+        least 1+param past the previous one), remainders gathered as a
+        (count, param) bit matrix — no per-sample Python loop. Small
+        partitions keep the fused scalar loop (vector setup outweighs
+        it). Error behaviour matches the scalar path: overrun past the
+        payload end, runaway-run guard at 2^20 zeros, identical
+        messages."""
+        if count >= 64:
+            return self._rice_np(param, count)
+        return self._rice_scalar(param, count)
+
+    def _rice_np(self, param: int, count: int) -> list[int]:
+        import numpy as np
+
+        if self._np is None:
+            bits = np.unpackbits(np.frombuffer(self.data, np.uint8))
+            self._np = (bits, np.flatnonzero(bits).astype(np.int64))
+        bits, ones = self._np
+        total = len(self.data) * 8
+        pos = self.pos
+        m = len(ones)
+        step = 1 + param
+        # successor: for one-index i, the first one at >= ones[i] + step
+        # (the next residual's unary terminator, skipping the remainder
+        # field); sentinel m self-loops so exhausted chains stay put
+        nxt = np.append(np.searchsorted(ones, ones + step), m)
+        # pointer doubling: X holds the terminator indices of residuals
+        # 0..len(X)-1; each round extends the path by its own length
+        x = np.array([np.searchsorted(ones, pos)], dtype=np.int64)
+        f = nxt
+        while len(x) < count:
+            x = np.concatenate([x, f[x]])
+            if len(x) < count:
+                f = f[f]
+        x = x[:count]
+        t = np.append(ones, total)[x]  # terminator bit positions
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = pos
+        starts[1:] = t[:-1] + step
+        q = t - starts
+        bad = (x == m) | (q > (1 << 20))
+        if bad.any():
+            k = int(np.argmax(bad))  # first failure; starts[k] is valid
+            if x[k] == m:  # no terminator before payload end
+                if total - int(starts[k]) > (1 << 20) + 8:
+                    raise ValueError("unreasonable unary run")
+                raise ValueError("FLAC bitstream overrun")
+            raise ValueError("unreasonable unary run")
+        end = int(t[-1]) + step
+        if end > total:  # last remainder field crosses the payload end
+            raise ValueError("FLAC bitstream overrun")
+        if param:
+            idx = t[:, None] + 1 + np.arange(param, dtype=np.int64)
+            weights = (
+                np.int64(1) << np.arange(param - 1, -1, -1, dtype=np.int64)
+            )
+            u = (q << param) | (bits[idx].astype(np.int64) @ weights)
+        else:
+            u = q
+        self.pos = end
+        return ((u >> 1) ^ -(u & 1)).tolist()
+
+    def _rice_scalar(self, param: int, count: int) -> list[int]:
         data = self.data
         pos = self.pos
         total = len(data) * 8
