@@ -1009,3 +1009,38 @@ def test_maximal_substrings_property_equals_bruteforce(spark, corpus, n):
         for s1, s2, L in _bruteforce_mems(toks[i], toks[j], n)
     )
     assert got == exp
+
+
+def test_exact_duplicates_hashed_equals_text_keyed(spark, docs):
+    """The hash-keyed variant (x_dedup_exact_hashed) must produce the
+    EXACT text-keyed group set: same representatives, same cardinalities,
+    on the real corpus (dup groups + unique docs) and on an edge frame
+    with NULL text and empty strings."""
+    from user_behavior_spark_pipeline_spark.operators.dedup import (
+        exact_duplicates_hashed,
+    )
+
+    want = sorted(map(tuple, exact_duplicates(docs).collect()))
+    got = sorted(map(tuple, exact_duplicates_hashed(docs).collect()))
+    assert got == want
+
+    edge = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),
+            (3, None),
+            (4, None),
+            (5, ""),
+            (6, "unique text"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(tuple, exact_duplicates(edge).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    got = sorted(
+        map(tuple, exact_duplicates_hashed(edge).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == want

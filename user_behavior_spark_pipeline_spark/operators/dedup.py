@@ -185,6 +185,47 @@ def exact_duplicates(documents: DataFrame, key: str = "text") -> DataFrame:
     ).select("min_doc_id", "n_copies")
 
 
+def exact_duplicates_hashed(
+    documents: DataFrame, key: str = "text"
+) -> DataFrame:
+    """Exact dedup groups keyed on ``xxhash64(text)`` with an in-group
+    exact-text verify — the 100 TB form of :func:`exact_duplicates`
+    (VERDICT r15 #8, the declared variant; exact_duplicates stays the
+    text-keyed original). The text-keyed groupBy ships every document's
+    full text through its exchange; here the FIRST aggregation shuffles
+    16 bytes/row (hash + doc_id, text pruned from the scan), and only
+    rows whose hash appears >= 2 times — actual duplicates plus the
+    vanishingly rare 64-bit collision — re-shuffle WITH their text for
+    the exact verify group (the duplicated_spans hash-first shape).
+
+    Output is IDENTICAL to exact_duplicates: a collision between two
+    different texts lands both in the verify stage, whose exact-text
+    groupBy separates them; a hash seen once is necessarily a text seen
+    once, so singletons skip the text shuffle entirely."""
+    hashed = documents.select(
+        "doc_id",
+        F.col(key).alias("_t"),
+        F.xxhash64(F.col(key)).alias("_h"),
+    )
+    per_hash = hashed.groupBy("_h").agg(
+        F.min("doc_id").alias("min_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    dup_exact = (
+        hashed.join(per_hash.filter(F.col("n_copies") >= 2).select("_h"), "_h")
+        .groupBy("_t")
+        .agg(
+            F.min("doc_id").alias("min_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("min_doc_id", "n_copies")
+    )
+    singles = per_hash.filter(F.col("n_copies") == 1).select(
+        "min_doc_id", "n_copies"
+    )
+    return singles.unionByName(dup_exact)
+
+
 def dedup_keep_first(documents: DataFrame, key: str = "text") -> DataFrame:
     """dropDuplicates API surface (OP-X-DEDUP) — keeps an arbitrary row per
     key; use exact_duplicates for a deterministic representative."""

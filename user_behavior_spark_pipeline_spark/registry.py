@@ -2471,6 +2471,26 @@ def x_dedup_exact(spark, sf_dir):
 
 
 @query(
+    "x_dedup_exact_hashed",
+    oracle=(
+        "SELECT MIN(doc_id) AS min_doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+)
+def x_dedup_exact_hashed(spark, sf_dir):
+    """Exact dedup, HASH-KEYED (the declared 100 TB variant — VERDICT
+    r15 #8): same representative set as x_dedup_exact, but the first
+    exchange carries xxhash64(text) + doc_id (16 bytes/row) instead of
+    every document's text; only duplicate-hash rows re-shuffle with
+    text for the in-group exact verify, so collisions cannot merge
+    distinct texts. Same oracle as x_dedup_exact — identical output by
+    construction."""
+    from .operators.dedup import exact_duplicates_hashed
+
+    return exact_duplicates_hashed(_table(spark, sf_dir, "documents"))
+
+
+@query(
     "x_dedup_span",
     oracle=(
         "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
