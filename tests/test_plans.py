@@ -778,12 +778,15 @@ def test_q20_nested_semi_joins_are_hash(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
 
 
-def test_staged_tree_key_tracks_source_data(spark, tmp_path):
+def test_staged_tree_key_tracks_source_data(spark, tmp_path, sf_dir):
     """round-15 review: the staged-fixture on-disk tag must fingerprint
     the SOURCE DATA (documents.parquet size+mtime), not just the path —
     the driver regenerates testdata at the same path between rounds,
     and a tree staged from the old table must never be served against
-    oracles recomputing from the new one."""
+    oracles recomputing from the new one. ADVICE r15: the in-process
+    memo key includes the fingerprint too, so mid-process regeneration
+    invalidates WITHOUT popping the memo by hand (the source parquet
+    comes from the sf_dir fixture, not a hardcoded path)."""
     import os
     import shutil
     import time
@@ -792,27 +795,31 @@ def test_staged_tree_key_tracks_source_data(spark, tmp_path):
 
     src = tmp_path / "sfX"
     src.mkdir()
-    shutil.copy("/root/testdata/sf0.001/documents.parquet",
-                src / "documents.parquet")
-    sf_dir = str(src)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        src / "documents.parquet",
+    )
+    stage_dir = str(src)
 
     def build():
         return {"t": spark.range(3).toDF("doc_id")}
 
-    key = ("lake", "keytest", sf_dir)
-    read1 = R._stage_lake_frames(spark, sf_dir, "keytest", build)
+    read1 = R._stage_lake_frames(spark, stage_dir, "keytest", build)
     base1 = read1.base
-    # same data -> same tree, across a cleared process memo
-    R._STAGED_SOURCES.pop(key, None)
-    read2 = R._stage_lake_frames(spark, sf_dir, "keytest", build)
+    # same data -> same tree, even across a cleared process memo
+    stale = [k for k in R._STAGED_SOURCES if k[1] == "keytest"]
+    for k in stale:
+        R._STAGED_SOURCES.pop(k, None)
+    read2 = R._stage_lake_frames(spark, stage_dir, "keytest", build)
     assert read2.base == base1
-    # regenerated source (newer mtime) -> DIFFERENT tree
+    # regenerated source (newer mtime) -> DIFFERENT tree, with NO memo
+    # pop: the fingerprint is part of the memo key
     now = time.time() + 2
     os.utime(src / "documents.parquet", (now, now))
-    R._STAGED_SOURCES.pop(key, None)
-    read3 = R._stage_lake_frames(spark, sf_dir, "keytest", build)
+    read3 = R._stage_lake_frames(spark, stage_dir, "keytest", build)
     assert read3.base != base1
     assert read3("t").count() == 3
     for b in {base1, read3.base}:
         shutil.rmtree(b, ignore_errors=True)
-    R._STAGED_SOURCES.pop(key, None)
+    for k in [k for k in R._STAGED_SOURCES if k[1] == "keytest"]:
+        R._STAGED_SOURCES.pop(k, None)

@@ -553,32 +553,35 @@ def _resolve_type(name: str, w, r, depth: int):
                 return f"{s['namespace']}.{nm}", nm
             return None, nm
 
-        def _exact_match(rm) -> bool:
+        def _match_tier(rm) -> int | None:
+            """0 = exact fullname (both known and equal) or a non-named
+            same-type branch; 1 = shortname match where either side's
+            namespace is inherited (unknown at this layer); None = no
+            exact match. Java bestBranch exhausts FULLNAME equality
+            across ALL branches before trying unqualified names
+            (ADVICE r15): a writer 'ns.Foo' against reader union
+            [bare 'Foo', 'ns.Foo'] must pick the exact-fullname branch
+            at index 1, not the index-0 shortname hit. Two same-kind
+            branches whose short names collide across explicit
+            namespaces still resolve to the namespace-equal one
+            (review r14); an inherited-namespace writer still reaches
+            its short-name branch before the structural fallback
+            (round-15 review finding)."""
             if _json_type_name(rm) != wn:
-                return False
+                return None
             if wn in ("record", "enum", "fixed"):
-                # Java bestBranch matches FULL names — two same-kind
-                # branches whose short names collide across explicit
-                # namespaces must resolve to the namespace-equal one
-                # (review r14). When EITHER side's namespace is
-                # inherited (unknown here), fall back to the short
-                # name: requiring full equality would shunt an
-                # inherited-namespace writer past its true branch into
-                # the structural-fallback pass, which takes the first
-                # compatible branch of ANY name (round-15 review
-                # finding — a behavior regression, not just a gap).
                 wf, ws = _names(w)
                 rf, rs = _names(rm)
                 if ws is None or rs is None:
-                    return False
+                    return None
                 if wf is not None and rf is not None:
-                    return wf == rf
-                return ws == rs
-            return True
+                    return 0 if wf == rf else None
+                return 1 if ws == rs else None
+            return 0
 
-        for exact in (True, False):
+        for tier in (0, 1, None):
             for k, rm in enumerate(r):
-                if _exact_match(rm) != exact:
+                if _match_tier(rm) != tier:
                     continue
                 try:
                     return _resolve_type(f"{name}|{k}", w, rm, depth + 1)

@@ -24,6 +24,7 @@ here; cross-engine float noise is ~1e-12)."""
 from __future__ import annotations
 
 import random
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -171,12 +172,18 @@ def lsh_signature_col(emb_col, planes: list[list[float]]):
     double-literal parse is correctly rounded too, so every plane
     coefficient is bit-exact).
 
-    The SQL fast path needs a COLUMN NAME to splice into the string;
-    any other Column (a computed expression, a Connect column with no
-    _jc) takes the equivalent per-op Column build below — same tree,
-    just the slower construction (round-15 review finding: the _jc
-    debug string of a non-trivial Column is not valid SQL)."""
-    if isinstance(emb_col, str):
+    The SQL fast path needs a SIMPLE COLUMN NAME to splice into the
+    string; any other Column (a computed expression, a Connect column
+    with no _jc) takes the equivalent per-op Column build below — same
+    tree, just the slower construction (round-15 review finding: the
+    _jc debug string of a non-trivial Column is not valid SQL). A name
+    that is not a bare identifier (dots, spaces, backticks, reserved
+    words with symbols) also routes to the Column build — splicing it
+    raw would generate invalid SQL or resolve the wrong column
+    (ADVICE r15)."""
+    if isinstance(emb_col, str) and re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", emb_col
+    ):
         terms = []
         for i, plane in enumerate(planes):
             arr = ", ".join(f"{v!r}D" for v in plane)

@@ -1829,21 +1829,24 @@ def _stage_lake_frames(spark, sf_dir, name, build):
     import shutil as _shutil
     import tempfile
 
-    key = ("lake", name, sf_dir)
+    # the tag must fingerprint the SOURCE DATA, not just the path: the
+    # driver regenerates testdata between rounds at the same path, and a
+    # tree staged from the old documents table would otherwise be served
+    # to queries whose oracles recompute from the new one (round-15
+    # review finding). size + mtime_ns of documents.parquet — every
+    # build() here derives from it — is conservative in the safe
+    # direction (worst case one spurious re-synthesis after an
+    # identical-byte rewrite). The fingerprint is STAT'D ON EVERY CALL
+    # and is part of the in-process memo key too (ADVICE r15): testdata
+    # regenerated within one process lifetime must also invalidate, not
+    # just across processes.
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+        src_print = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        src_print = None
+    key = ("lake", name, sf_dir, src_print)
     if key not in _STAGED_SOURCES:
-        # the tag must fingerprint the SOURCE DATA, not just the path:
-        # the driver regenerates testdata between rounds at the same
-        # path, and a tree staged from the old documents table would
-        # otherwise be served to queries whose oracles recompute from
-        # the new one (round-15 review finding). size + mtime_ns of
-        # documents.parquet — every build() here derives from it — is
-        # conservative in the safe direction (worst case one spurious
-        # re-synthesis after an identical-byte rewrite).
-        try:
-            st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
-            src_print = (st.st_size, st.st_mtime_ns)
-        except OSError:
-            src_print = None
         tag = _hashlib.sha1(
             repr(
                 (
