@@ -40,7 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..materialize import materialize
+from ..materialize import materialize, materialize_lazy
 from .avro import avro_container_records, build_avro_container, zigzag_encode
 
 #: table metadata JSON — Iceberg's dashed key names, verbatim.
@@ -104,18 +104,44 @@ def avro_rows_keyed(files: DataFrame) -> DataFrame:
     )
 
 
+#: manifest-entry pivot fields (the live_files surface)
+_ENTRY_FIELDS = (
+    "status",
+    "sequence_number",
+    "data_file.content",
+    "data_file.file_path",
+    "data_file.record_count",
+    "data_file.file_size_in_bytes",
+)
+
+
 def _resolve_reachable_entries(
-    metadata: DataFrame, files: DataFrame
+    metadata: DataFrame, files: DataFrame, content_fields=()
 ) -> tuple[DataFrame, DataFrame]:
     """Shared snapshot resolution for the metadata (live_files) and
-    merge-on-read (live_rows) paths: returns (longs, entries) where
-    ``longs`` is the materialized long table of EVERY Avro file's rows
-    and ``entries`` is the wide manifest-entry table restricted to
-    manifests the CURRENT snapshot reaches (columns table_id,
-    file_name, rec_idx, status, content, file_path, record_count,
-    file_size). ``content`` follows the v2 spec (0 data / 1 position
-    deletes / 2 equality deletes) and coalesces to '0' for v1
-    manifests that don't carry the field.
+    merge-on-read (live_rows) paths: returns (fused, entries) where
+    ``fused`` is THE one materialized pivot of every Avro file's rows
+    over (manifest-list + manifest-entry + ``content_fields``) and
+    ``entries`` is the lazily-derived wide manifest-entry table
+    restricted to manifests the CURRENT snapshot reaches (columns
+    table_id, file_name, rec_idx, status, seq, content, file_path,
+    record_count, file_size). ``content`` follows the v2 spec (0 data /
+    1 position deletes / 2 equality deletes) and coalesces to '0' for
+    v1 manifests that don't carry the field.
+
+    Round 16 (guide §1.2): the resolution used to run THREE blocking
+    materializations — the Avro-walk long table, then separate
+    list/entry(/content) pivots over its checkpoint, each a driver
+    dispatch. All pivots group on the same (table_id, file_name,
+    rec_idx) key, so ONE fused aggregation carries every consumer's
+    columns: the walk is materialize_lazy (single consumer — this
+    pivot) and the fused pivot is the only eager job. Per-consumer
+    group sets are preserved exactly — manifest-list groups and
+    content-row groups entering the entry slice are dropped by the
+    reachable join (a data/list file name can never equal a manifest
+    path in a consistent table), and the ``_has_*`` flags restore the
+    content consumers' field-presence semantics (a value-null field
+    still counts).
 
     Sequence numbers follow the spec's §Sequence Number Inheritance
     (r14 — VERDICT r13 #1): an entry with a NULL sequence_number and
@@ -143,109 +169,75 @@ def _resolve_reachable_entries(
             "table_id", F.col("s.`manifest-list`").alias("list_name")
         )
     )
-    # the long table feeds the manifest-list join, the entry pivot AND
-    # (in the merge-on-read path) the content-row pivots — without
-    # pinning it, the whole Avro walk (and in the certified query, the
-    # fixture synthesis above it) runs once per consumer.
-    # Metadata+fixture-scale rows: the materialization is KBs per table.
-    longs = materialize(
+    # the Avro walk feeds exactly ONE consumer (the fused pivot), so it
+    # is marked lazy and computed inside the pivot's materialize job
+    longs = materialize_lazy(
         avro_rows_keyed(files).filter(F.col("parse_error").isNull())
     )
-    # manifest-list rows: which manifests the current snapshot reaches,
-    # pivoted to carry the per-manifest sequence_number alongside the
-    # path (v2 lists; null for v1 lists that don't write one). Rows
-    # from manifest ENTRY files fall out via manifest IS NULL + the
-    # join to current.
-    list_rows = (
-        longs.filter(
-            F.col("field").isin("manifest_path", "sequence_number")
-        )
+
+    def mx(field: str, alias: str):
+        return F.max(
+            F.when(F.col("field") == field, F.col("value"))
+        ).alias(alias)
+
+    extra = list(content_fields)
+    all_fields = ("manifest_path",) + _ENTRY_FIELDS + tuple(extra)
+    aggs = [
+        mx("manifest_path", "manifest"),
+        # shared by list rows (the per-manifest seq ADDED entries
+        # inherit) and entry rows (the explicit v2 entry seq): one
+        # column, read per consumer
+        mx("sequence_number", "seqno"),
+        mx("status", "status"),
+        mx("data_file.content", "content_raw"),
+        # 'entry_' prefix: the content rows' own file_path field (a
+        # position delete's target) is a DIFFERENT column below
+        mx("data_file.file_path", "entry_file_path"),
+        mx("data_file.record_count", "record_count"),
+        mx("data_file.file_size_in_bytes", "file_size"),
+    ]
+    if extra:
+        aggs += [mx(f, f) for f in extra]
+        aggs += [
+            F.max(F.col("field").isin("id", "v")).alias("_has_data"),
+            F.max(F.col("field").isin("file_path", "pos")).alias(
+                "_has_pos"
+            ),
+            F.max(F.col("field") == "id").alias("_has_id"),
+        ]
+    fused = materialize(
+        longs.filter(F.col("field").isin(*all_fields))
         .groupBy("table_id", "file_name", "rec_idx")
-        .agg(
-            F.max(
-                F.when(F.col("field") == "manifest_path", F.col("value"))
-            ).alias("manifest"),
-            F.max(
-                F.when(F.col("field") == "sequence_number", F.col("value"))
-            ).alias("list_seq"),
-        )
-        .filter(F.col("manifest").isNotNull())
+        .agg(*aggs)
     )
-    reachable = (
-        list_rows.join(
-            # one row per table: always broadcast — the manifest-list
-            # long rows never shuffle for this join
-            F.broadcast(current),
-            (list_rows["file_name"] == current["list_name"])
-            & (list_rows["table_id"] == current["table_id"]),
-        )
-        .select(
-            list_rows["table_id"].alias("table_id"),
-            "manifest",
-            "list_seq",
-        )
+    # manifest-list rows: which manifests the current snapshot reaches
+    # (rows from entry/content files fall out via manifest IS NULL +
+    # the join to current). Every column re-aliased: both sides of the
+    # entries join below descend from the SAME fused checkpoint, so
+    # un-renamed attributes would be ambiguous.
+    list_rows = fused.filter(F.col("manifest").isNotNull()).select(
+        F.col("table_id").alias("l_table_id"),
+        F.col("file_name").alias("l_file_name"),
+        F.col("manifest").alias("r_manifest"),
+        F.col("seqno").alias("list_seq"),
     )
-    # manifest entries, pivoted wide from the long format
-    ents = (
-        longs.filter(F.col("field").isin(
-            "status",
-            "sequence_number",
-            "data_file.content",
-            "data_file.file_path",
-            "data_file.record_count",
-            "data_file.file_size_in_bytes",
-        ))
-        .groupBy("table_id", "file_name", "rec_idx")
-        .agg(
-            F.max(F.when(F.col("field") == "status", F.col("value")))
-            .alias("status"),
-            # v2 entry-level data sequence number, kept NULLABLE here:
-            # null resolves via inheritance (ADDED) or the v1 zero at
-            # the entries join below
-            F.max(
-                F.when(
-                    F.col("field") == "sequence_number",
-                    F.col("value"),
-                )
-            ).alias("seq_entry"),
-            F.coalesce(
-                F.max(
-                    F.when(
-                        F.col("field") == "data_file.content",
-                        F.col("value"),
-                    )
-                ),
-                F.lit("0"),
-            ).alias("content"),
-            F.max(
-                F.when(
-                    F.col("field") == "data_file.file_path", F.col("value")
-                )
-            ).alias("file_path"),
-            F.max(
-                F.when(
-                    F.col("field") == "data_file.record_count",
-                    F.col("value"),
-                )
-            ).alias("record_count"),
-            F.max(
-                F.when(
-                    F.col("field") == "data_file.file_size_in_bytes",
-                    F.col("value"),
-                )
-            ).alias("file_size"),
-        )
-    )
+    reachable = list_rows.join(
+        # one row per table: always broadcast — the manifest-list
+        # long rows never shuffle for this join
+        F.broadcast(current),
+        (list_rows["l_file_name"] == current["list_name"])
+        & (list_rows["l_table_id"] == current["table_id"]),
+    ).select("l_table_id", "r_manifest", "list_seq")
     entries = (
-        ents.join(
+        fused.join(
             # a few manifests per table: broadcast, so the (bigger)
-            # entry table is filtered map-side instead of shuffling
+            # fused table is filtered map-side instead of shuffling
             F.broadcast(reachable),
-            (ents["file_name"] == reachable["manifest"])
-            & (ents["table_id"] == reachable["table_id"]),
+            (fused["file_name"] == reachable["r_manifest"])
+            & (fused["table_id"] == reachable["l_table_id"]),
         )
         .select(
-            ents["table_id"].alias("table_id"),
+            fused["table_id"].alias("table_id"),
             "file_name",
             "rec_idx",
             "status",
@@ -253,17 +245,17 @@ def _resolve_reachable_entries(
             # inherits the manifest-list entry's sequence number; v1
             # (both null) keeps the legacy 0
             F.coalesce(
-                ents["seq_entry"],
-                F.when(ents["status"] == "1", reachable["list_seq"]),
+                fused["seqno"],
+                F.when(fused["status"] == "1", reachable["list_seq"]),
                 F.lit("0"),
             ).cast("long").alias("seq"),
-            "content",
-            "file_path",
+            F.coalesce(fused["content_raw"], F.lit("0")).alias("content"),
+            F.col("entry_file_path").alias("file_path"),
             "record_count",
             "file_size",
         )
     )
-    return longs, entries
+    return fused, entries
 
 
 def iceberg_live_files(
@@ -281,7 +273,7 @@ def iceberg_live_files(
     v2 delete-file entries (content != 0) are excluded — they remove
     ROWS, not files; the merge-on-read read path is
     :func:`iceberg_live_rows`."""
-    _longs, entries = _resolve_reachable_entries(metadata, files)
+    _fused, entries = _resolve_reachable_entries(metadata, files)
     return (
         entries.filter(
             (F.col("status") != "2") & (F.col("content") == "0")
@@ -317,12 +309,16 @@ def iceberg_live_rows(
     here). The fixture's data files are Avro so the certified
     container walker supplies the row contents; a parquet data file
     changes the scan, not the delete algebra."""
-    longs, entries = _resolve_reachable_entries(metadata, files)
-    # the live entry table feeds THREE broadcast-built file lists below;
-    # un-pinned, every broadcast exchange re-runs the manifest pivot +
-    # reachability joins over the longs checkpoint (measured: 3× the
-    # entries subtree per query). Metadata-scale rows — pin once.
-    live = materialize(entries.filter(F.col("status") != "2"))
+    # ONE materialized pivot (see _resolve_reachable_entries, round 16)
+    # carries the manifest-list, manifest-entry AND content-row columns;
+    # everything below is filters + broadcast joins over its checkpoint.
+    # The three file lists and three content slices each re-derive from
+    # the checkpoint per plan branch — metadata-scale scans, vs the old
+    # shape's two extra blocking materializations (live, content).
+    fused, entries = _resolve_reachable_entries(
+        metadata, files, content_fields=("id", "v", "file_path", "pos")
+    )
+    live = entries.filter(F.col("status") != "2")
     # every column here is freshly ALIASED: the live and content
     # checkpoints both inherit their groupBy-key exprIds from the same
     # longs lineage, so an un-renamed table_id/file_path on this side
@@ -344,32 +340,11 @@ def iceberg_live_rows(
         F.col("seq").alias("eq_seq_del"),
     )
 
-    # ONE fused pivot over the long table serves all three content
-    # consumers (r15 — the data/position/equality pivots ran three
-    # separate aggregations over the same longs checkpoint: 3 shuffles
-    # for 1 shuffle's information). Per-consumer ``_has_*`` flags keep
-    # the group sets EXACTLY what the per-field pivots produced (a
-    # group exists for a consumer iff some row carries one of ITS
-    # fields — a value-null field still counts, so a null-max test
-    # could not replicate this); the downstream file-list joins then
-    # restrict by file kind as before. Materialized: three consumers,
-    # metadata-scale rows.
-    fields = ["id", "v", "file_path", "pos"]
-    content = materialize(
-        longs.filter(F.col("field").isin(*fields))
-        .groupBy("table_id", "file_name", "rec_idx")
-        .agg(
-            *[
-                F.max(F.when(F.col("field") == f, F.col("value"))).alias(f)
-                for f in fields
-            ],
-            F.max(F.col("field").isin("id", "v")).alias("_has_data"),
-            F.max(F.col("field").isin("file_path", "pos")).alias(
-                "_has_pos"
-            ),
-            F.max(F.col("field") == "id").alias("_has_id"),
-        )
-    )
+    # the content slices read the SAME fused checkpoint via the
+    # ``_has_*`` field-presence flags (a group belongs to a consumer iff
+    # some row carries one of ITS fields — a value-null field still
+    # counts, so a null-max test could not replicate this)
+    content = fused
 
     # data rows: (table_id, file, ordinal, id, v) restricted to live
     # data files — the file set is metadata-scale, broadcast
