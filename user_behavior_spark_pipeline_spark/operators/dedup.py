@@ -1768,9 +1768,9 @@ def semantic_near_dup_pairs(
     cent = _train_centroids(embeddings, n_clusters)
     cdf = _centroids_df(spark, cent)
     # the SHARED ivf_topk assignment (similarity.assign_cells): one
-    # audited implementation of normalize -> broadcast score -> max_by
-    # struct tie-break, instead of a drifting copy
-    assigned = assign_cells(normalized_vectors(embeddings), cdf)
+    # audited implementation instead of a drifting copy; cent= routes
+    # to the numpy-argmax batch kernel (no crossJoin, no max_by shuffle)
+    assigned = assign_cells(normalized_vectors(embeddings), cdf, cent=cent)
 
     # no type hints: a partially-annotated applyInPandas kernel trips
     # pyspark's eval-type inference warning

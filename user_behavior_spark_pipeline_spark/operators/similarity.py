@@ -361,18 +361,40 @@ def _centroids_df(spark, cent) -> DataFrame:
     )
 
 
-def assign_cells(normed: DataFrame, cdf: DataFrame) -> DataFrame:
+def assign_cells(normed: DataFrame, cdf: DataFrame, cent=None) -> DataFrame:
     """Nearest-centroid cell assignment, shared by ivf_topk and
     dedup.semantic_near_dup_pairs so the assignment semantics (and any
-    fix to them) live in ONE place: broadcast crossJoin against the tiny
-    centroid table + one max_by hash-agg — the corpus is scanned once
-    and shuffled only by vec_id. Returns (vec_id, cell, ne).
+    fix to them) live in ONE place. Returns (vec_id, cell, ne).
 
-    Struct tie-break: duplicate/collapsed centroids tie on score
-    exactly; lowest centroid_id wins deterministically (ADVICE r07 #1 —
-    same convention as incremental_near_dup). `first("ne")` is safe:
-    every row of a vec_id group carries the identical normalized
-    vector."""
+    When the caller has the centroid matrix in hand (``cent``, the
+    ndarray _train_centroids returned — both in-repo callers do), the
+    assignment is ONE numpy argmax per Arrow batch: no crossJoin, no
+    max_by shuffle, the corpus never leaves its scan partitioning
+    (guide §4.2 — batch kernels over interpreted per-pair expressions;
+    the old shape evaluated n_centroids interpreted HOF dot products
+    per vector and re-aggregated 16 rows per vec_id). numpy argmax
+    takes the FIRST maximum, which is exactly the lowest-centroid_id
+    tie-break of the struct form (ADVICE r07 #1): duplicate/collapsed
+    centroids produce bit-equal scores in either engine, and non-tied
+    scores are far outside either engine's rounding.
+
+    The DataFrame path (``cent=None``) stays for callers that only
+    hold the centroid TABLE: broadcast crossJoin + one max_by hash-agg."""
+    if cent is not None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        c_t = np.ascontiguousarray(cent, dtype=np.float64).T
+
+        # NB: no type hints — `from __future__ import annotations`
+        # stringifies them, which pandas_udf's inference rejects
+        @pandas_udf("int")
+        def _cell(ne):
+            x = np.array(ne.tolist(), dtype=np.float64)
+            return pd.Series(np.argmax(x @ c_t, axis=1).astype("int32"))
+
+        return normed.select("vec_id", _cell("ne").alias("cell"), "ne")
     return (
         normed.crossJoin(F.broadcast(cdf))
         .withColumn("score", _dot(F.col("ne"), F.col("ce")))
@@ -408,6 +430,13 @@ def ivf_topk(
     cdf = _centroids_df(spark, cent)
 
     normed = normalized_vectors(embeddings)
+    # measured (r16 paired A/B, runs=5): the numpy-argmax assignment
+    # REGRESSES this query (3.02 -> 4.30 s) — the Arrow round-trip of
+    # (vec_id, ne) costs more than the interpreted crossJoin+max_by
+    # here, where the agg exchange also feeds the candidate join.
+    # semantic_near_dup_pairs keeps the cent= kernel (2.57 -> 1.68 s:
+    # its next op is a groupBy(cell) shuffle, so the max_by exchange
+    # was pure overhead). Keep the DataFrame path for ivf.
     assigned = assign_cells(normed, cdf)
     q = (
         normed.filter(F.col("vec_id") < num_queries)
