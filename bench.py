@@ -154,23 +154,48 @@ def main() -> None:
     # pass 1: every query gets its (mandatory) first sample
     for name in bench_names:
         _sample(name)
-    # extra samples, budget checked per QUERY: cheapest-first so a tight
-    # budget sheds the expensive tail's re-runs, never pass 1 or the
-    # cheap majority's medians; a query whose estimate doesn't fit ends
-    # the round (everything after it in the order costs more)
-    for _ in range(1, runs):
-        # pick the cheapest REMAINING query by its CURRENT median each
+    # extra samples, budget checked per QUERY. Pass 2 runs cheapest-first
+    # so a tight budget sheds the expensive tail's re-runs, never pass 1
+    # or the cheap majority's medians. Pass 3+ is the SPIKE-REPAIR pass
+    # (round 16 — VERDICT r15 #3: a median of two cannot reject this
+    # box's multi-second contention spikes, and cheapest-first made the
+    # spike victims the LAST to get the third sample that repairs them):
+    # queries are taken largest-relative-disagreement first, and the
+    # budget fit uses the MIN sample as the cost estimate (when samples
+    # disagree, the min is the best cold-cost estimate — a spiked median
+    # would overestimate and starve exactly the queries that need the
+    # repair; overrun stays bounded by one query, as before). Methodology
+    # is otherwise unchanged: same samples-per-query target, same
+    # median reporting — only the ORDER of extra samples moved.
+    for r in range(1, runs):
+        # pick from the REMAINING queries by their CURRENT samples each
         # step (ADVICE r07: a pre-round sort goes stale as _sample()
-        # mutates the medians it was keyed on, breaking the early-break
-        # invariant mid-round). Selecting the min of the remainder makes
-        # the invariant exact: when the cheapest remaining estimate
-        # doesn't fit the budget, nothing else this round fits either.
+        # mutates the stats it was keyed on). For the cheapest-first
+        # pass the min-of-remainder makes the early-break invariant
+        # exact: when the cheapest remaining estimate doesn't fit,
+        # nothing else this round fits either.
         pending = set(bench_names)
         while pending:
-            name = min(pending, key=lambda n: statistics.median(samples[n]))
-            est = statistics.median(samples[name])
-            if time.perf_counter() - bench_start + est > budget_s:
-                break
+            if r == 1:
+                name = min(
+                    pending, key=lambda n: statistics.median(samples[n])
+                )
+                if (
+                    time.perf_counter() - bench_start
+                    + statistics.median(samples[name])
+                    > budget_s
+                ):
+                    break
+            else:
+                left = budget_s - (time.perf_counter() - bench_start)
+                fits = [n for n in pending if min(samples[n]) <= left]
+                if not fits:
+                    break
+                name = max(
+                    fits,
+                    key=lambda n: (max(samples[n]) - min(samples[n]))
+                    / max(statistics.median(samples[n]), 1e-9),
+                )
             pending.discard(name)
             _sample(name)
 
