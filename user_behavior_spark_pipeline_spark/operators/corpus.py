@@ -68,11 +68,25 @@ def contamination_report(
             F.col("doc_id").alias(id_alias),
             F.split(F.col("text"), "\\s+").alias("_toks"),
         )
-        out = tokenized.select(
+        if dedupe:
+            # per-doc distinct IN-ROW (doc_id is a key, so the global
+            # distinct deduplicated only within documents — the
+            # dedup.shingles r16 shape): no exchange at all
+            return tokenized.select(
+                id_alias,
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            _gram_col(F.col("_toks"), n),
+                            lambda g: F.xxhash64(g),
+                        )
+                    )
+                ).alias("shingle"),
+            )
+        return tokenized.select(
             id_alias,
             F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
         ).select(id_alias, F.xxhash64("gram").alias("shingle"))
-        return out.distinct() if dedupe else out
 
     ev = _shingled(eval_docs, "eval_doc_id")
     # The TRAIN side is deliberately NOT deduplicated before the join: a
@@ -414,11 +428,24 @@ def boilerplate_ngram_stats(
         "source",
         F.split(F.col("text"), "\\s+").alias("_toks"),
     )
+    # per-doc distinct IN-ROW (doc_id is a key and source is constant
+    # per row, so the global distinct on (doc_id, source, g) only ever
+    # deduplicated within a document — the dedup.shingles r16 shape):
+    # the corpus-gram Exchange + double HashAggregate disappears. grams
+    # feeds two consumers (counts + the flag join), which re-run the
+    # tokenize map-side instead of sharing the distinct's exchange —
+    # CPU paid twice where a full corpus shuffle used to be.
     grams = tokenized.select(
         "doc_id",
         "source",
-        F.explode(_gram_col(F.col("_toks"), n)).alias("gram"),
-    ).select("doc_id", "source", F.xxhash64("gram").alias("g")).distinct()
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _gram_col(F.col("_toks"), n), lambda g: F.xxhash64(g)
+                )
+            )
+        ).alias("g"),
+    )
     counts = grams.groupBy("source", "g").agg(
         F.count(F.lit(1)).alias("_df")
     )
